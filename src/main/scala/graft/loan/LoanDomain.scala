@@ -199,4 +199,67 @@ object LoanDomain {
     loanFinal(joined(spark, sfDir))
       .select(loanFinalColumns.map(col): _*)
       .orderBy("loan_id")
+
+  /** G1 — month-wise repayment schedule (main.py:146-193), the reference's
+    * most complex operator. The pandas version is an iterrows loop building
+    * one mini-DataFrame per loan + concat; here it is a single vectorized
+    * `explode(sequence(1, duration))` followed by pure column expressions —
+    * fully distributed, no driver-side loop, scales linearly in
+    * loans × months.
+    *
+    * Quirks preserved (bugs-as-spec, SURVEY.md §7.4): the FULL cumulative
+    * `emi_collected` is credited to EVERY elapsed month (main.py:162), and
+    * the schedule's DPD label set differs from loan_final's (main.py:167-176).
+    *
+    * The reference's running `total_collected += collected` is reproduced as
+    * `ec * running_count(elapsed months)` — an integer window count times a
+    * constant, which is exactly associative (unlike a double window sum, so
+    * it is bit-stable under any partial-aggregation order and matches the
+    * DuckDB oracle; ulp-equal to pandas' sequential adds after the 2dp
+    * output rounding of main.py:182-185).
+    */
+  /** F10 — 2dp presentation rounding (main.py:182-185). Spelled out as
+    * `floor(x*100 + 0.5)/100` (valid for the non-negative money values here)
+    * because engine-native round() differs at half boundaries: Spark rounds
+    * the exact binary value HALF_UP, DuckDB rounds x*100 — ~30/500k cells
+    * diverge by a full cent. One explicit IEEE754 formula on both sides is
+    * bit-deterministic. (Deviation note: Python round() is banker's.)
+    */
+  def round2(x: Column): Column = floor(x * lit(100) + lit(0.5)) / lit(100.0)
+
+  def monthlySchedule(base: DataFrame, asOfD: Column = asOf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("loan_id")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("duration_months", monthDiff(col("due_date"), col("disbursement_date")))
+      .filter(col("duration_months") >= 1)
+      .withColumn("ec0", ec(col("emi_collected")))
+      .withColumn("total_payable", totalPayableScheduleShape(
+        col("disbursement_amount"), col("interest_rate"), col("duration_months")))
+      .withColumn("emi_raw", emiAmount(col("total_payable"), col("duration_months")))
+      .withColumn("month", explode(sequence(lit(1), col("duration_months"))))
+      .withColumn("emi_due_date_d", add_months(col("disbursement_date"), col("month")))
+      .withColumn("demand", col("emi_raw") * col("month"))
+      .withColumn("collected",
+        when(col("emi_due_date_d") <= asOfD, col("ec0")).otherwise(lit(0.0)))
+      .withColumn("paid_months",
+        sum(when(col("emi_due_date_d") <= asOfD, 1).otherwise(0)).over(w))
+      .withColumn("total_collected", col("ec0") * col("paid_months"))
+      .withColumn("arrear_raw", greatest(lit(0.0), col("demand") - col("total_collected")))
+      .withColumn("dpd_days", dpdDays(col("arrear_raw"), asOfD, col("emi_due_date_d")))
+      .select(
+        col("loan_id"),
+        col("month"),
+        date_format(col("emi_due_date_d"), "dd-MMM-yyyy").as("emi_due_date"),
+        round2(col("emi_raw")).as("emi_amount"),
+        round2(col("collected")).as("emi_collected"),
+        round2(col("demand")).as("total_demand_till_month"),
+        round2(col("arrear_raw")).as("arrear"),
+        col("dpd_days"),
+        dpdBucketSchedule(col("dpd_days")).as("dpd_bucket"))
+  }
+
+  def monthlyScheduleFrame(spark: SparkSession, sfDir: String): DataFrame =
+    monthlySchedule(joined(spark, sfDir)).orderBy("loan_id", "month")
 }

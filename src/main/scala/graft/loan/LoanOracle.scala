@@ -123,4 +123,71 @@ object LoanOracle {
       total_to_be_collected
     FROM m7
     ORDER BY loan_id"""
+
+  /** loan_monthly_schedule (G1) — main.py:146-193 twin. */
+  val monthlyScheduleSql: String = s"""
+    WITH $baseCtes,
+    s1 AS (
+      SELECT *,
+        CAST((year(due_date) - year(disbursement_date)) * 12
+             + (month(due_date) - month(disbursement_date)) AS INTEGER) AS duration_months,
+        COALESCE(emi_collected, 0.0) AS ec0
+      FROM base
+    ),
+    s2 AS (
+      SELECT *,
+        disbursement_amount * (1 + (interest_rate / 100.0)
+          * (duration_months / 12.0)) AS total_payable
+      FROM s1 WHERE duration_months >= 1
+    ),
+    s3 AS (
+      SELECT *,
+        CASE WHEN duration_months > 0 THEN total_payable / duration_months
+             ELSE 0.0 END AS emi_raw
+      FROM s2
+    ),
+    s4 AS (
+      SELECT *, unnest(generate_series(1, CAST(duration_months AS BIGINT))) AS month_b
+      FROM s3
+    ),
+    s5 AS (
+      SELECT *,
+        CAST(month_b AS INTEGER) AS month,
+        CAST(disbursement_date + to_months(CAST(month_b AS INTEGER)) AS DATE) AS emi_due_date_d
+      FROM s4
+    ),
+    s6 AS (
+      SELECT *,
+        emi_raw * month AS demand,
+        CASE WHEN emi_due_date_d <= $asOf THEN ec0 ELSE 0.0 END AS collected,
+        CAST(SUM(CASE WHEN emi_due_date_d <= $asOf THEN 1 ELSE 0 END)
+             OVER (PARTITION BY loan_id ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS paid_months
+      FROM s5
+    ),
+    s7 AS (
+      SELECT *, greatest(0.0, demand - ec0 * paid_months) AS arrear_raw FROM s6
+    ),
+    s8 AS (
+      SELECT *,
+        CASE WHEN arrear_raw > 0
+          THEN CAST(greatest(0, date_diff('day', emi_due_date_d, $asOf)) AS INTEGER)
+          ELSE 0 END AS dpd_days
+      FROM s7
+    )
+    SELECT
+      loan_id, month,
+      strftime(emi_due_date_d, '%d-%b-%Y') AS emi_due_date,
+      floor(emi_raw * 100 + 0.5) / 100.0 AS emi_amount,
+      floor(collected * 100 + 0.5) / 100.0 AS emi_collected,
+      floor(demand * 100 + 0.5) / 100.0 AS total_demand_till_month,
+      floor(arrear_raw * 100 + 0.5) / 100.0 AS arrear,
+      dpd_days,
+      CASE WHEN dpd_days = 0 THEN 'Current'
+           WHEN dpd_days <= 30 THEN '0–30'
+           WHEN dpd_days <= 60 THEN '30–60'
+           WHEN dpd_days <= 90 THEN '60–90'
+           ELSE '90+' END AS dpd_bucket
+    FROM s8
+    ORDER BY loan_id, month"""
 }
