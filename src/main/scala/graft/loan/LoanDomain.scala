@@ -195,10 +195,12 @@ object LoanDomain {
     "amount_to_be_returned", "months_due", "dpd_days", "dpd_bucket",
     "total_to_be_collected")
 
+  /** loan_final without the presentation sort — input to the rollups. */
+  def loanFinalUnordered(spark: SparkSession, sfDir: String): DataFrame =
+    loanFinal(joined(spark, sfDir)).select(loanFinalColumns.map(col): _*)
+
   def loanFinalFrame(spark: SparkSession, sfDir: String): DataFrame =
-    loanFinal(joined(spark, sfDir))
-      .select(loanFinalColumns.map(col): _*)
-      .orderBy("loan_id")
+    loanFinalUnordered(spark, sfDir).orderBy("loan_id")
 
   /** G1 — month-wise repayment schedule (main.py:146-193), the reference's
     * most complex operator. The pandas version is an iterrows loop building

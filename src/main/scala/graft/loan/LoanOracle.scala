@@ -63,9 +63,10 @@ object LoanOracle {
        ORDER BY levenshtein(upper($t.region), upper(c)), i LIMIT 1)
     END"""
 
-  /** loan_final (flagship) — main.py:82-141 twin. */
-  val loanFinalSql: String = s"""
-    WITH $baseCtes,
+  /** Full CTE chain ending in `lf` = the loan_final relation; reused by the
+    * flagship and every portfolio rollup built on top of it.
+    */
+  val loanFinalCtes: String = s"""$baseCtes,
     m1 AS (
       SELECT *,
         CAST((year(due_date) - year(disbursement_date)) * 12
@@ -107,22 +108,28 @@ object LoanOracle {
           THEN CAST(greatest(0, date_diff('day', emi_due_date, $asOf)) AS INTEGER)
           ELSE 0 END AS dpd_days
       FROM m6
-    )
-    SELECT
-      loan_id, customer_id, customer_name, disbursement_amount,
-      disbursement_date, due_date, region,
-      ${regionCleaned("m7")} AS region_cleaned,
-      interest_rate, pos, product_type, emi_collected,
-      emi_amount, total_demand, arrear, target_amount, amount_to_be_returned,
-      months_due, dpd_days,
-      CASE WHEN dpd_days = 0 THEN 'Current'
-           WHEN dpd_days <= 30 THEN '1–30 DPD'
-           WHEN dpd_days <= 60 THEN '31–60 DPD'
-           WHEN dpd_days <= 90 THEN '61–90 DPD'
-           ELSE '90+ DPD' END AS dpd_bucket,
-      total_to_be_collected
-    FROM m7
-    ORDER BY loan_id"""
+    ),
+    lf AS (
+      SELECT
+        loan_id, customer_id, customer_name, disbursement_amount,
+        disbursement_date, due_date, region,
+        ${regionCleaned("m7")} AS region_cleaned,
+        interest_rate, pos, product_type, emi_collected,
+        emi_amount, total_demand, arrear, target_amount, amount_to_be_returned,
+        months_due, dpd_days,
+        CASE WHEN dpd_days = 0 THEN 'Current'
+             WHEN dpd_days <= 30 THEN '1–30 DPD'
+             WHEN dpd_days <= 60 THEN '31–60 DPD'
+             WHEN dpd_days <= 90 THEN '61–90 DPD'
+             ELSE '90+ DPD' END AS dpd_bucket,
+        total_to_be_collected
+      FROM m7
+    )"""
+
+  /** loan_final (flagship) — main.py:82-141 twin. */
+  val loanFinalSql: String = s"""
+    WITH $loanFinalCtes
+    SELECT * FROM lf ORDER BY loan_id"""
 
   /** loan_monthly_schedule (G1) — main.py:146-193 twin. */
   val monthlyScheduleSql: String = s"""
