@@ -10,7 +10,9 @@ import graft.api.GraftQuery
 object SparkEntry {
 
   def registry: Seq[GraftQuery] =
-    loan.LoanQueries.all
+    loan.LoanQueries.all ++
+      loan.PortfolioQueries.all ++
+      relational.RelationalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2,8 +2,8 @@ package graft.loan
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import graft.api.Det
 
 /** The reference's loan data model mapped deterministically onto the driver
   * parquet corpus (FIXTURES.md §B mapping):
@@ -57,19 +57,20 @@ object LoanDomain {
   }
 
   /** loan_extensions view (the Mongo side of the reference). Revenue summed
-    * through DECIMAL(18,4): decimal addition is exact and associative, so the
-    * aggregate is deterministic regardless of partial-aggregation order —
-    * required for hash parity with DuckDB and stable at any partition count.
+    * through integer quantization ([[graft.api.Det]]): the quantized-long
+    * aggregate is exact and associative, so it is deterministic regardless
+    * of partial-aggregation order — required for hash parity with DuckDB and
+    * stable at any partition count.
     */
   def loanExtensions(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
     l.groupBy(col("l_orderkey"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(18, 4))).as("rev_dec"))
+      .agg(sum(Det.quantize(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_i"))
       .select(
         col("l_orderkey").as("loan_id"),
         concat(lit("PT-"), (col("l_orderkey") % 5).cast("string")).as("product_type"),
-        (col("rev_dec").cast("double") *
+        (col("rev_i") / lit(Det.pow10(4)) *
           (lit(0.1) + (col("l_orderkey") % 10) * lit(0.1))).as("emi_collected"))
   }
 

@@ -38,7 +38,7 @@ object LoanOracle {
       SELECT
         l_orderkey AS loan_id,
         'PT-' || CAST(l_orderkey % 5 AS VARCHAR) AS product_type,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0
           * (0.1::DOUBLE + (l_orderkey % 10) * 0.1::DOUBLE) AS emi_collected
       FROM lineitem GROUP BY l_orderkey
     ),

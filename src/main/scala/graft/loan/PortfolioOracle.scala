@@ -1,0 +1,112 @@
+package graft.loan
+
+/** DuckDB twins of [[PortfolioQueries]]. All build on LoanOracle.loanFinalCtes
+  * (`lf`). Ordering notes: Spark's default ASC is NULLS FIRST — DuckDB's is
+  * NULLS LAST — so every ORDER BY on a nullable column says NULLS FIRST
+  * explicitly. Double SUM goes through integer quantization exactly like
+  * [[graft.api.Det.sumQ]].
+  */
+object PortfolioOracle {
+
+  private val ctes = LoanOracle.loanFinalCtes
+
+  private def sumDec(c: String): String =
+    s"SUM(CAST(floor(($c) * 10000.0 + 0.5) AS BIGINT)) / 10000.0"
+
+  val byRegionSql: String = s"""
+    WITH $ctes
+    SELECT region_cleaned, dpd_bucket,
+      COUNT(*) AS loans,
+      ${sumDec("disbursement_amount")} AS disbursed,
+      ${sumDec("arrear")} AS total_arrear,
+      ${sumDec("emi_amount")} / COUNT(emi_amount) AS avg_emi
+    FROM lf
+    GROUP BY region_cleaned, dpd_bucket
+    ORDER BY region_cleaned NULLS FIRST, dpd_bucket NULLS FIRST"""
+
+  val rollupSql: String = s"""
+    WITH $ctes
+    SELECT CAST(GROUPING(region_cleaned, dpd_bucket) AS INTEGER) AS gid,
+      region_cleaned, dpd_bucket,
+      COUNT(*) AS loans,
+      ${sumDec("arrear")} AS total_arrear
+    FROM lf
+    GROUP BY ROLLUP (region_cleaned, dpd_bucket)
+    ORDER BY gid, region_cleaned NULLS FIRST, dpd_bucket NULLS FIRST"""
+
+  val cubeSql: String = s"""
+    WITH $ctes
+    SELECT CAST(GROUPING(region_cleaned, dpd_bucket) AS INTEGER) AS gid,
+      region_cleaned, dpd_bucket,
+      COUNT(*) AS loans
+    FROM lf
+    GROUP BY CUBE (region_cleaned, dpd_bucket)
+    ORDER BY gid, region_cleaned NULLS FIRST, dpd_bucket NULLS FIRST"""
+
+  val topArrearsByRegionSql: String = s"""
+    WITH $ctes,
+    ranked AS (
+      SELECT region_cleaned,
+        CAST(ROW_NUMBER() OVER (PARTITION BY region_cleaned
+          ORDER BY arrear DESC, loan_id) AS INTEGER) AS rn,
+        loan_id, arrear
+      FROM lf WHERE arrear > 0
+    )
+    SELECT * FROM ranked WHERE rn <= 5
+    ORDER BY region_cleaned NULLS FIRST, rn"""
+
+  val monthlyRunningSql: String = s"""
+    WITH $ctes,
+    m AS (
+      SELECT region_cleaned,
+        CAST(date_trunc('month', disbursement_date) AS DATE) AS month,
+        SUM(CAST(floor(disbursement_amount * 10000.0 + 0.5) AS BIGINT)) AS disbursed_i
+      FROM lf
+      GROUP BY region_cleaned, CAST(date_trunc('month', disbursement_date) AS DATE)
+    )
+    SELECT region_cleaned, month,
+      disbursed_i / 10000.0 AS disbursed,
+      SUM(disbursed_i) OVER (PARTITION BY region_cleaned ORDER BY month
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0 AS cum_disbursed
+    FROM m
+    ORDER BY region_cleaned NULLS FIRST, month"""
+
+  val distinctPairsSql: String = s"""
+    WITH $ctes
+    SELECT DISTINCT region_cleaned, dpd_bucket FROM lf
+    ORDER BY region_cleaned NULLS FIRST, dpd_bucket NULLS FIRST"""
+
+  val overdueCustomersSql: String = s"""
+    WITH $ctes
+    SELECT c.customer_id, c.customer_name FROM cust c
+    WHERE EXISTS (SELECT 1 FROM lf
+      WHERE lf.customer_id = c.customer_id AND lf.arrear > 0)
+    ORDER BY c.customer_id"""
+
+  val currentCustomersSql: String = s"""
+    WITH $ctes
+    SELECT c.customer_id, c.customer_name FROM cust c
+    WHERE NOT EXISTS (SELECT 1 FROM lf
+      WHERE lf.customer_id = c.customer_id AND lf.arrear > 0)
+    ORDER BY c.customer_id"""
+
+  val regionSetOpsSql: String = s"""
+    WITH $ctes,
+    a AS (SELECT region_cleaned FROM lf WHERE dpd_bucket = '90+ DPD'),
+    b AS (SELECT region_cleaned FROM lf WHERE amount_to_be_returned > 0)
+    SELECT 'union' AS op, region_cleaned FROM (
+      SELECT DISTINCT region_cleaned FROM (
+        SELECT region_cleaned FROM a UNION ALL SELECT region_cleaned FROM b))
+    UNION ALL
+    SELECT 'intersect' AS op, region_cleaned FROM (
+      SELECT region_cleaned FROM a INTERSECT SELECT region_cleaned FROM b)
+    UNION ALL
+    SELECT 'except' AS op, region_cleaned FROM (
+      SELECT region_cleaned FROM a EXCEPT SELECT region_cleaned FROM b)
+    ORDER BY op, region_cleaned NULLS FIRST"""
+
+  val top10ArrearsSql: String = s"""
+    WITH $ctes
+    SELECT loan_id, customer_name, arrear, dpd_bucket FROM lf
+    ORDER BY arrear DESC, loan_id LIMIT 10"""
+}

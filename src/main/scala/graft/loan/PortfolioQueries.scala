@@ -1,0 +1,193 @@
+package graft.loan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{Det, GraftQuery}
+
+/** Portfolio rollups over the loan_final relation — the aggregation /
+  * window / sort / set-op / semi-anti-join categories the reference has no
+  * instance of (SURVEY.md §2.5: "absent" rows). Each is the natural consumer
+  * query of `loan_final` (/root/reference/main.py:204-210 just dumps the
+  * table; these are what a portfolio analyst would run on it).
+  *
+  * Scale notes (100 TB story):
+  *   - all aggregations are partial+final hash aggs (map-side combine) on
+  *     low-cardinality keys (4 regions × 5 buckets) — the shuffle carries
+  *     only the partial states, bytes not rows;
+  *   - window top-k shuffles once on region and sorts within partitions;
+  *   - double SUMs route through integer quantization (exact, associative)
+  *     so results are identical at any partition count — see [[graft.api.Det]].
+  */
+object PortfolioQueries {
+
+  private def lf(s: SparkSession, d: String): DataFrame =
+    LoanDomain.loanFinalUnordered(s, d)
+
+  /** Hash aggregation with multiple measures per (region, bucket). */
+  val byRegion: GraftQuery = GraftQuery(
+    "portfolio_by_region",
+    "groupBy agg: loans/disbursed/arrear/avg-EMI per (region_cleaned, dpd_bucket)",
+    PortfolioOracle.byRegionSql) { (s, d) =>
+    lf(s, d)
+      .groupBy(col("region_cleaned"), col("dpd_bucket"))
+      .agg(
+        count(lit(1)).as("loans"),
+        Det.sumQ(col("disbursement_amount")).as("disbursed"),
+        Det.sumQ(col("arrear")).as("total_arrear"),
+        Det.avgQ(col("emi_amount")).as("avg_emi"))
+      .orderBy(asc_nulls_first("region_cleaned"), asc_nulls_first("dpd_bucket"))
+  }
+
+  /** ROLLUP with grouping_id to disambiguate subtotal nulls from the real
+    * null region (null passthrough of main.py:70-71 flows into loan_final).
+    */
+  val rollupQ: GraftQuery = GraftQuery(
+    "portfolio_rollup",
+    "rollup(region, bucket) + grouping_id subtotals",
+    PortfolioOracle.rollupSql) { (s, d) =>
+    lf(s, d)
+      .rollup(col("region_cleaned"), col("dpd_bucket"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("loans"),
+        Det.sumQ(col("arrear")).as("total_arrear"))
+      .select("gid", "region_cleaned", "dpd_bucket", "loans", "total_arrear")
+      .orderBy(col("gid"), asc_nulls_first("region_cleaned"), asc_nulls_first("dpd_bucket"))
+  }
+
+  /** CUBE — all four grouping-set combinations. */
+  val cubeQ: GraftQuery = GraftQuery(
+    "portfolio_cube",
+    "cube(region, bucket) + grouping_id",
+    PortfolioOracle.cubeSql) { (s, d) =>
+    lf(s, d)
+      .cube(col("region_cleaned"), col("dpd_bucket"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("loans"))
+      .select("gid", "region_cleaned", "dpd_bucket", "loans")
+      .orderBy(col("gid"), asc_nulls_first("region_cleaned"), asc_nulls_first("dpd_bucket"))
+  }
+
+  /** Top-k per group: row_number window, deterministic tie-break on loan_id.
+    * Scale: one shuffle on region, per-partition sort, early filter rn<=5.
+    */
+  val topArrearsByRegion: GraftQuery = GraftQuery(
+    "top_arrears_by_region",
+    "window ranking: top-5 arrears per region (row_number <= k)",
+    PortfolioOracle.topArrearsByRegionSql) { (s, d) =>
+    val w = Window.partitionBy(col("region_cleaned"))
+      .orderBy(desc("arrear"), asc("loan_id"))
+    lf(s, d)
+      .filter(col("arrear") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("region_cleaned"), col("rn").cast("int").as("rn"),
+        col("loan_id"), col("arrear"))
+      .orderBy(asc_nulls_first("region_cleaned"), col("rn"))
+  }
+
+  /** Running (cumulative) sum over an ordered window, on top of a hash agg.
+    * The window sum runs over the QUANTIZED LONGS, not doubles: DuckDB's
+    * windowed SUM uses segment-tree association while Spark's running frame
+    * adds sequentially, so double window sums diverge in the low bits —
+    * integer sums are exact under any association. Divide once at the end.
+    */
+  val monthlyRunning: GraftQuery = GraftQuery(
+    "region_monthly_running",
+    "analytic window: cumulative disbursement per region by month",
+    PortfolioOracle.monthlyRunningSql) { (s, d) =>
+    val w = Window.partitionBy(col("region_cleaned")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lf(s, d)
+      .groupBy(col("region_cleaned"),
+        trunc(col("disbursement_date"), "month").as("month"))
+      .agg(sum(Det.quantize(col("disbursement_amount"))).as("disbursed_i"))
+      .withColumn("cum_disbursed", sum(col("disbursed_i")).over(w) / lit(Det.pow10(4)))
+      .withColumn("disbursed", col("disbursed_i") / lit(Det.pow10(4)))
+      .select("region_cleaned", "month", "disbursed", "cum_disbursed")
+      .orderBy(asc_nulls_first("region_cleaned"), col("month"))
+  }
+
+  /** DISTINCT (dropDuplicates) on a projection. */
+  val distinctPairs: GraftQuery = GraftQuery(
+    "region_bucket_distinct",
+    "distinct (region_cleaned, dpd_bucket) pairs",
+    PortfolioOracle.distinctPairsSql) { (s, d) =>
+    lf(s, d)
+      .select("region_cleaned", "dpd_bucket")
+      .distinct()
+      .orderBy(asc_nulls_first("region_cleaned"), asc_nulls_first("dpd_bucket"))
+  }
+
+  /** Left-semi join: customers holding at least one loan in arrears.
+    * Semi joins ship only the join keys of the right side — at scale the
+    * filtered key set is far smaller than the full loan_final row.
+    */
+  val overdueCustomers: GraftQuery = GraftQuery(
+    "customers_overdue_semi",
+    "left_semi join: customers with any arrear > 0",
+    PortfolioOracle.overdueCustomersSql) { (s, d) =>
+    LoanDomain.customers(s, d)
+      .join(lf(s, d).filter(col("arrear") > 0), Seq("customer_id"), "left_semi")
+      .orderBy("customer_id")
+  }
+
+  /** Left-anti join: fully-current customers (no loan in arrears). */
+  val currentCustomers: GraftQuery = GraftQuery(
+    "customers_current_anti",
+    "left_anti join: customers with no arrear",
+    PortfolioOracle.currentCustomersSql) { (s, d) =>
+    LoanDomain.customers(s, d)
+      .join(lf(s, d).filter(col("arrear") > 0), Seq("customer_id"), "left_anti")
+      .orderBy("customer_id")
+  }
+
+  /** UNION / INTERSECT / EXCEPT in one result, tagged. Exercises null
+    * handling in set ops (the null region participates; both engines treat
+    * NULL as equal under set-op DISTINCT semantics).
+    */
+  val regionSetOps: GraftQuery = GraftQuery(
+    "region_set_ops",
+    "set ops: union/intersect/except of 90+DPD regions vs refund regions",
+    PortfolioOracle.regionSetOpsSql) { (s, d) =>
+    val a = lf(s, d).filter(col("dpd_bucket") === "90+ DPD").select("region_cleaned")
+    val b = lf(s, d).filter(col("amount_to_be_returned") > 0).select("region_cleaned")
+    val u = a.union(b).distinct().withColumn("op", lit("union"))
+    val i = a.intersect(b).withColumn("op", lit("intersect"))
+    val e = a.except(b).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .select("op", "region_cleaned")
+      .orderBy(col("op"), asc_nulls_first("region_cleaned"))
+  }
+
+  /** Global top-k: total order + limit. */
+  val top10Arrears: GraftQuery = GraftQuery(
+    "top10_arrears",
+    "sort + limit: 10 largest arrears portfolio-wide",
+    PortfolioOracle.top10ArrearsSql) { (s, d) =>
+    lf(s, d)
+      .orderBy(desc("arrear"), asc("loan_id"))
+      .limit(10)
+      .select("loan_id", "customer_name", "arrear", "dpd_bucket")
+  }
+
+  /** HLL++ approximate distinct — no DuckDB parity (different sketch), so
+    * rows-only. At 100 TB this is THE way to count distinct keys: fixed-size
+    * sketch per partition, no shuffle of raw values.
+    */
+  val approxDistinct: GraftQuery = GraftQuery.rowsOnly(
+    "product_type_approx_distinct",
+    "approx_count_distinct (HLL++) vs exact countDistinct") { (s, d) =>
+    lf(s, d).agg(
+      approx_count_distinct(col("product_type")).as("approx_products"),
+      countDistinct(col("product_type")).as("exact_products"),
+      approx_count_distinct(col("customer_id"), 0.01).as("approx_customers"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
+    distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
+    top10Arrears, approxDistinct)
+}

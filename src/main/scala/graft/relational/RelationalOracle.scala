@@ -1,0 +1,46 @@
+package graft.relational
+
+/** DuckDB twins of [[RelationalQueries]]. Timestamps: the corpus stores
+  * l_shipdate/o_orderdate as TIMESTAMP — literals are TIMESTAMP on both
+  * sides. Sums mirror Det.sumQ (integer-quantization route).
+  */
+object RelationalOracle {
+
+  private def sumDec(c: String, scale: Int = 4): String = {
+    val p = "1" + ("0" * scale) + ".0"
+    s"SUM(CAST(floor(($c) * $p + 0.5) AS BIGINT)) / $p"
+  }
+
+  val pricingSummarySql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${sumDec("l_quantity")} AS sum_qty,
+      ${sumDec("l_extendedprice")} AS sum_base_price,
+      ${sumDec("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      ${sumDec("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+      ${sumDec("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+      ${sumDec("l_discount", 6)} / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  val revenueByNationSql: String = s"""
+    SELECT n_name,
+      ${sumDec("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  val orderPrioritySql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+}
