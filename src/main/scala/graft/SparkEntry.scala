@@ -12,7 +12,8 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     loan.LoanQueries.all ++
       loan.PortfolioQueries.all ++
-      relational.RelationalQueries.all
+      relational.RelationalQueries.all ++
+      text.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,110 @@
+package graft.text
+
+/** DuckDB twins of [[TextQueries]]. Parity notes:
+  *   - `/` on integers is float division in BOTH engines (DuckDB integer
+  *     division is the separate `//`), so ratio columns match bit-exactly;
+  *   - DuckDB regexp_replace is first-match-only without the 'g' flag;
+  *   - DuckDB list slicing `l[i:j]` is 1-based inclusive — `l[i:i+n-1]`
+  *     equals Spark `slice(l, i, n)`;
+  *   - hex->int: CAST(('0x'||substr(md5(x),1,15))::UBIGINT AS BIGINT)
+  *     equals Spark `conv(substring(md5(x),1,15),16,10)::long` (60 bits,
+  *     always below 2^63).
+  */
+object TextOracle {
+
+  private def orChain(v: String, words: Seq[String]): String =
+    words.map(w => s"$v = '$w'").mkString(" OR ")
+
+  private def stopCount(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> ${orChain("t", words)}))"
+
+  val tokenStatsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+      CAST(len(toks) AS INTEGER) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+      len(list_distinct(toks)) / len(toks) AS ttr,
+      CAST(len(regexp_extract_all(text, '([a-z]{1,4})', 1)) AS INTEGER) AS n_bpeish,
+      ${stopCount("toks", TextFns.Stopwords)} / len(toks) AS stopword_ratio
+    FROM t ORDER BY doc_id"""
+
+  val qualitySql: String = s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        ${stopCount("toks", TextFns.Stopwords)} / len(toks) AS stop_ratio,
+        least(1.0, len(toks) / 60.0) *
+          (1.0 - ${stopCount("toks", TextFns.Stopwords)} / len(toks)) AS score
+      FROM t
+    )
+    SELECT doc_id, n_tokens, stop_ratio, score,
+      CASE WHEN score >= 0.45 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM q ORDER BY doc_id"""
+
+  private val langStructs: String =
+    TextFns.LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      val negc =
+        if (markers.isEmpty) "CAST(0 AS BIGINT)"
+        else s"-${stopCount("toks", markers)}"
+      s"{'negc': $negc, 'i': $i, 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+
+  val langConfusionSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    p AS (
+      SELECT lang, (list_sort($langStructs))[1].lang AS lang_pred FROM t
+    )
+    SELECT lang, lang_pred, COUNT(*) AS docs FROM p
+    GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
+
+  val fingerprintsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+      CASE WHEN len(toks) >= 3 THEN
+        list_min(list_transform(
+          list_transform(range(1, CAST(len(toks)-1 AS BIGINT)),
+            i -> array_to_string(toks[i:i+2], ' ')),
+          s -> md5(s)))
+      ELSE md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      END AS min_shingle
+    FROM t ORDER BY doc_id"""
+
+  val simhashSql: String = {
+    val sums = (0 until 32).map { b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS s$b"
+    }.mkString(",\n        ")
+    val fp = (0 until 32).map { b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) * ${1L << b}"
+    }.mkString("\n      + ")
+    s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token
+    ),
+    th AS (
+      SELECT doc_id, cnt,
+        CAST(('0x' || substr(md5(token),1,15))::UBIGINT AS BIGINT) AS h
+      FROM tc
+    ),
+    bits AS (
+      SELECT doc_id,
+        $sums
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id,
+      $fp AS simhash
+    FROM bits ORDER BY doc_id"""
+  }
+}

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.GraftQuery
+import TextFns._
+
+/** Text-analysis operators over `documents` — the LLM-training-pipeline
+  * surface (token counting, quality scoring, language ID, fingerprinting).
+  * All pure column expressions: embarrassingly parallel per-row maps with no
+  * shuffle except the final presentation sort / small aggregations, so the
+  * plans are a single WholeStageCodegen span over the parquet scan and scale
+  * linearly to any corpus size.
+  */
+object TextQueries {
+
+  /** Per-document token statistics: whitespace tokens, distinct tokens,
+    * type-token ratio, a BPE-ish sub-word count (regex chunks of <=4 chars),
+    * and stopword ratio.
+    */
+  val tokenStats: GraftQuery = GraftQuery(
+    "doc_token_stats",
+    "token counting: whitespace + BPE-ish regex sub-words + TTR + stopword ratio",
+    TextOracle.tokenStatsSql) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        (size(array_distinct(col("toks"))) / size(col("toks"))).as("ttr"),
+        size(expr("regexp_extract_all(text, '([a-z]{1,4})', 1)")).as("n_bpeish"),
+        (stopwordCount(col("toks"), Stopwords) / size(col("toks")))
+          .as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score in [0,1]: length factor x (1 - stopword ratio), plus a
+    * keep/drop verdict at 0.45 — the shape of a pretraining quality filter.
+    */
+  val quality: GraftQuery = GraftQuery(
+    "doc_quality",
+    "quality scoring: length/stopword-based score + keep verdict",
+    TextOracle.qualitySql) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        stopwordCount(col("toks"), Stopwords) / col("n_tokens"))
+      .withColumn("score",
+        least(lit(1.0), col("n_tokens") / lit(60.0)) * (lit(1.0) - col("stop_ratio")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("stop_ratio"),
+        col("score"),
+        when(col("score") >= 0.45, lit("keep")).otherwise(lit("drop")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix: marker-word argmax prediction vs the
+    * corpus label. (The corpus is synthetic latin text under every label,
+    * so the matrix degenerates towards the argmax default — the point is
+    * the operator, not the model.)
+    */
+  val langConfusion: GraftQuery = GraftQuery(
+    "lang_id_confusion",
+    "language-ID heuristic (marker-word argmax) vs label, as a confusion matrix",
+    TextOracle.langConfusionSql) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("lang_pred", langPred(tokens(col("text"))))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** Document fingerprints: md5 of normalized text plus a min-shingle
+    * (word-3-gram) hash — the rolling-hash-style content fingerprint used
+    * as the exact-dedup key and as a 1-row MinHash signature.
+    */
+  val fingerprints: GraftQuery = GraftQuery(
+    "doc_fingerprints",
+    "document fingerprinting: md5(normalized) + min word-3-gram hash",
+    TextOracle.fingerprintsSql) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        when(size(col("toks")) >= 3,
+          array_min(transform(shingles(col("toks"), 3), s => md5(s))))
+          .otherwise(md5(normText(col("text")))).as("min_shingle"))
+      .orderBy("doc_id")
+  }
+
+  /** 32-bit SimHash per document: per-token 60-bit hash, bit-wise weighted
+    * vote by token frequency, sign -> bit. Shuffles once on (doc_id, token)
+    * for the frequency count, then once on doc_id for the 32 bit-sums —
+    * both partial-aggregated, so the network carries counters not tokens.
+    */
+  val simhash: GraftQuery = GraftQuery(
+    "doc_simhash",
+    "SimHash (32-bit) per document via weighted bit votes",
+    TextOracle.simhashSql) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash60(col("token")))
+    val sums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L,
+        col("cnt")).otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val bitSums = toks
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+    val fp = (0 until 32).map { b =>
+      when(org.apache.spark.sql.functions.col(s"s$b") > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    bitSums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(tokenStats, quality, langConfusion, fingerprints, simhash)
+}
