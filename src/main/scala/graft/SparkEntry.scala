@@ -13,7 +13,8 @@ object SparkEntry {
     loan.LoanQueries.all ++
       loan.PortfolioQueries.all ++
       relational.RelationalQueries.all ++
-      text.TextQueries.all
+      text.TextQueries.all ++
+      dedup.DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.dedup
+
+import graft.text.TextOracle
+
+/** DuckDB twins of [[DedupQueries]]. The shingle CTE mirrors
+  * [[graft.text.TextFns.shingles]]: DuckDB `range(1, L-n+2)` = Spark
+  * `sequence(1, L-n+1)` (both L-n+1 shingles), slice `toks[i:i+n-1]` =
+  * Spark `slice(toks, i, n)`, empty list for short docs. Jaccard is
+  * BIGINT arithmetic + one float division — identical IEEE754 on both
+  * sides.
+  */
+object DedupOracle {
+
+  import DedupQueries.{BandRows, MinhashK, MinhashShingleN, ShingleN}
+
+  private def shingleCtes(n: Int): String = s"""
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= $n THEN
+          list_transform(range(1, CAST(len(toks) - ${n - 2} AS BIGINT)),
+            i -> array_to_string(toks[i:i+${n - 1}], ' '))
+        ELSE [] END)) AS sh
+      FROM t
+    )"""
+
+  private val jaccardTail: String = s"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
+
+  val exactSummarySql: String = s"""
+    SELECT COUNT(*) AS total_docs,
+      COUNT(DISTINCT fp) AS distinct_docs,
+      COUNT(*) - COUNT(DISTINCT fp) AS exact_dups
+    FROM (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    )"""
+
+  val ngramTopkSql: String = s"""
+    WITH ${shingleCtes(ShingleN)},
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    $jaccardTail"""
+
+  val minhashLshSql: String = {
+    val sigs = (0 until MinhashK).map { i =>
+      s"min(md5('$i:' || sh)) AS s$i"
+    }.mkString(",\n        ")
+    val bands = (0 until MinhashK / BandRows).map { b =>
+      val key = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS b, md5($key) AS bk FROM sigs"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH ${shingleCtes(MinhashShingleN)},
+    sigs AS (
+      SELECT doc_id,
+        $sigs
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      $bands
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh xa ON xa.doc_id = c.doc_a
+      JOIN sh xb ON xb.doc_id = c.doc_b AND xb.sh = xa.sh
+      GROUP BY 1, 2
+    ),
+    $jaccardTail"""
+  }
+
+  val simhashPairsSql: String = s"""
+    WITH ${TextOracle.simhashCtes},
+    bands AS (
+      SELECT doc_id, simhash, 0 AS b, simhash >> 16 AS bk FROM sim
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS b, simhash & 65535 FROM sim
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= 10
+    ORDER BY hamming, doc_a, doc_b LIMIT 20"""
+}

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.GraftQuery
+import graft.text.TextFns._
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash near-dup. The 100 TB design rule throughout:
+  * NEVER materialize the O(n^2) pair space. Candidates come from
+  * equality joins on content-derived keys (shingles, LSH band hashes,
+  * SimHash half-bands), so the shuffle volume is O(corpus) + O(true pairs),
+  * and every join is a plain hash join Catalyst can partition freely.
+  */
+object DedupQueries {
+
+  val ShingleN = 3
+  val MinhashShingleN = 2
+  val MinhashK = 12
+  val BandRows = 2 // 6 bands of 2 rows: candidate P = 1-(1-J^2)^6
+
+  /** Distinct word-n-gram shingles per doc: (doc_id, sh). */
+  private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+
+  /** Exact dedup summary: fingerprint = md5(normalized text); the kept set
+    * is one doc per fingerprint. (The corpus has no exact dups — the zero
+    * is the assertion.) At scale this is one partial-aggregated groupBy on
+    * a 16-byte key.
+    */
+  val exactSummary: GraftQuery = GraftQuery(
+    "dedup_exact_summary",
+    "exact dedup by md5(normalized text): total vs distinct vs dropped",
+    DedupOracle.exactSummarySql) { (s, d) =>
+    Tables.documents(s, d)
+      .select(fingerprint(col("text")).as("fp"))
+      .agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(col("fp")).as("distinct_docs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("exact_dups"))
+  }
+
+  /** Exact n-gram Jaccard, top-20 most-similar pairs. Pairs are generated
+    * ONLY where a shingle matches (inverted-index self-join), then
+    * |A∩B| / (|A|+|B|-|A∩B|) on distinct-shingle counts. Deterministic
+    * order: (jaccard DESC, doc_a, doc_b).
+    */
+  val ngramTopk: GraftQuery = GraftQuery(
+    "dedup_ngram_topk",
+    s"word-$ShingleN-gram Jaccard near-dup: top-20 pairs via shingle inverted index",
+    DedupOracle.ngramTopkSql) { (s, d) =>
+    val sh = shingleSet(s, d, ShingleN)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** MinHash signature columns s0..s(k-1): min over shingles of
+    * md5("<seed>:" || shingle). String-min MinHash keeps DuckDB parity
+    * trivial (no integer hashing subtleties) and is just as uniform.
+    */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val sigs = (0 until MinhashK).map { i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i")
+    }
+    sh.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup: k=12 signatures over 2-gram shingles,
+    * 6 bands x 2 rows; candidate pairs share a band hash; candidates are
+    * verified with exact Jaccard. The band join is the scale path: each doc
+    * emits 6 (band, hash) keys, and only colliding keys meet in the shuffle.
+    */
+  val minhashLsh: GraftQuery = GraftQuery(
+    "dedup_minhash_lsh",
+    s"MinHash($MinhashK)+LSH(${MinhashK / BandRows} bands) over $MinhashShingleN-gram shingles, exact-Jaccard verified top-20",
+    DedupOracle.minhashLshSql) { (s, d) =>
+    val sh = shingleSet(s, d, MinhashShingleN)
+    val sigs = minhashSigs(sh)
+    val bandStructs = (0 until MinhashK / BandRows).map { b =>
+      val key = md5(concat((0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
+      struct(lit(b).as("b"), key.as("bk"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(sh.as("xb"), col("doc_b") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** SimHash near-dup: candidates share one 16-bit half of the 32-bit
+    * fingerprint (banding for Hamming space), verified by
+    * bit_count(xor) <= 10. Top-20 by (distance, doc_a, doc_b).
+    */
+  val simhashPairs: GraftQuery = GraftQuery(
+    "dedup_simhash_pairs",
+    "SimHash near-dup: half-band candidates, Hamming <= 10, top-20",
+    DedupOracle.simhashPairsSql) { (s, d) =>
+    val fp = graft.text.TextQueries.simhashFrame(s, d)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("b"), shiftright(col("simhash"), 16).as("bk")),
+        struct(lit(1).as("b"), col("simhash").bitwiseAND(lit(65535L)).as("bk"))))
+        .as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bk").as("bk"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 10)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  def all: Seq[GraftQuery] = Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs)
+}

@@ -33,12 +33,15 @@ object TextFns {
     size(filter(toks, t => t.isInCollection(words)))
 
   /** Word n-gram shingles: ["a b c", "b c d", ...]. Empty array when the
-    * doc has fewer than n tokens.
+    * doc has fewer than n tokens — guarded explicitly because Spark's
+    * sequence(1, 0) yields a DESCENDING [1, 0], not an empty array.
     */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Normalized-document fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text. DuckDB twin needs the 'g' flag

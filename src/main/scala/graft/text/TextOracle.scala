@@ -79,15 +79,17 @@ object TextOracle {
       END AS min_shingle
     FROM t ORDER BY doc_id"""
 
-  val simhashSql: String = {
+  /** CTE chain ending in `sim` = (doc_id, simhash) — shared with the
+    * SimHash near-dup oracle in [[graft.dedup.DedupOracle]].
+    */
+  val simhashCtes: String = {
     val sums = (0 until 32).map { b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS s$b"
     }.mkString(",\n        ")
     val fp = (0 until 32).map { b =>
       s"(CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) * ${1L << b}"
     }.mkString("\n      + ")
-    s"""
-    WITH tok AS (
+    s"""tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
     tc AS (
@@ -102,9 +104,15 @@ object TextOracle {
       SELECT doc_id,
         $sums
       FROM th GROUP BY doc_id
-    )
-    SELECT doc_id,
-      $fp AS simhash
-    FROM bits ORDER BY doc_id"""
+    ),
+    sim AS (
+      SELECT doc_id,
+        $fp AS simhash
+      FROM bits
+    )"""
   }
+
+  val simhashSql: String = s"""
+    WITH $simhashCtes
+    SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
 }

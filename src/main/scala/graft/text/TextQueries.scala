@@ -99,10 +99,10 @@ object TextQueries {
     * for the frequency count, then once on doc_id for the 32 bit-sums —
     * both partial-aggregated, so the network carries counters not tokens.
     */
-  val simhash: GraftQuery = GraftQuery(
-    "doc_simhash",
-    "SimHash (32-bit) per document via weighted bit votes",
-    TextOracle.simhashSql) { (s, d) =>
+  /** (doc_id, simhash) frame — shared by the doc_simhash query and the
+    * SimHash near-dup pair search in [[graft.dedup.DedupQueries]].
+    */
+  def simhashFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -119,7 +119,14 @@ object TextQueries {
       when(org.apache.spark.sql.functions.col(s"s$b") > 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    bitSums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    bitSums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  val simhash: GraftQuery = GraftQuery(
+    "doc_simhash",
+    "SimHash (32-bit) per document via weighted bit votes",
+    TextOracle.simhashSql) { (s, d) =>
+    simhashFrame(s, d).orderBy("doc_id")
   }
 
   def all: Seq[GraftQuery] =
