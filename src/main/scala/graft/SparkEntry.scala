@@ -14,7 +14,8 @@ object SparkEntry {
       loan.PortfolioQueries.all ++
       relational.RelationalQueries.all ++
       text.TextQueries.all ++
-      dedup.DedupQueries.all
+      dedup.DedupQueries.all ++
+      sim.SimQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

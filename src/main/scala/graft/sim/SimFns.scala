@@ -1,0 +1,48 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `embeddings.embedding` (ArrayType(FloatType), 64
+  * dims). Determinism contract: every reduction is an ORDERED left fold —
+  * Spark `aggregate(...)` and DuckDB `list_reduce(...)` both add in index
+  * order, and the per-index products are identical IEEE754 doubles, so
+  * cosine scores are bit-identical between engines (a commutative SUM over
+  * unnested elements would not be).
+  */
+object SimFns {
+
+  val Dims = 64
+  val NumPlanes = 4 // 16 LSH buckets
+
+  /** Float array -> double array (exact widening). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Ordered-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH, embedded as
+    * LITERALS on both the Spark and DuckDB sides (no runtime hashing):
+    * 3-decimal rationals in [-1, 1), so the decimal->double parse is
+    * identical everywhere.
+    */
+  val Planes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dims) { (j, i) =>
+      ((((j * Dims + i + 1) * 2654435761L) % 2001) - 1000) / 1000.0
+    }
+
+  private def planeCol(j: Int): Column =
+    array(Planes(j).map(lit): _*)
+
+  /** Sign-LSH bucket id in [0, 2^NumPlanes): bit j = sign(v . plane_j).
+    * Same-bucket vectors are ANN candidates; at scale this is the shuffle
+    * key that replaces the O(n^2) all-pairs comparison.
+    */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      when(dot(v, planeCol(j)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

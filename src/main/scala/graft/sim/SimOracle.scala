@@ -1,0 +1,106 @@
+package graft.sim
+
+/** DuckDB twins of [[SimQueries]]. The dot product is the same ordered
+  * left fold as Spark's `aggregate` (`list_reduce` adds in index order and
+  * `0.0 + p1 == p1`), per-index products use the same operand order, and
+  * the LSH planes are the same 3-decimal literals — so cosine scores are
+  * bit-identical. DuckDB list literals parse as DECIMAL, hence the
+  * CAST(... AS DOUBLE[]) around each plane.
+  */
+object SimOracle {
+
+  import SimFns.{Dims, NumPlanes, Planes}
+
+  private def fold(products: String): String =
+    s"list_reduce($products, (a, b) -> a + b)"
+
+  private def dotIdx(a: String, b: String): String =
+    fold(s"list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])")
+
+  private def planeLit(j: Int): String =
+    Planes(j).map(p => f"$p%.3f").mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  private def bucketExpr(v: String): String =
+    (0 until NumPlanes).map { j =>
+      s"(CASE WHEN ${dotIdx(v, planeLit(j))} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val baseCtes: String = s"""
+    e AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v, sqrt(${dotIdx("v", "v")}) AS nrm FROM e
+    )"""
+
+  val bruteforceSql: String = s"""
+    WITH $baseCtes,
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0
+    ),
+    p AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM q JOIN n ON vec_id <> qid
+    ),
+    r AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn,
+        vec_id, cosine
+      FROM p
+    )
+    SELECT qid, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY qid, rn"""
+
+  val lshTopkSql: String = s"""
+    WITH $baseCtes,
+    nb AS (
+      SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qbucket
+      FROM nb WHERE vec_id % 100 = 0
+    ),
+    p AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM q JOIN nb ON bucket = qbucket AND vec_id <> qid
+    ),
+    r AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn,
+        vec_id, cosine
+      FROM p
+    )
+    SELECT qid, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY qid, rn"""
+
+  val nearDupPairsSql: String = s"""
+    WITH $baseCtes,
+    nb AS (
+      SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      ${dotIdx("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+    FROM nb x JOIN nb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
+
+  val labelCentroidsSql: String = s"""
+    WITH $baseCtes,
+    d AS (
+      SELECT label, i AS pos, v[i] AS x
+      FROM e, (SELECT unnest(range(1, ${Dims + 1})) AS i)
+    ),
+    cent AS (
+      SELECT label, pos,
+        SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS m
+      FROM d GROUP BY label, pos
+    )
+    SELECT label,
+      sqrt(SUM(CAST(floor(m * m * 1000000000000.0 + 0.5) AS BIGINT))
+        / 1000000000000.0) AS centroid_norm
+    FROM cent GROUP BY label ORDER BY label"""
+}

@@ -1,0 +1,107 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.GraftQuery
+import SimFns._
+
+/** Approximate-nearest-neighbor search over the embedding corpus.
+  *
+  * Scale design: the query set is tiny (vec_id % 100 = 0) and is BROADCAST
+  * against the full corpus scan — brute force is one embarrassingly-parallel
+  * pass, no shuffle of the corpus. The LSH variant replaces the full scan
+  * with an equality join on the sign-LSH bucket: each vector hashes to one
+  * of 16 buckets, so a 100 TB corpus shuffles once by bucket (or is
+  * pre-bucketed at write time) and each query probes ~1/16th of the data.
+  */
+object SimQueries {
+
+  /** (vec_id, label, v double[], norm) */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private def queriesOf(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+
+  /** Brute-force cosine top-10 per query — the exact baseline. */
+  val bruteforce: GraftQuery = GraftQuery(
+    "ann_bruteforce_topk",
+    "ANN baseline: broadcast queries x full scan, cosine top-10 per query",
+    SimOracle.bruteforceSql) { (s, d) =>
+    val v = vecs(s, d)
+    val q = broadcast(queriesOf(v))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    q.join(v, col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Sign-LSH bucketed top-10: queries only meet same-bucket vectors.
+    * Compare against the brute-force baseline for recall.
+    */
+  val lshTopk: GraftQuery = GraftQuery(
+    "ann_lsh_topk",
+    s"ANN via sign-LSH (${NumPlanes} planes, ${1 << NumPlanes} buckets): bucket-join + cosine top-10",
+    SimOracle.lshTopkSql) { (s, d) =>
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
+    val q = broadcast(v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    q.join(v, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding near-dup: top-20 most-cosine-similar pairs, candidates
+    * restricted to shared LSH bucket (the embedding analogue of MinHash
+    * banding — O(sum of bucket^2), never O(n^2)).
+    */
+  val nearDupPairs: GraftQuery = GraftQuery(
+    "embedding_neardup_pairs",
+    "embedding near-dup: same-LSH-bucket pairs, cosine top-20",
+    SimOracle.nearDupPairsSql) { (s, d) =>
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
+    v.as("x")
+      .join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  /** Label centroids: mean vector per label via ordered per-dimension
+    * aggregation — posexplode + groupBy(label, pos) keeps each dimension's
+    * sum independent; the quantized-sum route makes it order-insensitive.
+    */
+  val labelCentroids: GraftQuery = GraftQuery(
+    "label_centroid_norms",
+    "per-label centroid (posexplode + quantized mean per dim) + its norm",
+    SimOracle.labelCentroidsSql) { (s, d) =>
+    val v = vecs(s, d)
+    val dims = v.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = dims.groupBy(col("label"), col("pos"))
+      .agg((sum(graft.api.Det.quantize(col("x"), 9)) /
+        (lit(graft.api.Det.pow10(9)) * count(lit(1)))).as("m"))
+    cent.groupBy(col("label"))
+      .agg(sum(graft.api.Det.quantize(col("m") * col("m"), 12)).as("ss_i"))
+      .select(col("label"),
+        sqrt(col("ss_i") / lit(graft.api.Det.pow10(12))).as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  def all: Seq[GraftQuery] = Seq(bruteforce, lshTopk, nearDupPairs, labelCentroids)
+}
