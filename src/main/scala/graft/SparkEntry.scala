@@ -15,7 +15,8 @@ object SparkEntry {
       relational.RelationalQueries.all ++
       text.TextQueries.all ++
       dedup.DedupQueries.all ++
-      sim.SimQueries.all
+      sim.SimQueries.all ++
+      events.EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

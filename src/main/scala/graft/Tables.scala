@@ -25,7 +25,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert to a
+    * microsecond timestamp (`ts div 1000` — the corpus has at most
+    * microsecond resolution, so this is lossless; the oracle casts its
+    * TIMESTAMP_NS to TIMESTAMP identically).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,67 @@
+package graft.events
+
+/** DuckDB twins of [[EventQueries]]. time_bucket's default origin
+  * (2000-01-03) and Spark's window origin (1970-01-01) are both multiples
+  * of 10 minutes, so bucket starts agree. Session semantics: Spark's
+  * session_window starts a NEW session when ts >= last_ts + gap and ends
+  * a session gap after its last event — the lag/cumsum SQL mirrors both
+  * rules exactly.
+  */
+object EventOracle {
+
+  private val q = "SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) / 10000.0"
+
+  /** events with ts truncated to microseconds (parity with the Spark-side
+    * nanos->micros read — see [[graft.Tables.events]]).
+    */
+  private val evCte =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  val jsonRollupSql: String = s"""
+    WITH $evCte
+    SELECT event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+        / COUNT(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS avg_k,
+      $q AS sum_value
+    FROM ev
+    GROUP BY event_type ORDER BY event_type"""
+
+  val tumblingSql: String = s"""
+    WITH $evCte
+    SELECT
+      time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+      time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS wend,
+      event_type,
+      COUNT(*) AS n,
+      $q AS sum_value
+    FROM ev
+    GROUP BY 1, 2, 3
+    ORDER BY wstart, event_type"""
+
+  val sessionsSql: String = s"""
+    WITH $evCte,
+    s1 AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts >= LAG(ts) OVER w + INTERVAL '6 hours' THEN 1
+             ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (
+      SELECT user_id, ts, value,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s1
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL '6 hours' AS session_end,
+      COUNT(*) AS n,
+      $q AS sum_value
+    FROM s2
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start"""
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.Det
+
+/** Event-time transforms shared between batch and Structured Streaming.
+  *
+  * Each takes ANY events-schema frame (event_id, ts, user_id, event_type,
+  * value, props) — `spark.read.parquet` in batch, `readStream`/MemoryStream
+  * in streaming — and returns the same logical plan. `withWatermark` is a
+  * no-op in batch, so the batch run of the identical transform is the
+  * DuckDB-oracle parity check (SURVEY.md §2.7: batch-first), while the
+  * streaming run gets state cleanup + late-data semantics for free.
+  *
+  * Scale: tumbling/session windows shuffle once on (window-bucket, key);
+  * watermarked state is bounded by (watermark horizon x keys), not stream
+  * length.
+  */
+object EventStreams {
+
+  val WatermarkDelay = "1 hour"
+  val TumblingWindow = "10 minutes"
+  val SessionGap = "6 hours"
+
+  /** Tumbling 10-minute windows per event type: count + quantized value sum. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), TumblingWindow), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
+      .select(
+        col("window.start").as("wstart"),
+        col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user (6-hour inactivity gap). A session ends
+    * gapDuration after its last event (Spark session_window semantics —
+    * mirrored exactly by the oracle's gaps-and-islands SQL).
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("sum_value"))
+
+  /** Streaming dedup by key within the watermark horizon — streaming-only
+    * (state-backed); exact-batch dedup is dropDuplicates/groupBy.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+}
