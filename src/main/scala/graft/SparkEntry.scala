@@ -16,7 +16,8 @@ object SparkEntry {
       text.TextQueries.all ++
       dedup.DedupQueries.all ++
       sim.SimQueries.all ++
-      events.EventQueries.all
+      events.EventQueries.all ++
+      multimodal.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

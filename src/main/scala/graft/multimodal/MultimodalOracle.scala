@@ -1,0 +1,45 @@
+package graft.multimodal
+
+/** DuckDB twins of [[MultimodalQueries]]. `CAST(text AS BLOB)` = UTF-8
+  * bytes = Spark `cast(string as binary)`, so octet_length matches.
+  * SUM(BIGINT) is HUGEINT in DuckDB -> cast back to BIGINT for dtype
+  * parity.
+  */
+object MultimodalOracle {
+
+  private val mediaCte: String = """
+    m AS (
+      SELECT doc_id,
+        (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+        octet_length(CAST(text AS BLOB)) AS n_bytes,
+        CAST(64 + doc_id % 7 AS INTEGER) AS width,
+        CAST(48 + doc_id % 5 AS INTEGER) AS height,
+        CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        octet_length(CAST(text AS BLOB)) / 100.0 AS duration_s
+      FROM documents
+    )"""
+
+  val catalogSql: String = s"""
+    WITH $mediaCte
+    SELECT media_type,
+      COUNT(*) AS n,
+      CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      MIN(width) AS min_width,
+      MAX(sample_rate) AS max_sample_rate,
+      SUM(CAST(floor(duration_s * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+        AS total_duration_s
+    FROM m
+    GROUP BY media_type ORDER BY media_type"""
+
+  val frameSampleSql: String = s"""
+    WITH $mediaCte,
+    v AS (
+      SELECT doc_id, CAST(n_bytes % 96 + 5 AS INTEGER) AS n_frames
+      FROM m WHERE media_type = 'video'
+    )
+    SELECT doc_id, n_frames,
+      CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS frame_idx,
+      CAST(unnest(range(0, n_frames, 10)) AS INTEGER) / 24.0 AS frame_ts_s
+    FROM v
+    ORDER BY doc_id, frame_idx"""
+}

@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.GraftQuery
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY payloads
+  * with a typed metadata struct, plus decode / feature-extract / frame-
+  * sample operators.
+  *
+  * The corpus has no real media, so the payload is the document's UTF-8
+  * bytes and the "decode" is a deterministic stand-in (byte histogram) —
+  * clearly marked STUB. Everything AROUND the stub is the real design:
+  * binary columns stay opaque to Catalyst (no codegen on payload bytes),
+  * metadata lives in a pruned-friendly struct, feature extraction runs
+  * per-partition over iterators (the exact shape a native decoder or a
+  * vectorized Python UDF plugs into), and frame sampling is a vectorized
+  * explode, never a driver loop.
+  */
+object MultimodalQueries {
+
+  /** The media view: payload BINARY + media_type + typed metadata struct.
+    * Spark `cast(string as binary)` = UTF-8 bytes = DuckDB
+    * `CAST(text AS BLOB)`, so byte lengths and checksums agree.
+    */
+  def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"),
+        col("source"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("meta", struct(
+        (lit(64) + col("doc_id") % 7).cast("int").as("width"),
+        (lit(48) + col("doc_id") % 5).cast("int").as("height"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
+        (col("n_bytes") / lit(100.0)).as("duration_s")))
+
+  /** Catalog projection: struct-field pruning + per-type stats. */
+  val catalog: GraftQuery = GraftQuery(
+    "multimodal_catalog",
+    "binary payload + metadata struct: per-type size/duration rollup",
+    MultimodalOracle.catalogSql) { (s, d) =>
+    media(s, d)
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("meta.width")).as("min_width"),
+        max(col("meta.sample_rate")).as("max_sample_rate"),
+        (sum(graft.api.Det.quantize(col("meta.duration_s"))) /
+          lit(graft.api.Det.pow10(4))).as("total_duration_s"))
+      .orderBy("media_type")
+  }
+
+  /** Frame sampling for "video" payloads: every 10th frame of a derived
+    * frame count — vectorized explode(sequence), one output row per kept
+    * frame, fully distributed.
+    */
+  val frameSample: GraftQuery = GraftQuery(
+    "multimodal_frame_sample",
+    "video frame sampling: explode(sequence) every 10th frame + frame ts",
+    MultimodalOracle.frameSampleSql) { (s, d) =>
+    media(s, d)
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames", (col("n_bytes") % 96 + lit(5)).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(10))))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("frame_idx"),
+        (col("frame_idx") / lit(24.0)).as("frame_ts_s"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** STUB DECODER (rows-only): per-partition iterator "decode" producing a
+    * 16-bin byte histogram as the stand-in feature vector. This is where a
+    * real image/audio decoder (JNI, native lib, or an Arrow-batched Python
+    * UDF) would plug in — the partition iteration, row encoding, and
+    * fixed-length output schema are the production shape; only the bytes->
+    * features function is fake.
+    */
+  val features: GraftQuery = GraftQuery.rowsOnly(
+    "multimodal_features",
+    "stub decode via mapPartitions: byte-histogram feature vector per payload") { (s, d) =>
+    import s.implicits._
+    val rows = media(s, d).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+    rows.mapPartitions { it =>
+      it.map { case (docId, payload) =>
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < payload.length) {
+          hist((payload(i) & 0xff) >> 4) += 1.0
+          i += 1
+        }
+        val n = math.max(payload.length, 1).toDouble
+        (docId, hist.map(_ / n))
+      }
+    }.toDF("doc_id", "features")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(catalog, frameSample, features)
+}
