@@ -1,0 +1,152 @@
+package graft.loan
+
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit tests for the F1..F12 metric columns and the loan_final / schedule
+  * derivations, on literal fixtures with hand-computed expectations.
+  * Edge cases straight from the reference (FIXTURES.md §A4): zero-duration
+  * loans (main.py:96), null emi_collected (main.py:87), null region
+  * (main.py:70), DPD bucket boundaries (main.py:122-131).
+  */
+class LoanDomainSpec extends SparkSpec {
+  import LoanDomain._
+
+  private def df1(cols: (String, Any)*): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val schemaFields = cols.map {
+      case (n, _: String) => s"$n STRING"
+      case (n, _: Double) => s"$n DOUBLE"
+      case (n, _: Int) => s"$n INT"
+      case (n, _: Date) => s"$n DATE"
+      case (n, null) => s"$n STRING"
+      case (n, _) => s"$n STRING"
+    }.mkString(", ")
+    val row = org.apache.spark.sql.Row(cols.map(_._2): _*)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)),
+      org.apache.spark.sql.types.StructType.fromDDL(schemaFields))
+  }
+
+  test("F1 cleanRegion: exact, misspelled, tie-break, null passthrough") {
+    val in = Seq("Bangalore", "Bangalre", "Mumbaii", "Dehli", "Kolkatta", null)
+    val spark0 = spark
+    import spark0.implicits._
+    val out = in.toDF("region")
+      .select(cleanRegion(col("region")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq(
+      "Bangalore", "Bangalore", "Mumbai", "Delhi", "Kolkata", null))
+  }
+
+  test("F2 monthDiff: calendar-month diff, ignores day-of-month") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq(
+      ("2024-01-31", "2024-02-01"), // +1 month despite 1-day gap
+      ("2024-01-01", "2024-01-31"), // same month
+      ("2023-12-15", "2024-01-15"),
+      ("2024-06-15", "2023-06-15")) // negative
+      .toDF("d1", "d2")
+      .select(monthDiff(to_date(col("d2")), to_date(col("d1"))).as("m"))
+      .collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(1, 0, 1, -12))
+  }
+
+  test("F3 emiAmount: div-by-zero guard yields 0.0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq((1200.0, 12), (1200.0, 0))
+      .toDF("tp", "dm")
+      .select(emiAmount(col("tp"), col("dm")).as("emi"))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(100.0, 0.0))
+  }
+
+  test("F9 dpdBucketFinal: boundaries incl. en-dash labels (bugs-as-spec)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq(0, 1, 30, 31, 60, 61, 90, 91)
+      .toDF("d").select(dpdBucketFinal(col("d")).as("b"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq(
+      "Current", "1–30 DPD", "1–30 DPD", "31–60 DPD",
+      "31–60 DPD", "61–90 DPD", "61–90 DPD", "90+ DPD"))
+    val sched = Seq(0, 30, 31, 91).toDF("d")
+      .select(dpdBucketSchedule(col("d")).as("b"))
+      .collect().map(_.getString(0))
+    assert(sched.toSeq === Seq("Current", "0–30", "30–60", "90+"))
+  }
+
+  /** One fully hand-computed loan: P=1000, 12% for 12 months, disbursed
+    * 2024-01-15, due 2025-01-15, as-of 2024-07-20, collected 300.
+    * duration=12; total_payable = 1000 + 1000*0.12*1 = 1120; emi = 93.333...;
+    * months_due = 6; total_demand = 560; arrear = 260; target = 260+93.33-300
+    * = 53.33...; dpd: emi_due = 2024-07-15, dpd_days = 5, bucket 1-30.
+    */
+  test("loanFinal: full derivation on a hand-computed fixture") {
+    val base = df1(
+      "loan_id" -> 1, "customer_id" -> 1, "customer_name" -> "c",
+      "disbursement_amount" -> 1000.0,
+      "disbursement_date" -> Date.valueOf("2024-01-15"),
+      "due_date" -> Date.valueOf("2025-01-15"),
+      "region" -> "Mumbai", "interest_rate" -> 12.0, "pos" -> "O",
+      "product_type" -> "PT-1", "emi_collected" -> 300.0)
+    val r = loanFinal(base, to_date(lit("2024-07-20"))).collect()(0)
+    // expectations computed with the SAME IEEE754 op order as the columns
+    val tp = 1000.0 + 1000.0 * (12.0 / 100.0) * (12 / 12.0)
+    val emi = tp / 12
+    val arrearV = emi * 6 - 300.0
+    assert(r.getAs[Int]("duration_months") === 12)
+    assert(r.getAs[Double]("total_payable") === tp)
+    assert(r.getAs[Int]("months_due") === 6)
+    assert(r.getAs[Double]("emi_amount") === emi)
+    assert(r.getAs[Double]("total_demand") === emi * 6)
+    assert(r.getAs[Double]("arrear") === arrearV)
+    assert(r.getAs[Double]("target_amount") === arrearV + emi - 300.0)
+    assert(r.getAs[Double]("amount_to_be_returned") === 0.0)
+    assert(r.getAs[Int]("dpd_days") === 5)
+    assert(r.getAs[String]("dpd_bucket") === "1–30 DPD")
+    assert(r.getAs[Double]("total_to_be_collected") === tp - 300.0)
+  }
+
+  test("loanFinal: null emi_collected coalesces to 0; zero duration no NaN") {
+    val base = df1(
+      "loan_id" -> 2, "customer_id" -> 2, "customer_name" -> "c2",
+      "disbursement_amount" -> 500.0,
+      "disbursement_date" -> Date.valueOf("2024-03-10"),
+      "due_date" -> Date.valueOf("2024-03-28"), // duration 0
+      "region" -> null, "interest_rate" -> 10.0, "pos" -> "O",
+      "product_type" -> null, "emi_collected" -> null)
+    val r = loanFinal(base, to_date(lit("2024-07-20"))).collect()(0)
+    assert(r.getAs[Int]("duration_months") === 0)
+    assert(r.getAs[Double]("emi_amount") === 0.0)
+    assert(r.getAs[Double]("total_demand") === 0.0)
+    assert(r.getAs[Double]("arrear") === 0.0)
+    assert(r.getAs[String]("region_cleaned") === null)
+    assert(r.getAs[String]("dpd_bucket") === "Current")
+  }
+
+  test("monthlySchedule: row count, contiguous months, credited-per-month quirk") {
+    val base = df1(
+      "loan_id" -> 3, "customer_id" -> 3, "customer_name" -> "c3",
+      "disbursement_amount" -> 1200.0,
+      "disbursement_date" -> Date.valueOf("2024-01-15"),
+      "due_date" -> Date.valueOf("2024-07-15"), // 6 months
+      "region" -> "Delhi", "interest_rate" -> 10.0, "pos" -> "O",
+      "product_type" -> "PT-0", "emi_collected" -> 100.0)
+    val rows = monthlySchedule(base, to_date(lit("2024-04-20")))
+      .orderBy("month").collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[Int]("month")).toSeq === (1 to 6))
+    // months 1..3 due on/before 2024-04-20: each credited the FULL 100
+    // (main.py:162 quirk); months 4..6 credited 0
+    assert(rows.map(_.getAs[Double]("emi_collected")).toSeq ===
+      Seq(100.0, 100.0, 100.0, 0.0, 0.0, 0.0))
+    // schedule dates formatted dd-MMM-yyyy
+    assert(rows(0).getAs[String]("emi_due_date") === "15-Feb-2024")
+  }
+}

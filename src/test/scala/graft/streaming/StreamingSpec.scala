@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double, props: String)
+
+/** Structured Streaming runs of the shared event transforms
+  * ([[EventStreams]]): the SAME logical plan that the batch queries verify
+  * against DuckDB, driven here through MemoryStream + watermarks, asserting
+  * batch/stream parity on the final result.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def events: Seq[Ev] = {
+    def t(min: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:$s%02d")
+    Seq(
+      Ev(1, t(1), 10, "click", 1.5, """{"k": 1}"""),
+      Ev(2, t(4), 10, "click", 2.5, """{"k": 2}"""),
+      Ev(3, t(11), 11, "view", 3.0, """{"k": 3}"""),
+      Ev(4, t(12), 10, "click", 0.5, """{"k": 4}"""),
+      Ev(5, t(25), 11, "view", 1.0, """{"k": 5}"""),
+      Ev(5, t(25), 11, "view", 1.0, """{"k": 5}""") // duplicate event_id
+    )
+  }
+
+  test("tumblingCounts: streaming result equals batch result on same input") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .orderBy("wstart", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.tumblingCounts(events.toDF())
+      .orderBy("wstart", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("dedupEvents: duplicate event_id within watermark is dropped") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("userSessions: batch run sessionizes with the 6h gap rule") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = EventStreams.userSessions(events.toDF())
+      .orderBy("user_id", "session_start").collect()
+    // user 10: events at 00:01, 00:04, 00:12 -> one session of 3
+    // user 11: 00:11, 00:25 x2 -> one session of 3
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("user_id") === 10L)
+    assert(out(0).getAs[Long]("n") === 3L)
+    assert(out(1).getAs[Long]("n") === 3L)
+  }
+}
