@@ -53,9 +53,9 @@ object DedupOracle {
     $jaccardTail"""
 
   val minhashLshSql: String = {
-    val sigs = (0 until MinhashK).map { i =>
+    val sigs = ((0 until MinhashK).map { i =>
       s"min(md5('$i:' || sh)) AS s$i"
-    }.mkString(",\n        ")
+    } :+ "COUNT(*) AS n").mkString(",\n        ")
     val bands = (0 until MinhashK / BandRows).map { b =>
       val key = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || ")
       s"SELECT doc_id, $b AS b, md5($key) AS bk FROM sigs"
@@ -82,7 +82,12 @@ object DedupOracle {
       JOIN sh xb ON xb.doc_id = c.doc_b AND xb.sh = xa.sh
       GROUP BY 1, 2
     ),
-    $jaccardTail"""
+    sizes AS (SELECT doc_id, n FROM sigs)
+    SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
   }
 
   val simhashPairsSql: String = s"""

@@ -18,7 +18,12 @@ object DedupQueries {
   val ShingleN = 3
   val MinhashShingleN = 2
   val MinhashK = 12
-  val BandRows = 2 // 6 bands of 2 rows: candidate P = 1-(1-J^2)^6
+  /** 4 bands of 3 rows: candidate P = 1-(1-J^3)^4. Chosen against the
+    * corpus's background 2-gram Jaccard (~0.03-0.05 between random docs):
+    * 2-row bands admitted ~100k candidate pairs at sf0.1; 3-row bands admit
+    * ~3k while still catching J>=0.5 pairs with ~40% per-pass probability.
+    */
+  val BandRows = 3
 
   /** Distinct word-n-gram shingles per doc: (doc_id, sh). */
   private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
@@ -68,14 +73,16 @@ object DedupQueries {
       .limit(20)
   }
 
-  /** MinHash signature columns s0..s(k-1): min over shingles of
-    * md5("<seed>:" || shingle). String-min MinHash keeps DuckDB parity
-    * trivial (no integer hashing subtleties) and is just as uniform.
+  /** MinHash signature columns s0..s(k-1) PLUS the distinct-shingle count,
+    * fused into one aggregation pass (the Jaccard verify needs |A| anyway —
+    * computing it here saves a full shingle-set recompute + shuffle).
+    * String-min MinHash (min over md5("<seed>:" || shingle)) keeps DuckDB
+    * parity trivial and is just as uniform as integer MinHash.
     */
   private def minhashSigs(sh: DataFrame): DataFrame = {
     val sigs = (0 until MinhashK).map { i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i")
-    }
+    } :+ count(lit(1)).as("n")
     sh.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
   }
 
@@ -103,7 +110,7 @@ object DedupQueries {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
       .join(sh.as("xa"), col("doc_a") === col("xa.doc_id"))
       .join(sh.as("xb"), col("doc_b") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
