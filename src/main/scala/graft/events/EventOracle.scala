@@ -64,4 +64,42 @@ object EventOracle {
     FROM s2
     GROUP BY user_id, sid
     ORDER BY user_id, session_start"""
+
+  val asOfJoinSql: String = s"""
+    WITH $evCte,
+    e2 AS (
+      SELECT event_id, user_id,
+        DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS as_of_date
+      FROM ev
+    ),
+    o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        o_totalprice
+      FROM orders
+    ),
+    j AS (
+      SELECT e2.event_id, e2.user_id, e2.as_of_date,
+        o.o_orderkey, o.o_date, o.o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY e2.event_id
+          ORDER BY o.o_date DESC, o.o_orderkey DESC) AS rn
+      FROM e2 LEFT JOIN o
+        ON e2.user_id = o.o_custkey AND o.o_date <= e2.as_of_date
+    )
+    SELECT event_id, user_id, as_of_date, o_orderkey, o_date, o_totalprice
+    FROM j WHERE rn = 1 ORDER BY event_id"""
+
+  val rangeJoinSql: String = s"""
+    WITH $evCte,
+    bands AS (
+      SELECT * FROM (VALUES
+        ('nano', 0.0::DOUBLE, 5.0::DOUBLE),
+        ('small', 5.0::DOUBLE, 25.0::DOUBLE),
+        ('mid', 25.0::DOUBLE, 100.0::DOUBLE),
+        ('large', 100.0::DOUBLE, 250.0::DOUBLE),
+        ('huge', 250.0::DOUBLE, 1000000000.0::DOUBLE)) b(band, lo, hi)
+    )
+    SELECT band, lo, COUNT(*) AS n, $q AS sum_value
+    FROM ev JOIN bands ON value >= lo AND value < hi
+    GROUP BY band, lo
+    ORDER BY lo"""
 }

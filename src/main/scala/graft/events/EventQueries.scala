@@ -49,5 +49,62 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
-  def all: Seq[GraftQuery] = Seq(jsonRollup, tumbling, sessions)
+  /** As-of join (absent from both the reference and vanilla Spark —
+    * SURVEY.md §2.3): each event is matched to the LATEST order of its
+    * customer at or before a per-event as-of date. Composed Spark-first:
+    * equi-join on the customer key + temporal filter + row_number pick —
+    * the shuffle is the key equi-join (sort-merge at scale), never a
+    * cross product; the window sorts only each event's matched orders.
+    */
+  val asOfJoin: GraftQuery = GraftQuery(
+    "events_asof_order",
+    "as-of join: latest order per event's customer at/before event as-of date",
+    EventOracle.asOfJoinSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        date_add(to_date(lit("1995-01-01")), (col("event_id") % 2400).cast("int"))
+          .as("as_of_date"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(desc("o_date"), desc("o_orderkey"))
+    ev.join(o, col("user_id") === col("o_custkey") && col("o_date") <= col("as_of_date"),
+      "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "as_of_date", "o_orderkey", "o_date", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  /** Range (band) join: events bucketed into a literal value-band dimension
+    * via a non-equi join condition — broadcast-nested-loop against the
+    * 5-row dim, so the corpus side streams through untouched.
+    */
+  val rangeJoin: GraftQuery = GraftQuery(
+    "events_value_bands",
+    "range join: value into literal [lo,hi) bands + per-band rollup",
+    EventOracle.rangeJoinSql) { (s, d) =>
+    val bands = broadcast(s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("nano", 0.0, 5.0),
+        org.apache.spark.sql.Row("small", 5.0, 25.0),
+        org.apache.spark.sql.Row("mid", 25.0, 100.0),
+        org.apache.spark.sql.Row("large", 100.0, 250.0),
+        org.apache.spark.sql.Row("huge", 250.0, 1e9)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "band STRING, lo DOUBLE, hi DOUBLE")))
+    Tables.events(s, d)
+      .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"), col("lo"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
+      .select("band", "lo", "n", "sum_value")
+      .orderBy("lo")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(jsonRollup, tumbling, sessions, asOfJoin, rangeJoin)
 }

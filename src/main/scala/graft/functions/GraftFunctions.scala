@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for the engine's native expressions.
+  *
+  * Two routes to the same FunctionRegistry entries:
+  *   1. `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  *      standard plugin route for clusters;
+  *   2. [[GraftFunctions.register]] — imperative, idempotent, called by the
+  *      query builders so the functions exist in ANY session the driver
+  *      hands us.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "hash60" -> (children => Hash60(children.head)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Hash60].getName, name),
+        builder))
+    }
+}

@@ -103,11 +103,12 @@ object TextQueries {
     * SimHash near-dup pair search in [[graft.dedup.DedupQueries]].
     */
   def simhashFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", hash60(col("token")))
+      .withColumn("h", call_function("hash60", col("token")))
     val sums = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L,
         col("cnt")).otherwise(-col("cnt"))).as(s"s$b")

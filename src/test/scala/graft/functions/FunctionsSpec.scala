@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.api.Det
+
+class FunctionsSpec extends SparkSpec {
+
+  test("Hash60 expression == composed conv(substring(md5)) form") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq("", "a", "alpha beta", "äöü ☃", "0123456789abcdef").toDF("t")
+    val rows = df.select(
+      call_function("hash60", col("t")).as("fast"),
+      graft.text.TextFns.hash60(col("t")).as("composed")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(rows.map(_.getLong(0)).forall(_ >= 0L))
+  }
+
+  test("Hash60 survives codegen and null input") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT hash60(CAST(NULL AS STRING)) AS n, hash60('x') AS v")
+    val r = df.collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) >= 0L)
+  }
+
+  test("QuantizedSum aggregator matches Det.sumQ column form") {
+    val spark0 = spark
+    import spark0.implicits._
+    val data = Seq(1.23456, 2.5, 1e9 + 0.00005, 0.0, 3.99995)
+    val ds = data.toDS()
+    val typed = ds.select(new QuantizedSum(4).toColumn).collect()(0)
+    val untyped = ds.toDF("v")
+      .agg(Det.sumQ(col("v")).as("s")).collect()(0).getDouble(0)
+    assert(typed === untyped)
+  }
+}
