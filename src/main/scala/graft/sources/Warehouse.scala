@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The Load step of the reference ETL, Spark-native
+  * (/root/reference/main.py:198-219 + connect_postgres_target.py:25-26):
+  * `CREATE SCHEMA IF NOT EXISTS test` + drop-and-recreate target tables.
+  *
+  * Here the sink is the session catalog's warehouse (parquet-backed
+  * managed tables); in production the same frames go to
+  * `df.write.mode(Overwrite).jdbc(...)` — replace-mode semantics are
+  * identical. `Overwrite` on a managed table is atomic-per-table and
+  * partition-parallel, unlike the reference's row-chunked to_sql INSERTs.
+  */
+object Warehouse {
+
+  val Schema = "test"
+
+  /** S5: DDL side-effect at connect time (CREATE SCHEMA IF NOT EXISTS). */
+  def ensureSchema(spark: SparkSession): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $Schema")
+
+  /** S3/S4: replace-mode load of a result table. */
+  def replaceTable(df: DataFrame, table: String): Unit = {
+    ensureSchema(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite).saveAsTable(s"$Schema.$table")
+  }
+
+  /** S6: introspection scalar (the reference prints current_database()). */
+  def currentDatabase(spark: SparkSession): String =
+    spark.catalog.currentDatabase
+
+  /** The reference's full Load step: both derived tables, replace mode
+    * (main.py:204-219).
+    */
+  def loadAll(spark: SparkSession, sfDir: String): Unit = {
+    replaceTable(graft.loan.LoanDomain.loanFinalFrame(spark, sfDir), "loan_final")
+    replaceTable(graft.loan.LoanDomain.monthlyScheduleFrame(spark, sfDir),
+      "loan_monthly_schedule")
+  }
+}
