@@ -10,11 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the session (JVM/codegen/parquet-footer caches) so the first
+    // measured query doesn't carry ~5s of one-time startup cost
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    // events needs its nanos->micros loader; the generic reader would throw
+    Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
+      Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
+      Tables.documents _, Tables.embeddings _)
+      .foreach(load => load(spark, sfDir).count())
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -115,4 +115,20 @@ object TextOracle {
   val simhashSql: String = s"""
     WITH $simhashCtes
     SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
+
+  val splitsSql: String = s"""
+    WITH t AS (
+      SELECT n_chars, len(string_split(text, ' ')) AS n_toks,
+        CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),1,15))::UBIGINT AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'val'
+           ELSE 'test' END AS split,
+      COUNT(*) AS docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      SUM(n_toks) / COUNT(*) AS avg_tokens
+    FROM t
+    GROUP BY 1 ORDER BY 1"""
 }

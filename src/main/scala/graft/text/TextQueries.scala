@@ -130,6 +130,30 @@ object TextQueries {
     simhashFrame(s, d).orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split assignment by CONTENT hash (not
+    * random): hash60(normalized text) % 100 -> 80/10/10. Content-hashing
+    * means the split survives re-shards, re-orders, and re-runs — the
+    * property a training pipeline actually needs (and why sampleBy's
+    * seed-based Bernoulli is the wrong tool across engines/runs).
+    */
+  val splits: GraftQuery = GraftQuery(
+    "doc_splits",
+    "deterministic content-hash train/val/test split (80/10/10) + per-split stats",
+    TextOracle.splitsSql) { (s, d) =>
+    val bucket = hash60(normText(col("text"))) % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(size(tokens(col("text")))) / count(lit(1))).as("avg_tokens"))
+      .orderBy("split")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, quality, langConfusion, fingerprints, simhash)
+    Seq(tokenStats, quality, langConfusion, fingerprints, simhash, splits)
 }
