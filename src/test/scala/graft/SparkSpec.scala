@@ -19,6 +19,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per JVM: a stale spark-warehouse dir + fresh
+      // in-memory catalog makes managed-table CREATE fail with
+      // LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
