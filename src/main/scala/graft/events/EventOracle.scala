@@ -102,4 +102,14 @@ object EventOracle {
     FROM ev JOIN bands ON value >= lo AND value < hi
     GROUP BY band, lo
     ORDER BY lo"""
+
+  /** Oracle for the SALTED two-stage aggregation is the PLAIN single-stage
+    * GROUP BY — the rewrite must be exactly semantics-preserving (the
+    * quantized-long partials are associative, so it is).
+    */
+  val saltedRollupSql: String = s"""
+    WITH $evCte
+    SELECT user_id, COUNT(*) AS n, $q AS sum_value
+    FROM ev
+    GROUP BY user_id ORDER BY user_id"""
 }

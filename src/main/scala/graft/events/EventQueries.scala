@@ -105,6 +105,33 @@ object EventQueries {
       .orderBy("lo")
   }
 
+  /** Skew-resistant two-stage (salted) aggregation: stage 1 pre-aggregates
+    * on (key, salt) so a hot key's rows split across `Salt` reducers; stage
+    * 2 merges the partials. The quantized-long partials make the rewrite
+    * EXACTLY semantics-preserving — which is why this query's oracle is the
+    * plain single-stage GROUP BY: identical results, different shuffle
+    * shape. (With AQE skew handling this is usually automatic; the explicit
+    * form is for deliberate control at 100 TB.)
+    */
+  val saltedRollup: GraftQuery = GraftQuery(
+    "events_salted_rollup",
+    "skew-resistant salted two-stage agg per user (oracle = plain groupBy)",
+    EventOracle.saltedRollupSql) { (s, d) =>
+    val Salt = 8
+    val stage1 = Tables.events(s, d)
+      .withColumn("salt", (col("event_id") % Salt).cast("int"))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(Det.quantize(col("value"))).as("pv"))
+    stage1
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("pn")).as("n"),
+        (sum(col("pv")) / lit(Det.pow10(4))).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(jsonRollup, tumbling, sessions, asOfJoin, rangeJoin)
+    Seq(jsonRollup, tumbling, sessions, asOfJoin, rangeJoin, saltedRollup)
 }

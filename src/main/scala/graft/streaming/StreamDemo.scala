@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end Structured Streaming run over the events corpus as a FILE
+  * source (the production shape: a directory that keeps receiving files):
+  *
+  *   runMain graft.StreamDemo <sfDir>
+  *
+  * readStream(parquet, explicit schema) -> watermark + tumbling window ->
+  * writeStream(memory, availableNow trigger) — processes the whole
+  * directory as one bounded stream, prints the result, and asserts it
+  * matches the batch run of the SAME transform (the parity contract the
+  * DuckDB oracle checks at sf0.01).
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // file-source streaming wants a DIRECTORY it can watch for new files —
+    // stage the corpus file into one (in production this is the landing dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream
+      .format("memory")
+      .queryName("stream_tumbling")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("stream_tumbling")
+      .orderBy("wstart", "event_type").collect()
+    val batch = EventStreams.tumblingCounts(graft.Tables.events(spark, sfDir))
+      .orderBy("wstart", "event_type").collect()
+    val ok = streamed.toSeq == batch.toSeq
+    println(s"[stream-demo] windows=${streamed.length} batchParity=$ok")
+    assert(ok, "streaming result != batch result")
+    spark.stop()
+  }
+}
