@@ -38,4 +38,29 @@ object Warehouse {
     replaceTable(graft.loan.LoanDomain.monthlyScheduleFrame(spark, sfDir),
       "loan_monthly_schedule")
   }
+
+  /** Partitioned replace-mode load: one directory per partition value —
+    * the layout that gives partition PRUNING on the read path (a filter on
+    * the partition column skips whole directories at 100 TB).
+    */
+  def replacePartitioned(df: DataFrame, table: String, partCol: String): Unit = {
+    ensureSchema(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .saveAsTable(s"$Schema.$table")
+  }
+
+  /** Bucketed replace-mode load: rows hash-distributed into `buckets`
+    * files per bucket key. Two tables bucketed the same way join WITHOUT a
+    * shuffle (Exchange disappears from the plan) — the write-time answer
+    * to the biggest cost of repeated large joins at scale.
+    */
+  def replaceBucketed(df: DataFrame, table: String,
+    bucketCol: String, buckets: Int): Unit = {
+    ensureSchema(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(s"$Schema.$table")
+  }
 }

@@ -19,4 +19,35 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.catalog.databaseExists(Warehouse.Schema))
     assert(Warehouse.currentDatabase(spark).nonEmpty)
   }
+
+  test("partitioned load: filter on partition column prunes the scan") {
+    val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)
+    Warehouse.replacePartitioned(lf, "loan_final_by_region", "region_cleaned")
+    val t = spark.table(s"${Warehouse.Schema}.loan_final_by_region")
+    val filtered = t.filter(org.apache.spark.sql.functions.col("region_cleaned") === "Mumbai")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("region_cleaned IS NOT NULL"))
+    assert(filtered.count() > 0)
+  }
+
+  test("bucketed tables join without a shuffle (no Exchange in plan)") {
+    import org.apache.spark.sql.functions.col
+    val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)
+      .select("loan_id", "arrear", "dpd_bucket")
+    val ext = graft.loan.LoanDomain.loanExtensions(spark, sf)
+    Warehouse.replaceBucketed(lf, "lf_bucketed", "loan_id", 4)
+    Warehouse.replaceBucketed(ext, "ext_bucketed", "loan_id", 4)
+    // force the sort-merge path (at test scale Catalyst would rightly pick
+    // broadcast; at 100 TB neither side is broadcastable and bucketing is
+    // what removes the Exchange)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val joined = spark.table(s"${Warehouse.Schema}.lf_bucketed")
+        .join(spark.table(s"${Warehouse.Schema}.ext_bucketed"), "loan_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
