@@ -1,0 +1,29 @@
+package graft
+
+class GraftCatalogSpec extends SparkSpec {
+
+  test("full capability surface reachable from spark.sql") {
+    GraftCatalog.register(spark, sf)
+    val arrears = spark.sql(
+      """SELECT dpd_bucket, COUNT(*) AS n
+        |FROM loan_final WHERE arrear > 0
+        |GROUP BY dpd_bucket ORDER BY dpd_bucket""".stripMargin)
+    assert(arrears.count() > 0)
+
+    val joined = spark.sql(
+      """SELECT c.customer_name, lf.arrear
+        |FROM loan_final lf JOIN customers c USING (customer_id)
+        |ORDER BY lf.arrear DESC LIMIT 5""".stripMargin)
+    assert(joined.count() === 5)
+
+    val hashed = spark.sql(
+      "SELECT hash60(text) % 100 AS bucket FROM documents LIMIT 3")
+    assert(hashed.collect().forall { r =>
+      val b = r.getLong(0); b >= 0 && b < 100
+    })
+
+    val sched = spark.sql(
+      "SELECT COUNT(*) FROM loan_monthly_schedule WHERE month = 1")
+    assert(sched.collect()(0).getLong(0) > 0)
+  }
+}
