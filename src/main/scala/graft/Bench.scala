@@ -13,11 +13,7 @@ object Bench {
     // warm the session (JVM/codegen/parquet-footer caches) so the first
     // measured query doesn't carry ~5s of one-time startup cost
     spark.range(1 << 20).selectExpr("sum(id)").collect()
-    // events needs its nanos->micros loader; the generic reader would throw
-    Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
-      Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
-      Tables.documents _, Tables.embeddings _)
-      .foreach(load => load(spark, sfDir).count())
+    Tables.loaders.foreach { case (_, load) => load(spark, sfDir).count() }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -10,25 +10,21 @@ import org.apache.spark.sql.SparkSession
   *   spark.sql("SELECT dpd_bucket, sum(arrear) FROM loan_final GROUP BY 1")
   *   spark.sql("SELECT hash60(text) % 100 AS bucket FROM documents")
   *
-  * Views are lazy logical plans — registering costs nothing until queried,
-  * and every Catalyst optimization applies across view boundaries.
+  * Views are lazy logical plans (registration reads only parquet footers
+  * for schemas; no data moves until a query runs), and every Catalyst
+  * optimization applies across view boundaries. Views are registered
+  * UNORDERED — a view with an embedded global ORDER BY would pay a full
+  * sort on every downstream query.
+  *
+  * Note: registering `events` sets spark.sql.legacy.parquet.nanosAsLong
+  * for the session (see [[Tables.events]]) — TIMESTAMP(NANOS) parquet
+  * columns elsewhere will read as raw nano longs instead of erroring.
   */
 object GraftCatalog {
 
   def register(spark: SparkSession, sfDir: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    Seq(
-      "region" -> Tables.region _,
-      "nation" -> Tables.nation _,
-      "customer" -> Tables.customer _,
-      "supplier" -> Tables.supplier _,
-      "part" -> Tables.part _,
-      "orders" -> Tables.orders _,
-      "lineitem" -> Tables.lineitem _,
-      "events" -> Tables.events _,
-      "documents" -> Tables.documents _,
-      "embeddings" -> Tables.embeddings _
-    ).foreach { case (name, load) =>
+    Tables.loaders.foreach { case (name, load) =>
       load(spark, sfDir).createOrReplaceTempView(name)
     }
     loan.LoanDomain.loans(spark, sfDir).createOrReplaceTempView("loans")
@@ -37,7 +33,7 @@ object GraftCatalog {
     loan.LoanDomain.customers(spark, sfDir).createOrReplaceTempView("customers")
     loan.LoanDomain.loanFinalUnordered(spark, sfDir)
       .createOrReplaceTempView("loan_final")
-    loan.LoanDomain.monthlyScheduleFrame(spark, sfDir)
+    loan.LoanDomain.monthlyScheduleUnordered(spark, sfDir)
       .createOrReplaceTempView("loan_monthly_schedule")
   }
 }

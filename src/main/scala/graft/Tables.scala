@@ -15,6 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Single source of truth for name -> loader (events needs its special
+    * nanos->micros loader, so this is NOT just `all.map(apply)`).
+    */
+  def loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (region _), "nation" -> (nation _),
+    "customer" -> (customer _), "supplier" -> (supplier _),
+    "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

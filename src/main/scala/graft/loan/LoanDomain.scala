@@ -263,6 +263,13 @@ object LoanDomain {
         dpdBucketSchedule(col("dpd_days")).as("dpd_bucket"))
   }
 
+  /** Schedule without the presentation sort — what SQL views register (a
+    * view with an embedded global ORDER BY would pay a full sort on every
+    * downstream query).
+    */
+  def monthlyScheduleUnordered(spark: SparkSession, sfDir: String): DataFrame =
+    monthlySchedule(joined(spark, sfDir))
+
   def monthlyScheduleFrame(spark: SparkSession, sfDir: String): DataFrame =
-    monthlySchedule(joined(spark, sfDir)).orderBy("loan_id", "month")
+    monthlyScheduleUnordered(spark, sfDir).orderBy("loan_id", "month")
 }
