@@ -112,4 +112,20 @@ object EventOracle {
     SELECT user_id, COUNT(*) AS n, $q AS sum_value
     FROM ev
     GROUP BY user_id ORDER BY user_id"""
+
+  val interarrivalSql: String = s"""
+    WITH $evCte,
+    g AS (
+      SELECT user_id,
+        date_diff('microsecond',
+          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+          AS gap_us
+      FROM ev
+    )
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      SUM(gap_us) / (1000000.0 * COUNT(gap_us)) AS avg_gap_s,
+      MAX(gap_us) / 1000000.0 AS max_gap_s
+    FROM g
+    GROUP BY user_id ORDER BY user_id"""
 }

@@ -132,6 +132,28 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** lag/lead analytics: per-user inter-arrival gaps. Gaps are exact
+    * microsecond longs (timestamp diffs), so the summary stats quantize
+    * for free.
+    */
+  val interarrival: GraftQuery = GraftQuery(
+    "events_interarrival",
+    "lag window: per-user inter-arrival gap stats (avg/max seconds)",
+    EventOracle.interarrivalSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(col("gap_us")) / (lit(1e6) * count(col("gap_us")))).as("avg_gap_s"),
+        (max(col("gap_us")) / lit(1e6)).as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(jsonRollup, tumbling, sessions, asOfJoin, rangeJoin, saltedRollup)
+    Seq(jsonRollup, tumbling, sessions, asOfJoin, rangeJoin, saltedRollup,
+      interarrival)
 }

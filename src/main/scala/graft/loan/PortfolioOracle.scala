@@ -109,4 +109,21 @@ object PortfolioOracle {
     WITH $ctes
     SELECT loan_id, customer_name, arrear, dpd_bucket FROM lf
     ORDER BY arrear DESC, loan_id LIMIT 10"""
+
+  val arrearPercentilesSql: String = s"""
+    WITH $ctes,
+    ranked AS (
+      SELECT region_cleaned, arrear,
+        ROW_NUMBER() OVER (PARTITION BY region_cleaned
+          ORDER BY arrear, loan_id) AS rk,
+        COUNT(*) OVER (PARTITION BY region_cleaned) AS n
+      FROM lf
+    )
+    SELECT region_cleaned,
+      MAX(CASE WHEN rk = floor((n - 1) * 0.5) + 1 THEN arrear END) AS p50,
+      MAX(CASE WHEN rk = floor((n - 1) * 0.9) + 1 THEN arrear END) AS p90,
+      MAX(CASE WHEN rk = floor((n - 1) * 0.99) + 1 THEN arrear END) AS p99
+    FROM ranked
+    GROUP BY region_cleaned
+    ORDER BY region_cleaned NULLS FIRST"""
 }

@@ -198,8 +198,32 @@ object PortfolioQueries {
       approx_count_distinct(col("customer_id"), 0.01).as("approx_customers"))
   }
 
+  /** Exact nearest-rank percentiles per region: rank every arrear in its
+    * region once (one shuffle + sort), pick the floor((n-1)*p)+1 ranked
+    * value. Nearest-rank (no interpolation) keeps the arithmetic pure
+    * integer + one value pick, so both engines agree bit-exactly —
+    * interpolating percentile implementations differ in operation order.
+    */
+  val arrearPercentiles: GraftQuery = GraftQuery(
+    "arrear_percentiles",
+    "exact nearest-rank p50/p90/p99 of arrear per region via one ranking window",
+    PortfolioOracle.arrearPercentilesSql) { (s, d) =>
+    val w = Window.partitionBy(col("region_cleaned"))
+      .orderBy(col("arrear"), col("loan_id"))
+    val ranked = lf(s, d)
+      .select(col("region_cleaned"), col("arrear"), col("loan_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("region_cleaned"))))
+    def pick(p: Double, name: String) =
+      max(when(col("rk") === floor((col("n") - 1) * p) + 1, col("arrear")))
+        .as(name)
+    ranked.groupBy(col("region_cleaned"))
+      .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+      .orderBy(asc_nulls_first("region_cleaned"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
-    top10Arrears, approxDistinct)
+    top10Arrears, approxDistinct, arrearPercentiles)
 }

@@ -87,6 +87,32 @@ object SimOracle {
     FROM nb x JOIN nb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
 
+  val retrievalSql: String = s"""
+    WITH $baseCtes,
+    nb AS (
+      SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qbucket
+      FROM nb WHERE vec_id % 250 = 0
+    ),
+    p AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM q JOIN nb ON bucket = qbucket AND vec_id <> qid
+    ),
+    r AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn,
+        vec_id, cosine
+      FROM p
+    )
+    SELECT r.qid, r.rn, r.vec_id, r.cosine, d.lang, d.source
+    FROM r LEFT JOIN documents d ON r.vec_id = d.doc_id
+    WHERE r.rn <= 5
+    ORDER BY r.qid, r.rn"""
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

@@ -103,5 +103,34 @@ object SimQueries {
       .orderBy("label")
   }
 
-  def all: Seq[GraftQuery] = Seq(bruteforce, lshTopk, nearDupPairs, labelCentroids)
+  /** End-to-end retrieval: ANN over the LSH bucket, then join the hits back
+    * to `documents` for their metadata — the shape of a RAG / example-
+    * selection pipeline (vector index keyed by doc id + metadata store).
+    * The metadata join is an equi-join on the id AFTER top-k pruning, so
+    * only k rows per query hit the documents table.
+    */
+  val retrieval: GraftQuery = GraftQuery(
+    "doc_retrieval",
+    "retrieval: LSH-bucket ANN top-5 + metadata join back to documents",
+    SimOracle.retrievalSql) { (s, d) =>
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
+    val q = broadcast(v.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    val hits = q.join(v, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"))
+    hits
+      .join(Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source")),
+        col("vec_id") === col("doc_id"), "left")
+      .select("qid", "rn", "vec_id", "cosine", "lang", "source")
+      .orderBy("qid", "rn")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(bruteforce, lshTopk, nearDupPairs, labelCentroids, retrieval)
 }
