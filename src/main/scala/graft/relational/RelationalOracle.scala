@@ -35,6 +35,50 @@ object RelationalOracle {
     GROUP BY n_name
     ORDER BY revenue DESC, n_name"""
 
+  val forecastRevenueSql: String = s"""
+    SELECT ${sumDec("l_extendedprice * l_discount", 6)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24"""
+
+  val shippingPrioritySql: String = s"""
+    SELECT o_orderkey, o_orderdate,
+      ${sumDec("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+  val qualityChecksSql: String = s"""
+    SELECT * FROM (
+      SELECT 'documents_empty_text' AS check_name, COUNT(*) AS n_bad
+      FROM documents WHERE length(trim(text)) = 0
+      UNION ALL
+      SELECT 'embeddings_bad_dim', COUNT(*)
+      FROM embeddings WHERE len(embedding) <> 64
+      UNION ALL
+      SELECT 'events_bad_json', COUNT(*)
+      FROM events WHERE json_extract_string(props, '$$.k') IS NULL
+      UNION ALL
+      SELECT 'lineitem_orphan_order', COUNT(*)
+      FROM lineitem WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      UNION ALL
+      SELECT 'orders_negative_total', COUNT(*)
+      FROM orders WHERE o_totalprice <= 0
+      UNION ALL
+      SELECT 'orders_orphan_customer', COUNT(*)
+      FROM orders WHERE NOT EXISTS
+        (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    )
+    ORDER BY check_name"""
+
   val orderPrioritySql: String = s"""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders o

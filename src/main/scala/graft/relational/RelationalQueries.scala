@@ -72,5 +72,78 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
-  def all: Seq[GraftQuery] = Seq(pricingSummary, revenueByNation, orderPriority)
+  /** Forecast revenue change (TPC-H Q6 shape): pure filtered scan + one
+    * global sum — every predicate reaches the parquet reader as a pushed
+    * filter, zero joins, one partial+final agg row per partition.
+    */
+  val forecastRevenue: GraftQuery = GraftQuery(
+    "forecast_revenue",
+    "pushed-down multi-predicate scan + global sum (TPC-H Q6 shape)",
+    RelationalOracle.forecastRevenueSql) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(Det.sumQ(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
+  }
+
+  /** Shipping-priority top-10 (TPC-H Q3 shape): segment-filtered customer
+    * dim joins the date-filtered fact tables; revenue per order; top-10.
+    */
+  val shippingPriority: GraftQuery = GraftQuery(
+    "shipping_priority",
+    "3-way join + per-order revenue + top-10 (TPC-H Q3 shape)",
+    RelationalOracle.shippingPrioritySql) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(Det.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Data-validation sweep: referential integrity (anti-join counts),
+    * domain checks, and malformed-content counts across the corpus — the
+    * profiling/validation operator every ingestion pipeline runs first.
+    * Each check is one pruned scan; the result is a tiny tagged union.
+    */
+  val qualityChecks: GraftQuery = GraftQuery(
+    "corpus_quality_checks",
+    "data validation: referential/domain/malformed-content checks per table",
+    RelationalOracle.qualityChecksSql) { (s, d) =>
+    def one(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
+    val orders = Tables.orders(s, d)
+    val checks = Seq(
+      one("documents_empty_text",
+        Tables.documents(s, d).filter(length(trim(col("text"))) === 0)),
+      one("embeddings_bad_dim",
+        Tables.embeddings(s, d).filter(size(col("embedding")) =!= 64)),
+      one("events_bad_json",
+        Tables.events(s, d)
+          .filter(get_json_object(col("props"), "$.k").isNull)),
+      one("lineitem_orphan_order",
+        Tables.lineitem(s, d).select(col("l_orderkey"))
+          .join(orders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      one("orders_negative_total",
+        orders.filter(col("o_totalprice") <= 0)),
+      one("orders_orphan_customer",
+        orders.select(col("o_custkey"))
+          .join(Tables.customer(s, d).select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+    checks.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    pricingSummary, revenueByNation, orderPriority,
+    forecastRevenue, shippingPriority, qualityChecks)
 }

