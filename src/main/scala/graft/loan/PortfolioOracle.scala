@@ -126,4 +126,31 @@ object PortfolioOracle {
     FROM ranked
     GROUP BY region_cleaned
     ORDER BY region_cleaned NULLS FIRST"""
+
+  val rankFamilySql: String = s"""
+    WITH $ctes,
+    r AS (
+      SELECT dpd_bucket, loan_id, arrear,
+        CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        CAST(RANK() OVER w AS INTEGER) AS rk,
+        CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+        PERCENT_RANK() OVER w AS prk,
+        CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+      FROM lf WHERE arrear > 0
+      WINDOW w AS (PARTITION BY dpd_bucket ORDER BY arrear DESC, loan_id)
+    )
+    SELECT * FROM r WHERE rn <= 3
+    ORDER BY dpd_bucket, rn"""
+
+  val bucketPivotSql: String = s"""
+    WITH $ctes
+    SELECT region_cleaned,
+      COUNT(*) FILTER (WHERE dpd_bucket = 'Current') AS current,
+      COUNT(*) FILTER (WHERE dpd_bucket = '1–30 DPD') AS dpd_1_30,
+      COUNT(*) FILTER (WHERE dpd_bucket = '31–60 DPD') AS dpd_31_60,
+      COUNT(*) FILTER (WHERE dpd_bucket = '61–90 DPD') AS dpd_61_90,
+      COUNT(*) FILTER (WHERE dpd_bucket = '90+ DPD') AS dpd_90_plus
+    FROM lf
+    GROUP BY region_cleaned
+    ORDER BY region_cleaned NULLS FIRST"""
 }

@@ -222,8 +222,54 @@ object PortfolioQueries {
       .orderBy(asc_nulls_first("region_cleaned"))
   }
 
+  /** The whole ranking-function family over one window: row_number, rank,
+    * dense_rank, percent_rank, ntile — all integer/exact-arithmetic based,
+    * so bit-exact across engines (percent_rank = (rank-1)/(n-1), one
+    * division).
+    */
+  val rankFamily: GraftQuery = GraftQuery(
+    "arrear_rank_family",
+    "ranking windows: row_number/rank/dense_rank/percent_rank/ntile over arrears",
+    PortfolioOracle.rankFamilySql) { (s, d) =>
+    val w = Window.partitionBy(col("dpd_bucket")).orderBy(desc("arrear"), col("loan_id"))
+    lf(s, d)
+      .filter(col("arrear") > 0)
+      .select(
+        col("dpd_bucket"), col("loan_id"), col("arrear"),
+        row_number().over(w).cast("int").as("rn"),
+        rank().over(w).cast("int").as("rk"),
+        dense_rank().over(w).cast("int").as("drk"),
+        percent_rank().over(w).as("prk"),
+        ntile(4).over(w).cast("int").as("quartile"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("dpd_bucket"), col("rn"))
+  }
+
+  /** PIVOT: dpd_bucket values become columns (fixed value list — at scale
+    * an unpinned pivot forces an extra distinct-values job; pinning keeps
+    * it one pass).
+    */
+  val bucketPivot: GraftQuery = GraftQuery(
+    "region_bucket_pivot",
+    "pivot dpd_bucket values into per-region count columns",
+    PortfolioOracle.bucketPivotSql) { (s, d) =>
+    lf(s, d)
+      .groupBy(col("region_cleaned"))
+      .pivot("dpd_bucket",
+        Seq("Current", "1–30 DPD", "31–60 DPD", "61–90 DPD", "90+ DPD"))
+      .agg(count(lit(1)))
+      .select(
+        col("region_cleaned"),
+        coalesce(col("Current"), lit(0L)).as("current"),
+        coalesce(col("1–30 DPD"), lit(0L)).as("dpd_1_30"),
+        coalesce(col("31–60 DPD"), lit(0L)).as("dpd_31_60"),
+        coalesce(col("61–90 DPD"), lit(0L)).as("dpd_61_90"),
+        coalesce(col("90+ DPD"), lit(0L)).as("dpd_90_plus"))
+      .orderBy(asc_nulls_first("region_cleaned"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
-    top10Arrears, approxDistinct, arrearPercentiles)
+    top10Arrears, approxDistinct, arrearPercentiles, rankFamily, bucketPivot)
 }
