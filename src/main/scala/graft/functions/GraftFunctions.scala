@@ -26,11 +26,13 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[Hash60].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => FuseHash60Rule)
+  }
 }

@@ -27,6 +27,24 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(1) >= 0L)
   }
 
+  test("FuseHash60Rule rewrites the composed idiom to the native expression") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq("alpha", "beta").toDF("t")
+      .select(graft.text.TextFns.hash60(col("t")).as("h"))
+    val before = df.queryExecution.analyzed
+    val after = FuseHash60Rule(before)
+    assert(after.expressions.map(_.toString).mkString.contains("hash60"))
+    assert(!after.expressions.map(_.toString).mkString.contains("conv("))
+    // and the fused form computes the same values as the composed one
+    val composed = df.collect().map(_.getLong(0)).toSeq
+    GraftFunctions.register(spark)
+    val native = Seq("alpha", "beta").toDF("t")
+      .select(call_function("hash60", col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(composed === native)
+  }
+
   test("QuantizedSum aggregator matches Det.sumQ column form") {
     val spark0 = spark
     import spark0.implicits._
