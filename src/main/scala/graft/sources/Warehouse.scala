@@ -63,4 +63,19 @@ object Warehouse {
       .sortBy(bucketCol)
       .saveAsTable(s"$Schema.$table")
   }
+
+  /** Small-file compaction: rewrite a managed table into `targetFiles`
+    * output files. Long-running ingestion accumulates many small files
+    * (one per micro-batch/task); scans then pay per-file open + footer
+    * costs and lose vectorized-read efficiency. At 100 TB this runs
+    * per-partition, driven by file-size stats.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int): Unit = {
+    val qualified = s"$Schema.$table"
+    val df = spark.table(qualified).repartition(targetFiles)
+    val tmp = s"${qualified}_compacting"
+    df.write.mode(SaveMode.Overwrite).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $qualified")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $qualified")
+  }
 }

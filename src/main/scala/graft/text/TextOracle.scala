@@ -116,6 +116,24 @@ object TextOracle {
     WITH $simhashCtes
     SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
 
+  val ngramCountsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+            i -> array_to_string(toks[i:i+2], ' '))
+        ELSE [] END) AS ngram
+      FROM t
+    )
+    SELECT ngram, COUNT(*) AS total_count,
+      COUNT(DISTINCT doc_id) AS doc_freq
+    FROM sh
+    GROUP BY ngram
+    ORDER BY total_count DESC, ngram LIMIT 20"""
+
   val splitsSql: String = s"""
     WITH t AS (
       SELECT n_chars, len(string_split(text, ' ')) AS n_toks,

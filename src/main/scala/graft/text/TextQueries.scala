@@ -154,6 +154,26 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** Corpus-level n-gram frequency table: top-20 word trigrams with doc
+    * frequency and total count — the LM-data staple (vocabulary/n-gram
+    * stats, contamination screens). One explode + one partial-aggregated
+    * groupBy; at 100 TB the shuffle carries (ngram, partial-count) pairs.
+    */
+  val ngramCounts: GraftQuery = GraftQuery(
+    "corpus_top_ngrams",
+    "corpus n-gram stats: top-20 trigrams by total count + doc frequency",
+    TextOracle.ngramCountsSql) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(
+        count(lit(1)).as("total_count"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("total_count"), col("ngram"))
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, quality, langConfusion, fingerprints, simhash, splits)
+    Seq(tokenStats, quality, langConfusion, fingerprints, simhash, splits,
+      ngramCounts)
 }

@@ -20,6 +20,17 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.currentDatabase(spark).nonEmpty)
   }
 
+  test("compact: rewrites a fragmented table to the target file count") {
+    val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf).repartition(16)
+    Warehouse.replaceTable(lf, "loan_final_frag")
+    val before = spark.table(s"${Warehouse.Schema}.loan_final_frag")
+    val rowsBefore = before.count()
+    Warehouse.compact(spark, "loan_final_frag", 2)
+    val after = spark.table(s"${Warehouse.Schema}.loan_final_frag")
+    assert(after.count() === rowsBefore)
+    assert(after.inputFiles.length <= 2)
+  }
+
   test("partitioned load: filter on partition column prunes the scan") {
     val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)
     Warehouse.replacePartitioned(lf, "loan_final_by_region", "region_cleaned")
