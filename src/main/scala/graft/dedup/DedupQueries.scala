@@ -25,11 +25,16 @@ object DedupQueries {
     */
   val BandRows = 3
 
-  /** Distinct word-n-gram shingles per doc: (doc_id, sh). */
+  /** Distinct word-n-gram shingles per doc: (doc_id, sh). Takes any
+    * (doc_id, text) frame so fixture corpora can drive the pipeline in
+    * tests.
+    */
+  def shingleSet(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+
   private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+    shingleSet(Tables.documents(s, d), n)
 
   /** Exact dedup summary: fingerprint = md5(normalized text); the kept set
     * is one doc per fingerprint. (The corpus has no exact dups — the zero
@@ -57,7 +62,12 @@ object DedupQueries {
     "dedup_ngram_topk",
     s"word-$ShingleN-gram Jaccard near-dup: top-20 pairs via shingle inverted index",
     DedupOracle.ngramTopkSql) { (s, d) =>
-    val sh = shingleSet(s, d, ShingleN)
+    ngramTopkFrame(Tables.documents(s, d))
+  }
+
+  /** The n-gram Jaccard pipeline over any (doc_id, text) frame. */
+  def ngramTopkFrame(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs, ShingleN)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"),
@@ -95,7 +105,12 @@ object DedupQueries {
     "dedup_minhash_lsh",
     s"MinHash($MinhashK)+LSH(${MinhashK / BandRows} bands) over $MinhashShingleN-gram shingles, exact-Jaccard verified top-20",
     DedupOracle.minhashLshSql) { (s, d) =>
-    val sh = shingleSet(s, d, MinhashShingleN)
+    minhashLshFrame(Tables.documents(s, d))
+  }
+
+  /** The MinHash+LSH pipeline over any (doc_id, text) frame. */
+  def minhashLshFrame(docs: DataFrame): DataFrame = {
+    val sh = shingleSet(docs, MinhashShingleN)
     val sigs = minhashSigs(sh)
     val bandStructs = (0 until MinhashK / BandRows).map { b =>
       val key = md5(concat((0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))

@@ -25,6 +25,30 @@ class SmokeSpec extends SparkSpec {
     }
   }
 
+  test("every oracle has a deterministic total order (or is a 1-row aggregate)") {
+    // hash-comparison is order-sensitive: any multi-row oracle without an
+    // ORDER BY is a latent flake
+    val singleRow = Set("dedup_exact_summary", "forecast_revenue")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      if (!singleRow(name)) {
+        withClue(name) { assert(sql.toUpperCase.contains("ORDER BY")) }
+      }
+    }
+  }
+
+  test("ANN LSH recall vs brute force on the fixed corpus") {
+    def pairs(q: api.GraftQuery): Set[(Long, Long)] =
+      q.frame(spark, sf).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(sim.SimQueries.bruteforce)
+    val lsh = pairs(sim.SimQueries.lshTopk)
+    // the LSH bucket holds ~1/16 of vectors; every LSH hit must be a
+    // same-bucket vector, and on this fixed corpus the top-10 overlap is
+    // deterministic — assert the sanity floor, not a tuned number
+    assert(lsh.nonEmpty)
+    assert((lsh -- exact).size < lsh.size, "LSH found nothing from the exact top-10")
+  }
+
   test("loan_final quirk pins: en-dash labels and credited-per-month") {
     val lf = loan.LoanDomain.loanFinalFrame(spark, sf)
     val buckets = lf.select("dpd_bucket").distinct()

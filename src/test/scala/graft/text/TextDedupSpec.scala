@@ -51,6 +51,41 @@ class TextDedupSpec extends SparkSpec {
     assert(h.forall(_ >= 0L))
   }
 
+  test("ngram pipeline: a planted near-dup pair tops the ranking with known J") {
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 1 = doc 0 with the LAST word changed; 10 tokens -> 8 trigrams,
+    // only the final window (t7 t8 t9) differs -> 7 shared, union 9
+    val base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("t9", "zz")),
+      (2L, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+    val top = graft.dedup.DedupQueries.ngramTopkFrame(docs).collect()
+    assert(top.nonEmpty)
+    val first = top.head
+    assert(first.getAs[Long]("doc_a") === 0L)
+    assert(first.getAs[Long]("doc_b") === 1L)
+    assert(first.getAs[Double]("jaccard") === 7.0 / (8 + 8 - 7))
+  }
+
+  test("minhash+LSH pipeline: an exact duplicate is found with J = 1") {
+    val spark0 = spark
+    import spark0.implicits._
+    val text = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (10L, text), (11L, text),
+      (12L, "completely different content with no shared bigrams at all"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.DedupQueries.minhashLshFrame(docs).collect()
+    // identical docs share every signature -> every band collides -> the
+    // pair MUST surface, verified at exactly J = 1
+    assert(out.exists(r =>
+      r.getAs[Long]("doc_a") === 10L && r.getAs[Long]("doc_b") === 11L &&
+        r.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("minhash property: identical shingle sets share every band hash") {
     val spark0 = spark
     import spark0.implicits._
