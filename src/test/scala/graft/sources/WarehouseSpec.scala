@@ -31,6 +31,20 @@ class WarehouseSpec extends SparkSpec {
     assert(after.inputFiles.length <= 2)
   }
 
+  test("ANALYZE TABLE feeds row-count stats to the optimizer (CBO input)") {
+    Warehouse.loadAll(spark, sf)
+    spark.sql(s"ANALYZE TABLE ${Warehouse.Schema}.loan_final COMPUTE STATISTICS")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", true)
+      val stats = spark.table(s"${Warehouse.Schema}.loan_final")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined)
+      assert(stats.rowCount.get.toLong ===
+        graft.loan.LoanDomain.loanFinalFrame(spark, sf).count())
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("partitioned load: filter on partition column prunes the scan") {
     val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)
     Warehouse.replacePartitioned(lf, "loan_final_by_region", "region_cleaned")
