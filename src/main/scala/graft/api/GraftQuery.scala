@@ -16,8 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Determinism contract (see SURVEY.md §5.2, §7.4): every query ends in a
   * total-order ORDER BY; double arithmetic keeps the same expression shape
   * on both sides (IEEE754 ops are deterministic given identical operand
-  * order); order-sensitive double SUMs go through DECIMAL (exact,
-  * associative) and are cast back to double.
+  * order); order-sensitive double SUMs go through integer quantization
+  * (exact, associative — see [[Det.sumQ]]; NOT a DECIMAL cast, whose
+  * rounding differs between Spark and DuckDB).
   */
 trait GraftQuery {
   def name: String

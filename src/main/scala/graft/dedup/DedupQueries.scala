@@ -97,9 +97,10 @@ object DedupQueries {
   }
 
   /** MinHash + LSH banding near-dup: k=12 signatures over 2-gram shingles,
-    * 6 bands x 2 rows; candidate pairs share a band hash; candidates are
-    * verified with exact Jaccard. The band join is the scale path: each doc
-    * emits 6 (band, hash) keys, and only colliding keys meet in the shuffle.
+    * MinhashK/BandRows bands of BandRows rows (4 x 3 as tuned); candidate
+    * pairs share a band hash and are verified with exact Jaccard. The band
+    * join is the scale path: each doc emits one key per band, and only
+    * colliding keys meet in the shuffle.
     */
   val minhashLsh: GraftQuery = GraftQuery(
     "dedup_minhash_lsh",

@@ -98,7 +98,10 @@ object LoanDomain {
   def cleanRegion(region: Column): Column = {
     val scored = ValidCities.zipWithIndex.map { case (city, i) =>
       struct(
-        levenshtein(upper(region), lit(city.toUpperCase)).as("d"),
+        // Locale.ROOT: a tr-TR default locale would upcase "Delhi" to
+        // "DELHİ" here while Spark's upper() and DuckDB stay locale-free
+        levenshtein(upper(region),
+          lit(city.toUpperCase(java.util.Locale.ROOT))).as("d"),
         lit(i).as("i"),
         lit(city).as("c"))
     }

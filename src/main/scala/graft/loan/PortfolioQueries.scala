@@ -152,18 +152,20 @@ object PortfolioQueries {
     "region_set_ops",
     "set ops: union/intersect/except of 90+DPD regions vs refund regions",
     PortfolioOracle.regionSetOpsSql) { (s, d) =>
-    // Membership flags from ONE pass over loan_final, materialized: the six
-    // set-op legs each re-plan their inputs (exchange reuse does not fire
-    // across union/intersect/except legs — measured 36 parquet scans), so
-    // without this the expensive join+metrics chain runs 6x. The cached
-    // relation is ~|regions| rows (5 here; bounded by region cardinality at
-    // any scale).
-    val flags = lf(s, d)
+    // Membership flags from ONE pass over loan_final, collected to a local
+    // relation: the six set-op legs each re-plan their inputs (exchange
+    // reuse does not fire across union/intersect/except legs — measured 36
+    // parquet scans), so without materialization the expensive
+    // join+metrics chain runs 6x. collect() instead of persist(): the
+    // relation is bounded by region cardinality (5 rows), and a persist
+    // here would leak a cache entry per invocation.
+    val flagsAgg = lf(s, d)
       .groupBy(col("region_cleaned"))
       .agg(
         max(when(col("dpd_bucket") === "90+ DPD", 1).otherwise(0)).as("in_a"),
         max(when(col("amount_to_be_returned") > 0, 1).otherwise(0)).as("in_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val flags = s.createDataFrame(
+      java.util.Arrays.asList(flagsAgg.collect(): _*), flagsAgg.schema)
     val a = flags.filter(col("in_a") === 1).select("region_cleaned")
     val b = flags.filter(col("in_b") === 1).select("region_cleaned")
     val u = a.union(b).distinct().withColumn("op", lit("union"))

@@ -18,7 +18,9 @@ object SimOracle {
     fold(s"list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])")
 
   private def planeLit(j: Int): String =
-    Planes(j).map(p => f"$p%.3f").mkString("CAST([", ", ", "] AS DOUBLE[])")
+    Planes(j).map(p => String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(p)))
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
 
   private def bucketExpr(v: String): String =
     (0 until NumPlanes).map { j =>

@@ -69,9 +69,20 @@ object Warehouse {
     * (one per micro-batch/task); scans then pay per-file open + footer
     * costs and lose vectorized-read efficiency. At 100 TB this runs
     * per-partition, driven by file-size stats.
+    *
+    * Refuses partitioned/bucketed tables — a plain rewrite would silently
+    * discard their layout (and with it pruning / shuffle-free joins).
+    * The DROP+RENAME swap is NOT atomic (Spark's catalog has no table
+    * swap): a crash between the two statements leaves only the staging
+    * table `<table>_compacting` to recover from. Table-format layers
+    * (Iceberg/Delta) solve this with snapshot commits.
     */
   def compact(spark: SparkSession, table: String, targetFiles: Int): Unit = {
     val qualified = s"$Schema.$table"
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema)))
+    require(meta.partitionColumnNames.isEmpty && meta.bucketSpec.isEmpty,
+      s"compact() would discard the partition/bucket layout of $qualified")
     val df = spark.table(qualified).repartition(targetFiles)
     val tmp = s"${qualified}_compacting"
     df.write.mode(SaveMode.Overwrite).saveAsTable(tmp)

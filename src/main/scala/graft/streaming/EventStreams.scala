@@ -84,7 +84,9 @@ object EventStreams {
             val before = (total / threshold).toLong
             total += v
             val after = (total / threshold).toLong
-            if (after > before) alerts ::= ((user, after, total))
+            // one row PER milestone crossed — a single large event can
+            // jump several multiples at once
+            ((before + 1) to after).foreach(m => alerts ::= ((user, m, total)))
           }
           state.update(total)
           alerts.reverseIterator

@@ -27,7 +27,6 @@ class LoanPropertySpec extends SparkSpec {
     StructField("emi_collected", DoubleType, nullable = true)))
 
   private val loanGen: Gen[Row] = for {
-    id <- Gen.choose(1L, 100000L)
     amount <- Gen.choose(100.0, 1000000.0)
     startDay <- Gen.choose(0L, 3650L)
     durMonths <- Gen.choose(0, 72)
@@ -37,7 +36,9 @@ class LoanPropertySpec extends SparkSpec {
   } yield {
     val disb = Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(startDay))
     val due = Date.valueOf(disb.toLocalDate.plusMonths(durMonths))
-    Row(id, id, s"c$id", amount, disb, due, region.orNull, rate, "O",
+    // loan_id is assigned by index AFTER generation (uniqueness is a
+    // precondition of the per-loan schedule property)
+    Row(0L, 0L, "c", amount, disb, due, region.orNull, rate, "O",
       null, ec.map(Double.box).orNull)
   }
 
@@ -45,6 +46,11 @@ class LoanPropertySpec extends SparkSpec {
     val rows = Gen.listOfN(n, loanGen)
       .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
       .getOrElse(Nil)
+      .zipWithIndex.map { case (r, i) =>
+        Row((i + 1).toLong, (i + 1).toLong, s"c${i + 1}",
+          r.get(3), r.get(4), r.get(5), r.get(6), r.get(7), r.get(8),
+          r.get(9), r.get(10))
+      }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
   }
 

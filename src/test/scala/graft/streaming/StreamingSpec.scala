@@ -96,6 +96,23 @@ class StreamingSpec extends SparkSpec {
     assert(u10.head.getAs[Long]("milestone") === 1L)
   }
 
+  test("valueAlerts: one event jumping several multiples emits every milestone") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 7,
+      "purchase", 250.0, "{}"))
+    val q = EventStreams.valueAlerts(stream.toDF(), threshold = 100.0)
+      .writeStream.format("memory").queryName("alerts_jump")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ms = spark.table("alerts_jump").collect()
+      .map(_.getAs[Long]("milestone")).sorted
+    assert(ms.toSeq === Seq(1L, 2L)) // 250/100 crosses milestones 1 AND 2
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._

@@ -48,6 +48,7 @@ def main():
             failures += 1; continue
         ok = True
         for c in sdf.columns:
+            col_ok = True
             a, b = sdf[c], ddf[c]
             # normalize dtypes for comparison but report them
             note = "" if str(a.dtype) == str(b.dtype) else f" [dtype spark={a.dtype} duck={b.dtype}]"
@@ -60,7 +61,7 @@ def main():
                     print(f"FAIL {name}.{c}{note}: {int((~eq).sum())}/{len(eq)} cells differ; "
                           f"first row {i}: spark={av[i]!r} duck={bv[i]!r} "
                           f"maxabs={np.nanmax(np.abs(av - bv))}")
-                    ok = False
+                    ok = False; col_ok = False
             else:
                 av = a.astype(object).where(pd.notna(a), None).values
                 bv = b.astype(object).where(pd.notna(b), None).values
@@ -79,8 +80,8 @@ def main():
                     i = neq[0]
                     print(f"FAIL {name}.{c}{note}: {len(neq)}/{len(av)} cells differ; "
                           f"first row {i}: spark={av[i]!r} duck={bv[i]!r}")
-                    ok = False
-            if ok and note:
+                    ok = False; col_ok = False
+            if col_ok and note:
                 print(f"WARN {name}.{c}: values match but{note}")
         if ok:
             print(f"PASS {name} ({len(sdf)} rows, {len(sdf.columns)} cols)")
