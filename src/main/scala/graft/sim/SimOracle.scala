@@ -115,6 +115,39 @@ object SimOracle {
     WHERE r.rn <= 5
     ORDER BY r.qid, r.rn"""
 
+  val vectorStatsSql: String = s"""
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+      list_min(v) AS vmin,
+      list_max(v) AS vmax,
+      ${fold("v")} / len(v) AS vmean,
+      CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM e ORDER BY vec_id"""
+
+  val ivfTopkSql: String = s"""
+    WITH $baseCtes,
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, label AS qcell
+      FROM n WHERE vec_id % 100 = 0
+    ),
+    p AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM q JOIN n ON label = qcell AND vec_id <> qid
+    ),
+    r AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn,
+        vec_id, cosine
+      FROM p
+    )
+    SELECT qid, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY qid, rn"""
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

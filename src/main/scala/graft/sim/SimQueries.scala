@@ -131,6 +131,49 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Array-function surface over the vector column: per-vector min/max/
+    * ordered-fold mean and positive-component count — pure higher-order
+    * functions, no explode, one codegen'd pass.
+    */
+  val vectorStats: GraftQuery = GraftQuery(
+    "embedding_vector_stats",
+    "array fns: per-vector min/max/mean/positive-count without explode",
+    SimOracle.vectorStatsSql) { (s, d) =>
+    val v = toDouble(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        array_min(v).as("vmin"),
+        array_max(v).as("vmax"),
+        (aggregate(v, lit(0.0), (acc, x) => acc + x) / size(v)).as("vmean"),
+        size(filter(v, _ > 0)).as("n_positive"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF-style ANN: the coarse quantizer is the label cell (stand-in for
+    * k-means assignment); a query probes only its own cell. Complements
+    * sign-LSH: cells come from data clustering rather than random planes —
+    * at scale the corpus is bucketed/partitioned by cell at write time and
+    * a probe reads one partition.
+    */
+  val ivfTopk: GraftQuery = GraftQuery(
+    "ann_ivf_topk",
+    "ANN via IVF cells (label as coarse quantizer): probe own cell, cosine top-10",
+    SimOracle.ivfTopkSql) { (s, d) =>
+    val v = vecs(s, d)
+    val q = broadcast(v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("qcell")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    q.join(v, col("label") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(bruteforce, lshTopk, nearDupPairs, labelCentroids, retrieval)
+    Seq(bruteforce, lshTopk, nearDupPairs, labelCentroids, retrieval,
+      vectorStats, ivfTopk)
 }
