@@ -200,6 +200,21 @@ object PortfolioQueries {
       approx_count_distinct(col("customer_id"), 0.01).as("approx_customers"))
   }
 
+  /** Greenwald-Khanna quantile sketch (approx_percentile) — rows-only for
+    * the same reason as HLL++ (sketch internals differ from DuckDB's). The
+    * exact nearest-rank twin (`arrear_percentiles`) is the oracle-checked
+    * surface; this is the mergeable-sketch path that avoids the global
+    * sort at 100 TB.
+    */
+  val approxQuantiles: GraftQuery = GraftQuery.rowsOnly(
+    "arrear_approx_quantiles",
+    "approx_percentile sketch p50/p90/p99 of arrear (vs exact arrear_percentiles)") { (s, d) =>
+    lf(s, d).agg(
+      expr("approx_percentile(arrear, array(0.5, 0.9, 0.99), 10000)")
+        .as("approx_p50_p90_p99"),
+      count(lit(1)).as("n"))
+  }
+
   /** Exact nearest-rank percentiles per region: rank every arrear in its
     * region once (one shuffle + sort), pick the floor((n-1)*p)+1 ranked
     * value. Nearest-rank (no interpolation) keeps the arithmetic pure
@@ -273,5 +288,6 @@ object PortfolioQueries {
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
-    top10Arrears, approxDistinct, arrearPercentiles, rankFamily, bucketPivot)
+    top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
+    rankFamily, bucketPivot)
 }
