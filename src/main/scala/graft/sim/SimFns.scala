@@ -35,7 +35,7 @@ object SimFns {
     }
 
   private def planeCol(j: Int): Column =
-    array(Planes(j).map(lit): _*)
+    array(Planes(j).toIndexedSeq.map(lit): _*)
 
   /** Sign-LSH bucket id in [0, 2^NumPlanes): bit j = sign(v . plane_j).
     * Same-bucket vectors are ANN candidates; at scale this is the shuffle
