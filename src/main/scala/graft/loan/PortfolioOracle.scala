@@ -127,6 +127,35 @@ object PortfolioOracle {
     GROUP BY region_cleaned
     ORDER BY region_cleaned NULLS FIRST"""
 
+  val groupingSetsSql: String = s"""
+    WITH $ctes
+    SELECT CAST(GROUPING(region_cleaned, product_type, dpd_bucket) AS INTEGER) AS gid,
+      region_cleaned, dpd_bucket, product_type,
+      COUNT(*) AS loans,
+      ${sumDec("arrear")} AS total_arrear
+    FROM lf
+    GROUP BY GROUPING SETS (
+      (region_cleaned), (product_type), (dpd_bucket, product_type))
+    ORDER BY gid, region_cleaned NULLS FIRST,
+      dpd_bucket NULLS FIRST, product_type NULLS FIRST"""
+
+  val trailing3moSql: String = s"""
+    WITH $ctes,
+    m AS (
+      SELECT region_cleaned,
+        CAST(year(disbursement_date) * 12 + month(disbursement_date) AS BIGINT)
+          AS month_idx,
+        SUM(CAST(floor(disbursement_amount * 10000.0 + 0.5) AS BIGINT)) AS disb_i
+      FROM lf
+      GROUP BY 1, 2
+    )
+    SELECT region_cleaned, month_idx,
+      disb_i / 10000.0 AS disbursed,
+      SUM(disb_i) OVER (PARTITION BY region_cleaned ORDER BY month_idx
+        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) / 10000.0 AS trailing_3mo
+    FROM m
+    ORDER BY region_cleaned NULLS FIRST, month_idx"""
+
   val rankFamilySql: String = s"""
     WITH $ctes,
     r AS (

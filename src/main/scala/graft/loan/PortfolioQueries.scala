@@ -285,9 +285,54 @@ object PortfolioQueries {
       .orderBy(asc_nulls_first("region_cleaned"))
   }
 
+  /** Arbitrary GROUPING SETS (not derivable from rollup/cube): totals by
+    * region alone, by product alone, and by (bucket, product) — the
+    * report-cube shape where only some combinations matter, computed in one
+    * pass instead of three queries.
+    */
+  val groupingSets: GraftQuery = GraftQuery(
+    "portfolio_grouping_sets",
+    "GROUPING SETS (region), (product), (bucket, product) in one pass",
+    PortfolioOracle.groupingSetsSql) { (s, d) =>
+    lf(s, d).createOrReplaceTempView("lf_gs")
+    s.sql(s"""
+      SELECT CAST(GROUPING_ID(region_cleaned, product_type, dpd_bucket) AS INT) AS gid,
+        region_cleaned, dpd_bucket, product_type,
+        COUNT(*) AS loans,
+        SUM(CAST(floor(arrear * 10000.0D + 0.5D) AS BIGINT)) / 10000.0D AS total_arrear
+      FROM lf_gs
+      GROUP BY GROUPING SETS (
+        (region_cleaned), (product_type), (dpd_bucket, product_type))
+      ORDER BY gid, region_cleaned ASC NULLS FIRST,
+        dpd_bucket ASC NULLS FIRST, product_type ASC NULLS FIRST""")
+  }
+
+  /** RANGE window frame (vs the ROWS frames used elsewhere): trailing
+    * 3-calendar-month disbursement sum per region, keyed on a month index
+    * so the frame is value-based — months with no rows still age out of
+    * the window, which a ROWS frame cannot express.
+    */
+  val trailing3mo: GraftQuery = GraftQuery(
+    "region_trailing_3mo",
+    "RANGE BETWEEN 2 PRECEDING frame: trailing 3-month disbursement per region",
+    PortfolioOracle.trailing3moSql) { (s, d) =>
+    val w = Window.partitionBy(col("region_cleaned")).orderBy(col("month_idx"))
+      .rangeBetween(-2, Window.currentRow)
+    lf(s, d)
+      .groupBy(col("region_cleaned"),
+        ((year(col("disbursement_date")) * 12 + month(col("disbursement_date")))
+          .cast("long")).as("month_idx"))
+      .agg(sum(Det.quantize(col("disbursement_amount"))).as("disb_i"))
+      .withColumn("trailing_3mo",
+        sum(col("disb_i")).over(w) / lit(Det.pow10(4)))
+      .select(col("region_cleaned"), col("month_idx"),
+        (col("disb_i") / lit(Det.pow10(4))).as("disbursed"), col("trailing_3mo"))
+      .orderBy(asc_nulls_first("region_cleaned"), col("month_idx"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
-    rankFamily, bucketPivot)
+    rankFamily, bucketPivot, groupingSets, trailing3mo)
 }
