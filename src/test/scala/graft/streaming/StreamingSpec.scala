@@ -113,6 +113,41 @@ class StreamingSpec extends SparkSpec {
     assert(ms.toSeq === Seq(1L, 2L)) // 250/100 crosses milestones 1 AND 2
   }
 
+  test("stream-stream interval join: clicks enriched by purchases within 10m") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(
+      Ev(1, t(1), 10, "click", 0, "{}"),
+      Ev(2, t(30), 10, "click", 0, "{}"), // no purchase within 10m
+      Ev(3, t(5), 11, "click", 0, "{}"))
+    purchases.addData(
+      Ev(90, t(8), 10, "purchase", 42.0, "{}"), // 7m after click 1
+      Ev(91, t(50), 10, "purchase", 9.0, "{}"), // too late for click 2
+      Ev(92, t(6), 11, "purchase", 7.0, "{}")) // 1m after click 3
+
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS cts")
+    val p = purchases.toDF().withWatermark("ts", "1 hour")
+      .selectExpr("user_id AS pu", "ts AS pts", "value AS amount")
+    val joined = c.join(p,
+      expr("cu = pu AND pts BETWEEN cts AND cts + INTERVAL 10 MINUTES"))
+
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssjoin_out")
+      .select("click_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 42.0), (3L, 7.0)))
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
