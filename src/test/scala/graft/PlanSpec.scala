@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape regression net: the physical plans that make the 100 TB
+  * story true must not silently regress — filters reach the parquet scan,
+  * dims broadcast, codegen covers the hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("pricing_summary: shipdate predicate is pushed to the parquet scan") {
+    val plan = planOf("pricing_summary")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("pricing_summary: scan reads only the needed columns") {
+    val plan = planOf("pricing_summary")
+    // ReadSchema must not include unused wide columns
+    assert(!plan.contains("l_partkey"))
+    assert(!plan.contains("l_suppkey"))
+  }
+
+  test("revenue_by_nation: nation dim is broadcast") {
+    val plan = planOf("revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("loan_final: whole-stage codegen covers the metric derivation") {
+    val df = SparkEntry.queries("loan_final")(spark, sf)
+    // AQE shows only the adaptive wrapper until THIS plan's final plan
+    // exists — collect() (not count(), which executes a derived plan)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n)" in the compact plan string
+    assert(plan.contains("*("))
+    assert(plan.contains("isFinalPlan=true"))
+  }
+
+  test("customers_overdue_semi: planned as a semi join, not inner+distinct") {
+    val plan = planOf("customers_overdue_semi")
+    assert(plan.toLowerCase.contains("leftsemi"))
+  }
+}
