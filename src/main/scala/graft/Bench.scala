@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line. The line goes to stdout AND to a bare file
+  * (SPARK_GRAFT_BENCH_OUT, default ./BENCH.json) so the driver can parse
+  * it even when sbt prefixes stdout with "[info] ". Failing queries are
+  * recorded in a "failed" list and excluded from the timings — a failure
+  * must never masquerade as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +16,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -14,15 +25,29 @@ object Bench {
     // measured query doesn't carry ~5s of one-time startup cost
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.loaders.foreach { case (_, load) => load(spark, sfDir).count() }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val passed = timed.filter(_._3)
+    val qs = passed.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = timed.filterNot(_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = passed.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try Files.writeString(Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

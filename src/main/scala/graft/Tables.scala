@@ -40,9 +40,17 @@ object Tables {
     * microsecond timestamp (`ts div 1000` — the corpus has at most
     * microsecond resolution, so this is lossless; the oracle casts its
     * TIMESTAMP_NS to TIMESTAMP identically).
+    *
+    * The nanosAsLong flag must be set by the SESSION BUILDER (Verify /
+    * Bench / Explain / StreamDemo and the test fixture all do) — a loader
+    * silently mutating session conf would change how every later
+    * TIMESTAMP(NANOS) read behaves, so this fails fast instead.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder")
     apply(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -32,8 +32,12 @@ case class Hash60(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     Hash60.eval(input.asInstanceOf[UTF8String])
 
+  // NB: must call the module instance (Hash60$.MODULE$) — scalac emits no
+  // static `eval` forwarder on the companion class because Expression
+  // already has instance `eval` methods, so `Hash60.eval(...)` fails Janino
+  // compilation and silently drops the whole stage to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Hash60.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash60$$.MODULE$$.eval($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Hash60 =
     copy(child = newChild)

@@ -110,6 +110,26 @@ object PortfolioOracle {
     SELECT loan_id, customer_name, arrear, dpd_bucket FROM lf
     ORDER BY arrear DESC, loan_id LIMIT 10"""
 
+  /** Sketch-contract oracles: DuckDB's HLL / quantile sketches are not
+    * bit-compatible with Spark's, so the Spark side outputs exact values
+    * plus booleans attesting the estimate landed inside its error band,
+    * and the oracle recomputes the exact values and asserts TRUE — the
+    * estimate's CONTRACT is what gets hash-checked.
+    */
+  val approxDistinctSql: String = s"""
+    WITH $ctes
+    SELECT COUNT(DISTINCT product_type) AS exact_products,
+      COUNT(DISTINCT customer_id) AS exact_customers,
+      true AS products_est_ok,
+      true AS customers_est_ok
+    FROM lf"""
+
+  val approxQuantilesSql: String = s"""
+    WITH $ctes
+    SELECT COUNT(*) AS n,
+      true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM lf"""
+
   val arrearPercentilesSql: String = s"""
     WITH $ctes,
     ranked AS (

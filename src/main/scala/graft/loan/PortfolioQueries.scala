@@ -152,20 +152,19 @@ object PortfolioQueries {
     "region_set_ops",
     "set ops: union/intersect/except of 90+DPD regions vs refund regions",
     PortfolioOracle.regionSetOpsSql) { (s, d) =>
-    // Membership flags from ONE pass over loan_final, collected to a local
-    // relation: the six set-op legs each re-plan their inputs (exchange
-    // reuse does not fire across union/intersect/except legs — measured 36
-    // parquet scans), so without materialization the expensive
-    // join+metrics chain runs 6x. collect() instead of persist(): the
-    // relation is bounded by region cardinality (5 rows), and a persist
-    // here would leak a cache entry per invocation.
-    val flagsAgg = lf(s, d)
+    // Membership flags from ONE pass over loan_final, materialized via
+    // localCheckpoint: the six set-op legs each re-plan their inputs
+    // (exchange reuse does not fire across union/intersect/except legs —
+    // measured 36 parquet scans), so without materialization the expensive
+    // join+metrics chain runs 6x. localCheckpoint() instead of persist():
+    // it truncates lineage without leaking a cache entry per invocation,
+    // and keeps the 5-row relation on executors (no driver round-trip).
+    val flags = lf(s, d)
       .groupBy(col("region_cleaned"))
       .agg(
         max(when(col("dpd_bucket") === "90+ DPD", 1).otherwise(0)).as("in_a"),
         max(when(col("amount_to_be_returned") > 0, 1).otherwise(0)).as("in_b"))
-    val flags = s.createDataFrame(
-      java.util.Arrays.asList(flagsAgg.collect(): _*), flagsAgg.schema)
+      .localCheckpoint()
     val a = flags.filter(col("in_a") === 1).select("region_cleaned")
     val b = flags.filter(col("in_b") === 1).select("region_cleaned")
     val u = a.union(b).distinct().withColumn("op", lit("union"))
@@ -187,32 +186,59 @@ object PortfolioQueries {
       .select("loan_id", "customer_name", "arrear", "dpd_bucket")
   }
 
-  /** HLL++ approximate distinct — no DuckDB parity (different sketch), so
-    * rows-only. At 100 TB this is THE way to count distinct keys: fixed-size
-    * sketch per partition, no shuffle of raw values.
+  /** HLL++ approximate distinct. DuckDB's HLL differs bit-wise, so the
+    * oracle checks the estimate's CONTRACT, not its bits: the output carries
+    * the exact counts plus booleans attesting the estimate landed within its
+    * documented error band (5-sigma slack at rsd=0.01), and the oracle
+    * recomputes the exact counts and asserts the attestations are true.
+    * At 100 TB this is THE way to count distinct keys: fixed-size sketch per
+    * partition, no shuffle of raw values.
     */
-  val approxDistinct: GraftQuery = GraftQuery.rowsOnly(
+  val approxDistinct: GraftQuery = GraftQuery(
     "product_type_approx_distinct",
-    "approx_count_distinct (HLL++) vs exact countDistinct") { (s, d) =>
+    "approx_count_distinct (HLL++) vs exact, within-error-band attestation",
+    PortfolioOracle.approxDistinctSql) { (s, d) =>
     lf(s, d).agg(
-      approx_count_distinct(col("product_type")).as("approx_products"),
       countDistinct(col("product_type")).as("exact_products"),
-      approx_count_distinct(col("customer_id"), 0.01).as("approx_customers"))
+      countDistinct(col("customer_id")).as("exact_customers"),
+      approx_count_distinct(col("product_type")).as("ap"),
+      approx_count_distinct(col("customer_id"), 0.01).as("ac"))
+      .select(
+        col("exact_products"), col("exact_customers"),
+        (abs(col("ap") - col("exact_products")) <=
+          greatest(lit(1.0), col("exact_products") * lit(0.1)))
+          .as("products_est_ok"),
+        (abs(col("ac") - col("exact_customers")) <=
+          greatest(lit(5.0), col("exact_customers") * lit(0.05)))
+          .as("customers_est_ok"))
   }
 
-  /** Greenwald-Khanna quantile sketch (approx_percentile) — rows-only for
-    * the same reason as HLL++ (sketch internals differ from DuckDB's). The
-    * exact nearest-rank twin (`arrear_percentiles`) is the oracle-checked
-    * surface; this is the mergeable-sketch path that avoids the global
-    * sort at 100 TB.
+  /** Greenwald-Khanna quantile sketch (approx_percentile). Like HLL++, the
+    * sketch's bits differ from DuckDB's, so the oracle checks the sketch's
+    * CONTRACT: each approx percentile must lie inside the exact value
+    * bracket [percentile(p-0.02), percentile(p+0.02)] — generous vs the
+    * sketch's rank guarantee of 1/10000 — and the oracle asserts the
+    * attestations hold. The exact nearest-rank twin (`arrear_percentiles`)
+    * is the value-checked surface; this is the mergeable-sketch path that
+    * avoids the global sort at 100 TB (the exact `percentile` here exists
+    * only to ground the attestation).
     */
-  val approxQuantiles: GraftQuery = GraftQuery.rowsOnly(
+  val approxQuantiles: GraftQuery = GraftQuery(
     "arrear_approx_quantiles",
-    "approx_percentile sketch p50/p90/p99 of arrear (vs exact arrear_percentiles)") { (s, d) =>
+    "approx_percentile sketch p50/p90/p99 of arrear, rank-bracket attestation vs exact",
+    PortfolioOracle.approxQuantilesSql) { (s, d) =>
     lf(s, d).agg(
-      expr("approx_percentile(arrear, array(0.5, 0.9, 0.99), 10000)")
-        .as("approx_p50_p90_p99"),
+      expr("approx_percentile(arrear, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+      expr("percentile(arrear, array(0.48, 0.52, 0.88, 0.92, 0.97, 1.0))").as("ex"),
       count(lit(1)).as("n"))
+      .select(
+        col("n"),
+        element_at(col("ap"), 1)
+          .between(element_at(col("ex"), 1), element_at(col("ex"), 2)).as("p50_ok"),
+        element_at(col("ap"), 2)
+          .between(element_at(col("ex"), 3), element_at(col("ex"), 4)).as("p90_ok"),
+        element_at(col("ap"), 3)
+          .between(element_at(col("ex"), 5), element_at(col("ex"), 6)).as("p99_ok"))
   }
 
   /** Exact nearest-rank percentiles per region: rank every arrear in its
@@ -294,17 +320,24 @@ object PortfolioQueries {
     "portfolio_grouping_sets",
     "GROUPING SETS (region), (product), (bucket, product) in one pass",
     PortfolioOracle.groupingSetsSql) { (s, d) =>
-    lf(s, d).createOrReplaceTempView("lf_gs")
-    s.sql(s"""
-      SELECT CAST(GROUPING_ID(region_cleaned, product_type, dpd_bucket) AS INT) AS gid,
-        region_cleaned, dpd_bucket, product_type,
-        COUNT(*) AS loans,
-        SUM(CAST(floor(arrear * 10000.0D + 0.5D) AS BIGINT)) / 10000.0D AS total_arrear
-      FROM lf_gs
-      GROUP BY GROUPING SETS (
-        (region_cleaned), (product_type), (dpd_bucket, product_type))
-      ORDER BY gid, region_cleaned ASC NULLS FIRST,
-        dpd_bucket ASC NULLS FIRST, product_type ASC NULLS FIRST""")
+    // Dataset.groupingSets (Spark 4) — no temp-view side effect, so
+    // concurrent builds over different sfDirs can't race on a view name.
+    lf(s, d)
+      .groupingSets(
+        Seq(
+          Seq(col("region_cleaned")),
+          Seq(col("product_type")),
+          Seq(col("dpd_bucket"), col("product_type"))),
+        col("region_cleaned"), col("product_type"), col("dpd_bucket"))
+      .agg(
+        grouping_id(col("region_cleaned"), col("product_type"), col("dpd_bucket"))
+          .cast("int").as("gid"),
+        count(lit(1)).as("loans"),
+        Det.sumQ(col("arrear")).as("total_arrear"))
+      .select("gid", "region_cleaned", "dpd_bucket", "product_type",
+        "loans", "total_arrear")
+      .orderBy(col("gid"), asc_nulls_first("region_cleaned"),
+        asc_nulls_first("dpd_bucket"), asc_nulls_first("product_type"))
   }
 
   /** RANGE window frame (vs the ROWS frames used elsewhere): trailing

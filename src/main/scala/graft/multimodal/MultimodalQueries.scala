@@ -86,11 +86,11 @@ object MultimodalQueries {
     */
   val features: GraftQuery = GraftQuery.rowsOnly(
     "multimodal_features",
-    "stub decode via mapPartitions: byte-histogram feature vector per payload") { (s, d) =>
+    "stub decode via mapPartitions: byte-histogram features per payload, flattened h0..h15") { (s, d) =>
     import s.implicits._
     val rows = media(s, d).select("doc_id", "payload")
       .as[(Long, Array[Byte])]
-    rows.mapPartitions { it =>
+    val decoded = rows.mapPartitions { it =>
       it.map { case (docId, payload) =>
         val hist = new Array[Double](16)
         var i = 0
@@ -102,6 +102,11 @@ object MultimodalQueries {
         (docId, hist.map(_ / n))
       }
     }.toDF("doc_id", "features")
+    // flatten to scalar columns: the driver's check (pandas) can't hash
+    // array cells, and a fixed-width feature vector IS a wide row
+    decoded
+      .select(col("doc_id") +:
+        (0 until 16).map(i => element_at(col("features"), i + 1).as(s"h$i")): _*)
       .orderBy("doc_id")
   }
 

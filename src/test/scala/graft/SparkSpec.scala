@@ -18,6 +18,7 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // fresh warehouse per JVM: a stale spark-warehouse dir + fresh
       // in-memory catalog makes managed-table CREATE fail with

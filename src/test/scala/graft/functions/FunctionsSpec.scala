@@ -45,6 +45,21 @@ class FunctionsSpec extends SparkSpec {
     assert(composed === native)
   }
 
+  test("Hash60 generated code actually COMPILES (no interpreted fallback)") {
+    // With fallback disabled a Janino compile error surfaces instead of
+    // silently dropping to interpreted mode — guards the $.MODULE$ call
+    // shape in doGenCode (a bare `Hash60.eval` has no static forwarder and
+    // fails to compile, costing codegen on every hash60 query).
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql("SELECT hash60(CAST(id AS STRING)) AS h FROM range(100)")
+        .agg(min(col("h"))).collect()(0)
+      assert(r.getLong(0) >= 0L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("QuantizedSum aggregator matches Det.sumQ column form") {
     val spark0 = spark
     import spark0.implicits._
