@@ -11,13 +11,14 @@ import graft.text.TextOracle
   */
 object DedupOracle {
 
-  import DedupQueries.{BandRows, MinhashK, MinhashShingleN, ShingleN}
+  import DedupQueries.{BandRows, MinhashK, MinhashShingleN, NgramDfCap,
+    ShingleN, SimhashBandBits, SimhashBands, SimhashHammingMax}
 
-  private def shingleCtes(n: Int): String = s"""
+  private def shingleCtes(n: Int, out: String = "sh"): String = s"""
     t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
-    sh AS (
+    $out AS (
       SELECT doc_id, unnest(list_distinct(
         CASE WHEN len(toks) >= $n THEN
           list_transform(range(1, CAST(len(toks) - ${n - 2} AS BIGINT)),
@@ -44,7 +45,13 @@ object DedupOracle {
     )"""
 
   val ngramTopkSql: String = s"""
-    WITH ${shingleCtes(ShingleN)},
+    WITH ${shingleCtes(ShingleN, "sh_all")},
+    rare AS (
+      SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= $NgramDfCap
+    ),
+    sh AS (
+      SELECT doc_id, sh FROM sh_all JOIN rare USING (sh)
+    ),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -90,12 +97,15 @@ object DedupOracle {
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
   }
 
-  val simhashPairsSql: String = s"""
+  val simhashPairsSql: String = {
+    val mask = (1L << SimhashBandBits) - 1
+    val bands = (0 until SimhashBands).map { b =>
+      s"SELECT doc_id, simhash, $b AS b, (simhash >> ${b * SimhashBandBits}) & $mask AS bk FROM sim"
+    }.mkString("\n      UNION ALL ")
+    s"""
     WITH ${TextOracle.simhashCtes},
     bands AS (
-      SELECT doc_id, simhash, 0 AS b, simhash >> 16 AS bk FROM sim
-      UNION ALL
-      SELECT doc_id, simhash, 1 AS b, simhash & 65535 FROM sim
+      $bands
     ),
     pairs AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -104,6 +114,7 @@ object DedupOracle {
         ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM pairs
-    WHERE hamming <= 10
+    WHERE hamming <= $SimhashHammingMax
     ORDER BY hamming, doc_a, doc_b LIMIT 20"""
+  }
 }

@@ -9,8 +9,8 @@ import graft.text.TextFns._
 /** Deduplication operators over `documents` — exact, n-gram Jaccard,
   * MinHash+LSH, and SimHash near-dup. The 100 TB design rule throughout:
   * NEVER materialize the O(n^2) pair space. Candidates come from
-  * equality joins on content-derived keys (shingles, LSH band hashes,
-  * SimHash half-bands), so the shuffle volume is O(corpus) + O(true pairs),
+  * equality joins on content-derived keys (DF-capped shingles, LSH band
+  * hashes, SimHash bands), so the shuffle volume is O(corpus) + O(true pairs),
   * and every join is a plain hash join Catalyst can partition freely.
   */
 object DedupQueries {
@@ -24,6 +24,34 @@ object DedupQueries {
     * ~3k while still catching J>=0.5 pairs with ~40% per-pass probability.
     */
   val BandRows = 3
+
+  /** Document-frequency cap for the exact n-gram inverted index: shingles
+    * present in more than this many documents are corpus boilerplate and
+    * are dropped BEFORE the self-join. The pair space of an inverted-index
+    * join is Σ(posting-list²) — one shingle shared by p docs contributes
+    * p(p-1)/2 candidate pairs, so corpus-hot shingles make the join
+    * quadratic in corpus size. Capping DF bounds every posting list, making
+    * the join cost ≤ docs·shingles·DfCap — linear in the corpus. (Near-dup
+    * evidence lives in RARE shingles; boilerplate shared by >64 docs has no
+    * discriminating power, which is why DF-capping is the standard trick in
+    * large-scale near-dup mining.) Jaccard is then computed over the CAPPED
+    * shingle sets on both engines, so the oracle stays exact.
+    */
+  val NgramDfCap = 64
+
+  /** SimHash banding: 4 disjoint 15-bit bands of the 60-bit fingerprint.
+    * Two docs within Hamming distance 3 share at least one band (pigeonhole)
+    * and each band key has 2^15 values — vs the 2^16 TOTAL bucket space of
+    * the old 2x16-bit scheme over 32 bits, this keeps per-bucket membership
+    * (and the within-bucket all-pairs verify) bounded as the corpus scales.
+    */
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+
+  /** Max Hamming distance for a SimHash near-dup pair: same similarity
+    * fraction as the old 10-of-32 threshold, rescaled to 60 bits.
+    */
+  val SimhashHammingMax = 18
 
   /** Distinct word-n-gram shingles per doc: (doc_id, sh). Takes any
     * (doc_id, text) frame so fixture corpora can drive the pipeline in
@@ -65,9 +93,19 @@ object DedupQueries {
     ngramTopkFrame(Tables.documents(s, d))
   }
 
-  /** The n-gram Jaccard pipeline over any (doc_id, text) frame. */
+  /** The n-gram Jaccard pipeline over any (doc_id, text) frame. Jaccard is
+    * over DF-capped shingle sets (see [[NgramDfCap]]): the DF aggregation
+    * and the semi-join back both shuffle on `sh` — the same key as the
+    * self-join — so AQE can reuse the exchange, and the cap is what keeps
+    * the self-join's pair space linear in the corpus.
+    */
   def ngramTopkFrame(docs: DataFrame): DataFrame = {
-    val sh = shingleSet(docs, ShingleN)
+    val shAll = shingleSet(docs, ShingleN)
+    val rare = shAll.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= NgramDfCap)
+      .select(col("sh"))
+    val sh = shAll.join(rare, Seq("sh")).select(col("doc_id"), col("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"),
@@ -141,20 +179,25 @@ object DedupQueries {
       .limit(20)
   }
 
-  /** SimHash near-dup: candidates share one 16-bit half of the 32-bit
-    * fingerprint (banding for Hamming space), verified by
-    * bit_count(xor) <= 10. Top-20 by (distance, doc_a, doc_b).
+  /** SimHash near-dup: candidates share one of [[SimhashBands]] disjoint
+    * [[SimhashBandBits]]-bit bands of the 60-bit fingerprint (banding for
+    * Hamming space), verified by bit_count(xor) <= [[SimhashHammingMax]].
+    * Top-20 by (distance, doc_a, doc_b).
     */
   val simhashPairs: GraftQuery = GraftQuery(
     "dedup_simhash_pairs",
-    "SimHash near-dup: half-band candidates, Hamming <= 10, top-20",
+    s"SimHash near-dup: ${SimhashBands}x$SimhashBandBits-bit band candidates, " +
+      s"Hamming <= $SimhashHammingMax, top-20",
     DedupOracle.simhashPairsSql) { (s, d) =>
     val fp = graft.text.TextQueries.simhashFrame(s, d)
+    val bandMask = (1L << SimhashBandBits) - 1
+    val bandStructs = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("b"),
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit(bandMask)).as("bk"))
+    }
     val bands = fp.select(col("doc_id"), col("simhash"),
-      explode(array(
-        struct(lit(0).as("b"), shiftright(col("simhash"), 16).as("bk")),
-        struct(lit(1).as("b"), col("simhash").bitwiseAND(lit(65535L)).as("bk"))))
-        .as("band"))
+      explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bk").as("bk"))
     bands.as("x")
       .join(bands.as("y"),
@@ -163,7 +206,7 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 10)
+      .filter(col("hamming") <= SimhashHammingMax)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
   }

@@ -31,6 +31,33 @@ object MultimodalOracle {
     FROM m
     GROUP BY media_type ORDER BY media_type"""
 
+  /** Oracle for the stub decoder: the 16-bin byte histogram re-expressed
+    * over the characters of `text`. Valid because the corpus is pure ASCII
+    * (synthetic single-spaced lowercase latin words), where UTF-8 byte i ==
+    * codepoint of character i and octet_length == length — so
+    * `ord(substr(text, i, 1)) >> 4` is exactly Spark's `payload(i) >> 4`.
+    * Each h_k is a small-int count divided by the byte count: both engines
+    * compute the same exact IEEE754 quotient.
+    */
+  val featuresSql: String = {
+    val hs = (0 until 16).map { k =>
+      s"len(list_filter(bins, x -> x = $k)) / CAST(greatest(n, 1) AS DOUBLE) AS h$k"
+    }.mkString(",\n      ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n,
+        list_transform(range(1, CAST(n + 1 AS BIGINT)),
+          i -> ord(substr(text, CAST(i AS INTEGER), 1)) >> 4) AS bins
+      FROM t
+    )
+    SELECT doc_id,
+      $hs
+    FROM b ORDER BY doc_id"""
+  }
+
   val frameSampleSql: String = s"""
     WITH $mediaCte,
     v AS (

@@ -77,16 +77,20 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** STUB DECODER (rows-only): per-partition iterator "decode" producing a
-    * 16-bin byte histogram as the stand-in feature vector. This is where a
-    * real image/audio decoder (JNI, native lib, or an Arrow-batched Python
-    * UDF) would plug in — the partition iteration, row encoding, and
+  /** STUB DECODER: per-partition iterator "decode" producing a 16-bin byte
+    * histogram as the stand-in feature vector. This is where a real
+    * image/audio decoder (JNI, native lib, or an Arrow-batched Python UDF)
+    * would plug in — the partition iteration, row encoding, and
     * fixed-length output schema are the production shape; only the bytes->
-    * features function is fake.
+    * features function is fake. The stub itself is deterministic and
+    * SQL-expressible, so it carries a full DuckDB oracle: each h_k is
+    * count(byte >> 4 == k) / n_bytes, an exact small-integer division that
+    * is bit-identical IEEE754 on both engines.
     */
-  val features: GraftQuery = GraftQuery.rowsOnly(
+  val features: GraftQuery = GraftQuery(
     "multimodal_features",
-    "stub decode via mapPartitions: byte-histogram features per payload, flattened h0..h15") { (s, d) =>
+    "stub decode via mapPartitions: byte-histogram features per payload, flattened h0..h15",
+    MultimodalOracle.featuresSql) { (s, d) =>
     import s.implicits._
     val rows = media(s, d).select("doc_id", "payload")
       .as[(Long, Array[Byte])]

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object SimFns {
 
   val Dims = 64
-  val NumPlanes = 4 // 16 LSH buckets
+  val NumPlanes = 8 // 256 LSH buckets
 
   /** Float array -> double array (exact widening). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
@@ -45,4 +45,17 @@ object SimFns {
     (0 until NumPlanes).map { j =>
       when(dot(v, planeCol(j)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Multi-probe set: the bucket itself plus every 1-bit-flip neighbor
+    * (NumPlanes+1 probes). A near neighbor lands in a different bucket only
+    * when some plane separates the pair; with unit-ish margins most
+    * separations flip exactly one sign bit, so probing Hamming-1 buckets
+    * recovers most of the recall a finer bucketing loses — the standard
+    * multi-probe LSH trade (9 probes instead of 16x coarser buckets). The
+    * probe values are distinct, so an equality join on (bucket = probe)
+    * meets each candidate at most once — no dedup pass needed.
+    */
+  def probeBuckets(bucket: Column): Column =
+    array((bucket +: (0 until NumPlanes).map(j =>
+      bucket.bitwiseXOR(lit(1 << j)))): _*)
 }

@@ -27,6 +27,13 @@ object SimOracle {
       s"(CASE WHEN ${dotIdx(v, planeLit(j))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Multi-probe list: own bucket + 1-bit-flip neighbors, the DuckDB twin
+    * of [[SimFns.probeBuckets]].
+    */
+  private def probeList(b: String): String =
+    (b +: (0 until NumPlanes).map(j => s"xor($b, ${1 << j})"))
+      .mkString("[", ", ", "]")
+
   private val baseCtes: String = s"""
     e AS (
       SELECT vec_id, label,
@@ -62,13 +69,14 @@ object SimOracle {
       SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
     ),
     q AS (
-      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qbucket
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+        unnest(${probeList("bucket")}) AS probe
       FROM nb WHERE vec_id % 100 = 0
     ),
     p AS (
       SELECT qid, vec_id,
         ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
-      FROM q JOIN nb ON bucket = qbucket AND vec_id <> qid
+      FROM q JOIN nb ON bucket = probe AND vec_id <> qid
     ),
     r AS (
       SELECT qid,
@@ -83,10 +91,15 @@ object SimOracle {
     WITH $baseCtes,
     nb AS (
       SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    ),
+    px AS (
+      SELECT vec_id AS vec_a, v AS va, nrm AS na,
+        unnest(${probeList("bucket")}) AS probe
+      FROM nb
     )
-    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-      ${dotIdx("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
-    FROM nb x JOIN nb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    SELECT vec_a, y.vec_id AS vec_b,
+      ${dotIdx("va", "y.v")} / (na * y.nrm) AS cosine
+    FROM px JOIN nb y ON y.bucket = px.probe AND px.vec_a < y.vec_id
     ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
 
   val retrievalSql: String = s"""
@@ -95,13 +108,14 @@ object SimOracle {
       SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
     ),
     q AS (
-      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qbucket
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+        unnest(${probeList("bucket")}) AS probe
       FROM nb WHERE vec_id % 250 = 0
     ),
     p AS (
       SELECT qid, vec_id,
         ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
-      FROM q JOIN nb ON bucket = qbucket AND vec_id <> qid
+      FROM q JOIN nb ON bucket = probe AND vec_id <> qid
     ),
     r AS (
       SELECT qid,

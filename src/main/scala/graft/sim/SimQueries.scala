@@ -13,8 +13,10 @@ import SimFns._
   * against the full corpus scan — brute force is one embarrassingly-parallel
   * pass, no shuffle of the corpus. The LSH variant replaces the full scan
   * with an equality join on the sign-LSH bucket: each vector hashes to one
-  * of 16 buckets, so a 100 TB corpus shuffles once by bucket (or is
-  * pre-bucketed at write time) and each query probes ~1/16th of the data.
+  * of 2^NumPlanes buckets (256 at 8 planes), so a 100 TB corpus shuffles
+  * once by bucket (or is pre-bucketed at write time) and each query probes
+  * its own bucket plus the NumPlanes 1-bit-flip neighbors — ~3.5% of the
+  * data, with multi-probe recovering the recall finer buckets would lose.
   */
 object SimQueries {
 
@@ -44,19 +46,24 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
-  /** Sign-LSH bucketed top-10: queries only meet same-bucket vectors.
-    * Compare against the brute-force baseline for recall.
+  /** Sign-LSH bucketed top-10 with 1-bit multi-probe: each query probes its
+    * own bucket plus the NumPlanes Hamming-1 neighbors (see
+    * [[SimFns.probeBuckets]]), so a candidate scan touches (NumPlanes+1)/2^
+    * NumPlanes of the corpus — ~3.5% at 8 planes — while recovering the
+    * recall that single-probe loses to finer bucketing. The probe explode
+    * happens on the BROADCAST query side; the corpus is never replicated.
+    * Compare against the brute-force baseline for recall (SimSpec pins it).
     */
   val lshTopk: GraftQuery = GraftQuery(
     "ann_lsh_topk",
-    s"ANN via sign-LSH (${NumPlanes} planes, ${1 << NumPlanes} buckets): bucket-join + cosine top-10",
+    s"ANN via sign-LSH ($NumPlanes planes, ${1 << NumPlanes} buckets, 1-bit multi-probe): bucket-join + cosine top-10",
     SimOracle.lshTopkSql) { (s, d) =>
     val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
     val q = broadcast(v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bucket").as("qbucket")))
+        col("nrm").as("qnrm"), explode(probeBuckets(col("bucket"))).as("probe")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
-    q.join(v, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+    q.join(v, col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= 10)
@@ -65,20 +72,26 @@ object SimQueries {
   }
 
   /** Embedding near-dup: top-20 most-cosine-similar pairs, candidates
-    * restricted to shared LSH bucket (the embedding analogue of MinHash
-    * banding — O(sum of bucket^2), never O(n^2)).
+    * restricted to LSH buckets within Hamming distance 1 (the embedding
+    * analogue of MinHash banding, plus multi-probe). With 256 buckets the
+    * per-bucket population is ~n/256 and each vector meets 9 buckets'
+    * worth of candidates — O(9·n²/256) pair evaluations, never O(n²), and
+    * the constant improves quadratically as NumPlanes grows with corpus
+    * size. Each pair joins exactly once: x's probe list holds DISTINCT
+    * bucket values and y's bucket matches at most one of them.
     */
   val nearDupPairs: GraftQuery = GraftQuery(
     "embedding_neardup_pairs",
-    "embedding near-dup: same-LSH-bucket pairs, cosine top-20",
+    "embedding near-dup: LSH-bucket pairs (1-bit multi-probe), cosine top-20",
     SimOracle.nearDupPairsSql) { (s, d) =>
     val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
-    v.as("x")
-      .join(v.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    val x = v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), explode(probeBuckets(col("bucket"))).as("probe"))
+    x.join(v.as("y"),
+        col("y.bucket") === col("probe") && col("vec_a") < col("y.vec_id"))
       .select(
-        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+        col("vec_a"), col("y.vec_id").as("vec_b"),
+        (dot(col("va"), col("y.v")) / (col("na") * col("y.nrm"))).as("cosine"))
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
       .limit(20)
   }
@@ -116,9 +129,9 @@ object SimQueries {
     val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
     val q = broadcast(v.filter(col("vec_id") % 250 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bucket").as("qbucket")))
+        col("nrm").as("qnrm"), explode(probeBuckets(col("bucket"))).as("probe")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
-    val hits = q.join(v, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+    val hits = q.join(v, col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= 5)

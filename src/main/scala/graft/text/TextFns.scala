@@ -59,6 +59,16 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** SimHash width: all 60 bits of the per-token hash60 value. 60 bits
+    * gives the near-dup banding 4 independent 15-bit bands (2^15 buckets
+    * EACH) instead of the 2 x 16-bit bands a 32-bit fingerprint allowed —
+    * the bucket space that keeps within-bucket all-pairs verification
+    * sub-quadratic as the corpus grows 100x. (Lives here, the leaf object,
+    * so TextQueries and TextOracle can both read it without an object-
+    * initialization cycle.)
+    */
+  val SimhashBits = 60
+
   /** Predicted language: argmax marker-word count, ties broken by the
     * fixed language order (struct sort on (-count, index)).
     */

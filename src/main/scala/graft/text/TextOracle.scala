@@ -83,10 +83,11 @@ object TextOracle {
     * SimHash near-dup oracle in [[graft.dedup.DedupOracle]].
     */
   val simhashCtes: String = {
-    val sums = (0 until 32).map { b =>
+    val bits = TextFns.SimhashBits
+    val sums = (0 until bits).map { b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS s$b"
     }.mkString(",\n        ")
-    val fp = (0 until 32).map { b =>
+    val fp = (0 until bits).map { b =>
       s"(CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) * ${1L << b}"
     }.mkString("\n      + ")
     s"""tok AS (

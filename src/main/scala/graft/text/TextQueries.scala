@@ -94,12 +94,13 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** 32-bit SimHash per document: per-token 60-bit hash, bit-wise weighted
+  import TextFns.SimhashBits
+
+  /** 60-bit SimHash per document: per-token 60-bit hash, bit-wise weighted
     * vote by token frequency, sign -> bit. Shuffles once on (doc_id, token)
-    * for the frequency count, then once on doc_id for the 32 bit-sums —
+    * for the frequency count, then once on doc_id for the 60 bit-sums —
     * both partial-aggregated, so the network carries counters not tokens.
-    */
-  /** (doc_id, simhash) frame — shared by the doc_simhash query and the
+    * (doc_id, simhash) frame — shared by the doc_simhash query and the
     * SimHash near-dup pair search in [[graft.dedup.DedupQueries]].
     */
   def simhashFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
@@ -109,14 +110,14 @@ object TextQueries {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", call_function("hash60", col("token")))
-    val sums = (0 until 32).map { b =>
+    val sums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L,
         col("cnt")).otherwise(-col("cnt"))).as(s"s$b")
     }
     val bitSums = toks
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
-    val fp = (0 until 32).map { b =>
+    val fp = (0 until SimhashBits).map { b =>
       when(org.apache.spark.sql.functions.col(s"s$b") > 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
@@ -125,7 +126,7 @@ object TextQueries {
 
   val simhash: GraftQuery = GraftQuery(
     "doc_simhash",
-    "SimHash (32-bit) per document via weighted bit votes",
+    s"SimHash ($SimhashBits-bit) per document via weighted bit votes",
     TextOracle.simhashSql) { (s, d) =>
     simhashFrame(s, d).orderBy("doc_id")
   }
