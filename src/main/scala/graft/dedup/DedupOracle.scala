@@ -27,15 +27,7 @@ object DedupOracle {
       FROM t
     )"""
 
-  private val jaccardTail: String = s"""
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
-    SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
-
-  val exactSummarySql: String = s"""
+  def exactSummarySql: String = s"""
     SELECT COUNT(*) AS total_docs,
       COUNT(DISTINCT fp) AS distinct_docs,
       COUNT(*) - COUNT(DISTINCT fp) AS exact_dups
@@ -44,8 +36,15 @@ object DedupOracle {
       FROM documents
     )"""
 
-  val ngramTopkSql: String = s"""
-    WITH ${shingleCtes(ShingleN, "sh_all")},
+  /** CTE chain ending in `pairs` = (doc_a, doc_b, jaccard) over DF-capped
+    * [[ShingleN]]-gram shingle sets — shared by the top-k query, the
+    * cluster-assignment oracle, and the contamination screen in
+    * [[graft.text.TextOracle]]. A `def` (not `val`) so the
+    * TextOracle<->DedupOracle reference cycle can never hit an
+    * uninitialized field regardless of which object initializes first.
+    */
+  private[graft] def ngramPairCtes: String = s"""
+    ${shingleCtes(ShingleN, "sh_all")},
     rare AS (
       SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= $NgramDfCap
     ),
@@ -57,9 +56,47 @@ object DedupOracle {
       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     ),
-    $jaccardTail"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )"""
 
-  val minhashLshSql: String = {
+  def ngramTopkSql: String = s"""
+    WITH $ngramPairCtes
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
+
+  /** Connected components as a recursive reachability closure: `reach`
+    * enumerates (node, reachable node) over the symmetric J-thresholded
+    * edge set (components are tiny, so the closure is tiny), the label is
+    * min(self, reachable). The Spark side converges min-label propagation
+    * to the same fixpoint.
+    */
+  def clustersSql: String = s"""
+    WITH RECURSIVE $ngramPairCtes,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+      WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    ),
+    reach AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.node = e.b
+    ),
+    lab AS (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM reach GROUP BY node
+    )
+    SELECT label AS cluster_id, COUNT(*) AS cluster_size
+    FROM lab GROUP BY label
+    ORDER BY cluster_size DESC, cluster_id"""
+
+  def minhashLshSql: String = {
     val sigs = ((0 until MinhashK).map { i =>
       s"min(md5('$i:' || sh)) AS s$i"
     } :+ "COUNT(*) AS n").mkString(",\n        ")
@@ -97,7 +134,7 @@ object DedupOracle {
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
   }
 
-  val simhashPairsSql: String = {
+  def simhashPairsSql: String = {
     val mask = (1L << SimhashBandBits) - 1
     val bands = (0 until SimhashBands).map { b =>
       s"SELECT doc_id, simhash, $b AS b, (simhash >> ${b * SimhashBandBits}) & $mask AS bk FROM sim"

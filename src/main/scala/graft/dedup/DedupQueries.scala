@@ -48,6 +48,16 @@ object DedupQueries {
   val SimhashBands = 4
   val SimhashBandBits = 15
 
+  /** Jaccard threshold above which a pair is a duplicate EDGE for cluster
+    * assignment. High-J near-dup pairs separate cleanly from incidental
+    * rare-shingle co-occurrence (J < 0.3 background), so any threshold in
+    * (0.3, 0.8) yields the same components. MUST be declared before the
+    * first GraftQuery val: constructing one forces [[DedupOracle]]'s
+    * initialization, whose clustersSql interpolates this constant — a
+    * later declaration would read the uninitialized 0.0.
+    */
+  val ClusterJaccard = 0.5
+
   /** Max Hamming distance for a SimHash near-dup pair: same similarity
     * fraction as the old 10-of-32 threshold, rescaled to 60 bits.
     */
@@ -93,19 +103,26 @@ object DedupQueries {
     ngramTopkFrame(Tables.documents(s, d))
   }
 
-  /** The n-gram Jaccard pipeline over any (doc_id, text) frame. Jaccard is
-    * over DF-capped shingle sets (see [[NgramDfCap]]): the DF aggregation
-    * and the semi-join back both shuffle on `sh` — the same key as the
-    * self-join — so AQE can reuse the exchange, and the cap is what keeps
-    * the self-join's pair space linear in the corpus.
+  /** The n-gram Jaccard pair pipeline over any (doc_id, text) frame:
+    * EVERY co-shingled pair with its exact Jaccard, unordered/unlimited —
+    * `ngramTopkFrame` sorts/limits it for presentation and
+    * [[clusters]] thresholds it into dup edges. Jaccard is over DF-capped
+    * shingle sets (see [[NgramDfCap]]): one window count over `sh` drops
+    * the corpus-hot shingles, and the surviving posting table is
+    * MATERIALIZED (localCheckpoint) before fan-out — it feeds the per-doc
+    * sizes AND both sides of the self-join, and without materialization
+    * the tokenize+shingle explode would run 3-4x. This is the
+    * inverted-index build step: at cluster scale the same table is what a
+    * production pipeline persists (or writes bucketed by `sh`) before
+    * pair mining.
     */
-  def ngramTopkFrame(docs: DataFrame): DataFrame = {
-    val shAll = shingleSet(docs, ShingleN)
-    val rare = shAll.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
+  def ngramJaccardFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSet(docs, ShingleN)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= NgramDfCap)
-      .select(col("sh"))
-    val sh = shAll.join(rare, Seq("sh")).select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"),
@@ -117,9 +134,13 @@ object DedupQueries {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+  }
+
+  /** Top-20 presentation slice of [[ngramJaccardFrame]]. */
+  def ngramTopkFrame(docs: DataFrame): DataFrame =
+    ngramJaccardFrame(docs)
       .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
       .limit(20)
-  }
 
   /** MinHash signature columns s0..s(k-1) PLUS the distinct-shingle count,
     * fused into one aggregation pass (the Jaccard verify needs |A| anyway —
@@ -211,5 +232,69 @@ object DedupQueries {
       .limit(20)
   }
 
-  def all: Seq[GraftQuery] = Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs)
+  /** Connected components by minimum-label propagation over an (a, b)
+    * edge list: every node starts as its own label and repeatedly takes
+    * the min label of itself and its neighbors until a sweep changes
+    * nothing. Each sweep is ONE shuffle (join edges->labels on the
+    * neighbor + partial-aggregated min per node), `localCheckpoint`
+    * truncates the lineage between sweeps, and the driver only sees the
+    * converged/changed COUNT — iteration control, never data. Rounds =
+    * max component diameter: near-dup clusters are shallow (pairs /
+    * triples / small stars), so this converges in 2-3 sweeps at any
+    * corpus size — the pathological long-chain case that would motivate
+    * the O(log n)-round large-star/small-star algorithm cannot arise from
+    * a high-Jaccard threshold (J >= 0.5 is near-transitive).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val fwd = edges.select(col("a"), col("b"))
+    val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("nbr"), col("label").as("nl")),
+          col("b") === col("nbr"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nl")).as("nl"))
+      val next = labels
+        .join(nbrMin.select(col("node").as("node2"), col("nl")),
+          col("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.select(col("node"), col("label").as("new_label"))
+        .join(labels, "node")
+        .filter(col("new_label") < col("label"))
+        .count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-dup cluster assignment — the step a dedup pipeline runs AFTER
+    * pair mining: connected components over the J >= [[ClusterJaccard]]
+    * edge set, one row per cluster with its canonical id (min doc_id) and
+    * size. `sum(cluster_size) - count(*)` is exactly the number of docs a
+    * keep-one-per-cluster pass would drop.
+    */
+  val clusters: GraftQuery = GraftQuery(
+    "dedup_clusters",
+    s"near-dup clusters: connected components over ngram-Jaccard >= $ClusterJaccard edges, per-cluster size",
+    DedupOracle.clustersSql) { (s, d) =>
+    val edges = ngramJaccardFrame(Tables.documents(s, d))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(edges)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(desc("cluster_size"), col("cluster_id"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters)
 }

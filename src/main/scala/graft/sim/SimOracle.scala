@@ -162,6 +162,39 @@ object SimOracle {
     )
     SELECT qid, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY qid, rn"""
 
+  val int8QuantSql: String = s"""
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, amax,
+        CASE WHEN amax > 0 THEN
+          list_transform(v,
+            x -> floor(x * 127.0::DOUBLE / amax + 0.5::DOUBLE))
+        ELSE list_transform(v, x -> 0.0::DOUBLE) END AS qc
+      FROM a
+    ),
+    d AS (
+      SELECT vec_id, v, amax, qc,
+        list_transform(qc, c -> c * amax / 127.0::DOUBLE) AS dq
+      FROM q
+    )
+    SELECT vec_id, amax,
+      ${fold(s"list_transform(range(1, ${Dims + 1}), i -> (v[i] - dq[i]) * (v[i] - dq[i]))")}
+        / $Dims AS qmse,
+      CASE WHEN amax > 0 THEN
+        ${dotIdx("v", "dq")} / (sqrt(${dotIdx("v", "v")}) * sqrt(${dotIdx("dq", "dq")}))
+      ELSE 1.0::DOUBLE END AS qcos,
+      CAST(len(list_filter(qc, c -> abs(c) = 127)) AS INTEGER) AS n_saturated
+    FROM d ORDER BY vec_id"""
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

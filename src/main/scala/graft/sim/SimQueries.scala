@@ -186,7 +186,45 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Int8 max-abs quantization of the embedding column — the storage/
+    * bandwidth scale path for a 100 TB vector corpus (4x smaller than
+    * float32, 8x smaller than the double working form): per-vector scale
+    * = max|x|, code = round(x*127/scale) as int8, plus the reconstruction
+    * diagnostics (MSE, cosine(original, dequantized), saturated-code
+    * count) a pipeline gates on before switching its index to int8. Pure
+    * higher-order array functions — one codegen'd pass over the scan, no
+    * explode, no shuffle except the presentation sort. Rounding is
+    * floor(x+0.5) and every reduction an ordered fold, so the DuckDB twin
+    * is bit-exact.
+    */
+  val int8Quant: GraftQuery = GraftQuery(
+    "embedding_int8_quant",
+    "int8 max-abs quantization: scale + reconstruction MSE/cosine/saturation per vector",
+    SimOracle.int8QuantSql) { (s, d) =>
+    val v0 = toDouble(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), v0.as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q",
+        when(col("amax") > 0,
+          transform(col("v"),
+            x => floor(x * lit(127.0) / col("amax") + lit(0.5))))
+          .otherwise(transform(col("v"), _ => lit(0L))))
+      .withColumn("dq", transform(col("q"), c => c * col("amax") / lit(127.0)))
+      .select(
+        col("vec_id"),
+        col("amax"),
+        (aggregate(
+          zip_with(col("v"), col("dq"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e) / lit(Dims)).as("qmse"),
+        when(col("amax") > 0,
+          dot(col("v"), col("dq")) / (norm(col("v")) * norm(col("dq"))))
+          .otherwise(lit(1.0)).as("qcos"),
+        size(filter(col("q"), c => abs(c) === 127)).as("n_saturated"))
+      .orderBy("vec_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, nearDupPairs, labelCentroids, retrieval,
-      vectorStats, ivfTopk)
+      vectorStats, ivfTopk, int8Quant)
 }

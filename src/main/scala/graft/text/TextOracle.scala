@@ -135,6 +135,67 @@ object TextOracle {
     GROUP BY ngram
     ORDER BY total_count DESC, ngram LIMIT 20"""
 
+  val repetitionSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, CAST(len(toks) AS BIGINT)),
+            i -> array_to_string(toks[i:i+1], ' '))
+        ELSE [] END AS grams
+      FROM t
+    ),
+    gs AS (
+      SELECT doc_id,
+        CAST(len(grams) AS INTEGER) AS n_2grams,
+        CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_2grams
+      FROM g
+    ),
+    tc AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY doc_id, token
+    ),
+    tt AS (
+      SELECT doc_id, MAX(cnt) / CAST(SUM(cnt) AS BIGINT) AS top_token_frac
+      FROM tc GROUP BY doc_id
+    )
+    SELECT gs.doc_id, n_2grams, n_distinct_2grams,
+      CASE WHEN n_2grams > 0
+        THEN (n_2grams - n_distinct_2grams) / n_2grams
+        ELSE 0.0::DOUBLE END AS dup_2gram_frac,
+      top_token_frac
+    FROM gs JOIN tt ON gs.doc_id = tt.doc_id
+    ORDER BY gs.doc_id"""
+
+  val contaminationSql: String = s"""
+    WITH ${graft.dedup.DedupOracle.ngramPairCtes},
+    sp AS (
+      SELECT doc_id,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),1,15))::UBIGINT AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    ),
+    x AS (
+      SELECT CASE WHEN pa.split = 'test' THEN doc_a ELSE doc_b END AS test_doc,
+        jaccard
+      FROM pairs
+      JOIN sp pa ON doc_a = pa.doc_id
+      JOIN sp pb ON doc_b = pb.doc_id
+      WHERE (pa.split = 'train' AND pb.split = 'test')
+         OR (pa.split = 'test' AND pb.split = 'train')
+    )
+    SELECT test_doc, COUNT(*) AS n_train_partners, MAX(jaccard) AS max_jaccard
+    FROM x GROUP BY test_doc
+    ORDER BY n_train_partners DESC, test_doc"""
+
   val splitsSql: String = s"""
     WITH t AS (
       SELECT n_chars, len(string_split(text, ' ')) AS n_toks,

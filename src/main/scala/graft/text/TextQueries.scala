@@ -174,7 +174,77 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Within-document repetition signals — the Gopher-style quality rules
+    * a pretraining filter applies per document: the fraction of word
+    * 2-gram occurrences that are repeats (1 - distinct/total) via pure
+    * array functions (no explode), and the most-frequent-token share via
+    * one (doc_id, token) partial-aggregated count. One shuffle total; the
+    * array-side metrics stay inside a single codegen span over the scan.
+    */
+  val repetition: GraftQuery = GraftQuery(
+    "doc_repetition",
+    "repetition filter: dup 2-gram fraction + top-token share per document",
+    TextOracle.repetitionSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .withColumn("g", shingles(tokens(col("text")), 2))
+      .select(
+        col("doc_id"),
+        size(col("g")).as("n_2grams"),
+        size(array_distinct(col("g"))).as("n_distinct_2grams"))
+      .withColumn("dup_2gram_frac",
+        when(col("n_2grams") > 0,
+          (col("n_2grams") - col("n_distinct_2grams")) / col("n_2grams"))
+          .otherwise(lit(0.0)))
+    val topTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("cnt")) / sum(col("cnt"))).as("top_token_frac"))
+    grams.join(topTok, "doc_id")
+      .select(col("doc_id"), col("n_2grams"), col("n_distinct_2grams"),
+        col("dup_2gram_frac"), col("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Train/test decontamination screen — the hygiene pass every eval
+    * pipeline runs before training: which TEST-split documents share rare
+    * (DF-capped) shingles with TRAIN-split documents, how many train
+    * partners each has, and the worst overlap. Composes the content-hash
+    * split assignment with the same inverted-index pair frame the dedup
+    * operators use; the split map is a per-row column expression, so the
+    * only additional cost over pair mining is two id-equi-joins against a
+    * tiny (doc_id, split) projection.
+    */
+  val contamination: GraftQuery = GraftQuery(
+    "corpus_contamination",
+    "decontamination screen: test-split docs sharing rare shingles with train docs",
+    TextOracle.contaminationSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bucket = hash60(normText(col("text"))) % 100
+    val sp = docs.select(col("doc_id"),
+      when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val"))
+        .otherwise(lit("test")).as("split"))
+    val pairs = graft.dedup.DedupQueries.ngramJaccardFrame(docs)
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter((col("split_a") === "train" && col("split_b") === "test") ||
+        (col("split_a") === "test" && col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "test", col("doc_a")).otherwise(col("doc_b"))
+          .as("test_doc"),
+        col("jaccard"))
+      .groupBy(col("test_doc"))
+      .agg(
+        count(lit(1)).as("n_train_partners"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(desc("n_train_partners"), col("test_doc"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, langConfusion, fingerprints, simhash, splits,
-      ngramCounts)
+      ngramCounts, repetition, contamination)
 }

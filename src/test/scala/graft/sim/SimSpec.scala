@@ -39,6 +39,39 @@ class SimSpec extends SparkSpec {
     assert(out.forall(b => b >= 0 && b < (1 << NumPlanes)))
   }
 
+  test("lsh multi-probe recall vs brute force: pinned at measured floor") {
+    // Deterministic on the fixed sf0.001 corpus: 8 planes + 1-bit
+    // multi-probe measures 0.24 (the old 4-plane single-probe scheme
+    // measured 0.14 on the same data while scanning 6.25% of the corpus
+    // vs multi-probe's 3.5%). Any change to planes/probing that degrades
+    // recall below the old scheme fails here loudly.
+    val bf = SimQueries.bruteforce.frame(spark, sf).select("qid", "vec_id")
+    val lsh = SimQueries.lshTopk.frame(spark, sf).select("qid", "vec_id")
+    val total = bf.count()
+    val hits = bf.intersect(lsh).count()
+    assert(total === 50L)
+    val recall = hits.toDouble / total
+    assert(recall >= 0.24, s"lsh recall degraded: $recall")
+  }
+
+  test("int8 quantization: near-lossless reconstruction, max element saturates") {
+    val out = SimQueries.int8Quant.frame(spark, sf)
+    val rows = out.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val amax = r.getAs[Double]("amax")
+      val qmse = r.getAs[Double]("qmse")
+      val qcos = r.getAs[Double]("qcos")
+      val sat = r.getAs[Int]("n_saturated")
+      // 8-bit max-abs error bound: |x - dq| <= amax/254 per component
+      val bound = (amax / 254.0) * (amax / 254.0)
+      assert(qmse >= 0 && qmse <= bound * 1.0001, s"qmse $qmse > $bound")
+      assert(qcos > 0.999 && qcos <= 1.0 + 1e-12, s"qcos $qcos")
+      // the element attaining max|x| always quantizes to +-127
+      assert(sat >= 1)
+    }
+  }
+
   test("planes are fixed literals (regression pin)") {
     assert(Planes.length === NumPlanes)
     assert(Planes.forall(_.length === Dims))

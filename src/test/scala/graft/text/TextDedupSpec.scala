@@ -86,6 +86,55 @@ class TextDedupSpec extends SparkSpec {
         r.getAs[Double]("jaccard") === 1.0))
   }
 
+  test("connected components: chain + isolated pair collapse to min labels") {
+    val spark0 = spark
+    import spark0.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation sweep) + pair 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L)).toDF("a", "b")
+    val labels = graft.dedup.DedupQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup clusters: planted dup group becomes one cluster of known size") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    // docs 0,1,2 pairwise J ~ 0.78-0.88 >= 0.5 -> one cluster of 3;
+    // docs 5,6 identical -> cluster of 2; doc 9 unrelated -> no cluster
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("t9", "zz")),
+      (2L, base.replace("t0", "yy")),
+      (5L, "m0 m1 m2 m3 m4 m5 m6 m7"),
+      (6L, "m0 m1 m2 m3 m4 m5 m6 m7"),
+      (9L, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+    val edges = graft.dedup.DedupQueries.ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= graft.dedup.DedupQueries.ClusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val out = graft.dedup.DedupQueries.connectedComponents(edges)
+      .groupBy(col("label")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 3L, 5L -> 2L))
+  }
+
+  test("repetition metrics: known dup-gram and top-token fractions") {
+    val spark0 = spark
+    import spark0.implicits._
+    // "a b a b a": 2-grams [a b, b a, a b, b a] -> 4 total, 2 distinct;
+    // top token a x3 of 5
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val grams = shingles(tokens(col("text")), 2)
+    val row = docs.filter(col("doc_id") === 1)
+      .select(size(grams).as("t"), size(array_distinct(grams)).as("d"))
+      .collect().head
+    assert(row.getInt(0) === 4)
+    assert(row.getInt(1) === 2)
+  }
+
   test("minhash property: identical shingle sets share every band hash") {
     val spark0 = spark
     import spark0.implicits._
