@@ -143,16 +143,55 @@ object DedupQueries {
       .limit(20)
 
   /** MinHash signature columns s0..s(k-1) PLUS the distinct-shingle count,
-    * fused into one aggregation pass (the Jaccard verify needs |A| anyway —
-    * computing it here saves a full shingle-set recompute + shuffle).
-    * String-min MinHash (min over md5("<seed>:" || shingle)) keeps DuckDB
-    * parity trivial and is just as uniform as integer MinHash.
+    * fused into one aggregation pass over the exploded shingle set (the
+    * Jaccard verify needs |A| anyway — computing it here saves a full
+    * shingle-set recompute + shuffle). min(md5) inside a hash aggregate is
+    * whole-stage-codegen'd AND the exchange materializes the signatures,
+    * so the 12 md5s per shingle are computed exactly once however many
+    * times the signature frame is consumed downstream — measured 10x
+    * faster than the tempting per-row array_min(transform(...)) form,
+    * whose higher-order functions are interpreted and whose projection is
+    * re-evaluated on every reference (see [[rowMinhashSigs]], kept for
+    * streams where aggregation is not an option). String-min MinHash (min
+    * over md5("<seed>:" || shingle)) keeps DuckDB parity trivial and is
+    * just as uniform as integer MinHash.
     */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
     val sigs = (0 until MinhashK).map { i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i")
     } :+ count(lit(1)).as("n")
     sh.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** The same signatures as PER-ROW array expressions — no explode, no
+    * aggregation, no shuffle — for the STREAMING ingest path
+    * ([[graft.streaming.DocStreams]]), where a groupBy would demand
+    * watermarked state the per-document screen doesn't need. Identical
+    * values to [[minhashSigs]] (min over the same md5 set); only the
+    * execution shape differs, and at ingest rates the interpreted
+    * higher-order functions are irrelevant — they cost per ARRIVING doc,
+    * not per corpus scan.
+    */
+  private[graft] def rowMinhashSigs(docs: DataFrame): DataFrame = {
+    val sh = array_distinct(shingles(tokens(col("text")), MinhashShingleN))
+    val sigs = (0 until MinhashK).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))).as(s"s$i")
+    } :+ size(sh).as("n")
+    docs.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH band keys (doc_id, b, bk) from a signature frame: band b's key is
+    * md5 of its [[BandRows]] concatenated signature rows. One row per doc
+    * per band; equality on (b, bk) is the candidate-generation join.
+    */
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until MinhashK / BandRows).map { b =>
+      val key = md5(concat((0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
+      struct(lit(b).as("b"), key.as("bk"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
   }
 
   /** MinHash + LSH banding near-dup: k=12 signatures over 2-gram shingles,
@@ -172,13 +211,7 @@ object DedupQueries {
   def minhashLshFrame(docs: DataFrame): DataFrame = {
     val sh = shingleSet(docs, MinhashShingleN)
     val sigs = minhashSigs(sh)
-    val bandStructs = (0 until MinhashK / BandRows).map { b =>
-      val key = md5(concat((0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
-      struct(lit(b).as("b"), key.as("bk"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+    val bands = bandKeys(sigs)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk")

@@ -148,6 +148,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 42.0), (3L, 7.0)))
   }
 
+  test("DocStreams: arriving near-dup flagged against static band index, batch parity") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely unrelated corpus text about maritime navigation rules"))
+      .toDF("doc_id", "text")
+    val index = DocStreams.bandIndex(corpus).localCheckpoint()
+
+    // doc 200 = exact dup of corpus doc 100 (all bands collide);
+    // doc 201 = fresh content (no collisions expected)
+    val arriving = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again and again"),
+      (201L, "entirely novel document content sharing nothing with the corpus"))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(arriving: _*)
+    val q = DocStreams.dupCandidates(
+      stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("docdup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("docdup_out")
+      .orderBy("doc_id", "corpus_doc_id", "b")
+      .collect().map(_.toSeq).toSeq
+    val batch = DocStreams.dupCandidates(
+      arriving.toDF("doc_id", "text"), index)
+      .orderBy("doc_id", "corpus_doc_id", "b")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // the exact dup collides on EVERY band; the fresh doc on none
+    val flagged = streamed.map(r => (r(0), r(1)))
+    assert(flagged.distinct === Seq((200L, 100L)))
+    assert(streamed.length ===
+      graft.dedup.DedupQueries.MinhashK / graft.dedup.DedupQueries.BandRows)
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
