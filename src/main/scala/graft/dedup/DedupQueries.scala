@@ -283,9 +283,12 @@ object DedupQueries {
     val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("a").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+    // seed = min(self, direct neighbors): the first propagation sweep
+    // fused into initialization (one aggregation over sym), so pair
+    // components are final before the loop even runs
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {

@@ -170,6 +170,59 @@ object TextOracle {
     FROM gs JOIN tt ON gs.doc_id = tt.doc_id
     ORDER BY gs.doc_id"""
 
+  private def hash60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x),1,15))::UBIGINT AS BIGINT)"
+
+  private val normTextSql: String =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  val rebalanceSql: String = {
+    val cases = TextQueries.RebalanceThresholds
+      .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+    s"""
+    WITH t AS (
+      SELECT lang,
+        CASE WHEN ${hash60Sql(normTextSql)} % 1000 <
+          (CASE lang $cases ELSE 0 END) THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT lang,
+      COUNT(*) AS docs_in,
+      CAST(SUM(kept) AS BIGINT) AS docs_kept,
+      CAST(SUM(kept) AS BIGINT) / COUNT(*) AS kept_frac
+    FROM t GROUP BY lang ORDER BY lang"""
+  }
+
+  val packingSql: String = {
+    import TextQueries.{PackBuckets, PackTokens}
+    s"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
+        ${hash60Sql(normTextSql)} % $PackBuckets AS bucket,
+        ${hash60Sql(normTextSql)} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT bucket, doc_id, n_toks,
+        CAST(SUM(n_toks) OVER (PARTITION BY bucket ORDER BY h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    ),
+    b AS (
+      SELECT bucket, n_toks,
+        CAST(FLOOR((cum - n_toks) / CAST($PackTokens AS DOUBLE)) AS BIGINT) AS bin
+      FROM c
+    )
+    SELECT bucket,
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT bin) AS n_bins,
+      CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_toks) AS BIGINT) /
+        (COUNT(DISTINCT bin) * CAST($PackTokens AS DOUBLE)) AS fill_frac
+    FROM b GROUP BY bucket ORDER BY bucket"""
+  }
+
   val contaminationSql: String = s"""
     WITH ${graft.dedup.DedupOracle.ngramPairCtes},
     sp AS (

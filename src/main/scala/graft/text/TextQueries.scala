@@ -14,6 +14,21 @@ import TextFns._
   */
 object TextQueries {
 
+  /** Per-language keep-rates for mixture rebalancing, as x1000 integer
+    * thresholds against hash60 % 1000 (exact, engine-independent — no
+    * float rate comparison anywhere). Declared before any GraftQuery val
+    * (TextOracle interpolates it; see the init-order note on
+    * [[graft.dedup.DedupQueries.ClusterJaccard]]).
+    */
+  val RebalanceThresholds: Seq[(String, Int)] =
+    Seq("en" -> 1000, "fr" -> 500, "es" -> 250, "de" -> 125, "zh" -> 63)
+
+  /** Token budget per packed sequence bin and the bucket fan-out for
+    * [[packing]] — also interpolated by TextOracle.
+    */
+  val PackTokens = 2048
+  val PackBuckets = 32
+
   /** Per-document token statistics: whitespace tokens, distinct tokens,
     * type-token ratio, a BPE-ish sub-word count (regex chunks of <=4 chars),
     * and stopword ratio.
@@ -244,7 +259,69 @@ object TextQueries {
       .orderBy(desc("n_train_partners"), col("test_doc"))
   }
 
+  /** Data-mixture rebalancing — the sampling step that reweights a corpus
+    * toward a target language/domain mix: each language keeps a fixed
+    * fraction of its documents, selected by CONTENT hash (doc survives
+    * re-shards and re-runs, same property as [[splits]]) rather than a
+    * seeded coin flip. Pure per-row predicate + one partial-aggregated
+    * groupBy — no shuffle carries documents, only (lang, counters).
+    */
+  val rebalance: GraftQuery = GraftQuery(
+    "corpus_rebalance",
+    "mixture rebalancing: content-hash per-language downsampling to target rates",
+    TextOracle.rebalanceSql) { (s, d) =>
+    val thresh = RebalanceThresholds.foldLeft(lit(0)) {
+      case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    val kept = (hash60(normText(col("text"))) % 1000) < thresh
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(kept, 1L).otherwise(0L)).as("docs_kept"),
+        (sum(when(kept, 1L).otherwise(0L)) / count(lit(1))).as("kept_frac"))
+      .orderBy("lang")
+  }
+
+  /** Sequence packing — the step that concatenates documents into
+    * fixed-token training sequences: docs are dealt into
+    * [[PackBuckets]] hash buckets (the parallel unit — packing is
+    * embarrassingly parallel ACROSS buckets, and no window ever spans
+    * more than corpus/buckets rows), laid out in deterministic
+    * content-hash order within each bucket by a running token sum, and a
+    * doc's bin is where its offset starts. Per-bucket fill diagnostics
+    * out; the per-doc (bucket, bin, offset) assignment is the frame a
+    * writer would persist. One shuffle on bucket, one window sort — at
+    * 100 TB the bucket count scales with executors, not data.
+    */
+  val packing: GraftQuery = GraftQuery(
+    "corpus_packing",
+    s"sequence packing: $PackTokens-token bins within $PackBuckets hash buckets, fill diagnostics",
+    TextOracle.packingSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = hash60(normText(col("text")))
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_toks"),
+      (h % PackBuckets).as("bucket"),
+      h.as("h"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_toks")) / lit(PackTokens.toDouble)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col("n_toks")).as("total_tokens"),
+        (sum(col("n_toks")) / (countDistinct(col("bin")) * lit(PackTokens.toDouble)))
+          .as("fill_frac"))
+      .orderBy("bucket")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, langConfusion, fingerprints, simhash, splits,
-      ngramCounts, repetition, contamination)
+      ngramCounts, repetition, contamination, rebalance, packing)
 }

@@ -97,6 +97,31 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // directing every union max-root -> min-root makes each final root
+      // the component's minimum id — exactly the propagation fixpoint
+      val touched = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
+      val expected = touched.map(x => x.toLong -> find(x).toLong).toMap
+      val got = graft.dedup.DedupQueries.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"round $round")
+    }
+  }
+
   test("dedup clusters: planted dup group becomes one cluster of known size") {
     val spark0 = spark
     import spark0.implicits._
