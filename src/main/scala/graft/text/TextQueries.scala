@@ -311,12 +311,18 @@ object TextQueries {
       .withColumn("cum", sum(col("n_toks")).over(w))
       .withColumn("bin",
         floor((col("cum") - col("n_toks")) / lit(PackTokens.toDouble)))
+      // two-stage agg instead of countDistinct: hash(bucket) from the
+      // window satisfies both groupBys (bucket ⊆ (bucket, bin)), so the
+      // whole query runs on ONE hash exchange + the presentation sort —
+      // countDistinct would add an expand and a second exchange
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("docs_in_bin"), sum(col("n_toks")).as("toks_in_bin"))
       .groupBy(col("bucket"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("bin")).as("n_bins"),
-        sum(col("n_toks")).as("total_tokens"),
-        (sum(col("n_toks")) / (countDistinct(col("bin")) * lit(PackTokens.toDouble)))
+        sum(col("docs_in_bin")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("toks_in_bin")).as("total_tokens"),
+        (sum(col("toks_in_bin")) / (count(lit(1)) * lit(PackTokens.toDouble)))
           .as("fill_frac"))
       .orderBy("bucket")
   }

@@ -42,4 +42,42 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("customers_overdue_semi")
     assert(plan.toLowerCase.contains("leftsemi"))
   }
+
+  test("corpus_contamination: split lookups join as broadcast, never shuffle the pairs") {
+    val df = SparkEntry.queries("corpus_contamination")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the tiny (doc_id, split) projection must not trigger a sort-merge join
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("corpus_packing: exactly one exchange (the bucket repartition) feeds the window") {
+    val df = SparkEntry.queries("corpus_packing")(spark, sf)
+    df.collect()
+    // look only at the FINAL adaptive plan (the plan string repeats the
+    // initial plan below it, which would double-count exchanges)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"))
+    // ONE hash exchange on bucket feeds window AND both groupBys (bucket
+    // is a prefix of every grouping); the orderBy adds a range exchange
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected exchange count in:\n$plan")
+  }
+
+  test("ann_lsh_topk: corpus side scans once, probe side is broadcast") {
+    val df = SparkEntry.queries("ann_lsh_topk")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("embedding_int8_quant: pure map plan — no exchange before the presentation sort") {
+    val df = SparkEntry.queries("embedding_int8_quant")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one range exchange for ORDER BY vec_id is the only shuffle allowed
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle in:\n$plan")
+  }
 }
