@@ -160,6 +160,35 @@ class TextDedupSpec extends SparkSpec {
     assert(row.getInt(1) === 2)
   }
 
+  test("rebalance invariants: kept <= in, en keeps all, frac consistent") {
+    val rows = graft.text.TextQueries.rebalance.frame(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val in = r.getAs[Long]("docs_in")
+      val kept = r.getAs[Long]("docs_kept")
+      assert(kept >= 0 && kept <= in)
+      assert(r.getAs[Double]("kept_frac") === kept.toDouble / in)
+      if (r.getAs[String]("lang") == "en") assert(kept === in)
+    }
+  }
+
+  test("packing invariants: doc and token totals conserved, bins near-full") {
+    val docs = graft.Tables.documents(spark, sf)
+    val totalDocs = docs.count()
+    val rows = graft.text.TextQueries.packing.frame(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    rows.foreach { r =>
+      val fill = r.getAs[Double]("fill_frac")
+      val toks = r.getAs[Long]("total_tokens")
+      val bins = r.getAs[Long]("n_bins")
+      // every bin except the last is full by construction (a doc starts
+      // in the bin its offset lands in), so bins is the offset range / L
+      // rounded up w.r.t. the last doc's start
+      assert(bins >= 1 && fill > 0 && fill < 1.5, s"fill $fill bins $bins")
+      assert(toks.toDouble / bins <= 2048 * 1.5, "bins cannot be sparser than the rule allows")
+    }
+  }
+
   test("minhash property: identical shingle sets share every band hash") {
     val spark0 = spark
     import spark0.implicits._
