@@ -146,7 +146,10 @@ object SimQueries {
 
   /** Array-function surface over the vector column: per-vector min/max/
     * ordered-fold mean and positive-component count — pure higher-order
-    * functions, no explode, one codegen'd pass.
+    * functions, no explode, one pass over the scan. (Higher-order fns are
+    * interpreted expressions, not codegen'd — fine here because each is
+    * evaluated once per row; see the minhash signature note in
+    * [[graft.dedup.DedupQueries]] for where that distinction bites.)
     */
   val vectorStats: GraftQuery = GraftQuery(
     "embedding_vector_stats",
@@ -192,7 +195,7 @@ object SimQueries {
     * = max|x|, code = round(x*127/scale) as int8, plus the reconstruction
     * diagnostics (MSE, cosine(original, dequantized), saturated-code
     * count) a pipeline gates on before switching its index to int8. Pure
-    * higher-order array functions — one codegen'd pass over the scan, no
+    * higher-order array functions — one pass over the scan, no
     * explode, no shuffle except the presentation sort. Rounding is
     * floor(x+0.5) and every reduction an ordered fold, so the DuckDB twin
     * is bit-exact.

@@ -24,7 +24,15 @@ object TextQueries {
     Seq("en" -> 1000, "fr" -> 500, "es" -> 250, "de" -> 125, "zh" -> 63)
 
   /** Token budget per packed sequence bin and the bucket fan-out for
-    * [[packing]] — also interpolated by TextOracle.
+    * [[packing]] — also interpolated by TextOracle. The bucket count is
+    * the PARALLELISM KNOB, not a semantic constant: each bucket is one
+    * window-sort task holding corpus/buckets tokens, so production sizes
+    * it like shuffle partitions (total_tokens / (a few GB of tokens per
+    * task)) — at 100 TB that is tens of thousands of buckets, here 32
+    * matches the local core count. Changing it changes which docs share
+    * a bin (each bucket packs independently) but every invariant — bins
+    * full except the last per bucket, totals conserved, content-hash
+    * determinism — holds at ANY bucket count.
     */
   val PackTokens = 2048
   val PackBuckets = 32
