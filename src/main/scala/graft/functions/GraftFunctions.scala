@@ -15,11 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "hash60" -> (children => Hash60(children.head)))
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("hash60", classOf[Hash60].getName,
+      children => Hash60(children.head)),
+    ("vec_dot", classOf[VecDot].getName,
+      children => VecDot(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, builder) =>
+    all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
@@ -27,10 +30,10 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftFunctions.all.foreach { case (name, builder) =>
+    GraftFunctions.all.foreach { case (name, className, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[Hash60].getName, name),
+        new ExpressionInfo(className, name),
         builder))
     }
     ext.injectOptimizerRule(_ => FuseHash60Rule)

@@ -18,8 +18,21 @@ object SimFns {
   /** Float array -> double array (exact widening). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Ordered-fold dot product of two double arrays. */
+  /** Ordered-fold dot product of two double arrays, via the native
+    * codegen'd [[graft.functions.VecDot]] expression (bit-identical to
+    * the composed `aggregate(zip_with(..))` fold — FunctionsSpec asserts
+    * it — but one fused loop instead of interpreted lambdas plus an
+    * intermediate array). Callers construct frames through
+    * [[SimQueries]], whose builders register the function in the session;
+    * ad-hoc users call `GraftFunctions.register(spark)` first.
+    */
   def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** The composed higher-order-function form of [[dot]] — kept as the
+    * differential-testing twin for the native expression.
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(v: Column): Column = sqrt(dot(v, v))

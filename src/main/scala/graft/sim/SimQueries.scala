@@ -21,10 +21,12 @@ import SimFns._
 object SimQueries {
 
   /** (vec_id, label, v double[], norm) */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   private def queriesOf(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 100 === 0)
@@ -204,6 +206,7 @@ object SimQueries {
     "embedding_int8_quant",
     "int8 max-abs quantization: scale + reconstruction MSE/cosine/saturation per vector",
     SimOracle.int8QuantSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     val v0 = toDouble(col("embedding"))
     Tables.embeddings(s, d)
       .select(col("vec_id"), v0.as("v"))

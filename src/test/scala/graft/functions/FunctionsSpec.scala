@@ -6,6 +6,52 @@ import graft.api.Det
 
 class FunctionsSpec extends SparkSpec {
 
+  test("VecDot == composed aggregate(zip_with) fold, bit-exact incl. edge cases") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(-0.4, 0.5, 1e300)),
+      (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b")
+    val rows = df.select(
+      call_function("vec_dot", col("a"), col("b")).as("fast"),
+      graft.sim.SimFns.dotComposed(col("a"), col("b")).as("composed")).collect()
+    rows.foreach { r =>
+      // compare raw bits so -0.0 vs 0.0 or any ulp drift fails loudly
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("VecDot null semantics match zip_with padding: length mismatch -> null") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    val r = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(
+        call_function("vec_dot", col("a"), col("b")).as("fast"),
+        graft.sim.SimFns.dotComposed(col("a"), col("b")).as("composed"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("VecDot generated code actually COMPILES (no interpreted fallback)") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT vec_dot(array(CAST(id AS DOUBLE), 2.0),
+          |               array(3.0, CAST(id AS DOUBLE))) AS d
+          |FROM range(100)""".stripMargin)
+        .agg(min(col("d"))).collect()(0)
+      assert(r.getDouble(0) === 0.0) // id=0: 0*3 + 2*0
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("Hash60 expression == composed conv(substring(md5)) form") {
     val spark0 = spark
     import spark0.implicits._

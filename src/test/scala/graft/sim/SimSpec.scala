@@ -7,6 +7,7 @@ import SimFns._
 class SimSpec extends SparkSpec {
 
   test("dot/norm: known vectors") {
+    graft.functions.GraftFunctions.register(spark)
     val spark0 = spark
     import spark0.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
@@ -18,6 +19,7 @@ class SimSpec extends SparkSpec {
   }
 
   test("cosine of a vector with itself is exactly 1 after norm division") {
+    graft.functions.GraftFunctions.register(spark)
     val spark0 = spark
     import spark0.implicits._
     val v = Seq(0.25, -0.5, 0.125, 1.0) // binary-exact values
@@ -29,6 +31,7 @@ class SimSpec extends SparkSpec {
   }
 
   test("lshBucket: deterministic, in range, identical vectors same bucket") {
+    graft.functions.GraftFunctions.register(spark)
     val spark0 = spark
     import spark0.implicits._
     val v1 = Seq.tabulate(Dims)(i => (i % 7 - 3) / 3.0)
