@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => FuseHash60Rule)
+    ext.injectOptimizerRule(_ => FuseVecDotRule)
   }
 }

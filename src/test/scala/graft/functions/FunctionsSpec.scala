@@ -38,6 +38,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("FuseVecDotRule rewrites the composed fold idiom, leaves other folds alone") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.sim.SimFns.dotComposed(col("a"), col("b")).as("d"))
+    val after = FuseVecDotRule(df.queryExecution.analyzed)
+    val s = after.expressions.map(_.toString).mkString
+    assert(s.contains("vec_dot"))
+    assert(!s.contains("zip_with"))
+    // a non-dot fold (squared error) must NOT be rewritten
+    val other = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(aggregate(
+        zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("e"))
+    val s2 = FuseVecDotRule(other.queryExecution.analyzed)
+      .expressions.map(_.toString).mkString
+    assert(!s2.contains("vec_dot"))
+    // and the rewritten plan computes the composed value
+    GraftFunctions.register(spark)
+    assert(df.collect()(0).getDouble(0) === 11.0)
+  }
+
   test("VecDot generated code actually COMPILES (no interpreted fallback)") {
     GraftFunctions.register(spark)
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
