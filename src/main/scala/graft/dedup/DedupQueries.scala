@@ -71,9 +71,6 @@ object DedupQueries {
     docs.select(col("doc_id"),
       explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
 
-  private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
-    shingleSet(Tables.documents(s, d), n)
-
   /** Exact dedup summary: fingerprint = md5(normalized text); the kept set
     * is one doc per fingerprint. (The corpus has no exact dups — the zero
     * is the assertion.) At scale this is one partial-aggregated groupBy on
