@@ -57,7 +57,7 @@ object Connectors {
         l.pos
     FROM customer_mgmt.customers c
     JOIN loan_mgmt.loans l
-        ON c.loan_id = l.loan_id""".stripMargin.trim
+        ON c.loan_id = l.loan_id""".trim
 
   def jdbcUrl(spark: SparkSession): Option[String] =
     spark.conf.getOption(UrlKey)

@@ -9,6 +9,16 @@ package graft.text
   *   - hex->int: CAST(('0x'||substr(md5(x),1,15))::UBIGINT AS BIGINT)
   *     equals Spark `conv(substring(md5(x),1,15),16,10)::long` (60 bits,
   *     always below 2^63).
+  *
+  * Every public SQL string is a `def`, NOT a `val` (same rule as
+  * [[graft.dedup.DedupOracle]]): this object sits on the
+  * TextQueries <-> TextOracle <-> DedupOracle reference cycle, and a val
+  * that reads a TextQueries constant would — when DedupQueries happens to
+  * initialize first (e.g. via streaming.DocStreams) — re-enter TextQueries
+  * mid-init and hand four GraftQueries a null oracle SILENTLY
+  * (GraftQuery wraps with Option(sql), downgrading them to rows-only).
+  * With defs the object's static init touches only leaf helpers, so it
+  * completes atomically no matter who initializes whom.
   */
 object TextOracle {
 
@@ -18,7 +28,7 @@ object TextOracle {
   private def stopCount(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> ${orChain("t", words)}))"
 
-  val tokenStatsSql: String = s"""
+  def tokenStatsSql: String = s"""
     WITH t AS (
       SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
     )
@@ -30,7 +40,7 @@ object TextOracle {
       ${stopCount("toks", TextFns.Stopwords)} / len(toks) AS stopword_ratio
     FROM t ORDER BY doc_id"""
 
-  val qualitySql: String = s"""
+  def qualitySql: String = s"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
@@ -54,7 +64,7 @@ object TextOracle {
       s"{'negc': $negc, 'i': $i, 'lang': '$lang'}"
     }.mkString("[", ", ", "]")
 
-  val langConfusionSql: String = s"""
+  def langConfusionSql: String = s"""
     WITH t AS (
       SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
     ),
@@ -64,7 +74,7 @@ object TextOracle {
     SELECT lang, lang_pred, COUNT(*) AS docs FROM p
     GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
 
-  val fingerprintsSql: String = s"""
+  def fingerprintsSql: String = s"""
     WITH t AS (
       SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
     )
@@ -113,11 +123,11 @@ object TextOracle {
     )"""
   }
 
-  val simhashSql: String = s"""
+  def simhashSql: String = s"""
     WITH $simhashCtes
     SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
 
-  val ngramCountsSql: String = s"""
+  def ngramCountsSql: String = s"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
@@ -135,7 +145,7 @@ object TextOracle {
     GROUP BY ngram
     ORDER BY total_count DESC, ngram LIMIT 20"""
 
-  val repetitionSql: String = s"""
+  def repetitionSql: String = s"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
@@ -176,7 +186,7 @@ object TextOracle {
   private val normTextSql: String =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-  val rebalanceSql: String = {
+  def rebalanceSql: String = {
     val cases = TextQueries.RebalanceThresholds
       .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
     s"""
@@ -193,7 +203,7 @@ object TextOracle {
     FROM t GROUP BY lang ORDER BY lang"""
   }
 
-  val packingSql: String = {
+  def packingSql: String = {
     import TextQueries.{PackBuckets, PackTokens}
     s"""
     WITH t AS (
@@ -223,7 +233,7 @@ object TextOracle {
     FROM b GROUP BY bucket ORDER BY bucket"""
   }
 
-  val contaminationSql: String = s"""
+  def contaminationSql: String = s"""
     WITH ${graft.dedup.DedupOracle.ngramPairCtes},
     sp AS (
       SELECT doc_id,
@@ -249,7 +259,7 @@ object TextOracle {
     FROM x GROUP BY test_doc
     ORDER BY n_train_partners DESC, test_doc"""
 
-  val splitsSql: String = s"""
+  def splitsSql: String = s"""
     WITH t AS (
       SELECT n_chars, len(string_split(text, ' ')) AS n_toks,
         CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),1,15))::UBIGINT AS BIGINT) % 100 AS bucket

@@ -49,6 +49,20 @@ class SmokeSpec extends SparkSpec {
     assert((lsh -- exact).size < lsh.size, "LSH found nothing from the exact top-10")
   }
 
+  test("registry integrity: every query carries a real oracle, whatever initialized first") {
+    // Touch the dedup side BEFORE reading the registry — the order that
+    // once nulled four text oracles through the TextQueries <-> TextOracle
+    // object-initialization cycle (oracles are defs now; this is the pin).
+    dedup.DedupQueries.all
+    val reg = SparkEntry.registry
+    assert(reg.size === 59)
+    reg.foreach { q =>
+      assert(q.oracle.exists(s => s != null && s.trim.nonEmpty),
+        s"${q.name} lost its oracle")
+    }
+    assert(SparkEntry.oracleSql.size === reg.size)
+  }
+
   test("loan_final quirk pins: en-dash labels and credited-per-month") {
     val lf = loan.LoanDomain.loanFinalFrame(spark, sf)
     val buckets = lf.select("dpd_bucket").distinct()
