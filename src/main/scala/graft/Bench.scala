@@ -32,6 +32,10 @@ object Bench {
     // plan's steady-state cost; a query only counts as failed if BOTH
     // executions throw.
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Release checkpoint/persist blocks AFTER the timer stops: scratch
+      // blocks (localCheckpoint posting tables, CC sweeps) must not linger
+      // into the next query's run — BENCH_r03 measured 2-3x inflation on
+      // unchanged queries that merely ran after the dedup block.
       def once(): Option[Double] =
         try {
           val t0 = System.nanoTime()
@@ -39,7 +43,7 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
-        }
+        } finally graft.api.Checkpoints.releaseAll(spark)
       val runs = Seq(once(), once()).flatten
       (name, if (runs.isEmpty) 0.0 else runs.min, runs.nonEmpty)
     }

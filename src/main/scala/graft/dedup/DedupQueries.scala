@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.GraftQuery
@@ -113,24 +113,62 @@ object DedupQueries {
     * production pipeline persists (or writes bucketed by `sh`) before
     * pair mining.
     */
-  def ngramJaccardFrame(docs: DataFrame): DataFrame = {
+  def ngramJaccardFrame(docs: DataFrame): DataFrame =
+    jaccardPairs(cappedPostings(docs), lit(true))
+
+  /** The DF-capped posting table (doc_id[, extra...], sh), checkpointed.
+    * `extra` columns are evaluated over `docs` (so they may reference
+    * `text`) and ride along on every posting row — the decontamination
+    * screen tags each posting with its document's split this way, which is
+    * what lets it filter the PAIR space at the join instead of after it.
+    * The DF window always counts over the FULL corpus (extra columns play
+    * no part in the cap), so tagged and untagged postings induce identical
+    * capped shingle sets. Scratch blocks are freed by the caller's
+    * [[graft.api.Checkpoints.releaseAll]] once the consuming aggregate
+    * materializes.
+    */
+  private[graft] def cappedPostings(docs: DataFrame, extra: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSet(docs, ShingleN)
+    // Evaluate `extra` in a SEPARATE select BELOW the explode. Putting them
+    // in the same select as the generator looks equivalent but is not:
+    // ExtractGenerator keeps non-generator expressions in the Project ABOVE
+    // the Generate, re-evaluating a per-DOCUMENT expression once per
+    // POSTING row — measured 2x on the split-tagged build (the tag is an
+    // md5 over the normalized text, and each doc explodes to ~300 rows).
+    val pre = docs.select(col("doc_id") +: col("text") +: extra: _*)
+    val keep = pre.columns.filterNot(_ == "text").map(col)
+    pre.select(keep :+
+        explode(array_distinct(shingles(tokens(col("text")), ShingleN))).as("sh"): _*)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= NgramDfCap)
-      .select(col("doc_id"), col("sh"))
+      .drop("df")
       .localCheckpoint()
+  }
+
+  /** Inverted-index pair mining over a posting table: the self-join on `sh`
+    * (aliased `x`/`y`; `pairPred` may reference both sides to prune the
+    * candidate space AT the join), intersection counts, and exact Jaccard
+    * from the per-doc posting sizes. `carry` columns (expression over the
+    * aliased join, output name) are functionally dependent on the pair and
+    * ride through the groupBy into the output.
+    */
+  private[graft] def jaccardPairs(sh: DataFrame, pairPred: Column,
+      carry: Seq[(Column, String)] = Nil): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val groupCols = Seq(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")) ++
+      carry.map { case (c, nm) => c.as(nm) }
     val inter = sh.as("x")
       .join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id")
+          && pairPred)
+      .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .select(Seq(col("doc_a"), col("doc_b"),
+        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard")) ++
+        carry.map { case (_, nm) => col(nm) }: _*)
   }
 
   /** Top-20 presentation slice of [[ngramJaccardFrame]]. */
@@ -204,9 +242,15 @@ object DedupQueries {
     minhashLshFrame(Tables.documents(s, d))
   }
 
-  /** The MinHash+LSH pipeline over any (doc_id, text) frame. */
+  /** The MinHash+LSH pipeline over any (doc_id, text) frame. The exploded
+    * shingle set is MATERIALIZED (localCheckpoint) exactly like the ngram
+    * posting table: it feeds the signature aggregate AND both sides of the
+    * Jaccard verify join, and without materialization the tokenize+shingle
+    * explode re-runs 3x (measured ~7.7s vs ~4.5s at sf0.1). Scratch blocks
+    * are freed by the caller's releaseAll once the top-k materializes.
+    */
   def minhashLshFrame(docs: DataFrame): DataFrame = {
-    val sh = shingleSet(docs, MinhashShingleN)
+    val sh = shingleSet(docs, MinhashShingleN).localCheckpoint()
     val sigs = minhashSigs(sh)
     val bands = bandKeys(sigs)
     val cand = bands.as("x")
@@ -262,18 +306,31 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** Sweep cap for [[connectedComponents]]. Sweeps = max component
+    * diameter, and a J >= 0.5 near-dup edge set is near-transitive —
+    * clusters are pairs / triples / small stars, diameter 2-3 at any
+    * corpus size. The cap is 4x headroom over that; an input whose
+    * components are deeper (an adversarial similarity CHAIN, where each
+    * link is similar but the ends are not) fails FAST with a diagnosis
+    * instead of grinding out O(diameter) shuffles — the point where a
+    * pipeline should switch to the O(log n)-round large-star/small-star
+    * algorithm rather than let this one run unbounded.
+    */
+  val MaxCcSweeps = 12
+
   /** Connected components by minimum-label propagation over an (a, b)
     * edge list: every node starts as its own label and repeatedly takes
     * the min label of itself and its neighbors until a sweep changes
     * nothing. Each sweep is ONE shuffle (join edges->labels on the
-    * neighbor + partial-aggregated min per node), `localCheckpoint`
-    * truncates the lineage between sweeps, and the driver only sees the
-    * converged/changed COUNT — iteration control, never data. Rounds =
-    * max component diameter: near-dup clusters are shallow (pairs /
-    * triples / small stars), so this converges in 2-3 sweeps at any
-    * corpus size — the pathological long-chain case that would motivate
-    * the O(log n)-round large-star/small-star algorithm cannot arise from
-    * a high-Jaccard threshold (J >= 0.5 is near-transitive).
+    * neighbor + partial-aggregated min per node) and ONE local pass for
+    * the convergence check: the sweep's checkpointed output carries the
+    * pre-sweep label, so `changed` is a filter+count over the blocks just
+    * materialized — no extra join job. `localCheckpoint` truncates the
+    * lineage between sweeps; the superseded sweep's blocks are unpersisted
+    * the moment its successor is materialized (and `sym`'s at
+    * convergence), so peak block storage is TWO sweeps regardless of
+    * iteration count. The driver only ever sees the changed COUNT —
+    * iteration control, never data. Bounded by [[MaxCcSweeps]].
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val fwd = edges.select(col("a"), col("b"))
@@ -288,24 +345,32 @@ object DedupQueries {
       .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
       .localCheckpoint()
     var changed = 1L
+    var sweeps = 0
     while (changed > 0) {
+      sweeps += 1
+      require(sweeps <= MaxCcSweeps,
+        s"connectedComponents: no convergence after $MaxCcSweeps sweeps — " +
+          "component diameter exceeds the near-dup assumption (J >= " +
+          s"$ClusterJaccard edges are near-transitive); use a star-contraction " +
+          "algorithm for deep components")
       val nbrMin = sym
         .join(labels.select(col("node").as("nbr"), col("label").as("nl")),
           col("b") === col("nbr"))
         .groupBy(col("a").as("node"))
         .agg(min(col("nl")).as("nl"))
+      // carry the pre-sweep label through the checkpoint: the convergence
+      // check is then a scan of the materialized blocks, not a join job
       val next = labels
         .join(nbrMin.select(col("node").as("node2"), col("nl")),
           col("node") === col("node2"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.select(col("node"), col("label").as("new_label"))
-        .join(labels, "node")
-        .filter(col("new_label") < col("label"))
-        .count()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      graft.api.Checkpoints.release(labels)
+      labels = next.select(col("node"), col("label"))
     }
+    graft.api.Checkpoints.release(sym)
     labels
   }
 

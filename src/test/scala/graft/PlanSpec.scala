@@ -43,13 +43,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("leftsemi"))
   }
 
-  test("corpus_contamination: split lookups join as broadcast, never shuffle the pairs") {
+  test("corpus_contamination: cross-split predicate prunes AT the pair join") {
     val df = SparkEntry.queries("corpus_contamination")(spark, sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
-    // the tiny (doc_id, split) projection must not trigger a sort-merge join
-    assert(!plan.contains("SortMergeJoin"))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // shingle self-join + the two posting-size joins, and nothing else:
+    // the filter-after shape this replaced needed two more (doc_id, split)
+    // lookup joins on the mined pairs
+    assert(joins.size === 3, s"expected 3 joins, got ${joins.size}")
+    // the self-join itself carries the split inequality, so only
+    // cross-split candidates ever come out of the shuffle
+    assert(joins.exists(_.condition.exists(_.toString.contains("split"))),
+      "no join condition references the split tag")
   }
 
   test("corpus_packing: exactly one exchange (the bucket repartition) feeds the window") {

@@ -97,6 +97,42 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: deepest admissible chain converges under the cap") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a path of 8 nodes has diameter 7: min-label propagation moves the 0
+    // one hop per sweep, so this needs ~7 sweeps — well inside MaxCcSweeps
+    // yet far deeper than any real J >= 0.5 near-dup component
+    val edges = (0L until 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = graft.dedup.DedupQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (0L to 7L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components: a chain deeper than the cap fails fast") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 16-node path, diameter 15 > MaxCcSweeps: the sweep cap must throw a
+    // diagnosis instead of grinding out O(diameter) shuffles
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.DedupQueries.connectedComponents(edges).collect()
+    }
+    assert(e.getMessage.contains("sweeps"))
+  }
+
+  test("checkpoint hygiene: releaseAll leaves zero persistent RDDs behind") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e g")).toDF("doc_id", "text")
+    graft.dedup.DedupQueries.ngramTopkFrame(docs).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "posting table should be checkpointed while the query runs")
+    graft.api.Checkpoints.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseAll must free every block — this is Bench/Verify's per-query sweep")
+  }
+
   test("connected components match driver-side union-find on random graphs") {
     val spark0 = spark
     import spark0.implicits._
