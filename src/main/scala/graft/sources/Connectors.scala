@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions.col
   *     keeps the table's grants/indexes, vs DROP+CREATE losing them — and
   *     is the only replace that is safe to retry per-partition).
   *
-  * No database runs in this sandbox, so the JDBC paths are exercised as
-  * option-map construction (unit-tested in ConnectorsSpec) and the gate
-  * defaults to the parquet fixtures; the query/option plumbing is exactly
-  * what a real cluster run needs (plus a JDBC driver jar on the classpath).
+  * The gate defaults to the parquet fixtures; the JDBC paths are EXECUTED
+  * against embedded Derby in JdbcRoundtripSpec (pushed-down join read,
+  * create + truncate-overwrite writes), and the option maps are additionally
+  * unit-tested in ConnectorsSpec. A cluster run against a real database
+  * needs only its driver jar on the classpath and `graft.jdbc.*` conf.
   */
 object Connectors {
 
