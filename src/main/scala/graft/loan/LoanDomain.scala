@@ -83,11 +83,20 @@ object LoanDomain {
     * main.py:62). Catalyst broadcast-joins the customer side automatically
     * at these sizes; at 100 TB the orders⨝lineitem-agg side shuffles on its
     * natural key only once.
+    *
+    * Both inputs route through the config-gated connectors, so the
+    * flagship itself runs source-swapped end-to-end: with `graft.jdbc.url`
+    * set the J1 join executes INSIDE the database (the reference's S1
+    * shape, main.py:25-41) and only result rows reach Spark; with
+    * `graft.docs.path` set the extensions come from the document
+    * collection (S2, main.py:51-55). Unset, the connectors fall back to
+    * [[customers]]⨝[[loans]] / [[loanExtensions]] — plan-identical to
+    * building the joins here directly.
     */
   def joined(spark: SparkSession, sfDir: String): DataFrame =
-    customers(spark, sfDir)
-      .join(loans(spark, sfDir), Seq("customer_id"), "inner")
-      .join(loanExtensions(spark, sfDir), Seq("loan_id"), "left")
+    graft.sources.Connectors.relationalSource(spark, sfDir)
+      .join(graft.sources.Connectors.loanExtensionsSource(spark, sfDir),
+        Seq("loan_id"), "left")
 
   // ---- F1..F12 metric columns (SURVEY.md §2.4), reusable + unit-testable ----
 

@@ -195,6 +195,55 @@ object SimOracle {
       CAST(len(list_filter(qc, c -> abs(c) = 127)) AS INTEGER) AS n_saturated
     FROM d ORDER BY vec_id"""
 
+  /** Recall@10 of the LSH probe against the brute-force baseline: both
+    * pipelines verbatim as CTEs, left-joined on (qid, vec_id). COUNT over
+    * the join's non-null side keeps the type BIGINT (a SUM(CASE) would be
+    * HUGEINT in DuckDB and break the dtype compare).
+    */
+  val lshRecallSql: String = s"""
+    WITH $baseCtes,
+    nb AS (
+      SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    ),
+    bq AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0
+    ),
+    bp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM bq JOIN n ON vec_id <> qid
+    ),
+    br AS (
+      SELECT qid,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS rn,
+        vec_id
+      FROM bp
+    ),
+    bf AS (SELECT qid, vec_id FROM br WHERE rn <= 10),
+    lq AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+        unnest(${probeList("bucket")}) AS probe
+      FROM nb WHERE vec_id % 100 = 0
+    ),
+    lp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM lq JOIN nb ON bucket = probe AND vec_id <> qid
+    ),
+    lr AS (
+      SELECT qid,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS rn,
+        vec_id
+      FROM lp
+    ),
+    ls AS (SELECT qid, vec_id FROM lr WHERE rn <= 10)
+    SELECT bf.qid, COUNT(ls.vec_id) AS n_hits,
+      COUNT(ls.vec_id) / 10.0::DOUBLE AS recall
+    FROM bf LEFT JOIN ls ON bf.qid = ls.qid AND bf.vec_id = ls.vec_id
+    GROUP BY bf.qid ORDER BY bf.qid"""
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

@@ -73,6 +73,30 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Recall@10 of the LSH probe vs the exact baseline, as a GRADED
+    * artifact: per query, how many of the true top-10 the bucketed probe
+    * recovered. This is the number an index operator watches when trading
+    * probe cost against quality (more planes = cheaper probes, lower
+    * recall; more multi-probe bits = the reverse) — the same
+    * quality-attestation pattern as the sketch error-band oracles. The
+    * left join keeps 0-hit queries visible instead of dropping them.
+    */
+  val lshRecall: GraftQuery = GraftQuery(
+    "ann_lsh_recall",
+    s"recall@10 of sign-LSH multi-probe ANN vs the brute-force baseline, per query",
+    SimOracle.lshRecallSql) { (s, d) =>
+    val bf = bruteforce.frame(s, d).select(col("qid"), col("vec_id"))
+    val ls = lshTopk.frame(s, d)
+      .select(col("qid").as("lqid"), col("vec_id").as("lvec"))
+    bf.join(ls, col("qid") === col("lqid") && col("vec_id") === col("lvec"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(col("lvec")).as("n_hits"),
+        (count(col("lvec")) / lit(10.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Embedding near-dup: top-20 most-cosine-similar pairs, candidates
     * restricted to LSH buckets within Hamming distance 1 (the embedding
     * analogue of MinHash banding, plus multi-probe). With 256 buckets the
@@ -231,6 +255,6 @@ object SimQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(bruteforce, lshTopk, nearDupPairs, labelCentroids, retrieval,
-      vectorStats, ivfTopk, int8Quant)
+    Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
+      retrieval, vectorStats, ivfTopk, int8Quant)
 }

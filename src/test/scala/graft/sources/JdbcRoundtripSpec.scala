@@ -61,6 +61,54 @@ class JdbcRoundtripSpec extends SparkSpec {
     } finally spark.conf.unset(Connectors.UrlKey)
   }
 
+  test("flagship loan_final runs source-swapped: Derby S1 + document S2 gates") {
+    val flagUrl = "jdbc:derby:memory:graftflag;create=true"
+    val conn = DriverManager.getConnection(flagUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE customer_mgmt.customers (
+          |  customer_id INT, customer_name VARCHAR(50), loan_id INT)""".stripMargin)
+      st.executeUpdate(
+        """CREATE TABLE loan_mgmt.loans (
+          |  loan_id INT, disbursement_amount DOUBLE, disbursement_date DATE,
+          |  due_date DATE, region VARCHAR(40), interest_rate DOUBLE, pos DOUBLE)""".stripMargin)
+      st.executeUpdate(
+        "INSERT INTO customer_mgmt.customers VALUES (1, 'Asha', 101), (2, 'Bilal', 102)")
+      st.executeUpdate(
+        """INSERT INTO loan_mgmt.loans VALUES
+          |  (101, 12000.0, DATE('1998-01-15'), DATE('1999-01-15'), 'Bangalre', 10.0, 1.0),
+          |  (102, 24000.0, DATE('1998-03-01'), DATE('2000-03-01'), 'Dehli', 9.0, 1.0)""".stripMargin)
+      st.close()
+    } finally conn.close()
+    val dir = java.nio.file.Files.createTempDirectory("graft-flag-docs")
+    // loan 102 is ABSENT: the left join's null feeds the ec0 coalesce path
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"loan_id": 101, "product_type": "PT-1", "emi_collected": 500.0}
+        |""".stripMargin)
+    spark.conf.set(Connectors.UrlKey, flagUrl)
+    spark.conf.set(Connectors.DocsPathKey, dir.toString)
+    try {
+      val out = graft.loan.LoanDomain.loanFinalFrame(spark, sf)
+      val rows = out.collect()
+      assert(rows.length === 2)
+      val r101 = rows(0)
+      assert(r101.getAs[Int]("loan_id") === 101)
+      // fuzzy cleaner ran on the database-sourced region column
+      assert(r101.getAs[String]("region_cleaned") === "Bangalore")
+      assert(r101.getAs[String]("customer_name") === "Asha")
+      val r102 = rows(1)
+      assert(r102.getAs[String]("region_cleaned") === "Delhi")
+      // no extension doc: emi_collected null -> ec0 = 0 -> nothing credited
+      assert(r102.isNullAt(r102.fieldIndex("emi_collected")))
+      assert(r102.getAs[Double]("total_to_be_collected") ===
+        24000.0 + 24000.0 * (9.0 / 100.0) * (24 / 12.0))
+    } finally {
+      spark.conf.unset(Connectors.UrlKey)
+      spark.conf.unset(Connectors.DocsPathKey)
+    }
+  }
+
   test("S3/S4 replace sink: create, truncate-overwrite, read back") {
     val spark0 = spark
     import spark0.implicits._
