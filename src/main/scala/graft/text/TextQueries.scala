@@ -197,6 +197,37 @@ object TextQueries {
       .limit(20)
   }
 
+  /** PII / pattern screen — the redaction pre-pass a pretraining pipeline
+    * runs before anything ships: per document, counts of email-shaped
+    * tokens and long digit runs (the two canonical PII shapes a lowercase
+    * word corpus can carry) plus two structural pattern counts (long
+    * tokens, vowel runs) that exercise the same regex machinery on
+    * patterns this corpus actually hits. Every pattern stays in the
+    * common Java-regex/RE2 subset (character classes + bounded repeats,
+    * `[.]` instead of an escaped dot — no backreferences, no lookarounds)
+    * so Spark and the DuckDB oracle match EXACTLY. One codegen span over
+    * the scan; no shuffle except the presentation sort. At 100 TB this is
+    * the pattern: regex feature extraction is embarrassingly parallel and
+    * the flag column is what a downstream redaction/drop filter consumes.
+    */
+  val piiScreen: GraftQuery = GraftQuery(
+    "doc_pii_screen",
+    "PII screen: email/digit-run counts + long-token/vowel-run pattern stats per doc",
+    TextOracle.piiScreenSql) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(expr(
+          "regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', 0)"))
+          .as("n_emails"),
+        size(expr("regexp_extract_all(text, '[0-9]{3,}', 0)")).as("n_digit_runs"),
+        size(expr("regexp_extract_all(text, '[a-z]{8,}', 0)")).as("n_long_tokens"),
+        size(expr("regexp_extract_all(text, '[aeiou]{2,}', 0)")).as("n_vowel_runs"))
+      .withColumn("pii_flag",
+        when(col("n_emails") > 0 || col("n_digit_runs") > 0, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition signals — the Gopher-style quality rules
     * a pretraining filter applies per document: the fraction of word
     * 2-gram occurrences that are repeats (1 - distinct/total) via pure
@@ -338,6 +369,6 @@ object TextQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, quality, langConfusion, fingerprints, simhash, splits,
-      ngramCounts, repetition, contamination, rebalance, packing)
+    Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
+      splits, ngramCounts, repetition, contamination, rebalance, packing)
 }
