@@ -97,11 +97,17 @@ object DedupOracle {
     ORDER BY cluster_size DESC, cluster_id"""
 
   def minhashLshSql: String = {
+    // double-hashing twin of DedupQueries.minhashFn: h1/h2 are the two
+    // 32-bit halves of ONE md5; s_i = min((h1 + i*h2) mod p), exact in
+    // BIGINT (the mod decorrelates the k functions — see MinhashMod)
+    val h1 = "CAST(('0x' || substr(md5(sh),1,8))::UBIGINT AS BIGINT)"
+    val h2 = "CAST(('0x' || substr(md5(sh),9,8))::UBIGINT AS BIGINT)"
     val sigs = ((0 until MinhashK).map { i =>
-      s"min(md5('$i:' || sh)) AS s$i"
+      s"min(($h1 + $i * $h2) % ${DedupQueries.MinhashMod}) AS s$i"
     } :+ "COUNT(*) AS n").mkString(",\n        ")
     val bands = (0 until MinhashK / BandRows).map { b =>
-      val key = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || ")
+      val key = (0 until BandRows).map(r => s"s${b * BandRows + r}")
+        .mkString(" || ':' || ")
       s"SELECT doc_id, $b AS b, md5($key) AS bk FROM sigs"
     }.mkString("\n      UNION ALL ")
     s"""

@@ -48,6 +48,18 @@ object DedupQueries {
   val SimhashBands = 4
   val SimhashBandBits = 15
 
+  /** Modulus for the double-hashing family: the smallest prime above
+    * 2^32. The mod is NOT optional: without it i*h2 dominates h1 for
+    * i >= 2, so every function's argmin collapses onto argmin(h2) — the
+    * signatures correlate, every band collides, and the verify join goes
+    * quadratic (measured 7 s vs 2.5 s at sf0.1). The wraparound is what
+    * makes the k functions behave independently. Declared with the
+    * other constants BEFORE the first GraftQuery val: DedupOracle's
+    * minhashLshSql interpolates it re-entrantly during this object's
+    * initialization (see [[ClusterJaccard]]'s note).
+    */
+  val MinhashMod = 4294967311L
+
   /** Jaccard threshold above which a pair is a duplicate EDGE for cluster
     * assignment. High-J near-dup pairs separate cleanly from incidental
     * rare-shingle co-occurrence (J < 0.3 background), so any threshold in
@@ -177,23 +189,38 @@ object DedupQueries {
       .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
       .limit(20)
 
+  /** One 32-bit half of the shingle's md5 as a long — the basis of the
+    * double-hashing signature family h_i(x) = h1(x) + i*h2(x) (h1 = hex
+    * chars 1-8, h2 = chars 9-16). `start` is the 1-based hex offset.
+    */
+  private[graft] def mdHalf(c: Column, start: Int): Column =
+    conv(substring(md5(c), start, 8), 16, 10).cast("long")
+
+  /** The i-th MinHash function over a shingle column:
+    * (h1 + i*h2) mod [[MinhashMod]]. Max intermediate 12*2^32 < 2^36 —
+    * exact BIGINT arithmetic on both engines, no overflow.
+    */
+  private[graft] def minhashFn(c: Column, i: Int): Column =
+    (mdHalf(c, 1) + lit(i.toLong) * mdHalf(c, 9)) % lit(MinhashMod)
+
   /** MinHash signature columns s0..s(k-1) PLUS the distinct-shingle count,
     * fused into one aggregation pass over the exploded shingle set (the
     * Jaccard verify needs |A| anyway — computing it here saves a full
-    * shingle-set recompute + shuffle). min(md5) inside a hash aggregate is
-    * whole-stage-codegen'd AND the exchange materializes the signatures,
-    * so the 12 md5s per shingle are computed exactly once however many
-    * times the signature frame is consumed downstream — measured 10x
-    * faster than the tempting per-row array_min(transform(...)) form,
-    * whose higher-order functions are interpreted and whose projection is
-    * re-evaluated on every reference (see [[rowMinhashSigs]], kept for
-    * streams where aggregation is not an option). String-min MinHash (min
-    * over md5("<seed>:" || shingle)) keeps DuckDB parity trivial and is
-    * just as uniform as integer MinHash.
+    * shingle-set recompute + shuffle). The k functions are DOUBLE HASHING
+    * (h_i = h1 + i*h2 from ONE md5 split into two 32-bit halves — the
+    * standard Kirsch-Mitzenmacher construction): one digest + k integer
+    * ops per shingle instead of k digests, which at corpus scale is the
+    * difference between hashing dominating the signature pass and the
+    * shingle explode dominating it (sig agg 2.6 -> 1.7 s at sf0.1, i.e.
+    * the md5 cost vanished into the scan). min(long) inside a hash
+    * aggregate is whole-stage-codegen'd with the md5 subexpression
+    * eliminated across all k aggregates, AND the exchange materializes
+    * the signatures, so downstream consumers never recompute them
+    * (see [[rowMinhashSigs]] for the per-row streaming twin).
     */
   private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
     val sigs = (0 until MinhashK).map { i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i")
+      min(minhashFn(col("sh"), i)).as(s"s$i")
     } :+ count(lit(1)).as("n")
     sh.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
   }
@@ -210,18 +237,20 @@ object DedupQueries {
   private[graft] def rowMinhashSigs(docs: DataFrame): DataFrame = {
     val sh = array_distinct(shingles(tokens(col("text")), MinhashShingleN))
     val sigs = (0 until MinhashK).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))).as(s"s$i")
+      array_min(transform(sh, s => minhashFn(s, i))).as(s"s$i")
     } :+ size(sh).as("n")
     docs.select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH band keys (doc_id, b, bk) from a signature frame: band b's key is
-    * md5 of its [[BandRows]] concatenated signature rows. One row per doc
-    * per band; equality on (b, bk) is the candidate-generation join.
+    * md5 of its [[BandRows]] ':'-joined signature values (the separator
+    * keeps variable-length integer renderings unambiguous). One row per
+    * doc per band; equality on (b, bk) is the candidate-generation join.
     */
   private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashK / BandRows).map { b =>
-      val key = md5(concat((0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
+      val key = md5(concat_ws(":",
+        (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
       struct(lit(b).as("b"), key.as("bk"))
     }
     sigs
