@@ -79,9 +79,11 @@ object DedupQueries {
     * (doc_id, text) frame so fixture corpora can drive the pipeline in
     * tests.
     */
-  def shingleSet(docs: DataFrame, n: Int): DataFrame =
+  def shingleSet(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
       explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+  }
 
   /** Exact dedup summary: fingerprint = md5(normalized text); the kept set
     * is one doc per fingerprint. (The corpus has no exact dups — the zero
@@ -147,6 +149,7 @@ object DedupQueries {
     // the Generate, re-evaluating a per-DOCUMENT expression once per
     // POSTING row — measured 2x on the split-tagged build (the tag is an
     // md5 over the normalized text, and each doc explodes to ~300 rows).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val pre = docs.select(col("doc_id") +: col("text") +: extra: _*)
     val keep = pre.columns.filterNot(_ == "text").map(col)
     pre.select(keep :+
@@ -235,6 +238,7 @@ object DedupQueries {
     * not per corpus scan.
     */
   private[graft] def rowMinhashSigs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = array_distinct(shingles(tokens(col("text")), MinhashShingleN))
     val sigs = (0 until MinhashK).map { i =>
       array_min(transform(sh, s => minhashFn(s, i))).as(s"s$i")

@@ -19,7 +19,12 @@ object GraftFunctions {
     ("hash60", classOf[Hash60].getName,
       children => Hash60(children.head)),
     ("vec_dot", classOf[VecDot].getName,
-      children => VecDot(children(0), children(1))))
+      children => VecDot(children(0), children(1))),
+    ("shingles", classOf[Shingles].getName,
+      // n must be a foldable integer literal (the window width is part of
+      // the operator, not data)
+      children => Shingles(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -106,6 +106,7 @@ object TextQueries {
     "doc_fingerprints",
     "document fingerprinting: md5(normalized) + min word-3-gram hash",
     TextOracle.fingerprintsSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(
@@ -239,6 +240,7 @@ object TextQueries {
     "doc_repetition",
     "repetition filter: dup 2-gram fraction + top-token share per document",
     TextOracle.repetitionSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
     val grams = docs
       .withColumn("g", shingles(tokens(col("text")), 2))
