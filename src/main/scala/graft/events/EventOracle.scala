@@ -40,6 +40,27 @@ object EventOracle {
     GROUP BY 1, 2, 3
     ORDER BY wstart, event_type"""
 
+  /** Sliding windows: Spark assigns event t to windows starting at the
+    * hop-aligned bucket 0, 1, and 2 hops back (duration/hop = 3 windows).
+    * time_bucket's 2000-01-03 origin is hop-aligned, so bucket starts
+    * agree with Spark's epoch origin.
+    */
+  val slidingSql: String = s"""
+    WITH $evCte,
+    w AS (
+      SELECT
+        time_bucket(INTERVAL '10 minutes', ts)
+          - k.k * INTERVAL '10 minutes' AS wstart,
+        event_type, value
+      FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+    )
+    SELECT wstart, wstart + INTERVAL '30 minutes' AS wend, event_type,
+      COUNT(*) AS n,
+      $q AS sum_value
+    FROM w
+    GROUP BY 1, 2, 3
+    ORDER BY wstart, event_type"""
+
   val sessionsSql: String = s"""
     WITH $evCte,
     s1 AS (

@@ -38,6 +38,19 @@ object EventQueries {
       .orderBy("wstart", "event_type")
   }
 
+  /** Sliding 30-minute windows with a 10-minute hop (batch parity of the
+    * streaming transform): each event belongs to exactly 3 overlapping
+    * windows. The oracle reconstructs Spark's assignment rule (window
+    * starts are the hop-aligned buckets at 0/1/2 hops back) explicitly.
+    */
+  val sliding: GraftQuery = GraftQuery(
+    "events_sliding_30min",
+    "sliding event-time windows (30min / 10min hop, batch parity of streaming)",
+    EventOracle.slidingSql) { (s, d) =>
+    EventStreams.slidingCounts(Tables.events(s, d))
+      .orderBy("wstart", "event_type")
+  }
+
   /** Session windows per user, 6h gap (batch parity; oracle is the
     * gaps-and-islands formulation).
     */
@@ -154,6 +167,6 @@ object EventQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(jsonRollup, tumbling, sessions, asOfJoin, rangeJoin, saltedRollup,
-      interarrival)
+    Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
+      saltedRollup, interarrival)
 }

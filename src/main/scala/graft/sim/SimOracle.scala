@@ -244,6 +244,46 @@ object SimOracle {
     FROM bf LEFT JOIN ls ON bf.qid = ls.qid AND bf.vec_id = ls.vec_id
     GROUP BY bf.qid ORDER BY bf.qid"""
 
+  val ivfRecallSql: String = s"""
+    WITH $baseCtes,
+    bq AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0
+    ),
+    bp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM bq JOIN n ON vec_id <> qid
+    ),
+    br AS (
+      SELECT qid,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS rn,
+        vec_id
+      FROM bp
+    ),
+    bf AS (SELECT qid, vec_id FROM br WHERE rn <= 10),
+    iq AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, label AS qcell
+      FROM n WHERE vec_id % 100 = 0
+    ),
+    ip AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM iq JOIN n ON label = qcell AND vec_id <> qid
+    ),
+    ir AS (
+      SELECT qid,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS rn,
+        vec_id
+      FROM ip
+    ),
+    iv AS (SELECT qid, vec_id FROM ir WHERE rn <= 10)
+    SELECT bf.qid, COUNT(iv.vec_id) AS n_hits,
+      COUNT(iv.vec_id) / 10.0::DOUBLE AS recall
+    FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.vec_id = iv.vec_id
+    GROUP BY bf.qid ORDER BY bf.qid"""
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

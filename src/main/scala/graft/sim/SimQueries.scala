@@ -215,6 +215,31 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Recall@10 of the IVF cell probe vs the exact baseline — the second
+    * graded index-quality artifact, symmetric to [[lshRecall]]. IVF trades
+    * differently than LSH: a cell probe reads ONE partition (cheapest
+    * possible scan) but loses every neighbor that lives across the cell
+    * boundary, so its recall is structurally lower than multi-probe LSH at
+    * comparable candidate counts — this query is the artifact that shows
+    * that trade instead of asserting it. Same left-join shape: 0-hit
+    * queries stay visible.
+    */
+  val ivfRecall: GraftQuery = GraftQuery(
+    "ann_ivf_recall",
+    "recall@10 of IVF single-cell ANN vs the brute-force baseline, per query",
+    SimOracle.ivfRecallSql) { (s, d) =>
+    val bf = bruteforce.frame(s, d).select(col("qid"), col("vec_id"))
+    val iv = ivfTopk.frame(s, d)
+      .select(col("qid").as("iqid"), col("vec_id").as("ivec"))
+    bf.join(iv, col("qid") === col("iqid") && col("vec_id") === col("ivec"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(col("ivec")).as("n_hits"),
+        (count(col("ivec")) / lit(10.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Int8 max-abs quantization of the embedding column — the storage/
     * bandwidth scale path for a 100 TB vector corpus (4x smaller than
     * float32, 8x smaller than the double working form): per-vector scale
@@ -256,5 +281,5 @@ object SimQueries {
 
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
-      retrieval, vectorStats, ivfTopk, int8Quant)
+      retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant)
 }

@@ -22,12 +22,34 @@ object EventStreams {
   val WatermarkDelay = "1 hour"
   val TumblingWindow = "10 minutes"
   val SessionGap = "6 hours"
+  val SlidingWindow = "30 minutes"
+  val SlidingHop = "10 minutes"
 
   /** Tumbling 10-minute windows per event type: count + quantized value sum. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", WatermarkDelay)
       .groupBy(window(col("ts"), TumblingWindow), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
+      .select(
+        col("window.start").as("wstart"),
+        col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 30-minute windows hopping every 10 minutes: each event lands
+    * in exactly 3 overlapping windows (duration/hop). Spark expands the
+    * window assignment row-side (an explode of the 3 window structs) and
+    * then aggregates exactly like tumbling — state per (window, key) is
+    * bounded by the watermark horizon; the shuffle carries 3x the rows of
+    * the tumbling plan, the price of overlap, with partial aggregation
+    * still applying per window.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), SlidingWindow, SlidingHop), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))

@@ -274,6 +274,46 @@ object TextOracle {
     FROM x GROUP BY test_doc
     ORDER BY n_train_partners DESC, test_doc"""
 
+  def lengthHistogramSql: String = s"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks
+      FROM documents
+    )
+    SELECT CAST(FLOOR(n_toks / 16.0) AS BIGINT) * 16 AS bucket_lo,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_toks) AS BIGINT) / COUNT(*) AS avg_tokens
+    FROM t GROUP BY 1 ORDER BY 1"""
+
+  def sampleStratifiedSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, lang, ${hash60Sql(normTextSql)} AS h FROM documents
+    ),
+    r AS (
+      SELECT lang,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY h, doc_id) AS INTEGER) AS rk,
+        doc_id
+      FROM t
+    )
+    SELECT lang, rk, doc_id FROM r
+    WHERE rk <= ${TextQueries.SamplePerStratum}
+    ORDER BY lang, rk"""
+
+  def normalizeSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, text,
+        trim(regexp_replace(regexp_replace(text, '[^a-z ]', '', 'g'),
+          ' +', ' ', 'g')) AS canon
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS chars_raw,
+      CAST(length(canon) AS INTEGER) AS chars_canon,
+      CAST(length(text) - length(canon) AS INTEGER) AS chars_stripped,
+      md5(canon) AS canon_fp
+    FROM t ORDER BY doc_id"""
+
   def splitsSql: String = s"""
     WITH t AS (
       SELECT n_chars, len(string_split(text, ' ')) AS n_toks,

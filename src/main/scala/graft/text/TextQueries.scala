@@ -326,6 +326,80 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Sequence-length histogram — the planning input for [[packing]] and
+    * curriculum/bucketing decisions: width-16 token buckets with doc
+    * counts and token totals. One partial-aggregated groupBy on a tiny
+    * integer key space (a few hundred buckets at any corpus size), so the
+    * shuffle carries (bucket, counters) — nothing scales with data volume
+    * except the embarrassingly-parallel scan.
+    */
+  val lengthHistogram: GraftQuery = GraftQuery(
+    "corpus_length_histogram",
+    "sequence-length histogram: width-16 token buckets, doc counts + token totals",
+    TextOracle.lengthHistogramSql) { (s, d) =>
+    Tables.documents(s, d)
+      .select(size(tokens(col("text"))).as("n_toks"))
+      .groupBy((floor(col("n_toks") / lit(16.0)).cast("long") * 16)
+        .as("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        (sum(col("n_toks")) / count(lit(1))).as("avg_tokens"))
+      .orderBy("bucket_lo")
+  }
+
+  /** Docs kept per stratum by [[sampleStratified]]. */
+  val SamplePerStratum = 50
+
+  /** Stratified sampling — a fixed-size per-language sample selected in
+    * CONTENT-hash order (the deterministic analogue of a per-stratum
+    * reservoir): rank docs within each language by hash60(normalized
+    * text) and keep the first [[SamplePerStratum]]. Content order makes
+    * the sample stable across re-shards/re-runs AND unbiased w.r.t.
+    * ingestion order — the properties an eval-set or inspection sample
+    * needs. Scale shape: the rank-filter is recognized by Spark's
+    * WindowGroupLimit rule, which keeps a running top-K per partition
+    * BEFORE and after the exchange — the shuffle carries at most
+    * K x partitions rows per stratum, never the stratum itself.
+    */
+  val sampleStratified: GraftQuery = GraftQuery(
+    "corpus_sample_stratified",
+    s"stratified sample: first $SamplePerStratum docs per language in content-hash order",
+    TextOracle.sampleStratifiedSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        hash60(normText(col("text"))).as("h"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= SamplePerStratum)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Canonicalization — the cleaning pass exact dedup keys on: strip
+    * every character outside [a-z space], collapse runs of spaces, trim.
+    * Reports sizes before/after, how many chars the scrub removed, and
+    * the canonical fingerprint (the dedup key a cleaned corpus would
+    * use). Pure per-row regex work in one codegen span over the scan —
+    * embarrassingly parallel at any scale.
+    */
+  val normalize: GraftQuery = GraftQuery(
+    "doc_normalize",
+    "canonicalization: strip non-[a-z space], collapse spaces; sizes + canonical fingerprint",
+    TextOracle.normalizeSql) { (s, d) =>
+    val canon = trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-z ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("chars_raw"),
+        length(canon).as("chars_canon"),
+        (length(col("text")) - length(canon)).as("chars_stripped"),
+        md5(canon).as("canon_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing — the step that concatenates documents into
     * fixed-token training sequences: docs are dealt into
     * [[PackBuckets]] hash buckets (the parallel unit — packing is
@@ -372,5 +446,6 @@ object TextQueries {
 
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
-      splits, ngramCounts, repetition, contamination, rebalance, packing)
+      splits, ngramCounts, repetition, contamination, rebalance, packing,
+      lengthHistogram, sampleStratified, normalize)
 }

@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("corpus_sample_stratified: rank filter becomes a WindowGroupLimit") {
+    val df = SparkEntry.queries("corpus_sample_stratified")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the rk <= K filter must be recognized as a group limit, which keeps
+    // a running top-K per partition BEFORE the lang exchange — the
+    // property that makes per-stratum sampling shuffle K rows, not the
+    // stratum
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
+  }
+
   test("embedding_int8_quant: pure map plan — no exchange before the presentation sort") {
     val df = SparkEntry.queries("embedding_int8_quant")(spark, sf)
     df.collect()

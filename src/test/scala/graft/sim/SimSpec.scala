@@ -57,6 +57,17 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.24, s"lsh recall degraded: $recall")
   }
 
+  test("ivf recall artifact: one row per query, recall = hits/10, in [0,1]") {
+    val rows = SimQueries.ivfRecall.frame(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val recall = r.getAs[Double]("recall")
+      assert(hits >= 0 && hits <= 10)
+      assert(recall === hits / 10.0)
+    }
+  }
+
   test("int8 quantization: near-lossless reconstruction, max element saturates") {
     val out = SimQueries.int8Quant.frame(spark, sf)
     val rows = out.collect()

@@ -50,6 +50,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("slidingCounts: streaming equals batch; every event in 3 windows") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = EventStreams.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sliding_out")
+      .orderBy("wstart", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.slidingCounts(events.toDF())
+      .orderBy("wstart", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // duration/hop = 3: total window-membership count is 3x the events
+    val totalN = spark.table("sliding_out")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(totalN === events.length * 3L)
+  }
+
   test("dedupEvents: duplicate event_id within watermark is dropped") {
     val spark0 = spark
     import spark0.implicits._

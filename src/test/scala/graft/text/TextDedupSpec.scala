@@ -225,6 +225,53 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("length histogram: doc and token totals conserved, buckets aligned") {
+    val docs = graft.Tables.documents(spark, sf)
+    val totalDocs = docs.count()
+    val totalToks = docs
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    val rows = graft.text.TextQueries.lengthHistogram.frame(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum === totalToks)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(lo % 16 === 0)
+      val avg = r.getAs[Double]("avg_tokens")
+      assert(avg >= lo && avg < lo + 16, s"avg $avg outside [$lo, ${lo + 16})")
+    }
+  }
+
+  test("stratified sample: <= K per lang, ranks contiguous from 1, deterministic") {
+    val q = graft.text.TextQueries.sampleStratified
+    val rows = q.frame(spark, sf).collect()
+    val K = graft.text.TextQueries.SamplePerStratum
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length <= K, s"$lang oversampled: ${rs.length}")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to rs.length),
+        s"$lang ranks not contiguous")
+    }
+    // content-hash order: a second run picks the identical sample
+    val again = q.frame(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
+  test("normalize: canonical form drops non-[a-z space] chars only") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = graft.text.TextQueries.normalize.frame(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("chars_canon") <= r.getAs[Int]("chars_raw"))
+      assert(r.getAs[Int]("chars_stripped") ===
+        r.getAs[Int]("chars_raw") - r.getAs[Int]("chars_canon"))
+    }
+    // planted fixture: digits+punct stripped, spaces collapsed, md5 stable
+    val df = Seq((1L, "ab 12c!  d")).toDF("doc_id", "text")
+    val canon = df.select(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-z ]", ""), " +", " ")).as("c"))
+      .collect()(0).getAs[String]("c")
+    assert(canon === "ab c d")
+  }
+
   test("minhash property: identical shingle sets share every band hash") {
     val spark0 = spark
     import spark0.implicits._
