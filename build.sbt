@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed 16g heap (the box has 128 GiB, one forked JVM at a time):
+  // local[32] churns through broadcast + codegen + shuffle buffers fast
+  // enough that an 8g heap produced multi-second GC stalls mid-bench,
+  // randomly inflating whichever query they landed on. Xms=Xmx avoids
+  // timed heap-resize pauses.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -30,10 +30,16 @@ object Explain {
         println(s"\n========== ${q.name} ==========")
         q.frame(spark, sfDir).explain("formatted")
       }
+      // same inter-run hygiene as Bench: checkpoint blocks released and
+      // garbage collected OUTSIDE the timed region, so one query's scratch
+      // never inflates the next measurement
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         q.frame(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.api.Checkpoints.releaseAll(spark)
+        System.gc()
+        sec
       }
       println(f"[time] ${q.name}%-28s cold=${t.head}%6.2fs warm=${t.last}%6.2fs")
     }

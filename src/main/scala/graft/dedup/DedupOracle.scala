@@ -75,8 +75,11 @@ object DedupOracle {
     * min(self, reachable). The Spark side converges min-label propagation
     * to the same fixpoint.
     */
-  def clustersSql: String = s"""
-    WITH RECURSIVE $ngramPairCtes,
+  /** The pair CTEs plus the thresholded edge set and per-node min labels —
+    * shared by the cluster listing and the keep-decision funnel.
+    */
+  private def clusterLabelCtes: String = s"""
+    $ngramPairCtes,
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
@@ -91,10 +94,41 @@ object DedupOracle {
     ),
     lab AS (
       SELECT node, LEAST(node, MIN(r)) AS label FROM reach GROUP BY node
-    )
+    )"""
+
+  def clustersSql: String = s"""
+    WITH RECURSIVE $clusterLabelCtes
     SELECT label AS cluster_id, COUNT(*) AS cluster_size
     FROM lab GROUP BY label
     ORDER BY cluster_size DESC, cluster_id"""
+
+  /** Funnel twin: keep_exact by fingerprint-group window min, keep_nd by
+    * the CC min-label invariant (a node survives iff it IS its cluster's
+    * label), unclustered nodes always survive.
+    */
+  def keepSummarySql: String = s"""
+    WITH RECURSIVE $clusterLabelCtes,
+    f AS (
+      SELECT doc_id, lang,
+        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    fx AS (
+      SELECT doc_id, lang,
+        doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep_exact
+      FROM f
+    ),
+    nd AS (
+      SELECT fx.doc_id, fx.lang, fx.keep_exact,
+        (l.node IS NULL OR l.label = fx.doc_id) AS keep_nd
+      FROM fx LEFT JOIN lab l ON fx.doc_id = l.node
+    )
+    SELECT lang, COUNT(*) AS docs_in,
+      CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS exact_kept,
+      CAST(SUM(CASE WHEN keep_nd THEN 1 ELSE 0 END) AS BIGINT) AS neardup_kept,
+      CAST(SUM(CASE WHEN keep_exact AND keep_nd THEN 1 ELSE 0 END) AS BIGINT)
+        AS final_kept
+    FROM nd GROUP BY lang ORDER BY lang"""
 
   def minhashLshSql: String = {
     // double-hashing twin of DedupQueries.minhashFn: h1/h2 are the two

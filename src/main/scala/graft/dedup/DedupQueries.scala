@@ -426,6 +426,47 @@ object DedupQueries {
       .orderBy(desc("cluster_size"), col("cluster_id"))
   }
 
+  /** The END-TO-END keep decision — what a dedup pipeline actually writes
+    * out: per language, how many documents survive (a) exact dedup (keep
+    * the min doc_id of each fingerprint group) and (b) near-dup dedup
+    * (keep the min doc_id of each J >= [[ClusterJaccard]] cluster;
+    * unclustered docs always survive), and the intersection a sequential
+    * exact-then-near-dup pipeline keeps. Exploits the min-label CC
+    * invariant: at the fixpoint a node's label IS its cluster's minimum
+    * doc_id, so the near-dup keeper test is `label = doc_id` — no extra
+    * per-cluster argmin pass. One window over the fingerprint groups +
+    * one left join against the (clustered-nodes-only) label frame; the
+    * heavy lifting is the same DF-capped pair mining the cluster query
+    * runs.
+    */
+  val keepSummary: GraftQuery = GraftQuery(
+    "dedup_keep_summary",
+    "end-to-end dedup funnel: per-language exact / near-dup / combined keep counts",
+    DedupOracle.keepSummarySql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val edges = ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(edges)
+    val flagged = docs
+      .select(col("doc_id"), col("lang"), fingerprint(col("text")).as("fp"))
+      .withColumn("keep_exact",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .withColumn("keep_nd",
+        col("node").isNull || col("label") === col("doc_id"))
+    flagged.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("keep_exact"), 1L).otherwise(0L)).as("exact_kept"),
+        sum(when(col("keep_nd"), 1L).otherwise(0L)).as("neardup_kept"),
+        sum(when(col("keep_exact") && col("keep_nd"), 1L).otherwise(0L))
+          .as("final_kept"))
+      .orderBy("lang")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters)
+    Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
+      keepSummary)
 }

@@ -24,7 +24,9 @@ object GraftFunctions {
       // n must be a foldable integer literal (the window width is part of
       // the operator, not data)
       children => Shingles(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+        children(1).eval().asInstanceOf[Number].intValue())),
+    ("cms_estimate", classOf[CmsEstimate].getName,
+      children => CmsEstimate(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -15,6 +15,14 @@ object SimFns {
   val Dims = 64
   val NumPlanes = 8 // 256 LSH buckets
 
+  /** k and sweep count for the Lloyd's k-means coarse-quantizer training
+    * ([[SimQueries.kmeans]]). Leaf-object constants so SimQueries and
+    * SimOracle can both read them without an init-order cycle (see the
+    * note on [[graft.text.TextOracle]]).
+    */
+  val KmeansK = 8
+  val KmeansIters = 3
+
   /** Float array -> double array (exact widening). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 

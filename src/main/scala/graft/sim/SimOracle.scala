@@ -284,6 +284,71 @@ object SimOracle {
     FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.vec_id = iv.vec_id
     GROUP BY bf.qid ORDER BY bf.qid"""
 
+  /** Unrolled-CTE twin of the Lloyd training loop: per sweep, assignment
+    * by CROSS JOIN + ROW_NUMBER over the identical (vv + cc - 2*v.c)
+    * expression (bit-agrees with Spark's map-side array_min because the
+    * doubles per (vector, centroid) pair are identical), quantized per-dim
+    * means, list re-assembly in dimension order, COALESCE for empty cells.
+    */
+  val kmeansSql: String = {
+    import SimFns.{KmeansIters, KmeansK}
+    def sweep(t: Int): String = s"""
+    x$t AS (
+      SELECT k.vec_id, k.v, ct.j,
+        k.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("k.v", "ct.c")} AS dist
+      FROM k CROSS JOIN c${t - 1} ct
+    ),
+    a$t AS (
+      SELECT vec_id, v, j, dist FROM (
+        SELECT vec_id, v, j, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM x$t
+      ) WHERE rn = 1
+    ),
+    u$t AS (
+      SELECT j, i AS pos,
+        SUM(CAST(floor(v[i] * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS m
+      FROM a$t, (SELECT unnest(range(1, ${Dims + 1})) AS i)
+      GROUP BY j, i
+    ),
+    n$t AS (SELECT j, list(m ORDER BY pos) AS cn FROM u$t GROUP BY j),
+    c$t AS (
+      SELECT p.j, COALESCE(n.cn, p.c) AS c
+      FROM c${t - 1} p LEFT JOIN n$t n ON p.j = n.j
+    )"""
+    val fin = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    k AS (SELECT vec_id, v, ${dotIdx("v", "v")} AS vv FROM e),
+    c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS j, v AS c FROM e
+      WHERE vec_id < $KmeansK
+    ),
+    ${(1 to KmeansIters).map(sweep).mkString(",")},
+    x$fin AS (
+      SELECT k.vec_id, k.v, ct.j,
+        k.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("k.v", "ct.c")} AS dist
+      FROM k CROSS JOIN c$KmeansIters ct
+    ),
+    a$fin AS (
+      SELECT vec_id, j, dist FROM (
+        SELECT vec_id, j, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM x$fin
+      ) WHERE rn = 1
+    )
+    SELECT g.j AS cluster, g.n_assigned, g.inertia,
+      sqrt(${dotIdx("ct.c", "ct.c")}) AS centroid_norm
+    FROM (
+      SELECT j, COUNT(*) AS n_assigned,
+        SUM(CAST(floor(dist * 1000000000.0 + 0.5) AS BIGINT))
+          / 1000000000.0 AS inertia
+      FROM a$fin GROUP BY j
+    ) g JOIN c$KmeansIters ct ON g.j = ct.j
+    ORDER BY cluster"""
+  }
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

@@ -279,7 +279,108 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
+  /** One Lloyd ASSIGNMENT pass, entirely map-side: the k centroids are
+    * collapsed into a single broadcast row holding a sorted (j, c) struct
+    * array, and each vector picks its cell with `array_min` over
+    * (squared-distance, j) structs — no shuffle at all for assignment.
+    * ||v-c||^2 expands to vv + cc - 2*(v.c) so every product runs through
+    * the codegen'd VecDot; vv is hoisted out of the per-centroid lambda.
+    * The oracle computes the same doubles via CROSS JOIN + ROW_NUMBER —
+    * identical expression shape per (vector, centroid), so the argmin
+    * agrees bit-for-bit.
+    */
+  private def kmAssign(v: DataFrame, c: DataFrame): DataFrame = {
+    val cs = broadcast(
+      c.agg(array_sort(collect_list(struct(col("j"), col("c")))).as("cs")))
+    v.crossJoin(cs)
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("best",
+        array_min(transform(col("cs"), e =>
+          struct(
+            (col("vv") + dot(e.getField("c"), e.getField("c"))
+              - lit(2.0) * dot(col("v"), e.getField("c"))).as("dist"),
+            e.getField("j").as("j")))))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("j").as("j"),
+        col("best").getField("dist").as("dist"))
+  }
+
+  /** One Lloyd UPDATE pass: per-cell, per-dimension quantized mean (the
+    * [[labelCentroids]] determinism recipe), re-assembled into a centroid
+    * array in dimension order. Empty cells keep their previous centroid.
+    * The shuffle carries k x Dims (cell, dim, counter) rows after partial
+    * aggregation — independent of corpus size.
+    */
+  private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val upd = assigned
+      .select(col("j"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("pos"))
+      .agg((sum(graft.api.Det.quantize(col("x"), 9)) /
+        (lit(graft.api.Det.pow10(9)) * count(lit(1)))).as("m"))
+      .groupBy(col("j"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cn"))
+    prev.as("p").join(upd.as("u"), col("p.j") === col("u.j"), "left")
+      .select(col("p.j").as("j"), coalesce(col("u.cn"), col("p.c")).as("c"))
+  }
+
+  /** IVF coarse-quantizer TRAINING: [[SimFns.KmeansIters]] Lloyd sweeps at
+    * k = [[SimFns.KmeansK]], deterministic init (the k lowest vec_ids),
+    * then a final assignment summarized per cell (size, quantized inertia,
+    * centroid norm). This is the missing step [[ivfTopk]] stands in for
+    * with the label column: cells learned from the data, against which a
+    * query probes one (or nprobe) partitions. Scale shape per sweep: one
+    * broadcast of k centroids out, one k x Dims-row shuffle back —
+    * the canonical distributed k-means contract (model state moves, data
+    * never does). Each sweep's 8-row centroid frame is localCheckpointed:
+    * without the cut, every later sweep re-executes the whole unrolled
+    * chain once per reference (2^sweeps plan blow-up), and the driver
+    * still never sees per-vector data.
+    */
+  /** The trained centroid frame (j, c): deterministic init from the k
+    * lowest vec_ids, then [[SimFns.KmeansIters]] sweeps. Each sweep's 8-row
+    * result is localCheckpointed — without the cut every later sweep
+    * re-executes the whole unrolled chain once per reference.
+    */
+  private def trainedCentroids(v: DataFrame): DataFrame = {
+    var c = v.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("j"), col("v").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to KmeansIters)
+      c = kmUpdate(kmAssign(v, c), c).localCheckpoint()
+    c
+  }
+
+  /** Trained-cell assignment (vec_id, cell) — the write-time partition key
+    * for an IVF table layout: embeddings partitioned by cell make a probe
+    * read ONE partition (WarehouseSpec pins the pruned scan).
+    */
+  def kmeansCells(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id"), col("v"))
+    kmAssign(v, trainedCentroids(v)).select(col("vec_id"), col("j").as("cell"))
+  }
+
+  val kmeans: GraftQuery = GraftQuery(
+    "embedding_kmeans",
+    s"IVF coarse-quantizer training: $KmeansIters Lloyd sweeps, k=$KmeansK, per-cell size/inertia/norm",
+    SimOracle.kmeansSql) { (s, d) =>
+    val v = vecs(s, d).select(col("vec_id"), col("v"))
+    val c = trainedCentroids(v)
+    kmAssign(v, c)
+      .groupBy(col("j"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        (sum(graft.api.Det.quantize(col("dist"), 9)) /
+          lit(graft.api.Det.pow10(9))).as("inertia"))
+      .join(c.select(col("j"), sqrt(dot(col("c"), col("c"))).as("centroid_norm")),
+        "j")
+      .select(col("j").as("cluster"), col("n_assigned"), col("inertia"),
+        col("centroid_norm"))
+      .orderBy("cluster")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
-      retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant)
+      retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans)
 }

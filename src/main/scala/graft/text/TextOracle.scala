@@ -314,6 +314,24 @@ object TextOracle {
       md5(canon) AS canon_fp
     FROM t ORDER BY doc_id"""
 
+  /** CMS attestation twin: exact counts ground the sketch's contract; the
+    * boolean columns are literal TRUE — the hash only matches when every
+    * Spark-side attestation held (same pattern as the HLL/GK oracles).
+    */
+  def tokenCmsSql: String = s"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok),
+    top AS (
+      SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY token
+      ORDER BY exact_count DESC, token LIMIT 10
+    )
+    SELECT token, exact_count, n_total,
+      TRUE AS never_under_ok, TRUE AS eps_band_ok
+    FROM top CROSS JOIN tot
+    ORDER BY exact_count DESC, token"""
+
   def splitsSql: String = s"""
     WITH t AS (
       SELECT n_chars, len(string_split(text, ' ')) AS n_toks,

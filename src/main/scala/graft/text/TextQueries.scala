@@ -400,6 +400,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Count-Min-Sketch token frequencies — the third mergeable-sketch
+    * surface (HLL++ distinct counts and GK quantiles are the other two),
+    * graded the same way: the sketch's CONTRACT is attested against exact
+    * counts, since sketch bits differ between engines. CMS never
+    * undercounts, and overcounts by at most eps x stream-length with
+    * probability 1-delta — both bounds become boolean columns the DuckDB
+    * twin asserts TRUE. The probe side uses the native
+    * [[graft.functions.CmsEstimate]] expression (Spark ships the
+    * `count_min_sketch` aggregate but no probe function), so the whole
+    * attestation is one distributed plan: sketch built in one
+    * partial-aggregated pass, broadcast as a 1-row frame, probed by the
+    * top-10 token rows. At 100 TB this is the pattern for cheap frequency
+    * monitoring: the sketch is KBs of mergeable state regardless of
+    * corpus size.
+    */
+  val tokenCms: GraftQuery = GraftQuery(
+    "corpus_token_cms",
+    "Count-Min sketch token counts vs exact top-10, one-sided error attestation",
+    TextOracle.tokenCmsSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = toks.agg(
+      expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), col("token"))
+      .limit(10)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est", call_function("cms_estimate", col("sk"), col("token")))
+      .select(
+        col("token"), col("exact_count"), col("n_total"),
+        (col("est") >= col("exact_count")).as("never_under_ok"),
+        ((col("est") - col("exact_count")) <= col("n_total") * lit(0.001))
+          .as("eps_band_ok"))
+      .orderBy(desc("exact_count"), col("token"))
+  }
+
   /** Sequence packing — the step that concatenates documents into
     * fixed-token training sequences: docs are dealt into
     * [[PackBuckets]] hash buckets (the parallel unit — packing is
@@ -447,5 +486,5 @@ object TextQueries {
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
-      lengthHistogram, sampleStratified, normalize)
+      lengthHistogram, sampleStratified, normalize, tokenCms)
 }

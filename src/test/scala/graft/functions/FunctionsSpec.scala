@@ -128,6 +128,25 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("CmsEstimate probes the count_min_sketch aggregate: exact on a small stream") {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // known multiplicities; a sketch this wide (eps 0.001) holds them exactly
+    val toks = (Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"))
+      .toDF("token")
+    val sk = toks.agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("sk"))
+    val probed = Seq("alpha", "beta", "gamma", "absent").toDF("t")
+      .crossJoin(sk)
+      .select(col("t"), call_function("cms_estimate", col("sk"), col("t")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probed("alpha") === 5L)
+    assert(probed("beta") === 3L)
+    assert(probed("gamma") === 1L)
+    // CMS never undercounts; an absent item may only collide upward
+    assert(probed("absent") >= 0L)
+  }
+
   test("QuantizedSum aggregator matches Det.sumQ column form") {
     val spark0 = spark
     import spark0.implicits._

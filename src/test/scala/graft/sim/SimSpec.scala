@@ -68,6 +68,21 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("kmeans training: cells partition the corpus, deterministic across runs") {
+    val total = graft.Tables.embeddings(spark, sf).count()
+    val rows = SimQueries.kmeans.frame(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= SimFns.KmeansK)
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum === total)
+    rows.foreach { r =>
+      val j = r.getAs[Int]("cluster")
+      assert(j >= 0 && j < SimFns.KmeansK)
+      assert(r.getAs[Double]("inertia") >= 0.0)
+      assert(r.getAs[Double]("centroid_norm") > 0.0)
+    }
+    val again = SimQueries.kmeans.frame(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("int8 quantization: near-lossless reconstruction, max element saturates") {
     val out = SimQueries.int8Quant.frame(spark, sf)
     val rows = out.collect()

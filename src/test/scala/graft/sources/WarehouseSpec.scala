@@ -55,6 +55,20 @@ class WarehouseSpec extends SparkSpec {
     assert(filtered.count() > 0)
   }
 
+  test("IVF layout: embeddings partitioned by trained cell prune to one partition") {
+    import org.apache.spark.sql.functions.col
+    val cells = graft.sim.SimQueries.kmeansCells(spark, sf)
+    val emb = graft.Tables.embeddings(spark, sf).join(cells, "vec_id")
+    Warehouse.replacePartitioned(emb, "embeddings_ivf", "cell")
+    val c0 = cells.agg(org.apache.spark.sql.functions.min("cell"))
+      .collect()(0).getInt(0)
+    val probe = spark.table(s"${Warehouse.Schema}.embeddings_ivf")
+      .filter(col("cell") === c0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(probe.count() > 0)
+  }
+
   test("bucketed tables join without a shuffle (no Exchange in plan)") {
     import org.apache.spark.sql.functions.col
     val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)

@@ -272,6 +272,27 @@ class TextDedupSpec extends SparkSpec {
     assert(canon === "ab c d")
   }
 
+  test("keep funnel: final <= each stage, totals conserved, dups actually drop") {
+    val docs = graft.Tables.documents(spark, sf)
+    val total = docs.count()
+    val rows = graft.dedup.DedupQueries.keepSummary.frame(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("docs_in")).sum === total)
+    rows.foreach { r =>
+      val in = r.getAs[Long]("docs_in")
+      val ex = r.getAs[Long]("exact_kept")
+      val nd = r.getAs[Long]("neardup_kept")
+      val fin = r.getAs[Long]("final_kept")
+      assert(ex <= in && nd <= in)
+      assert(fin <= ex && fin <= nd)
+      assert(fin >= 1, s"a language lost every document: $r")
+    }
+    // the corpus plants exact dups (dedup_exact_summary counts them), so
+    // the funnel must drop SOMETHING overall
+    val dropped = rows.map(r =>
+      r.getAs[Long]("docs_in") - r.getAs[Long]("final_kept")).sum
+    assert(dropped > 0)
+  }
+
   test("minhash property: identical shingle sets share every band hash") {
     val spark0 = spark
     import spark0.implicits._
