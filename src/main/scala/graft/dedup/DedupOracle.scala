@@ -69,6 +69,32 @@ object DedupOracle {
     SELECT doc_a, doc_b, jaccard FROM pairs
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
 
+  /** Exact-substring span twin: same DF-capped inverted-index shape as
+    * [[ngramPairCtes]] at n = [[DedupQueries.SpanN]], counting shared
+    * windows instead of Jaccard. `shared_spans / LEAST(...)` is
+    * BIGINT / BIGINT — float division on both engines.
+    */
+  def spanOverlapSql: String = s"""
+    WITH ${shingleCtes(DedupQueries.SpanN, "sp_all")},
+    rare AS (
+      SELECT sh FROM sp_all GROUP BY sh HAVING COUNT(*) <= $NgramDfCap
+    ),
+    sp AS (
+      SELECT doc_id, sh FROM sp_all JOIN rare USING (sh)
+    ),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_spans
+      FROM sp x JOIN sp y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY doc_id)
+    SELECT doc_a, doc_b, shared_spans,
+      shared_spans / LEAST(sa.n, sb.n) AS overlap_frac
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    ORDER BY shared_spans DESC, doc_a, doc_b LIMIT 20"""
+
   /** Connected components as a recursive reachability closure: `reach`
     * enumerates (node, reachable node) over the symmetric J-thresholded
     * edge set (components are tiny, so the closure is tiny), the label is

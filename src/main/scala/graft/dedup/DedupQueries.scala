@@ -39,6 +39,17 @@ object DedupQueries {
     */
   val NgramDfCap = 64
 
+  /** Span width (tokens) for exact-substring dedup: two docs sharing ONE
+    * 8-token window share a verbatim 8-word substring — the "exact
+    * substring" evidence class (reused boilerplate, quoted passages,
+    * copy-paste) that set-similarity measures dilute: a 600-word doc
+    * quoting a 40-word passage has Jaccard ~0.06 against its source,
+    * invisible to the J >= 0.5 near-dup screen, but 33 shared 8-token
+    * spans here. Candidate generation is the same DF-capped inverted
+    * index as the n-gram path, so the pair space stays linear.
+    */
+  val SpanN = 8
+
   /** SimHash banding: 4 disjoint 15-bit bands of the 60-bit fingerprint.
     * Two docs within Hamming distance 3 share at least one band (pigeonhole)
     * and each band key has 2^15 values — vs the 2^16 TOTAL bucket space of
@@ -128,7 +139,7 @@ object DedupQueries {
     * pair mining.
     */
   def ngramJaccardFrame(docs: DataFrame): DataFrame =
-    jaccardPairs(cappedPostings(docs), lit(true))
+    jaccardPairs(cappedPostings(docs, ShingleN), lit(true))
 
   /** The DF-capped posting table (doc_id[, extra...], sh), checkpointed.
     * `extra` columns are evaluated over `docs` (so they may reference
@@ -141,7 +152,7 @@ object DedupQueries {
     * [[graft.api.Checkpoints.releaseAll]] once the consuming aggregate
     * materializes.
     */
-  private[graft] def cappedPostings(docs: DataFrame, extra: Column*): DataFrame = {
+  private[graft] def cappedPostings(docs: DataFrame, n: Int, extra: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Evaluate `extra` in a SEPARATE select BELOW the explode. Putting them
     // in the same select as the generator looks equivalent but is not:
@@ -153,7 +164,7 @@ object DedupQueries {
     val pre = docs.select(col("doc_id") +: col("text") +: extra: _*)
     val keep = pre.columns.filterNot(_ == "text").map(col)
     pre.select(keep :+
-        explode(array_distinct(shingles(tokens(col("text")), ShingleN))).as("sh"): _*)
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"): _*)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= NgramDfCap)
       .drop("df")
@@ -466,7 +477,41 @@ object DedupQueries {
       .orderBy("lang")
   }
 
+  /** Exact-substring (span) dedup: pairs of documents sharing verbatim
+    * [[SpanN]]-token windows, ranked by how many windows they share. The
+    * complement of the Jaccard screens: catches copy-paste and quotation
+    * overlap that whole-document set similarity dilutes below threshold.
+    * Candidates come from the same DF-capped inverted index as the n-gram
+    * path (a window shared by > [[NgramDfCap]] docs is boilerplate with no
+    * pair-discriminating power), so the pair space stays linear in the
+    * corpus; `overlap_frac` = shared / min(spans) is the containment-style
+    * score a removal pass would threshold.
+    */
+  val spanOverlap: GraftQuery = GraftQuery(
+    "dedup_span_overlap",
+    s"exact-substring dedup: pairs sharing verbatim $SpanN-token windows, top-20 by count",
+    DedupOracle.spanOverlapSql) { (s, d) =>
+    spanOverlapFrame(Tables.documents(s, d))
+  }
+
+  /** The span-overlap pipeline over any (doc_id, text) frame. */
+  def spanOverlapFrame(docs: DataFrame): DataFrame = {
+    val sp = cappedPostings(docs, SpanN)
+    val sizes = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sp.as("x")
+      .join(sp.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared_spans"),
+        (col("shared_spans") / least(col("sa.n"), col("sb.n"))).as("overlap_frac"))
+      .orderBy(desc("shared_spans"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
-      keepSummary)
+      keepSummary, spanOverlap)
 }

@@ -347,4 +347,53 @@ object TextOracle {
       SUM(n_toks) / COUNT(*) AS avg_tokens
     FROM t
     GROUP BY 1 ORDER BY 1"""
+
+  /** BM25 twin. Constants are interpolated from the SAME Scala doubles the
+    * Spark side uses (Double.toString round-trips, and DuckDB parses float
+    * literals correctly rounded), `::DOUBLE` keeps DuckDB's DECIMAL
+    * literals out of the arithmetic, idf is quantized to 9 decimals right
+    * after the ln (the one op whose last ulp may differ across libms), and
+    * the per-doc score sums quantized BIGINTs. Expression association
+    * matches the Spark side exactly — see [[TextQueries.searchBm25]].
+    */
+  def searchBm25Sql: String = {
+    import TextQueries.{Bm25B, Bm25K1, Bm25TopK, Bm25Terms}
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS term FROM t
+      ) WHERE term IN ($terms)
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT term, s.avgdl,
+        floor(ln(1.0::DOUBLE + (s.n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+          * 1000000000.0 + 0.5) / 1000000000.0 AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM post GROUP BY term)
+      CROSS JOIN stats s
+    ),
+    contrib AS (
+      SELECT p.doc_id,
+        CAST(floor(i.idf * ((p.tf * ${Bm25K1 + 1.0}::DOUBLE) /
+          (p.tf + $Bm25K1::DOUBLE * (${1.0 - Bm25B}::DOUBLE +
+            ($Bm25B::DOUBLE * d.dl) / i.avgdl)))
+          * 1000000000.0 + 0.5) AS BIGINT) AS cq
+      FROM post p JOIN idf i USING (term) JOIN dl d USING (doc_id)
+    )
+    SELECT doc_id,
+      CAST(SUM(cq) AS BIGINT) / 1000000000.0 AS score,
+      COUNT(*) AS terms_hit
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  }
 }

@@ -37,6 +37,17 @@ object TextQueries {
   val PackTokens = 2048
   val PackBuckets = 32
 
+  /** Fixed query-term set for the BM25 keyword-search operator — one rare
+    * term ("dup", df ~5% of docs: high idf) against four common ones
+    * (df ~80%: idf near the floor), so the ranking exercises both ends of
+    * the idf curve. Declared before any GraftQuery val (TextOracle
+    * interpolates these; see the init-order note on [[RebalanceThresholds]]).
+    */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "hash", "stream", "sort")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
   /** Per-document token statistics: whitespace tokens, distinct tokens,
     * type-token ratio, a BPE-ish sub-word count (regex chunks of <=4 chars),
     * and stopword ratio.
@@ -286,7 +297,8 @@ object TextQueries {
     val split = when(bucket < 80, lit("train"))
       .when(bucket < 90, lit("val"))
       .otherwise(lit("test"))
-    val sh = cappedPostings(Tables.documents(s, d), split.as("split"))
+    val sh = cappedPostings(Tables.documents(s, d),
+      graft.dedup.DedupQueries.ShingleN, split.as("split"))
       .filter(col("split") =!= "val")
     jaccardPairs(sh,
       col("x.split") =!= col("y.split"),
@@ -483,8 +495,69 @@ object TextQueries {
       .orderBy("bucket")
   }
 
+  /** BM25 keyword search over the corpus: top-[[Bm25TopK]] documents for
+    * the fixed [[Bm25Terms]] query. The classic sparse-retrieval scorer —
+    * what a training pipeline runs for targeted corpus probes (find docs
+    * about X) and what dense ANN retrieval is benchmarked against.
+    *
+    * Scale shape: one scan + explode filtered to the query terms (the
+    * posting frame holds only matching terms — O(matches), not O(tokens)),
+    * then every join is against broadcast-sized statistics (5 idf rows, a
+    * 1-row corpus aggregate): zero large-side shuffles beyond the per-doc
+    * score aggregation. At 100 TB this is the standard scatter-gather
+    * keyword search: each partition scores its documents independently
+    * against broadcast term stats, and only (doc, score) pairs move.
+    *
+    * Determinism: idf = ln(1 + (N - df + ½)/(df + ½)) is the one
+    * transcendental — Spark (Java Math.log) and DuckDB (libm) may differ
+    * in the last ulp, so idf is QUANTIZED to 9 decimals immediately (5
+    * quantizations total; a boundary flip needs a ~1e-6 coincidence on one
+    * of 5 values, vs per-row exposure if the raw ln flowed on). Everything
+    * downstream is correctly-rounded IEEE754 arithmetic with the same
+    * association on both engines, and the per-doc sum of term
+    * contributions goes through [[graft.api.Det]]-style integer
+    * quantization (order-insensitive under any partitioning).
+    */
+  val searchBm25: GraftQuery = GraftQuery(
+    "doc_search_bm25",
+    s"BM25 keyword search: top-$Bm25TopK docs for ${Bm25Terms.size} fixed terms (k1=$Bm25K1, b=$Bm25B)",
+    TextOracle.searchBm25Sql) { (s, d) =>
+    bm25Frame(Tables.documents(s, d))
+  }
+
+  /** The BM25 pipeline over any (doc_id, text) frame. */
+  def bm25Frame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dl = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val post = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(Bm25Terms))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("avgdl"),
+        (floor(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * lit(1e9) + lit(0.5)) / lit(1e9)).as("idf"))
+    post.join(broadcast(idf), "term")
+      .select(col("doc_id"),
+        floor(col("idf") * ((col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            (lit(Bm25B) * col("dl")) / col("avgdl"))))
+          * lit(1e9) + lit(0.5)).as("cq"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("cq")) / lit(1e9)).as("score"),
+        count(lit(1)).as("terms_hit"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
-      lengthHistogram, sampleStratified, normalize, tokenCms)
+      lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25)
 }

@@ -27,6 +27,9 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the shared-session contract (see TextFns scaladoc): custom functions
+    // are registered up front so suite execution order can't matter
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

@@ -293,6 +293,55 @@ class TextDedupSpec extends SparkSpec {
     assert(dropped > 0)
   }
 
+  test("span overlap: planted copy-paste pair found with exact window count") {
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 1 quotes a 12-token passage of doc 0 verbatim inside otherwise
+    // disjoint text: 12 tokens -> 12-8+1 = 5 shared 8-token windows. The
+    // whole-doc 3-gram Jaccard of this pair is far below the 0.5 near-dup
+    // threshold — exactly the evidence class span dedup exists for.
+    val passage = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"
+    val docs = Seq(
+      (0L, s"a0 a1 a2 a3 a4 a5 a6 a7 $passage b0 b1 b2 b3 b4 b5 b6 b7"),
+      (1L, s"c0 c1 c2 c3 c4 c5 c6 c7 $passage d0 d1 d2 d3 d4 d5 d6 d7"),
+      (2L, "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 e14 e15"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.DedupQueries.spanOverlapFrame(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 0L && r.getAs[Long]("doc_b") === 1L)
+    assert(r.getAs[Long]("shared_spans") === 5L)
+    // both docs have 28 tokens -> 21 distinct windows; frac = 5/21
+    assert(math.abs(r.getAs[Double]("overlap_frac") - 5.0 / 21.0) < 1e-12)
+  }
+
+  test("bm25: tf monotone within a term, rare term outscores common ones") {
+    val spark0 = spark
+    import spark0.implicits._
+    // same length docs; 0 has the query term twice, 1 once, 2 never;
+    // doc 3 hits only the corpus-common term ("filler" appears everywhere,
+    // so its idf — and score — must be strictly smaller than the rare
+    // term's despite identical tf/dl
+    val docs = Seq(
+      (0L, "dup x1 dup x2 x3 x4"),
+      (1L, "dup y1 y2 y3 y4 y5"),
+      (2L, "z0 z1 z2 z3 z4 z5"),
+      (3L, "sort w1 w2 w3 w4 w5"),
+      (4L, "sort sort v1 v2 v3 v4"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextQueries.bm25Frame(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Long]("terms_hit"))).toMap
+    assert(!out.contains(2L))
+    assert(out.keySet === Set(0L, 1L, 3L, 4L))
+    assert(out(0L)._1 > out(1L)._1) // tf=2 beats tf=1 for the same term
+    assert(out(4L)._1 > out(3L)._1) // same for the other term
+    // "dup" (df=2/5) must outscore "sort" (df=2/5)? equal df -> equal idf;
+    // equal tf and dl -> equal scores: the SCORE function only sees stats
+    assert(math.abs(out(1L)._1 - out(3L)._1) < 1e-12)
+    assert(out.values.forall(_._2 === 1L))
+  }
+
   test("minhash property: identical shingle sets share every band hash") {
     val spark0 = spark
     import spark0.implicits._
