@@ -81,13 +81,18 @@ object Bench {
       (name, if (runs.isEmpty) 0.0 else runs.min, runs.nonEmpty)
     }
     val passed = timed.filter(_._3)
-    val qs = passed.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal (1 ms) formatting: full-precision doubles made the line
+    // ~2.5 KB at 69 queries and BENCH_r04's driver tail-capture cut off the
+    // head of the line -> "parsed": null. ~26 bytes/entry keeps the whole
+    // line inside the capture window with room for registry growth.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = passed.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = timed.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = passed.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try Files.writeString(Paths.get(out), json + "\n")
