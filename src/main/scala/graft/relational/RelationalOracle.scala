@@ -87,4 +87,46 @@ object RelationalOracle {
       AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
+
+  /** Dialect-shared SQL (TPC-H Q17 shape): parses identically in Spark SQL
+    * and DuckDB, so the Spark side runs THIS string via `spark.sql` and the
+    * oracle is the byte-identical text. The correlated scalar subquery is
+    * the point — Catalyst must decorrelate it into an aggregate + join
+    * (PlanSpec pins that shape). AVG(l_quantity) is exact on both engines
+    * (quantities are integral doubles, sums stay far below 2^53), and the
+    * revenue sum takes the Det.sumQ integer-quantization route — spelled
+    * with `1e4` literals: Spark SQL parses `10000.0` as DECIMAL (DataFrame
+    * `lit(10000.0)` is DOUBLE), and a DECIMAL divisor drags the whole
+    * expression into decimal arithmetic with different rounding; `1e4` is
+    * DOUBLE in both dialects.
+    */
+  val smallQtyRevenueSql: String = s"""
+    SELECT p_brand,
+      SUM(CAST(floor(l_extendedprice * 1e4 + 0.5) AS BIGINT)) / 1e4 / 7.0
+        AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4', 'Brand#5')
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    ORDER BY p_brand"""
+
+  /** Dialect-shared SQL (TPC-H Q18 shape): IN over a grouped-HAVING
+    * subquery — planned as a semi-join against the re-aggregated lineitem,
+    * never a per-row probe. SUM(l_quantity) is exact (integral doubles).
+    */
+  val largeVolumeCustomersSql: String = s"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100"""
 }

@@ -143,7 +143,40 @@ object RelationalQueries {
     checks.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape), run through the SQL
+    * surface: the frame registers the corpus views and executes the SAME
+    * text the DuckDB oracle runs. Catalyst decorrelates the per-part
+    * `0.2 * AVG(l_quantity)` subquery into one aggregate over lineitem
+    * joined back on l_partkey — a per-row subquery probe would be O(n)
+    * scans; the decorrelated plan is two scans and one join at any scale
+    * (PlanSpec pins the rewrite).
+    */
+  val smallQtyRevenue: GraftQuery = GraftQuery(
+    "part_small_qty_revenue",
+    "correlated scalar subquery, decorrelated to agg+join (TPC-H Q17 shape)",
+    RelationalOracle.smallQtyRevenueSql) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(RelationalOracle.smallQtyRevenueSql)
+  }
+
+  /** IN-over-grouped-HAVING subquery (TPC-H Q18 shape), also dialect-shared
+    * SQL: the IN becomes a left-semi join against the re-aggregated
+    * lineitem — the 100 TB shape is two shuffles on l_orderkey (one for
+    * the HAVING aggregate, one for the semi join), both AQE-coalesced.
+    */
+  val largeVolumeCustomers: GraftQuery = GraftQuery(
+    "large_volume_customers",
+    "IN over grouped-HAVING subquery -> semi join (TPC-H Q18 shape)",
+    RelationalOracle.largeVolumeCustomersSql) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(RelationalOracle.largeVolumeCustomersSql)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     pricingSummary, revenueByNation, orderPriority,
-    forecastRevenue, shippingPriority, qualityChecks)
+    forecastRevenue, shippingPriority, qualityChecks,
+    smallQtyRevenue, largeVolumeCustomers)
 }

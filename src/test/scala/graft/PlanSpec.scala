@@ -98,4 +98,28 @@ class PlanSpec extends SparkSpec {
     // one range exchange for ORDER BY vec_id is the only shuffle allowed
     assert(!plan.contains("hashpartitioning"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("part_small_qty_revenue: correlated scalar subquery is decorrelated") {
+    val df = SparkEntry.queries("part_small_qty_revenue")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // Catalyst must rewrite the per-part `0.2*AVG` subquery into an
+    // aggregate joined back on l_partkey — no subquery expression may
+    // survive into the optimized plan (a per-row probe would re-scan
+    // lineitem once per row at 100 TB)
+    val hasSubquery = optimized.expressions.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery]))
+    assert(!hasSubquery, "scalar subquery survived optimization")
+    val aggJoins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("l_partkey")) => j
+    }
+    assert(aggJoins.nonEmpty, "no decorrelated join on l_partkey:\n" + optimized)
+  }
+
+  test("large_volume_customers: IN subquery becomes a semi join") {
+    val plan = planOf("large_volume_customers")
+    assert(plan.toLowerCase.contains("leftsemi"),
+      s"IN subquery not planned as a semi join:\n$plan")
+  }
 }
