@@ -149,4 +149,35 @@ object EventOracle {
       MAX(gap_us) / 1000000.0 AS max_gap_s
     FROM g
     GROUP BY user_id ORDER BY user_id"""
+
+  /** Gap-fill: time_bucket's 2000-01-03 origin and Spark's 1970-01-01
+    * window origin are both 15-minute-aligned, so slots agree. The mean is
+    * (quantized sum)/count on both sides — identical double division.
+    */
+  val gapFillSql: String = s"""
+    WITH $evCte,
+    sa AS (
+      SELECT event_type,
+        time_bucket(INTERVAL '15 minutes', ts) AS slot,
+        COUNT(*) AS n_events,
+        $q AS sum_value
+      FROM ev GROUP BY 1, 2
+    ),
+    b AS (SELECT min(slot) AS lo, max(slot) AS hi FROM sa),
+    g AS (
+      SELECT t.event_type, gs.slot
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS slot
+        FROM b) gs
+    )
+    SELECT g.event_type, g.slot,
+      COALESCE(sa.n_events, 0) AS n_events,
+      last_value(sa.sum_value / sa.n_events IGNORE NULLS) OVER (
+        PARTITION BY g.event_type ORDER BY g.slot
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+      sa.n_events IS NULL AS is_gap
+    FROM g LEFT JOIN sa
+      ON g.event_type = sa.event_type AND g.slot = sa.slot
+    ORDER BY g.event_type, g.slot"""
 }

@@ -166,7 +166,51 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Time-series gap-fill / resample: the corpus regularized onto a dense
+    * 15-minute grid (one row per (event_type, slot) even where no events
+    * landed), with the per-slot mean value FORWARD-FILLED across empty
+    * slots — the standard prep step before any windowed feature extraction
+    * or join against a regular-cadence series.
+    *
+    * Scale shape: the observed-slot aggregate is one partial-agg shuffle
+    * keyed (type, slot); the dense grid is generated (5 types x one
+    * `sequence` over the global slot bounds — never materialized from the
+    * fact side) and left-joins the aggregate on the same key. The forward
+    * fill is `last(ignoreNulls)` over (type, slot) — partitioned by type,
+    * so 100 TB of events still fan into per-type streams whose state is
+    * one running value. Bounds come from a broadcast 1-row aggregate.
+    */
+  val gapFill: GraftQuery = GraftQuery(
+    "events_gapfill_15min",
+    "dense 15-min grid per type + forward-filled mean value (gap-fill/resample)",
+    EventOracle.gapFillSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val slotAgg = e
+      .groupBy(col("event_type"),
+        window(col("ts"), "15 minutes")("start").as("slot"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
+    val bounds = slotAgg.agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 15 MINUTES")))
+          .as("slot"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(slotAgg, Seq("event_type", "slot"), "left")
+      .select(
+        col("event_type"), col("slot"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sum_value") / col("n_events"), ignoreNulls = true).over(w)
+          .as("value_ffill"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy("event_type", "slot")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, interarrival)
+      saltedRollup, interarrival, gapFill)
 }

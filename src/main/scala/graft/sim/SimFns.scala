@@ -23,6 +23,13 @@ object SimFns {
   val KmeansK = 8
   val KmeansIters = 3
 
+  /** SemDeDup candidate threshold ([[SimQueries.semanticDedup]]): this
+    * corpus's embeddings are synthetic (intra-cell cosines top out ~0.5),
+    * so the screen is set in the semantic-redundancy band rather than the
+    * 0.9+ near-identity band a production pass would use.
+    */
+  val SemDedupCosine = 0.35
+
   /** Float array -> double array (exact widening). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 

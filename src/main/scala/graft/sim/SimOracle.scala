@@ -290,7 +290,12 @@ object SimOracle {
     * doubles per (vector, centroid) pair are identical), quantized per-dim
     * means, list re-assembly in dimension order, COALESCE for empty cells.
     */
-  val kmeansSql: String = {
+  /** CTE chain from `e` to the trained-kmeans FINAL assignment
+    * `a<KmeansIters+1>(vec_id, j, dist)` and the trained centroids
+    * `c<KmeansIters>(j, c)` — shared by [[kmeansSql]] and
+    * [[semanticDedupSql]] so both grade the same training math.
+    */
+  private val kmeansChain: String = {
     import SimFns.{KmeansIters, KmeansK}
     def sweep(t: Int): String = s"""
     x$t AS (
@@ -319,7 +324,6 @@ object SimOracle {
     )"""
     val fin = KmeansIters + 1
     s"""
-    WITH $baseCtes,
     k AS (SELECT vec_id, v, ${dotIdx("v", "v")} AS vv FROM e),
     c0 AS (
       SELECT CAST(vec_id AS INTEGER) AS j, v AS c FROM e
@@ -337,7 +341,15 @@ object SimOracle {
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
         FROM x$fin
       ) WHERE rn = 1
-    )
+    )"""
+  }
+
+  val kmeansSql: String = {
+    import SimFns.{KmeansIters, KmeansK}
+    val fin = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    $kmeansChain
     SELECT g.j AS cluster, g.n_assigned, g.inertia,
       sqrt(${dotIdx("ct.c", "ct.c")}) AS centroid_norm
     FROM (
@@ -347,6 +359,26 @@ object SimOracle {
       FROM a$fin GROUP BY j
     ) g JOIN c$KmeansIters ct ON g.j = ct.j
     ORDER BY cluster"""
+  }
+
+  /** SemDeDup twin: the same trained assignment chain, then intra-cell
+    * pairs scored by the same bit-identical cosine as [[nearDupPairsSql]].
+    */
+  val semanticDedupSql: String = {
+    import SimFns.{KmeansIters, SemDedupCosine}
+    val fin = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    $kmeansChain,
+    m AS (
+      SELECT n.vec_id, n.v, n.nrm, a.j AS cell
+      FROM n JOIN a$fin a ON n.vec_id = a.vec_id
+    )
+    SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+      ${dotIdx("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+    FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE ${dotIdx("x.v", "y.v")} / (x.nrm * y.nrm) >= $SemDedupCosine
+    ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
   }
 
   val labelCentroidsSql: String = s"""

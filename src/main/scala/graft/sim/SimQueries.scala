@@ -380,7 +380,36 @@ object SimQueries {
       .orderBy("cluster")
   }
 
+  /** SemDeDup-style semantic dedup: candidate pairs are restricted to the
+    * TRAINED k-means cell (vs [[nearDupPairs]]' data-independent LSH
+    * buckets), then screened by cosine >= [[SimFns.SemDedupCosine]]. The
+    * published SemDeDup recipe — cluster embeddings, compare only within a
+    * cluster, drop high-similarity members — with the same 100 TB contract
+    * as IVF: training moves k x Dims of model state per sweep, the pair
+    * join is an equi-join on the learned cell id, and per-cell population
+    * (~n/k, k grown with corpus) bounds the quadratic term. The cosine and
+    * the trained assignment reuse the bit-parity recipes the kmeans and
+    * near-dup oracles already pin.
+    */
+  val semanticDedup: GraftQuery = GraftQuery(
+    "semantic_dedup_pairs",
+    s"SemDeDup: intra-kmeans-cell cosine pairs >= ${SimFns.SemDedupCosine}, top-20",
+    SimOracle.semanticDedupSql) { (s, d) =>
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val m = v.join(kmeansCells(s, d), "vec_id")
+    val x = m.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell").as("cell_a"))
+    x.join(m.as("y"),
+        col("cell_a") === col("y.cell") && col("vec_a") < col("y.vec_id"))
+      .select(col("cell_a").as("cell"), col("vec_a"), col("y.vec_id").as("vec_b"),
+        (dot(col("va"), col("y.v")) / (col("na") * col("y.nrm"))).as("cosine"))
+      .filter(col("cosine") >= lit(SimFns.SemDedupCosine))
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
-      retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans)
+      retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
+      semanticDedup)
 }

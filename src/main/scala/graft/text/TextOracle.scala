@@ -396,4 +396,24 @@ object TextOracle {
     FROM contrib GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
   }
+
+  /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
+    * as the Spark side; counts are exact longs, p is one exact division.
+    */
+  val tokenEntropySql: String = s"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    t AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types
+      FROM c GROUP BY 1
+    )
+    SELECT c.lang, t.n_tokens, t.n_types,
+      -CAST(SUM(CAST(floor(
+          (c.c / t.n_tokens) * ln(c.c / t.n_tokens) * 1000000000.0 + 0.5)
+        AS BIGINT)) AS BIGINT) / 1000000000.0 AS entropy_nats
+    FROM c JOIN t ON c.lang = t.lang
+    GROUP BY c.lang, t.n_tokens, t.n_types
+    ORDER BY c.lang"""
 }

@@ -556,8 +556,41 @@ object TextQueries {
       .limit(Bm25TopK)
   }
 
+  /** Per-language unigram Shannon entropy — the corpus-health number a
+    * data-mixture dashboard tracks (collapsing entropy = dedup failure or
+    * template flooding; diverging = contamination by another register).
+    *
+    * Scale shape: one explode + (lang, token) partial-agg shuffle — the
+    * reduced key space is vocab x langs, independent of corpus size — then
+    * a per-lang rollup of the counts frame (tiny). The transcendental
+    * p*ln(p) is quantized per TYPE (not per row) to 9 decimals before the
+    * sum, the BM25 idf recipe: Spark's Java Math.log and DuckDB's libm may
+    * differ in the last ulp, so the exposure is bounded to vocab-many
+    * boundary coincidences at 1e-9, not corpus-many.
+    */
+  val tokenEntropy: GraftQuery = GraftQuery(
+    "corpus_token_entropy",
+    "per-language unigram entropy (nats) + type/token counts",
+    TextOracle.tokenEntropySql) { (s, d) =>
+    val cnt = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    cnt.join(tot, "lang")
+      .withColumn("p", col("c") / col("n_tokens"))
+      .withColumn("term",
+        floor(col("p") * log(col("p")) * lit(1e9) + lit(0.5)))
+      .groupBy(col("lang"), col("n_tokens"), col("n_types"))
+      .agg((-sum(col("term")) / lit(1e9)).as("entropy_nats"))
+      .select("lang", "n_tokens", "n_types", "entropy_nats")
+      .orderBy("lang")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
-      lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25)
+      lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
+      tokenEntropy)
 }

@@ -83,6 +83,36 @@ class SimSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("semantic_dedup_pairs: agrees with brute-force intra-cell cosine") {
+    import org.apache.spark.sql.functions._
+    val out = SimQueries.semanticDedup.frame(spark, sf).collect()
+    // brute force: all intra-cell pairs above threshold, same ordering
+    val cells = SimQueries.kmeansCells(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val vs = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val ids = vs.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids
+      if a < b && cells(a) == cells(b)
+      c = cos(vs(a), vs(b)) if c >= SimFns.SemDedupCosine
+    } yield (c, a, b)).sortBy { case (c, a, b) => (-c, a, b) }.take(20)
+    assert(out.length === expect.length)
+    out.zip(expect).foreach { case (row, (c, a, b)) =>
+      assert(row.getAs[Long]("vec_a") === a)
+      assert(row.getAs[Long]("vec_b") === b)
+      assert(math.abs(row.getAs[Double]("cosine") - c) < 1e-12)
+      assert(row.getAs[Int]("cell") === cells(a))
+    }
+  }
+
   test("int8 quantization: near-lossless reconstruction, max element saturates") {
     val out = SimQueries.int8Quant.frame(spark, sf)
     val rows = out.collect()
