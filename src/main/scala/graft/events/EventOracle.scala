@@ -150,6 +150,38 @@ object EventOracle {
     FROM g
     GROUP BY user_id ORDER BY user_id"""
 
+  /** Funnel twin: the same three conditional-min stages as CTEs; lag stats
+    * are exact microsecond longs divided once (identical double division).
+    */
+  val funnelSql: String = s"""
+    WITH $evCte,
+    v AS (
+      SELECT user_id, min(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      COUNT(v.t_view) AS n_view,
+      COUNT(c.t_click) AS n_click,
+      COUNT(p.t_purchase) AS n_purchase,
+      COUNT(p.t_purchase) / COUNT(v.t_view) AS conv_rate,
+      SUM(date_diff('microsecond', v.t_view, p.t_purchase))
+        / (1000000.0 * COUNT(p.t_purchase)) AS avg_lag_s
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id"""
+
   /** Gap-fill: time_bucket's 2000-01-03 origin and Spark's 1970-01-01
     * window origin are both 15-minute-aligned, so slots agree. The mean is
     * (quantized sum)/count on both sides — identical double division.

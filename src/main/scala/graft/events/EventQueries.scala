@@ -210,7 +210,44 @@ object EventQueries {
       .orderBy("event_type", "slot")
   }
 
+  /** Ordered-sequence funnel (view -> click -> purchase): per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that — the product-analytics pattern-match operator
+    * (MATCH_RECOGNIZE's most common instance). Stage times are exact
+    * microsecond longs, so the conversion-lag stats quantize for free.
+    *
+    * Scale shape: three filtered scans each partial-agg to one row per
+    * user BEFORE any join (the conditional min is an agg over the
+    * user-key shuffle, never a window over raw events), and the stage
+    * joins are user-key equi-joins between those per-user frames — at
+    * 100 TB every funnel stage moves |users| rows, not |events|.
+    */
+  val funnel: GraftQuery = GraftQuery(
+    "events_funnel",
+    "3-stage ordered funnel per user (view->click->purchase) + conversion lags",
+    EventOracle.funnelSql) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("ts")).as("t_purchase"))
+    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+      .agg(
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"),
+        (count(col("t_purchase")) / count(col("t_view"))).as("conv_rate"),
+        (sum(unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          / (lit(1e6) * count(col("t_purchase")))).as("avg_lag_s"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, interarrival, gapFill)
+      saltedRollup, interarrival, gapFill, funnel)
 }

@@ -26,7 +26,20 @@ object GraftFunctions {
       children => Shingles(children(0),
         children(1).eval().asInstanceOf[Number].intValue())),
     ("cms_estimate", classOf[CmsEstimate].getName,
-      children => CmsEstimate(children(0), children(1))))
+      children => CmsEstimate(children(0), children(1))),
+    // Spark keeps the bloom build/probe pair in its INTERNAL registry
+    // (InjectRuntimeFilter constructs them directly); exposing both makes
+    // the manual semi-join-pushdown pattern expressible from SQL/DataFrame
+    // code (see RelationalQueries.bloomPrefilterJoin)
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      children => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(children(0), children(1), children(2), 0, 0)
+        .toAggregateExpression()),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      children => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -113,6 +113,21 @@ object RelationalOracle {
     GROUP BY p_brand
     ORDER BY p_brand"""
 
+  /** Oracle for the BLOOM-PREFILTERED join is the PLAIN join+agg — the
+    * prefilter must be exactly semantics-preserving (false positives die
+    * in the equi-join; there are no false negatives).
+    */
+  val urgentRevenueSql: String = s"""
+    SELECT date_trunc('month', o_orderdate) AS o_month,
+      COUNT(*) AS n_items,
+      ${sumDec("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY o_month"""
+
   /** Dialect-shared SQL (TPC-H Q18 shape): IN over a grouped-HAVING
     * subquery — planned as a semi-join against the re-aggregated lineitem,
     * never a per-row probe. SUM(l_quantity) is exact (integral doubles).

@@ -175,8 +175,50 @@ object RelationalQueries {
     s.sql(RelationalOracle.largeVolumeCustomersSql)
   }
 
+  /** Manual runtime-filter join: a Bloom filter built over the SELECTIVE
+    * side's join keys (`bloom_filter_agg`) is broadcast and probed
+    * (`might_contain`) on the fact side BEFORE the shuffle — at 100 TB
+    * this is the difference between shuffling all of lineitem and
+    * shuffling only the ~join-surviving fraction. Spark's own
+    * InjectRuntimeFilter applies the same rewrite when statistics allow;
+    * the explicit form is deliberate control (and works across stages the
+    * optimizer won't cross). SEMANTICS-PRESERVING: Bloom false positives
+    * are removed by the exact equi-join that follows, so the oracle is the
+    * plain join+agg SQL — same contract as the salted rollup.
+    */
+  val bloomPrefilterJoin: GraftQuery = GraftQuery(
+    "urgent_revenue_bloom",
+    "bloom_filter_agg/might_contain fact prefilter + exact join (oracle = plain join)",
+    RelationalOracle.urgentRevenueSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val sel = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // might_contain demands its filter side be a scalar subquery (the
+    // shape InjectRuntimeFilter emits), so the probe goes through SQL
+    sel.createOrReplaceTempView("bloom_sel_orders")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .createOrReplaceTempView("bloom_fact_lineitem")
+    val pre = s.sql("""
+      SELECT l_orderkey, l_extendedprice, l_discount
+      FROM bloom_fact_lineitem
+      WHERE might_contain(
+        (SELECT bloom_filter_agg(xxhash64(o_orderkey), 100000L, 800000L)
+         FROM bloom_sel_orders),
+        xxhash64(l_orderkey))""")
+    pre.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("o_month"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_month")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
-    smallQtyRevenue, largeVolumeCustomers)
+    smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin)
 }

@@ -122,4 +122,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("leftsemi"),
       s"IN subquery not planned as a semi join:\n$plan")
   }
+
+  test("urgent_revenue_bloom: bloom probe sits on the fact scan, before the join") {
+    val df = SparkEntry.queries("urgent_revenue_bloom")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // the probe must be a FILTER under the equi-join (fact rows die before
+    // the shuffle), not a post-join residual
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "bloom probe not below the join in the plan tree")
+  }
+
+  test("events_funnel: stage aggregates reduce to per-user rows before joining") {
+    val df = SparkEntry.queries("events_funnel")(spark, sf)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan
+    val aggs = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    // three per-user conditional mins + the final funnel rollup
+    assert(aggs.size >= 4, s"expected >=4 aggregates, got ${aggs.size}")
+  }
 }

@@ -28,7 +28,7 @@ class SmokeSpec extends SparkSpec {
   test("every oracle has a deterministic total order (or is a 1-row aggregate)") {
     // hash-comparison is order-sensitive: any multi-row oracle without an
     // ORDER BY is a latent flake
-    val singleRow = Set("dedup_exact_summary", "forecast_revenue")
+    val singleRow = Set("dedup_exact_summary", "forecast_revenue", "events_funnel")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name)) {
         withClue(name) { assert(sql.toUpperCase.contains("ORDER BY")) }
@@ -55,7 +55,7 @@ class SmokeSpec extends SparkSpec {
     // object-initialization cycle (oracles are defs now; this is the pin).
     dedup.DedupQueries.all
     val reg = SparkEntry.registry
-    assert(reg.size === 76)
+    assert(reg.size === 78)
     reg.foreach { q =>
       assert(q.oracle.exists(s => s != null && s.trim.nonEmpty),
         s"${q.name} lost its oracle")
