@@ -58,6 +58,39 @@ object MultimodalOracle {
     FROM b ORDER BY doc_id"""
   }
 
+  /** Perceptual-bucket twin: the features histogram quantized to the same
+    * 16-digit code. floor(h*64+0.5) sees identical IEEE754 operands in the
+    * same order on both engines (h is an exact small-int quotient), and
+    * BIGINT->VARCHAR formatting agrees, so codes match byte-for-byte.
+    */
+  val phashBucketsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n,
+        list_transform(range(1, CAST(n + 1 AS BIGINT)),
+          i -> ord(substr(text, CAST(i AS INTEGER), 1)) >> 4) AS bins
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+        (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+          AS media_type,
+        array_to_string(list_transform(range(0, 16), k ->
+          CAST(CAST(floor(
+            len(list_filter(bins, x -> x = k))
+              / CAST(greatest(n, 1) AS DOUBLE) * 64.0 + 0.5)
+          AS BIGINT) AS VARCHAR)), '-') AS sig
+      FROM b
+    )
+    SELECT media_type, sig, COUNT(*) AS n_assets,
+      MIN(doc_id) AS keep_doc, MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY media_type, sig
+    HAVING COUNT(*) > 1
+    ORDER BY n_assets DESC, media_type, sig LIMIT 20"""
+
   val frameSampleSql: String = s"""
     WITH $mediaCte,
     v AS (

@@ -114,5 +114,47 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(catalog, frameSample, features)
+  /** Perceptual near-dup bucketing over the DECODED features — the
+    * multimodal analogue of SimHash banding: each payload's byte histogram
+    * is quantized to a coarse 16-digit code (floor(h_k*64+0.5)), payloads
+    * sharing a code are near-dup candidates, and candidate generation is a
+    * plain groupBy on the code — the pair space is never materialized
+    * (same inverted-bucket discipline as every other dedup operator). With
+    * a real image decoder the histogram becomes a pHash and the query is
+    * byte-for-byte the production perceptual-dedup shape.
+    */
+  val phashBuckets: GraftQuery = GraftQuery(
+    "multimodal_phash_buckets",
+    "perceptual dedup: quantized byte-histogram codes, buckets with >1 asset",
+    MultimodalOracle.phashBucketsSql) { (s, d) =>
+    import s.implicits._
+    val rows = media(s, d).select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+    val coded = rows.mapPartitions { it =>
+      it.map { case (docId, mt, payload) =>
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < payload.length) {
+          hist((payload(i) & 0xff) >> 4) += 1.0
+          i += 1
+        }
+        val n = math.max(payload.length, 1).toDouble
+        (docId, mt,
+          hist.map(h => math.floor(h / n * 64.0 + 0.5).toLong))
+      }
+    }.toDF("doc_id", "media_type", "code")
+    coded
+      .withColumn("sig",
+        array_join(transform(col("code"), _.cast("string")), "-"))
+      .groupBy(col("media_type"), col("sig"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        min(col("doc_id")).as("keep_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_assets") > 1)
+      .orderBy(desc("n_assets"), col("media_type"), col("sig"))
+      .limit(20)
+  }
+
+  def all: Seq[GraftQuery] = Seq(catalog, frameSample, features, phashBuckets)
 }
