@@ -328,7 +328,11 @@ object DedupQueries {
     s"SimHash near-dup: ${SimhashBands}x$SimhashBandBits-bit band candidates, " +
       s"Hamming <= $SimhashHammingMax, top-20",
     DedupOracle.simhashPairsSql) { (s, d) =>
-    val fp = graft.text.TextQueries.simhashFrame(s, d)
+    // the fingerprint frame is one row per doc but costs the full
+    // explode + two-exchange aggregation — materialize it ONCE before it
+    // fans out to both sides of the band self-join (same discipline as
+    // cappedPostings; the caller's releaseAll frees the blocks)
+    val fp = graft.text.TextQueries.simhashFrame(s, d).localCheckpoint()
     val bandMask = (1L << SimhashBandBits) - 1
     val bandStructs = (0 until SimhashBands).map { b =>
       struct(lit(b).as("b"),
