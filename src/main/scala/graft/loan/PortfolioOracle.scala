@@ -202,4 +202,32 @@ object PortfolioOracle {
     FROM lf
     GROUP BY region_cleaned
     ORDER BY region_cleaned NULLS FIRST"""
+
+  /** Unpivot twin: the wide form melted back via UNION ALL — including the
+    * zero rows the pivot materialized for empty (region, bucket) combos.
+    */
+  val bucketUnpivotSql: String = s"""
+    WITH $ctes,
+    w AS (
+      SELECT region_cleaned,
+        COUNT(*) FILTER (WHERE dpd_bucket = 'Current') AS current,
+        COUNT(*) FILTER (WHERE dpd_bucket = '1–30 DPD') AS dpd_1_30,
+        COUNT(*) FILTER (WHERE dpd_bucket = '31–60 DPD') AS dpd_31_60,
+        COUNT(*) FILTER (WHERE dpd_bucket = '61–90 DPD') AS dpd_61_90,
+        COUNT(*) FILTER (WHERE dpd_bucket = '90+ DPD') AS dpd_90_plus
+      FROM lf
+      GROUP BY region_cleaned
+    )
+    SELECT region_cleaned, dpd_bucket, n FROM (
+      SELECT region_cleaned, 'current' AS dpd_bucket, current AS n FROM w
+      UNION ALL
+      SELECT region_cleaned, 'dpd_1_30', dpd_1_30 FROM w
+      UNION ALL
+      SELECT region_cleaned, 'dpd_31_60', dpd_31_60 FROM w
+      UNION ALL
+      SELECT region_cleaned, 'dpd_61_90', dpd_61_90 FROM w
+      UNION ALL
+      SELECT region_cleaned, 'dpd_90_plus', dpd_90_plus FROM w
+    )
+    ORDER BY region_cleaned NULLS FIRST, dpd_bucket"""
 }

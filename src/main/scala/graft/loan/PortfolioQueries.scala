@@ -296,6 +296,29 @@ object PortfolioQueries {
     "region_bucket_pivot",
     "pivot dpd_bucket values into per-region count columns",
     PortfolioOracle.bucketPivotSql) { (s, d) =>
+    bucketPivotFrame(s, d).orderBy(asc_nulls_first("region_cleaned"))
+  }
+
+  /** UNPIVOT (melt): the wide per-region bucket counts back to long form —
+    * the inverse operator, with the zeros the pivot materialized kept as
+    * rows (a plain GROUP BY would omit empty (region, bucket) combos).
+    * Pure per-row expansion: no shuffle beyond the pivot's own aggregation
+    * and the presentation sort.
+    */
+  val bucketUnpivot: GraftQuery = GraftQuery(
+    "region_bucket_unpivot",
+    "unpivot the per-region bucket count columns back to long form",
+    PortfolioOracle.bucketUnpivotSql) { (s, d) =>
+    bucketPivotFrame(s, d)
+      .unpivot(
+        Array(col("region_cleaned")),
+        Array(col("current"), col("dpd_1_30"), col("dpd_31_60"),
+          col("dpd_61_90"), col("dpd_90_plus")),
+        "dpd_bucket", "n")
+      .orderBy(asc_nulls_first("region_cleaned"), col("dpd_bucket"))
+  }
+
+  private def bucketPivotFrame(s: SparkSession, d: String) = {
     lf(s, d)
       .groupBy(col("region_cleaned"))
       .pivot("dpd_bucket",
@@ -308,7 +331,6 @@ object PortfolioQueries {
         coalesce(col("31–60 DPD"), lit(0L)).as("dpd_31_60"),
         coalesce(col("61–90 DPD"), lit(0L)).as("dpd_61_90"),
         coalesce(col("90+ DPD"), lit(0L)).as("dpd_90_plus"))
-      .orderBy(asc_nulls_first("region_cleaned"))
   }
 
   /** Arbitrary GROUPING SETS (not derivable from rollup/cube): totals by
@@ -367,5 +389,5 @@ object PortfolioQueries {
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
-    rankFamily, bucketPivot, groupingSets, trailing3mo)
+    rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo)
 }
