@@ -150,6 +150,26 @@ object EventOracle {
     FROM g
     GROUP BY user_id ORDER BY user_id"""
 
+  /** Retention twin: date_trunc('week') is Monday-start on both engines;
+    * day diffs between week starts are exact multiples of 7, so the /7
+    * division and INT cast agree.
+    */
+  val retentionSql: String = s"""
+    WITH $evCte,
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM ev
+    ),
+    f AS (
+      SELECT user_id, min(aw) AS cohort_week FROM a GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+      CAST(date_diff('day', f.cohort_week, a.aw) / 7 AS INTEGER)
+        AS week_offset,
+      COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset"""
+
   /** Funnel twin: the same three conditional-min stages as CTEs; lag stats
     * are exact microsecond longs divided once (identical double division).
     */

@@ -247,7 +247,31 @@ object EventQueries {
           / (lit(1e6) * count(col("t_purchase")))).as("avg_lag_s"))
   }
 
+  /** Weekly retention cohorts: users grouped by first-seen week, counted
+    * in each later week they return — the triangle matrix behind every
+    * retention dashboard. Two aggregations: per-user first week (one
+    * user-key shuffle), then distinct users per (cohort_week, offset) over
+    * the user-week activity frame — at 100 TB the distinct pre-aggregates
+    * on (cohort, offset, user) before the final count, so the shuffle
+    * carries user-week pairs, never raw events.
+    */
+  val retention: GraftQuery = GraftQuery(
+    "events_retention_cohorts",
+    "weekly cohort retention matrix: first-seen week x week offset x users",
+    EventOracle.retentionSql) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    val first = e.groupBy(col("user_id")).agg(min(col("aw")).as("cohort_week"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("aw"), col("cohort_week")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, interarrival, gapFill, funnel)
+      saltedRollup, interarrival, gapFill, funnel, retention)
 }

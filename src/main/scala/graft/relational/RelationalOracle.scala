@@ -128,6 +128,33 @@ object RelationalOracle {
     GROUP BY 1
     ORDER BY o_month"""
 
+  /** Supplier share twin: per-supplier revenue is the quantized sum; the
+    * nation total re-quantizes those exact multiples of 1e-4, so the
+    * window SUM is order-insensitive on both engines.
+    */
+  val supplierShareSql: String = s"""
+    WITH rev AS (
+      SELECT s_suppkey, s_name, n_name,
+        ${sumDec("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY s_suppkey, s_name, n_name
+    ),
+    t AS (
+      SELECT s_suppkey, s_name, n_name, revenue,
+        SUM(CAST(floor(revenue * 10000.0 + 0.5) AS BIGINT))
+          OVER (PARTITION BY n_name) / 10000.0 AS nation_total,
+        RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey)
+          AS rank_in_nation
+      FROM rev
+    )
+    SELECT s_suppkey, s_name, n_name, revenue,
+      revenue / nation_total AS nation_share,
+      rank_in_nation
+    FROM t
+    ORDER BY n_name, rank_in_nation, s_suppkey"""
+
   /** Dialect-shared SQL (TPC-H Q18 shape): IN over a grouped-HAVING
     * subquery — planned as a semi-join against the re-aggregated lineitem,
     * never a per-row probe. SUM(l_quantity) is exact (integral doubles).

@@ -217,8 +217,41 @@ object RelationalQueries {
       .orderBy("o_month")
   }
 
+  /** Supplier revenue share within nation: fact joins two broadcast dims,
+    * one partial-agg shuffle to per-supplier rows, then the share and rank
+    * windows run over the tiny aggregated frame partitioned by nation.
+    * The nation total re-quantizes the already-exact per-supplier revenues
+    * so the window SUM stays order-insensitive.
+    */
+  val supplierShare: GraftQuery = GraftQuery(
+    "supplier_revenue_share",
+    "per-supplier revenue + share/rank within nation (broadcast dims + windows)",
+    RelationalOracle.supplierShareSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(Det.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+    val byNation = Window.partitionBy(col("n_name"))
+    val rk = Window.partitionBy(col("n_name"))
+      .orderBy(desc("revenue"), col("s_suppkey"))
+    rev
+      .withColumn("nation_total",
+        sum(Det.quantize(col("revenue"))).over(byNation) / lit(Det.pow10(4)))
+      .select(
+        col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
+        (col("revenue") / col("nation_total")).as("nation_share"),
+        rank().over(rk).as("rank_in_nation"))
+      .orderBy(col("n_name"), col("rank_in_nation"), col("s_suppkey"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
-    smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin)
+    smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
+    supplierShare)
 }
