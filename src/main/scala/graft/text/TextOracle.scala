@@ -397,6 +397,60 @@ object TextOracle {
     ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
   }
 
+  /** Funnel twin: the same stage expressions (qualitySql's score,
+    * fingerprint, hash60 split bucket) composed into one CTE chain;
+    * conditional counts via FILTER.
+    */
+  def pipelineFunnelSql: String = {
+    import TextQueries.FunnelMinTokens
+    s"""
+    WITH f AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        least(1.0, len(string_split(text, ' ')) / 60.0) *
+          (1.0 - ${stopCount("string_split(text, ' ')", TextFns.Stopwords)}
+            / len(string_split(text, ' '))) AS score,
+        md5($normTextSql) AS fp,
+        ${hash60Sql(normTextSql)} % 100 AS bucket
+      FROM documents
+    ),
+    k AS (
+      SELECT *,
+        doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep_exact
+      FROM f
+    ),
+    s AS (
+      SELECT n_toks,
+        n_toks >= $FunnelMinTokens AS s2,
+        n_toks >= $FunnelMinTokens AND score >= 0.45 AS s3,
+        n_toks >= $FunnelMinTokens AND score >= 0.45 AND keep_exact AS s4,
+        n_toks >= $FunnelMinTokens AND score >= 0.45 AND keep_exact
+          AND bucket < 80 AS s5
+      FROM k
+    ),
+    a AS (
+      SELECT
+        COUNT(*) AS n1, CAST(SUM(n_toks) AS BIGINT) AS t1,
+        COUNT(*) FILTER (WHERE s2) AS n2,
+        CAST(COALESCE(SUM(n_toks) FILTER (WHERE s2), 0) AS BIGINT) AS t2,
+        COUNT(*) FILTER (WHERE s3) AS n3,
+        CAST(COALESCE(SUM(n_toks) FILTER (WHERE s3), 0) AS BIGINT) AS t3,
+        COUNT(*) FILTER (WHERE s4) AS n4,
+        CAST(COALESCE(SUM(n_toks) FILTER (WHERE s4), 0) AS BIGINT) AS t4,
+        COUNT(*) FILTER (WHERE s5) AS n5,
+        CAST(COALESCE(SUM(n_toks) FILTER (WHERE s5), 0) AS BIGINT) AS t5
+      FROM s
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'ingest' AS stage_name, n1 AS n_docs, t1 AS n_tokens FROM a
+      UNION ALL SELECT 2, 'min_length', n2, t2 FROM a
+      UNION ALL SELECT 3, 'quality', n3, t3 FROM a
+      UNION ALL SELECT 4, 'exact_dedup', n4, t4 FROM a
+      UNION ALL SELECT 5, 'train_split', n5, t5 FROM a
+    )
+    ORDER BY stage"""
+  }
+
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
     * as the Spark side; counts are exact longs, p is one exact division.
     */

@@ -37,6 +37,9 @@ object TextQueries {
   val PackTokens = 2048
   val PackBuckets = 32
 
+  /** Minimum token count for the pipeline funnel's length stage. */
+  val FunnelMinTokens = 10
+
   /** Fixed query-term set for the BM25 keyword-search operator — one rare
     * term ("dup", df ~5% of docs: high idf) against four common ones
     * (df ~80%: idf near the floor), so the ranking exercises both ends of
@@ -588,9 +591,58 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** The END-TO-END corpus-prep funnel as ONE composed plan: cumulative
+    * survivor doc/token counts through ingest -> min-length -> quality ->
+    * exact-dedup -> train-split. This is the composition story — every
+    * stage is the registry operator it names (same expressions, same
+    * thresholds), fused by Catalyst into a single scan + one fingerprint
+    * window + one aggregate instead of five passes. At 100 TB that fusion
+    * is the difference between one corpus read and five.
+    */
+  val pipelineFunnel: GraftQuery = GraftQuery(
+    "corpus_pipeline_funnel",
+    "end-to-end prep funnel: cumulative survivors through length/quality/dedup/split",
+    TextOracle.pipelineFunnelSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val flags = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("score",
+        least(lit(1.0), col("n_toks") / lit(60.0)) *
+          (lit(1.0) - stopwordCount(col("toks"), Stopwords) / col("n_toks")))
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("bucket", hash60(normText(col("text"))) % 100)
+      .withColumn("keep_exact",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fp"))))
+      .withColumn("s2", col("n_toks") >= FunnelMinTokens)
+      .withColumn("s3", col("s2") && col("score") >= 0.45)
+      .withColumn("s4", col("s3") && col("keep_exact"))
+      .withColumn("s5", col("s4") && col("bucket") < 80)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: org.apache.spark.sql.Column) =
+      sum(when(c, col("n_toks")).otherwise(0L))
+    flags
+      .agg(
+        count(lit(1)).as("n1"), sum(col("n_toks")).as("t1"),
+        cnt(col("s2")).as("n2"), tok(col("s2")).as("t2"),
+        cnt(col("s3")).as("n3"), tok(col("s3")).as("t3"),
+        cnt(col("s4")).as("n4"), tok(col("s4")).as("t4"),
+        cnt(col("s5")).as("n5"), tok(col("s5")).as("t5"))
+      .selectExpr("""stack(5,
+          1, 'ingest', n1, t1,
+          2, 'min_length', n2, t2,
+          3, 'quality', n3, t3,
+          4, 'exact_dedup', n4, t4,
+          5, 'train_split', n5, t5)
+        AS (stage, stage_name, n_docs, n_tokens)""")
+      .orderBy("stage")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
-      tokenEntropy)
+      tokenEntropy, pipelineFunnel)
 }
