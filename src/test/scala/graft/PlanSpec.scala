@@ -136,6 +136,15 @@ class PlanSpec extends SparkSpec {
       "bloom probe not below the join in the plan tree")
   }
 
+  test("corpus_pipeline_funnel: five stages fuse into ONE corpus scan") {
+    val df = SparkEntry.queries("corpus_pipeline_funnel")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected 1 documents scan, got $scans:\n$plan")
+  }
+
   test("events_funnel: stage aggregates reduce to per-user rows before joining") {
     val df = SparkEntry.queries("events_funnel")(spark, sf)
     df.collect()
