@@ -150,6 +150,41 @@ object EventOracle {
     FROM g
     GROUP BY user_id ORDER BY user_id"""
 
+  /** Anomaly twin: mean/variance from the same exact integer sums
+    * (count, sum n, sum n^2) in the same operation order — never
+    * stddev_samp, whose accumulation order varies per engine.
+    */
+  val anomalySql: String = s"""
+    WITH $evCte,
+    slots AS (
+      SELECT event_type,
+        time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+        COUNT(*) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+        CAST(SUM(n) AS BIGINT) / COUNT(*) AS mean_n,
+        sqrt((CAST(SUM(n * n) AS BIGINT)
+            - CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT) / COUNT(*))
+          / (COUNT(*) - 1)) AS sd_n
+      FROM slots GROUP BY event_type
+    ),
+    z AS (
+      SELECT s.event_type, s.wstart, s.n,
+        (s.n - t.mean_n) / t.sd_n AS z
+      FROM slots s JOIN stats t ON s.event_type = t.event_type
+    ),
+    r AS (
+      SELECT event_type, wstart, n, z,
+        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY abs(z) DESC, wstart) AS INTEGER) AS rn
+      FROM z
+    )
+    SELECT event_type, rn, wstart, n, z
+    FROM r WHERE rn <= 3
+    ORDER BY event_type, rn"""
+
   /** Retention twin: date_trunc('week') is Monday-start on both engines;
     * day diffs between week starts are exact multiples of 7, so the /7
     * division and INT cast agree.

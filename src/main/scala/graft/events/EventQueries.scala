@@ -271,7 +271,46 @@ object EventQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Windowed anomaly detection: per event type, the 3 most anomalous
+    * 10-minute slots by z-score of the slot's event count against that
+    * type's own slot distribution. The z-score is derived from EXACT
+    * integer sums (count, sum n, sum n^2), so mean/variance are the same
+    * IEEE754 doubles on both engines — no stddev_samp, whose accumulation
+    * order varies. Scale shape: the slot aggregate is the streaming
+    * tumbling transform; stats collapse to one row per type (broadcast
+    * join back); the top-3 filter is a WindowGroupLimit so only K rows
+    * per type survive the final exchange.
+    */
+  val anomaly: GraftQuery = GraftQuery(
+    "events_anomaly_zscore",
+    "top-3 anomalous 10-min slots per type by z-score over exact count stats",
+    EventOracle.anomalySql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val slots = EventStreams.tumblingCounts(Tables.events(s, d))
+      .select(col("event_type"), col("wstart"), col("n"))
+    val stats = slots.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("slots"),
+        sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type").as("st_type"),
+        (col("s1") / col("slots")).as("mean_n"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("slots"))
+          / (col("slots") - 1)).as("sd_n"))
+    val z = slots.join(broadcast(stats), col("event_type") === col("st_type"))
+      .select(col("event_type"), col("wstart"), col("n"),
+        ((col("n") - col("mean_n")) / col("sd_n")).as("z"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc(
+        "abs_z"), col("wstart"))
+    z.withColumn("abs_z", abs(col("z")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("event_type", "rn", "wstart", "n", "z")
+      .orderBy("event_type", "rn")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, interarrival, gapFill, funnel, retention)
+      saltedRollup, interarrival, gapFill, funnel, retention, anomaly)
 }
