@@ -451,6 +451,34 @@ object TextOracle {
     ORDER BY stage"""
   }
 
+  /** PMI twin: identical doc-keyed pair self-join; the ln is quantized per
+    * pair at 9 decimals, all inputs exact BIGINTs.
+    */
+  def tokenPmiSql: String = {
+    import TextQueries.PmiMinDf
+    s"""
+    WITH e AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfx AS (SELECT token, COUNT(*) AS df FROM e GROUP BY token),
+    p AS (
+      SELECT x.token AS token_a, y.token AS token_b, COUNT(*) AS df_ab
+      FROM e x JOIN e y ON x.doc_id = y.doc_id AND x.token < y.token
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= $PmiMinDf
+    )
+    SELECT token_a, token_b, df_ab,
+      CAST(floor(ln((df_ab * n_docs) / (a.df * b.df))
+        * 1000000000.0 + 0.5) AS BIGINT) / 1000000000.0 AS pmi
+    FROM p
+    JOIN dfx a ON p.token_a = a.token
+    JOIN dfx b ON p.token_b = b.token
+    CROSS JOIN nd
+    ORDER BY pmi DESC, token_a, token_b LIMIT 20"""
+  }
+
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
     * as the Spark side; counts are exact longs, p is one exact division.
     */

@@ -640,9 +640,60 @@ object TextQueries {
       .orderBy("stage")
   }
 
+  /** Minimum co-occurrence document frequency for a PMI pair. */
+  val PmiMinDf = 5
+
+  /** Collocation mining: top-20 token pairs by document-level PMI —
+    * which tokens co-occur far more than chance, the signal behind
+    * phrase detection and template discovery. Pair candidates come from a
+    * per-document self-join of the DISTINCT-token posting frame (keyed on
+    * doc_id, so the pair space is bounded by vocab^2 after the partial
+    * agg, never corpus^2), and the one transcendental ln is quantized per
+    * PAIR (the BM25/entropy recipe). df floors keep the PMI estimate
+    * stable (a 1-doc pair maxes PMI by construction).
+    *
+    * A surviving pair needs df_ab >= PmiMinDf, which forces BOTH tokens'
+    * df >= PmiMinDf — so the posting frame is pruned to frequent tokens
+    * BEFORE the self-join. That is result-identical but removes the Zipf
+    * tail (the bulk of distinct tokens per document) from the quadratic
+    * per-doc fan-out, which is what keeps the join output linear-ish in
+    * corpus size rather than tokens-per-doc^2 at 100 TB.
+    */
+  val tokenPmi: GraftQuery = GraftQuery(
+    "corpus_token_pmi",
+    s"top-20 token pairs by document PMI (df >= $PmiMinDf)",
+    TextOracle.tokenPmiSql) { (s, d) =>
+    val e = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("token"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val freq = e.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= PmiMinDf)
+    val ef = e.join(broadcast(freq.select(col("token"))), "token")
+      .select(col("doc_id"), col("token"))
+    val pairs = ef.as("x")
+      .join(ef.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.token") < col("y.token"))
+      .groupBy(col("x.token").as("token_a"), col("y.token").as("token_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= PmiMinDf)
+    pairs
+      .join(broadcast(freq.select(col("token").as("token_a"), col("df").as("df_a"))),
+        "token_a")
+      .join(broadcast(freq.select(col("token").as("token_b"), col("df").as("df_b"))),
+        "token_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("df_ab"),
+        (floor(log((col("df_ab") * col("n_docs"))
+            / (col("df_a") * col("df_b"))) * lit(1e9) + lit(0.5)) / lit(1e9))
+          .as("pmi"))
+      .orderBy(desc("pmi"), col("token_a"), col("token_b"))
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
-      tokenEntropy, pipelineFunnel)
+      tokenEntropy, pipelineFunnel, tokenPmi)
 }
