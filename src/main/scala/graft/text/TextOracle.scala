@@ -479,6 +479,61 @@ object TextOracle {
     ORDER BY pmi DESC, token_a, token_b LIMIT 20"""
   }
 
+  /** Bigram-LM perplexity twin: lockstep double-unnest builds the bigram
+    * stream, ln p(w2|w1) quantized per TYPE at 9 decimals, per-doc sum is
+    * exact BIGINT cnt*q, and the one exp per doc is quantized at 1e-6 —
+    * identical op order to the Spark side so the raw doubles bit-match.
+    */
+  private def lmCtes: String = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+        unnest(toks[1:len(toks)-1]) AS w1,
+        unnest(toks[2:len(toks)]) AS w2
+      FROM t
+    ),
+    occ AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, SUM(cnt) AS c2 FROM occ GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    lm AS (
+      SELECT c2.w1, c2.w2,
+        CAST(floor(ln(c2.c2 / c1.c1) * 1000000000.0 + 0.5) AS BIGINT) AS q
+      FROM c2 JOIN c1 USING (w1)
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        -(SUM(cnt * q) / 1000000000.0) / SUM(cnt) AS avg_nll,
+        CAST(floor(exp(-(SUM(cnt * q) / 1000000000.0) / SUM(cnt))
+          * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ppl
+      FROM occ JOIN lm USING (w1, w2)
+      GROUP BY doc_id
+    )"""
+
+  def lmPerplexitySql: String = s"""
+    WITH $lmCtes
+    SELECT doc_id, n_bigrams, avg_nll, ppl FROM perdoc ORDER BY doc_id"""
+
+  /** Perplexity-band twin: same per-doc CTEs; band by fixed cutoffs
+    * (::DOUBLE so the comparison is double-vs-double, not DECIMAL), the
+    * band's mean ppl sums exact 1e-6-quantized BIGINTs before dividing.
+    */
+  def pplBandsSql: String = {
+    import TextQueries.{PplHeadMax, PplTailMin}
+    s"""
+    WITH $lmCtes
+    SELECT lang,
+      CASE WHEN ppl < $PplHeadMax::DOUBLE THEN 'head'
+           WHEN ppl < $PplTailMin::DOUBLE THEN 'middle'
+           ELSE 'tail' END AS band,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+      (SUM(CAST(floor(ppl * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0)
+        / COUNT(*) AS avg_ppl
+    FROM perdoc JOIN documents USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY lang, band"""
+  }
+
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
     * as the Spark side; counts are exact longs, p is one exact division.
     */

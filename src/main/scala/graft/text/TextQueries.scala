@@ -691,9 +691,96 @@ object TextQueries {
       .limit(20)
   }
 
+  /** CCNet-style LM quality scoring: per-doc perplexity under a bigram
+    * language model trained (exact MLE, no smoothing — every scored bigram
+    * was seen, it's the training corpus) on the corpus itself. Low
+    * perplexity = templated/boilerplate text, high = noise; the
+    * middle band is what a pretraining filter keeps.
+    *
+    * Scale shape: bigram occurrences are partial-aggregated to
+    * (doc_id, w1, w2, cnt) BEFORE any join (the per-doc distinct-bigram
+    * frame, corpus-compressed), the LM table is the (w1, w2) type space
+    * (vocab-bounded, independent of corpus size), and the score join
+    * shuffles on (w1, w2) — never on raw token occurrences.
+    *
+    * Determinism: ln p(w2|w1) is quantized per bigram TYPE to 9 decimals
+    * (the BM25/entropy recipe), the per-doc sum is cnt*q over exact LONGs
+    * (order-insensitive under any partitioning), and the one exp per doc
+    * is quantized at 1e-6.
+    */
+  val lmPerplexity: GraftQuery = GraftQuery(
+    "doc_lm_perplexity",
+    "per-doc perplexity under a corpus-trained bigram LM (exact MLE)",
+    TextOracle.lmPerplexitySql) { (s, d) =>
+    lmPerplexityFrame(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The bigram-LM pipeline over any (doc_id, text) frame: per-doc
+    * (doc_id, n_bigrams, avg_nll, ppl), unsorted.
+    */
+  def lmPerplexityFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = t.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val occ = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val c2 = occ.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val lm = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        floor(log(col("c2") / col("c1")) * lit(1e9) + lit(0.5)).as("q"))
+    occ.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-(col("sq") / lit(1e9)) / col("n_bigrams")).as("avg_nll"),
+        (floor(exp(-(col("sq") / lit(1e9)) / col("n_bigrams")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("ppl"))
+  }
+
+  /** CCNet's head/middle/tail split: band cutoffs are FIXED constants (as
+    * in CCNet, where they come from an offline calibration run), so the
+    * banding is a per-row comparison + one partial-agg — no global sort,
+    * no ntile window, corpus-size-independent reduce keys (lang x band).
+    * Cutoffs sit at the corpus's empirical terciles so all three bands are
+    * populated at every tested SF.
+    */
+  val PplHeadMax = 29.4
+  val PplTailMin = 30.1
+
+  /** Per-language doc/token mass and mean perplexity by quality band —
+    * the dashboard a CCNet-style pipeline uses to decide which band(s) to
+    * keep per language. avg_ppl sums the 1e-6-quantized ppl as exact
+    * LONGs (order-insensitive) before the one division.
+    */
+  val pplBands: GraftQuery = GraftQuery(
+    "corpus_ppl_bands",
+    s"CCNet-style head/middle/tail perplexity bands per language " +
+      s"(fixed cutoffs $PplHeadMax / $PplTailMin)",
+    TextOracle.pplBandsSql) { (s, d) =>
+    lmPerplexityFrame(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("band",
+        when(col("ppl") < PplHeadMax, "head")
+          .when(col("ppl") < PplTailMin, "middle")
+          .otherwise("tail"))
+      .withColumn("pq", floor(col("ppl") * lit(1e6) + lit(0.5)))
+      .groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        ((sum(col("pq")) / lit(1e6)) / count(lit(1))).as("avg_ppl"))
+      .orderBy("lang", "band")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
-      tokenEntropy, pipelineFunnel, tokenPmi)
+      tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands)
 }

@@ -155,4 +155,38 @@ class PlanSpec extends SparkSpec {
     // three per-user conditional mins + the final funnel rollup
     assert(aggs.size >= 4, s"expected >=4 aggregates, got ${aggs.size}")
   }
+
+  test("corpus_token_pmi: Zipf-tail df prefilter sits below BOTH pair-join sides") {
+    val df = SparkEntry.queries("corpus_token_pmi")(spark, sf)
+    val pairJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("doc_id")) => j
+    }
+    assert(pairJoins.size === 1,
+      s"expected exactly one doc_id pair self-join, got ${pairJoins.size}")
+    // without the prefilter the per-doc fan-out is distinct-tokens^2 over
+    // the FULL Zipf tail — each side must already be df-capped
+    Seq(pairJoins.head.left, pairJoins.head.right).foreach { side =>
+      assert(side.toString.contains(">= 5"),
+        s"pair-join side lost the df >= ${graft.text.TextQueries.PmiMinDf} prefilter:\n$side")
+    }
+  }
+
+  test("doc_lm_perplexity: every join consumes pre-aggregated frames, not raw bigrams") {
+    val df = SparkEntry.queries("doc_lm_perplexity")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    // the scale contract: the token stream is reduced to (doc, w1, w2, cnt)
+    // and (w1, w2) type frames BEFORE any shuffle join touches it
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val hasAgg = side.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+        assert(hasAgg, s"join side streams unaggregated bigrams:\n$side")
+      }
+    }
+  }
 }
