@@ -534,6 +534,23 @@ object TextOracle {
     ORDER BY lang, band"""
   }
 
+  /** BPE merge twin: all-BIGINT weighted pair counts over the aggregated
+    * vocabulary; single-char words produce an empty pair list and drop.
+    */
+  def bpeMergesSql: String = """
+    WITH wc AS (
+      SELECT unnest(string_split(text, ' ')) AS word, 1 AS one FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM wc GROUP BY word),
+    pairs AS (
+      SELECT cnt, unnest(list_transform(range(1, len(word)),
+        i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+      FROM vocab
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight
+    FROM pairs GROUP BY pair
+    ORDER BY weight DESC, pair LIMIT 20"""
+
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
     * as the Spark side; counts are exact longs, p is one exact division.
     */

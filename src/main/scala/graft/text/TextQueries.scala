@@ -778,9 +778,41 @@ object TextQueries {
       .orderBy("lang", "band")
   }
 
+  /** Top-20 BPE merge candidates: the first iteration of byte-pair-
+    * encoding tokenizer training — adjacent character-pair frequencies
+    * weighted by word count, whose argmax is the first merge rule.
+    *
+    * Scale shape: this is how real BPE trainers scale — the corpus is
+    * reduced to the weighted VOCABULARY first (one vocab-bounded
+    * partial-agg shuffle), and the quadratic-looking pair explode runs
+    * over vocab entries, independent of corpus size. All-integer
+    * arithmetic: no quantization machinery needed.
+    */
+  val bpeMerges: GraftQuery = GraftQuery(
+    "corpus_bpe_merges",
+    "top-20 BPE merge candidates: weighted adjacent char-pair counts over the vocab",
+    TextOracle.bpeMergesSql) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // Spark's sequence(1, 0) DESCENDS instead of returning empty, so a
+      // 1-char word would emit two phantom 1-char "pairs" — guard it out
+      // (DuckDB's range(1, 1) is already empty).
+      .filter(length(col("word")) >= 2)
+      .select(col("cnt"),
+        explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("weight"))
+      .orderBy(desc("weight"), col("pair"))
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
-      tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands)
+      tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
+      bpeMerges)
 }

@@ -172,6 +172,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus_bpe_merges: pair explode runs over the aggregated vocab, not the corpus") {
+    val df = SparkEntry.queries("corpus_bpe_merges")(spark, sf)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    // outer generate = char pairs, inner = token explode; collect is
+    // pre-order so head is the outer one
+    assert(gens.size === 2, s"expected 2 generates, got ${gens.size}")
+    val hasVocabAgg = gens.head.child.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+    assert(hasVocabAgg, "pair explode consumes the raw token stream, not the vocab")
+  }
+
   test("doc_lm_perplexity: every join consumes pre-aggregated frames, not raw bigrams") {
     val df = SparkEntry.queries("doc_lm_perplexity")(spark, sf)
     val joins = df.queryExecution.optimizedPlan.collect {
