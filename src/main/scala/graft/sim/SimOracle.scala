@@ -397,4 +397,30 @@ object SimOracle {
       sqrt(SUM(CAST(floor(m * m * 1000000000000.0 + 0.5) AS BIGINT))
         / 1000000000000.0) AS centroid_norm
     FROM cent GROUP BY label ORDER BY label"""
+
+  /** Truncation twin: same prefix/full ordered squared-norm folds
+    * (list_reduce bit-matches Spark's 0.0-seeded aggregate), per-vector
+    * 1e-9 quantization, exact BIGINT partial agg per k.
+    */
+  def dimTruncationSql: String = {
+    val ks = SimQueries.TruncDims.mkString(", ")
+    s"""
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    per AS (
+      SELECT vec_id, kk.k AS k,
+        CAST(floor(
+          list_reduce(list_transform(v[1:kk.k], x -> x * x), (a, b) -> a + b)
+          / list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)
+          * 1000000000.0 + 0.5) AS BIGINT) AS eq
+      FROM e CROSS JOIN (SELECT unnest([$ks]) AS k) kk
+    )
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      (SUM(eq) / 1000000000.0) / COUNT(*) AS avg_energy,
+      MIN(eq) / 1000000000.0 AS min_energy
+    FROM per GROUP BY k ORDER BY k"""
+  }
 }

@@ -408,8 +408,43 @@ object SimQueries {
       .limit(20)
   }
 
+  /** Prefix lengths for the matryoshka truncation diagnostic. */
+  val TruncDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-style dimension-truncation diagnostic: how much vector
+    * energy (squared norm) the first-k prefix retains, for k = 8/16/32/64
+    * — the number that decides whether truncated embeddings are safe for
+    * coarse ANN stages (cosine under zero-padded truncation is exactly
+    * sqrt of this fraction). One pass over the scan, no explode of the
+    * vector column: per-vector ordered folds (bit-matching DuckDB's
+    * list_reduce since 0.0 + x1 is exact), per-vector quantization to 1e-9,
+    * then an exact LONG partial-agg — reduce keys are the 4 k values,
+    * independent of corpus size.
+    */
+  val dimTruncation: GraftQuery = GraftQuery(
+    "embedding_dim_truncation",
+    s"matryoshka diagnostic: energy retained by ${TruncDims.mkString("/")}-dim prefixes",
+    SimOracle.dimTruncationSql) { (s, d) =>
+    val v = toDouble(col("embedding"))
+    val ssqFull = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    val perVec = Tables.embeddings(s, d).select(
+      col("vec_id") +: TruncDims.map { k =>
+        val pref = aggregate(slice(v, lit(1), lit(k)), lit(0.0),
+          (acc, x) => acc + x * x)
+        floor(pref / ssqFull * lit(1e9) + lit(0.5)).as(s"e$k")
+      }: _*)
+    perVec
+      .select(explode(map(
+        TruncDims.flatMap(k => Seq(lit(k), col(s"e$k"))): _*)).as(Seq("k", "eq")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vecs"),
+        ((sum(col("eq")) / lit(1e9)) / count(lit(1))).as("avg_energy"),
+        (min(col("eq")) / lit(1e9)).as("min_energy"))
+      .orderBy("k")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
-      semanticDedup)
+      semanticDedup, dimTruncation)
 }
