@@ -398,6 +398,60 @@ object SimOracle {
         / 1000000000000.0) AS centroid_norm
     FROM cent GROUP BY label ORDER BY label"""
 
+  /** Hybrid-retrieval twin: the semantic channel is bruteforceSql's CTE
+    * chain, the lexical channel is [[graft.dedup.DedupOracle]]'s DF-capped
+    * pair CTEs (no CTE name overlap), fused by per-term-quantized RRF.
+    */
+  def hybridSearchSql: String = {
+    val k = SimQueries.RrfK
+    s"""
+    WITH $baseCtes,
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0
+    ),
+    p AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM q JOIN n ON vec_id <> qid
+    ),
+    sem AS (
+      SELECT qid, vec_id AS doc,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS r_sem
+      FROM p
+      QUALIFY r_sem <= 10
+    ),
+    ${graft.dedup.DedupOracle.ngramPairCtes},
+    lexall AS (
+      SELECT doc_a AS qid, doc_b AS doc, jaccard FROM pairs
+      UNION ALL
+      SELECT doc_b AS qid, doc_a AS doc, jaccard FROM pairs
+    ),
+    lex AS (
+      SELECT qid, doc,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY jaccard DESC, doc) AS INTEGER) AS r_lex
+      FROM lexall WHERE qid % 100 = 0
+      QUALIFY r_lex <= 10
+    ),
+    fused AS (
+      SELECT COALESCE(sem.qid, lex.qid) AS qid,
+        COALESCE(sem.doc, lex.doc) AS doc,
+        COALESCE(CAST(floor(1000000000.0 / ($k + r_sem) + 0.5) AS BIGINT), 0)
+          + COALESCE(CAST(floor(1000000000.0 / ($k + r_lex) + 0.5) AS BIGINT), 0)
+          AS sq
+      FROM sem FULL OUTER JOIN lex
+        ON sem.qid = lex.qid AND sem.doc = lex.doc
+    )
+    SELECT qid,
+      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY sq DESC, doc) AS INTEGER) AS rn,
+      doc AS doc_id, sq / 1000000000.0 AS rrf
+    FROM fused
+    QUALIFY rn <= 10
+    ORDER BY qid, rn"""
+  }
+
   /** Truncation twin: same prefix/full ordered squared-norm folds
     * (list_reduce bit-matches Spark's 0.0-seeded aggregate), per-vector
     * 1e-9 quantization, exact BIGINT partial agg per k.

@@ -443,8 +443,55 @@ object SimQueries {
       .orderBy("k")
   }
 
+  /** Reciprocal-rank-fusion constant (the standard k=60). */
+  val RrfK = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a LEXICAL ranking
+    * (DF-capped n-gram Jaccard, the dedup pair machinery) and a SEMANTIC
+    * ranking (exact cosine top-10, the ANN baseline) for the same query
+    * documents — the modern two-channel retrieval stack, here as operator
+    * COMPOSITION: both channels are the registry pipelines they name,
+    * fused by rrf = Σ 1/(k + rank).
+    *
+    * Scale shape: each channel is its own linear candidate generator
+    * (inverted-index join / broadcast-query scan); the fusion join touches
+    * only the two top-10 lists per query. Each 1/(k+rank) term is
+    * quantized to a LONG so the two-term sum is exact on both engines.
+    */
+  val hybridSearch: GraftQuery = GraftQuery(
+    "doc_hybrid_search",
+    s"hybrid retrieval: RRF (k=$RrfK) over ngram-Jaccard lexical + cosine semantic top-10s",
+    SimOracle.hybridSearchSql) { (s, d) =>
+    val sem = bruteforce.frame(s, d)
+      .select(col("qid"), col("vec_id").as("doc"), col("rn").as("r_sem"))
+    val pairs = graft.dedup.DedupQueries
+      .ngramJaccardFrame(Tables.documents(s, d))
+    val lexAll = pairs
+      .select(col("doc_a").as("qid"), col("doc_b").as("doc"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("doc_b").as("qid"), col("doc_a").as("doc"), col("jaccard")))
+      .filter(col("qid") % 100 === 0)
+    val wl = Window.partitionBy(col("qid")).orderBy(desc("jaccard"), col("doc"))
+    val lex = lexAll
+      .withColumn("r_lex", row_number().over(wl).cast("int"))
+      .filter(col("r_lex") <= 10)
+      .select(col("qid"), col("doc"), col("r_lex"))
+    val fused = sem.join(lex, Seq("qid", "doc"), "full_outer")
+      .select(col("qid"), col("doc"),
+        (coalesce(floor(lit(1e9) / (lit(RrfK) + col("r_sem")) + lit(0.5)), lit(0L))
+          + coalesce(floor(lit(1e9) / (lit(RrfK) + col("r_lex")) + lit(0.5)), lit(0L)))
+          .as("sq"))
+    val wf = Window.partitionBy(col("qid")).orderBy(desc("sq"), col("doc"))
+    fused
+      .withColumn("rn", row_number().over(wf).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("doc").as("doc_id"),
+        (col("sq") / lit(1e9)).as("rrf"))
+      .orderBy("qid", "rn")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
-      semanticDedup, dimTruncation)
+      semanticDedup, dimTruncation, hybridSearch)
 }
