@@ -220,4 +220,24 @@ object DedupOracle {
     WHERE hamming <= $SimhashHammingMax
     ORDER BY hamming, doc_a, doc_b LIMIT 20"""
   }
+
+  /** Degree-histogram twin: symmetrized thresholded edges, left join so
+    * degree-0 docs stay visible, all-BIGINT arithmetic.
+    */
+  def degreeHistogramSql: String = s"""
+    WITH $ngramPairCtes,
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM edges
+        UNION ALL
+        SELECT doc_b AS doc_id FROM edges
+      ) GROUP BY doc_id
+    )
+    SELECT COALESCE(degree, 0) AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents LEFT JOIN deg USING (doc_id)
+    GROUP BY 1 ORDER BY 1"""
 }

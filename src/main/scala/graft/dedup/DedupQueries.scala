@@ -515,7 +515,33 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** Near-dup graph health: how many J >= [[ClusterJaccard]] edges each
+    * document carries, as a degree histogram (degree 0 = clean docs). The
+    * graph-quality artifact behind [[clusters]]: a fat tail here means a
+    * template/boilerplate hub is stitching unrelated docs into one giant
+    * component, the classic large-scale dedup failure mode — this is the
+    * dashboard number that catches it before cluster assignment runs.
+    * Cost: the same capped pair frame, then two corpus-size-bounded aggs
+    * (degrees, then the tiny histogram).
+    */
+  val degreeHistogram: GraftQuery = GraftQuery(
+    "dedup_degree_histogram",
+    s"near-dup graph health: per-doc J>=$ClusterJaccard edge-degree histogram",
+    DedupOracle.degreeHistogramSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+    val deg = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
-      keepSummary, spanOverlap)
+      keepSummary, spanOverlap, degreeHistogram)
 }
