@@ -357,4 +357,22 @@ class TextDedupSpec extends SparkSpec {
     (1 to 4).foreach(i => assert(out(0).getString(i) === out(1).getString(i)))
     assert((1 to 4).exists(i => out(0).getString(i) !== out(2).getString(i)))
   }
+
+  test("bigram-LM perplexity is bit-identical at any input partitioning") {
+    // the end-to-end determinism claim behind the per-type quantization +
+    // exact-LONG doc sums: the transcendental-laden pipeline must produce
+    // RAW-BIT-equal doubles whatever the partition/merge order
+    val docs = graft.Tables.documents(spark, sf)
+    def bits(parts: Int): Seq[(Long, Long, Long, Long)] =
+      TextQueries.lmPerplexityFrame(docs.repartition(parts))
+        .orderBy("doc_id").collect().toSeq.map { r =>
+          (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+            java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+        }
+    val a = bits(1)
+    val b = bits(13)
+    assert(a.nonEmpty)
+    assert(a === b, "perplexity bits drifted across partitionings")
+  }
 }
