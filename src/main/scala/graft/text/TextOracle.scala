@@ -479,6 +479,27 @@ object TextOracle {
     ORDER BY pmi DESC, token_a, token_b LIMIT 20"""
   }
 
+  /** Importance-sampler twin: identical score expression to qualitySql,
+    * identical hash60 uniform, all counts exact BIGINTs.
+    */
+  def sampleWeightedSql: String = s"""
+    WITH t AS (
+      SELECT lang, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    q AS (
+      SELECT lang,
+        least(1.0, len(toks) / 60.0) *
+          (1.0 - ${stopCount("toks", TextFns.Stopwords)} / len(toks)) AS score,
+        ${hash60Sql("text")} / 1152921504606846976.0 AS u
+      FROM t
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN u < score THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      SUM(CAST(floor(score * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0
+        AS expected_kept,
+      SUM(CASE WHEN u < score THEN 1 ELSE 0 END) / COUNT(*) AS kept_rate
+    FROM q GROUP BY lang ORDER BY lang"""
+
   /** Bigram-LM perplexity twin: lockstep double-unnest builds the bigram
     * stream, ln p(w2|w1) quantized per TYPE at 9 decimals, per-doc sum is
     * exact BIGINT cnt*q, and the one exp per doc is quantized at 1e-6 —

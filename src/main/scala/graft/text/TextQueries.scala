@@ -809,10 +809,43 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Doc-level importance sampling: keep each doc with probability equal
+    * to its quality score, decided by a CONTENT-hash uniform (hash60 /
+    * 2^60) rather than a seeded RNG — so the sample survives re-shards,
+    * re-orders, and re-runs, the same argument as [[splits]], and the
+    * keep test is a per-row comparison with zero coordination. The output
+    * is the per-language calibration table: realized keeps vs the exact
+    * expected count Σ score (quantized per doc, exact LONG sum) — the
+    * check that the sampler is unbiased.
+    */
+  val sampleWeighted: GraftQuery = GraftQuery(
+    "corpus_sample_weighted",
+    "importance sampling: content-hash keep test at p = quality score, per-language calibration",
+    TextOracle.sampleWeightedSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        stopwordCount(col("toks"), Stopwords) / col("n_tokens"))
+      .withColumn("score",
+        least(lit(1.0), col("n_tokens") / lit(60.0))
+          * (lit(1.0) - col("stop_ratio")))
+      .withColumn("u", hash60(col("text")) / lit(1152921504606846976.0))
+      .withColumn("kept", (col("u") < col("score")).cast("int"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        (sum(floor(col("score") * lit(1e9) + lit(0.5))) / lit(1e9))
+          .as("expected_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("expected_kept"),
+        (col("n_kept") / col("n_docs")).as("kept_rate"))
+      .orderBy("lang")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
-      bpeMerges)
+      bpeMerges, sampleWeighted)
 }
