@@ -230,4 +230,22 @@ object PortfolioOracle {
       SELECT region_cleaned, 'dpd_90_plus', dpd_90_plus FROM w
     )
     ORDER BY region_cleaned NULLS FIRST, dpd_bucket"""
+
+  /** Profile twin: per-column UNION ALL over the native values — COUNT
+    * DISTINCT on natives equals the Spark side's stringified distinct
+    * because per-column stringification is round-trip injective.
+    */
+  def tableProfileSql: String = {
+    val legs = PortfolioQueries.ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+        CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lf"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH $ctes
+    SELECT * FROM (
+      $legs
+    )
+    ORDER BY col_name"""
+  }
 }

@@ -385,9 +385,48 @@ object PortfolioQueries {
       .orderBy(asc_nulls_first("region_cleaned"), col("month_idx"))
   }
 
+  /** Columns profiled by [[tableProfile]] — the id, the dirty inputs
+    * (region carries genuine nulls, product_type/emi_collected come off a
+    * left join), and representative derived metrics of every type.
+    */
+  val ProfileCols: Seq[String] = Seq(
+    "loan_id", "customer_name", "region", "region_cleaned", "product_type",
+    "emi_collected", "arrear", "dpd_bucket", "disbursement_date",
+    "months_due")
+
+  /** Generic data-quality profile of the flagship relation: per-column
+    * row/null/exact-distinct counts — the ANALYZE/profiling surface a
+    * warehouse exposes, here run against the engine's own output so the
+    * null-region quirk and the left-join nullability are visible numbers.
+    *
+    * Shape: one scan unpivoted to (col_name, value) via a generator —
+    * the shuffle carries |cols| x rows stringified cells, the same cost
+    * envelope as the multi-distinct EXPAND plan Spark would otherwise
+    * produce, but in long form so the reduce keys are the column names.
+    * Stringification is per-column and round-trip injective (Java's
+    * shortest double repr, ISO dates), so distinct counts equal the
+    * native ones the oracle computes.
+    */
+  val tableProfile: GraftQuery = GraftQuery(
+    "loan_table_profile",
+    "per-column profile of loan_final: rows, nulls, exact distinct",
+    PortfolioOracle.tableProfileSql) { (s, d) =>
+    lf(s, d)
+      .select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("cell"))
+      .select(col("cell.col_name").as("col_name"), col("cell.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"))
+      .orderBy("col_name")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
-    rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo)
+    rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
+    tableProfile)
 }
