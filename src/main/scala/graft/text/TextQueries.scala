@@ -728,8 +728,14 @@ object TextQueries {
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // occ fans out to the LM-table derivation AND the score join; without
+    // materialization each consumer re-scans the corpus and re-runs the
+    // bigram explode (measured: 4 parquet scans in corpus_ppl_bands).
+    // Same lifecycle as the dedup posting table: scratch blocks are freed
+    // by the caller's Checkpoints.releaseAll once the aggregate lands.
     val occ = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val c2 = occ.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val lm = c2.join(c1, "w1")

@@ -193,13 +193,16 @@ class PlanSpec extends SparkSpec {
     }
     assert(joins.nonEmpty)
     // the scale contract: the token stream is reduced to (doc, w1, w2, cnt)
-    // and (w1, w2) type frames BEFORE any shuffle join touches it
+    // and (w1, w2) type frames BEFORE any shuffle join touches it — either
+    // a live Aggregate or the occ checkpoint (a LogicalRDD leaf: the
+    // MATERIALIZED aggregate, cut from the plan by localCheckpoint)
     joins.foreach { j =>
       Seq(j.left, j.right).foreach { side =>
-        val hasAgg = side.collect {
+        val reduced = side.collect {
           case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case r: org.apache.spark.sql.execution.LogicalRDD => r
         }.nonEmpty
-        assert(hasAgg, s"join side streams unaggregated bigrams:\n$side")
+        assert(reduced, s"join side streams unaggregated bigrams:\n$side")
       }
     }
   }
