@@ -35,6 +35,24 @@ object RelationalOracle {
     GROUP BY n_name
     ORDER BY revenue DESC, n_name"""
 
+  /** Q5 twin: same cyclic join predicate set; DuckDB's optimizer picks its
+    * own order, the result is order-independent through the quantized sum.
+    */
+  val localSupplierRevenueSql: String = s"""
+    SELECT n_name,
+      ${sumDec("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
   val forecastRevenueSql: String = s"""
     SELECT ${sumDec("l_extendedprice * l_discount", 6)} AS revenue
     FROM lineitem

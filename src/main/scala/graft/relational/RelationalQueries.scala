@@ -55,6 +55,38 @@ object RelationalQueries {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** TPC-H Q5 proper: the CYCLIC 6-relation join (the `c_nationkey =
+    * s_nationkey` local-supplier edge closes a cycle in the join graph —
+    * the planner must pick an order for a non-tree query, the classic
+    * join-reorder stress). Region/nation are broadcast dims; the supplier
+    * join carries the cycle edge as a second equi-condition, so it stays
+    * a plain hash join (no post-filter of a wider join). Revenue through
+    * [[Det.sumQ]] for order-insensitive bit parity.
+    */
+  val localSupplierRevenue: GraftQuery = GraftQuery(
+    "local_supplier_revenue",
+    "TPC-H Q5: cyclic 6-way join (local supplier), revenue per ASIA nation",
+    RelationalOracle.localSupplierRevenueSql) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey")
+          && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(Det.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** Order-priority counts with a date-range filter pushed to the scan and a
     * left-semi existence check against lineitem (TPC-H Q4 shape).
     */
@@ -253,5 +285,5 @@ object RelationalQueries {
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
-    supplierShare)
+    supplierShare, localSupplierRevenue)
 }
