@@ -31,6 +31,27 @@ object MultimodalOracle {
     FROM m
     GROUP BY media_type ORDER BY media_type"""
 
+  /** Thumbnail twin: the byte crop re-expressed over `text` characters
+    * (pure-ASCII corpus: substring chars == payload bytes, and DuckDB's
+    * VARCHAR md5 over the cropped text equals Spark's BINARY md5 over the
+    * cropped UTF-8 payload). Height scaling is floor of an exact-int
+    * double division on both engines.
+    */
+  def thumbnailSql: String = {
+    import MultimodalQueries.{ThumbBytes, ThumbWidth}
+    s"""
+    WITH $mediaCte
+    SELECT m.doc_id, media_type,
+      CAST(n_bytes AS BIGINT) AS n_bytes_in,
+      CAST(octet_length(CAST(substring(text, 1, $ThumbBytes) AS BLOB)) AS BIGINT)
+        AS n_bytes_out,
+      md5(substring(text, 1, $ThumbBytes)) AS checksum,
+      $ThumbWidth AS thumb_width,
+      CAST(floor((height * $ThumbWidth) / width) AS INTEGER) AS thumb_height
+    FROM m JOIN documents d ON m.doc_id = d.doc_id
+    ORDER BY m.doc_id"""
+  }
+
   /** Oracle for the stub decoder: the 16-bin byte histogram re-expressed
     * over the characters of `text`. Valid because the corpus is pure ASCII
     * (synthetic single-spaced lowercase latin words), where UTF-8 byte i ==

@@ -156,5 +156,36 @@ object MultimodalQueries {
       .limit(20)
   }
 
-  def all: Seq[GraftQuery] = Seq(catalog, frameSample, features, phashBuckets)
+  /** Thumbnail crop length (bytes). */
+  val ThumbBytes = 256
+  /** Thumbnail target width (pixels in the stand-in metadata). */
+  val ThumbWidth = 32
+
+  /** Resize stub: crop the payload to [[ThumbBytes]] bytes and rescale the
+    * metadata to width [[ThumbWidth]] (aspect-preserving integer height).
+    * The byte crop is the deterministic stand-in for a real resampler —
+    * the REAL parts are the binary-typed substring (payload bytes never
+    * leave BinaryType), the checksum over the derived payload (the
+    * provenance a thumbnail cache keys on), and the struct rewrite. One
+    * narrow map plan, no shuffle before the presentation sort.
+    */
+  val thumbnail: GraftQuery = GraftQuery(
+    "multimodal_thumbnail",
+    s"resize stub: crop payload to $ThumbBytes bytes + scaled metadata + checksum",
+    MultimodalOracle.thumbnailSql) { (s, d) =>
+    media(s, d)
+      .withColumn("thumb", substring(col("payload"), 1, ThumbBytes))
+      .select(
+        col("doc_id"), col("media_type"),
+        col("n_bytes").as("n_bytes_in"),
+        length(col("thumb")).cast("long").as("n_bytes_out"),
+        md5(col("thumb")).as("checksum"),
+        lit(ThumbWidth).as("thumb_width"),
+        floor((col("meta.height") * ThumbWidth) / col("meta.width"))
+          .cast("int").as("thumb_height"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(catalog, frameSample, features, phashBuckets, thumbnail)
 }
