@@ -172,6 +172,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("local_supplier_revenue: cyclic join planned as hash joins, no cartesian") {
+    val df = SparkEntry.queries("local_supplier_revenue")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the c_nationkey = s_nationkey cycle edge must ride an equi-join;
+    // a planner that loses it falls back to BNLJ/cartesian + filter
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    val pushed = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+    assert(pushed.findFirstIn(plan).isDefined,
+      "order-date range not pushed to the orders scan")
+  }
+
+  test("multimodal_thumbnail: narrow map plan — no exchange before the sort") {
+    val df = SparkEntry.queries("multimodal_thumbnail")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 0, s"unexpected shuffle in:\n$plan")
+  }
+
   test("corpus_bpe_merges: pair explode runs over the aggregated vocab, not the corpus") {
     val df = SparkEntry.queries("corpus_bpe_merges")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {
