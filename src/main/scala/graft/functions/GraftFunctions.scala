@@ -20,6 +20,8 @@ object GraftFunctions {
       children => Hash60(children.head)),
     ("vec_dot", classOf[VecDot].getName,
       children => VecDot(children(0), children(1))),
+    ("byte_histogram", classOf[ByteHistogram].getName,
+      children => ByteHistogram(children.head)),
     ("shingles", classOf[Shingles].getName,
       // n must be a foldable integer literal (the window width is part of
       // the operator, not data)
@@ -30,16 +32,39 @@ object GraftFunctions {
     // Spark keeps the bloom build/probe pair in its INTERNAL registry
     // (InjectRuntimeFilter constructs them directly); exposing both makes
     // the manual semi-join-pushdown pattern expressible from SQL/DataFrame
-    // code (see RelationalQueries.bloomPrefilterJoin)
+    // code (see RelationalQueries.bloomPrefilterJoin). Arity is validated
+    // here because temp-function registration bypasses the built-in
+    // registry's ExpressionBuilder arity check: 1-3 args mirror Spark's own
+    // overloads (items / bits default internally), anything else is a
+    // proper WRONG_NUM_ARGS analysis error, not an IndexOutOfBounds.
     ("bloom_filter_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-      children => org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(children(0), children(1), children(2), 0, 0)
-        .toAggregateExpression()),
+      children => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val agg = children match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, items) => new BloomFilterAggregate(c, items)
+          case Seq(c, items, bits) => BloomFilterAggregate(c, items, bits, 0, 0)
+          case other => throw wrongNumArgs("bloom_filter_agg", "[1, 2, 3]", other.length)
+        }
+        agg.toAggregateExpression()
+      }),
     ("might_contain",
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-      children => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(children(0), children(1))))
+      children => children match {
+        case Seq(bf, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+        case other => throw wrongNumArgs("might_contain", "2", other.length)
+      }))
+
+  private def wrongNumArgs(fn: String, expected: String, actual: Int) =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$fn`",
+        "expectedNum" -> expected,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

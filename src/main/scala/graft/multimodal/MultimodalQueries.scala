@@ -12,11 +12,12 @@ import graft.api.GraftQuery
   * The corpus has no real media, so the payload is the document's UTF-8
   * bytes and the "decode" is a deterministic stand-in (byte histogram) —
   * clearly marked STUB. Everything AROUND the stub is the real design:
-  * binary columns stay opaque to Catalyst (no codegen on payload bytes),
-  * metadata lives in a pruned-friendly struct, feature extraction runs
-  * per-partition over iterators (the exact shape a native decoder or a
-  * vectorized Python UDF plugs into), and frame sampling is a vectorized
-  * explode, never a driver loop.
+  * payloads stay BinaryType end-to-end, metadata lives in a
+  * pruned-friendly struct, the stub decode is a native codegen'd
+  * expression ([[graft.functions.ByteHistogram]] — rows never cross the
+  * encoder boundary; a REAL decoder needing a native lib would swap in
+  * as `mapPartitions`/`mapInPandas` at the same column), and frame
+  * sampling is a vectorized explode, never a driver loop.
   */
 object MultimodalQueries {
 
@@ -77,38 +78,27 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** STUB DECODER: per-partition iterator "decode" producing a 16-bin byte
-    * histogram as the stand-in feature vector. This is where a real
-    * image/audio decoder (JNI, native lib, or an Arrow-batched Python UDF)
-    * would plug in — the partition iteration, row encoding, and
-    * fixed-length output schema are the production shape; only the bytes->
-    * features function is fake. The stub itself is deterministic and
-    * SQL-expressible, so it carries a full DuckDB oracle: each h_k is
-    * count(byte >> 4 == k) / n_bytes, an exact small-integer division that
-    * is bit-identical IEEE754 on both engines.
+  /** STUB DECODER: the native codegen'd [[graft.functions.ByteHistogram]]
+    * expression produces a 16-bin byte histogram as the stand-in feature
+    * vector — one fused loop per row that stays inside WholeStageCodegen
+    * (PlanSpec pins: no DeserializeToObject in this plan). A REAL
+    * image/audio decoder (JNI, native lib, Arrow-batched Python UDF) would
+    * swap in via `mapPartitions` over iterators at exactly this column —
+    * only the bytes->features function is fake; the schema, partitioning,
+    * and fixed-length output are the production shape. The stub is
+    * deterministic and SQL-expressible, so it carries a full DuckDB
+    * oracle: each h_k is count(byte >> 4 == k) / n_bytes, an exact
+    * small-integer division that is bit-identical IEEE754 on both engines.
     */
   val features: GraftQuery = GraftQuery(
     "multimodal_features",
-    "stub decode via mapPartitions: byte-histogram features per payload, flattened h0..h15",
+    "stub decode via native ByteHistogram expression, flattened h0..h15",
     MultimodalOracle.featuresSql) { (s, d) =>
-    import s.implicits._
-    val rows = media(s, d).select("doc_id", "payload")
-      .as[(Long, Array[Byte])]
-    val decoded = rows.mapPartitions { it =>
-      it.map { case (docId, payload) =>
-        val hist = new Array[Double](16)
-        var i = 0
-        while (i < payload.length) {
-          hist((payload(i) & 0xff) >> 4) += 1.0
-          i += 1
-        }
-        val n = math.max(payload.length, 1).toDouble
-        (docId, hist.map(_ / n))
-      }
-    }.toDF("doc_id", "features")
+    graft.functions.GraftFunctions.register(s)
     // flatten to scalar columns: the driver's check (pandas) can't hash
     // array cells, and a fixed-width feature vector IS a wide row
-    decoded
+    media(s, d)
+      .withColumn("features", call_function("byte_histogram", col("payload")))
       .select(col("doc_id") +:
         (0 until 16).map(i => element_at(col("features"), i + 1).as(s"h$i")): _*)
       .orderBy("doc_id")
@@ -116,36 +106,26 @@ object MultimodalQueries {
 
   /** Perceptual near-dup bucketing over the DECODED features — the
     * multimodal analogue of SimHash banding: each payload's byte histogram
-    * is quantized to a coarse 16-digit code (floor(h_k*64+0.5)), payloads
-    * sharing a code are near-dup candidates, and candidate generation is a
-    * plain groupBy on the code — the pair space is never materialized
-    * (same inverted-bucket discipline as every other dedup operator). With
-    * a real image decoder the histogram becomes a pHash and the query is
-    * byte-for-byte the production perceptual-dedup shape.
+    * (the same native [[graft.functions.ByteHistogram]] decode as
+    * `multimodal_features`) is quantized to a coarse 16-digit code
+    * (floor(h_k*64+0.5)), payloads sharing a code are near-dup candidates,
+    * and candidate generation is a plain groupBy on the code — the pair
+    * space is never materialized (same inverted-bucket discipline as every
+    * other dedup operator). With a real image decoder the histogram
+    * becomes a pHash and the query is byte-for-byte the production
+    * perceptual-dedup shape.
     */
   val phashBuckets: GraftQuery = GraftQuery(
     "multimodal_phash_buckets",
     "perceptual dedup: quantized byte-histogram codes, buckets with >1 asset",
     MultimodalOracle.phashBucketsSql) { (s, d) =>
-    import s.implicits._
-    val rows = media(s, d).select("doc_id", "media_type", "payload")
-      .as[(Long, String, Array[Byte])]
-    val coded = rows.mapPartitions { it =>
-      it.map { case (docId, mt, payload) =>
-        val hist = new Array[Double](16)
-        var i = 0
-        while (i < payload.length) {
-          hist((payload(i) & 0xff) >> 4) += 1.0
-          i += 1
-        }
-        val n = math.max(payload.length, 1).toDouble
-        (docId, mt,
-          hist.map(h => math.floor(h / n * 64.0 + 0.5).toLong))
-      }
-    }.toDF("doc_id", "media_type", "code")
-    coded
-      .withColumn("sig",
-        array_join(transform(col("code"), _.cast("string")), "-"))
+    graft.functions.GraftFunctions.register(s)
+    media(s, d)
+      .withColumn("features", call_function("byte_histogram", col("payload")))
+      .withColumn("sig", array_join(
+        transform(col("features"),
+          h => floor(h * lit(64.0) + lit(0.5)).cast("long").cast("string")),
+        "-"))
       .groupBy(col("media_type"), col("sig"))
       .agg(
         count(lit(1)).as("n_assets"),

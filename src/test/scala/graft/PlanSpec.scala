@@ -194,6 +194,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 0, s"unexpected shuffle in:\n$plan")
   }
 
+  test("multimodal_features: native decode stays inside codegen — no encoder boundary") {
+    val df = SparkEntry.queries("multimodal_features")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the old mapPartitions decode forced every row out of Tungsten:
+    // DeserializeToObject -> MapPartitions -> SerializeFromObject. The
+    // native ByteHistogram expression must leave NO object boundary and
+    // keep the scan->project pipeline in a single codegen'd stage
+    assert(!plan.contains("DeserializeToObject"), s"encoder boundary in:\n$plan")
+    assert(!plan.contains("MapPartitions"), s"mapPartitions decode in:\n$plan")
+    assert(plan.contains("*("), "decode projection not codegen'd")
+    assert(plan.contains("byte_histogram"), "native decode expression missing")
+  }
+
+  test("multimodal_phash_buckets: decode + quantize run before the ONE bucket exchange") {
+    val df = SparkEntry.queries("multimodal_phash_buckets")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("DeserializeToObject"), s"encoder boundary in:\n$plan")
+    // partial agg on (media_type, sig) then one hash exchange — the pair
+    // space is never materialized and the payload bytes never shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 bucket exchange, got $exchanges:\n$plan")
+  }
+
   test("corpus_bpe_merges: pair explode runs over the aggregated vocab, not the corpus") {
     val df = SparkEntry.queries("corpus_bpe_merges")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {

@@ -128,6 +128,59 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("ByteHistogram: bins sum to 1, match a hand count, empty/null handled") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(Some("abc XYZ 09"), Some(""), None).toDF("t")
+      .select(call_function("byte_histogram", col("t").cast("binary")).as("h"))
+    val rows = df.collect()
+    // "abc XYZ 09": nibble 6 x3 (abc), nibble 2 x2 (spaces), nibble 5 x3
+    // (XYZ), nibble 3 x2 (09) over 10 bytes
+    val h0 = rows(0).getSeq[Double](0)
+    assert(h0.sum === 1.0)
+    assert(h0(6) === 0.3 && h0(2) === 0.2 && h0(5) === 0.3 && h0(3) === 0.2)
+    // empty payload -> all-zero histogram (not NaN), null -> null
+    assert(rows(1).getSeq[Double](0).forall(_ === 0.0))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("ByteHistogram generated code actually COMPILES (no interpreted fallback)") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT byte_histogram(CAST(CAST(id AS STRING) AS BINARY)) AS h
+          |FROM range(100)""".stripMargin)
+        .select(element_at(col("h"), 4).as("b3")) // digits live in nibble 3
+        .agg(min(col("b3"))).collect()(0)
+      assert(r.getDouble(0) === 1.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("bloom_filter_agg / might_contain arities: defaults accepted, wrong arity is an analysis error") {
+    GraftFunctions.register(spark)
+    // 1- and 2-arg forms fall back to Spark's own defaults; 3-arg is the
+    // explicit form used by urgent_revenue_bloom
+    Seq(
+      "bloom_filter_agg(CAST(id AS STRING))",
+      "bloom_filter_agg(CAST(id AS STRING), CAST(100 AS BIGINT))",
+      "bloom_filter_agg(CAST(id AS STRING), CAST(100 AS BIGINT), CAST(8192 AS BIGINT))")
+      .foreach { call =>
+        val bf = spark.sql(s"SELECT $call AS bf FROM range(10)")
+        assert(bf.collect()(0).getAs[Array[Byte]](0).nonEmpty)
+      }
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bloom_filter_agg() FROM range(10)").collect()
+    }
+    assert(e.getMessage.contains("bloom_filter_agg"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT might_contain(CAST(NULL AS BINARY)) AS m").collect()
+    }
+    assert(e2.getMessage.contains("might_contain"))
+  }
+
   test("CmsEstimate probes the count_min_sketch aggregate: exact on a small stream") {
     val spark0 = spark
     import spark0.implicits._
