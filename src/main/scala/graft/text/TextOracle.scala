@@ -572,6 +572,46 @@ object TextOracle {
     FROM pairs GROUP BY pair
     ORDER BY weight DESC, pair LIMIT 20"""
 
+  /** Iterated-BPE twin: the [[TextQueries.BpeIters]]-round training loop
+    * unrolled into a CTE chain (the kmeans-oracle precedent) — per round:
+    * split the delimited segmentation, count weighted adjacent pairs, pick
+    * the (weight DESC, a, b) argmax, rewrite via the same
+    * boundary-safe `replace('|a||b|' -> '|ab|')`. All-BIGINT arithmetic
+    * and binary string collation on both engines, so the chain is exact.
+    */
+  def bpeMergesNSql: String = {
+    val n = TextQueries.BpeIters
+    val sb = new StringBuilder(s"""
+    WITH wc AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    v0 AS (
+      SELECT word, COUNT(*) AS cnt,
+        '|' || array_to_string(list_transform(range(1, len(word) + 1),
+          i -> substr(word, CAST(i AS INTEGER), 1)), '||') || '|' AS seg
+      FROM wc GROUP BY word
+    )""")
+    for (k <- 1 to n) sb ++= s""",
+    s$k AS (SELECT cnt,
+      string_split(substr(seg, 2, len(seg) - 2), '||') AS syms FROM v${k - 1}),
+    p$k AS (
+      SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS weight
+      FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+              i -> struct_pack(a := syms[CAST(i AS INTEGER)],
+                               b := syms[CAST(i AS INTEGER) + 1]))) AS p
+            FROM s$k)
+      GROUP BY 1, 2
+    ),
+    b$k AS (SELECT a, b, weight FROM p$k ORDER BY weight DESC, a, b LIMIT 1),
+    v$k AS (
+      SELECT word, cnt,
+        replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seg
+      FROM v${k - 1} CROSS JOIN b$k
+    )"""
+    sb ++= "\n    SELECT * FROM (" + (1 to n).map(k =>
+      s"SELECT $k AS iter, a, b, a || b AS merged, weight FROM b$k")
+      .mkString("\n      UNION ALL ") + ")\n    ORDER BY iter"
+    sb.toString
+  }
+
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
     * as the Spark side; counts are exact longs, p is one exact division.
     */

@@ -815,6 +815,96 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Merge-rule count for the ITERATED BPE trainer ([[bpeMergesN]]) —
+    * TextOracle interpolates it into the unrolled CTE chain (init-order
+    * note on [[RebalanceThresholds]]).
+    */
+  val BpeIters = 8
+
+  /** Iterated BPE tokenizer training: [[BpeIters]] full merge rounds, the
+    * real algorithm rather than [[bpeMerges]]'s single-round candidate
+    * list. Each round counts adjacent SYMBOL-pair frequencies over the
+    * weighted vocabulary, takes the argmax as the next merge rule
+    * (tie-break: lexicographic pair), and rewrites every vocab entry by
+    * greedy left-to-right replacement — so later rounds see merged
+    * multi-char symbols (round 6 here merges 'm'+'er').
+    *
+    * Segmentations ride a delimited string: symbols wrapped as
+    * `|s1||s2||...|`. The double separator makes each boundary two chars,
+    * so `replace(seg, '|a||b|', '|ab|')` can never overlap-match across
+    * adjacent applications and both engines' left-to-right non-overlapping
+    * `replace` implement exactly the greedy BPE merge (validated against a
+    * hand-rolled trainer). The corpus alphabet is strictly [a-z ], so '|'
+    * cannot collide with content.
+    *
+    * Scale shape: the corpus reduces to the weighted vocabulary ONCE (the
+    * only corpus-sized shuffle); every training round then runs on the
+    * vocab frame — pair explode, vocab-bounded partial-agg shuffle, and a
+    * 1-row broadcast crossJoin to apply the rule — independent of corpus
+    * size, the same "model state moves, data never does" contract as
+    * [[graft.sim.SimQueries]] k-means. Per-round localCheckpoint on the
+    * vocab cuts the unrolled lineage (2^rounds re-execution otherwise) and
+    * is the ONLY eager job per round — the 1-row argmax is left lazy, so
+    * each round's rule is computed inside the next round's checkpoint job
+    * and once more (from the retained vocab checkpoint, a vocab-bounded
+    * agg) when the final merge-table union executes. The per-round vocab
+    * checkpoints must therefore stay alive until the result materializes;
+    * the session sweep (Verify/Bench `Checkpoints.releaseAll`) frees them
+    * between queries.
+    */
+  val bpeMergesN: GraftQuery = GraftQuery(
+    "corpus_bpe_merges_n",
+    s"iterated BPE training: $BpeIters greedy merge rounds over the weighted vocab",
+    TextOracle.bpeMergesNSql) { (s, d) =>
+    bpeTrain(Tables.documents(s, d), BpeIters)
+  }
+
+  /** The [[bpeMergesN]] training loop over any frame with a `text` column —
+    * returns the merge table (iter, a, b, merged, weight).
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val vocab0 = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("seg", concat(lit("|"),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          "||"),
+        lit("|")))
+    var vocab = vocab0.localCheckpoint()
+    var merges: org.apache.spark.sql.DataFrame = null
+    for (it <- 1 to iters) {
+      val best = vocab
+        .withColumn("syms",
+          split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
+        // sequence(1, 0) DESCENDS instead of returning empty (the
+        // bpeMerges guard) — drop fully-merged single-symbol words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, i + 1) AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(desc("weight"), col("a"), col("b"))
+        .limit(1)
+        .select(lit(it).as("iter"), col("a"), col("b"), col("weight"))
+      merges = if (merges == null) best else merges.unionByName(best)
+      if (it < iters)
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+          .withColumn("seg", expr(
+            "replace(seg, '|' || ma || '||' || mb || '|', '|' || ma || mb || '|')"))
+          .select("word", "cnt", "seg")
+          .localCheckpoint()
+    }
+    merges
+      .select(col("iter"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("weight"))
+      .orderBy("iter")
+  }
+
   /** Doc-level importance sampling: keep each doc with probability equal
     * to its quality score, decided by a CONTENT-hash uniform (hash60 /
     * 2^60) rather than a seeded RNG — so the sample survives re-shards,
@@ -853,5 +943,5 @@ object TextQueries {
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
-      bpeMerges, sampleWeighted)
+      bpeMerges, bpeMergesN, sampleWeighted)
 }

@@ -358,6 +358,28 @@ class TextDedupSpec extends SparkSpec {
     assert((1 to 4).exists(i => out(0).getString(i) !== out(2).getString(i)))
   }
 
+  test("bpeTrain: greedy left-to-right merges, multi-symbol rules, lexicographic ties") {
+    val spark0 = spark
+    import spark0.implicits._
+    // "aaab" x3: pair counts round 1: (a,a)=2*3=6, (a,b)=3 -> merge aa;
+    // GREEDY left-to-right segments "aaab" as [aa, a, b] (not [a, aa, b]).
+    // Round 2 over {aaab->[aa,a,b] x3, cd x2, cde x1}: (aa,a)=3, (a,b)=3,
+    // (c,d)=3 -> lexicographic tie-break: (a,b)... wait (aa,a) vs (a,b):
+    // 'aa' < 'ab' stringwise? compare a='aa' vs a='a': 'a' < 'aa', so
+    // (a,b) with a='a' sorts before (aa,a) -> merge (a,b).
+    // Round 3: {[aa,ab] x3, [c,d] x2, [c,d,e]}: (aa,ab)=3, (c,d)=3 ->
+    // (aa,ab) wins ('aa' < 'c') -> merged 'aaab', a multi-symbol rule.
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("cd") ++ Seq("cde"))
+      .map(w => w).toDF("text")
+    val m = TextQueries.bpeTrain(docs, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(m === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
   test("bigram-LM perplexity is bit-identical at any input partitioning") {
     // the end-to-end determinism claim behind the per-type quantization +
     // exact-LONG doc sums: the transcendental-laden pipeline must produce
