@@ -14,8 +14,9 @@ object DedupOracle {
   import DedupQueries.{BandRows, MinhashK, MinhashShingleN, NgramDfCap,
     ShingleN, SimhashBandBits, SimhashBands, SimhashHammingMax}
 
-  private def shingleCtes(n: Int, out: String = "sh"): String = s"""
-    t AS (
+  private def shingleCtes(n: Int, out: String = "sh",
+      t: String = "t"): String = s"""
+    $t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
     $out AS (
@@ -24,7 +25,7 @@ object DedupOracle {
           list_transform(range(1, CAST(len(toks) - ${n - 2} AS BIGINT)),
             i -> array_to_string(toks[i:i+${n - 1}], ' '))
         ELSE [] END)) AS sh
-      FROM t
+      FROM $t
     )"""
 
   def exactSummarySql: String = s"""
@@ -156,10 +157,16 @@ object DedupOracle {
         AS final_kept
     FROM nd GROUP BY lang ORDER BY lang"""
 
-  def minhashLshSql: String = {
-    // double-hashing twin of DedupQueries.minhashFn: h1/h2 are the two
-    // 32-bit halves of ONE md5; s_i = min((h1 + i*h2) mod p), exact in
-    // BIGINT (the mod decorrelates the k functions — see MinhashMod)
+  /** CTE chain ending in `mh_pairs` = every LSH-candidate pair with exact
+    * Jaccard — shared by the top-k query and the cross-family cluster
+    * oracle. Names are m-prefixed so the chain composes with
+    * [[ngramPairCtes]] (t/sh/...) in one WITH block.
+    *
+    * Double-hashing twin of DedupQueries.minhashFn: h1/h2 are the two
+    * 32-bit halves of ONE md5; s_i = min((h1 + i*h2) mod p), exact in
+    * BIGINT (the mod decorrelates the k functions — see MinhashMod).
+    */
+  private[graft] def minhashPairCtes: String = {
     val h1 = "CAST(('0x' || substr(md5(sh),1,8))::UBIGINT AS BIGINT)"
     val h2 = "CAST(('0x' || substr(md5(sh),9,8))::UBIGINT AS BIGINT)"
     val sigs = ((0 until MinhashK).map { i =>
@@ -168,57 +175,127 @@ object DedupOracle {
     val bands = (0 until MinhashK / BandRows).map { b =>
       val key = (0 until BandRows).map(r => s"s${b * BandRows + r}")
         .mkString(" || ':' || ")
-      s"SELECT doc_id, $b AS b, md5($key) AS bk FROM sigs"
+      s"SELECT doc_id, $b AS b, md5($key) AS bk FROM msigs"
     }.mkString("\n      UNION ALL ")
     s"""
-    WITH ${shingleCtes(MinhashShingleN)},
-    sigs AS (
+    ${shingleCtes(MinhashShingleN, "msh", "mt")},
+    msigs AS (
       SELECT doc_id,
         $sigs
-      FROM sh GROUP BY doc_id
+      FROM msh GROUP BY doc_id
     ),
-    bands AS (
+    mbands AS (
       $bands
     ),
-    cand AS (
+    mcand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y
+      FROM mbands x JOIN mbands y
         ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
     ),
-    inter AS (
+    minter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-      FROM cand c
-      JOIN sh xa ON xa.doc_id = c.doc_a
-      JOIN sh xb ON xb.doc_id = c.doc_b AND xb.sh = xa.sh
+      FROM mcand c
+      JOIN msh xa ON xa.doc_id = c.doc_a
+      JOIN msh xb ON xb.doc_id = c.doc_b AND xb.sh = xa.sh
       GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, n FROM sigs)
-    SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
+    msizes AS (SELECT doc_id, n FROM msigs),
+    mh_pairs AS (
+      SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+      FROM minter
+      JOIN msizes sa ON doc_a = sa.doc_id
+      JOIN msizes sb ON doc_b = sb.doc_id
+    )"""
   }
 
-  def simhashPairsSql: String = {
+  def minhashLshSql: String = s"""
+    WITH $minhashPairCtes
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
+
+  /** CTE chain ending in `sh_pairs` = every SimHash band-candidate pair
+    * within the Hamming threshold — shared by the top-k query and the
+    * cross-family cluster oracle. [[graft.text.TextOracle.simhashCtes]]
+    * contributes tok/tc/th/bits/sim, which collide with nothing in the
+    * ngram or minhash chains.
+    */
+  private def simhashPairCtes: String = {
     val mask = (1L << SimhashBandBits) - 1
     val bands = (0 until SimhashBands).map { b =>
       s"SELECT doc_id, simhash, $b AS b, (simhash >> ${b * SimhashBandBits}) & $mask AS bk FROM sim"
     }.mkString("\n      UNION ALL ")
     s"""
-    WITH ${TextOracle.simhashCtes},
-    bands AS (
+    ${TextOracle.simhashCtes},
+    sbands AS (
       $bands
     ),
-    pairs AS (
+    sh_pairs AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
-      FROM bands x JOIN bands y
+      FROM sbands x JOIN sbands y
         ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
-    )
-    SELECT doc_a, doc_b, hamming FROM pairs
+    )"""
+  }
+
+  def simhashPairsSql: String = s"""
+    WITH $simhashPairCtes
+    SELECT doc_a, doc_b, hamming FROM sh_pairs
     WHERE hamming <= $SimhashHammingMax
     ORDER BY hamming, doc_a, doc_b LIMIT 20"""
+
+  /** Cross-family cluster twin: the three evidence classes' pair chains
+    * composed in one WITH block, unioned into a tagged edge list, the same
+    * recursive reachability closure as [[clustersSql]] over the distinct
+    * union, and a per-class edge rollup joined to the cluster sizes.
+    */
+  def clustersMultiSql: String = {
+    val j = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    s"""
+    WITH RECURSIVE $ngramPairCtes,
+    $minhashPairCtes,
+    $simhashPairCtes,
+    medges AS (
+      SELECT doc_a AS a, doc_b AS b, 'jaccard' AS evidence FROM pairs
+      WHERE jaccard >= $j
+      UNION ALL
+      SELECT doc_a, doc_b, 'minhash' FROM mh_pairs WHERE jaccard >= $j
+      UNION ALL
+      SELECT doc_a, doc_b, 'simhash' FROM sh_pairs
+      WHERE hamming <= ${DedupQueries.ClusterHamming}
+    ),
+    uedges AS (SELECT DISTINCT a, b FROM medges),
+    msym AS (
+      SELECT a, b FROM uedges
+      UNION
+      SELECT b, a FROM uedges
+    ),
+    mreach AS (
+      SELECT a AS node, b AS r FROM msym
+      UNION
+      SELECT e.a, rr.r FROM msym e JOIN mreach rr ON rr.node = e.b
+    ),
+    mlab AS (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM mreach GROUP BY node
+    ),
+    csize AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM mlab GROUP BY label
+    ),
+    cev AS (
+      SELECT l.label,
+        CAST(SUM(CASE WHEN evidence = 'jaccard' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_jaccard_edges,
+        CAST(SUM(CASE WHEN evidence = 'minhash' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_minhash_edges,
+        CAST(SUM(CASE WHEN evidence = 'simhash' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_simhash_edges
+      FROM medges m JOIN mlab l ON m.a = l.node
+      GROUP BY l.label
+    )
+    SELECT label AS cluster_id, cluster_size,
+      n_jaccard_edges, n_minhash_edges, n_simhash_edges
+    FROM csize JOIN cev USING (label)
+    ORDER BY cluster_size DESC, cluster_id"""
   }
 
   /** Degree-histogram twin: symmetrized thresholded edges, left join so

@@ -86,6 +86,19 @@ object DedupQueries {
     */
   val SimhashHammingMax = 18
 
+  /** Max Hamming distance for a SimHash CLUSTER EDGE ([[clustersMulti]]) —
+    * far stricter than [[SimhashHammingMax]], for two reasons. (1) The
+    * ${SimhashBands}x${SimhashBandBits}-bit banding guarantees recall only
+    * to Hamming 3 (pigeonhole); beyond that a candidate surfacing at all
+    * is band-collision luck, so admitting it as evidence is sampling noise.
+    * (2) Connected components is TRANSITIVE: a loose pairwise screen that
+    * is harmless in a ranked top-k stitches the corpus into one giant
+    * component (measured at sf0.1: Hamming<=18 admits 260k edges and
+    * collapses 5k docs to 3 components; <=3 admits 512 edges — the
+    * actual near-dup band). Edge-grade evidence must be precision-grade.
+    */
+  val ClusterHamming = 3
+
   /** Distinct word-n-gram shingles per doc: (doc_id, sh). Takes any
     * (doc_id, text) frame so fixture corpora can drive the pipeline in
     * tests.
@@ -293,7 +306,16 @@ object DedupQueries {
     * explode re-runs 3x (measured ~7.7s vs ~4.5s at sf0.1). Scratch blocks
     * are freed by the caller's releaseAll once the top-k materializes.
     */
-  def minhashLshFrame(docs: DataFrame): DataFrame = {
+  def minhashLshFrame(docs: DataFrame): DataFrame =
+    minhashJaccardFrame(docs)
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** EVERY LSH-candidate pair with its exact Jaccard, unordered/unlimited —
+    * [[minhashLshFrame]] slices it for presentation and [[clustersMulti]]
+    * thresholds it into dup edges.
+    */
+  def minhashJaccardFrame(docs: DataFrame): DataFrame = {
     val sh = shingleSet(docs, MinhashShingleN).localCheckpoint()
     val sigs = minhashSigs(sh)
     val bands = bandKeys(sigs)
@@ -314,8 +336,6 @@ object DedupQueries {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
-      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
-      .limit(20)
   }
 
   /** SimHash near-dup: candidates share one of [[SimhashBands]] disjoint
@@ -328,6 +348,16 @@ object DedupQueries {
     s"SimHash near-dup: ${SimhashBands}x$SimhashBandBits-bit band candidates, " +
       s"Hamming <= $SimhashHammingMax, top-20",
     DedupOracle.simhashPairsSql) { (s, d) =>
+    simhashPairFrame(s, d)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** EVERY SimHash band-candidate pair within Hamming <=
+    * [[SimhashHammingMax]], unordered/unlimited — [[simhashPairs]] slices
+    * it for presentation and [[clustersMulti]] uses it as an edge class.
+    */
+  def simhashPairFrame(s: SparkSession, d: String): DataFrame = {
     // the fingerprint frame is one row per doc but costs the full
     // explode + two-exchange aggregation — materialize it ONCE before it
     // fans out to both sides of the band self-join (same discipline as
@@ -350,41 +380,65 @@ object DedupQueries {
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimhashHammingMax)
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(20)
   }
 
-  /** Sweep cap for [[connectedComponents]]. Sweeps = max component
-    * diameter, and a J >= 0.5 near-dup edge set is near-transitive —
-    * clusters are pairs / triples / small stars, diameter 2-3 at any
-    * corpus size. The cap is 4x headroom over that; an input whose
-    * components are deeper (an adversarial similarity CHAIN, where each
-    * link is similar but the ends are not) fails FAST with a diagnosis
-    * instead of grinding out O(diameter) shuffles — the point where a
-    * pipeline should switch to the O(log n)-round large-star/small-star
-    * algorithm rather than let this one run unbounded.
+  /** Sweep cap for [[connectedComponents]]. With the pointer-jump step
+    * each sweep DOUBLES the distance a label travels, so sweeps =
+    * O(log2(max component diameter)) — the cap supports diameter ~2^12,
+    * far past anything a near-dup graph produces (and measured: the
+    * cross-family edge union at sf0.1 has a diameter-20+ chain component
+    * that converges in 5 sweeps). An input that still exhausts the cap
+    * fails FAST with a diagnosis instead of grinding out shuffles.
     */
   val MaxCcSweeps = 12
 
-  /** Connected components by minimum-label propagation over an (a, b)
-    * edge list: every node starts as its own label and repeatedly takes
-    * the min label of itself and its neighbors until a sweep changes
-    * nothing. Each sweep is ONE shuffle (join edges->labels on the
-    * neighbor + partial-aggregated min per node) and ONE local pass for
-    * the convergence check: the sweep's checkpointed output carries the
-    * pre-sweep label, so `changed` is a filter+count over the blocks just
-    * materialized — no extra join job. `localCheckpoint` truncates the
-    * lineage between sweeps; the superseded sweep's blocks are unpersisted
-    * the moment its successor is materialized (and `sym`'s at
-    * convergence), so peak block storage is TWO sweeps regardless of
-    * iteration count. The driver only ever sees the changed COUNT —
-    * iteration control, never data. Bounded by [[MaxCcSweeps]].
+  /** Single-task bound for [[connectedComponents]]'s union-find fast path:
+    * edge lists at or under this size (~100 MB of long-pair state) are
+    * solved in ONE task; larger ones take the log-round distributed
+    * sweeps. The mined near-dup edge set is orders of magnitude smaller
+    * than the corpus BY CONSTRUCTION — every candidate generator is
+    * banded/DF-capped, so |edges| is bounded by Σ per-bucket pairs, not
+    * O(n²) — which is why the fast path covers all but adversarial
+    * corpora even at 100 TB; when it doesn't, the sweeps take over with
+    * no user-visible difference.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  val LocalCcMaxEdges = 4000000L
+
+  /** Connected components over an (a, b) edge list, size-adaptive:
+    *
+    *   - `|edges| <= LocalCcMaxEdges`: union-find (path compression +
+    *     union-by-min) in a single task. An iterative pointer-chasing
+    *     algorithm over a frame this small is exactly the case where
+    *     per-round scheduling overhead dwarfs compute — one pass beats
+    *     any number of distributed sweeps (measured 5.7 s -> 0.3 s on the
+    *     cross-family union at sf0.1).
+    *   - larger: minimum-label propagation with pointer jumping. Each
+    *     sweep takes (1) the min label across direct neighbors, then (2)
+    *     the label OF that label (a self-join of the propagated frame),
+    *     giving O(log diameter) rounds on chain components (the
+    *     pointer-doubling half of the classic MapReduce CC family) and
+    *     BFS-distance rounds on expander components. Each sweep is one
+    *     checkpointed job; the convergence check scans the materialized
+    *     blocks (the frame carries the pre-sweep label) — no extra join
+    *     job. Superseded sweeps unpersist immediately, so peak block
+    *     storage is TWO sweeps regardless of iteration count. The driver
+    *     only ever sees edge/changed COUNTS — iteration control, never
+    *     data. Bounded by [[MaxCcSweeps]].
+    *
+    * Both paths converge to the same fixpoint — label = min doc_id of the
+    * component — so consumers (and the DuckDB oracles' recursive
+    * reachability closure) are path-agnostic. `maxLocalEdges`/`maxSweeps`
+    * exist for tests to force and bound the distributed path; production
+    * callers use the defaults.
+    */
+  def connectedComponents(edges: DataFrame,
+      maxLocalEdges: Long = LocalCcMaxEdges,
+      maxSweeps: Int = MaxCcSweeps): DataFrame = {
     val fwd = edges.select(col("a"), col("b"))
     val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    if (sym.count() <= maxLocalEdges) return localUnionFind(sym)
     // seed = min(self, direct neighbors): the first propagation sweep
     // fused into initialization (one aggregation over sym), so pair
     // components are final before the loop even runs
@@ -396,28 +450,85 @@ object DedupQueries {
     var sweeps = 0
     while (changed > 0) {
       sweeps += 1
-      require(sweeps <= MaxCcSweeps,
-        s"connectedComponents: no convergence after $MaxCcSweeps sweeps — " +
-          "component diameter exceeds the near-dup assumption (J >= " +
-          s"$ClusterJaccard edges are near-transitive); use a star-contraction " +
-          "algorithm for deep components")
+      require(sweeps <= maxSweeps,
+        s"connectedComponents: no convergence after $maxSweeps sweeps — " +
+          "component diameter exceeds 2^" + maxSweeps + " or the edge set " +
+          "is pathological; inspect dedup_degree_histogram for a hub")
+      // (1) propagate: min label across self + direct neighbors
       val nbrMin = sym
         .join(labels.select(col("node").as("nbr"), col("label").as("nl")),
           col("b") === col("nbr"))
         .groupBy(col("a").as("node"))
         .agg(min(col("nl")).as("nl"))
-      // carry the pre-sweep label through the checkpoint: the convergence
-      // check is then a scan of the materialized blocks, not a join job
-      val next = labels
+      val prop = labels
         .join(nbrMin.select(col("node").as("node2"), col("nl")),
           col("node") === col("node2"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // (2) pointer jump: label := label(label). Every label IS a node id
+      // present in `prop` (labels only ever take node-id values), so the
+      // left join misses nothing; `prop` is evaluated twice inside this
+      // one job — two small shuffle subtrees, still cheaper than a
+      // second checkpoint barrier per sweep. (One jump only: measured on
+      // the cross-family edge union, a second jump leaves the sweep count
+      // UNCHANGED — the big components are expander-shaped, so rounds are
+      // bounded by BFS distance from the min node, which jumping label
+      // chains cannot shortcut — while quadrupling the prop recompute.)
+      val next = prop.as("p")
+        .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("j"),
+          col("p.label") === col("j.jn"), "left")
+        .select(col("p.node").as("node"), col("p.prev").as("prev"),
+          least(col("p.label"), coalesce(col("jl"), col("p.label"))).as("label"))
         .localCheckpoint()
       changed = next.filter(col("label") < col("prev")).count()
+      System.err.println(s"[cc] sweep=$sweeps changed=$changed")
       graft.api.Checkpoints.release(labels)
       labels = next.select(col("node"), col("label"))
     }
+    graft.api.Checkpoints.release(sym)
+    labels
+  }
+
+  /** Union-find over a materialized symmetric edge frame in ONE task:
+    * path compression + union-by-min (the smaller root wins, so the root
+    * IS the component minimum — the same fixpoint as the sweeps, with no
+    * argmin pass). `mapPartitions` is legitimate here: union-find is
+    * inherently pointer-chasing state no Catalyst expression expresses,
+    * and the single-partition coalesce is what the [[LocalCcMaxEdges]]
+    * bound licenses. Output is checkpointed so `sym`'s blocks can be
+    * released before the caller composes further plans on the labels.
+    */
+  private[graft] def localUnionFind(sym: DataFrame): DataFrame = {
+    val s = sym.sparkSession
+    import s.implicits._
+    val labels = sym
+      .select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        val nodes = new java.util.HashSet[Long]()
+        it.foreach { case (a, b) =>
+          nodes.add(a); nodes.add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        import scala.jdk.CollectionConverters._
+        nodes.iterator().asScala.map(n => (n, find(n)))
+      }
+      .toDF("node", "label")
+      .localCheckpoint()
     graft.api.Checkpoints.release(sym)
     labels
   }
@@ -438,6 +549,71 @@ object DedupQueries {
     connectedComponents(edges)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(desc("cluster_size"), col("cluster_id"))
+  }
+
+  /** Cross-family cluster assignment — how a production dedup pipeline
+    * actually builds components: the THREE near-dup evidence classes
+    * (exact n-gram Jaccard, MinHash+LSH-verified Jaccard, SimHash
+    * Hamming) are mined independently, tagged, unioned into one edge set,
+    * and connected components run over the union. A pair that any one
+    * screen catches joins its endpoints' clusters; the per-class edge
+    * counts in the output show WHICH screen stitched each cluster
+    * together (a cluster held only by simhash edges is borderline; one
+    * confirmed by all three is a sure dup group). Scale shape: each class
+    * is the same capped/banded candidate generator as its standalone
+    * query — the union adds no new join pattern — and the edge frame is
+    * materialized once before fanning out to CC and the evidence rollup.
+    * The SimHash class is admitted at [[ClusterHamming]], NOT the top-k
+    * query's [[SimhashHammingMax]] — see [[ClusterHamming]] for why a
+    * transitive consumer needs a precision-grade threshold.
+    */
+  val clustersMulti: GraftQuery = GraftQuery(
+    "dedup_clusters_multi",
+    "cross-family dedup clusters: CC over ngram+minhash+simhash edge union, per-class edge counts",
+    DedupOracle.clustersMultiSql) { (s, d) =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val docs = Tables.documents(s, d)
+    // the three mining pipelines are independent and each materializes its
+    // own inverted-index checkpoint eagerly — build them from concurrent
+    // threads so those jobs overlap instead of serializing (Spark's
+    // scheduler runs concurrent jobs side by side; results are
+    // deterministic frames, so only wall-clock changes)
+    val Seq(jac, mh, sh) = Await.result(Future.sequence(Seq(
+      Future(ngramJaccardFrame(docs)
+        .filter(col("jaccard") >= ClusterJaccard)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"),
+          lit("jaccard").as("evidence"))),
+      Future(minhashJaccardFrame(docs)
+        .filter(col("jaccard") >= ClusterJaccard)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"),
+          lit("minhash").as("evidence"))),
+      Future(simhashPairFrame(s, d)
+        .filter(col("hamming") <= ClusterHamming)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"),
+          lit("simhash").as("evidence"))))), Duration.Inf)
+    // materialize the union: it feeds every CC sweep AND the per-class
+    // rollup — without the cut all three mining pipelines re-run per use
+    val edges = jac.unionByName(mh).unionByName(sh).localCheckpoint()
+    val labels = connectedComponents(edges)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    // every edge's endpoints share a label at the CC fixpoint, so joining
+    // on the LEFT endpoint alone assigns each edge to exactly one cluster
+    val ev = edges.join(labels, col("a") === col("node"))
+      .groupBy(col("label"))
+      .agg(
+        sum(when(col("evidence") === "jaccard", 1L).otherwise(0L))
+          .as("n_jaccard_edges"),
+        sum(when(col("evidence") === "minhash", 1L).otherwise(0L))
+          .as("n_minhash_edges"),
+        sum(when(col("evidence") === "simhash", 1L).otherwise(0L))
+          .as("n_simhash_edges"))
+    sizes.join(ev, Seq("label"))
+      .select(col("label").as("cluster_id"), col("cluster_size"),
+        col("n_jaccard_edges"), col("n_minhash_edges"), col("n_simhash_edges"))
       .orderBy(desc("cluster_size"), col("cluster_id"))
   }
 
@@ -543,5 +719,5 @@ object DedupQueries {
 
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
-      keepSummary, spanOverlap, degreeHistogram)
+      clustersMulti, keepSummary, spanOverlap, degreeHistogram)
 }

@@ -97,26 +97,30 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
-  test("connected components: deepest admissible chain converges under the cap") {
+  test("connected components (distributed path): pointer jump beats diameter on a chain") {
     val spark0 = spark
     import spark0.implicits._
-    // a path of 8 nodes has diameter 7: min-label propagation moves the 0
-    // one hop per sweep, so this needs ~7 sweeps — well inside MaxCcSweeps
-    // yet far deeper than any real J >= 0.5 near-dup component
-    val edges = (0L until 7L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = graft.dedup.DedupQueries.connectedComponents(edges)
+    // 16-node path, diameter 15 > 12: plain min-label propagation would
+    // exhaust the sweep cap, but the pointer jump contracts label chains
+    // exponentially — forcing the distributed path (maxLocalEdges = 0)
+    // must converge well inside the cap
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = graft.dedup.DedupQueries
+      .connectedComponents(edges, maxLocalEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels === (0L to 7L).map(_ -> 0L).toMap)
+    assert(labels === (0L to 15L).map(_ -> 0L).toMap)
   }
 
-  test("connected components: a chain deeper than the cap fails fast") {
+  test("connected components (distributed path): an exhausted sweep budget fails fast") {
     val spark0 = spark
     import spark0.implicits._
-    // 16-node path, diameter 15 > MaxCcSweeps: the sweep cap must throw a
-    // diagnosis instead of grinding out O(diameter) shuffles
-    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    // with the budget squeezed to 2 sweeps a 32-node path cannot converge:
+    // the cap must throw a diagnosis instead of looping forever
+    val edges = (0L until 31L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
-      graft.dedup.DedupQueries.connectedComponents(edges).collect()
+      graft.dedup.DedupQueries
+        .connectedComponents(edges, maxLocalEdges = 0L, maxSweeps = 2)
+        .collect()
     }
     assert(e.getMessage.contains("sweeps"))
   }
@@ -152,9 +156,16 @@ class TextDedupSpec extends SparkSpec {
       // the component's minimum id — exactly the propagation fixpoint
       val touched = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
       val expected = touched.map(x => x.toLong -> find(x).toLong).toMap
-      val got = graft.dedup.DedupQueries.connectedComponents(edges.toDF("a", "b"))
+      // BOTH execution paths must land on the same fixpoint: the
+      // single-task union-find (default for graphs this size) and the
+      // forced distributed sweeps
+      val fast = graft.dedup.DedupQueries.connectedComponents(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"round $round")
+      val swept = graft.dedup.DedupQueries
+        .connectedComponents(edges.toDF("a", "b"), maxLocalEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === expected, s"round $round (union-find path)")
+      assert(swept === expected, s"round $round (sweep path)")
     }
   }
 
