@@ -189,4 +189,22 @@ object RelationalOracle {
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100"""
+
+  /** Q13 twin: both predicates in the ON clause — `o_orderstatus` guards
+    * the null-producing side, `c_acctbal` the preserved side (as a WHERE
+    * either would be a different query). COUNT(o_orderkey) counts
+    * non-null matches, so unmatched customers land in the zero bucket.
+    */
+  val customerOrderDistributionSql: String = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey
+          AND o_orderstatus <> 'F'
+          AND c_acctbal > 0
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
 }

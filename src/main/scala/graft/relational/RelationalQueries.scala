@@ -142,6 +142,41 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    * whose predicates live in the ON clause, then a histogram over the
+    * PRESERVED side including the zero bucket. The ON-vs-WHERE distinction
+    * is the whole point for an outer join — and the two predicates
+    * exercise both sides of it:
+    *
+    *   - `o_orderstatus <> 'F'` guards the NON-preserved side: Catalyst
+    *     may (and must, for scale) push it below the join into the orders
+    *     scan — a non-matching order just becomes a null, never drops a
+    *     customer.
+    *   - `c_acctbal > 0` guards the PRESERVED side: pushing it below the
+    *     join would DELETE customers from the result instead of zeroing
+    *     their count — it must stay in the join condition. (As a WHERE it
+    *     would be a different query.)
+    *
+    * PlanSpec pins both placements. Scale shape: one shuffle to the
+    * per-customer counts (partial-aggregated), one tiny histogram agg.
+    */
+  val customerOrderDistribution: GraftQuery = GraftQuery(
+    "customer_order_distribution",
+    "TPC-H Q13: left join with ON-clause predicates + order-count histogram incl. zeros",
+    RelationalOracle.customerOrderDistributionSql) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey")
+          && col("o_orderstatus") =!= "F"
+          && col("c_acctbal") > 0,
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   /** Data-validation sweep: referential integrity (anti-join counts),
     * domain checks, and malformed-content counts across the corpus — the
     * profiling/validation operator every ingestion pipeline runs first.
@@ -285,5 +320,5 @@ object RelationalQueries {
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
-    supplierShare, localSupplierRevenue)
+    supplierShare, localSupplierRevenue, customerOrderDistribution)
 }

@@ -194,6 +194,35 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 0, s"unexpected shuffle in:\n$plan")
   }
 
+  test("customer_order_distribution: ON-clause predicates split correctly around the outer join") {
+    val df = SparkEntry.queries("customer_order_distribution")(spark, sf)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan
+    val joins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1)
+    val join = joins.head
+    // preserved-side guard MUST stay in the join condition: pushed below,
+    // it would delete customers instead of zeroing their count
+    assert(join.condition.exists(_.toString.contains("c_acctbal")),
+      s"preserved-side predicate left the join condition:\n$optimized")
+    val leftFilters = join.left.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("c_acctbal") => f
+    }
+    assert(leftFilters.isEmpty,
+      "preserved-side predicate was pushed below the outer join")
+    // null-side guard MUST be pushed below: it prunes the orders scan and
+    // cannot drop preserved rows
+    assert(join.right.toString.contains("o_orderstatus"),
+      s"null-side predicate not pushed to the orders side:\n${join.right}")
+    val physical = df.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*Not\\(EqualTo\\(o_orderstatus"
+      .r.findFirstIn(physical).isDefined,
+      "o_orderstatus predicate did not reach the parquet scan")
+  }
+
   test("multimodal_features: native decode stays inside codegen — no encoder boundary") {
     val df = SparkEntry.queries("multimodal_features")(spark, sf)
     df.collect()

@@ -55,7 +55,7 @@ class SmokeSpec extends SparkSpec {
     // object-initialization cycle (oracles are defs now; this is the pin).
     dedup.DedupQueries.all
     val reg = SparkEntry.registry
-    assert(reg.size === 97)
+    assert(reg.size === 98)
     reg.foreach { q =>
       assert(q.oracle.exists(s => s != null && s.trim.nonEmpty),
         s"${q.name} lost its oracle")
