@@ -55,6 +55,25 @@ object StreamDemo {
     val ok = streamed.toSeq == batch.toSeq
     println(s"[stream-demo] windows=${streamed.length} batchParity=$ok")
     assert(ok, "streaming result != batch result")
+
+    // second leg: the same stream delivered EXACTLY-ONCE into a warehouse
+    // table via the idempotent foreachBatch sink (StreamSinks), then
+    // parity-checked against the memory-sink result
+    val stream2 = spark.readStream
+      .schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q2 = StreamSinks.toWarehouse(
+      EventStreams.tumblingCounts(stream2), "stream_tumbling_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val sunk = spark.table("test.stream_tumbling_sink")
+      .orderBy("wstart", "event_type").collect()
+    val sinkOk = sunk.toSeq == streamed.toSeq
+    println(s"[stream-demo] sinkRows=${sunk.length} sinkParity=$sinkOk " +
+      s"committedBatch=${StreamSinks.committedBatchId(spark, "stream_tumbling_sink")}")
+    assert(sinkOk, "warehouse sink result != memory sink result")
     spark.stop()
   }
 }

@@ -215,6 +215,42 @@ class StreamingSpec extends SparkSpec {
       graft.dedup.DedupQueries.MinhashK / graft.dedup.DedupQueries.BandRows)
   }
 
+  test("StreamSinks.toWarehouse: exactly-once delivery, batch parity, replay no-op") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = StreamSinks.toWarehouse(
+      EventStreams.tumblingCounts(stream.toDF()), "stream_windows").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // the warehouse table equals the batch run of the same transform
+    val sunk = spark.table("test.stream_windows")
+      .orderBy("wstart", "event_type").collect().map(_.toSeq).toSeq
+    val batch = EventStreams.tumblingCounts(events.toDF())
+      .orderBy("wstart", "event_type").collect().map(_.toSeq).toSeq
+    assert(sunk === batch)
+    assert(sunk.nonEmpty)
+
+    // replaying an already-committed batch id must be a no-op (the
+    // at-least-once redelivery case), and a NEWER id must land
+    val committed = StreamSinks.committedBatchId(spark, "stream_windows")
+    assert(committed >= 0L)
+    val decoy = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), "poison", 99L))
+      .toDF("wstart", "event_type", "n")
+    StreamSinks.deliverBatch(decoy, committed, "stream_windows")
+    assert(spark.table("test.stream_windows")
+      .filter(col("event_type") === "poison").count() === 0L,
+      "replayed batch id overwrote committed data")
+    StreamSinks.deliverBatch(decoy, committed + 1, "stream_windows")
+    assert(spark.table("test.stream_windows").count() === 1L,
+      "newer batch id failed to replace the table")
+    assert(StreamSinks.committedBatchId(spark, "stream_windows") === committed + 1)
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
