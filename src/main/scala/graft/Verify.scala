@@ -39,10 +39,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val fresh = SparkEntry.oracleSql
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    // a restricted dump MERGES into any existing oracle map instead of
+    // clobbering it: re-pointing the checker at a shared outDir after
+    // single-query iteration must never see a stale-mixed artifact (full
+    // per-query parquet dirs + a subset-only oracle file)
+    val target = Paths.get(s"$outDir/oracle_sql.json")
+    val prior: Map[String, String] =
+      if (only.nonEmpty && Files.exists(target)) {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(Files.readString(target)) match {
+          case JObject(fields) =>
+            fields.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        }
+      } else Map.empty
+    val json = (prior ++ fresh)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(target, json)
     spark.stop()
   }
 }

@@ -166,14 +166,16 @@ object EventOracle {
       SELECT event_type,
         CAST(SUM(n) AS BIGINT) / COUNT(*) AS mean_n,
         sqrt((CAST(SUM(n * n) AS BIGINT)
-            - CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT) / COUNT(*))
-          / (COUNT(*) - 1)) AS sd_n
+            - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS BIGINT) / COUNT(*))
+          / (COUNT(*) - 1)) AS sd_n,
+        COUNT(*) AS slots
       FROM slots GROUP BY event_type
     ),
     z AS (
       SELECT s.event_type, s.wstart, s.n,
         (s.n - t.mean_n) / t.sd_n AS z
       FROM slots s JOIN stats t ON s.event_type = t.event_type
+      WHERE t.slots >= 2 AND t.sd_n > 0
     ),
     r AS (
       SELECT event_type, wstart, n, z,

@@ -292,11 +292,22 @@ object EventQueries {
       .agg(
         count(lit(1)).as("slots"),
         sum(col("n")).as("s1"),
+        // s2 stays an exact (order-insensitive) LONG sum; the integer
+        // discipline holds while Σn² < 2^63 — beyond that (≈10^7 events
+        // per slot across 10^4 slots) switch the stats to quantized sums
         sum(col("n") * col("n")).as("s2"))
-      .select(col("event_type").as("st_type"),
+      // s1 widens to DOUBLE before squaring: LONG*LONG wraps silently in
+      // Spark past s1 ≈ 3e9 total events per type while DuckDB's
+      // BIGINT*BIGINT raises — the two sides would diverge silently. One
+      // double multiply is IEEE754-identical on both engines.
+      .select(col("event_type").as("st_type"), col("slots"),
         (col("s1") / col("slots")).as("mean_n"),
-        sqrt((col("s2") - col("s1") * col("s1") / col("slots"))
+        sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("slots"))
           / (col("slots") - 1)).as("sd_n"))
+      // single-slot types have no variance and constant-count types have
+      // sd = 0: both make z a null/NaN that the engines render
+      // differently — neither is an anomaly candidate, screen them out
+      .filter(col("slots") >= 2 && col("sd_n") > 0)
     val z = slots.join(broadcast(stats), col("event_type") === col("st_type"))
       .select(col("event_type"), col("wstart"), col("n"),
         ((col("n") - col("mean_n")) / col("sd_n")).as("z"))

@@ -194,6 +194,50 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 0, s"unexpected shuffle in:\n$plan")
   }
 
+  test("events_gapfill_15min: grid joins the pre-aggregated slots, bounds ride a broadcast") {
+    val df = SparkEntry.queries("events_gapfill_15min")(spark, sf)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan
+    // the slot-grid left join must consume the (type, slot) AGGREGATE on
+    // its right side — raw events crossing into the grid join would make
+    // the ffill window see |events| rows instead of |slots|
+    val gridJoins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql == "LEFT OUTER" => j
+    }
+    assert(gridJoins.size === 1, s"expected 1 grid left join:\n$optimized")
+    val rightAgged = gridJoins.head.right.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+    assert(rightAgged, "grid join consumes raw events, not the slot aggregate")
+    val physical = df.queryExecution.executedPlan.toString
+    // the global slot bounds arrive as a broadcast single-row frame, and
+    // the ffill window stays partitioned by type (no global sort of slots)
+    assert(physical.contains("BroadcastExchange") ||
+      physical.contains("BroadcastNestedLoopJoin"),
+      "slot bounds not broadcast")
+    assert(physical.contains("Window"), "forward-fill window missing")
+  }
+
+  test("events_retention_cohorts: joins consume user-week distinct frames, never raw events") {
+    val df = SparkEntry.queries("events_retention_cohorts")(spark, sf)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan
+    val joins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1, s"expected 1 cohort join:\n$optimized")
+    // both sides must already be aggregates (the user-week DISTINCT and
+    // the per-user first-week min) — the join shuffles user-week pairs,
+    // never events
+    Seq(joins.head.left, joins.head.right).foreach { side =>
+      val agged = side.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+      assert(agged, s"cohort join side streams raw events:\n$side")
+    }
+  }
+
   test("customer_order_distribution: ON-clause predicates split correctly around the outer join") {
     val df = SparkEntry.queries("customer_order_distribution")(spark, sf)
     df.collect()
