@@ -184,8 +184,15 @@ object DedupOracle {
         $sigs
       FROM msh GROUP BY doc_id
     ),
-    mbands AS (
+    mbands_raw AS (
       $bands
+    ),
+    -- band-bucket cap (BandBucketCap): mirrors Spark's capBuckets window
+    mbands AS (
+      SELECT doc_id, b, bk FROM (
+        SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bc
+        FROM mbands_raw
+      ) WHERE bc <= ${DedupQueries.BandBucketCap}
     ),
     mcand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -226,8 +233,15 @@ object DedupOracle {
     }.mkString("\n      UNION ALL ")
     s"""
     ${TextOracle.simhashCtes},
-    sbands AS (
+    sbands_raw AS (
       $bands
+    ),
+    -- band-bucket cap (BandBucketCap): mirrors Spark's capBuckets window
+    sbands AS (
+      SELECT doc_id, simhash, b, bk FROM (
+        SELECT doc_id, simhash, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bc
+        FROM sbands_raw
+      ) WHERE bc <= ${DedupQueries.BandBucketCap}
     ),
     sh_pairs AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -59,6 +59,26 @@ object DedupQueries {
   val SimhashBands = 4
   val SimhashBandBits = 15
 
+  /** Bucket-size cap for the LSH band joins (MinHash bands AND SimHash
+    * bands). The band self-join's pair space is Σ(bucket²) — one band key
+    * shared by m docs contributes m(m-1)/2 candidate pairs, so a single
+    * boilerplate-heavy key (empty docs, templated pages, licence headers)
+    * makes the join quadratic in corpus size no matter how good the
+    * banding is. Buckets larger than the cap are dropped BEFORE the
+    * self-join — the same discipline as [[NgramDfCap]] on posting lists —
+    * bounding the join at buckets·cap² regardless of corpus skew. What a
+    * capped-out bucket would have found is not lost: a bucket only
+    * exceeds the cap when > cap docs share a band fingerprint, i.e. mass
+    * duplication, which the exact-dedup path ([[exactSummary]], md5 over
+    * full normalized text) and the remaining un-capped bands still catch.
+    * The cap is mirrored in the DuckDB oracle CTEs (window count over the
+    * band key), so Spark and oracle prune identical buckets by
+    * construction at every scale. At the test SFs (and the 10x
+    * re-attestation corpus, max bucket ~20) no bucket reaches the cap,
+    * so results are unchanged — this is a worst-case bound, not a tuning.
+    */
+  val BandBucketCap = 64
+
   /** Modulus for the double-hashing family: the smallest prime above
     * 2^32. The mod is NOT optional: without it i*h2 dominates h1 for
     * i >= 2, so every function's argmin collapses onto argmin(h2) — the
@@ -315,10 +335,24 @@ object DedupQueries {
     * [[minhashLshFrame]] slices it for presentation and [[clustersMulti]]
     * thresholds it into dup edges.
     */
+  /** Drop LSH band buckets larger than [[BandBucketCap]] BEFORE a band
+    * self-join: window count over the band key, filter, drop. The window's
+    * hash partitioning on (b, bk) is exactly the downstream join's
+    * distribution, so the cap costs no extra exchange — the count rides
+    * the shuffle the join needed anyway.
+    */
+  private[graft] def capBuckets(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bands
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("b"), col("bk"))))
+      .filter(col("bc") <= BandBucketCap)
+      .drop("bc")
+  }
+
   def minhashJaccardFrame(docs: DataFrame): DataFrame = {
     val sh = shingleSet(docs, MinhashShingleN).localCheckpoint()
     val sigs = minhashSigs(sh)
-    val bands = bandKeys(sigs)
+    val bands = capBuckets(bandKeys(sigs))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
@@ -369,9 +403,9 @@ object DedupQueries {
         shiftright(col("simhash"), b * SimhashBandBits)
           .bitwiseAND(lit(bandMask)).as("bk"))
     }
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    val bands = capBuckets(fp.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bk").as("bk"))
+      .select(col("doc_id"), col("simhash"), col("band.b").as("b"), col("band.bk").as("bk")))
     bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk")

@@ -23,6 +23,18 @@ object SimFns {
   val KmeansK = 8
   val KmeansIters = 3
 
+  /** Product-quantization geometry ([[SimQueries.pqTopk]]): PqM subspaces
+    * of Dims/PqM dims each, PqK codewords per subspace (init: the PqK
+    * lowest vec_ids' sub-vectors, the [[KmeansK]] convention), PqIters
+    * Lloyd sweeps per codebook. 4x8 codes store a 64-dim vector in 4
+    * 3-bit symbols — the compression that lets a 100 TB vector corpus
+    * live in executor memory as codes while full vectors stay on disk.
+    */
+  val PqM = 4
+  val PqSub = Dims / PqM // 16
+  val PqK = 8
+  val PqIters = 2
+
   /** SemDeDup candidate threshold ([[SimQueries.semanticDedup]]): this
     * corpus's embeddings are synthetic (intra-cell cosines top out ~0.5),
     * so the screen is set in the semantic-redundancy band rather than the

@@ -344,6 +344,145 @@ object SimOracle {
     )"""
   }
 
+  /** PQ twins. Per-subspace training is the [[kmeansChain]] recipe over
+    * LITERAL sub-slices (list_slice bounds m*PqSub+1 .. (m+1)*PqSub); the
+    * ADC lookup table quantizes each partial squared distance to a LONG so
+    * the PqM-term sum is exact — the ranking is then partition- and
+    * engine-invariant.
+    */
+  private def dotSub(a: String, b: String): String =
+    fold(s"list_transform(range(1, ${SimFns.PqSub + 1}), i -> $a[i] * $b[i])")
+
+  private def pqSliceSql(v: String, m: String): String =
+    s"list_slice($v, $m * ${SimFns.PqSub} + 1, ($m + 1) * ${SimFns.PqSub})"
+
+  /** CTE chain for subspace m: k_m / c0_m / sweeps / final codes af_m. */
+  private def pqChain(m: Int): String = {
+    import SimFns.{PqIters, PqK}
+    def sweep(t: Int): String = s"""
+    x${t}_$m AS (
+      SELECT k.vec_id, k.v, ct.j,
+        k.vv + ${dotSub("ct.c", "ct.c")} - 2.0 * ${dotSub("k.v", "ct.c")} AS dist
+      FROM k_$m k CROSS JOIN c${t - 1}_$m ct
+    ),
+    a${t}_$m AS (
+      SELECT vec_id, v, j, dist FROM (
+        SELECT vec_id, v, j, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM x${t}_$m
+      ) WHERE rn = 1
+    ),
+    u${t}_$m AS (
+      SELECT j, i AS pos,
+        SUM(CAST(floor(v[i] * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS m
+      FROM a${t}_$m, (SELECT unnest(range(1, ${SimFns.PqSub + 1})) AS i)
+      GROUP BY j, i
+    ),
+    n${t}_$m AS (SELECT j, list(m ORDER BY pos) AS cn FROM u${t}_$m GROUP BY j),
+    c${t}_$m AS (
+      SELECT p.j, COALESCE(n.cn, p.c) AS c
+      FROM c${t - 1}_$m p LEFT JOIN n${t}_$m n ON p.j = n.j
+    )"""
+    val fin = PqIters + 1
+    val lo = m * SimFns.PqSub + 1
+    val hi = (m + 1) * SimFns.PqSub
+    s"""
+    k_$m AS (
+      SELECT vec_id, list_slice(v, $lo, $hi) AS v,
+        ${dotSub(s"list_slice(v, $lo, $hi)", s"list_slice(v, $lo, $hi)")} AS vv
+      FROM e
+    ),
+    c0_$m AS (
+      SELECT CAST(vec_id AS INTEGER) AS j, list_slice(v, $lo, $hi) AS c FROM e
+      WHERE vec_id < $PqK
+    ),
+    ${(1 to PqIters).map(sweep).mkString(",")},
+    x${fin}_$m AS (
+      SELECT k.vec_id, ct.j,
+        k.vv + ${dotSub("ct.c", "ct.c")} - 2.0 * ${dotSub("k.v", "ct.c")} AS dist
+      FROM k_$m k CROSS JOIN c${PqIters}_$m ct
+    ),
+    af_$m AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM x${fin}_$m
+      ) WHERE rn = 1
+    )"""
+  }
+
+  /** Shared PQ CTE tail: codes/cb/q/lut/adc-ranked `pr`. */
+  private def pqAdcCtes: String = {
+    import SimFns.{PqIters, PqM}
+    val chains = (0 until PqM).map(pqChain).mkString(",")
+    val codes = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS m, j AS code FROM af_$m")
+      .mkString("\n      UNION ALL ")
+    val cb = (0 until PqM)
+      .map(m => s"SELECT $m AS m, j, c FROM c${PqIters}_$m")
+      .mkString("\n      UNION ALL ")
+    s"""
+    $chains,
+    codes AS (
+      $codes
+    ),
+    cb AS (
+      $cb
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+    lut AS (
+      SELECT qid, m, j,
+        CAST(floor((${dotSub("qs", "qs")} + ${dotSub("c", "c")}
+          - 2.0 * ${dotSub("qs", "c")}) * 1000000000.0 + 0.5) AS BIGINT) AS pd
+      FROM (
+        SELECT qid, m, j, c, ${pqSliceSql("qv", "m")} AS qs
+        FROM q CROSS JOIN cb
+      )
+    ),
+    adc AS (
+      SELECT qid, vec_id, SUM(pd) AS dl
+      FROM codes x JOIN lut l ON x.m = l.m AND x.code = l.j
+        AND x.vec_id <> l.qid
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY dl, vec_id) AS INTEGER) AS rn,
+        vec_id, dl / 1000000000.0 AS adc_dist
+      FROM adc
+    )"""
+  }
+
+  val pqTopkSql: String = s"""
+    WITH $baseCtes,
+    $pqAdcCtes
+    SELECT qid, rn, vec_id, adc_dist FROM pr WHERE rn <= 10
+    ORDER BY qid, rn"""
+
+  val pqRecallSql: String = s"""
+    WITH $baseCtes,
+    $pqAdcCtes,
+    xp AS (
+      SELECT qid, e.vec_id,
+        ${dotIdx("qv", "qv")} + ${dotIdx("e.v", "e.v")}
+          - 2.0 * ${dotIdx("qv", "e.v")} AS l2
+      FROM q JOIN e ON e.vec_id <> qid
+    ),
+    er AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rn
+        FROM xp
+      ) WHERE rn <= 10
+    ),
+    pq10 AS (SELECT qid, vec_id FROM pr WHERE rn <= 10)
+    SELECT er.qid, COUNT(pq10.vec_id) AS n_hits,
+      COUNT(pq10.vec_id) / 10.0::DOUBLE AS recall
+    FROM er LEFT JOIN pq10 ON er.qid = pq10.qid AND er.vec_id = pq10.vec_id
+    GROUP BY er.qid ORDER BY er.qid"""
+
   val kmeansSql: String = {
     import SimFns.{KmeansIters, KmeansK}
     val fin = KmeansIters + 1

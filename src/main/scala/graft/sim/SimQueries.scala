@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -343,11 +343,12 @@ object SimQueries {
     * result is localCheckpointed — without the cut every later sweep
     * re-executes the whole unrolled chain once per reference.
     */
-  private def trainedCentroids(v: DataFrame): DataFrame = {
-    var c = v.filter(col("vec_id") < KmeansK)
+  private def trainedCentroids(v: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame = {
+    var c = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("j"), col("v").as("c"))
       .localCheckpoint()
-    for (_ <- 1 to KmeansIters)
+    for (_ <- 1 to iters)
       c = kmUpdate(kmAssign(v, c), c).localCheckpoint()
     c
   }
@@ -443,6 +444,108 @@ object SimQueries {
       .orderBy("k")
   }
 
+  /** Product quantization — the canonical billion-scale ANN compression
+    * (FAISS's IVFPQ stage 2): split each vector into [[SimFns.PqM]]
+    * sub-vectors, train an independent [[SimFns.PqK]]-codeword k-means
+    * codebook per subspace (the [[trainedCentroids]] loop on sliced
+    * vectors — same determinism recipe), and store each vector as PqM
+    * small codes. A query never touches the codes' vectors: it builds a
+    * (PqM x PqK)-entry lookup table of partial squared distances to every
+    * codeword, and a vector's approximate distance is the SUM of PqM
+    * table lookups — "asymmetric distance computation" (ADC).
+    *
+    * Scale shape: codebooks are PqM x PqK x PqSub doubles (model state,
+    * broadcast); the LUT is queries x PqM x PqK rows (broadcast); the
+    * corpus-side scan touches only the CODES table — PqM small ints per
+    * vector instead of Dims floats, the 100 TB point of PQ: the code
+    * table for a billion vectors fits where the raw vectors never would,
+    * and the ADC join + partial-agg sum is one linear pass. Each LUT
+    * partial is quantized to a LONG so the PqM-term sum is exact and the
+    * ranking is partition-invariant on both engines.
+    */
+  private def pqSlice(v: Column, m: Column): Column =
+    slice(v, m * lit(PqSub) + lit(1), lit(PqSub))
+
+  private def pqCodebooks(base: DataFrame): Seq[DataFrame] =
+    (0 until PqM).map { m =>
+      trainedCentroids(
+        base.select(col("vec_id"), pqSlice(col("v"), lit(m)).as("v")),
+        PqK, PqIters)
+    }
+
+  /** (vec_id, m, code): every vector's PqM codeword assignments. */
+  private def pqCodes(base: DataFrame, cbs: Seq[DataFrame]): DataFrame =
+    (0 until PqM).map { m =>
+      kmAssign(
+        base.select(col("vec_id"), pqSlice(col("v"), lit(m)).as("v")), cbs(m))
+        .select(col("vec_id"), lit(m).as("m"), col("j").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** ADC top-10 per query over the PQ codes (qid, rn, vec_id, adc_dist). */
+  private def pqTopFrame(base: DataFrame): DataFrame = {
+    val cbs = pqCodebooks(base)
+    val cbAll = cbs.zipWithIndex.map { case (c, m) =>
+      c.select(lit(m).as("m"), col("j"), col("c"))
+    }.reduce(_ unionByName _)
+    val codes = pqCodes(base, cbs)
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val lut = q.crossJoin(broadcast(cbAll))
+      .withColumn("qs", pqSlice(col("qv"), col("m")))
+      .select(col("qid"), col("m"), col("j"),
+        graft.api.Det.quantize(
+          dot(col("qs"), col("qs")) + dot(col("c"), col("c"))
+            - lit(2.0) * dot(col("qs"), col("c")), 9).as("pd"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+    codes.as("x")
+      .join(broadcast(lut).as("l"),
+        col("x.m") === col("l.m") && col("x.code") === col("l.j")
+          && col("x.vec_id") =!= col("l.qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg((sum(col("pd")) / lit(graft.api.Det.pow10(9))).as("adc_dist"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("adc_dist"))
+  }
+
+  val pqTopk: GraftQuery = GraftQuery(
+    "embedding_pq_topk",
+    s"PQ ANN: ${PqM}x$PqK-codeword product codebooks ($PqIters Lloyd sweeps each), " +
+      "ADC top-10 per query",
+    SimOracle.pqTopkSql) { (s, d) =>
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    pqTopFrame(base).orderBy("qid", "rn")
+  }
+
+  /** PQ recall@10 vs the exact squared-L2 top-10 — the graded-accuracy
+    * artifact for the lossy index, the [[lshRecall]]/[[ivfRecall]]
+    * convention applied to ADC (which approximates L2, so the truth set
+    * here is L2, not cosine).
+    */
+  val pqRecall: GraftQuery = GraftQuery(
+    "embedding_pq_recall",
+    "PQ ADC recall@10 against the exact squared-L2 top-10 per query",
+    SimOracle.pqRecallSql) { (s, d) =>
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    val qb = broadcast(base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))
+    val exact = qb.join(base, col("vec_id") =!= col("qid"))
+      .withColumn("l2",
+        dot(col("qv"), col("qv")) + dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val approx = pqTopFrame(base).select(col("qid").as("aq"), col("vec_id").as("av"))
+    exact.join(approx,
+        col("qid") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("av")).as("n_hits"),
+        (count(col("av")) / lit(10.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Reciprocal-rank-fusion constant (the standard k=60). */
   val RrfK = 60
 
@@ -493,5 +596,5 @@ object SimQueries {
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
-      semanticDedup, dimTruncation, hybridSearch)
+      semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall)
 }

@@ -579,8 +579,12 @@ object TextOracle {
     * boundary-safe `replace('|a||b|' -> '|ab|')`. All-BIGINT arithmetic
     * and binary string collation on both engines, so the chain is exact.
     */
-  def bpeMergesNSql: String = {
-    val n = TextQueries.BpeIters
+  /** The unrolled [[TextQueries.bpeTrainState]] twin: WITH chain through
+    * v$n (vocab with ALL n rules applied) and b1..bN (the per-round argmax
+    * rules) — shared by the training oracle (reads the b$k) and the encode
+    * oracle (reads v$n).
+    */
+  private def bpeChainCtes(n: Int): String = {
     val sb = new StringBuilder(s"""
     WITH wc AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
     v0 AS (
@@ -606,10 +610,40 @@ object TextOracle {
         replace(seg, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seg
       FROM v${k - 1} CROSS JOIN b$k
     )"""
-    sb ++= "\n    SELECT * FROM (" + (1 to n).map(k =>
-      s"SELECT $k AS iter, a, b, a || b AS merged, weight FROM b$k")
-      .mkString("\n      UNION ALL ") + ")\n    ORDER BY iter"
     sb.toString
+  }
+
+  def bpeMergesNSql: String = {
+    val n = TextQueries.BpeIters
+    bpeChainCtes(n) +
+      "\n    SELECT * FROM (" + (1 to n).map(k =>
+        s"SELECT $k AS iter, a, b, a || b AS merged, weight FROM b$k")
+        .mkString("\n      UNION ALL ") + ")\n    ORDER BY iter"
+  }
+
+  /** Encode twin: the final vocab's per-word symbol count joined back to
+    * the corpus word stream, per-language fertility from exact BIGINT
+    * sums (single IEEE division per ratio on both engines).
+    */
+  def bpeEncodeSql: String = {
+    val n = TextQueries.BpeIters
+    bpeChainCtes(n) + s""",
+    enc AS (
+      SELECT word,
+        len(string_split(substr(seg, 2, len(seg) - 2), '||')) AS n_syms
+      FROM v$n
+    ),
+    tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT tok.lang AS lang,
+      COUNT(*) AS n_words,
+      CAST(SUM(len(tok.word)) AS BIGINT) AS n_chars,
+      CAST(SUM(enc.n_syms) AS BIGINT) AS n_bpe_tokens,
+      CAST(SUM(len(tok.word)) AS BIGINT) / CAST(SUM(enc.n_syms) AS BIGINT)
+        AS chars_per_token,
+      CAST(SUM(enc.n_syms) AS BIGINT) / COUNT(*) AS tokens_per_word
+    FROM tok JOIN enc ON tok.word = enc.word
+    GROUP BY tok.lang
+    ORDER BY tok.lang"""
   }
 
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)

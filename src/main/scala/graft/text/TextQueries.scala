@@ -863,7 +863,19 @@ object TextQueries {
     * returns the merge table (iter, a, b, merged, weight).
     */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame,
-      iters: Int): org.apache.spark.sql.DataFrame = {
+      iters: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainState(docs, iters, applyLast = false)._1
+
+  /** Shared trainer core: the merge table PLUS the vocab in its final
+    * segmentation. `applyLast` controls whether the last round's rule is
+    * applied to the vocab — training alone doesn't need it (the rule is
+    * the last output), ENCODING does (the encoded corpus must reflect
+    * every learned rule). One more vocab-bounded rewrite, nothing
+    * corpus-sized.
+    */
+  private[graft] def bpeTrainState(docs: org.apache.spark.sql.DataFrame,
+      iters: Int, applyLast: Boolean)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val vocab0 = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -891,7 +903,7 @@ object TextQueries {
         .limit(1)
         .select(lit(it).as("iter"), col("a"), col("b"), col("weight"))
       merges = if (merges == null) best else merges.unionByName(best)
-      if (it < iters)
+      if (it < iters || applyLast)
         vocab = vocab
           .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
           .withColumn("seg", expr(
@@ -899,10 +911,45 @@ object TextQueries {
           .select("word", "cnt", "seg")
           .localCheckpoint()
     }
-    merges
+    (merges
       .select(col("iter"), col("a"), col("b"),
         concat(col("a"), col("b")).as("merged"), col("weight"))
-      .orderBy("iter")
+      .orderBy("iter"),
+      vocab)
+  }
+
+  /** BPE ENCODE — the apply half of the tokenizer story ([[bpeMergesN]]
+    * trains, this tokenizes). The trained vocab IS the encoder: after
+    * [[BpeIters]] merge rounds every distinct word's `seg` column holds
+    * its final sub-word segmentation, so encoding the corpus is a
+    * corpus-words → vocab equi-join — no per-document merge replay, the
+    * standard trick in production tokenizer pipelines (encode cost =
+    * explode + join, and the join side is vocab-bounded: broadcastable
+    * here, a word-keyed shuffle join at 100 TB where the type count still
+    * trails the token count by orders of magnitude). Reports per-language
+    * fertility: chars per BPE token (the compression the 8 rules bought)
+    * and tokens per word.
+    */
+  val bpeEncode: GraftQuery = GraftQuery(
+    "corpus_bpe_encode",
+    s"BPE encode via the $BpeIters-rule trained vocab: per-language fertility + compression",
+    TextOracle.bpeEncodeSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (_, vocab) = bpeTrainState(docs, BpeIters, applyLast = true)
+    val enc = vocab.select(col("word"),
+      size(split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
+        .as("n_syms"))
+    docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        (col("n_chars") / col("n_bpe_tokens")).as("chars_per_token"),
+        (col("n_bpe_tokens") / col("n_words")).as("tokens_per_word"))
+      .orderBy("lang")
   }
 
   /** Doc-level importance sampling: keep each doc with probability equal
@@ -943,5 +990,5 @@ object TextQueries {
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
-      bpeMerges, bpeMergesN, sampleWeighted)
+      bpeMerges, bpeMergesN, bpeEncode, sampleWeighted)
 }

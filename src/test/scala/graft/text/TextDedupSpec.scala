@@ -391,6 +391,32 @@ class TextDedupSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("capBuckets: oversize band buckets drop, small ones survive intact") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.dedup.DedupQueries
+    // one bucket 2 docs past the cap, one safe bucket, one exactly AT it
+    val cap = DedupQueries.BandBucketCap
+    val bands =
+      ((1 to cap + 2).map(i => (i.toLong, 0, "hot")) ++
+        Seq((100L, 0, "cold"), (101L, 0, "cold")) ++
+        (200 until 200 + cap).map(i => (i.toLong, 1, "edge")))
+        .toDF("doc_id", "b", "bk")
+    val kept = DedupQueries.capBuckets(bands)
+      .groupBy("b", "bk").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(!kept.contains((0, "hot")), "bucket past the cap must vanish")
+    assert(kept((0, "cold")) === 2L)
+    assert(kept((1, "edge")) === cap.toLong, "bucket AT the cap survives")
+    // and the planted near-dup pipeline still finds its pair under the cap
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 zz"),
+      (3L, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val pairs = DedupQueries.minhashJaccardFrame(docs).collect()
+    assert(pairs.forall(r => (r.getLong(0), r.getLong(1)) == (1L, 2L)))
+  }
+
   test("bigram-LM perplexity is bit-identical at any input partitioning") {
     // the end-to-end determinism claim behind the per-type quantization +
     // exact-LONG doc sums: the transcendental-laden pipeline must produce
