@@ -466,28 +466,78 @@ object SimQueries {
   private def pqSlice(v: Column, m: Column): Column =
     slice(v, m * lit(PqSub) + lit(1), lit(PqSub))
 
-  private def pqCodebooks(base: DataFrame): Seq[DataFrame] =
-    (0 until PqM).map { m =>
-      trainedCentroids(
-        base.select(col("vec_id"), pqSlice(col("v"), lit(m)).as("v")),
-        PqK, PqIters)
-    }
+  /** (vec_id, m, v): every vector exploded into its PqM sub-vectors — a
+    * NARROW map over the (checkpointed) base, so re-deriving it per sweep
+    * costs no shuffle.
+    */
+  private def pqSubVecs(base: DataFrame): DataFrame =
+    base.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(m => pqSlice(col("v"), lit(m))): _*))
+        .as(Seq("m", "v")))
 
-  /** (vec_id, m, code): every vector's PqM codeword assignments. */
-  private def pqCodes(base: DataFrame, cbs: Seq[DataFrame]): DataFrame =
-    (0 until PqM).map { m =>
-      kmAssign(
-        base.select(col("vec_id"), pqSlice(col("v"), lit(m)).as("v")), cbs(m))
-        .select(col("vec_id"), lit(m).as("m"), col("j").as("code"))
-    }.reduce(_ unionByName _)
+  /** Assignment across ALL subspaces in one pass: the codebook frame
+    * (m, j, c) collapses to PqM broadcast rows of sorted (j, c) structs,
+    * and each sub-vector row array_mins its own subspace's codewords —
+    * the [[kmAssign]] recipe keyed by m. One corpus-shaped scan instead
+    * of PqM.
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val cs = broadcast(cb.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("cs")))
+    sv.join(cs, "m")
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("best",
+        array_min(transform(col("cs"), e =>
+          struct(
+            (col("vv") + dot(e.getField("c"), e.getField("c"))
+              - lit(2.0) * dot(col("v"), e.getField("c"))).as("dist"),
+            e.getField("j").as("j")))))
+      .select(col("vec_id"), col("m"), col("v"),
+        col("best").getField("j").as("j"))
+  }
+
+  /** Lloyd update across all subspaces: one (m, j, pos)-keyed quantized-
+    * mean shuffle (PqM x PqK x PqSub = 512 reduce keys) — the [[kmUpdate]]
+    * recipe with m riding the key. Empty cells keep their codeword.
+    */
+  private def pqUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val upd = assigned
+      .select(col("m"), col("j"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("j"), col("pos"))
+      .agg((sum(graft.api.Det.quantize(col("x"), 9)) /
+        (lit(graft.api.Det.pow10(9)) * count(lit(1)))).as("mu"))
+      .groupBy(col("m"), col("j"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("cn"))
+    prev.as("p").join(upd.as("u"),
+        col("p.m") === col("u.m") && col("p.j") === col("u.j"), "left")
+      .select(col("p.m").as("m"), col("p.j").as("j"),
+        coalesce(col("u.cn"), col("p.c")).as("c"))
+  }
+
+  /** All PqM codebooks trained together: init = the PqK lowest vec_ids'
+    * sub-vectors per subspace, then PqIters fused sweeps. Math identical
+    * to training each subspace alone (subspaces never mix in the keyed
+    * aggregations) — the oracle stays per-subspace — but each sweep runs
+    * ONE pass over the corpus instead of PqM, and the loop checkpoints
+    * PqIters frames instead of PqM x PqIters.
+    */
+  private def pqCodebook(base: DataFrame): DataFrame = {
+    val sv = pqSubVecs(base)
+    var cb = pqSubVecs(base.filter(col("vec_id") < PqK))
+      .select(col("m"), col("vec_id").cast("int").as("j"), col("v").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to PqIters)
+      cb = pqUpdate(pqAssign(sv, cb), cb).localCheckpoint()
+    cb
+  }
 
   /** ADC top-10 per query over the PQ codes (qid, rn, vec_id, adc_dist). */
   private def pqTopFrame(base: DataFrame): DataFrame = {
-    val cbs = pqCodebooks(base)
-    val cbAll = cbs.zipWithIndex.map { case (c, m) =>
-      c.select(lit(m).as("m"), col("j"), col("c"))
-    }.reduce(_ unionByName _)
-    val codes = pqCodes(base, cbs)
+    val cbAll = pqCodebook(base)
+    val codes = pqAssign(pqSubVecs(base), cbAll)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
     val q = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val lut = q.crossJoin(broadcast(cbAll))
