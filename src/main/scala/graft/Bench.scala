@@ -38,7 +38,13 @@ object Bench {
     // after the main sweep the slowest queries are RE-SAMPLED at the end of
     // the run, ~20 minutes later, and the min is merged. A contention
     // window must now span the whole bench to survive into the report.
+    // Optional args restrict the run to the named queries — a local
+    // iterate-on-one-query loop; the driver passes none and times all.
+    val only = args.toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    require(only.isEmpty || names.size == only.size,
+      s"unknown query name(s): ${only -- names.map(_._1)}")
     // Release checkpoint/persist blocks AFTER the timer stops: scratch
     // blocks (localCheckpoint posting tables, CC sweeps) must not linger
     // into the next query's run — BENCH_r03 measured 2-3x inflation on

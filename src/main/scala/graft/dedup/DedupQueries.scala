@@ -129,6 +129,21 @@ object DedupQueries {
       explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
   }
 
+  /** One corpus scan + tokenize, materialized: (doc_id, toks). The shared
+    * input for [[clustersMulti]]'s three miners — 3-gram shingles, 2-gram
+    * shingles, and per-token SimHash votes are all derived from the SAME
+    * token arrays, so tokenization (the regex split over every byte of
+    * text — the only work proportional to RAW corpus size rather than
+    * token count) runs once instead of once per evidence class, and the
+    * parquet scan behind it runs once too. Standalone single-miner
+    * queries skip this cut: for them the checkpoint write would cost more
+    * than the one tokenize pass it saves.
+    */
+  private[graft] def tokenizedDocs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks")).localCheckpoint()
+  }
+
   /** Exact dedup summary: fingerprint = md5(normalized text); the kept set
     * is one doc per fingerprint. (The corpus has no exact dups — the zero
     * is the assertion.) At scale this is one partial-aggregated groupBy on
@@ -186,7 +201,6 @@ object DedupQueries {
     * materializes.
     */
   private[graft] def cappedPostings(docs: DataFrame, n: Int, extra: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Evaluate `extra` in a SEPARATE select BELOW the explode. Putting them
     // in the same select as the generator looks equivalent but is not:
     // ExtractGenerator keeps non-generator expressions in the Project ABOVE
@@ -196,8 +210,23 @@ object DedupQueries {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val pre = docs.select(col("doc_id") +: col("text") +: extra: _*)
     val keep = pre.columns.filterNot(_ == "text").map(col)
-    pre.select(keep :+
-        explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"): _*)
+    capPostings(pre.select(keep :+
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"): _*))
+  }
+
+  /** [[cappedPostings]] from a pre-tokenized (doc_id, toks) frame — the
+    * shared-scan path for [[clustersMulti]].
+    */
+  private[graft] def cappedPostingsFromToks(tokDocs: DataFrame, n: Int): DataFrame =
+    capPostings(tokDocs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("toks"), n))).as("sh")))
+
+  /** The DF cap + checkpoint over a raw posting frame (see
+    * [[NgramDfCap]] for why the cap precedes any self-join).
+    */
+  private def capPostings(postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= NgramDfCap)
       .drop("df")
@@ -349,8 +378,20 @@ object DedupQueries {
       .drop("bc")
   }
 
-  def minhashJaccardFrame(docs: DataFrame): DataFrame = {
-    val sh = shingleSet(docs, MinhashShingleN).localCheckpoint()
+  def minhashJaccardFrame(docs: DataFrame): DataFrame =
+    minhashJaccardFromShingles(
+      shingleSet(docs, MinhashShingleN).localCheckpoint())
+
+  /** [[minhashJaccardFrame]] from a pre-tokenized (doc_id, toks) frame —
+    * the shared-scan path for [[clustersMulti]].
+    */
+  private[graft] def minhashJaccardFromToks(tokDocs: DataFrame): DataFrame =
+    minhashJaccardFromShingles(
+      tokDocs.select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh"))
+        .localCheckpoint())
+
+  private def minhashJaccardFromShingles(sh: DataFrame): DataFrame = {
     val sigs = minhashSigs(sh)
     val bands = capBuckets(bandKeys(sigs))
     val cand = bands.as("x")
@@ -391,12 +432,15 @@ object DedupQueries {
     * [[SimhashHammingMax]], unordered/unlimited — [[simhashPairs]] slices
     * it for presentation and [[clustersMulti]] uses it as an edge class.
     */
-  def simhashPairFrame(s: SparkSession, d: String): DataFrame = {
+  def simhashPairFrame(s: SparkSession, d: String): DataFrame =
     // the fingerprint frame is one row per doc but costs the full
     // explode + two-exchange aggregation — materialize it ONCE before it
     // fans out to both sides of the band self-join (same discipline as
     // cappedPostings; the caller's releaseAll frees the blocks)
-    val fp = graft.text.TextQueries.simhashFrame(s, d).localCheckpoint()
+    simhashPairsFromFp(
+      graft.text.TextQueries.simhashFrame(s, d).localCheckpoint())
+
+  private[graft] def simhashPairsFromFp(fp: DataFrame): DataFrame = {
     val bandMask = (1L << SimhashBandBits) - 1
     val bandStructs = (0 until SimhashBands).map { b =>
       struct(lit(b).as("b"),
@@ -610,21 +654,25 @@ object DedupQueries {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val docs = Tables.documents(s, d)
-    // the three mining pipelines are independent and each materializes its
-    // own inverted-index checkpoint eagerly — build them from concurrent
-    // threads so those jobs overlap instead of serializing (Spark's
-    // scheduler runs concurrent jobs side by side; results are
-    // deterministic frames, so only wall-clock changes)
+    // ONE corpus scan + tokenize feeds all three evidence classes (each
+    // derives its own key — 3-gram shingles, 2-gram shingles, per-token
+    // hash votes — from the same materialized token arrays), and the
+    // three mining pipelines then run from concurrent threads so their
+    // jobs overlap instead of serializing (Spark's scheduler runs
+    // concurrent jobs side by side; results are deterministic frames, so
+    // only wall-clock changes)
+    val tok = tokenizedDocs(docs)
     val Seq(jac, mh, sh) = Await.result(Future.sequence(Seq(
-      Future(ngramJaccardFrame(docs)
+      Future(jaccardPairs(cappedPostingsFromToks(tok, ShingleN), lit(true))
         .filter(col("jaccard") >= ClusterJaccard)
         .select(col("doc_a").as("a"), col("doc_b").as("b"),
           lit("jaccard").as("evidence"))),
-      Future(minhashJaccardFrame(docs)
+      Future(minhashJaccardFromToks(tok)
         .filter(col("jaccard") >= ClusterJaccard)
         .select(col("doc_a").as("a"), col("doc_b").as("b"),
           lit("minhash").as("evidence"))),
-      Future(simhashPairFrame(s, d)
+      Future(simhashPairsFromFp(
+        graft.text.TextQueries.simhashFromTokens(tok).localCheckpoint())
         .filter(col("hamming") <= ClusterHamming)
         .select(col("doc_a").as("a"), col("doc_b").as("b"),
           lit("simhash").as("evidence"))))), Duration.Inf)

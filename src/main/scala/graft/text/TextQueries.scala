@@ -143,8 +143,18 @@ object TextQueries {
     */
   def simhashFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    simhashFromTokens(Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+  }
+
+  /** [[simhashFrame]] from a pre-tokenized (doc_id, toks) frame — lets the
+    * cross-family dedup miner share ONE corpus tokenize across its three
+    * evidence classes (see [[graft.dedup.DedupQueries.tokenizedDocs]]).
+    */
+  def simhashFromTokens(tokDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(tokDocs.sparkSession)
+    val toks = tokDocs
+      .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", call_function("hash60", col("token")))
