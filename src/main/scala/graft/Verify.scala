@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fail fast on typo'd names — a silent no-op dump would merge nothing
+    // and leave a stale artifact (same contract as Bench)
+    val unknown = only.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
@@ -58,6 +62,20 @@ object Verify {
     val json = (prior ++ fresh)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(target, json)
+    // Attestation side-channel: edges-only twins of the recursive-CTE
+    // cluster oracles plus their thresholds, built by the SAME Scala
+    // builders as the registry oracles. tools/check_clusters_unionfind.py
+    // consumes this instead of pattern-splitting formatted SQL, so a
+    // constant or formatting change can never silently desynchronize the
+    // 10x scale check. Not part of oracle_sql.json: these have no
+    // matching parquet dump for the driver's per-query compare.
+    val attest = Map(
+      "dedup_cluster_edges" -> graft.dedup.DedupOracle.clusterEdgesOnlySql,
+      "dedup_cluster_multi_edges" -> graft.dedup.DedupOracle.multiEdgesOnlySql,
+      "threshold_jaccard" -> graft.dedup.DedupQueries.ClusterJaccard.toString,
+      "threshold_hamming" -> graft.dedup.DedupQueries.ClusterHamming.toString)
+    Files.writeString(Paths.get(s"$outDir/attest_sql.json"),
+      attest.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

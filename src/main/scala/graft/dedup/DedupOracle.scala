@@ -129,6 +129,21 @@ object DedupOracle {
     FROM lab GROUP BY label
     ORDER BY cluster_size DESC, cluster_id"""
 
+  /** Edges-only attestation twin of [[clustersSql]]: the SAME pair-CTE
+    * chain and [[DedupQueries.ClusterJaccard]] threshold, but no
+    * recursive closure — at the 10x attestation scale DuckDB's
+    * reachability CTE enumerates paths combinatorially, so
+    * tools/check_clusters_unionfind.py runs only this edge evidence in
+    * DuckDB and closes it with a union-find. Built here (not pattern-
+    * split from the formatted registry SQL) so a constant or formatting
+    * change can never silently desynchronize the scale check.
+    */
+  def clusterEdgesOnlySql: String = s"""
+    WITH $ngramPairCtes
+    SELECT doc_a, doc_b FROM pairs
+    WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    ORDER BY doc_a, doc_b"""
+
   /** Funnel twin: keep_exact by fingerprint-group window min, keep_nd by
     * the CC min-label invariant (a node survives iff it IS its cluster's
     * label), unclustered nodes always survive.
@@ -310,6 +325,28 @@ object DedupOracle {
       n_jaccard_edges, n_minhash_edges, n_simhash_edges
     FROM csize JOIN cev USING (label)
     ORDER BY cluster_size DESC, cluster_id"""
+  }
+
+  /** Edges-only attestation twin of [[clustersMultiSql]] — see
+    * [[clusterEdgesOnlySql]] for why it exists. Tagged union of the three
+    * evidence families, no recursive closure.
+    */
+  def multiEdgesOnlySql: String = {
+    val j = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    s"""
+    WITH $ngramPairCtes,
+    $minhashPairCtes,
+    $simhashPairCtes,
+    medges AS (
+      SELECT doc_a AS a, doc_b AS b, 'jaccard' AS evidence FROM pairs
+      WHERE jaccard >= $j
+      UNION ALL
+      SELECT doc_a, doc_b, 'minhash' FROM mh_pairs WHERE jaccard >= $j
+      UNION ALL
+      SELECT doc_a, doc_b, 'simhash' FROM sh_pairs
+      WHERE hamming <= ${DedupQueries.ClusterHamming}
+    )
+    SELECT a, b, evidence FROM medges ORDER BY a, b, evidence"""
   }
 
   /** Degree-histogram twin: symmetrized thresholded edges, left join so

@@ -471,9 +471,11 @@ object DedupQueries {
   val MaxCcSweeps = 12
 
   /** Single-task bound for [[connectedComponents]]'s union-find fast path:
-    * edge lists at or under this size (~100 MB of long-pair state) are
-    * solved in ONE task; larger ones take the log-round distributed
-    * sweeps. The mined near-dup edge set is orders of magnitude smaller
+    * edge lists at or under this size are solved in ONE task; larger ones
+    * take the log-round distributed sweeps. Worst-case single-task state
+    * is flat primitive arrays — ≤4M symmetric rows means ≤4M distinct
+    * nodes, held in an open-addressed long->long table of at most 8M
+    * slots = 128 MB, an order of magnitude under executor memory. The mined near-dup edge set is orders of magnitude smaller
     * than the corpus BY CONSTRUCTION — every candidate generator is
     * banded/DF-capped, so |edges| is bounded by Σ per-bucket pairs, not
     * O(n²) — which is why the fast path covers all but adversarial
@@ -559,7 +561,6 @@ object DedupQueries {
           least(col("p.label"), coalesce(col("jl"), col("p.label"))).as("label"))
         .localCheckpoint()
       changed = next.filter(col("label") < col("prev")).count()
-      System.err.println(s"[cc] sweep=$sweeps changed=$changed")
       graft.api.Checkpoints.release(labels)
       labels = next.select(col("node"), col("label"))
     }
@@ -583,32 +584,91 @@ object DedupQueries {
       .select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
+        // Primitive open-addressing parent table (16 B/slot, ≤0.75 load)
+        // instead of boxed java.util maps (~60 B/entry + GC churn): the
+        // single-task footprint stays within the bound documented at
+        // [[LocalCcMaxEdges]]. find() inserts unseen nodes as their own
+        // root, so the table's key set IS the node set — no side set.
+        val parent = new LongLongMap(1 << 20)
         def find(x0: Long): Long = {
           var x = x0
-          var p = parent.getOrDefault(x, x)
+          var p = parent.getOrInsert(x)
           while (p != x) {
-            val gp = parent.getOrDefault(p, p)
+            val gp = parent.getOrInsert(p)
             parent.put(x, gp)
             x = gp
-            p = parent.getOrDefault(x, x)
+            p = parent.getOrInsert(x)
           }
           x
         }
-        val nodes = new java.util.HashSet[Long]()
         it.foreach { case (a, b) =>
-          nodes.add(a); nodes.add(b)
           val ra = find(a); val rb = find(b)
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-        import scala.jdk.CollectionConverters._
-        nodes.iterator().asScala.map(n => (n, find(n)))
+        parent.keysIterator.map(n => (n, find(n)))
       }
       .toDF("node", "label")
       .localCheckpoint()
     graft.api.Checkpoints.release(sym)
     labels
+  }
+
+  /** Open-addressing long->long hash table with linear probing: flat
+    * primitive arrays, power-of-two capacity, grow at 3/4 load. Keys are
+    * doc ids (any value except the Long.MinValue empty sentinel, which no
+    * id generator produces). Exists solely for [[localUnionFind]]'s
+    * single-task state, where boxed maps would triple the footprint.
+    */
+  private[graft] final class LongLongMap(initialCapacity: Int) {
+    private val Empty = Long.MinValue
+    private var mask = 0
+    private var keys: Array[Long] = _
+    private var vals: Array[Long] = _
+    private var used = 0
+    locally {
+      var c = 16
+      while (c < initialCapacity) c <<= 1
+      alloc(c)
+    }
+    private def alloc(c: Int): Unit = {
+      keys = Array.fill(c)(Empty); vals = new Array[Long](c)
+      mask = c - 1; used = 0
+    }
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // splitmix64 finalizer multiplier
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      alloc((mask + 1) << 1)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+    def put(k: Long, v: Long): Unit = {
+      require(k != Empty, "LongLongMap: sentinel key")
+      var i = slot(k)
+      while (keys(i) != Empty && keys(i) != k) i = (i + 1) & mask
+      if (keys(i) == Empty) {
+        keys(i) = k; used += 1
+        if (used * 4 > (mask + 1) * 3) { vals(i) = v; grow(); return }
+      }
+      vals(i) = v
+    }
+    /** Value for `k`, inserting `k -> k` first if absent. */
+    def getOrInsert(k: Long): Long = {
+      require(k != Empty, "LongLongMap: sentinel key")
+      var i = slot(k)
+      while (keys(i) != Empty && keys(i) != k) i = (i + 1) & mask
+      if (keys(i) == k) vals(i)
+      else { put(k, k); k }
+    }
+    def keysIterator: Iterator[Long] =
+      keys.iterator.filter(_ != Empty)
   }
 
   /** Near-dup cluster assignment — the step a dedup pipeline runs AFTER

@@ -80,30 +80,13 @@ def main():
     con = duckdb.connect()
     for t in ("documents",):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    oracle = json.load(open(f"{out}/oracle_sql.json"))
-
-    # --- edge frames from the SAME SQL prefixes the registry oracles use
-    clusters_sql = oracle["dedup_clusters"]
-    prefix = clusters_sql.split(",\n    edges AS")[0].replace(
-        "WITH RECURSIVE", "WITH")
-    j_edges = con.sql(
-        prefix + "\n    SELECT doc_a, doc_b FROM pairs "
-        "WHERE jaccard >= 0.5::DOUBLE").fetchall()
-
-    multi_sql = oracle["dedup_clusters_multi"]
-    mprefix = multi_sql.split(",\n    medges AS")[0].replace(
-        "WITH RECURSIVE", "WITH")
-    medges = con.sql(
-        mprefix + """,
-        medges AS (
-          SELECT doc_a AS a, doc_b AS b, 'jaccard' AS evidence FROM pairs
-          WHERE jaccard >= 0.5::DOUBLE
-          UNION ALL
-          SELECT doc_a, doc_b, 'minhash' FROM mh_pairs
-          WHERE jaccard >= 0.5::DOUBLE
-          UNION ALL
-          SELECT doc_a, doc_b, 'simhash' FROM sh_pairs WHERE hamming <= 3
-        ) SELECT a, b, evidence FROM medges""").fetchall()
+    # Edges-only oracles are emitted by Verify (attest_sql.json) from the
+    # SAME Scala builders as the registry oracles — no string-splitting of
+    # formatted SQL, no hardcoded thresholds: a constant or formatting
+    # change in DedupOracle flows through automatically.
+    attest = json.load(open(f"{out}/attest_sql.json"))
+    j_edges = con.sql(attest["dedup_cluster_edges"]).fetchall()
+    medges = con.sql(attest["dedup_cluster_multi_edges"]).fetchall()
 
     failures = 0
 
