@@ -190,6 +190,35 @@ object RelationalOracle {
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100"""
 
+  /** Dialect-shared SQL (TPC-H Q21 shape): EXISTS + NOT EXISTS correlated
+    * on the SAME fact table — the last common decorrelation pattern. This
+    * corpus has no receipt/commit dates, so "late" is shipdate more than
+    * 60 days after the order date (same row-level predicate class as
+    * Q21's l_receiptdate > l_commitdate, but correlated through the outer
+    * orders row, which makes the NOT EXISTS carry a non-equi outer
+    * reference — the harder rewrite). Both engines run this exact text;
+    * `INTERVAL 60 DAY` parses identically in Spark SQL and DuckDB.
+    */
+  val suppliersWaitingSql: String = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100"""
+
   /** Q13 twin: both predicates in the ON clause — `o_orderstatus` guards
     * the null-producing side, `c_acctbal` the preserved side (as a WHERE
     * either would be a different query). COUNT(o_orderkey) counts

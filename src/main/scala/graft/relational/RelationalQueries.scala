@@ -177,6 +177,27 @@ object RelationalQueries {
       .orderBy(desc("custdist"), desc("c_count"))
   }
 
+  /** Multi-correlation on one fact (TPC-H Q21 shape), dialect-shared SQL:
+    * the EXISTS becomes a left-semi join and the NOT EXISTS a left-anti
+    * join, BOTH against lineitem re-keyed on l_orderkey — chained hash
+    * joins, never a per-row subquery probe or a nested loop (PlanSpec pins
+    * both join types). The NOT EXISTS correlates through the OUTER orders
+    * row (`o_orderdate` bounds l3's shipdate), so its anti join carries a
+    * non-equi residual on top of the equi key — the hard decorrelation
+    * case. 100 TB shape: three shuffles on l_orderkey (fact⋈orders, semi,
+    * anti), each AQE-coalesced, supplier dim broadcast into the tiny
+    * post-filter frame.
+    */
+  val suppliersWaiting: GraftQuery = GraftQuery(
+    "suppliers_waiting",
+    "EXISTS + NOT EXISTS on one fact -> chained semi/anti joins (TPC-H Q21 shape)",
+    RelationalOracle.suppliersWaitingSql) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(RelationalOracle.suppliersWaitingSql)
+  }
+
   /** Data-validation sweep: referential integrity (anti-join counts),
     * domain checks, and malformed-content counts across the corpus — the
     * profiling/validation operator every ingestion pipeline runs first.
@@ -320,5 +341,6 @@ object RelationalQueries {
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
-    supplierShare, localSupplierRevenue, customerOrderDistribution)
+    supplierShare, localSupplierRevenue, customerOrderDistribution,
+    suppliersWaiting)
 }

@@ -123,6 +123,19 @@ class PlanSpec extends SparkSpec {
       s"IN subquery not planned as a semi join:\n$plan")
   }
 
+  test("suppliers_waiting: EXISTS/NOT EXISTS become semi+anti hash joins, no nested loop") {
+    val plan = planOf("suppliers_waiting")
+    val lower = plan.toLowerCase
+    // both correlations must decorrelate: a surviving subquery would be a
+    // per-row lineitem scan at 100 TB
+    assert(lower.contains("leftsemi"), s"EXISTS not a semi join:\n$plan")
+    assert(lower.contains("leftanti"), s"NOT EXISTS not an anti join:\n$plan")
+    // the anti join's non-equi outer reference (o_orderdate bound) must
+    // ride a HASH join on the l_orderkey equi key, not force a
+    // BroadcastNestedLoopJoin over the fact
+    assert(!plan.contains("NestedLoop"), s"nested-loop join in:\n$plan")
+  }
+
   test("urgent_revenue_bloom: bloom probe sits on the fact scan, before the join") {
     val df = SparkEntry.queries("urgent_revenue_bloom")(spark, sf)
     df.collect()
