@@ -24,7 +24,16 @@ object Bench {
     // warm the session (JVM/codegen/parquet-footer caches) so the first
     // measured query doesn't carry ~5s of one-time startup cost
     spark.range(1 << 20).selectExpr("sum(id)").collect()
-    Tables.loaders.foreach { case (_, load) => load(spark, sfDir).count() }
+    // Warm-up is failure-isolated per table: a single broken loader must
+    // fail only the queries that read that table, never zero the whole
+    // bench artifact (BENCH_r07/r08 both died rc=1 here when the driver
+    // regenerated events.parquet with a new ts dtype).
+    Tables.loaders.foreach { case (name, load) =>
+      try load(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
+      }
+    }
     // Each query is executed twice back-to-back (three times when it looks
     // expensive) and the MIN is reported: a single JIT/GC stall can inflate
     // one execution ~4x on an unchanged plan. Back-to-back (rather than

@@ -35,25 +35,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert to a
-    * microsecond timestamp (`ts div 1000` — the corpus has at most
-    * microsecond resolution, so this is lossless; the oracle casts its
-    * TIMESTAMP_NS to TIMESTAMP identically).
+  /** events.parquet has stored `ts` two different ways across testdata
+    * generations, so this loader branches on the LOADED schema rather than
+    * assuming either:
     *
-    * The nanosAsLong flag must be set by the SESSION BUILDER (Verify /
-    * Bench / Explain / StreamDemo and the test fixture all do) — a loader
-    * silently mutating session conf would change how every later
-    * TIMESTAMP(NANOS) read behaves, so this fails fast instead.
+    *  - TIMESTAMP(NANOS) (pre-2026-08-13 corpus): Spark 4 rejects it by
+    *    default ([PARQUET_TYPE_ILLEGAL]); with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
+    *    builder in this repo) it arrives as LongType → convert via
+    *    `timestamp_micros(ts div 1000)` (corpus has at most microsecond
+    *    resolution, so lossless).
+    *  - timestamp[us] without UTC adjustment (current corpus): Spark 4
+    *    reads it as TIMESTAMP_NTZ → `cast("timestamp")`, which under the
+    *    pinned UTC session timezone preserves wall-clock values and the
+    *    downstream TimestampType schema the oracles expect.
+    *
+    * Either way the loader's contract is stable: `ts` is TimestampType.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(
-      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder")
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet: unsupported dtype for column ts: $other " +
+          "(expected TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
