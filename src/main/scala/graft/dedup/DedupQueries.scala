@@ -385,11 +385,18 @@ object DedupQueries {
   /** [[minhashJaccardFrame]] from a pre-tokenized (doc_id, toks) frame —
     * the shared-scan path for [[clustersMulti]].
     */
+  /** [[minhashJaccardFrame]] from a pre-tokenized (doc_id, toks) frame —
+    * the shared-scan path for [[clustersMulti]]. No shingle checkpoint
+    * here, unlike the raw-text path: with the candidate-pruned verify the
+    * shingle frame has exactly two consumers (the signature aggregate and
+    * the semi-join prune), both map-side over the already-checkpointed
+    * token frame, so re-running the explode is cheaper than a
+    * materialization barrier.
+    */
   private[graft] def minhashJaccardFromToks(tokDocs: DataFrame): DataFrame =
     minhashJaccardFromShingles(
       tokDocs.select(col("doc_id"),
-        explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh"))
-        .localCheckpoint())
+        explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh")))
 
   private def minhashJaccardFromShingles(sh: DataFrame): DataFrame = {
     val sigs = minhashSigs(sh)
@@ -400,10 +407,24 @@ object DedupQueries {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
+    // The LSH contract makes the candidate pair set SMALL by construction
+    // (bucket-capped bands admit Σ per-bucket pairs, not O(n²)), so the
+    // exact-Jaccard verify only ever needs the shingle rows of docs that
+    // appear in some candidate pair. Prune BOTH verify sides with a
+    // broadcast semi-join on that doc set BEFORE the pair join — without
+    // it, the full corpus shingle frame (3 orders of magnitude larger)
+    // rides both sides of the (doc, sh) shuffle to feed a few-hundred-doc
+    // intersection. cand is materialized above so mining runs once, not
+    // once per consumer (two semi-joins + the verify join = 3 consumers).
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "semi")
     val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
-      .join(sh.as("xa"), col("doc_a") === col("xa.doc_id"))
-      .join(sh.as("xb"), col("doc_b") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
+      .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(shc.as("xb"), col("doc_b") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -515,6 +536,14 @@ object DedupQueries {
       maxLocalEdges: Long = LocalCcMaxEdges,
       maxSweeps: Int = MaxCcSweeps): DataFrame = {
     val fwd = edges.select(col("a"), col("b"))
+    // Fast-path gate on the RAW edge list: union-find is direction-
+    // agnostic (union(a,b) == union(b,a)) and duplicate-tolerant, so the
+    // symmetrize + distinct + checkpoint the sweep path needs is pure
+    // overhead here — one barrier job and a full shuffle of the edge
+    // frame, measured ~0.4 s of the cross-family cluster query at sf0.1.
+    // Raw count <= maxLocalEdges/2 implies symmetric rows <= maxLocalEdges,
+    // so the documented single-task memory bound is unchanged.
+    if (fwd.count() <= maxLocalEdges / 2) return localUnionFind(fwd, release = false)
     val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
@@ -568,16 +597,20 @@ object DedupQueries {
     labels
   }
 
-  /** Union-find over a materialized symmetric edge frame in ONE task:
-    * path compression + union-by-min (the smaller root wins, so the root
-    * IS the component minimum — the same fixpoint as the sweeps, with no
-    * argmin pass). `mapPartitions` is legitimate here: union-find is
-    * inherently pointer-chasing state no Catalyst expression expresses,
-    * and the single-partition coalesce is what the [[LocalCcMaxEdges]]
-    * bound licenses. Output is checkpointed so `sym`'s blocks can be
-    * released before the caller composes further plans on the labels.
+  /** Union-find over an edge frame in ONE task: path compression +
+    * union-by-min (the smaller root wins, so the root IS the component
+    * minimum — the same fixpoint as the sweeps, with no argmin pass).
+    * The edge list needs neither symmetrization nor dedup — union is
+    * commutative and re-unioning an already-joined pair is a no-op — so
+    * the fast path feeds the RAW mined edges straight in.
+    * `mapPartitions` is legitimate here: union-find is inherently
+    * pointer-chasing state no Catalyst expression expresses, and the
+    * single-partition coalesce is what the [[LocalCcMaxEdges]] bound
+    * licenses. Output is checkpointed; `release = false` when the input
+    * frame is owned by the caller (the raw edge union feeds the evidence
+    * rollup after CC, so its blocks must outlive this call).
     */
-  private[graft] def localUnionFind(sym: DataFrame): DataFrame = {
+  private[graft] def localUnionFind(sym: DataFrame, release: Boolean = true): DataFrame = {
     val s = sym.sparkSession
     import s.implicits._
     val labels = sym
@@ -610,7 +643,7 @@ object DedupQueries {
       }
       .toDF("node", "label")
       .localCheckpoint()
-    graft.api.Checkpoints.release(sym)
+    if (release) graft.api.Checkpoints.release(sym)
     labels
   }
 

@@ -55,6 +55,11 @@ object GraftFunctions {
         case Seq(bf, v) =>
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
         case other => throw wrongNumArgs("might_contain", "2", other.length)
+      }),
+    ("simhash_agg", classOf[SimhashAgg].getName,
+      children => children match {
+        case Seq(h) => SimhashAgg(h).toAggregateExpression()
+        case other => throw wrongNumArgs("simhash_agg", "1", other.length)
       }))
 
   private def wrongNumArgs(fn: String, expected: String, actual: Int) =

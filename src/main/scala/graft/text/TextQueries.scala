@@ -135,9 +135,12 @@ object TextQueries {
   import TextFns.SimhashBits
 
   /** 60-bit SimHash per document: per-token 60-bit hash, bit-wise weighted
-    * vote by token frequency, sign -> bit. Shuffles once on (doc_id, token)
-    * for the frequency count, then once on doc_id for the 60 bit-sums —
-    * both partial-aggregated, so the network carries counters not tokens.
+    * vote by token frequency, sign -> bit. ONE shuffle on doc_id via the
+    * native [[graft.functions.SimhashAgg]] — per-occurrence ±1 votes sum
+    * to exactly the frequency-weighted votes, so the (doc_id, token)
+    * pre-count shuffle and the 60-column sum row of the composed form are
+    * both gone; partial vote buffers (480 B per group per partition)
+    * combine map-side and the network carries buffers, not tokens.
     * (doc_id, simhash) frame — shared by the doc_simhash query and the
     * SimHash near-dup pair search in [[graft.dedup.DedupQueries]].
     */
@@ -153,23 +156,11 @@ object TextQueries {
     */
   def simhashFromTokens(tokDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(tokDocs.sparkSession)
-    val toks = tokDocs
+    tokDocs
       .select(col("doc_id"), explode(col("toks")).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", call_function("hash60", col("token")))
-    val sums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L,
-        col("cnt")).otherwise(-col("cnt"))).as(s"s$b")
-    }
-    val bitSums = toks
+      .select(col("doc_id"), call_function("hash60", col("token")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
-    val fp = (0 until SimhashBits).map { b =>
-      when(org.apache.spark.sql.functions.col(s"s$b") > 0, lit(1L << b))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    bitSums.select(col("doc_id"), fp.as("simhash"))
+      .agg(call_function("simhash_agg", col("h")).as("simhash"))
   }
 
   val simhash: GraftQuery = GraftQuery(
