@@ -210,4 +210,41 @@ class FunctionsSpec extends SparkSpec {
       .agg(Det.sumQ(col("v")).as("s")).collect()(0).getDouble(0)
     assert(typed === untyped)
   }
+
+  test("SimhashAgg == composed 60-column weighted-vote plan, bit-exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    import graft.text.TextFns.SimhashBits
+    // enough repeated tokens across groups that per-occurrence ±1 votes
+    // only match frequency-weighted votes if the algebra actually holds,
+    // and forced to 3 partitions so partial buffers merge across tasks
+    val docs = Seq(
+      (1L, Seq("the", "quick", "brown", "fox", "the", "the")),
+      (2L, Seq("quick", "quick", "lazy", "dog")),
+      (3L, Seq("lorem")),
+      (4L, Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog")))
+      .toDF("doc_id", "toks").repartition(3)
+    val fast = graft.text.TextQueries.simhashFromTokens(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pre-native plan shape: (doc, token) count, then 60 conditional sums
+    val toks = docs
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", call_function("hash60", col("token")))
+    val sums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L,
+        col("cnt")).otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val fp = (0 until SimhashBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val composed = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === composed)
+    // fingerprints stay in the 60-bit range
+    fast.values.foreach(v => assert(v >= 0L && v < (1L << SimhashBits)))
+  }
 }
