@@ -383,9 +383,6 @@ object DedupQueries {
       shingleSet(docs, MinhashShingleN).localCheckpoint())
 
   /** [[minhashJaccardFrame]] from a pre-tokenized (doc_id, toks) frame —
-    * the shared-scan path for [[clustersMulti]].
-    */
-  /** [[minhashJaccardFrame]] from a pre-tokenized (doc_id, toks) frame —
     * the shared-scan path for [[clustersMulti]]. No shingle checkpoint
     * here, unlike the raw-text path: with the candidate-pruned verify the
     * shingle frame has exactly two consumers (the signature aggregate and
@@ -399,15 +396,25 @@ object DedupQueries {
         explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh")))
 
   private def minhashJaccardFromShingles(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = minhashSigs(sh)
-    val bands = capBuckets(bandKeys(sigs))
+    // One row per (doc, band) with its bucket size riding along — the
+    // window's (b, bk) hash partitioning is the band self-join's
+    // distribution anyway (see [[capBuckets]]). Materialized because it
+    // fans out three ways: both self-join sides AND the candidate-doc
+    // prune below. It is the SMALL frame to checkpoint — one row per doc
+    // per band — where the old plan checkpointed nothing and re-derived
+    // the band frame from the signature aggregate per consumer.
+    val bands = bandKeys(sigs)
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("b"), col("bk"))))
+      .filter(col("bc") <= BandBucketCap)
+      .localCheckpoint()
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
     // The LSH contract makes the candidate pair set SMALL by construction
     // (bucket-capped bands admit Σ per-bucket pairs, not O(n²)), so the
     // exact-Jaccard verify only ever needs the shingle rows of docs that
@@ -415,11 +422,11 @@ object DedupQueries {
     // broadcast semi-join on that doc set BEFORE the pair join — without
     // it, the full corpus shingle frame (3 orders of magnitude larger)
     // rides both sides of the (doc, sh) shuffle to feed a few-hundred-doc
-    // intersection. cand is materialized above so mining runs once, not
-    // once per consumer (two semi-joins + the verify join = 3 consumers).
-    val candDocs = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
+    // intersection. A doc is in some candidate pair iff one of its band
+    // buckets holds >= 2 docs — the bucket count the cap window already
+    // computed — so the prune set needs no pair mining at all.
+    val candDocs = bands.filter(col("bc") > 1)
+      .select(col("doc_id")).distinct()
     val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "semi")
     val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
@@ -535,18 +542,23 @@ object DedupQueries {
   def connectedComponents(edges: DataFrame,
       maxLocalEdges: Long = LocalCcMaxEdges,
       maxSweeps: Int = MaxCcSweeps): DataFrame = {
-    val fwd = edges.select(col("a"), col("b"))
-    // Fast-path gate on the RAW edge list: union-find is direction-
+    // Materialize the RAW edge list once — a localCheckpoint here is
+    // shuffle-free (partitions persist as-is), and every path needs the
+    // mined edges at least twice (count gate + consumer), so callers
+    // don't have to pre-checkpoint their mining pipelines.
+    val fwd = edges.select(col("a"), col("b")).localCheckpoint()
+    // Fast-path gate on the raw edge count: union-find is direction-
     // agnostic (union(a,b) == union(b,a)) and duplicate-tolerant, so the
-    // symmetrize + distinct + checkpoint the sweep path needs is pure
-    // overhead here — one barrier job and a full shuffle of the edge
-    // frame, measured ~0.4 s of the cross-family cluster query at sf0.1.
-    // Raw count <= maxLocalEdges/2 implies symmetric rows <= maxLocalEdges,
-    // so the documented single-task memory bound is unchanged.
-    if (fwd.count() <= maxLocalEdges / 2) return localUnionFind(fwd, release = false)
+    // symmetrize + distinct the sweep path needs is pure overhead here —
+    // one barrier job and a full shuffle of the edge frame, measured
+    // ~0.4 s of the cross-family cluster query at sf0.1. Raw count <=
+    // maxLocalEdges/2 implies symmetric rows <= maxLocalEdges, so the
+    // documented single-task memory bound is unchanged.
+    if (fwd.count() <= maxLocalEdges / 2) return localUnionFind(fwd)
     val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    graft.api.Checkpoints.release(fwd)
     if (sym.count() <= maxLocalEdges) return localUnionFind(sym)
     // seed = min(self, direct neighbors): the first propagation sweep
     // fused into initialization (one aggregation over sym), so pair
@@ -606,11 +618,12 @@ object DedupQueries {
     * `mapPartitions` is legitimate here: union-find is inherently
     * pointer-chasing state no Catalyst expression expresses, and the
     * single-partition coalesce is what the [[LocalCcMaxEdges]] bound
-    * licenses. Output is checkpointed; `release = false` when the input
-    * frame is owned by the caller (the raw edge union feeds the evidence
-    * rollup after CC, so its blocks must outlive this call).
+    * licenses. Output is checkpointed so the input's blocks can be
+    * released before the caller composes further plans on the labels
+    * (the input is always [[connectedComponents]]'s own materialization,
+    * never a caller-owned frame).
     */
-  private[graft] def localUnionFind(sym: DataFrame, release: Boolean = true): DataFrame = {
+  private[graft] def localUnionFind(sym: DataFrame): DataFrame = {
     val s = sym.sparkSession
     import s.implicits._
     val labels = sym
@@ -643,7 +656,7 @@ object DedupQueries {
       }
       .toDF("node", "label")
       .localCheckpoint()
-    if (release) graft.api.Checkpoints.release(sym)
+    graft.api.Checkpoints.release(sym)
     labels
   }
 
@@ -776,8 +789,11 @@ object DedupQueries {
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     // every edge's endpoints share a label at the CC fixpoint, so joining
-    // on the LEFT endpoint alone assigns each edge to exactly one cluster
-    val ev = edges.join(labels, col("a") === col("node"))
+    // on the LEFT endpoint alone assigns each edge to exactly one cluster;
+    // labels is one row per CLUSTERED node (bounded by the mined edge
+    // count, not the corpus), so it broadcasts — the edge frame never
+    // moves for the assignment
+    val ev = edges.join(broadcast(labels), col("a") === col("node"))
       .groupBy(col("label"))
       .agg(
         sum(when(col("evidence") === "jaccard", 1L).otherwise(0L))
