@@ -340,4 +340,22 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup_minhash_lsh: verify sides are candidate-pruned via broadcast semi joins") {
+    // the 100 TB contract: the corpus-sized shingle frame must not ride
+    // the exact-Jaccard verify shuffle — both sides are first semi-joined
+    // against the (broadcast) candidate doc set, which is bounded by the
+    // capped LSH buckets, not the corpus
+    val plan = planOf("dedup_minhash_lsh")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-join prunes on the verify sides:\n$plan")
+  }
+
+  test("dedup_clusters_multi: evidence rollup broadcasts the label frame") {
+    // labels is one row per clustered node (bounded by mined edges); the
+    // edge frame must not shuffle for the cluster assignment
+    val plan = planOf("dedup_clusters_multi")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast label-assignment join in the rollup:\n$plan")
+  }
 }
