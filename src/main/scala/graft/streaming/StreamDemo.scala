@@ -23,6 +23,11 @@ object StreamDemo {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per run: a stale spark-warehouse dir + fresh
+      // in-memory catalog fails managed-table CREATE with
+      // LOCATION_ALREADY_EXISTS (same discipline as the test fixture)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-stream-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -33,11 +38,19 @@ object StreamDemo {
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
 
+    // same dtype branch as Tables.events: the corpus has stored ts both as
+    // TIMESTAMP(NANOS) (long under nanosAsLong) and as timestamp[us]
+    // (TIMESTAMP_NTZ); the stream must normalize to TimestampType either way
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream
+    def normalizeTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    val stream = normalizeTs(spark.readStream
       .schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir.toString))
 
     val q = EventStreams.tumblingCounts(stream)
       .writeStream
@@ -59,10 +72,9 @@ object StreamDemo {
     // second leg: the same stream delivered EXACTLY-ONCE into a warehouse
     // table via the idempotent foreachBatch sink (StreamSinks), then
     // parity-checked against the memory-sink result
-    val stream2 = spark.readStream
+    val stream2 = normalizeTs(spark.readStream
       .schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir.toString))
     val q2 = StreamSinks.toWarehouse(
       EventStreams.tumblingCounts(stream2), "stream_tumbling_sink")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
