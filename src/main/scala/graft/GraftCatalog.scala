@@ -16,9 +16,10 @@ import org.apache.spark.sql.SparkSession
   * UNORDERED — a view with an embedded global ORDER BY would pay a full
   * sort on every downstream query.
   *
-  * Note: registering `events` sets spark.sql.legacy.parquet.nanosAsLong
-  * for the session (see [[Tables.events]]) — TIMESTAMP(NANOS) parquet
-  * columns elsewhere will read as raw nano longs instead of erroring.
+  * Note: [[Tables.events]] normalizes `ts` to TimestampType whichever
+  * way the corpus stores it (TIMESTAMP(NANOS)-as-long under the
+  * session's nanosAsLong flag, TIMESTAMP_NTZ, or plain TIMESTAMP) — the
+  * registered view's schema is stable across testdata generations.
   */
 object GraftCatalog {
 

