@@ -434,4 +434,24 @@ class TextDedupSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a === b, "perplexity bits drifted across partitionings")
   }
+
+  test("cross-family clusters are identical at any shuffle partitioning") {
+    // the scale-honesty claim behind every cap/band/union-find in the
+    // cluster pipeline: DF caps, LSH buckets, simhash votes and the
+    // single-task union-find must admit/produce the SAME pairs and labels
+    // however the work is partitioned — if a cap or a merge were
+    // partition-sensitive, 32 local threads and 1000 executors would
+    // disagree, and no oracle at one partitioning would prove anything
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: Int): Seq[Seq[Any]] =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        graft.dedup.DedupQueries.clustersMulti.frame(spark, sf)
+          .collect().toSeq.map(_.toSeq)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val a = run(2)
+    val b = run(17)
+    assert(a.nonEmpty)
+    assert(a === b, "cluster assignment drifted across shuffle partitionings")
+  }
 }
