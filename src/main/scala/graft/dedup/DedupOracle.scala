@@ -368,4 +368,81 @@ object DedupOracle {
     SELECT COALESCE(degree, 0) AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM documents LEFT JOIN deg USING (doc_id)
     GROUP BY 1 ORDER BY 1"""
+
+  /** Incremental-screen twin: the same asymmetric probe — existing-side
+    * band index bucket-capped, probe side uncapped, exact-Jaccard verify,
+    * best match per incoming doc by (jaccard DESC, ex_doc). i-prefixed
+    * CTE names so the chain stays composable.
+    */
+  def incrementalScreenSql: String = {
+    val n = MinhashShingleN
+    val h1 = "CAST(('0x' || substr(md5(sh),1,8))::UBIGINT AS BIGINT)"
+    val h2 = "CAST(('0x' || substr(md5(sh),9,8))::UBIGINT AS BIGINT)"
+    val sigs = ((0 until MinhashK).map { i =>
+      s"min(($h1 + $i * $h2) % ${DedupQueries.MinhashMod}) AS s$i"
+    } :+ "COUNT(*) AS n").mkString(",\n        ")
+    val bands = (0 until MinhashK / BandRows).map { b =>
+      val key = (0 until BandRows).map(r => s"s${b * BandRows + r}")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, incoming, $b AS b, md5($key) AS bk FROM isigs"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH it AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),1,15))::UBIGINT AS BIGINT) % 100
+          >= ${DedupQueries.IncrementalIncomingBucket} AS incoming,
+        string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    ish AS (
+      SELECT doc_id, incoming, unnest(list_distinct(
+        CASE WHEN len(toks) >= $n THEN
+          list_transform(range(1, CAST(len(toks) - ${n - 2} AS BIGINT)),
+            i -> array_to_string(toks[i:i+${n - 1}], ' '))
+        ELSE [] END)) AS sh
+      FROM it
+    ),
+    isigs AS (
+      SELECT doc_id, incoming,
+        $sigs
+      FROM ish GROUP BY doc_id, incoming
+    ),
+    ibands AS (
+      $bands
+    ),
+    -- index side only is bucket-capped (BandBucketCap), mirroring Spark
+    iex AS (
+      SELECT doc_id, b, bk FROM (
+        SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bc
+        FROM ibands WHERE NOT incoming
+      ) WHERE bc <= ${DedupQueries.BandBucketCap}
+    ),
+    icand AS (
+      SELECT DISTINCT i.doc_id AS inc_doc, e.doc_id AS ex_doc
+      FROM (SELECT doc_id, b, bk FROM ibands WHERE incoming) i
+      JOIN iex e ON i.b = e.b AND i.bk = e.bk
+    ),
+    iinter AS (
+      SELECT c.inc_doc, c.ex_doc, COUNT(*) AS i
+      FROM icand c
+      JOIN ish xa ON xa.doc_id = c.inc_doc
+      JOIN ish xb ON xb.doc_id = c.ex_doc AND xb.sh = xa.sh
+      GROUP BY 1, 2
+    ),
+    iver AS (
+      SELECT inc_doc, ex_doc, i / (sa.n + sb.n - i) AS jaccard
+      FROM iinter
+      JOIN isigs sa ON inc_doc = sa.doc_id
+      JOIN isigs sb ON ex_doc = sb.doc_id
+    ),
+    ibest AS (
+      SELECT inc_doc, ex_doc, jaccard,
+        ROW_NUMBER() OVER (PARTITION BY inc_doc
+          ORDER BY jaccard DESC, ex_doc) AS rk
+      FROM iver
+      WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    )
+    SELECT inc_doc AS doc_id, ex_doc AS match_doc, jaccard
+    FROM ibest WHERE rk = 1 ORDER BY doc_id"""
+  }
 }

@@ -324,15 +324,18 @@ object DedupQueries {
     * keeps variable-length integer renderings unambiguous). One row per
     * doc per band; equality on (b, bk) is the candidate-generation join.
     */
-  private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until MinhashK / BandRows).map { b =>
       val key = md5(concat_ws(":",
         (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
       struct(lit(b).as("b"), key.as("bk"))
     }
+    val keepCols = keep.map(col)
     sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+      .select(col("doc_id") +: keepCols :+
+        explode(array(bandStructs: _*)).as("band"): _*)
+      .select(col("doc_id") +: keepCols :+
+        col("band.b").as("b") :+ col("band.bk").as("bk"): _*)
   }
 
   /** MinHash + LSH banding near-dup: k=12 signatures over 2-gram shingles,
@@ -439,6 +442,89 @@ object DedupQueries {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+  }
+
+  /** Content-hash bucket (of 100) at or above which a document belongs to
+    * the INCOMING batch for [[incrementalScreen]] — the same 90/100 line
+    * as doc_splits' test split, so the batch is a deterministic,
+    * re-shard-stable 10% sample whatever the corpus partitioning.
+    */
+  val IncrementalIncomingBucket = 90
+
+  /** Incremental ingest dedup — the ASYMMETRIC production shape every
+    * self-join miner above deliberately avoids needing: when a new batch
+    * arrives into an already-deduped 100 TB corpus, you do not re-mine
+    * the corpus; you probe the batch against the corpus's standing
+    * MinHash band index. Index side = existing docs' band keys,
+    * bucket-capped exactly like the self-join miners (an over-cap index
+    * bucket is mass duplication — the exact-dedup path's job); probe side
+    * = incoming docs' band keys, NOT capped (each incoming doc probes at
+    * most one bucket per band). Candidates are (incoming, existing) pairs
+    * sharing a band key, verified with exact Jaccard over
+    * candidate-pruned shingle sets, and each flagged incoming doc reports
+    * its best match (max Jaccard, ties to the smallest existing doc_id).
+    * At scale the index is a persisted bucketed table and the probe
+    * shuffle is proportional to the BATCH, not the corpus — here both
+    * sides derive from one corpus scan tagged by the content-hash split.
+    */
+  val incrementalScreen: GraftQuery = GraftQuery(
+    "dedup_incremental_screen",
+    "incremental ingest dedup: incoming 10% batch probed against the existing-corpus MinHash band index, exact-Jaccard verified best match",
+    DedupOracle.incrementalScreenSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"),
+      (hash60(normText(col("text"))) % 100 >= IncrementalIncomingBucket)
+        .as("incoming"),
+      tokens(col("text")).as("toks"))
+    // ONE corpus scan: shingles tagged with batch membership, materialized
+    // for the signature aggregate AND the verify side
+    val sh = base.select(col("doc_id"), col("incoming"),
+      explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh"))
+      .localCheckpoint()
+    val sigCols = (0 until MinhashK).map { i =>
+      min(minhashFn(col("sh"), i)).as(s"s$i")
+    } :+ count(lit(1)).as("n")
+    // one row per doc; feeds the band frames (twice, map-side) and the
+    // per-doc sizes — materialize once
+    val sigs = sh.groupBy(col("doc_id"), col("incoming"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint()
+    val bands = bandKeys(sigs, keep = Seq("incoming"))
+    val exBands = capBuckets(
+      bands.filter(!col("incoming")).select("doc_id", "b", "bk"))
+    val incBands = bands.filter(col("incoming"))
+      .select(col("doc_id").as("inc_doc"), col("b"), col("bk"))
+    val cand = incBands.join(exBands, Seq("b", "bk"))
+      .select(col("inc_doc"), col("doc_id").as("ex_doc"))
+      .distinct()
+      .localCheckpoint()
+    val candDocs = cand
+      .select(explode(array(col("inc_doc"), col("ex_doc"))).as("doc_id"))
+      .distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "semi")
+    val sizes = sigs.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(shc.as("xa"), col("inc_doc") === col("xa.doc_id"))
+      .join(shc.as("xb"),
+        col("ex_doc") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
+      .groupBy(col("inc_doc"), col("ex_doc"))
+      .agg(count(lit(1)).as("i"))
+    val verified = inter
+      .join(sizes.as("sa"), col("inc_doc") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("ex_doc") === col("sb.doc_id"))
+      .select(col("inc_doc"), col("ex_doc"),
+        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= ClusterJaccard)
+    val w = Window.partitionBy(col("inc_doc"))
+      .orderBy(desc("jaccard"), col("ex_doc"))
+    verified
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("inc_doc").as("doc_id"), col("ex_doc").as("match_doc"),
+        col("jaccard"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup: candidates share one of [[SimhashBands]] disjoint
@@ -910,5 +996,6 @@ object DedupQueries {
 
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
-      clustersMulti, keepSummary, spanOverlap, degreeHistogram)
+      clustersMulti, keepSummary, spanOverlap, degreeHistogram,
+      incrementalScreen)
 }
