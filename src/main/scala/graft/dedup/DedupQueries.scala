@@ -471,9 +471,16 @@ object DedupQueries {
     "dedup_incremental_screen",
     "incremental ingest dedup: incoming 10% batch probed against the existing-corpus MinHash band index, exact-Jaccard verified best match",
     DedupOracle.incrementalScreenSql) { (s, d) =>
+    incrementalScreenFrame(Tables.documents(s, d))
+  }
+
+  /** The incremental-screen pipeline over any (doc_id, text) frame so
+    * fixture corpora can drive it in tests — see [[incrementalScreen]]
+    * for the semantics.
+    */
+  private[graft] def incrementalScreenFrame(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.select(col("doc_id"),
       (hash60(normText(col("text"))) % 100 >= IncrementalIncomingBucket)
         .as("incoming"),

@@ -351,6 +351,14 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast semi-join prunes on the verify sides:\n$plan")
   }
 
+  test("dedup_incremental_screen: verify sides are candidate-pruned via broadcast semi joins") {
+    // same contract as the symmetric miner: the corpus shingle frame must
+    // not ride the verify shuffle — only the candidate docs' shingles do
+    val plan = planOf("dedup_incremental_screen")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-join prunes on the verify sides:\n$plan")
+  }
+
   test("dedup_clusters_multi: evidence rollup broadcasts the label frame") {
     // labels is one row per clustered node (bounded by mined edges); the
     // edge frame must not shuffle for the cluster assignment

@@ -435,6 +435,39 @@ class TextDedupSpec extends SparkSpec {
     assert(a === b, "perplexity bits drifted across partitionings")
   }
 
+  test("incremental screen: planted cross-batch near-dup found, within-batch ignored") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.text.TextFns
+    import org.apache.spark.sql.functions.{col, lit, concat_ws}
+    // deterministic search for texts on each side of the batch line: the
+    // bucket is content-hash derived, so the test derives it the same way
+    // instead of hard-coding strings that could drift with the constants
+    def bucket(text: String): Long =
+      Seq(text).toDF("text")
+        .select((TextFns.hash60(TextFns.normText(col("text"))) % 100).as("b"))
+        .collect()(0).getLong(0)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val variants = (0 until 64).map(seed => s"$base tail$seed")
+    val existing = variants.find(t =>
+      bucket(t) < graft.dedup.DedupQueries.IncrementalIncomingBucket).get
+    val incoming = variants.find(t =>
+      bucket(t) >= graft.dedup.DedupQueries.IncrementalIncomingBucket).get
+    // unrelated existing doc: must never surface as a match
+    val noise = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, existing), (2L, noise), (3L, incoming))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.DedupQueries.incrementalScreenFrame(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 3 (incoming) shares 39 of its 41 2-gram shingles with doc 1:
+    // J = 39/43 ≈ 0.907 — flagged with doc 1 as the match; docs 1/2 are
+    // existing-side and must not appear as screened docs
+    assert(out.map(_._1).toSeq === Seq(3L))
+    assert(out.head._2 === 1L)
+    assert(out.head._3 > 0.8)
+  }
+
   test("cross-family clusters are identical at any shuffle partitioning") {
     // the scale-honesty claim behind every cap/band/union-find in the
     // cluster pipeline: DF caps, LSH buckets, simhash votes and the
