@@ -877,17 +877,33 @@ object TextQueries {
   private[graft] def bpeTrainState(docs: org.apache.spark.sql.DataFrame,
       iters: Int, applyLast: Boolean)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val spark = docs.sparkSession
     val vocab0 = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("seg", concat(lit("|"),
         array_join(expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-          "||"),
+        "||"),
         lit("|")))
-    var vocab = vocab0.localCheckpoint()
-    var merges: org.apache.spark.sql.DataFrame = null
-    for (it <- 1 to iters) {
+      .localCheckpoint()
+    // Each round's winner is ONE row, and it must cross the driver anyway
+    // (the rewrite broadcasts it) — so the round collects it and applies
+    // the rule as LITERALS. This is iteration control in the CC sense
+    // (the driver sees the rule, never corpus data), and it kills two
+    // whole classes of per-round work the frame-only form paid: the
+    // per-round vocab checkpoint (the rewrites are now nested map-side
+    // `replace`s over the one materialized vocab — ~tiny, recomputed
+    // inside each round's aggregation job) and the end-of-plan
+    // re-aggregation of every round's un-materialized `best` subplan
+    // when the merge table is finally evaluated. The corpus-sized work
+    // is unchanged: ONE shuffle into vocab0; every round is
+    // vocab-bounded. Rule selection is the same total order
+    // (weight DESC, a, b), so the merge table is byte-identical.
+    var vocab = vocab0
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (it <- 1 to iters if !exhausted) {
       val best = vocab
         .withColumn("syms",
           split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
@@ -902,21 +918,25 @@ object TextQueries {
         .agg(sum(col("cnt")).as("weight"))
         .orderBy(desc("weight"), col("a"), col("b"))
         .limit(1)
-        .select(lit(it).as("iter"), col("a"), col("b"), col("weight"))
-      merges = if (merges == null) best else merges.unionByName(best)
-      if (it < iters || applyLast)
-        vocab = vocab
-          .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
-          .withColumn("seg", expr(
-            "replace(seg, '|' || ma || '||' || mb || '|', '|' || ma || mb || '|')"))
-          .select("word", "cnt", "seg")
-          .localCheckpoint()
+        .collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (a, b, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rules += ((it, a, b, w))
+        if (it < iters || applyLast)
+          vocab = vocab.withColumn("seg",
+            replace(col("seg"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+      }
     }
-    (merges
+    import spark.implicits._
+    // applyLast callers (encode) JOIN the final vocab against the corpus —
+    // materialize it once so the join side is a sized, broadcastable
+    // relation instead of a rewrite chain with estimated stats
+    (rules.toSeq.toDF("iter", "a", "b", "weight")
       .select(col("iter"), col("a"), col("b"),
         concat(col("a"), col("b")).as("merged"), col("weight"))
       .orderBy("iter"),
-      vocab)
+      if (applyLast) vocab.localCheckpoint() else vocab)
   }
 
   /** BPE ENCODE — the apply half of the tokenizer story ([[bpeMergesN]]
