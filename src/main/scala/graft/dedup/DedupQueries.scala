@@ -79,6 +79,29 @@ object DedupQueries {
     */
   val BandBucketCap = 64
 
+  /** Absolute row bound for [[maybeBroadcast]]'s guarded broadcast hint.
+    * The candidate-doc and cluster-label frames the hint applies to are
+    * bounded per BUCKET by [[BandBucketCap]]/[[NgramDfCap]], but the bucket
+    * COUNT grows with the corpus — so in absolute terms these sets are
+    * O(corpus), and at some scale a FORCED broadcast would blow past
+    * Spark's broadcast limits (8 GB / driver memory) where a shuffle join
+    * degrades gracefully. 4M rows of narrow key/label tuples is ~64-128 MB
+    * on the build side — comfortably broadcastable, and 3-4 orders of
+    * magnitude above what the tested corpora mine — so below the bound the
+    * broadcast is strictly better and above it the plain join takes over.
+    */
+  val BroadcastMaxRows = 4000000L
+
+  /** Broadcast-hint a MATERIALIZED (localCheckpointed) frame iff its actual
+    * row count is under [[BroadcastMaxRows]] — the count is a cached-block
+    * scan (no recompute), and only the count crosses to the driver
+    * (iteration control, never data). Above the bound the frame returns
+    * un-hinted and the consuming join degrades to a shuffle join instead of
+    * failing at the broadcast ceiling.
+    */
+  private[graft] def maybeBroadcast(df: DataFrame): DataFrame =
+    if (df.count() <= BroadcastMaxRows) broadcast(df) else df
+
   /** Modulus for the double-hashing family: the smallest prime above
     * 2^32. The mod is NOT optional: without it i*h2 dominates h1 for
     * i >= 2, so every function's argmin collapses onto argmin(h2) — the
@@ -418,19 +441,22 @@ object DedupQueries {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // The LSH contract makes the candidate pair set SMALL by construction
+    // The LSH contract keeps the candidate pair set small per bucket
     // (bucket-capped bands admit Σ per-bucket pairs, not O(n²)), so the
     // exact-Jaccard verify only ever needs the shingle rows of docs that
     // appear in some candidate pair. Prune BOTH verify sides with a
-    // broadcast semi-join on that doc set BEFORE the pair join — without
-    // it, the full corpus shingle frame (3 orders of magnitude larger)
-    // rides both sides of the (doc, sh) shuffle to feed a few-hundred-doc
+    // semi-join on that doc set BEFORE the pair join — without it, the
+    // full corpus shingle frame (3 orders of magnitude larger) rides both
+    // sides of the (doc, sh) shuffle to feed a few-hundred-doc
     // intersection. A doc is in some candidate pair iff one of its band
     // buckets holds >= 2 docs — the bucket count the cap window already
-    // computed — so the prune set needs no pair mining at all.
+    // computed — so the prune set needs no pair mining at all. The doc set
+    // is per-bucket-bounded but O(corpus) in absolute terms (bucket count
+    // grows with the corpus), so the broadcast hint is size-GUARDED, not
+    // forced — see [[maybeBroadcast]].
     val candDocs = bands.filter(col("bc") > 1)
-      .select(col("doc_id")).distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "semi")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val shc = sh.join(maybeBroadcast(candDocs), Seq("doc_id"), "semi")
     val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
       .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
@@ -507,10 +533,13 @@ object DedupQueries {
       .select(col("inc_doc"), col("doc_id").as("ex_doc"))
       .distinct()
       .localCheckpoint()
+    // size-guarded broadcast (candidates are O(batch x bands) here, but the
+    // same absolute-bound discipline as the symmetric miner applies — see
+    // [[maybeBroadcast]])
     val candDocs = cand
       .select(explode(array(col("inc_doc"), col("ex_doc"))).as("doc_id"))
-      .distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "semi")
+      .distinct().localCheckpoint()
+    val shc = sh.join(maybeBroadcast(candDocs), Seq("doc_id"), "semi")
     val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
       .join(shc.as("xa"), col("inc_doc") === col("xa.doc_id"))
@@ -882,11 +911,14 @@ object DedupQueries {
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     // every edge's endpoints share a label at the CC fixpoint, so joining
-    // on the LEFT endpoint alone assigns each edge to exactly one cluster;
-    // labels is one row per CLUSTERED node (bounded by the mined edge
-    // count, not the corpus), so it broadcasts — the edge frame never
-    // moves for the assignment
-    val ev = edges.join(broadcast(labels), col("a") === col("node"))
+    // on the LEFT endpoint alone assigns each edge to exactly one cluster.
+    // labels is one row per CLUSTERED node — bounded by the mined edge
+    // count, which is itself O(corpus) in absolute terms (the caps bound
+    // pairs per bucket, not the bucket count) — so the broadcast is
+    // size-guarded against [[BroadcastMaxRows]], not forced: labels is
+    // already checkpointed by connectedComponents, making the guard count
+    // a cached scan
+    val ev = edges.join(maybeBroadcast(labels), col("a") === col("node"))
       .groupBy(col("label"))
       .agg(
         sum(when(col("evidence") === "jaccard", 1L).otherwise(0L))

@@ -27,14 +27,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sched.collect()(0).getLong(0) > 0)
 
     // the native aggregate is reachable from SQL too, and its fingerprint
-    // matches the DataFrame path on the same corpus
+    // BIT-MATCHES the DataFrame path (TextQueries.simhashFromTokens) on
+    // the same docs — the SQL tokenization mirrors TextFns.tokens (split
+    // on single space, no empty-token filter) so the two paths see the
+    // identical token stream
     val sqlFp = spark.sql(
       """SELECT doc_id, simhash_agg(hash60(tok)) AS simhash
-        |FROM (SELECT doc_id, explode(split(lower(text), '[^a-z0-9]+')) AS tok
-        |      FROM documents) WHERE tok != ''
-        |GROUP BY doc_id ORDER BY doc_id LIMIT 5""".stripMargin)
-    assert(sqlFp.collect().forall { r =>
-      val fp = r.getLong(1); fp >= 0L
-    })
+        |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(sqlFp.length === 5, "simhash_agg SQL probe returned no rows")
+    assert(sqlFp.forall { r =>
+      val fp = r.getLong(1); fp >= 0L && fp < (1L << 60)
+    }, "simhash fingerprint outside the 60-bit range")
+    val dfFp = graft.text.TextQueries.simhashFromTokens(
+      Tables.documents(spark, sf).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.TextFns.tokens(
+          org.apache.spark.sql.functions.col("text")).as("toks")))
+      .orderBy("doc_id").limit(5).collect()
+    assert(sqlFp.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      dfFp.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "SQL simhash_agg drifted from the DataFrame path")
   }
 }

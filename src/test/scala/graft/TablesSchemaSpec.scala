@@ -63,7 +63,11 @@ class TablesSchemaSpec extends SparkSpec {
     assert(missing.isEmpty, s"loaders with no pinned schema check: $missing")
     Tables.loaders.foreach { case (table, load) =>
       val actual = load(spark, sf).schema
-      val want = expected(table)
+      // both drift directions fail loudly BY NAME: a pin without a loader
+      // is caught above, a loader without a pin is caught here (not via a
+      // bare NoSuchElementException)
+      val want = expected.getOrElse(table,
+        fail(s"loader '$table' has no pinned schema — add a pin to TablesSchemaSpec"))
       assert(actual.fieldNames.toSeq === want.map(_._1),
         s"testdata drift: table '$table' columns changed " +
           s"(got ${actual.fieldNames.mkString(",")}; " +
