@@ -96,6 +96,77 @@ object DedupOracle {
     JOIN sizes sb ON doc_b = sb.doc_id
     ORDER BY shared_spans DESC, doc_a, doc_b LIMIT 20"""
 
+  /** Span-strip twin: positional window occurrences (struct_pack keeps
+    * (p, sh) zipped through the unnest), shared-window stats with the same
+    * 2..[[DedupQueries.NgramDfCap]] evidence band, coverage as a distinct
+    * position set, and the two-branch rewrite — affected docs rebuild the
+    * cleaned fingerprint with an ORDER BY pos string_agg, clean docs
+    * short-circuit to md5(text) (split/join identity, as on the Spark
+    * side).
+    */
+  def spanStripSql: String = {
+    val n = DedupQueries.SpanN
+    s"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    occ0 AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= $n THEN
+          list_transform(range(1, CAST(len(toks) - ${n - 2} AS BIGINT)),
+            i -> struct_pack(p := i, sh := array_to_string(toks[i:i+${n - 1}], ' ')))
+        ELSE [] END) AS w
+      FROM t
+    ),
+    occ AS (SELECT doc_id, w.p AS p, w.sh AS sh FROM occ0),
+    shared AS (
+      SELECT sh, MIN(doc_id) AS owner FROM occ
+      GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $NgramDfCap
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT o.doc_id, unnest(range(o.p, o.p + $n)) AS pos
+        FROM occ o JOIN shared s ON o.sh = s.sh AND o.doc_id <> s.owner
+      )
+    ),
+    sdocs AS (SELECT DISTINCT doc_id FROM covered),
+    tp0 AS (
+      SELECT t.doc_id, unnest(
+        list_transform(range(1, CAST(len(toks) + 1 AS BIGINT)),
+          i -> struct_pack(pos := i, tok := toks[i]))) AS w
+      FROM t JOIN sdocs USING (doc_id)
+    ),
+    tp AS (SELECT doc_id, w.pos AS pos, w.tok AS tok FROM tp0),
+    flagged AS (
+      SELECT tp.doc_id, tp.pos, tp.tok, c.pos IS NOT NULL AS cov
+      FROM tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    ),
+    cnts AS (
+      SELECT doc_id, COUNT(*) AS total_tokens,
+        CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS stripped_tokens
+      FROM flagged GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_fp
+      FROM flagged WHERE NOT cov GROUP BY doc_id
+    ),
+    rewritten AS (
+      SELECT c.doc_id, c.total_tokens, c.stripped_tokens,
+        COALESCE(k.kept_fp, md5('')) AS kept_fp
+      FROM cnts c LEFT JOIN kept k ON c.doc_id = k.doc_id
+    ),
+    clean AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS total_tokens,
+        CAST(0 AS BIGINT) AS stripped_tokens, md5(text) AS kept_fp
+      FROM t WHERE doc_id NOT IN (SELECT doc_id FROM sdocs)
+    )
+    SELECT doc_id, total_tokens, stripped_tokens,
+      total_tokens - stripped_tokens AS kept_tokens, kept_fp
+    FROM (SELECT * FROM rewritten UNION ALL SELECT * FROM clean)
+    ORDER BY doc_id"""
+  }
+
   /** Connected components as a recursive reachability closure: `reach`
     * enumerates (node, reachable node) over the symmetric J-thresholded
     * edge set (components are tiny, so the closure is tiny), the label is

@@ -1007,6 +1007,98 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** Exact-substring span REMOVAL — the rewrite half of span dedup
+    * ([[spanOverlap]] DETECTS pairs sharing verbatim [[SpanN]]-token
+    * windows; this EXCISES them, the C4/Pile-style cleanup step a
+    * production LLM pipeline actually writes out). Every window occurrence
+    * whose value is shared by 2..[[NgramDfCap]] documents has a canonical
+    * owner — the minimum doc_id among the docs containing it — and every
+    * doc that is NOT the owner drops the window's [[SpanN]] token
+    * positions (union over overlapping windows). Output: per-doc
+    * total/stripped/kept token counts plus the fingerprint of the cleaned
+    * token sequence — the frame a rewrite pass would persist. Windows
+    * hotter than the DF cap are corpus boilerplate (licence headers,
+    * templates) — a different removal policy's job (strip from ALL docs,
+    * no canonical copy), deliberately out of scope here, mirroring the
+    * detection twin's evidence definition.
+    */
+  val spanStrip: GraftQuery = GraftQuery(
+    "dedup_span_strip",
+    s"exact-substring span removal: excise shared $SpanN-token windows whose canonical owner is another doc; kept/stripped counts + cleaned fingerprint",
+    DedupOracle.spanStripSql) { (s, d) =>
+    spanStripFrame(Tables.documents(s, d))
+  }
+
+  /** The span-strip pipeline over any (doc_id, text) frame.
+    *
+    * Scale shape: the window-occurrence frame is O(corpus tokens) and its
+    * stats groupBy is the one corpus-sized shuffle (same volume as the
+    * detection path's inverted index — no pair join anywhere). The
+    * positional REWRITE (posexplode + coverage join + ordered
+    * re-concatenation) runs ONLY over docs that actually lose a span —
+    * clean docs short-circuit to md5(text), which equals the cleaned
+    * fingerprint exactly because tokens are a single-space split (the
+    * split/join round-trip is the identity). At 100 TB that asymmetry is
+    * the operator: duplication-affected docs are a small fraction of the
+    * corpus, and only they pay the per-position machinery.
+    */
+  def spanStripFrame(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("toks"))
+    // every window OCCURRENCE with its 1-based start position — NOT
+    // distinct (coverage is positional; a window repeated within a doc
+    // covers both sites). Materialized: feeds the stats agg AND the
+    // coverage join.
+    val occ = base.select(col("doc_id"),
+        posexplode(shingles(col("toks"), SpanN)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+      .localCheckpoint()
+    val shared = occ.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("ndocs") >= 2 && col("ndocs") <= NgramDfCap)
+      .select(col("sh"), col("owner"))
+    // covered token positions: union of [p, p+SpanN-1] over every shared
+    // window owned by another doc
+    val covered = occ.join(shared, "sh")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(SpanN - 1))).as("pos"))
+      .distinct()
+      .localCheckpoint()
+    val strippedDocs = covered.select(col("doc_id")).distinct().localCheckpoint()
+    // positional rewrite for AFFECTED docs only (semi-join prune, size-
+    // guarded broadcast — same discipline as the verify prunes)
+    val tp = base.join(maybeBroadcast(strippedDocs), Seq("doc_id"), "semi")
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val flagged = tp.join(covered.withColumn("cov", lit(true)),
+      Seq("doc_id", "pos"), "left")
+    val counts = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("stripped_tokens"))
+    // cleaned fingerprint: md5 of the surviving tokens in position order
+    // (array_sort on (pos, tok) structs makes the collect_list order-
+    // insensitive under any partitioning)
+    val kept = flagged.filter(col("cov").isNull)
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          st => st.getField("tok")))).as("kept_fp"))
+    val rewritten = counts.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"), col("stripped_tokens"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+    val clean = base.join(maybeBroadcast(strippedDocs), Seq("doc_id"), "anti")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens"),
+        lit(0L).as("stripped_tokens"), md5(col("text")).as("kept_fp"))
+    rewritten.unionByName(clean)
+      .select(col("doc_id"), col("total_tokens"), col("stripped_tokens"),
+        (col("total_tokens") - col("stripped_tokens")).as("kept_tokens"),
+        col("kept_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup graph health: how many J >= [[ClusterJaccard]] edges each
     * document carries, as a degree histogram (degree 0 = clean docs). The
     * graph-quality artifact behind [[clusters]]: a fat tail here means a
@@ -1035,6 +1127,6 @@ object DedupQueries {
 
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
-      clustersMulti, keepSummary, spanOverlap, degreeHistogram,
+      clustersMulti, keepSummary, spanOverlap, spanStrip, degreeHistogram,
       incrementalScreen)
 }

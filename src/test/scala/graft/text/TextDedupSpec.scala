@@ -326,6 +326,53 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("overlap_frac") - 5.0 / 21.0) < 1e-12)
   }
 
+  test("span strip: planted duplicated passage excised from exactly the non-canonical doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // same fixture shape as the detection test: doc 1 quotes a 12-token
+    // passage of doc 0 verbatim. The passage's 5 interior 8-token windows
+    // are shared; windows straddling the passage boundary are unique to
+    // each doc. Canonical owner = doc 0 (min doc_id) keeps everything;
+    // doc 1 must lose exactly the 12 passage positions (union of the 5
+    // overlapping windows); doc 2 is untouched.
+    val passage = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"
+    val text0 = s"a0 a1 a2 a3 a4 a5 a6 a7 $passage b0 b1 b2 b3 b4 b5 b6 b7"
+    val text1 = s"c0 c1 c2 c3 c4 c5 c6 c7 $passage d0 d1 d2 d3 d4 d5 d6 d7"
+    val text2 = "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 e14 e15"
+    val docs = Seq((0L, text0), (1L, text1), (2L, text2)).toDF("doc_id", "text")
+    val out = graft.dedup.DedupQueries.spanStripFrame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    // owner keeps all 28 tokens; cleaned fp = original text fp
+    assert(out(0L) === ((28L, 0L, 28L, md5hex(text0))))
+    // non-canonical doc loses the 12 passage tokens and its cleaned
+    // fingerprint is the text WITHOUT the passage
+    val cleaned1 = "c0 c1 c2 c3 c4 c5 c6 c7 d0 d1 d2 d3 d4 d5 d6 d7"
+    assert(out(1L) === ((28L, 12L, 16L, md5hex(cleaned1))))
+    assert(out(2L) === ((16L, 0L, 16L, md5hex(text2))))
+  }
+
+  test("span strip: identical docs — owner intact, duplicate fully stripped") {
+    val spark0 = spark
+    import spark0.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val docs = Seq((5L, text), (9L, text)).toDF("doc_id", "text")
+    val out = graft.dedup.DedupQueries.spanStripFrame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out(5L) === ((10L, 0L, 10L, md5hex(text))))
+    // every position of doc 9 is covered by some shared window -> empty
+    // cleaned doc, md5 of the empty string
+    assert(out(9L) === ((10L, 10L, 0L, md5hex(""))))
+  }
+
   test("bm25: tf monotone within a term, rare term outscores common ones") {
     val spark0 = spark
     import spark0.implicits._
