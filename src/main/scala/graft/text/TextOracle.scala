@@ -71,6 +71,69 @@ object TextOracle {
       CASE WHEN score >= 0.45 THEN 'keep' ELSE 'drop' END AS verdict
     FROM q ORDER BY doc_id"""
 
+  /** Naive-Bayes quality-filter twin: the heuristic label is qualitySql's
+    * score expression, training/scoring share one (doc, label, token, cnt)
+    * CTE, per-type log-likelihoods and priors are quantized to BIGINT at
+    * 1e-9, and the per-doc sums/verdict are exact BIGINT arithmetic —
+    * identical long values to the Spark side by construction.
+    */
+  def qualityNbSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, toks,
+        CASE WHEN least(1.0, len(toks) / 60.0) *
+          (1.0 - ${stopCount("toks", TextFns.Stopwords)} / len(toks)) >= 0.45
+          THEN 'keep' ELSE 'drop' END AS label
+      FROM t
+    ),
+    occ AS (
+      SELECT doc_id, label, token, COUNT(*) AS cnt FROM (
+        SELECT doc_id, label, unnest(toks) AS token FROM lab
+      ) GROUP BY doc_id, label, token
+    ),
+    ct AS (
+      SELECT token,
+        CAST(SUM(CASE WHEN label = 'keep' THEN cnt ELSE 0 END) AS BIGINT) AS ck,
+        CAST(SUM(CASE WHEN label = 'drop' THEN cnt ELSE 0 END) AS BIGINT) AS cd
+      FROM occ GROUP BY token
+    ),
+    st AS (
+      SELECT
+        CAST(SUM(CASE WHEN label = 'keep' THEN cnt ELSE 0 END) AS BIGINT) AS tk,
+        CAST(SUM(CASE WHEN label = 'drop' THEN cnt ELSE 0 END) AS BIGINT) AS td,
+        COUNT(DISTINCT token) AS v
+      FROM occ
+    ),
+    pri AS (
+      SELECT
+        CAST(floor(ln(SUM(CASE WHEN label = 'keep' THEN 1 ELSE 0 END) / COUNT(*))
+          * 1e9 + 0.5) AS BIGINT) AS pk,
+        CAST(floor(ln(SUM(CASE WHEN label = 'drop' THEN 1 ELSE 0 END) / COUNT(*))
+          * 1e9 + 0.5) AS BIGINT) AS pd
+      FROM lab
+    ),
+    lt AS (
+      SELECT token,
+        CAST(floor(ln((ck + 1) / (tk + v)) * 1e9 + 0.5) AS BIGINT) AS qk,
+        CAST(floor(ln((cd + 1) / (td + v)) * 1e9 + 0.5) AS BIGINT) AS qd
+      FROM ct, st
+    ),
+    sc AS (
+      SELECT doc_id, label,
+        CAST(SUM(cnt * qk) AS BIGINT) AS sk,
+        CAST(SUM(cnt * qd) AS BIGINT) AS sd
+      FROM occ JOIN lt USING (token)
+      GROUP BY doc_id, label
+    )
+    SELECT doc_id, label AS heur_label,
+      (sk + pk - sd - pd) / 1e9 AS nb_llr,
+      CASE WHEN sk + pk >= sd + pd THEN 'keep' ELSE 'drop' END AS nb_pred,
+      (CASE WHEN sk + pk >= sd + pd THEN 'keep' ELSE 'drop' END) = label AS agree
+    FROM sc, pri
+    ORDER BY doc_id"""
+
   private val langStructs: String =
     TextFns.LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
       val negc =

@@ -96,6 +96,93 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality filter — the trained-classifier slot (fastText in
+    * CCNet/C4-style pipelines) that [[quality]]'s heuristic only
+    * approximates: a corpus-trained multinomial Naive Bayes. The heuristic
+    * keep/drop verdict provides the (weak, self-supervised) training
+    * labels; per-class token likelihoods with add-one smoothing train in
+    * one vocab-bounded pass; every doc is then scored by its tokens'
+    * class-conditional log-likelihoods plus the class log-prior, and the
+    * keep/drop decision is the exact-integer sign of the log-likelihood
+    * ratio.
+    *
+    * Scale shape: the (doc, token) partial-agg is the ONE corpus-sized
+    * shuffle (shared by train and score — the model never sees the corpus
+    * twice); the likelihood table is the token TYPE space (vocab-bounded,
+    * broadcastable here, a word-keyed shuffle join at 100 TB — the
+    * [[bpeEncode]] contract), and the model statistics/priors are 1-row
+    * broadcast frames. This is how a classifier-based filter actually
+    * deploys on 100 TB: model state moves to the data, never the reverse.
+    *
+    * Determinism: ln is quantized per token TYPE and per class to 9
+    * decimals (the BM25/entropy/bigram-LM recipe); each doc's score is an
+    * exact LONG sum of cnt x quantized-ln (order-insensitive under any
+    * partitioning), and the verdict compares exact LONGs — no float
+    * boundary anywhere. Assumes both classes are non-empty (true of this
+    * corpus at every SF; a one-class corpus has nothing to train).
+    */
+  val qualityNb: GraftQuery = GraftQuery(
+    "doc_quality_nb",
+    "model-based quality filter: corpus-trained Naive Bayes over heuristic labels, per-doc LLR + verdict",
+    TextOracle.qualityNbSql) { (s, d) =>
+    qualityNbFrame(Tables.documents(s, d))
+  }
+
+  /** The Naive-Bayes quality pipeline over any (doc_id, text) frame. */
+  def qualityNbFrame(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = docsIn
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("score",
+        least(lit(1.0), col("n_tokens") / lit(60.0)) *
+          (lit(1.0) - stopwordCount(col("toks"), Stopwords) / col("n_tokens")))
+      .withColumn("label",
+        when(col("score") >= 0.45, lit("keep")).otherwise(lit("drop")))
+    // per-doc term counts: the one corpus-sized shuffle, materialized —
+    // it feeds model training AND document scoring (label rides along,
+    // functionally dependent on doc_id)
+    val occ = docs
+      .select(col("doc_id"), col("label"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val classTok = occ.groupBy(col("token"))
+      .agg(
+        sum(when(col("label") === "keep", col("cnt")).otherwise(0L)).as("ck"),
+        sum(when(col("label") === "drop", col("cnt")).otherwise(0L)).as("cd"))
+    val stats = occ.agg(
+      sum(when(col("label") === "keep", col("cnt")).otherwise(0L)).as("tk"),
+      sum(when(col("label") === "drop", col("cnt")).otherwise(0L)).as("td"),
+      countDistinct(col("token")).as("v"))
+    // add-one-smoothed per-type log-likelihoods, quantized at 1e-9; the
+    // long/long divisions promote to identical doubles on both engines
+    val lt = classTok.crossJoin(broadcast(stats))
+      .select(col("token"),
+        floor(log((col("ck") + lit(1)) / (col("tk") + col("v"))) * lit(1e9)
+          + lit(0.5)).as("qk"),
+        floor(log((col("cd") + lit(1)) / (col("td") + col("v"))) * lit(1e9)
+          + lit(0.5)).as("qd"))
+    val pri = docs.agg(
+      sum(when(col("label") === "keep", 1L).otherwise(0L)).as("nk"),
+      count(lit(1)).as("n"))
+      .select(
+        floor(log(col("nk") / col("n")) * lit(1e9) + lit(0.5)).as("pk"),
+        floor(log((col("n") - col("nk")) / col("n")) * lit(1e9) + lit(0.5))
+          .as("pd"))
+    occ.join(broadcast(lt), "token")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("cnt") * col("qk")).as("sk"),
+        sum(col("cnt") * col("qd")).as("sd"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("label").as("heur_label"),
+        ((col("sk") + col("pk") - col("sd") - col("pd")) / lit(1e9)).as("nb_llr"),
+        when(col("sk") + col("pk") >= col("sd") + col("pd"), lit("keep"))
+          .otherwise(lit("drop")).as("nb_pred"))
+      .withColumn("agree", col("nb_pred") === col("heur_label"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID confusion matrix: marker-word argmax prediction vs the
     * corpus label. (The corpus is synthetic latin text under every label,
     * so the matrix degenerates towards the argmax default — the point is
@@ -1007,7 +1094,7 @@ object TextQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, quality, piiScreen, langConfusion, fingerprints, simhash,
+    Seq(tokenStats, quality, qualityNb, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,

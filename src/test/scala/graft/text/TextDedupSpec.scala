@@ -416,6 +416,28 @@ class TextDedupSpec extends SparkSpec {
     assert((1 to 4).exists(i => out(0).getString(i) !== out(2).getString(i)))
   }
 
+  test("naive-bayes quality: separable fixture classified in full agreement with labels") {
+    val spark0 = spark
+    import spark0.implicits._
+    // keep docs: 60 distinct content words -> score 1.0; drop docs: all
+    // stopwords -> score 0. Class vocabularies are disjoint, so the NB
+    // posterior must agree with the heuristic label on every doc, with a
+    // positive LLR on keeps and negative on drops.
+    val keepText = (1 to 60).map(i => s"w$i").mkString(" ")
+    val dropText = "the of the of and to in a"
+    val docs = Seq(
+      (1L, keepText), (2L, keepText + " extra"), (3L, dropText),
+      (4L, "a the of and the of in to")).toDF("doc_id", "text")
+    val out = graft.text.TextQueries.qualityNbFrame(docs).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("agree"), s"NB disagreed on ${r.getLong(0)}: $r")
+      val llr = r.getAs[Double]("nb_llr")
+      if (r.getAs[String]("heur_label") == "keep") assert(llr > 0, r.toString)
+      else assert(llr < 0, r.toString)
+    }
+  }
+
   test("bpeTrain: greedy left-to-right merges, multi-symbol rules, lexicographic ties") {
     val spark0 = spark
     import spark0.implicits._
