@@ -96,6 +96,58 @@ object DedupOracle {
     JOIN sizes sb ON doc_b = sb.doc_id
     ORDER BY shared_spans DESC, doc_a, doc_b LIMIT 20"""
 
+  /** Paragraph-pair twin: struct_pack-zipped chunk explode (same clamp
+    * semantics as Spark's slice — DuckDB list slices truncate at the list
+    * end), the shingle shape of [[shingleCtes]] at chunk granularity, the
+    * chunk-posting DF cap, and the cross-doc-only self-join.
+    */
+  def paragraphPairsSql: String = {
+    val w = DedupQueries.ChunkTokens
+    val n = ShingleN
+    s"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ch0 AS (
+      SELECT doc_id, unnest(list_transform(
+        range(0, CAST(floor((len(toks) - 1) / $w.0) AS BIGINT) + 1),
+        c -> struct_pack(chunk := c, ct := toks[c*$w+1 : c*$w+$w]))) AS cw
+      FROM t
+    ),
+    ch AS (SELECT doc_id, cw.chunk AS chunk, cw.ct AS ct FROM ch0),
+    csh_all AS (
+      SELECT doc_id, chunk, unnest(list_distinct(
+        CASE WHEN len(ct) >= $n THEN
+          list_transform(range(1, CAST(len(ct) - ${n - 2} AS BIGINT)),
+            i -> array_to_string(ct[i:i+${n - 1}], ' '))
+        ELSE [] END)) AS sh
+      FROM ch
+    ),
+    crare AS (
+      SELECT sh FROM csh_all GROUP BY sh HAVING COUNT(*) <= $NgramDfCap
+    ),
+    csh AS (SELECT doc_id, chunk, sh FROM csh_all JOIN crare USING (sh)),
+    csizes AS (
+      SELECT doc_id, chunk, COUNT(*) AS n FROM csh GROUP BY doc_id, chunk
+    ),
+    cinter AS (
+      SELECT x.doc_id AS doc_a, x.chunk AS chunk_a,
+        y.doc_id AS doc_b, y.chunk AS chunk_b, COUNT(*) AS i
+      FROM csh x JOIN csh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    cpairs AS (
+      SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+      FROM cinter
+      JOIN csizes sa ON doc_a = sa.doc_id AND chunk_a = sa.chunk
+      JOIN csizes sb ON doc_b = sb.doc_id AND chunk_b = sb.chunk
+    )
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+      MAX(jaccard) AS max_jaccard
+    FROM cpairs
+    WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    GROUP BY doc_a, doc_b
+    ORDER BY n_dup_chunks DESC, doc_a, doc_b LIMIT 20"""
+  }
+
   /** Span-strip twin: positional window occurrences (struct_pack keeps
     * (p, sh) zipped through the unnest), shared-window stats with the same
     * 2..[[DedupQueries.NgramDfCap]] evidence band, coverage as a distinct

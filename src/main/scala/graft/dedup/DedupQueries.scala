@@ -1007,6 +1007,73 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** Chunk width (tokens) for paragraph-granularity dedup. The corpus is
+    * single-spaced prose with no paragraph separators, so "paragraphs" are
+    * fixed 64-token chunks — the same fixed-window chunking production
+    * pipelines fall back to on boilerplate-stripped text.
+    */
+  val ChunkTokens = 64
+
+  /** Paragraph-granularity near-dup — the evidence class whole-document
+    * miners dilute: template flooding and quoted sections live at
+    * paragraph level (a 600-token doc sharing one 64-token paragraph has
+    * whole-doc J ~0.1, invisible to the J >= [[ClusterJaccard]] screen,
+    * but chunk-level J ~1.0 here). Documents split into [[ChunkTokens]]
+    * chunks; each chunk runs the SAME DF-capped 3-gram Jaccard mining as
+    * the whole-doc path, keyed by (doc, chunk); chunk pairs from DIFFERENT
+    * docs at J >= [[ClusterJaccard]] roll up to (doc pair, n_dup_chunks,
+    * max_jaccard). Scale shape: identical to the whole-doc inverted index
+    * — the DF cap bounds every posting list, chunking only refines the key
+    * — and the cross-doc predicate prunes within-doc chunk pairs AT the
+    * self-join.
+    */
+  val paragraphPairs: GraftQuery = GraftQuery(
+    "dedup_paragraph_pairs",
+    s"paragraph near-dup: $ChunkTokens-token chunks, DF-capped chunk Jaccard >= $ClusterJaccard, dup-chunk counts per doc pair",
+    DedupOracle.paragraphPairsSql) { (s, d) =>
+    paragraphPairsFrame(Tables.documents(s, d))
+  }
+
+  /** The paragraph-pair pipeline over any (doc_id, text) frame. */
+  def paragraphPairsFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val chunks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(ChunkTokens.toDouble)).cast("int")),
+        c => slice(col("toks"), c * lit(ChunkTokens) + lit(1), lit(ChunkTokens)))))
+      .select(col("doc_id"), col("pos").as("chunk"), col("col").as("ctoks"))
+    // chunk-granularity DF-capped posting table — the cap counts CHUNK
+    // postings (the join unit), same discipline as [[capPostings]]
+    val sh = chunks.select(col("doc_id"), col("chunk"),
+        explode(array_distinct(shingles(col("ctoks"), ShingleN))).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= NgramDfCap)
+      .drop("df")
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id"), col("chunk")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("x.chunk").as("chunk_a"),
+        col("y.doc_id").as("doc_b"), col("y.chunk").as("chunk_b"))
+      .agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sizes.as("sa"),
+        col("doc_a") === col("sa.doc_id") && col("chunk_a") === col("sa.chunk"))
+      .join(sizes.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("chunk_b") === col("sb.chunk"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= ClusterJaccard)
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_dup_chunks"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(desc("n_dup_chunks"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Exact-substring span REMOVAL — the rewrite half of span dedup
     * ([[spanOverlap]] DETECTS pairs sharing verbatim [[SpanN]]-token
     * windows; this EXCISES them, the C4/Pile-style cleanup step a
@@ -1127,6 +1194,6 @@ object DedupQueries {
 
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
-      clustersMulti, keepSummary, spanOverlap, spanStrip, degreeHistogram,
-      incrementalScreen)
+      clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
+      degreeHistogram, incrementalScreen)
 }

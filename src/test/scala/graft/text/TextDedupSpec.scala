@@ -416,6 +416,30 @@ class TextDedupSpec extends SparkSpec {
     assert((1 to 4).exists(i => out(0).getString(i) !== out(2).getString(i)))
   }
 
+  test("paragraph pairs: shared 64-token chunk found where whole-doc Jaccard is sub-threshold") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 128-token docs sharing exactly their FIRST/SECOND chunk: whole-doc
+    // 3-gram Jaccard ~ 62/(126+126-62) ~ 0.33 < 0.5 (invisible to the
+    // whole-doc screen), but the shared chunk matches at J = 1.0
+    val para = (1 to 64).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, para + " " + (1 to 64).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 64).map(i => s"b$i").mkString(" ") + " " + para),
+      (3L, (1 to 128).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // whole-doc screen really is blind to this pair
+    val wholeDoc = graft.dedup.DedupQueries.ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= graft.dedup.DedupQueries.ClusterJaccard).collect()
+    assert(wholeDoc.isEmpty, s"fixture not sub-threshold: ${wholeDoc.toSeq}")
+    val out = graft.dedup.DedupQueries.paragraphPairsFrame(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("n_dup_chunks") === 1L)
+    assert(r.getAs[Double]("max_jaccard") === 1.0)
+  }
+
   test("naive-bayes quality: separable fixture classified in full agreement with labels") {
     val spark0 = spark
     import spark0.implicits._
