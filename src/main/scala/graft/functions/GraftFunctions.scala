@@ -22,6 +22,8 @@ object GraftFunctions {
       children => VecDot(children(0), children(1))),
     ("byte_histogram", classOf[ByteHistogram].getName,
       children => ByteHistogram(children.head)),
+    ("decode_pgm", classOf[DecodePgm].getName,
+      children => DecodePgm(children.head)),
     ("shingles", classOf[Shingles].getName,
       // n must be a foldable integer literal (the window width is part of
       // the operator, not data)

@@ -31,52 +31,65 @@ object MultimodalOracle {
     FROM m
     GROUP BY media_type ORDER BY media_type"""
 
-  /** Thumbnail twin: the byte crop re-expressed over `text` characters
-    * (pure-ASCII corpus: substring chars == payload bytes, and DuckDB's
-    * VARCHAR md5 over the cropped text equals Spark's BINARY md5 over the
-    * cropped UTF-8 payload). Height scaling is floor of an exact-int
-    * double division on both engines.
+  /** Decoded-pixel CTE shared by the features and thumbnail twins: the
+    * Spark side PARSES these values back out of the PGM header + raster it
+    * encoded; the oracle recomputes them from the same formulas over
+    * `text` characters. Valid because the corpus is pure ASCII (synthetic
+    * single-spaced lowercase latin words): UTF-8 byte i == codepoint of
+    * character i, so `ord(substr(text, i, 1))` is exactly the decoded
+    * pixel `raster(i) & 0xff`.
+    */
+  private val pixelCte: String = """
+    px AS (
+      SELECT doc_id,
+        (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+          AS media_type,
+        CAST(64 + doc_id % 7 AS INTEGER) AS width,
+        CAST(floor(octet_length(CAST(text AS BLOB)) / (64 + doc_id % 7))
+          AS INTEGER) AS height,
+        CAST(64 + doc_id % 7 AS INTEGER)
+          * CAST(floor(octet_length(CAST(text AS BLOB)) / (64 + doc_id % 7))
+            AS INTEGER) AS np,
+        list_transform(
+          range(1, CAST((64 + doc_id % 7)
+            * floor(octet_length(CAST(text AS BLOB)) / (64 + doc_id % 7)) + 1
+            AS BIGINT)),
+          i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS pxs
+      FROM documents
+    )"""
+
+  /** Features twin: pixel stats over the decoded grid. Sums are exact
+    * integer folds (HUGEINT in DuckDB, cast back), every double is one
+    * exact IEEE754 division over identical integer operands.
+    */
+  val featuresSql: String = s"""
+    WITH $pixelCte
+    SELECT doc_id, media_type, width, height,
+      CAST(np AS INTEGER) AS n_pixels,
+      CAST(list_aggregate(pxs, 'sum') AS BIGINT) / np AS px_mean,
+      CAST(list_aggregate(pxs, 'min') AS INTEGER) AS px_min,
+      CAST(list_aggregate(pxs, 'max') AS INTEGER) AS px_max,
+      (list_aggregate(pxs, 'max') - list_aggregate(pxs, 'min')) / 255
+        AS contrast
+    FROM px WHERE np > 0 ORDER BY doc_id"""
+
+  /** Thumbnail twin: the same box-resample bucket boundaries
+    * (floor(j*N/W)) and exact integer sums; DuckDB list slices are
+    * 1-based inclusive, so bucket j is pxs[lo+1 : hi] — length hi-lo,
+    * matching Spark's slice(pixels, lo+1, hi-lo).
     */
   def thumbnailSql: String = {
-    import MultimodalQueries.{ThumbBytes, ThumbWidth}
-    s"""
-    WITH $mediaCte
-    SELECT m.doc_id, media_type,
-      CAST(n_bytes AS BIGINT) AS n_bytes_in,
-      CAST(octet_length(CAST(substring(text, 1, $ThumbBytes) AS BLOB)) AS BIGINT)
-        AS n_bytes_out,
-      md5(substring(text, 1, $ThumbBytes)) AS checksum,
-      $ThumbWidth AS thumb_width,
-      CAST(floor((height * $ThumbWidth) / width) AS INTEGER) AS thumb_height
-    FROM m JOIN documents d ON m.doc_id = d.doc_id
-    ORDER BY m.doc_id"""
-  }
-
-  /** Oracle for the stub decoder: the 16-bin byte histogram re-expressed
-    * over the characters of `text`. Valid because the corpus is pure ASCII
-    * (synthetic single-spaced lowercase latin words), where UTF-8 byte i ==
-    * codepoint of character i and octet_length == length — so
-    * `ord(substr(text, i, 1)) >> 4` is exactly Spark's `payload(i) >> 4`.
-    * Each h_k is a small-int count divided by the byte count: both engines
-    * compute the same exact IEEE754 quotient.
-    */
-  val featuresSql: String = {
-    val hs = (0 until 16).map { k =>
-      s"len(list_filter(bins, x -> x = $k)) / CAST(greatest(n, 1) AS DOUBLE) AS h$k"
+    val w = MultimodalQueries.ThumbWidth
+    val ts = (0 until w).map { j =>
+      val lo = s"CAST(floor((np * $j) / $w.0) AS BIGINT)"
+      val hi = s"CAST(floor((np * ${j + 1}) / $w.0) AS BIGINT)"
+      s"CAST(list_aggregate(pxs[$lo + 1 : $hi], 'sum') AS BIGINT) / ($hi - $lo) AS t$j"
     }.mkString(",\n      ")
     s"""
-    WITH t AS (
-      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
-    ),
-    b AS (
-      SELECT doc_id, n,
-        list_transform(range(1, CAST(n + 1 AS BIGINT)),
-          i -> ord(substr(text, CAST(i AS INTEGER), 1)) >> 4) AS bins
-      FROM t
-    )
-    SELECT doc_id,
-      $hs
-    FROM b ORDER BY doc_id"""
+    WITH $pixelCte
+    SELECT doc_id, media_type, CAST(np AS BIGINT) AS n_pixels_in,
+      $ts
+    FROM px WHERE np >= $w ORDER BY doc_id"""
   }
 
   /** Perceptual-bucket twin: the features histogram quantized to the same

@@ -9,21 +9,29 @@ import graft.api.GraftQuery
   * with a typed metadata struct, plus decode / feature-extract / frame-
   * sample operators.
   *
-  * The corpus has no real media, so the payload is the document's UTF-8
-  * bytes and the "decode" is a deterministic stand-in (byte histogram) —
-  * clearly marked STUB. Everything AROUND the stub is the real design:
-  * payloads stay BinaryType end-to-end, metadata lives in a
-  * pruned-friendly struct, the stub decode is a native codegen'd
-  * expression ([[graft.functions.ByteHistogram]] — rows never cross the
-  * encoder boundary; a REAL decoder needing a native lib would swap in
-  * as `mapPartitions`/`mapInPandas` at the same column), and frame
-  * sampling is a vectorized explode, never a driver loop.
+  * The corpus has no real media, so each document's bytes are ENCODED into
+  * a genuine binary image format — netpbm PGM (P5): an ASCII
+  * `P5 <w> <h> <maxval>` header followed by the w x h raster, with the
+  * document's UTF-8 bytes as the pixel grid. The decode path is then REAL:
+  * [[graft.functions.DecodePgm]] parses the header, validates it, and
+  * materializes the pixel array (malformed -> NULL, as a production
+  * decoder must), all inside WholeStageCodegen — rows never cross the
+  * encoder boundary. Feature extraction and thumbnailing run over the
+  * DECODED pixels. A codec needing a native lib (JPEG, audio) would swap
+  * in at the same column as `mapPartitions`/`mapInPandas`; the
+  * byte-histogram expression ([[graft.functions.ByteHistogram]]) remains
+  * as the format-agnostic fallback path (perceptual bucketing uses it —
+  * pHash-style codes do not require a decodable payload).
   */
 object MultimodalQueries {
 
-  /** The media view: payload BINARY + media_type + typed metadata struct.
-    * Spark `cast(string as binary)` = UTF-8 bytes = DuckDB
-    * `CAST(text AS BLOB)`, so byte lengths and checksums agree.
+  /** The media view: payload BINARY + media_type + typed metadata struct +
+    * the PGM-encoded image (`pgm`). Spark `cast(string as binary)` = UTF-8
+    * bytes = DuckDB `CAST(text AS BLOB)`, so byte lengths and checksums
+    * agree; the PGM raster is the first `width * floor(n_bytes/width)`
+    * payload bytes, so every pixel is one document byte and the DuckDB
+    * twins can recompute pixel math from `text` characters (pure-ASCII
+    * corpus).
     */
   def media(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -39,6 +47,12 @@ object MultimodalQueries {
         (lit(48) + col("doc_id") % 5).cast("int").as("height"),
         (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
         (col("n_bytes") / lit(100.0)).as("duration_s")))
+      .withColumn("pgm_h",
+        floor(col("n_bytes") / col("meta.width")).cast("int"))
+      .withColumn("pgm", concat(
+        concat(lit("P5\n"), col("meta.width").cast("string"), lit(" "),
+          col("pgm_h").cast("string"), lit("\n255\n")).cast("binary"),
+        col("payload").substr(lit(1), col("meta.width") * col("pgm_h"))))
 
   /** Catalog projection: struct-field pruning + per-type stats. */
   val catalog: GraftQuery = GraftQuery(
@@ -78,29 +92,38 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** STUB DECODER: the native codegen'd [[graft.functions.ByteHistogram]]
-    * expression produces a 16-bin byte histogram as the stand-in feature
-    * vector — one fused loop per row that stays inside WholeStageCodegen
-    * (PlanSpec pins: no DeserializeToObject in this plan). A REAL
-    * image/audio decoder (JNI, native lib, Arrow-batched Python UDF) would
-    * swap in via `mapPartitions` over iterators at exactly this column —
-    * only the bytes->features function is fake; the schema, partitioning,
-    * and fixed-length output are the production shape. The stub is
-    * deterministic and SQL-expressible, so it carries a full DuckDB
-    * oracle: each h_k is count(byte >> 4 == k) / n_bytes, an exact
-    * small-integer division that is bit-identical IEEE754 on both engines.
+  /** REAL DECODE + feature extraction: [[graft.functions.DecodePgm]]
+    * parses each asset's PGM payload — magic, ASCII dimensions, raster —
+    * and the features are statistics of the DECODED pixel grid: decoded
+    * width/height, pixel count, mean/min/max intensity, and
+    * maxval-normalized contrast. One fused codegen span per row (PlanSpec
+    * pins: no DeserializeToObject, decode_pgm present); assets whose
+    * payload decodes to zero pixels (document shorter than one raster
+    * row) are skipped, as a decoder pipeline would quarantine them. Pixel
+    * sums are exact integer folds, so every output double is a single
+    * exact IEEE754 division — bit-identical to the DuckDB twin that
+    * recomputes the same arithmetic from the document characters.
     */
   val features: GraftQuery = GraftQuery(
     "multimodal_features",
-    "stub decode via native ByteHistogram expression, flattened h0..h15",
+    "real PGM decode via native decode_pgm: dimensions + pixel stats per asset",
     MultimodalOracle.featuresSql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    // flatten to scalar columns: the driver's check (pandas) can't hash
-    // array cells, and a fixed-width feature vector IS a wide row
     media(s, d)
-      .withColumn("features", call_function("byte_histogram", col("payload")))
-      .select(col("doc_id") +:
-        (0 until 16).map(i => element_at(col("features"), i + 1).as(s"h$i")): _*)
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .select(col("doc_id"), col("media_type"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        size(col("img.pixels")).as("n_pixels"),
+        aggregate(col("img.pixels"), lit(0L), (acc, x) => acc + x).as("px_sum"),
+        array_min(col("img.pixels")).as("px_min"),
+        array_max(col("img.pixels")).as("px_max"),
+        col("img.maxval").as("maxval"))
+      .filter(col("n_pixels") > 0)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_pixels"),
+        (col("px_sum") / col("n_pixels")).as("px_mean"),
+        col("px_min"), col("px_max"),
+        ((col("px_max") - col("px_min")) / col("maxval")).as("contrast"))
       .orderBy("doc_id")
   }
 
@@ -136,33 +159,38 @@ object MultimodalQueries {
       .limit(20)
   }
 
-  /** Thumbnail crop length (bytes). */
-  val ThumbBytes = 256
-  /** Thumbnail target width (pixels in the stand-in metadata). */
+  /** Thumbnail width: the resampled sample count per asset. */
   val ThumbWidth = 32
 
-  /** Resize stub: crop the payload to [[ThumbBytes]] bytes and rescale the
-    * metadata to width [[ThumbWidth]] (aspect-preserving integer height).
-    * The byte crop is the deterministic stand-in for a real resampler —
-    * the REAL parts are the binary-typed substring (payload bytes never
-    * leave BinaryType), the checksum over the derived payload (the
-    * provenance a thumbnail cache keys on), and the struct rewrite. One
-    * narrow map plan, no shuffle before the presentation sort.
+  /** REAL RESAMPLE: decode the PGM payload and box-resample the pixel
+    * stream to [[ThumbWidth]] samples — thumb[j] is the exact mean of the
+    * source pixels in [floor(j*N/W), floor((j+1)*N/W)), the classic box
+    * filter over the raster scan order (1-D on purpose: audio/video
+    * payloads are genuinely 1-D streams, and image rows concatenate in
+    * raster order — the downsampled means are real decoded-pixel
+    * statistics either way). Assets with fewer than [[ThumbWidth]] pixels
+    * are skipped (nothing to downsample INTO 32 buckets). Integer sums +
+    * one exact division per bucket — bit-identical to the DuckDB twin.
+    * Still a narrow map plan: decode + 32 slice-folds, no shuffle before
+    * the presentation sort (PlanSpec pins it).
     */
   val thumbnail: GraftQuery = GraftQuery(
     "multimodal_thumbnail",
-    s"resize stub: crop payload to $ThumbBytes bytes + scaled metadata + checksum",
+    s"real thumbnail: $ThumbWidth-sample box resample of the decoded PGM pixel stream",
     MultimodalOracle.thumbnailSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val n = size(col("img.pixels"))
+    val thumbs = (0 until ThumbWidth).map { j =>
+      val lo = floor((n * lit(j)) / lit(ThumbWidth.toDouble)).cast("int")
+      val hi = floor((n * lit(j + 1)) / lit(ThumbWidth.toDouble)).cast("int")
+      (aggregate(slice(col("img.pixels"), lo + lit(1), hi - lo),
+        lit(0L), (acc, x) => acc + x) / (hi - lo)).as(s"t$j")
+    }
     media(s, d)
-      .withColumn("thumb", substring(col("payload"), 1, ThumbBytes))
-      .select(
-        col("doc_id"), col("media_type"),
-        col("n_bytes").as("n_bytes_in"),
-        length(col("thumb")).cast("long").as("n_bytes_out"),
-        md5(col("thumb")).as("checksum"),
-        lit(ThumbWidth).as("thumb_width"),
-        floor((col("meta.height") * ThumbWidth) / col("meta.width"))
-          .cast("int").as("thumb_height"))
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(size(col("img.pixels")) >= ThumbWidth)
+      .select(col("doc_id") +: col("media_type") +:
+        size(col("img.pixels")).cast("long").as("n_pixels_in") +: thumbs: _*)
       .orderBy("doc_id")
   }
 

@@ -286,12 +286,12 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     // the old mapPartitions decode forced every row out of Tungsten:
     // DeserializeToObject -> MapPartitions -> SerializeFromObject. The
-    // native ByteHistogram expression must leave NO object boundary and
+    // native DecodePgm expression must leave NO object boundary and
     // keep the scan->project pipeline in a single codegen'd stage
     assert(!plan.contains("DeserializeToObject"), s"encoder boundary in:\n$plan")
     assert(!plan.contains("MapPartitions"), s"mapPartitions decode in:\n$plan")
     assert(plan.contains("*("), "decode projection not codegen'd")
-    assert(plan.contains("byte_histogram"), "native decode expression missing")
+    assert(plan.contains("decode_pgm"), "native decode expression missing")
   }
 
   test("multimodal_phash_buckets: decode + quantize run before the ONE bucket exchange") {

@@ -159,6 +159,57 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("DecodePgm: valid P5 parses, every malformation nulls, null propagates") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    val good = "P5\n3 2\n255\n".getBytes("UTF-8") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val trailing = good ++ Array[Byte](99, 99) // extra raster bytes: lenient
+    val empty = "P5\n3 0\n255\n".getBytes("UTF-8") // h=0 -> zero pixels
+    val cases: Seq[Option[Array[Byte]]] = Seq(
+      Some(good), Some(trailing), Some(empty),
+      Some("P6\n3 2\n255\nabcdef".getBytes), // wrong magic
+      Some("P5\n3 2\n255\nabcd".getBytes), // truncated raster (4 < 6)
+      Some("P5\n3 2\n999\nabcdef".getBytes), // maxval out of byte range
+      Some("P5\n3 x\n255\nabcdef".getBytes), // non-numeric height
+      Some(Array[Byte]()), // empty payload
+      None) // null payload
+    val rows = cases.toDF("p")
+      .select(call_function("decode_pgm", col("p")).as("img"))
+      .select(col("img.width"), col("img.height"), col("img.maxval"),
+        col("img.pixels"))
+      .collect()
+    Seq(0, 1).foreach { i =>
+      assert(rows(i).getInt(0) === 3 && rows(i).getInt(1) === 2 &&
+        rows(i).getInt(2) === 255)
+      assert(rows(i).getSeq[Int](3) === Seq(10, 20, 30, 40, 50, 60))
+    }
+    assert(rows(2).getInt(1) === 0 && rows(2).getSeq[Int](3).isEmpty)
+    (3 until cases.length).foreach { i =>
+      assert(rows(i).isNullAt(0), s"case $i should decode to null")
+    }
+  }
+
+  test("DecodePgm generated code actually COMPILES (no interpreted fallback)") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // header + raster built in SQL so the whole decode runs inside one
+      // codegen'd project over range(); pixel 'a'+i%26 -> mean recoverable
+      val r = spark.sql(
+        """SELECT decode_pgm(CAST('P5' || chr(10) || '4 1' || chr(10) || '255'
+          |  || chr(10) || 'abcd' AS BINARY)) AS img
+          |FROM range(10)""".stripMargin)
+        .select(col("img.width").as("w"),
+          element_at(col("img.pixels"), 1).as("p0"))
+        .agg(min(col("w")), min(col("p0"))).collect()(0)
+      assert(r.getInt(0) === 4)
+      assert(r.getInt(1) === 'a'.toInt)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("bloom_filter_agg / might_contain arities: defaults accepted, wrong arity is an analysis error") {
     GraftFunctions.register(spark)
     // 1- and 2-arg forms fall back to Spark's own defaults; 3-arg is the
