@@ -215,6 +215,78 @@ class StreamingSpec extends SparkSpec {
       graft.dedup.DedupQueries.MinhashK / graft.dedup.DedupQueries.BandRows)
   }
 
+  test("incremental screen: streamed candidates + the batch verify = the oracle-checked batch output") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.DedupQueries
+    import graft.text.TextFns
+
+    // dedup_incremental_screen (oracle-checked) and the DocStreams ingest
+    // path are twins: the batch operator splits the corpus by content hash
+    // and probes incoming against the existing side's band index; the
+    // stream probes ARRIVING docs against the same index. This test closes
+    // the loop frame-level: the streamed candidate pairs, pushed through
+    // the SAME exact-Jaccard verify, must reproduce the batch operator's
+    // output exactly — so the batch oracle transitively checks the
+    // streaming path.
+    def bucket(text: String): Long =
+      Seq(text).toDF("text")
+        .select((TextFns.hash60(TextFns.normText(col("text"))) % 100).as("b"))
+        .collect()(0).getLong(0)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val variants = (0 until 64).map(seed => s"$base tail$seed")
+    val existing = variants.find(t =>
+      bucket(t) < DedupQueries.IncrementalIncomingBucket).get
+    val incoming = variants.find(t =>
+      bucket(t) >= DedupQueries.IncrementalIncomingBucket).get
+    val noiseEx = (1 to 40).map(i => s"z$i").mkString(" ")
+    val fresh = (0 until 64).map(s => (1 to 40).map(i => s"q${i}x$s").mkString(" "))
+      .find(t => bucket(t) >= DedupQueries.IncrementalIncomingBucket).get
+    val texts = Map(1L -> existing, 2L -> noiseEx, 3L -> incoming, 4L -> fresh)
+    val docs = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+
+    val batch = DedupQueries.incrementalScreenFrame(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(batch.map(t => (t._1, t._2)).toSeq === Seq((3L, 1L)),
+      s"fixture drifted: batch screen found ${batch.toSeq}")
+
+    // streaming path on the SAME split: existing -> static band index,
+    // incoming -> arriving stream
+    val index = DocStreams.bandIndex(
+      Seq((1L, existing), (2L, noiseEx)).toDF("doc_id", "text")).localCheckpoint()
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((3L, incoming), (4L, fresh)): _*)
+    val q = DocStreams.dupCandidates(
+      stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("inc_screen_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedPairs = spark.table("inc_screen_stream")
+      .select("doc_id", "corpus_doc_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // recall parity: every batch-verified match surfaced as a candidate
+    batch.foreach { case (d, m, _) =>
+      assert(streamedPairs.contains((d, m)),
+        s"batch match ($d, $m) missing from streamed candidates $streamedPairs")
+    }
+    // frame-level parity: same verify (exact Jaccard over distinct 2-gram
+    // shingles, J >= ClusterJaccard, best match by (J desc, doc)) over the
+    // streamed candidates reproduces the batch rows including J values
+    def sh2(t: String): Set[String] =
+      t.split(" ").sliding(DedupQueries.MinhashShingleN).map(_.mkString(" ")).toSet
+    val verified = streamedPairs.toSeq.map { case (d, m) =>
+      val (a, b) = (sh2(texts(d)), sh2(texts(m)))
+      (d, m, a.intersect(b).size.toDouble / a.union(b).size)
+    }.filter(_._3 >= DedupQueries.ClusterJaccard)
+      .groupBy(_._1).map { case (_, cands) => cands.minBy(c => (-c._3, c._2)) }
+      .toSeq.sortBy(_._1)
+    assert(verified === batch.toSeq,
+      "streamed-candidates + batch verify diverged from the batch screen")
+  }
+
   test("StreamSinks.toWarehouse: exactly-once delivery, batch parity, replay no-op") {
     val spark0 = spark
     import spark0.implicits._
