@@ -454,9 +454,22 @@ object DedupQueries {
     // is per-bucket-bounded but O(corpus) in absolute terms (bucket count
     // grows with the corpus), so the broadcast hint is size-GUARDED, not
     // forced — see [[maybeBroadcast]].
+    // candDocs stays LAZY: when the guard admits the broadcast, the
+    // distinct computes inside the broadcast exchange — a checkpoint here
+    // (an extra eager job + count) measured as pure overhead (same-window
+    // A/B, round 10: 3.19 -> 2.90 s on dedup_clusters_multi after
+    // removing it). The guard instead reads the materialized `bands`
+    // count, a strict upper bound on candDocs rows (one band row per doc
+    // per band), so no new job materializes anything. (The same A/B pass
+    // also rejected checkpointing the pruned `shc` frame below: it feeds
+    // both intersect sides on different keys, but the materialization
+    // barrier cost MORE than the saved re-explode — 15-25% regressions on
+    // all three minhash-verify consumers.)
     val candDocs = bands.filter(col("bc") > 1)
-      .select(col("doc_id")).distinct().localCheckpoint()
-    val shc = sh.join(maybeBroadcast(candDocs), Seq("doc_id"), "semi")
+      .select(col("doc_id")).distinct()
+    val shc = sh.join(
+      if (bands.count() <= BroadcastMaxRows) broadcast(candDocs) else candDocs,
+      Seq("doc_id"), "semi")
     val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
       .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
@@ -533,13 +546,17 @@ object DedupQueries {
       .select(col("inc_doc"), col("doc_id").as("ex_doc"))
       .distinct()
       .localCheckpoint()
-    // size-guarded broadcast (candidates are O(batch x bands) here, but the
-    // same absolute-bound discipline as the symmetric miner applies — see
-    // [[maybeBroadcast]])
+    // size-guarded broadcast (candidates are O(batch x bands) here, but
+    // the same absolute-bound discipline as the symmetric miner applies):
+    // candDocs rows <= 2x the materialized `cand` pair count, so the guard
+    // rides a cached-block count and candDocs stays lazy inside the
+    // broadcast exchange
     val candDocs = cand
       .select(explode(array(col("inc_doc"), col("ex_doc"))).as("doc_id"))
-      .distinct().localCheckpoint()
-    val shc = sh.join(maybeBroadcast(candDocs), Seq("doc_id"), "semi")
+      .distinct()
+    val shc = sh.join(
+      if (cand.count() * 2 <= BroadcastMaxRows) broadcast(candDocs) else candDocs,
+      Seq("doc_id"), "semi")
     val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cand
       .join(shc.as("xa"), col("inc_doc") === col("xa.doc_id"))
@@ -1136,8 +1153,10 @@ object DedupQueries {
       .localCheckpoint()
     val strippedDocs = covered.select(col("doc_id")).distinct().localCheckpoint()
     // positional rewrite for AFFECTED docs only (semi-join prune, size-
-    // guarded broadcast — same discipline as the verify prunes)
-    val tp = base.join(maybeBroadcast(strippedDocs), Seq("doc_id"), "semi")
+    // guarded broadcast — same discipline as the verify prunes; guarded
+    // once, reused by the semi AND anti side)
+    val strippedBc = maybeBroadcast(strippedDocs)
+    val tp = base.join(strippedBc, Seq("doc_id"), "semi")
       .select(col("doc_id"), posexplode(col("toks")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
     val flagged = tp.join(covered.withColumn("cov", lit(true)),
@@ -1156,7 +1175,7 @@ object DedupQueries {
     val rewritten = counts.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("total_tokens"), col("stripped_tokens"),
         coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
-    val clean = base.join(maybeBroadcast(strippedDocs), Seq("doc_id"), "anti")
+    val clean = base.join(strippedBc, Seq("doc_id"), "anti")
       .select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens"),
         lit(0L).as("stripped_tokens"), md5(col("text")).as("kept_fp"))
     rewritten.unionByName(clean)
