@@ -684,8 +684,27 @@ object DedupQueries {
     // Materialize the RAW edge list once — a localCheckpoint here is
     // shuffle-free (partitions persist as-is), and every path needs the
     // mined edges at least twice (count gate + consumer), so callers
-    // don't have to pre-checkpoint their mining pipelines.
-    val fwd = edges.select(col("a"), col("b")).localCheckpoint()
+    // don't have to pre-checkpoint their mining pipelines. When the
+    // caller ALREADY materialized (clustersMulti checkpoints the edge
+    // union for its rollup), a second checkpoint is a redundant block
+    // copy + barrier job — detected structurally (narrow ops over a
+    // LogicalRDD leaf re-scan cached blocks per consumer for free).
+    val pre = edges.select(col("a"), col("b"))
+    def narrowOverRdd(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          narrowOverRdd(pr.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          narrowOverRdd(f.child)
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _ => false
+      }
+    // ownership matters: blocks this function materialized are released
+    // when superseded; a caller-owned checkpoint must survive (the caller
+    // still consumes it — clustersMulti's evidence rollup re-reads the
+    // edge blocks after CC returns)
+    val ownFwd = !narrowOverRdd(pre.queryExecution.analyzed)
+    val fwd = if (ownFwd) pre.localCheckpoint() else pre
     // Fast-path gate on the raw edge count: union-find is direction-
     // agnostic (union(a,b) == union(b,a)) and duplicate-tolerant, so the
     // symmetrize + distinct the sweep path needs is pure overhead here —
@@ -693,11 +712,12 @@ object DedupQueries {
     // ~0.4 s of the cross-family cluster query at sf0.1. Raw count <=
     // maxLocalEdges/2 implies symmetric rows <= maxLocalEdges, so the
     // documented single-task memory bound is unchanged.
-    if (fwd.count() <= maxLocalEdges / 2) return localUnionFind(fwd)
+    if (fwd.count() <= maxLocalEdges / 2)
+      return localUnionFind(fwd, releaseInput = ownFwd)
     val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    graft.api.Checkpoints.release(fwd)
+    if (ownFwd) graft.api.Checkpoints.release(fwd)
     if (sym.count() <= maxLocalEdges) return localUnionFind(sym)
     // seed = min(self, direct neighbors): the first propagation sweep
     // fused into initialization (one aggregation over sym), so pair
@@ -762,7 +782,8 @@ object DedupQueries {
     * (the input is always [[connectedComponents]]'s own materialization,
     * never a caller-owned frame).
     */
-  private[graft] def localUnionFind(sym: DataFrame): DataFrame = {
+  private[graft] def localUnionFind(sym: DataFrame,
+      releaseInput: Boolean = true): DataFrame = {
     val s = sym.sparkSession
     import s.implicits._
     val labels = sym
@@ -795,7 +816,7 @@ object DedupQueries {
       }
       .toDF("node", "label")
       .localCheckpoint()
-    graft.api.Checkpoints.release(sym)
+    if (releaseInput) graft.api.Checkpoints.release(sym)
     labels
   }
 
