@@ -148,6 +148,52 @@ object DedupOracle {
     ORDER BY n_dup_chunks DESC, doc_a, doc_b LIMIT 20"""
   }
 
+  /** Duplication-mass twin: the span-strip coverage CTEs without owner
+    * exception or DF cap (pure aggregate — see the Spark-side scaladoc),
+    * rolled up per language. dup_token_frac is one exact BIGINT/BIGINT
+    * float division.
+    */
+  def dupSpanMassSql: String = {
+    val n = DedupQueries.SpanN
+    s"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    occ0 AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= $n THEN
+          list_transform(range(1, CAST(len(toks) - ${n - 2} AS BIGINT)),
+            i -> struct_pack(p := i, sh := array_to_string(toks[i:i+${n - 1}], ' ')))
+        ELSE [] END) AS w
+      FROM t
+    ),
+    occ AS (SELECT doc_id, w.p AS p, w.sh AS sh FROM occ0),
+    shared AS (
+      SELECT sh FROM occ GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_toks FROM (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT o.doc_id, unnest(range(o.p, o.p + $n)) AS pos
+          FROM occ o JOIN shared s ON o.sh = s.sh
+        )
+      ) GROUP BY doc_id
+    ),
+    perdoc AS (
+      SELECT t.lang, CAST(len(t.toks) AS BIGINT) AS n_toks,
+        COALESCE(c.dup_toks, 0) AS dup_toks
+      FROM t LEFT JOIN covered c ON t.doc_id = c.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN dup_toks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_with_dup,
+      CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      CAST(SUM(dup_toks) AS BIGINT) AS dup_tokens,
+      CAST(SUM(dup_toks) AS BIGINT) / CAST(SUM(n_toks) AS BIGINT)
+        AS dup_token_frac
+    FROM perdoc GROUP BY lang ORDER BY lang"""
+  }
+
   /** Span-strip twin: positional window occurrences (struct_pack keeps
     * (p, sh) zipped through the unnest), shared-window stats with the same
     * 2..[[DedupQueries.NgramDfCap]] evidence band, coverage as a distinct

@@ -1206,6 +1206,56 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus duplication-mass dashboard — the memorization-risk number a
+    * pretraining report quotes (C4/Lee-et-al-style): what fraction of each
+    * language's TOKENS sits inside a verbatim [[SpanN]]-token window that
+    * also appears in at least one OTHER document. Unlike the span
+    * pair/strip operators this is a pure aggregate, so the window stats
+    * are UNCAPPED — no self-join exists for a hot window to blow up, and
+    * the dashboard must count boilerplate mass, not hide it. Cost: the
+    * positional window frame (O(corpus tokens)), one groupBy for the
+    * corpus-wide window document-frequencies, a coverage join restricted
+    * to duplicated windows, and a per-language rollup.
+    */
+  val dupSpanMass: GraftQuery = GraftQuery(
+    "corpus_dup_span_mass",
+    s"duplication mass: per-language fraction of tokens covered by cross-doc verbatim $SpanN-token windows",
+    DedupOracle.dupSpanMassSql) { (s, d) =>
+    dupSpanMassFrame(Tables.documents(s, d))
+  }
+
+  /** The duplication-mass pipeline over any (doc_id, lang, text) frame. */
+  def dupSpanMassFrame(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("toks"))
+    val occ = base.select(col("doc_id"),
+        posexplode(shingles(col("toks"), SpanN)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("sh"))
+      .localCheckpoint()
+    val shared = occ.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("sh"))
+    val coveredPerDoc = occ.join(shared, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(SpanN - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_toks"))
+    base.select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .join(coveredPerDoc, Seq("doc_id"), "left")
+      .select(col("lang"), col("n_toks"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_toks") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("dup_toks")).as("dup_tokens"),
+        (sum(col("dup_toks")) / sum(col("n_toks"))).as("dup_token_frac"))
+      .orderBy("lang")
+  }
+
   /** Near-dup graph health: how many J >= [[ClusterJaccard]] edges each
     * document carries, as a degree histogram (degree 0 = clean docs). The
     * graph-quality artifact behind [[clusters]]: a fat tail here means a
@@ -1235,5 +1285,5 @@ object DedupQueries {
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
-      degreeHistogram, incrementalScreen)
+      dupSpanMass, degreeHistogram, incrementalScreen)
 }

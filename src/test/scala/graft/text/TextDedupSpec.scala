@@ -416,6 +416,25 @@ class TextDedupSpec extends SparkSpec {
     assert((1 to 4).exists(i => out(0).getString(i) !== out(2).getString(i)))
   }
 
+  test("dup span mass: planted passage contributes exactly its token count on BOTH sides") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the span-strip fixture: docs 0 and 1 share a 12-token passage ->
+    // unlike the strip (owner keeps), the MASS metric counts the covered
+    // tokens in BOTH docs; doc 2 is clean
+    val passage = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"
+    val docs = Seq(
+      (0L, "en", s"a0 a1 a2 a3 a4 a5 a6 a7 $passage b0 b1 b2 b3 b4 b5 b6 b7"),
+      (1L, "en", s"c0 c1 c2 c3 c4 c5 c6 c7 $passage d0 d1 d2 d3 d4 d5 d6 d7"),
+      (2L, "fr", "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 e14 e15"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.dedup.DedupQueries.dupSpanMassFrame(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("en") === ((2L, 2L, 56L, 24L, 24.0 / 56.0)))
+    assert(out("fr") === ((1L, 0L, 16L, 0L, 0.0)))
+  }
+
   test("paragraph pairs: shared 64-token chunk found where whole-doc Jaccard is sub-threshold") {
     val spark0 = spark
     import spark0.implicits._
