@@ -460,6 +460,92 @@ object TextOracle {
     ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
   }
 
+  /** Phrase-retrieval twin: indexed unnest builds the positional posting
+    * frame (struct_pack + range, the dupSpanMassSql idiom), a VALUES slot
+    * table mirrors the Spark literal slot array, and the vote/confirm
+    * chain is the same (doc, start) group-by. Slice bounds match Spark's
+    * `slice` truncation semantics at the document tail.
+    */
+  def phraseSearchSql: String = {
+    import TextQueries.{PhraseSnippetLen, PhraseTerms}
+    val L = PhraseTerms.length
+    val terms = PhraseTerms.distinct.map(t => s"'$t'").mkString(", ")
+    val slots = PhraseTerms.zipWithIndex
+      .map { case (w, i) => s"($i, '$w')" }.mkString(", ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    p0 AS (
+      SELECT doc_id, unnest(list_transform(range(len(toks)),
+        i -> struct_pack(pos := i, tok := toks[i+1]))) AS w
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, w.pos AS pos, w.tok AS tok FROM p0
+      WHERE w.tok IN ($terms)
+    ),
+    votes AS (
+      SELECT p.doc_id, p.pos - s.i AS start, s.i AS slot_i
+      FROM p JOIN (VALUES $slots) AS s(i, w) ON p.tok = s.w
+      WHERE p.pos - s.i >= 0
+    ),
+    hits AS (
+      SELECT doc_id, start FROM votes GROUP BY doc_id, start
+      HAVING COUNT(DISTINCT slot_i) = $L
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        MIN(start) AS first_pos
+      FROM hits GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_occurrences, a.first_pos,
+      array_to_string(
+        t.toks[a.first_pos + 1 : a.first_pos + $PhraseSnippetLen], ' ')
+        AS snippet
+    FROM agg a JOIN t USING (doc_id)
+    ORDER BY n_occurrences DESC, doc_id"""
+  }
+
+  /** Keyword-extraction twin: same posting/idf/score chain; ROW_NUMBER
+    * cast to INTEGER (the topArrearsByRegionSql precedent) and the same
+    * (score_q DESC, term) tie-break.
+    */
+  def keywordExtractSql: String = {
+    import TextQueries.KeywordTopK
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS term FROM t
+      ) GROUP BY 1, 2
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs FROM t),
+    idf AS (
+      SELECT term,
+        CAST(floor(ln((s.n_docs + 1.0::DOUBLE) / (df + 1.0::DOUBLE))
+          * 1000000000.0 + 0.5) AS BIGINT) AS idf_q
+      FROM (SELECT term, COUNT(*) AS df FROM post GROUP BY term)
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT p.doc_id, p.term, p.tf * i.idf_q AS score_q
+      FROM post p JOIN idf i USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score_q DESC, term) AS INTEGER) AS rank,
+        score_q
+      FROM scored
+    )
+    SELECT doc_id, rank, term AS keyword, score_q / 1000000000.0 AS score
+    FROM ranked WHERE rank <= $KeywordTopK
+    ORDER BY doc_id, rank"""
+  }
+
   /** Funnel twin: the same stage expressions (qualitySql's score,
     * fingerprint, hash60 split bucket) composed into one CTE chain;
     * conditional counts via FILTER.

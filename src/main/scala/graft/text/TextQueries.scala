@@ -51,6 +51,20 @@ object TextQueries {
   val Bm25B = 0.75
   val Bm25TopK = 10
 
+  /** Fixed query phrase for the exact-phrase retrieval operator — three
+    * common corpus words, so the phrase matches a handful of docs at every
+    * SF (verified non-empty at sf0.001/0.01/0.1) while each individual
+    * term's posting list stays large enough to exercise the positional
+    * intersection. Declared before any GraftQuery val (TextOracle
+    * interpolates it; see the init-order note on [[RebalanceThresholds]]).
+    */
+  val PhraseTerms: Seq[String] = Seq("table", "scan", "merge")
+
+  /** Snippet length (tokens from the first match) reported by
+    * [[phraseSearch]]: the phrase plus two tokens of right context.
+    */
+  val PhraseSnippetLen: Int = PhraseTerms.length + 2
+
   /** Per-document token statistics: whitespace tokens, distinct tokens,
     * type-token ratio, a BPE-ish sub-word count (regex chunks of <=4 chars),
     * and stopword ratio.
@@ -616,6 +630,123 @@ object TextQueries {
     bm25Frame(Tables.documents(s, d))
   }
 
+  /** Exact-phrase retrieval — the positional-postings capability BM25's
+    * bag-of-words scoring cannot express: find every document containing
+    * the query tokens CONSECUTIVELY, with occurrence counts and a context
+    * snippet. The classic inverted-index phrase algorithm, relationalized:
+    * each posting for query term i at position p votes for a candidate
+    * match start p − i, and a start with votes from all |phrase| distinct
+    * slots is a confirmed occurrence (correct even for phrases with
+    * repeated terms — a posting votes once per slot its token fills).
+    *
+    * Scale shape: the posexplode is filtered to the query's term set
+    * BEFORE anything shuffles (the [[searchBm25]] contract — the posting
+    * frame is O(term matches), not O(corpus tokens)); the one aggregation
+    * key is (doc, start), bounded by the matched postings; the snippet
+    * join touches only matching docs against the corpus scan. At 100 TB
+    * this is how a positional index probe runs: partitions emit only
+    * query-term postings and (doc, start) vote pairs move.
+    *
+    * Determinism: integer-only (positions, slot counts) — no floats
+    * anywhere; ties impossible by construction.
+    */
+  val phraseSearch: GraftQuery = GraftQuery(
+    "doc_phrase_search",
+    s"exact-phrase retrieval: positional-posting intersection for '${PhraseTerms.mkString(" ")}'",
+    TextOracle.phraseSearchSql) { (s, d) =>
+    phraseFrame(Tables.documents(s, d), PhraseTerms)
+  }
+
+  /** The phrase-retrieval pipeline over any (doc_id, text) frame. */
+  def phraseFrame(docs: org.apache.spark.sql.DataFrame,
+      phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val L = phrase.length
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val post = t
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok").isInCollection(phrase.distinct))
+    val slots = phrase.zipWithIndex.map { case (w, i) =>
+      struct(lit(w).as("w"), lit(i).as("i"))
+    }
+    val votes = post
+      .select(
+        col("doc_id"),
+        explode(filter(array(slots: _*), e => e.getField("w") === col("tok")))
+          .as("slot"),
+        col("pos"))
+      .select(col("doc_id"),
+        (col("pos") - col("slot").getField("i")).cast("long").as("start"),
+        col("slot").getField("i").as("slot_i"))
+      .filter(col("start") >= 0)
+    val hits = votes
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count_distinct(col("slot_i")).as("n_slots"))
+      .filter(col("n_slots") === L)
+    hits
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("start")).as("first_pos"))
+      .join(t, "doc_id")
+      .select(col("doc_id"), col("n_occurrences"), col("first_pos"),
+        concat_ws(" ",
+          slice(col("toks"), (col("first_pos") + 1).cast("int"),
+            lit(L + 2))).as("snippet"))
+      .orderBy(desc("n_occurrences"), col("doc_id"))
+  }
+
+  /** Keywords reported per document by [[keywordExtract]]. */
+  val KeywordTopK = 3
+
+  /** Per-document keyword extraction — the metadata-enrichment step a
+    * training pipeline runs to tag every document with its most
+    * DISTINCTIVE terms (doc routing, mixture analysis, dedup triage):
+    * TF-IDF scoring with the corpus as the document collection, top-
+    * [[KeywordTopK]] terms per doc. The per-doc frequency rewards terms
+    * the doc repeats; the idf discount suppresses corpus-wide boilerplate
+    * without any stopword list.
+    *
+    * Scale shape: the (doc, term, tf) partial-agg is the one corpus-sized
+    * shuffle; the idf table is the token TYPE space (vocab-bounded — the
+    * [[qualityNb]] contract: broadcastable here, a word-keyed shuffle at
+    * 100 TB); the per-doc top-k rank filter is recognized by Spark's
+    * WindowGroupLimit rule, so the final shuffle carries at most
+    * k x partitions rows per doc partition, never the scored postings.
+    *
+    * Determinism: idf's ln is quantized to a 9-decimal LONG per term TYPE
+    * (the [[searchBm25]] recipe); scores are exact BIGINT tf x idf_q
+    * products; ranking ties break on the term string.
+    */
+  val keywordExtract: GraftQuery = GraftQuery(
+    "doc_keyword_extract",
+    s"keyword extraction: top-$KeywordTopK TF-IDF terms per document",
+    TextOracle.keywordExtractSql) { (s, d) =>
+    keywordFrame(Tables.documents(s, d))
+  }
+
+  /** The TF-IDF keyword pipeline over any (doc_id, text) frame. */
+  def keywordFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val post = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = t.agg(count(lit(1)).as("n_docs"))
+    val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        floor(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          * lit(1e9) + lit(0.5)).cast("long").as("idf_q"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score_q"), col("term"))
+    post.join(idf, "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf_q")).as("score_q"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= KeywordTopK)
+      .select(col("doc_id"), col("rank"), col("term").as("keyword"),
+        (col("score_q") / lit(1e9)).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** The BM25 pipeline over any (doc_id, text) frame. */
   def bm25Frame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dl = docs
@@ -1097,6 +1228,7 @@ object TextQueries {
     Seq(tokenStats, quality, qualityNb, piiScreen, langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
+      phraseSearch, keywordExtract,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, sampleWeighted)
 }

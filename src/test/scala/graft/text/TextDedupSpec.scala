@@ -373,6 +373,59 @@ class TextDedupSpec extends SparkSpec {
     assert(out(9L) === ((10L, 10L, 0L, md5hex(""))))
   }
 
+  test("phrase search: consecutive-only matches, counts, first pos, snippet") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (0L, "x table scan merge y table scan merge z"), // 2 occurrences
+      (1L, "table merge scan table x"), // all terms, never consecutive
+      (2L, "table scan merge"), // doc == phrase; snippet truncates
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val out = TextQueries.phraseFrame(docs, Seq("table", "scan", "merge"))
+      .collect()
+    // the bag-of-words doc (1) must NOT match — that's the positional claim
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 2L))
+    val m = out.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(0L) === ((2L, 1L, "table scan merge y table")))
+    assert(m(2L) === ((1L, 0L, "table scan merge")))
+  }
+
+  test("phrase search: repeated-term phrase fills every slot") {
+    val spark0 = spark
+    import spark0.implicits._
+    // phrase "go go stop": a posting votes once per slot its token fills,
+    // and only a start with ALL distinct slots confirmed is an occurrence
+    val docs = Seq(
+      (0L, "go go stop go"), // occurrence at 0 only
+      (1L, "go stop go stop")) // no consecutive "go go" anywhere
+      .toDF("doc_id", "text")
+    val out = TextQueries.phraseFrame(docs, Seq("go", "go", "stop")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(out.head.getLong(1) === 1L)
+    assert(out.head.getLong(2) === 0L)
+  }
+
+  test("keyword extract: repeated distinctive term tops, ubiquitous term scores 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (0L, "rare rare rare common alpha"),
+      (1L, "common beta beta"),
+      (2L, "common gamma"),
+      (3L, "common delta")).toDF("doc_id", "text")
+    val out = TextQueries.keywordFrame(docs).collect()
+    // docs with < 3 distinct tokens emit fewer rows: 3 + 2 + 2 + 2
+    assert(out.length === 9)
+    val kw0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    // tf=3 x idf(df=1) beats tf=1 x idf(df=1) beats common (idf ln(1)=0)
+    assert(kw0.map(_.getString(2)).toSeq === Seq("rare", "alpha", "common"))
+    assert(kw0.last.getDouble(3) === 0.0)
+    // every doc's #1 keyword is never the ubiquitous term
+    val tops = out.filter(_.getInt(1) == 1).map(_.getString(2))
+    assert(!tops.contains("common"))
+  }
+
   test("bm25: tf monotone within a term, rare term outscores common ones") {
     val spark0 = spark
     import spark0.implicits._
