@@ -269,4 +269,38 @@ object EventOracle {
     FROM g LEFT JOIN sa
       ON g.event_type = sa.event_type AND g.slot = sa.slot
     ORDER BY g.event_type, g.slot"""
+
+  /** Attribution twin: the PURE interval predicate (no bucket pruning —
+    * proving the Spark side's bucketed mine is exactly equivalent), then
+    * the same (v_tm DESC, view_id DESC) pick and left join back to all
+    * clicks. Lags are exact microsecond BIGINTs.
+    */
+  def attributionSql: String = {
+    val w = EventQueries.AttributionWindowMicros
+    s"""
+    WITH $evCte,
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts, epoch_us(ts) AS v_tm
+      FROM ev WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts, epoch_us(ts) AS c_tm
+      FROM ev WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT c.click_id, v.view_id, v.view_ts, v.v_tm, c.c_tm
+      FROM c JOIN v USING (user_id)
+      WHERE v.v_tm <= c.c_tm AND v.v_tm > c.c_tm - $w
+    ),
+    pick AS (
+      SELECT click_id, view_id, view_ts, c_tm - v_tm AS lag_micros,
+        ROW_NUMBER() OVER (PARTITION BY click_id
+          ORDER BY v_tm DESC, view_id DESC) AS rn
+      FROM cand
+    )
+    SELECT c.click_id, c.user_id, c.click_ts, p.view_id, p.view_ts,
+      p.lag_micros
+    FROM c LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (click_id)
+    ORDER BY click_id"""
+  }
 }

@@ -321,7 +321,75 @@ object EventQueries {
       .orderBy("event_type", "rn")
   }
 
+  /** Attribution window (microseconds): a click attributes to the latest
+    * same-user view STRICTLY less than this long before it.
+    */
+  val AttributionWindowMicros: Long = 30L * 60 * 1000000
+
+  /** Candidate (click, view) pairs inside the attribution window, mined by
+    * a TIME-BUCKETED equi-join: views are duplicated into their own
+    * 30-minute bucket and the next one, clicks join on (user, bucket), so
+    * any view within the window meets its click in exactly one copy (the
+    * copies' buckets differ, a click has one bucket — no pair dedup
+    * needed). This is the scale contract [[asOfJoin]] cannot give: the
+    * join key carries the time dimension, so a click's candidate set is
+    * bounded by the user's views in TWO window-widths, never the user's
+    * whole history, and the state/shuffle per key stays O(window) as the
+    * stream grows. The streaming twin is the watermarked stream-stream
+    * interval join over the same predicate (StreamingSpec asserts the
+    * candidate sets match — bucket pruning loses nothing).
+    */
+  def attributionCandidates(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val W = AttributionWindowMicros
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      col("ts"), unix_micros(col("ts")).as("tm"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("tm").as("v_tm"))
+      .withColumn("v_bucket",
+        explode(array(expr(s"v_tm div ${W}L"), expr(s"v_tm div ${W}L") + 1L)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("tm").as("c_tm"))
+      .withColumn("c_bucket", expr(s"c_tm div ${W}L"))
+    clicks.join(views,
+      col("user_id") === col("v_user") && col("c_bucket") === col("v_bucket") &&
+        col("v_tm") <= col("c_tm") && col("v_tm") > col("c_tm") - W)
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("c_tm"),
+        col("view_id"), col("view_ts"), col("v_tm"))
+  }
+
+  /** Interval as-of attribution — the ad-tech/product-analytics production
+    * shape: every click joined to the LATEST same-user view within the
+    * last 30 minutes (or null if none). Composed from
+    * [[attributionCandidates]] (the bucketed interval join) + a per-click
+    * row_number pick + a left join back to all clicks, so unattributed
+    * clicks survive. Lags are exact microsecond longs.
+    */
+  val attribution: GraftQuery = GraftQuery(
+    "events_attribution",
+    "interval as-of self-join: click -> latest same-user view within 30 min, time-bucket pruned",
+    EventOracle.attributionSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(desc("v_tm"), desc("view_id"))
+    val best = attributionCandidates(e)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("click_id").as("b_click"), col("view_id"), col("view_ts"),
+        (col("c_tm") - col("v_tm")).as("lag_micros"))
+    e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .join(best, col("click_id") === col("b_click"), "left")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"), col("lag_micros"))
+      .orderBy("click_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, interarrival, gapFill, funnel, retention, anomaly)
+      saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
+      attribution)
 }

@@ -174,6 +174,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 42.0), (3L, 7.0)))
   }
 
+  test("attribution candidates: stream-stream interval join equals batch bucketed mine") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) =
+      Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // the fixture exercises every boundary of the bucketed mine:
+    // same-bucket hit, adjacent-bucket hit, the strict lag-=-window
+    // exclusion, a view after the click, lag 0, and a viewless user
+    val views = Seq(
+      Ev(90, t(59), 10, "view", 0, "{}"), // 1m before click 1, bucket+1 copy
+      Ev(91, t(31), 10, "view", 0, "{}"), // 29m before: window edge
+      Ev(92, t(30), 10, "view", 0, "{}"), // exactly 30m: excluded (strict >)
+      Ev(93, t(61), 10, "view", 0, "{}"), // after the click: excluded
+      Ev(94, t(44), 11, "view", 0, "{}"), // 1m before click 2, same bucket
+      Ev(95, t(20), 13, "view", 0, "{}")) // same instant as click 3: lag 0
+    val clicks = Seq(
+      Ev(1, t(60), 10, "click", 0, "{}"),
+      Ev(2, t(45), 11, "click", 0, "{}"),
+      Ev(3, t(20), 13, "click", 0, "{}"),
+      Ev(4, t(90), 12, "click", 0, "{}")) // user with no views at all
+    val batch = graft.events.EventQueries
+      .attributionCandidates((views ++ clicks).toDF())
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 90L), (1L, 91L), (2L, 94L), (3L, 95L)))
+
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    vs.addData(views: _*)
+    cs.addData(clicks: _*)
+    val v = vs.toDF().withWatermark("ts", "1 hour")
+      .selectExpr("event_id AS view_id", "user_id AS vu", "ts AS vts")
+    val c = cs.toDF().withWatermark("ts", "1 hour")
+      .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS cts")
+    // the PURE interval predicate — proving the batch side's bucket
+    // pruning admits exactly the watermark-join's candidate set
+    val joined = c.join(v, expr(
+      "cu = vu AND vts <= cts AND vts > cts - INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("attr_cand_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_cand_out").select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("DocStreams: arriving near-dup flagged against static band index, batch parity") {
     val spark0 = spark
     import spark0.implicits._
