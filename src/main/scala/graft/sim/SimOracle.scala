@@ -520,6 +520,57 @@ object SimOracle {
     ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
   }
 
+  /** Cluster-topic twin: the same trained assignment chain, token
+    * occurrences partial-agged per doc, identical division association and
+    * 9-decimal ln quantization, ROW_NUMBER cast to INTEGER.
+    */
+  def clusterTopicsSql: String = {
+    import SimFns.KmeansIters
+    import SimQueries.{TopicMinCount, TopicTermsK}
+    val fin = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    $kmeansChain,
+    occ AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    ct AS (
+      SELECT a.j AS cell, o.token, CAST(SUM(o.cnt) AS BIGINT) AS cnt_cell
+      FROM occ o JOIN a$fin a ON o.doc_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT cell, CAST(SUM(cnt_cell) AS BIGINT) AS toks_cell
+      FROM ct GROUP BY cell
+    ),
+    corp AS (
+      SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt_all FROM occ
+      GROUP BY token
+    ),
+    ctot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS toks_all FROM occ),
+    scored AS (
+      SELECT ct.cell, ct.token, ct.cnt_cell,
+        floor(ln((CAST(ct.cnt_cell AS DOUBLE) / t.toks_cell) /
+          (CAST(c.cnt_all AS DOUBLE) / x.toks_all))
+          * 1000000000.0 + 0.5) / 1000000000.0 AS lift
+      FROM ct JOIN tot t USING (cell) JOIN corp c USING (token)
+      CROSS JOIN ctot x
+      WHERE ct.cnt_cell >= $TopicMinCount
+    ),
+    ranked AS (
+      SELECT cell, token, cnt_cell, lift,
+        CAST(ROW_NUMBER() OVER (PARTITION BY cell
+          ORDER BY lift DESC, token) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT cell, rank, token, cnt_cell, lift
+    FROM ranked WHERE rank <= $TopicTermsK
+    ORDER BY cell, rank"""
+  }
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

@@ -643,8 +643,69 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Terms reported per cluster and the noise floor for
+    * [[clusterTopics]]. Declared before the GraftQuery val (SimOracle
+    * interpolates them).
+    */
+  val TopicTermsK = 5
+  val TopicMinCount = 5L
+
+  /** Cluster topic labeling — the "what IS this cluster" dashboard every
+    * embedding-clustered corpus needs (mixture auditing, cluster-targeted
+    * filtering, SemDeDup triage): for each TRAINED k-means cell, the
+    * top-[[TopicTermsK]] tokens by lift = P(token | cell) / P(token).
+    * A cross-subsystem composition: the cell assignment is the SAME
+    * trained quantizer [[kmeans]]/[[semanticDedup]] grade (embeddings
+    * subsystem), the term statistics ride the documents corpus (text
+    * subsystem), joined on the doc == vec identity.
+    *
+    * Scale shape: token occurrences partial-agg to (doc, token, cnt)
+    * BEFORE the cell join (the doc-keyed equi-join is the one
+    * corpus-sized shuffle); (cell, token) counts are k x vocab bounded;
+    * every later join is against vocab- or k-bounded frames and the
+    * top-k rank filter is WindowGroupLimit-shaped.
+    *
+    * Determinism: lift's ln is quantized to 9 decimals per (cell, token)
+    * TYPE; its operand is a ratio of exact BIGINT counts via two
+    * identically-associated IEEE divisions; ties break on the token.
+    */
+  val clusterTopics: GraftQuery = GraftQuery(
+    "cluster_topic_terms",
+    s"cluster labeling: top-$TopicTermsK lift tokens per trained k-means cell",
+    SimOracle.clusterTopicsSql) { (s, d) =>
+    val occ = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val cells = kmeansCells(s, d)
+    val cellTok = occ.join(cells, occ("doc_id") === cells("vec_id"))
+      .groupBy(col("cell"), col("token"))
+      .agg(sum(col("cnt")).as("cnt_cell"))
+    val cellTot = cellTok.groupBy(col("cell"))
+      .agg(sum(col("cnt_cell")).as("toks_cell"))
+    val corpTok = occ.groupBy(col("token")).agg(sum(col("cnt")).as("cnt_all"))
+    val corpTot = occ.agg(sum(col("cnt")).as("toks_all"))
+    val scored = cellTok
+      .join(broadcast(cellTot), "cell")
+      .join(corpTok, "token")
+      .crossJoin(broadcast(corpTot))
+      .filter(col("cnt_cell") >= TopicMinCount)
+      .select(col("cell"), col("token"), col("cnt_cell"),
+        (floor(log((col("cnt_cell").cast("double") / col("toks_cell")) /
+          (col("cnt_all").cast("double") / col("toks_all")))
+          * lit(1e9) + lit(0.5)) / lit(1e9)).as("lift"))
+    val w = Window.partitionBy(col("cell")).orderBy(desc("lift"), col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= TopicTermsK)
+      .select(col("cell"), col("rank"), col("token"), col("cnt_cell"),
+        col("lift"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
-      semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall)
+      semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
+      clusterTopics)
 }

@@ -131,6 +131,36 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("cluster topics: contiguous ranks, lift-ordered, floor respected, lift exact") {
+    val rows = SimQueries.clusterTopics.frame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (_, rs) =>
+      assert(rs.length <= SimQueries.TopicTermsK)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to rs.length))
+      val lifts = sorted.map(_.getAs[Double]("lift"))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+      rs.foreach(r =>
+        assert(r.getAs[Long]("cnt_cell") >= SimQueries.TopicMinCount))
+    }
+    // cross-check one reported lift against an independent recount over
+    // the raw tables (same trained cells, plain Scala arithmetic)
+    val top = rows.minBy(r => (r.getAs[Int]("cell"), r.getAs[Int]("rank")))
+    val cell = top.getAs[Int]("cell")
+    val token = top.getAs[String]("token")
+    val cells = SimQueries.kmeansCells(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val docToks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+    val cellToks = docToks.filter(d => cells(d._1) == cell).flatMap(_._2)
+    val allToks = docToks.flatMap(_._2)
+    val lift = math.log(
+      (cellToks.count(_ == token).toDouble / cellToks.length) /
+        (allToks.count(_ == token).toDouble / allToks.length))
+    assert(math.floor(lift * 1e9 + 0.5) / 1e9 === top.getAs[Double]("lift"))
+  }
+
   test("planes are fixed literals (regression pin)") {
     assert(Planes.length === NumPlanes)
     assert(Planes.forall(_.length === Dims))
