@@ -125,6 +125,33 @@ object MultimodalOracle {
     HAVING COUNT(*) > 1
     ORDER BY n_assets DESC, media_type, sig LIMIT 20"""
 
+  /** Gradient twin: the same row-aware neighbor-pair rule over the
+    * [[pixelCte]] grid — left-pixel 1-based index i in 1..np-1, excluded
+    * when i is a row end (i % width = 0). Integer list folds; each double
+    * is one exact division over identical integer operands.
+    */
+  def gradientsSql: String = {
+    val thr = MultimodalQueries.EdgeThreshold
+    s"""
+    WITH $pixelCte,
+    d AS (
+      SELECT doc_id, media_type, width, height,
+        list_filter(list_transform(range(1, CAST(np AS BIGINT)),
+          i -> CASE WHEN i % width = 0 THEN NULL
+               ELSE abs(pxs[CAST(i + 1 AS INTEGER)]
+                 - pxs[CAST(i AS INTEGER)]) END),
+          x -> x IS NOT NULL) AS diffs
+      FROM px WHERE np > 0
+    )
+    SELECT doc_id, media_type, width, height,
+      CAST(len(diffs) AS BIGINT) AS n_diffs,
+      CAST(list_aggregate(diffs, 'sum') AS BIGINT) / len(diffs) AS mean_grad,
+      CAST(list_aggregate(diffs, 'max') AS INTEGER) AS max_grad,
+      CAST(len(list_filter(diffs, x -> x >= $thr)) AS BIGINT) / len(diffs)
+        AS edge_frac
+    FROM d ORDER BY doc_id"""
+  }
+
   val frameSampleSql: String = s"""
     WITH $mediaCte,
     v AS (

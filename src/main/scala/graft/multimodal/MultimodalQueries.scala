@@ -194,6 +194,52 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Adjacent-pixel |difference| at/above this counts as an edge. */
+  val EdgeThreshold = 16
+
+  /** 2-D gradient statistics over the DECODED pixel GRID — the first
+    * operator that uses the decoded WIDTH as geometry, not just a pixel
+    * stream: horizontal neighbor differences are computed within each
+    * raster row (pairs straddling a row boundary are excluded — exactly
+    * h x (w-1) valid pairs), giving mean/max gradient and an
+    * edge-density fraction per asset. The blur/quality screen an image
+    * ingest pipeline runs (flat assets -> suspect). Same contract as
+    * [[features]]: one fused codegen span, exact integer folds, one IEEE
+    * division per output double, malformed/short payloads skipped.
+    */
+  /** Row-aware horizontal neighbor |differences| of a decoded pixel grid:
+    * left-pixel 1-based index i in 1..N-1, pairs straddling a row end
+    * (i % w == 0) excluded — exactly h x (w-1) values. Factored so the
+    * spec can drive it over a handcrafted grid.
+    */
+  def rowDiffs(px: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      transform(sequence(lit(1), size(px) - 1),
+        i => when(i % w === 0, lit(null).cast("int"))
+          .otherwise(abs(element_at(px, i + 1) - element_at(px, i)))),
+      x => x.isNotNull)
+
+  val gradients: GraftQuery = GraftQuery(
+    "multimodal_gradients",
+    "2-D decoded-grid gradients: row-aware mean/max + edge fraction per asset",
+    MultimodalOracle.gradientsSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    media(s, d)
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(size(col("img.pixels")) > 0)
+      .withColumn("diffs", rowDiffs(col("img.pixels"), col("img.width")))
+      .select(col("doc_id"), col("media_type"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        size(col("diffs")).cast("long").as("n_diffs"),
+        (aggregate(col("diffs"), lit(0L), (a, x) => a + x) /
+          size(col("diffs"))).as("mean_grad"),
+        array_max(col("diffs")).as("max_grad"),
+        (size(filter(col("diffs"), x => x >= EdgeThreshold)) /
+          size(col("diffs"))).as("edge_frac"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(catalog, frameSample, features, phashBuckets, thumbnail)
+    Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients)
 }

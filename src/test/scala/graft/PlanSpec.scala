@@ -294,6 +294,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("decode_pgm"), "native decode expression missing")
   }
 
+  test("multimodal_gradients: decoded-grid math stays inside codegen, no object boundary") {
+    val df = SparkEntry.queries("multimodal_gradients")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), s"encoder boundary in:\n$plan")
+    assert(!plan.contains("MapPartitions"), s"mapPartitions decode in:\n$plan")
+    assert(plan.contains("decode_pgm"), "native decode expression missing")
+  }
+
   test("multimodal_phash_buckets: decode + quantize run before the ONE bucket exchange") {
     val df = SparkEntry.queries("multimodal_phash_buckets")(spark, sf)
     df.collect()

@@ -191,6 +191,24 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rowDiffs: row-boundary pairs excluded, values exact on a known grid") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    // 3x2 grid: rows (10, 60, 30) and (40, 50, 200). Valid diffs are
+    // within-row only: |60-10|, |30-60|, |50-40|, |200-50| — the 30->40
+    // row-straddling pair must be excluded, and 200 proves the decoder's
+    // unsigned-byte mask reaches the gradient math
+    val pgm = "P5\n3 2\n255\n".getBytes("UTF-8") ++
+      Array[Byte](10, 60, 30, 40, 50, 200.toByte)
+    val out = Seq(pgm).toDF("pgm")
+      .select(call_function("decode_pgm", col("pgm")).as("img"))
+      .select(graft.multimodal.MultimodalQueries
+        .rowDiffs(col("img.pixels"), col("img.width")).as("d"))
+      .collect().head.getSeq[Int](0)
+    assert(out === Seq(50, 30, 10, 150))
+  }
+
   test("DecodePgm generated code actually COMPILES (no interpreted fallback)") {
     GraftFunctions.register(spark)
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
