@@ -313,6 +313,49 @@ object DedupOracle {
     WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
     ORDER BY doc_a, doc_b"""
 
+  /** PageRank twin: the same edge CTEs, then the power iteration unrolled
+    * sweep by sweep (the kmeansChain recipe). Per-source contributions are
+    * quantized to 1e-12 BIGINTs before the per-target SUM; every double op
+    * keeps the Spark side's association, with ::DOUBLE on the damping
+    * literals so DuckDB's DECIMAL arithmetic (1.0 - 0.85 = exactly 0.15,
+    * unlike IEEE) never enters.
+    */
+  def pagerankSql: String = {
+    import DedupQueries.{PrDamping, PrIters, PrTopK}
+    def sweep(t: Int): String = s"""
+    c$t AS (
+      SELECT e.dst,
+        CAST(floor(r.rank / r.deg * 1000000000000.0 + 0.5) AS BIGINT) AS cq
+      FROM bi e JOIN r${t - 1} r ON e.src = r.node
+    ),
+    s$t AS (SELECT dst, CAST(SUM(cq) AS BIGINT) AS sq FROM c$t GROUP BY dst),
+    r$t AS (
+      SELECT d.node, d.deg,
+        (1.0::DOUBLE - $PrDamping::DOUBLE) / (SELECT nn FROM nct)
+          + $PrDamping::DOUBLE * (sq / 1000000000000.0) AS rank
+      FROM deg d JOIN s$t s ON d.node = s.dst
+    )"""
+    s"""
+    WITH $ngramPairCtes,
+    pedges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    ),
+    bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pedges
+      UNION ALL
+      SELECT doc_b, doc_a FROM pedges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM bi GROUP BY src),
+    nct AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    r0 AS (
+      SELECT node, deg, 1.0::DOUBLE / (SELECT nn FROM nct) AS rank FROM deg
+    ),
+    ${(1 to PrIters).map(sweep).mkString(",")}
+    SELECT node AS doc_id, deg, rank FROM r$PrIters
+    ORDER BY rank DESC, doc_id LIMIT $PrTopK"""
+  }
+
   /** Funnel twin: keep_exact by fingerprint-group window min, keep_nd by
     * the CC min-label invariant (a node survives iff it IS its cluster's
     * label), unclustered nodes always survive.

@@ -1282,8 +1282,76 @@ object DedupQueries {
       .orderBy("degree")
   }
 
+  /** Damping, sweep count, and report size for [[pagerank]]. */
+  val PrDamping = 0.85
+  val PrIters = 3
+  val PrTopK = 20
+
+  /** PageRank over the near-dup graph — the ITERATIVE graph algorithm
+    * beyond connected components: 3 power-iteration sweeps of
+    * r' = (1-d)/N + d * sum(r_u / deg_u) over the undirected
+    * J >= [[ClusterJaccard]] edge set, reporting the top-[[PrTopK]] hub
+    * documents. Degree counts ([[degreeHistogram]]) see LOCAL hubs;
+    * PageRank concentrates on the centers of large template families even
+    * when each neighbor has modest degree — the doc to inspect first when
+    * triaging a flooded corpus.
+    *
+    * Scale shape: the classic distributed PR contract — each sweep is one
+    * equi-join of the materialized edge list against the N-row rank frame
+    * plus one groupBy(dst); model state (ranks) moves, edges never
+    * re-mine (localCheckpointed once, superseded sweeps point-released —
+    * the [[connectedComponents]] block discipline). N is a driver-side
+    * count: iteration constant, not data.
+    *
+    * Determinism: each source's r/deg contribution is quantized to a
+    * 1e-12 LONG per SOURCE node (one quantization per node-sweep, the
+    * kmeans/bigram-LM recipe), so per-target sums are exact and
+    * partition-order-free; the damping update is correctly-rounded IEEE
+    * arithmetic with the same association as the DuckDB twin's unrolled
+    * 3-sweep CTE chain.
+    */
+  val pagerank: GraftQuery = GraftQuery(
+    "dedup_pagerank",
+    s"PageRank over the J >= $ClusterJaccard near-dup graph: $PrIters sweeps, top-$PrTopK hubs",
+    DedupOracle.pagerankSql) { (s, d) =>
+    pagerankFrame(ngramJaccardFrame(Tables.documents(s, d))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a"), col("doc_b")))
+  }
+
+  /** The PR power iteration over any undirected (doc_a, doc_b) edge frame. */
+  def pagerankFrame(pairs: DataFrame): DataFrame = {
+    val bi = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    var r = deg.select(col("node"), col("deg"),
+      (lit(1.0) / lit(n.toDouble)).as("rank"))
+    for (i <- 1 to PrIters) {
+      val contrib = bi.join(r.withColumnRenamed("node", "rn"),
+          col("src") === col("rn"))
+        .select(col("dst"),
+          floor(col("rank") / col("deg") * lit(1e12) + lit(0.5))
+            .cast("long").as("cq"))
+      val next = deg.join(
+          contrib.groupBy(col("dst")).agg(sum(col("cq")).as("sq")),
+          col("node") === col("dst"))
+        .select(col("node"), col("deg"),
+          (lit(1.0 - PrDamping) / lit(n.toDouble) +
+            lit(PrDamping) * (col("sq") / lit(1e12))).as("rank"))
+        .localCheckpoint()
+      if (i > 1) graft.api.Checkpoints.release(r)
+      r = next
+    }
+    r.select(col("node").as("doc_id"), col("deg"), col("rank"))
+      .orderBy(desc("rank"), col("doc_id"))
+      .limit(PrTopK)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
-      dupSpanMass, degreeHistogram, incrementalScreen)
+      dupSpanMass, degreeHistogram, incrementalScreen, pagerank)
 }

@@ -373,6 +373,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out(9L) === ((10L, 10L, 0L, md5hex(""))))
   }
 
+  test("pagerank: star graph — hub dominates, leaves tie, mass conserved") {
+    val spark0 = spark
+    import spark0.implicits._
+    // hub 0 connected to leaves 1, 2, 3
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.dedup.DedupQueries.pagerankFrame(pairs).collect()
+    val m = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m.keySet === Set(0L, 1L, 2L, 3L))
+    assert(m(0L)._1 === 3L)
+    assert(m(1L)._1 === 1L)
+    assert(m(0L)._2 > m(1L)._2)
+    assert(m(1L)._2 === m(2L)._2 && m(2L)._2 === m(3L)._2)
+    // no dangling nodes -> rank mass is conserved up to quantization
+    val total = out.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-6)
+    // quantized contributions make the sweeps partition-order-free
+    val again = graft.dedup.DedupQueries.pagerankFrame(pairs.repartition(7))
+      .collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("phrase search: consecutive-only matches, counts, first pos, snippet") {
     val spark0 = spark
     import spark0.implicits._
