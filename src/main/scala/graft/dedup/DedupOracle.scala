@@ -313,6 +313,27 @@ object DedupOracle {
     WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
     ORDER BY doc_a, doc_b"""
 
+  /** Bloom-screen twin: the PLAIN fingerprint join — no bloom anywhere,
+    * which is the point: the Spark side's bloom_filter_agg/might_contain
+    * prefilter must be exactly semantics-preserving (the
+    * urgent_revenue_bloom contract applied to dedup).
+    */
+  def bloomScreenSql: String = s"""
+    WITH b AS (
+      SELECT doc_id, doc_id % 10 = 9 AS incoming,
+        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    inc AS (SELECT doc_id AS inc_doc, fp FROM b WHERE incoming),
+    ex AS (SELECT doc_id AS ex_doc, fp FROM b WHERE NOT incoming),
+    m AS (
+      SELECT i.inc_doc, MIN(e.ex_doc) AS match_doc
+      FROM inc i JOIN ex e USING (fp) GROUP BY i.inc_doc
+    )
+    SELECT i.inc_doc, m.match_doc IS NOT NULL AS is_dup, m.match_doc
+    FROM inc i LEFT JOIN m USING (inc_doc)
+    ORDER BY inc_doc"""
+
   /** PageRank twin: the same edge CTEs, then the power iteration unrolled
     * sweep by sweep (the kmeansChain recipe). Per-source contributions are
     * quantized to 1e-12 BIGINTs before the per-target SUM; every double op

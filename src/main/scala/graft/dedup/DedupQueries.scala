@@ -1282,6 +1282,56 @@ object DedupQueries {
       .orderBy("degree")
   }
 
+  /** Exact-dup ingest screen — the EXACT-hash counterpart of
+    * [[incrementalScreen]], composed with the runtime-filter machinery:
+    * an incoming batch (doc_id % 10 == 9 — an ID split on purpose: the
+    * content-hash split would put byte-identical docs on the SAME side by
+    * construction, so exact dups could never straddle it) is screened
+    * against the existing corpus's fingerprint set. The corpus side
+    * builds a `bloom_filter_agg` over its fingerprints; incoming docs
+    * probe it with `might_contain` BEFORE the verify join, so at 100 TB
+    * the join's probe side shrinks to the bloom-positive sliver (false
+    * positives are removed by the exact join, false negatives are
+    * impossible — the oracle is the PLAIN fingerprint join, proving the
+    * prefilter semantics-free). Every incoming doc reports its verdict;
+    * matches resolve to the smallest existing doc_id.
+    */
+  val bloomScreen: GraftQuery = GraftQuery(
+    "dedup_bloom_screen",
+    "exact-dup ingest screen: incoming batch bloom-prefiltered against corpus fingerprints, join-verified",
+    DedupOracle.bloomScreenSql) { (s, d) =>
+    bloomScreenFrame(Tables.documents(s, d))
+  }
+
+  /** The bloom-screen pipeline over any (doc_id, text) frame. */
+  private[graft] def bloomScreenFrame(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val base = docs.select(col("doc_id"),
+      (col("doc_id") % 10 === 9).as("incoming"),
+      graft.text.TextFns.fingerprint(col("text")).as("fp"))
+    val inc = base.filter(col("incoming"))
+      .select(col("doc_id").as("inc_doc"), col("fp"))
+    val ex = base.filter(!col("incoming"))
+      .select(col("doc_id").as("ex_doc"), col("fp"))
+    // might_contain demands its filter side be a scalar subquery (the
+    // shape InjectRuntimeFilter emits), so the probe goes through SQL
+    ex.createOrReplaceTempView("bloom_corpus_fp")
+    inc.createOrReplaceTempView("bloom_incoming_fp")
+    val pre = s.sql("""
+      SELECT inc_doc, fp FROM bloom_incoming_fp
+      WHERE might_contain(
+        (SELECT bloom_filter_agg(xxhash64(fp), 100000L, 800000L)
+         FROM bloom_corpus_fp),
+        xxhash64(fp))""")
+    val matches = pre.join(ex, "fp")
+      .groupBy(col("inc_doc")).agg(min(col("ex_doc")).as("match_doc"))
+    inc.join(matches, Seq("inc_doc"), "left")
+      .select(col("inc_doc"), col("match_doc").isNotNull.as("is_dup"),
+        col("match_doc"))
+      .orderBy("inc_doc")
+  }
+
   /** Damping, sweep count, and report size for [[pagerank]]. */
   val PrDamping = 0.85
   val PrIters = 3
@@ -1353,5 +1403,5 @@ object DedupQueries {
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
-      dupSpanMass, degreeHistogram, incrementalScreen, pagerank)
+      dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen)
 }

@@ -373,6 +373,29 @@ class TextDedupSpec extends SparkSpec {
     assert(out(9L) === ((10L, 10L, 0L, md5hex(""))))
   }
 
+  test("bloom screen: planted cross-split exact dup flagged, min match, clean docs pass") {
+    val spark0 = spark
+    import spark0.implicits._
+    // incoming docs are doc_id % 10 == 9. Doc 19 duplicates existing docs
+    // 3 AND 7 (match must resolve to min = 3); doc 9 is whitespace/case
+    // noise of doc 3 (normalized fingerprint still matches); doc 29 is
+    // unique and must pass
+    val docs = Seq(
+      (3L, "alpha beta gamma"),
+      (7L, "alpha beta gamma"),
+      (11L, "something else entirely"),
+      (9L, "  Alpha  beta   GAMMA "),
+      (19L, "alpha beta gamma"),
+      (29L, "fresh new content")).toDF("doc_id", "text")
+    val out = graft.dedup.DedupQueries.bloomScreenFrame(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out.keySet === Set(9L, 19L, 29L))
+    assert(out(9L) === ((true, Some(3L))))
+    assert(out(19L) === ((true, Some(3L))))
+    assert(out(29L) === ((false, None)))
+  }
+
   test("pagerank: star graph — hub dominates, leaves tie, mass conserved") {
     val spark0 = spark
     import spark0.implicits._
