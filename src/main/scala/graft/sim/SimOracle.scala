@@ -461,6 +461,53 @@ object SimOracle {
     SELECT qid, rn, vec_id, adc_dist FROM pr WHERE rn <= 10
     ORDER BY qid, rn"""
 
+  /** IVF+PQ twin: [[kmeansChain]] (coarse cells) and [[pqAdcCtes]]
+    * (codes/LUT) composed — CTE namespaces are disjoint, and the
+    * unreferenced unrestricted adc/pr tail of pqAdcCtes is dead code to
+    * the planner. The candidate set is restricted to the query's nprobe
+    * nearest trained cells BEFORE the ADC join, mirroring the Spark plan.
+    */
+  def ivfpqTopkSql: String = {
+    import SimFns.KmeansIters
+    import SimQueries.IvfPqNprobe
+    val finK = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    $kmeansChain,
+    $pqAdcCtes,
+    qq AS (SELECT qid, qv, ${dotIdx("qv", "qv")} AS qq FROM q),
+    qcell AS (
+      SELECT qid, j AS cell FROM (
+        SELECT t.qid, ct.j,
+          ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY
+            t.qq + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("t.qv", "ct.c")},
+            ct.j) AS rn
+        FROM qq t CROSS JOIN c$KmeansIters ct
+      ) WHERE rn <= $IvfPqNprobe
+    ),
+    vcell AS (SELECT vec_id, j AS cell FROM a$finK),
+    ivcand AS (
+      SELECT qc.qid, v.vec_id FROM qcell qc JOIN vcell v USING (cell)
+      WHERE v.vec_id <> qc.qid
+    ),
+    ivadc AS (
+      SELECT c.qid, c.vec_id, SUM(pd) AS dl
+      FROM ivcand c
+      JOIN codes x ON x.vec_id = c.vec_id
+      JOIN lut l ON l.qid = c.qid AND l.m = x.m AND l.j = x.code
+      GROUP BY 1, 2
+    ),
+    ivpr AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY dl, vec_id) AS INTEGER) AS rn,
+        vec_id, dl / 1000000000.0 AS adc_dist
+      FROM ivadc
+    )
+    SELECT qid, rn, vec_id, adc_dist FROM ivpr WHERE rn <= 10
+    ORDER BY qid, rn"""
+  }
+
   val pqRecallSql: String = s"""
     WITH $baseCtes,
     $pqAdcCtes,

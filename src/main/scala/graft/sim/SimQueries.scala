@@ -596,6 +596,77 @@ object SimQueries {
       .orderBy("qid")
   }
 
+  /** Coarse cells probed per query by [[ivfpqTopk]]. */
+  val IvfPqNprobe = 2
+
+  /** IVF+PQ — the two lossy index stages COMPOSED, which is how FAISS
+    * actually deploys at billion scale: the trained coarse quantizer
+    * ([[kmeans]]) partitions the corpus into cells, each vector is stored
+    * only as its [[SimFns.PqM]] PQ codes, and a query (a) picks its
+    * [[IvfPqNprobe]] nearest trained cells, then (b) ADC-ranks ONLY the
+    * codes inside those cells. Neither stage alone gives the production
+    * shape: IVF bounds the scan (nprobe/k of the corpus), PQ bounds the
+    * bytes per scanned vector — together a billion-vector index reads
+    * nprobe/k of a code table that is 32x smaller than the raw floats.
+    *
+    * Scale shape: coarse training + PQ training move only model state
+    * (the [[kmeans]]/[[pqTopk]] contracts); the candidate restriction is
+    * an equi-join on the learned cell id BEFORE any code is looked up, so
+    * the ADC join's left side is the probed sliver, not the corpus. At
+    * write time the code table is partitioned by cell and the probe reads
+    * nprobe partitions (the [[kmeansCells]] layout note).
+    *
+    * Determinism: both trainings are the oracle-pinned chains; the probe
+    * ranking sorts exact (dist, j) structs; LUT partials are 1e-9 LONGs
+    * so the PqM-term ADC sums are exact.
+    */
+  val ivfpqTopk: GraftQuery = GraftQuery(
+    "ann_ivfpq_topk",
+    s"IVF+PQ ANN: probe $IvfPqNprobe trained coarse cells, ADC-rank the PQ codes within",
+    SimOracle.ivfpqTopkSql) { (s, d) =>
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    val cents = trainedCentroids(base)
+    val vcell = kmAssign(base, cents).select(col("vec_id"), col("j").as("cell"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cs = broadcast(cents.groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("cs")))
+    val qc = q.crossJoin(cs)
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .withColumn("scored", array_sort(transform(col("cs"), e =>
+        struct(
+          (col("qq") + dot(e.getField("c"), e.getField("c"))
+            - lit(2.0) * dot(col("qv"), e.getField("c"))).as("dist"),
+          e.getField("j").as("j")))))
+      .select(col("qid"),
+        explode(slice(col("scored"), 1, IvfPqNprobe)).as("pc"))
+      .select(col("qid"), col("pc").getField("j").as("cell"))
+    val cbAll = pqCodebook(base)
+    val codes = pqAssign(pqSubVecs(base), cbAll)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+    val lut = q.crossJoin(broadcast(cbAll))
+      .withColumn("qs", pqSlice(col("qv"), col("m")))
+      .select(col("qid"), col("m"), col("j"),
+        graft.api.Det.quantize(
+          dot(col("qs"), col("qs")) + dot(col("c"), col("c"))
+            - lit(2.0) * dot(col("qs"), col("c")), 9).as("pd"))
+    val cand = vcell.join(qc, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid").as("cq"), col("vec_id").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+    cand.join(codes, col("cv") === col("vec_id"))
+      .select(col("cq"), col("vec_id"), col("m").as("cm"), col("code"))
+      .join(broadcast(lut),
+        col("cq") === col("qid") && col("cm") === col("m")
+          && col("code") === col("j"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg((sum(col("pd")) / lit(graft.api.Det.pow10(9))).as("adc_dist"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("adc_dist"))
+      .orderBy("qid", "rn")
+  }
+
   /** Reciprocal-rank-fusion constant (the standard k=60). */
   val RrfK = 60
 
@@ -707,5 +778,5 @@ object SimQueries {
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
-      clusterTopics)
+      clusterTopics, ivfpqTopk)
 }

@@ -131,6 +131,27 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq: contiguous ranks, ADC agrees with unrestricted PQ on shared pairs") {
+    val ivf = SimQueries.ivfpqTopk.frame(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Int]("rn")).toSeq
+        === (1 to rs.length))
+      assert(rs.length <= 10)
+    }
+    // the IVF restriction must not change any ADC distance — a pair
+    // returned by both indexes carries the identical quantized sum
+    val pq = SimQueries.pqTopk.frame(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+        -> r.getAs[Double]("adc_dist")).toMap
+    val shared = ivf.flatMap { r =>
+      pq.get((r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .map(d => (d, r.getAs[Double]("adc_dist")))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (full, restricted) => assert(full === restricted) }
+  }
+
   test("cluster topics: contiguous ranks, lift-ordered, floor respected, lift exact") {
     val rows = SimQueries.clusterTopics.frame(spark, sf).collect()
     assert(rows.nonEmpty)
