@@ -461,6 +461,45 @@ object SimOracle {
     SELECT qid, rn, vec_id, adc_dist FROM pr WHERE rn <= 10
     ORDER BY qid, rn"""
 
+  /** Power-iteration twin: the sweeps unrolled; each direction is rebuilt
+    * in CTEs with the exact arithmetic the Spark driver used on the
+    * collected z (same quantized sums, same index-ordered norm fold, same
+    * division order), so the literals the Spark plan embeds equal the
+    * oracle's computed lists bit-for-bit.
+    */
+  def pcaPowerSql: String = {
+    import SimQueries.PcaSweeps
+    val ones = List.fill(Dims)("1.0").mkString("CAST([", ", ", "] AS DOUBLE[])")
+    def sweep(t: Int): String = {
+      val src = if (t == 1) "e" else s"e CROSS JOIN w${t - 1}"
+      val wExpr = if (t == 1) ones else "wl"
+      s"""
+    s$t AS (
+      SELECT ${dotIdx("v", wExpr)} AS s, v FROM $src
+    ),
+    z$t AS (
+      SELECT pos,
+        SUM(CAST(floor(s * v[pos] * 1000000000.0 + 0.5) AS BIGINT)) AS zq
+      FROM s$t, (SELECT unnest(range(1, ${Dims + 1})) AS pos)
+      GROUP BY pos
+    ),
+    zl$t AS (SELECT list(zq / 1000000000.0 ORDER BY pos) AS zl FROM z$t),
+    w$t AS (
+      SELECT list_transform(zl, x -> x / sqrt(${dotIdx("zl", "zl")})) AS wl
+      FROM zl$t
+    )"""
+    }
+    s"""
+    WITH $baseCtes,
+    ${(1 to PcaSweeps).map(sweep).mkString(",")}
+    SELECT CAST(z.pos AS INTEGER) AS dim,
+      (z.zq / 1000000000.0) / l.lambda AS loading,
+      l.lambda AS lambda
+    FROM z$PcaSweeps z CROSS JOIN
+      (SELECT sqrt(${dotIdx("zl", "zl")}) AS lambda FROM zl$PcaSweeps) l
+    ORDER BY dim"""
+  }
+
   /** IVF+PQ twin: [[kmeansChain]] (coarse cells) and [[pqAdcCtes]]
     * (codes/LUT) composed — CTE namespaces are disjoint, and the
     * unreferenced unrestricted adc/pr tail of pqAdcCtes is dead code to

@@ -667,6 +667,57 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Power-iteration sweeps for [[pcaPower]]. Five because the synthetic
+    * corpus is near-isotropic (top eigenvalues within ~7% of each other),
+    * so convergence is slow — the spec checks the one-more-matvec cosine,
+    * which 5 sweeps hold above 0.99 at every SF.
+    */
+  val PcaSweeps = 5
+
+  /** Distributed power iteration — the dominant principal direction of
+    * the embedding corpus (uncentered: the top right-singular vector of
+    * X), the linear-algebra primitive behind PCA whitening, spectral
+    * outlier screens, and matryoshka-dimension audits. Each sweep
+    * computes z = Xᵀ(Xw) in two corpus passes: a per-vector dot with the
+    * broadcast direction, then a per-dimension quantized-LONG sum of
+    * s·x — the classic distributed matvec where ONLY the 64-double
+    * direction vector ever moves. The driver collects z (64 doubles per
+    * sweep — model state, the BPE/CC iteration-control shape) to
+    * renormalize; corpus data never leaves the executors.
+    *
+    * Determinism: every per-dimension reduction is an exact 1e-9 LONG
+    * sum; the norm is the same index-ordered fold on both engines
+    * (VecDot/list_reduce association, 0.0 seed absorbed); the collected
+    * doubles re-enter the next sweep as literals equal bit-for-bit to the
+    * oracle's CTE-computed direction.
+    */
+  val pcaPower: GraftQuery = GraftQuery(
+    "embedding_pca_power",
+    s"power iteration: dominant principal direction + eigenvalue, $PcaSweeps distributed matvec sweeps",
+    SimOracle.pcaPowerSql) { (s, d) =>
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    var w: Seq[Double] = Seq.fill(Dims)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to PcaSweeps) {
+      val wc = array(w.map(lit): _*)
+      val z = base
+        .withColumn("s", dot(col("v"), wc))
+        .select(col("s"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sum(graft.api.Det.quantize(col("s") * col("x"), 9)).as("zq"))
+        .orderBy("pos")
+        .collect()
+        .map(_.getLong(1) / 1e9)
+      lambda = math.sqrt(z.foldLeft(0.0)((a, x) => a + x * x))
+      w = z.map(_ / lambda).toSeq
+    }
+    val spark0 = s
+    import spark0.implicits._
+    w.zipWithIndex.map { case (l, i) => (i + 1, l, lambda) }
+      .toDF("dim", "loading", "lambda")
+      .orderBy("dim")
+  }
+
   /** Reciprocal-rank-fusion constant (the standard k=60). */
   val RrfK = 60
 
@@ -778,5 +829,5 @@ object SimQueries {
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
-      clusterTopics, ivfpqTopk)
+      clusterTopics, ivfpqTopk, pcaPower)
 }

@@ -131,6 +131,29 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("pca power: unit-norm direction, converged (one-more-matvec cosine), deterministic") {
+    val rows = SimQueries.pcaPower.frame(spark, sf).collect()
+    assert(rows.length === SimFns.Dims)
+    val w = rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    val lambda = rows.head.getAs[Double]("lambda")
+    assert(lambda > 0)
+    assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-9)
+    // one more matvec over the raw vectors: a converged direction maps
+    // (near-)parallel to itself under A = X'X
+    val vs = graft.Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val z = Array.fill(SimFns.Dims)(0.0)
+    vs.foreach { v =>
+      val s = (0 until SimFns.Dims).map(i => v(i) * w(i)).sum
+      (0 until SimFns.Dims).foreach(i => z(i) += s * v(i))
+    }
+    val zn = math.sqrt(z.map(x => x * x).sum)
+    val cos = (0 until SimFns.Dims).map(i => w(i) * z(i) / zn).sum
+    assert(cos > 0.99, s"direction not converged: cos=$cos")
+    val again = SimQueries.pcaPower.frame(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("ivfpq: contiguous ranks, ADC agrees with unrestricted PQ on shared pairs") {
     val ivf = SimQueries.ivfpqTopk.frame(spark, sf).collect()
     assert(ivf.nonEmpty)
