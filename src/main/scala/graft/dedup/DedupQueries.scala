@@ -1370,10 +1370,14 @@ object DedupQueries {
   }
 
   /** The PR power iteration over any undirected (doc_a, doc_b) edge frame. */
-  def pagerankFrame(pairs: DataFrame): DataFrame = {
+  def pagerankFrame(pairsIn: DataFrame): DataFrame = {
+    // materialize the MINED pairs once — the union below reads it twice,
+    // and without the cut the whole inverted-index mine would run twice
+    val pairs = pairsIn.localCheckpoint()
     val bi = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    graft.api.Checkpoints.release(pairs)
     val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = deg.count()

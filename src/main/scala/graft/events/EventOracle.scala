@@ -270,6 +270,18 @@ object EventOracle {
       ON g.event_type = sa.event_type AND g.slot = sa.slot
     ORDER BY g.event_type, g.slot"""
 
+  /** Daily-distinct twin: exact counts; the sketch column is an
+    * attestation (TRUE expected — the oracle checks the HLL contract
+    * held, not the sketch bits, per the approxDistinctSql convention).
+    */
+  val dailyDistinctSql: String = s"""
+    WITH $evCte
+    SELECT date_trunc('day', ts) AS day,
+      COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS users_est_ok
+    FROM ev GROUP BY 1 ORDER BY day"""
+
   /** Attribution twin: the PURE interval predicate (no bucket pruning —
     * proving the Spark side's bucketed mine is exactly equivalent), then
     * the same (v_tm DESC, view_id DESC) pick and left join back to all

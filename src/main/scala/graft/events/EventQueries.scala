@@ -321,6 +321,32 @@ object EventQueries {
       .orderBy("event_type", "rn")
   }
 
+  /** Per-day active users, exact AND sketched — the DAU dashboard: the
+    * exact path needs a (day, user) dedup shuffle that grows with
+    * distinct pairs; the HLL++ path shuffles one fixed-size sketch buffer
+    * per day whatever the cardinality — the 100 TB contract for windowed
+    * distinct counts (sketches merge across executors and across days).
+    * Both run here and the output ATTESTS the sketch against its error
+    * band (the product_type_approx_distinct convention: sketch bits
+    * differ per engine, so the oracle checks the contract, not the bits).
+    */
+  val dailyDistinct: GraftQuery = GraftQuery(
+    "events_daily_distinct",
+    "per-day distinct users: exact vs HLL++ sketch, within-band attestation",
+    EventOracle.dailyDistinctSql) { (s, d) =>
+    Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"))
+      .select(col("day"), col("n_events"), col("exact_users"),
+        (abs(col("au") - col("exact_users")) <=
+          greatest(lit(5.0), col("exact_users") * lit(0.05)))
+          .as("users_est_ok"))
+      .orderBy("day")
+  }
+
   /** Attribution window (microseconds): a click attributes to the latest
     * same-user view STRICTLY less than this long before it.
     */
@@ -391,5 +417,5 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution)
+      attribution, dailyDistinct)
 }

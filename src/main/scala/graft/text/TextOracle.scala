@@ -77,8 +77,12 @@ object TextOracle {
     * 1e-9, and the per-doc sums/verdict are exact BIGINT arithmetic —
     * identical long values to the Spark side by construction.
     */
-  def qualityNbSql: String = s"""
-    WITH t AS (
+  /** The Naive-Bayes CTE chain (training + per-doc scoring) shared by
+    * [[qualityNbSql]] and [[qualityNbConfusionSql]]; ends at
+    * `nbdoc(doc_id, heur_label, nb_llr, nb_pred)`.
+    */
+  private def nbCtes: String = s"""
+    t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
     lab AS (
@@ -126,13 +130,34 @@ object TextOracle {
         CAST(SUM(cnt * qd) AS BIGINT) AS sd
       FROM occ JOIN lt USING (token)
       GROUP BY doc_id, label
-    )
-    SELECT doc_id, label AS heur_label,
-      (sk + pk - sd - pd) / 1e9 AS nb_llr,
-      CASE WHEN sk + pk >= sd + pd THEN 'keep' ELSE 'drop' END AS nb_pred,
-      (CASE WHEN sk + pk >= sd + pd THEN 'keep' ELSE 'drop' END) = label AS agree
-    FROM sc, pri
+    ),
+    nbdoc AS (
+      SELECT doc_id, label AS heur_label,
+        (sk + pk - sd - pd) / 1e9 AS nb_llr,
+        CASE WHEN sk + pk >= sd + pd THEN 'keep' ELSE 'drop' END AS nb_pred
+      FROM sc, pri
+    )"""
+
+  def qualityNbSql: String = s"""
+    WITH $nbCtes
+    SELECT doc_id, heur_label, nb_llr, nb_pred,
+      nb_pred = heur_label AS agree
+    FROM nbdoc
     ORDER BY doc_id"""
+
+  /** Confusion twin: the shared NB chain joined back to the corpus for
+    * the language axis; per-cell LLR mass via the 1e-9 quantized sum
+    * (exact — nb_llr is an integer/1e9, so the round-trip is lossless).
+    */
+  def qualityNbConfusionSql: String = s"""
+    WITH $nbCtes
+    SELECT d.lang, n.heur_label, n.nb_pred,
+      COUNT(*) AS docs,
+      SUM(CAST(floor(n.nb_llr * 1000000000.0 + 0.5) AS BIGINT))
+        / 1000000000.0 AS sum_llr
+    FROM nbdoc n JOIN documents d USING (doc_id)
+    GROUP BY 1, 2, 3
+    ORDER BY lang, heur_label, nb_pred"""
 
   private val langStructs: String =
     TextFns.LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>

@@ -197,6 +197,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Model-monitoring dashboard for the trained quality filter: the
+    * per-language agreement matrix between [[qualityNb]]'s prediction and
+    * the heuristic label it was trained on, with per-cell LLR mass — the
+    * drift/calibration readout a production classifier filter publishes
+    * every ingest batch (a cell whose sum_llr flips sign against its
+    * verdict flags a mis-calibrated slice). Pure composition: the shared
+    * NB pipeline joined back to the corpus for the language axis, then a
+    * bounded (lang x 2 x 2) aggregation.
+    */
+  val qualityNbConfusion: GraftQuery = GraftQuery(
+    "quality_nb_confusion",
+    "NB-vs-heuristic agreement matrix per language + per-cell LLR mass",
+    TextOracle.qualityNbConfusionSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    qualityNbFrame(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("heur_label"), col("nb_pred"))
+      .agg(count(lit(1)).as("docs"),
+        (sum(graft.api.Det.quantize(col("nb_llr"), 9)) /
+          lit(graft.api.Det.pow10(9))).as("sum_llr"))
+      .orderBy("lang", "heur_label", "nb_pred")
+  }
+
   /** Language-ID confusion matrix: marker-word argmax prediction vs the
     * corpus label. (The corpus is synthetic latin text under every label,
     * so the matrix degenerates towards the argmax default — the point is
@@ -1225,7 +1248,8 @@ object TextQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, quality, qualityNb, piiScreen, langConfusion, fingerprints, simhash,
+    Seq(tokenStats, quality, qualityNb, qualityNbConfusion, piiScreen,
+      langConfusion, fingerprints, simhash,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       phraseSearch, keywordExtract,
