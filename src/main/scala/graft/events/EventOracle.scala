@@ -282,6 +282,25 @@ object EventOracle {
       TRUE AS users_est_ok
     FROM ev GROUP BY 1 ORDER BY day"""
 
+  /** Markov twin: same (ts, event_id) lag ordering, bounded matrix,
+    * exact-integer probability division.
+    */
+  val markovTransitionsSql: String = s"""
+    WITH $evCte,
+    tr AS (
+      SELECT prev, event_type, COUNT(*) AS n FROM (
+        SELECT event_type,
+          LAG(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM ev
+      ) WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ),
+    tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tn FROM tr GROUP BY prev)
+    SELECT tr.prev, tr.event_type AS next, tr.n, tr.n / t.tn AS p
+    FROM tr JOIN tot t USING (prev)
+    ORDER BY prev, next"""
+
   /** Attribution twin: the PURE interval predicate (no bucket pruning —
     * proving the Spark side's bucketed mine is exactly equivalent), then
     * the same (v_tm DESC, view_id DESC) pick and left join back to all

@@ -347,6 +347,33 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Per-user behavioral Markov chain: (previous event type -> next event
+    * type) transition counts and row-normalized probabilities, from a lag
+    * window over each user's timeline. The session-modeling input
+    * (predictive prefetch, anomaly priors). Shuffle carries user-keyed
+    * events once for the lag sort; the transition matrix itself is a
+    * bounded |types|^2 aggregate. Probabilities are single exact
+    * BIGINT/BIGINT divisions.
+    */
+  val markovTransitions: GraftQuery = GraftQuery(
+    "events_markov_transitions",
+    "per-user event-type Markov transitions: counts + row probabilities",
+    EventOracle.markovTransitionsSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("prev").as("tp")).agg(sum(col("n")).as("tn"))
+    tr.join(tot, col("prev") === col("tp"))
+      .select(col("prev"), col("event_type").as("next"), col("n"),
+        (col("n") / col("tn")).as("p"))
+      .orderBy("prev", "next")
+  }
+
   /** Attribution window (microseconds): a click attributes to the latest
     * same-user view STRICTLY less than this long before it.
     */
@@ -417,5 +444,5 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, dailyDistinct)
+      attribution, dailyDistinct, markovTransitions)
 }

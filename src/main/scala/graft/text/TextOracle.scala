@@ -485,6 +485,35 @@ object TextOracle {
     ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
   }
 
+  /** Growth-curve twin: same posting pass, min-doc attribution, window
+    * cumsum (exact BIGINTs throughout).
+    */
+  def growthCurveSql: String = {
+    import TextQueries.GrowthBucketDocs
+    s"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    nt AS (
+      SELECT first_doc // $GrowthBucketDocs AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM (SELECT token, MIN(doc_id) AS first_doc FROM occ GROUP BY token)
+      GROUP BY 1
+    ),
+    tk AS (
+      SELECT doc_id // $GrowthBucketDocs AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM occ GROUP BY 1
+    )
+    SELECT t.bucket, t.n_tokens,
+      COALESCE(n.new_types, 0) AS new_types,
+      CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY t.bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS vocab_size
+    FROM tk t LEFT JOIN nt n USING (bucket)
+    ORDER BY bucket"""
+  }
+
   /** Phrase-retrieval twin: indexed unnest builds the positional posting
     * frame (struct_pack + range, the dupSpanMassSql idiom), a VALUES slot
     * table mirrors the Spark literal slot array, and the vote/confirm

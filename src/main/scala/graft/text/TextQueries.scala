@@ -197,6 +197,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Docs per bucket for [[growthCurve]]. */
+  val GrowthBucketDocs = 100
+
+  /** Vocabulary growth curve (Heaps' law) — the corpus-scaling dashboard
+    * that says whether more data still buys new types: token TYPES
+    * attributed to the bucket of their FIRST document (min doc_id over
+    * occurrences), bucket token totals, and the running vocabulary size.
+    * Scale shape: first-seen is one (token, min) partial agg — the
+    * corpus-sized shuffle is the same (doc, token) posting pass every
+    * vocab operator shares; the cumulative window runs over the tiny
+    * bucket frame.
+    */
+  val growthCurve: GraftQuery = GraftQuery(
+    "corpus_growth_curve",
+    s"Heaps-law vocabulary growth: new types + running vocab per $GrowthBucketDocs-doc bucket",
+    TextOracle.growthCurveSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val newTypes = occ.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div $GrowthBucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val toks = occ.groupBy(expr(s"doc_id div $GrowthBucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("vocab_size", sum(col("new_types")).over(w))
+      .orderBy("bucket")
+  }
+
   /** Model-monitoring dashboard for the trained quality filter: the
     * per-language agreement matrix between [[qualityNb]]'s prediction and
     * the heuristic label it was trained on, with per-cell LLR mass — the
@@ -1249,7 +1283,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, qualityNb, qualityNbConfusion, piiScreen,
-      langConfusion, fingerprints, simhash,
+      langConfusion, fingerprints, simhash, growthCurve,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       phraseSearch, keywordExtract,
