@@ -248,4 +248,44 @@ object PortfolioOracle {
     )
     ORDER BY col_name"""
   }
+
+  /** NPV twin: same remaining-month explode (generate_series is
+    * inclusive, matching Spark's sequence), the same per-month-offset
+    * 1e-9 discount quantization after the one pow, and exact money sums.
+    */
+  def npvSql: String = {
+    import PortfolioQueries.NpvMonthlyRate
+    s"""
+    WITH $ctes,
+    nbase AS (
+      SELECT region_cleaned, loan_id, emi_amount,
+        ((year(due_date) - year(disbursement_date)) * 12
+          + (month(due_date) - month(disbursement_date))) - months_due
+          AS remaining
+      FROM lf
+    ),
+    nopen AS (SELECT * FROM nbase WHERE remaining >= 1),
+    terms AS (
+      SELECT region_cleaned, loan_id, emi_amount, remaining, u.k,
+        floor(pow(1.0::DOUBLE / (1.0::DOUBLE + $NpvMonthlyRate::DOUBLE), u.k)
+          * 1000000000.0 + 0.5) / 1000000000.0 AS df
+      FROM nopen, unnest(generate_series(1, remaining)) AS u(k)
+    ),
+    pl AS (
+      SELECT region_cleaned, loan_id, emi_amount, remaining,
+        SUM(CAST(floor(emi_amount * df * 10000.0 + 0.5) AS BIGINT))
+          / 10000.0 AS npv
+      FROM terms GROUP BY 1, 2, 3, 4
+    ),
+    agg AS (
+      SELECT region_cleaned, COUNT(*) AS loans_open,
+        ${sumDec("emi_amount * remaining")} AS nominal,
+        ${sumDec("npv")} AS npv_total
+      FROM pl GROUP BY region_cleaned
+    )
+    SELECT region_cleaned, loans_open, nominal, npv_total,
+      (nominal - npv_total) / nominal AS haircut
+    FROM agg
+    ORDER BY region_cleaned NULLS FIRST"""
+  }
 }

@@ -423,10 +423,53 @@ object PortfolioQueries {
       .orderBy("col_name")
   }
 
+  /** Monthly discount rate for [[portfolioNpv]] (12% annualized). */
+  val NpvMonthlyRate = 0.01
+
+  /** Present value of the remaining repayment stream per region — the
+    * portfolio-valuation consumer of `loan_final`: each open loan's
+    * remaining months discount at [[NpvMonthlyRate]] per month, rolled up
+    * to (region, open-loan count, nominal remaining, NPV, discount
+    * haircut). The schedule explode is the G1 row multiplier shape;
+    * discount factors quantize to 1e-9 per month-offset TYPE right after
+    * the one `pow` (the BM25 ln recipe — cross-libm ulp exposure is
+    * months-sized, not loans-sized), and every money sum is an exact
+    * quantized LONG.
+    */
+  val portfolioNpv: GraftQuery = GraftQuery(
+    "portfolio_npv",
+    s"NPV of remaining EMIs at ${NpvMonthlyRate * 100}%/month per region: nominal, NPV, haircut",
+    PortfolioOracle.npvSql) { (s, d) =>
+    // loan_final drops duration_months (reference parity) — recompute it
+    // from the dates with the same F2 calendar-month formula
+    val base = lf(s, d)
+      .select(col("region_cleaned"), col("loan_id"), col("emi_amount"),
+        (LoanDomain.monthDiff(col("due_date"), col("disbursement_date"))
+          - col("months_due")).as("remaining"))
+      .filter(col("remaining") >= 1)
+    val perLoan = base
+      .withColumn("k", explode(sequence(lit(1), col("remaining"))))
+      .withColumn("df",
+        floor(pow(lit(1.0 / (1.0 + NpvMonthlyRate)), col("k")) * lit(1e9)
+          + lit(0.5)) / lit(1e9))
+      .groupBy(col("region_cleaned"), col("loan_id"), col("emi_amount"),
+        col("remaining"))
+      .agg((sum(Det.quantize(col("emi_amount") * col("df"), 4)) /
+        lit(Det.pow10(4))).as("npv"))
+    perLoan.groupBy(col("region_cleaned"))
+      .agg(count(lit(1)).as("loans_open"),
+        Det.sumQ(col("emi_amount") * col("remaining"), 4).as("nominal"),
+        Det.sumQ(col("npv"), 4).as("npv_total"))
+      .select(col("region_cleaned"), col("loans_open"), col("nominal"),
+        col("npv_total"),
+        ((col("nominal") - col("npv_total")) / col("nominal")).as("haircut"))
+      .orderBy(asc_nulls_first("region_cleaned"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
-    tableProfile)
+    tableProfile, portfolioNpv)
 }

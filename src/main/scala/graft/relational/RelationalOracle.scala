@@ -236,4 +236,41 @@ object RelationalOracle {
     )
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC"""
+
+  /** SES twin: the same closed-form weight triangle, per-weight 1e-9
+    * quantization after the pow, exact quantized term sums.
+    */
+  def forecastSesSql: String = {
+    import RelationalQueries.SesAlpha
+    s"""
+    WITH mo AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+        SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+          AS revenue
+      FROM orders GROUP BY 1
+    ),
+    mt AS (
+      SELECT month, revenue,
+        CAST(ROW_NUMBER() OVER (ORDER BY month) AS INTEGER) AS t
+      FROM mo
+    ),
+    p AS (
+      SELECT a.month AS month, b.revenue AS xj,
+        floor((CASE WHEN b.t = 1
+            THEN pow(1.0::DOUBLE - $SesAlpha::DOUBLE, a.t - 1)
+            ELSE $SesAlpha::DOUBLE
+              * pow(1.0::DOUBLE - $SesAlpha::DOUBLE, a.t - b.t) END)
+          * 1000000000.0 + 0.5) / 1000000000.0 AS wq
+      FROM mt a JOIN mt b ON b.t <= a.t
+    ),
+    lv AS (
+      SELECT month,
+        SUM(CAST(floor(xj * wq * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+          AS level
+      FROM p GROUP BY month
+    )
+    SELECT m.month, m.revenue, l.level
+    FROM mt m JOIN lv l USING (month)
+    ORDER BY month"""
+  }
 }

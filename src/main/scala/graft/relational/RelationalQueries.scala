@@ -121,6 +121,48 @@ object RelationalQueries {
       .agg(Det.sumQ(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
   }
 
+  /** Smoothing constant for [[forecastSes]]. */
+  val SesAlpha = 0.3
+
+  /** Simple-exponential-smoothing revenue forecast — the time-series
+    * smoothing primitive over the monthly order revenue series: the SES
+    * recursion s_t = a x_t + (1-a) s_(t-1), s_1 = x_1, computed by its
+    * CLOSED FORM (each month's level is an explicit weighted sum of all
+    * earlier months) so there is no sequential dependency to execute —
+    * the t x j weight triangle is calendar-bounded (months², never data
+    * volume), and each weight quantizes to 1e-9 right after its one
+    * `pow`. The level column IS the one-step-ahead forecast for the next
+    * month. Monthly revenues and weighted terms are exact quantized-LONG
+    * sums.
+    */
+  val forecastSes: GraftQuery = GraftQuery(
+    "revenue_forecast_ses",
+    s"exponential smoothing (a=$SesAlpha) of monthly order revenue: level = next-month forecast",
+    RelationalOracle.forecastSesSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.orderBy("month")
+    val m = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(Det.sumQ(col("o_totalprice"), 4).as("revenue"))
+      .withColumn("t", row_number().over(w0))
+      .localCheckpoint()
+    val decay = lit(1.0 - SesAlpha)
+    val wq = floor(
+      when(col("j") === 1, pow(decay, col("t") - 1))
+        .otherwise(lit(SesAlpha) * pow(decay, col("t") - col("j")))
+        * lit(1e9) + lit(0.5)) / lit(1e9)
+    m.as("a").join(m.as("b"), col("b.t") <= col("a.t"))
+      .select(col("a.month").as("month"), col("a.t").as("t"),
+        col("b.t").as("j"), col("b.revenue").as("xj"))
+      .withColumn("wq", wq)
+      .groupBy(col("month"))
+      .agg((sum(Det.quantize(col("xj") * col("wq"), 4)) /
+        lit(Det.pow10(4))).as("level"))
+      .join(m.select(col("month"), col("revenue")), "month")
+      .select(col("month"), col("revenue"), col("level"))
+      .orderBy("month")
+  }
+
   /** Shipping-priority top-10 (TPC-H Q3 shape): segment-filtered customer
     * dim joins the date-filtered fact tables; revenue per order; top-10.
     */
@@ -342,5 +384,5 @@ object RelationalQueries {
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
-    suppliersWaiting)
+    suppliersWaiting, forecastSes)
 }
