@@ -468,6 +468,58 @@ object DedupOracle {
     SELECT doc_a, doc_b, jaccard FROM mh_pairs
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
 
+  /** LSH-grading twin: the minhash chain (msh/msigs/mh_pairs) plus a
+    * DF-capped TRUTH pair set at the same 2-gram width, the per-pair
+    * signature match count, and the single summary row. Same quantized
+    * MAE shape as the Spark side.
+    */
+  def lshRecallSql: String = {
+    val j = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    val match12 = (0 until MinhashK)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH $minhashPairCtes,
+    mrare AS (
+      SELECT sh FROM msh GROUP BY sh HAVING COUNT(*) <= $NgramDfCap
+    ),
+    mshc AS (SELECT doc_id, sh FROM msh JOIN mrare USING (sh)),
+    tinter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+      FROM mshc x JOIN mshc y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    tsizes AS (SELECT doc_id, COUNT(*) AS n FROM mshc GROUP BY doc_id),
+    truth AS (
+      SELECT doc_a AS ta, doc_b AS tb
+      FROM tinter
+      JOIN tsizes sa ON doc_a = sa.doc_id
+      JOIN tsizes sb ON doc_b = sb.doc_id
+      WHERE i / (sa.n + sb.n - i) >= $j
+    ),
+    verest AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+        CAST(($match12) AS DOUBLE) / $MinhashK AS est
+      FROM mh_pairs p
+      JOIN msigs sa ON p.doc_a = sa.doc_id
+      JOIN msigs sb ON p.doc_b = sb.doc_id
+    )
+    SELECT t.n_truth, c.n_cand, g.n_caught,
+      g.n_caught / t.n_truth AS recall,
+      c.sig_mae
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth) t
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+        SUM(CAST(floor(abs(est - jaccard) * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS sig_mae
+      FROM verest
+    ) c
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_caught
+      FROM truth JOIN verest v ON ta = v.doc_a AND tb = v.doc_b
+    ) g"""
+  }
+
   /** CTE chain ending in `sh_pairs` = every SimHash band-candidate pair
     * within the Hamming threshold — shared by the top-k query and the
     * cross-family cluster oracle. [[graft.text.TextOracle.simhashCtes]]

@@ -1282,6 +1282,50 @@ object DedupQueries {
       .orderBy("degree")
   }
 
+  /** LSH index-quality grading — the [[graft.sim.SimQueries]]
+    * `ann_lsh_recall` convention applied to the dedup side: of the exact
+    * J >= [[ClusterJaccard]] pairs minable at the MinHash shingle width
+    * (DF-capped 2-gram inverted index — the same discipline as every
+    * exact miner), what fraction does the banded MinHash candidate set
+    * contain, and how well does the 12-component signature estimate
+    * (matching minhashes / k) track true Jaccard on the verified
+    * candidates? The probe-cost/quality trade of the LSH screen as an
+    * oracle-checked artifact: recall says what the bands MISS, the MAE
+    * says how far the sketch drifts where they hit.
+    */
+  val lshRecallDedup: GraftQuery = GraftQuery(
+    "dedup_lsh_recall",
+    s"LSH grading: band-candidate recall of exact 2-gram J>=$ClusterJaccard pairs + signature MAE",
+    DedupOracle.lshRecallSql) { (s, d) =>
+    import graft.api.Det
+    val tok = tokenizedDocs(Tables.documents(s, d))
+    val truth = jaccardPairs(cappedPostingsFromToks(tok, MinhashShingleN), lit(true))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+      .localCheckpoint()
+    val sigs = minhashSigs(tok.select(col("doc_id"),
+      explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh")))
+      .localCheckpoint()
+    val matches = (0 until MinhashK).map(i =>
+      when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
+    val verest = minhashJaccardFromToks(tok)
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (matches.cast("double") / lit(MinhashK)).as("est"))
+      .localCheckpoint()
+    val tAgg = truth.agg(count(lit(1)).as("n_truth"))
+    val cAgg = verest.agg(count(lit(1)).as("n_cand"),
+      (sum(Det.quantize(abs(col("est") - col("jaccard")), 9)) /
+        (lit(Det.pow10(9)) * count(lit(1)))).as("sig_mae"))
+    val gAgg = truth.join(verest,
+        col("ta") === col("doc_a") && col("tb") === col("doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    tAgg.crossJoin(cAgg).crossJoin(gAgg)
+      .select(col("n_truth"), col("n_cand"), col("n_caught"),
+        (col("n_caught") / col("n_truth")).as("recall"), col("sig_mae"))
+  }
+
   /** Exact-dup ingest screen — the EXACT-hash counterpart of
     * [[incrementalScreen]], composed with the runtime-filter machinery:
     * an incoming batch (doc_id % 10 == 9 — an ID split on purpose: the
@@ -1407,5 +1451,6 @@ object DedupQueries {
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
-      dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen)
+      dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
+      lshRecallDedup)
 }
