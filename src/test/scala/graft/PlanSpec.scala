@@ -294,6 +294,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("decode_pgm"), "native decode expression missing")
   }
 
+  test("events_attribution: bucketed interval join plans as equi hash joins, no nested loop") {
+    val df = SparkEntry.queries("events_attribution")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the time bucket rides the join KEY — a raw interval predicate would
+    // fall back to BroadcastNestedLoopJoin over the whole history
+    assert(!plan.contains("NestedLoop"), s"nested-loop join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("doc_keyword_extract: per-doc top-k becomes a WindowGroupLimit") {
+    val df = SparkEntry.queries("doc_keyword_extract")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
+  }
+
+  test("dedup_bloom_screen: bloom probe filters the incoming side before the verify join") {
+    val df = SparkEntry.queries("dedup_bloom_screen")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing in:\n$plan")
+    assert(plan.contains("bloom_filter_agg"), s"bloom build missing in:\n$plan")
+  }
+
   test("multimodal_gradients: decoded-grid math stays inside codegen, no object boundary") {
     val df = SparkEntry.queries("multimodal_gradients")(spark, sf)
     df.collect()
