@@ -152,6 +152,27 @@ object MultimodalOracle {
     FROM d ORDER BY doc_id"""
   }
 
+  /** Audio twin: the same byte stream from [[pixelCte]], centered-int
+    * folds, one division / sqrt per output. The midline test mirrors the
+    * Spark (p >= 128) boolean exactly.
+    */
+  def audioFeaturesSql: String = s"""
+    WITH $pixelCte
+    SELECT doc_id,
+      CAST(np AS BIGINT) AS n_samples,
+      CAST(len(list_filter(range(1, CAST(np AS BIGINT)),
+        i -> (pxs[CAST(i AS INTEGER)] >= 128)
+          <> (pxs[CAST(i + 1 AS INTEGER)] >= 128))) AS DOUBLE) / (np - 1)
+        AS zcr,
+      sqrt(CAST(list_aggregate(list_transform(pxs,
+        x -> CAST((x - 128) AS BIGINT) * (x - 128)), 'sum') AS BIGINT) / np)
+        AS rms,
+      CAST(greatest(list_aggregate(pxs, 'max') - 128,
+        128 - list_aggregate(pxs, 'min')) AS INTEGER) AS peak
+    FROM px
+    WHERE media_type = 'audio' AND np >= 2
+    ORDER BY doc_id"""
+
   val frameSampleSql: String = s"""
     WITH $mediaCte,
     v AS (

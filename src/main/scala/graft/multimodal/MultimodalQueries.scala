@@ -240,6 +240,39 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** 1-D signal features for the "audio" assets — the waveform-statistics
+    * slot (VAD/silence screens, loudness normalization): the decoded byte
+    * stream read as unsigned 8-bit PCM centered at 128, yielding
+    * zero-crossing rate (fraction of adjacent samples straddling the
+    * midline), RMS amplitude, and peak deviation. Same decode column and
+    * contract as [[features]]: exact integer folds, one IEEE division /
+    * sqrt per output, fused codegen, short payloads skipped.
+    */
+  val audioFeatures: GraftQuery = GraftQuery(
+    "multimodal_audio_features",
+    "audio-asset 1-D signal stats: zero-crossing rate, RMS, peak (8-bit PCM read)",
+    MultimodalOracle.audioFeaturesSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val px = col("img.pixels")
+    val n = size(px)
+    val crossings = size(filter(
+      transform(sequence(lit(1), n - 1),
+        i => (element_at(px, i) >= 128) =!= (element_at(px, i + 1) >= 128)),
+      x => x))
+    media(s, d)
+      .filter(col("media_type") === "audio")
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(size(col("img.pixels")) >= 2)
+      .select(col("doc_id"),
+        n.cast("long").as("n_samples"),
+        (crossings.cast("double") / (n - 1)).as("zcr"),
+        sqrt(aggregate(px, lit(0L),
+          (a, x) => a + (x - 128).cast("long") * (x - 128)) / n).as("rms"),
+        greatest(array_max(px) - 128, lit(128) - array_min(px)).as("peak"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients)
+    Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
+      audioFeatures)
 }

@@ -657,6 +657,41 @@ object SimOracle {
     ORDER BY cell, rank"""
   }
 
+  /** Hard-negative twin: the trained-cell assignment, the same
+    * cosine association, the band filter, per-query ranking.
+    */
+  def contrastiveNegativesSql: String = {
+    import SimFns.KmeansIters
+    import SimQueries.{HardNegHi, HardNegK, HardNegLo}
+    val fin = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    $kmeansChain,
+    m AS (
+      SELECT n.vec_id, n.v, n.nrm, a.j AS cell
+      FROM n JOIN a$fin a ON n.vec_id = a.vec_id
+    ),
+    qn AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell FROM m
+      WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.qid, x.vec_id,
+        ${dotIdx("q.qv", "x.v")} / (q.qnrm * x.nrm) AS cosine
+      FROM qn q JOIN m x USING (cell)
+      WHERE x.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+      FROM scored
+      WHERE cosine >= $HardNegLo::DOUBLE AND cosine < $HardNegHi::DOUBLE
+    )
+    SELECT qid, rn, vec_id, cosine FROM ranked WHERE rn <= $HardNegK
+    ORDER BY qid, rn"""
+  }
+
   val labelCentroidsSql: String = s"""
     WITH $baseCtes,
     d AS (

@@ -718,6 +718,41 @@ object SimQueries {
       .orderBy("dim")
   }
 
+  /** Hard-negative band and count for [[contrastiveNegatives]]. */
+  val HardNegLo = 0.3
+  val HardNegHi = 0.8
+  val HardNegK = 3
+
+  /** Hard-negative mining — the training-data operator behind contrastive
+    * embedding fine-tuning (and reranker distillation): for each query
+    * vector, the [[HardNegK]] most-similar SAME-CELL documents whose
+    * cosine falls in [[[HardNegLo]], [[HardNegHi]]) — similar enough to be
+    * informative, dissimilar enough to be true negatives; near-dups above
+    * the band are excluded (they'd be false negatives — the SemDeDup
+    * screen's territory). The trained k-means cell bounds the candidate
+    * join exactly as in [[semanticDedup]]: pairs are mined per cell,
+    * never across the corpus.
+    */
+  val contrastiveNegatives: GraftQuery = GraftQuery(
+    "contrastive_negatives",
+    s"hard-negative mining: top-$HardNegK same-cell docs with cosine in [$HardNegLo, $HardNegHi)",
+    SimOracle.contrastiveNegativesSql) { (s, d) =>
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val m = v.join(kmeansCells(s, d), "vec_id").localCheckpoint()
+    val q = m.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    q.join(m, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .filter(col("cosine") >= HardNegLo && col("cosine") < HardNegHi)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= HardNegK)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
   /** Reciprocal-rank-fusion constant (the standard k=60). */
   val RrfK = 60
 
@@ -829,5 +864,5 @@ object SimQueries {
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
-      clusterTopics, ivfpqTopk, pcaPower)
+      clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives)
 }
