@@ -657,6 +657,52 @@ object SimOracle {
     ORDER BY cell, rank"""
   }
 
+  /** Centroid-outlier twin: the labelCentroids quantized-mean recipe,
+    * the kmAssign distance association, two-pass centered per-label
+    * moments, |z| ranking.
+    */
+  def centroidOutliersSql: String = s"""
+    WITH $baseCtes,
+    cd AS (
+      SELECT label, i AS pos, v[i] AS x
+      FROM e, (SELECT unnest(range(1, ${Dims + 1})) AS i)
+    ),
+    cent AS (
+      SELECT label, pos,
+        SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS m
+      FROM cd GROUP BY label, pos
+    ),
+    cl AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label),
+    sq AS (
+      SELECT e.vec_id, e.label,
+        ${dotIdx("e.v", "e.v")} + ${dotIdx("cl.c", "cl.c")}
+          - 2.0 * ${dotIdx("e.v", "cl.c")} AS sqdist
+      FROM e JOIN cl USING (label)
+    ),
+    m1 AS (
+      SELECT label,
+        (SUM(CAST(floor(sqdist * 1000000000.0 + 0.5) AS BIGINT))
+          / 1000000000.0) / COUNT(*) AS mu
+      FROM sq GROUP BY label
+    ),
+    st2 AS (
+      SELECT s.label,
+        SUM(CAST(floor((s.sqdist - m.mu) * (s.sqdist - m.mu)
+          * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0 AS ss,
+        COUNT(*) AS n,
+        MIN(m.mu) AS mu
+      FROM sq s JOIN m1 m USING (label)
+      GROUP BY s.label
+    ),
+    stz AS (SELECT label, mu, sqrt(ss / n) AS sd FROM st2),
+    z AS (
+      SELECT s.vec_id, s.label, s.sqdist, (s.sqdist - t.mu) / t.sd AS z
+      FROM sq s JOIN stz t USING (label)
+    )
+    SELECT vec_id, label, sqdist, z FROM z
+    ORDER BY abs(z) DESC, vec_id LIMIT 10"""
+
   /** Hard-negative twin: the trained-cell assignment, the same
     * cosine association, the band filter, per-query ranking.
     */

@@ -718,6 +718,58 @@ object SimQueries {
       .orderBy("dim")
   }
 
+  /** Embedding-QA / mislabel screen: z-scored squared distance to the
+    * vector's LABEL centroid — a vector far from its own class centroid
+    * is a labeling error or an embedding-quality defect. (Norm-based
+    * screens are degenerate here: the corpus embeddings are
+    * unit-normalized, so norm variance is exactly zero.) Centroids are
+    * the [[labelCentroids]] quantized-mean recipe; per-label mean/sd of
+    * the squared distance use the TWO-PASS centered form (the naive
+    * E[x²]−E[x]² cancels catastrophically when var << mean²); top-10 by
+    * |z| with vec_id ties. All moment sums are exact quantized LONGs, so
+    * the screen is partition-invariant.
+    */
+  val centroidOutliers: GraftQuery = GraftQuery(
+    "embedding_centroid_outliers",
+    "embedding QA: top-10 z-scored distances to the label centroid (mislabel screen)",
+    SimOracle.centroidOutliersSql) { (s, d) =>
+    import graft.api.Det
+    val v = vecs(s, d).select(col("vec_id"), col("label"), col("v"))
+    val cents = v
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(Det.quantize(col("x"), 9)) /
+        (lit(Det.pow10(9)) * count(lit(1)))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("c"))
+    val sq = v.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        (dot(col("v"), col("v")) + dot(col("c"), col("c"))
+          - lit(2.0) * dot(col("v"), col("c"))).as("sqdist"))
+      .localCheckpoint()
+    val m1 = sq.groupBy(col("label"))
+      .agg(((sum(Det.quantize(col("sqdist"), 9)) / lit(Det.pow10(9))) /
+        count(lit(1))).as("mu"))
+    val stats = sq.join(broadcast(m1), "label")
+      .groupBy(col("label"))
+      .agg(
+        (sum(Det.quantize(
+          (col("sqdist") - col("mu")) * (col("sqdist") - col("mu")), 9)) /
+          lit(Det.pow10(9))).as("ss"),
+        count(lit(1)).as("n"),
+        min(col("mu")).as("mu"))
+      .select(col("label"), col("mu"), sqrt(col("ss") / col("n")).as("sd"))
+    sq.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("sqdist"),
+        ((col("sqdist") - col("mu")) / col("sd")).as("z"))
+      .withColumn("az", abs(col("z")))
+      .orderBy(desc("az"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), col("sqdist"), col("z"))
+  }
+
   /** Hard-negative band and count for [[contrastiveNegatives]]. */
   val HardNegLo = 0.3
   val HardNegHi = 0.8
@@ -864,5 +916,6 @@ object SimQueries {
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
-      clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives)
+      clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives,
+      centroidOutliers)
 }

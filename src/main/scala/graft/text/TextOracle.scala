@@ -485,6 +485,47 @@ object TextOracle {
     ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
   }
 
+  /** Span-corruption twin: identical position-hash span starts (the
+    * hash60 idiom over 'doc_id:pos'), coverage via bounded list scans,
+    * and the same fingerprint construction for both pair halves.
+    */
+  def spanCorruptionSql: String = {
+    import TextQueries.{CorruptSpanLen, CorruptStartMod}
+    val w = CorruptSpanLen - 1
+    val coveredPred =
+      s"s -> s >= q - $w AND s <= q"
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    x AS (
+      SELECT doc_id, toks, len(toks) AS n,
+        list_filter(range(1, CAST(len(toks) + 1 AS BIGINT)),
+          p -> CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || p::VARCHAR),
+            1, 15))::UBIGINT AS BIGINT) % $CorruptStartMod = 0) AS starts
+      FROM t
+    ),
+    y AS (
+      SELECT doc_id, toks, n, starts,
+        list_filter(range(1, CAST(n + 1 AS BIGINT)),
+          q -> len(list_filter(starts, $coveredPred)) > 0) AS covered
+      FROM x
+    )
+    SELECT doc_id,
+      CAST(n AS INTEGER) AS n_tokens,
+      CAST(len(starts) AS INTEGER) AS n_spans,
+      CAST(len(covered) AS INTEGER) AS n_masked,
+      len(covered) / n AS mask_frac,
+      md5(array_to_string(list_transform(range(1, CAST(n + 1 AS BIGINT)),
+        q -> CASE WHEN len(list_filter(starts, $coveredPred)) > 0
+             THEN '_' ELSE toks[q] END), ' ')) AS corrupted_fp,
+      md5(COALESCE(
+        array_to_string(list_transform(covered, q -> toks[q]), ' '), ''))
+        AS targets_fp
+    FROM y
+    ORDER BY doc_id"""
+  }
+
   /** Growth-curve twin: same posting pass, min-doc attribution, window
     * cumsum (exact BIGINTs throughout).
     */

@@ -197,6 +197,55 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Span-corruption geometry for [[spanCorruption]]: a span starts at
+    * ~1-in-[[CorruptStartMod]] positions and covers [[CorruptSpanLen]]
+    * tokens (≈15% masked).
+    */
+  val CorruptStartMod = 20
+  val CorruptSpanLen = 3
+
+  /** T5-style span-corruption sample construction — the
+    * training-objective builder: deterministic mask spans chosen by
+    * CONTENT-INDEPENDENT position hashes (hash60(doc_id:pos) — stable
+    * across re-shards/re-runs, the doc_splits property applied to
+    * positions), each span covering [[CorruptSpanLen]] tokens; the
+    * operator reports per-doc span/mask counts, the mask fraction, and
+    * fingerprints of BOTH halves of the training pair (corrupted input
+    * with masked slots, and the mask targets). Pure per-row map — the
+    * sample builder runs embarrassingly parallel at any corpus size, and
+    * the fingerprints make the construction oracle-checkable without
+    * shipping the pair text.
+    */
+  val spanCorruption: GraftQuery = GraftQuery(
+    "corpus_span_corruption",
+    s"T5-style span corruption: 1/$CorruptStartMod position-hash span starts x $CorruptSpanLen tokens, pair fingerprints",
+    TextOracle.spanCorruptionSql) { (s, d) =>
+    val n = size(col("toks"))
+    val starts = filter(sequence(lit(1), n), p =>
+      hash60(concat_ws(":", col("doc_id"), p)) % CorruptStartMod === 0)
+    val isCovered = (q: org.apache.spark.sql.Column) =>
+      exists(col("starts"), st =>
+        st >= q - (CorruptSpanLen - 1) && st <= q)
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("starts", starts)
+      .withColumn("covered",
+        filter(sequence(lit(1), n), q => isCovered(q)))
+      .select(col("doc_id"),
+        n.as("n_tokens"),
+        size(col("starts")).as("n_spans"),
+        size(col("covered")).as("n_masked"),
+        (size(col("covered")) / n).as("mask_frac"),
+        md5(concat_ws(" ",
+          transform(sequence(lit(1), n), q =>
+            when(isCovered(q), lit("_"))
+              .otherwise(element_at(col("toks"), q))))).as("corrupted_fp"),
+        md5(concat_ws(" ",
+          transform(col("covered"), q => element_at(col("toks"), q))))
+          .as("targets_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Docs per bucket for [[growthCurve]]. */
   val GrowthBucketDocs = 100
 
@@ -1283,7 +1332,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, qualityNb, qualityNbConfusion, piiScreen,
-      langConfusion, fingerprints, simhash, growthCurve,
+      langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       phraseSearch, keywordExtract,
