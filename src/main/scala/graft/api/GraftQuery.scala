@@ -30,6 +30,14 @@ trait GraftQuery {
 
   /** DuckDB twin; None → driver records a weaker rows-only check. */
   def oracle: Option[String]
+
+  /** True when the result is a single-row aggregate, which is exempt from
+    * the "oracle ends in a total-order ORDER BY" structural invariant
+    * (SmokeSpec) — a 1-row frame can't hash-flake on row order. Queries
+    * self-declare via [[GraftQuery.oneRow]] so the exemption list can't
+    * drift from the registry.
+    */
+  def singleRow: Boolean = false
 }
 
 object GraftQuery {
@@ -39,6 +47,18 @@ object GraftQuery {
     val doc = d
     def frame(spark: SparkSession, sfDir: String): DataFrame = f(spark, sfDir)
     val oracle = Option(sql)
+  }
+
+  /** A 1-row aggregate query: exempt from the ORDER-BY invariant (and
+    * SmokeSpec asserts the frame really is 1 row, so the flag can't lie).
+    */
+  def oneRow(n: String, d: String, sql: String)(
+      f: (SparkSession, String) => DataFrame): GraftQuery = new GraftQuery {
+    val name = n
+    val doc = d
+    def frame(spark: SparkSession, sfDir: String): DataFrame = f(spark, sfDir)
+    val oracle = Option(sql)
+    override val singleRow = true
   }
 
   /** A query with no SQL-expressible oracle (driver does rows-only check). */

@@ -320,7 +320,9 @@ object DedupOracle {
     */
   def bloomScreenSql: String = s"""
     WITH b AS (
-      SELECT doc_id, doc_id % 10 = 9 AS incoming,
+      SELECT doc_id,
+        doc_id % ${DedupQueries.BloomBatchModulus}
+          = ${DedupQueries.BloomBatchResidue} AS incoming,
         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
       FROM documents
     ),
@@ -505,7 +507,8 @@ object DedupOracle {
       JOIN msigs sb ON p.doc_b = sb.doc_id
     )
     SELECT t.n_truth, c.n_cand, g.n_caught,
-      g.n_caught / t.n_truth AS recall,
+      CASE WHEN t.n_truth = 0 THEN NULL
+           ELSE g.n_caught / t.n_truth END AS recall,
       c.sig_mae
     FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth) t
     CROSS JOIN (

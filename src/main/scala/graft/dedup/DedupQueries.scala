@@ -172,7 +172,7 @@ object DedupQueries {
     * is the assertion.) At scale this is one partial-aggregated groupBy on
     * a 16-byte key.
     */
-  val exactSummary: GraftQuery = GraftQuery(
+  val exactSummary: GraftQuery = GraftQuery.oneRow(
     "dedup_exact_summary",
     "exact dedup by md5(normalized text): total vs distinct vs dropped",
     DedupOracle.exactSummarySql) { (s, d) =>
@@ -421,9 +421,15 @@ object DedupQueries {
       tokDocs.select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh")))
 
-  private def minhashJaccardFromShingles(sh: DataFrame): DataFrame = {
+  /** `sigsIn`: a precomputed (ideally materialized) [[minhashSigs]] frame
+    * over the SAME shingle frame, for callers that need the signatures
+    * themselves ([[lshRecallDedup]] compares components s0..s11) — passing
+    * it in deduplicates the signature aggregation pass.
+    */
+  private def minhashJaccardFromShingles(sh: DataFrame,
+      sigsIn: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = minhashSigs(sh)
+    val sigs = sigsIn.getOrElse(minhashSigs(sh))
     // One row per (doc, band) with its bucket size riding along — the
     // window's (b, bk) hash partitioning is the band self-join's
     // distribution anyway (see [[capBuckets]]). Materialized because it
@@ -489,6 +495,19 @@ object DedupQueries {
     * re-shard-stable 10% sample whatever the corpus partitioning.
     */
   val IncrementalIncomingBucket = 90
+
+  /** ID-split for [[bloomScreen]]'s incoming batch: docs with
+    * doc_id % [[BloomBatchModulus]] == [[BloomBatchResidue]] are "the
+    * incoming batch" (an ID split on purpose — a content-hash split would
+    * put byte-identical docs on the same side by construction). Shared by
+    * query and oracle so the screen re-runs at any batch fraction by
+    * editing one place. DECLARED BEFORE the GraftQuery vals that
+    * interpolate it: the oracle SQL is built eagerly at object init, and
+    * a later-positioned val would read as 0 mid-initialization (this
+    * exact bug shipped once — duck side became `doc_id % 0`).
+    */
+  val BloomBatchModulus = 10
+  val BloomBatchResidue = 9
 
   /** Incremental ingest dedup — the ASYMMETRIC production shape every
     * self-join miner above deliberately avoids needing: when a new batch
@@ -1293,42 +1312,59 @@ object DedupQueries {
     * oracle-checked artifact: recall says what the bands MISS, the MAE
     * says how far the sketch drifts where they hit.
     */
-  val lshRecallDedup: GraftQuery = GraftQuery(
+  val lshRecallDedup: GraftQuery = GraftQuery.oneRow(
     "dedup_lsh_recall",
     s"LSH grading: band-candidate recall of exact 2-gram J>=$ClusterJaccard pairs + signature MAE",
     DedupOracle.lshRecallSql) { (s, d) =>
     import graft.api.Det
     val tok = tokenizedDocs(Tables.documents(s, d))
-    val truth = jaccardPairs(cappedPostingsFromToks(tok, MinhashShingleN), lit(true))
+    // shingle explodes stay map-side re-runs from the checkpointed token
+    // frame — materializing the full shingle frame was A/B'd and LOST
+    // (the barrier write costs more than the re-explodes it saves, the
+    // same result as clustersMulti's verify path)
+    def sh = tok.select(col("doc_id"),
+      explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh"))
+    val truth = jaccardPairs(capPostings(sh), lit(true))
       .filter(col("jaccard") >= ClusterJaccard)
       .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
-      .localCheckpoint()
-    val sigs = minhashSigs(tok.select(col("doc_id"),
-      explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh")))
-      .localCheckpoint()
+    // ONE signature aggregation (the duplicated SHUFFLE of the round-10
+    // shape), shared by the banded verify path and the per-component
+    // match columns below
+    val sigs = minhashSigs(sh).localCheckpoint()
     val matches = (0 until MinhashK).map(i =>
       when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
-    val verest = minhashJaccardFromToks(tok)
+    val verest = minhashJaccardFromShingles(sh, Some(sigs))
       .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         (matches.cast("double") / lit(MinhashK)).as("est"))
       .localCheckpoint()
-    val tAgg = truth.agg(count(lit(1)).as("n_truth"))
+    // n_truth and n_caught in ONE pass: left join against the (distinct-
+    // pair) candidate set, count(*) vs count(matched). truth then has a
+    // single consumer, so it needs no materialization barrier — one
+    // fewer eager checkpoint job than the round-10 shape (A/B'd: the
+    // barrier was ~0.4 s of pure serialization on an unshared frame).
+    val tgAgg = truth.join(verest
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit")),
+        col("ta") === col("doc_a") && col("tb") === col("doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_caught"))
     val cAgg = verest.agg(count(lit(1)).as("n_cand"),
       (sum(Det.quantize(abs(col("est") - col("jaccard")), 9)) /
         (lit(Det.pow10(9)) * count(lit(1)))).as("sig_mae"))
-    val gAgg = truth.join(verest,
-        col("ta") === col("doc_a") && col("tb") === col("doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_caught"))
-    tAgg.crossJoin(cAgg).crossJoin(gAgg)
+    tgAgg.crossJoin(cAgg)
       .select(col("n_truth"), col("n_cand"), col("n_caught"),
-        (col("n_caught") / col("n_truth")).as("recall"), col("sig_mae"))
+        // zero-guard: on a slice with no exact J>=t pairs Spark's 0/0
+        // and DuckDB's diverge (NULL vs NaN) — pin the degenerate case
+        // to NULL on both engines
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught") / col("n_truth")).as("recall"),
+        col("sig_mae"))
   }
 
   /** Exact-dup ingest screen — the EXACT-hash counterpart of
     * [[incrementalScreen]], composed with the runtime-filter machinery:
-    * an incoming batch (doc_id % 10 == 9 — an ID split on purpose: the
+    * an incoming batch (doc_id % [[BloomBatchModulus]] ==
+    * [[BloomBatchResidue]] — an ID split on purpose: the
     * content-hash split would put byte-identical docs on the SAME side by
     * construction, so exact dups could never straddle it) is screened
     * against the existing corpus's fingerprint set. The corpus side
@@ -1347,27 +1383,40 @@ object DedupQueries {
     bloomScreenFrame(Tables.documents(s, d))
   }
 
+  /** Per-session counter for unique bloom-screen view names. */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The bloom-screen pipeline over any (doc_id, text) frame. */
   private[graft] def bloomScreenFrame(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     graft.functions.GraftFunctions.register(s)
     val base = docs.select(col("doc_id"),
-      (col("doc_id") % 10 === 9).as("incoming"),
+      (col("doc_id") % BloomBatchModulus === BloomBatchResidue).as("incoming"),
       graft.text.TextFns.fingerprint(col("text")).as("fp"))
     val inc = base.filter(col("incoming"))
       .select(col("doc_id").as("inc_doc"), col("fp"))
     val ex = base.filter(!col("incoming"))
       .select(col("doc_id").as("ex_doc"), col("fp"))
     // might_contain demands its filter side be a scalar subquery (the
-    // shape InjectRuntimeFilter emits), so the probe goes through SQL
-    ex.createOrReplaceTempView("bloom_corpus_fp")
-    inc.createOrReplaceTempView("bloom_incoming_fp")
-    val pre = s.sql("""
-      SELECT inc_doc, fp FROM bloom_incoming_fp
-      WHERE might_contain(
-        (SELECT bloom_filter_agg(xxhash64(fp), 100000L, 800000L)
-         FROM bloom_corpus_fp),
-        xxhash64(fp))""")
+    // shape InjectRuntimeFilter emits), so the probe goes through SQL —
+    // on UNIQUE per-call view names (concurrent/nested pipelines must not
+    // clobber each other), resolved eagerly by sql() then dropped
+    val tag = bloomViewSeq.incrementAndGet()
+    val exView = s"bloom_corpus_fp_$tag"
+    val incView = s"bloom_incoming_fp_$tag"
+    ex.createOrReplaceTempView(exView)
+    inc.createOrReplaceTempView(incView)
+    val pre =
+      try s.sql(s"""
+        SELECT inc_doc, fp FROM $incView
+        WHERE might_contain(
+          (SELECT bloom_filter_agg(xxhash64(fp), 100000L, 800000L)
+           FROM $exView),
+          xxhash64(fp))""")
+      finally {
+        s.catalog.dropTempView(incView)
+        s.catalog.dropTempView(exView)
+      }
     val matches = pre.join(ex, "fp")
       .groupBy(col("inc_doc")).agg(min(col("ex_doc")).as("match_doc"))
     inc.join(matches, Seq("inc_doc"), "left")

@@ -222,7 +222,7 @@ object EventQueries {
     * joins are user-key equi-joins between those per-user frames — at
     * 100 TB every funnel stage moves |users| rows, not |events|.
     */
-  val funnel: GraftQuery = GraftQuery(
+  val funnel: GraftQuery = GraftQuery.oneRow(
     "events_funnel",
     "3-stage ordered funnel per user (view->click->purchase) + conversion lags",
     EventOracle.funnelSql) { (s, d) =>
@@ -329,6 +329,16 @@ object EventQueries {
     * Both run here and the output ATTESTS the sketch against its error
     * band (the product_type_approx_distinct convention: sketch bits
     * differ per engine, so the oracle checks the contract, not the bits).
+    *
+    * Band derivation: HLL++ at rsd=0.02 has relative standard error 2%,
+    * so 5% is a 2.5-sigma bound (~1 in 80 per-day tail chance under the
+    * Gaussian approximation; with a handful of days per corpus the
+    * all-pass probability stays >90%, and the floor of max(5, ...)
+    * absorbs the small-cardinality regime where HLL++ switches to exact
+    * linear counting and the Gaussian model doesn't apply). The oracle
+    * hardcodes users_est_ok = TRUE, so a corpus-generator change that
+    * pushes a day past 2.5 sigma surfaces as this band failing — widen
+    * toward 6% (3 sigma) before suspecting the sketch itself.
     */
   val dailyDistinct: GraftQuery = GraftQuery(
     "events_daily_distinct",

@@ -215,7 +215,12 @@ object MultimodalQueries {
   def rowDiffs(px: org.apache.spark.sql.Column,
       w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(
-      transform(sequence(lit(1), size(px) - 1),
+      // a 1-pixel grid must yield [], not sequence(1,0)'s descending
+      // [1,0] — guard so the helper is safe for ANY input, not only
+      // decode_pgm's pixels.length == w*h invariant
+      transform(
+        when(size(px) >= 2, sequence(lit(1), size(px) - 1))
+          .otherwise(array().cast("array<int>")),
         i => when(i % w === 0, lit(null).cast("int"))
           .otherwise(abs(element_at(px, i + 1) - element_at(px, i)))),
       x => x.isNotNull)

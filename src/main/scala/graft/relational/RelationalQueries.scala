@@ -108,7 +108,7 @@ object RelationalQueries {
     * global sum — every predicate reaches the parquet reader as a pushed
     * filter, zero joins, one partial+final agg row per partition.
     */
-  val forecastRevenue: GraftQuery = GraftQuery(
+  val forecastRevenue: GraftQuery = GraftQuery.oneRow(
     "forecast_revenue",
     "pushed-down multi-predicate scan + global sum (TPC-H Q6 shape)",
     RelationalOracle.forecastRevenueSql) { (s, d) =>

@@ -27,12 +27,33 @@ class SmokeSpec extends SparkSpec {
 
   test("every oracle has a deterministic total order (or is a 1-row aggregate)") {
     // hash-comparison is order-sensitive: any multi-row oracle without an
-    // ORDER BY is a latent flake
-    val singleRow = Set("dedup_exact_summary", "forecast_revenue", "events_funnel")
+    // ORDER BY is a latent flake. 1-row aggregates self-declare via
+    // GraftQuery.oneRow — derived from the registry, never an allowlist
+    // that can drift when the next aggregate-only query lands.
+    val singleRow = SparkEntry.registry.filter(_.singleRow).map(_.name).toSet
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name)) {
         withClue(name) { assert(sql.toUpperCase.contains("ORDER BY")) }
       }
+    }
+  }
+
+  test("no oracle interpolated an uninitialized constant") {
+    // a Scala object-init cycle renders a not-yet-initialized Int val as
+    // 0 inside eagerly-built oracle SQL (shipped once as `doc_id % 0`) —
+    // zero is never a legitimate modulus/divisor/threshold literal here
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      withClue(name) {
+        assert(!sql.matches("(?s).*%\\s+0\\b[^.].*"),
+          "oracle contains a `% 0` — uninitialized constant interpolation?")
+      }
+    }
+  }
+
+  test("every singleRow-flagged query really is one row on sf0.001") {
+    // the flag buys an ORDER-BY exemption; prove it can't lie
+    SparkEntry.registry.filter(_.singleRow).foreach { q =>
+      withClue(q.name) { assert(q.frame(spark, sf).count() === 1L) }
     }
   }
 
