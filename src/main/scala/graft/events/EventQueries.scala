@@ -340,6 +340,12 @@ object EventQueries {
     * pushes a day past 2.5 sigma surfaces as this band failing — widen
     * toward 6% (3 sigma) before suspecting the sketch itself.
     */
+  /** HLL++ relative standard deviation for the DAU sketch — shared with
+    * the streaming twin ([[graft.streaming.EventStreams.dailyDistinctUsers]])
+    * so batch and stream grade the same sketch configuration.
+    */
+  val DailyDistinctRsd = 0.02
+
   val dailyDistinct: GraftQuery = GraftQuery(
     "events_daily_distinct",
     "per-day distinct users: exact vs HLL++ sketch, within-band attestation",
@@ -349,7 +355,7 @@ object EventQueries {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("au"))
+        approx_count_distinct(col("user_id"), DailyDistinctRsd).as("au"))
       .select(col("day"), col("n_events"), col("exact_users"),
         (abs(col("au") - col("exact_users")) <=
           greatest(lit(5.0), col("exact_users") * lit(0.05)))

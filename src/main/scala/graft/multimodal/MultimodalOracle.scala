@@ -184,4 +184,59 @@ object MultimodalOracle {
       CAST(unnest(range(0, n_frames, 10)) AS INTEGER) / 24.0 AS frame_ts_s
     FROM v
     ORDER BY doc_id, frame_idx"""
+
+  /** Cross-modal audit twin: composes [[graft.dedup.DedupOracle]]'s
+    * DF-capped 3-gram pair CTEs (the `pairs` CTE) with the
+    * [[graft.sim.SimOracle]] ordered-fold cosine — cm-prefixed CTE names
+    * so neither family's names collide.
+    */
+  def crossmodalSql: String = {
+    import graft.dedup.{DedupOracle, DedupQueries}
+    import graft.sim.SimOracle
+    val j = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    val c = s"${MultimodalQueries.CrossModalCosine}::DOUBLE"
+    s"""
+    WITH ${DedupOracle.ngramPairCtes},
+    cmv AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cmn AS (
+      SELECT vec_id, v, sqrt(${SimOracle.dotIdx("v", "v")}) AS nrm FROM cmv
+    ),
+    cmd AS (
+      SELECT p.doc_a, p.doc_b, d.lang AS lang_a
+      FROM pairs p JOIN documents d ON p.doc_a = d.doc_id
+      WHERE p.jaccard >= $j
+    ),
+    cmcos AS (
+      SELECT p.lang_a,
+        ${SimOracle.dotIdx("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+      FROM cmd p
+      JOIN cmn x ON p.doc_a = x.vec_id
+      JOIN cmn y ON p.doc_b = y.vec_id
+    )
+    SELECT * FROM (
+      SELECT 'doc_total' AS "check", lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'doc_no_vec', lang, CAST(COUNT(*) AS BIGINT)
+      FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      GROUP BY lang
+      UNION ALL
+      SELECT 'vec_no_doc', '(none)', CAST(COUNT(*) AS BIGINT)
+      FROM embeddings e
+      WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      UNION ALL
+      SELECT 'dup_pair', lang_a, CAST(COUNT(*) AS BIGINT)
+      FROM cmd GROUP BY lang_a
+      UNION ALL
+      SELECT 'dup_pair_disagree', lang_a, CAST(COUNT(*) AS BIGINT)
+      FROM cmcos WHERE cosine < $c
+      GROUP BY lang_a
+    )
+    ORDER BY "check", lang"""
+  }
 }

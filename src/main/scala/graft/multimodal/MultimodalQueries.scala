@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.GraftQuery
@@ -277,7 +277,91 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Cosine below which a near-dup TEXT pair's embeddings are declared
+    * inconsistent — duplicated text should embed nearby; a pair under
+    * this line has a broken modality (stale vector, wrong join key, bad
+    * encoder shard). Shared by query, oracle, and spec.
+    */
+  val CrossModalCosine = 0.5
+
+  /** Cross-modal consistency screen — the join-integrity audit a
+    * multimodal training pipeline runs before packing parallel columns:
+    * the corpus ships `documents` and `embeddings` keyed by the same id,
+    * and this operator grades that contract as a first-class artifact.
+    * Checks, one tidy (check, lang, n) row group each:
+    *   - `doc_total`: per-language doc counts (the always-present
+    *     denominator row group);
+    *   - `doc_no_vec` / `vec_no_doc`: orphans on either side of the id
+    *     join (anti-joins — at 100 TB these are one id-keyed shuffle
+    *     each, no payload columns move);
+    *   - `dup_pair`: near-dup text pairs (J >= [[DedupQueries
+    *     .ClusterJaccard]] from the existing DF-capped 3-gram miner),
+    *     attributed to doc_a's language;
+    *   - `dup_pair_disagree`: those pairs whose embedding cosine is
+    *     below [[CrossModalCosine]] — text says duplicate, vectors say
+    *     strangers: the mismatched-modality signal.
+    * On the healthy corpus every orphan/disagree count is absent (no
+    * rows) — the ZEROS are the assertion, same contract as
+    * `dedup_exact_summary`; the fixture spec plants one violation of
+    * each kind and watches the rows appear. The pair space is the capped
+    * Jaccard frame's (linear in corpus, never all-pairs), and the cosine
+    * join touches only dup-pair ids — at scale the screen's cost is the
+    * dedup mine it reuses plus two orphan anti-joins.
+    */
+  val crossmodalConsistency: GraftQuery = GraftQuery(
+    "crossmodal_consistency",
+    "cross-modal audit: doc/vector join orphans + near-dup text pairs with disagreeing cosine",
+    MultimodalOracle.crossmodalSql) { (s, d) =>
+    crossmodalFrame(Tables.documents(s, d), Tables.embeddings(s, d))
+  }
+
+  /** The audit over any (doc_id, lang, text) + (vec_id, embedding) pair of
+    * frames, so the fixture spec can plant orphans and disagreeing pairs.
+    */
+  private[graft] def crossmodalFrame(docsIn: DataFrame, embIn: DataFrame): DataFrame = {
+    import graft.sim.SimFns
+    import graft.dedup.DedupQueries
+    graft.functions.GraftFunctions.register(docsIn.sparkSession)
+    val docs = docsIn.select(col("doc_id"), col("lang"))
+    val vecs = embIn
+      .select(col("vec_id"), SimFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", SimFns.norm(col("v")))
+    def row(check: String, lang: Column, n: Column) =
+      Seq(lit(check).as("check"), lang.as("lang"), n.as("n"))
+    val docTotal = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(row("doc_total", col("lang"), col("n")): _*)
+    val docNoVec = docs
+      .join(vecs.select(col("vec_id")), col("doc_id") === col("vec_id"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(row("doc_no_vec", col("lang"), col("n")): _*)
+    // a vector orphan has no document and therefore no language
+    val vecNoDoc = vecs.select(col("vec_id"))
+      .join(docs, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(row("vec_no_doc", lit("(none)"), col("n")): _*)
+    val dupPairs = DedupQueries.ngramJaccardFrame(docsIn)
+      .filter(col("jaccard") >= DedupQueries.ClusterJaccard)
+      .join(docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), "doc_a")
+      .localCheckpoint()
+    val dupCount = dupPairs.groupBy(col("lang_a")).agg(count(lit(1)).as("n"))
+      .select(row("dup_pair", col("lang_a"), col("n")): _*)
+    val disagree = dupPairs
+      .join(vecs.select(col("vec_id").as("va_id"), col("v").as("va"),
+        col("nrm").as("na")), col("doc_a") === col("va_id"))
+      .join(vecs.select(col("vec_id").as("vb_id"), col("v").as("vb"),
+        col("nrm").as("nb")), col("doc_b") === col("vb_id"))
+      .withColumn("cosine",
+        SimFns.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") < lit(CrossModalCosine))
+      .groupBy(col("lang_a")).agg(count(lit(1)).as("n"))
+      .select(row("dup_pair_disagree", col("lang_a"), col("n")): _*)
+    docTotal.unionByName(docNoVec).unionByName(vecNoDoc)
+      .unionByName(dupCount).unionByName(disagree)
+      .orderBy("check", "lang")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
-      audioFeatures)
+      audioFeatures, crossmodalConsistency)
 }

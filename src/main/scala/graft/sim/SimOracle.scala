@@ -14,7 +14,7 @@ object SimOracle {
   private def fold(products: String): String =
     s"list_reduce($products, (a, b) -> a + b)"
 
-  private def dotIdx(a: String, b: String): String =
+  private[graft] def dotIdx(a: String, b: String): String =
     fold(s"list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])")
 
   private def planeLit(j: Int): String =

@@ -58,6 +58,27 @@ object EventStreams {
         col("window.end").as("wend"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-day distinct users, sketch path — the streaming twin of the
+    * batch `events_daily_distinct` query's HLL++ column. Exact
+    * countDistinct is not available under streaming aggregation (distinct
+    * aggs need unbounded state); the sketch IS the streaming contract:
+    * approx_count_distinct's HLL++ registers merge commutatively (max per
+    * register), so incremental micro-batch merges and the one-shot batch
+    * aggregation produce the SAME estimate — the parity StreamingSpec
+    * asserts. State per day is one fixed-size sketch buffer, retired by
+    * the watermark; at 100 TB/day ingest this is the only shape whose
+    * state does not grow with cardinality.
+    */
+  def dailyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"),
+          graft.events.EventQueries.DailyDistinctRsd).as("users_est"))
+      .select(col("window.start").as("day"), col("n_events"), col("users_est"))
+
   /** Session windows per user (6-hour inactivity gap). A session ends
     * gapDuration after its last event (Spark session_window semantics —
     * mirrored exactly by the oracle's gaps-and-islands SQL).

@@ -890,6 +890,33 @@ object TextOracle {
     ORDER BY tok.lang"""
   }
 
+  /** Round-trip twin: the same trained-vocab chain, decode = the same
+    * delimiter strip, mismatch as a CASE sum — exact BIGINT arithmetic
+    * everywhere except the one fertility division.
+    */
+  def bpeRoundtripSql: String = {
+    val n = TextQueries.BpeIters
+    bpeChainCtes(n) + s""",
+    dec AS (
+      SELECT word,
+        len(string_split(substr(seg, 2, len(seg) - 2), '||')) AS n_syms,
+        replace(replace(seg, '||', ''), '|', '') AS decoded
+      FROM v$n
+    ),
+    tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT tok.lang AS lang,
+      COUNT(*) AS n_words,
+      CAST(SUM(CASE WHEN dec.decoded <> tok.word THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_mismatch,
+      CAST(SUM(len(tok.word)) AS BIGINT) AS n_chars,
+      CAST(SUM(len(dec.decoded)) AS BIGINT) AS n_chars_decoded,
+      CAST(SUM(dec.n_syms) AS BIGINT) AS n_bpe_tokens,
+      CAST(SUM(dec.n_syms) AS BIGINT) / COUNT(*) AS tokens_per_word
+    FROM tok JOIN dec ON tok.word = dec.word
+    GROUP BY tok.lang
+    ORDER BY tok.lang"""
+  }
+
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
     * as the Spark side; counts are exact longs, p is one exact division.
     */

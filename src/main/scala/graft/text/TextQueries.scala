@@ -1297,6 +1297,46 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** BPE round-trip validation — the invariant every production tokenizer
+    * ships with: DECODE(ENCODE(word)) must reproduce the word byte-for-
+    * byte, corpus-wide. The trained vocab's `seg` column IS the encoding
+    * ([[bpeEncode]]); decoding is pure string surgery (strip the `|`
+    * symbol delimiters and re-concatenate), so the check is one
+    * vocab-bounded map + the same corpus-words -> vocab equi-join as the
+    * encoder — nothing new shuffles at 100 TB. Reports per language:
+    * word/char/BPE-token totals, decoded-char total (must equal the
+    * original char total), the direct mismatch count (MUST be 0 — a
+    * nonzero here means a merge rule corrupted a segmentation), and
+    * fertility, so a tokenizer regression shows up both as the hard zero
+    * breaking and as a fertility delta against [[bpeEncode]]'s row.
+    */
+  val bpeRoundtrip: GraftQuery = GraftQuery(
+    "corpus_bpe_roundtrip",
+    s"BPE decode(encode(w)) == w corpus-wide: per-language mismatch count (0) + fertility",
+    TextOracle.bpeRoundtripSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (_, vocab) = bpeTrainState(docs, BpeIters, applyLast = true)
+    val dec = vocab.select(col("word"),
+      size(split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
+        .as("n_syms"),
+      // "|a||bc||d|" -> "abcd": drop the '||' joins, then the outer '|'s
+      replace(replace(col("seg"), lit("||"), lit("")), lit("|"), lit(""))
+        .as("decoded"))
+    docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(dec), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum((col("decoded") =!= col("word")).cast("long")).as("n_mismatch"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(length(col("decoded"))).as("n_chars_decoded"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_mismatch"),
+        col("n_chars"), col("n_chars_decoded"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens") / col("n_words")).as("tokens_per_word"))
+      .orderBy("lang")
+  }
+
   /** Doc-level importance sampling: keep each doc with probability equal
     * to its quality score, decided by a CONTENT-hash uniform (hash60 /
     * 2^60) rather than a seeded RNG — so the sample survives re-shards,
@@ -1337,5 +1377,5 @@ object TextQueries {
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       phraseSearch, keywordExtract,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
-      bpeMerges, bpeMergesN, bpeEncode, sampleWeighted)
+      bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, sampleWeighted)
 }

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Fixture-driven audit of [[MultimodalQueries.crossmodalFrame]]: plant one
+  * orphan on each side of the doc/vector join and one text-duplicate pair
+  * whose vectors are orthogonal, and watch each violation surface in its
+  * own (check, lang) row — the contract the clean-corpus zeros attest.
+  */
+class CrossModalSpec extends SparkSpec {
+
+  private def fixture() = {
+    import spark.implicits._
+    // docs 1/2: near-identical texts (3-gram Jaccard 5/7 >= 0.5), lang en.
+    // doc 4 (fr) has NO vector; vec 99 has NO doc.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta omega", "en"),
+      (3L, "one two three four five six seven eight", "de"),
+      (4L, "lone orphan document words with no vector here", "fr")
+    ).toDF("doc_id", "text", "lang")
+    def unit(hot: Int): Seq[Float] =
+      (0 until graft.sim.SimFns.Dims).map(i => if (i == hot) 1.0f else 0.0f)
+    // vecs 1 and 2 orthogonal (cosine 0 < CrossModalCosine) — text says
+    // duplicate, vectors say strangers
+    val embs = Seq(
+      (1L, unit(0)), (2L, unit(1)), (3L, unit(2)), (99L, unit(3))
+    ).toDF("vec_id", "embedding")
+    (docs, embs)
+  }
+
+  test("planted violations surface as audit rows") {
+    val (docs, embs) = fixture()
+    val out = MultimodalQueries.crossmodalFrame(docs, embs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("doc_total", "en")) === 2L)
+    assert(out(("doc_total", "de")) === 1L)
+    assert(out(("doc_total", "fr")) === 1L)
+    assert(out(("doc_no_vec", "fr")) === 1L)
+    assert(out(("vec_no_doc", "(none)")) === 1L)
+    assert(out(("dup_pair", "en")) === 1L)
+    assert(out(("dup_pair_disagree", "en")) === 1L)
+    // nothing else leaked into the orphan/dup groups
+    assert(!out.contains(("doc_no_vec", "en")))
+    assert(!out.contains(("dup_pair", "de")))
+  }
+
+  test("healthy corpus: only doc_total rows plus the always-present zero") {
+    val (docs, embs) = fixture()
+    val healthyDocs = docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 4L)
+    val healthyEmbs = embs.filter(col("vec_id") =!= 2L && col("vec_id") =!= 99L)
+    val out = MultimodalQueries.crossmodalFrame(healthyDocs, healthyEmbs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("vec_no_doc", "(none)")) === 0L)
+    assert(out.keys.forall { case (check, _) =>
+      check == "doc_total" || check == "vec_no_doc"
+    })
+  }
+}

@@ -371,6 +371,47 @@ class StreamingSpec extends SparkSpec {
     assert(StreamSinks.committedBatchId(spark, "stream_windows") === committed + 1)
   }
 
+  test("dailyDistinctUsers: streaming sketch equals batch sketch, and the batch exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 days, repeated users within a day — the sketch path must count
+    // each day's DISTINCT users whatever micro-batch the rows arrive in
+    def t(day: Int, hr: Int) = Timestamp.valueOf(f"2024-01-0$day $hr%02d:00:00")
+    val evs = Seq(
+      Ev(1, t(1, 1), 10, "view", 1.0, "{}"),
+      Ev(2, t(1, 2), 10, "click", 1.0, "{}"),
+      Ev(3, t(1, 3), 11, "view", 1.0, "{}"),
+      Ev(4, t(2, 1), 10, "view", 1.0, "{}"),
+      Ev(5, t(2, 2), 12, "view", 1.0, "{}"),
+      Ev(6, t(2, 3), 12, "click", 1.0, "{}"),
+      Ev(7, t(3, 1), 13, "view", 1.0, "{}"))
+    val stream = MemoryStream[Ev]
+    // two separate micro-batches splitting day 2 — the per-day sketch
+    // must MERGE across them (HLL registers max commutatively)
+    stream.addData(evs.take(5): _*)
+    val q = EventStreams.dailyDistinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("daily_distinct_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    stream.addData(evs.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("daily_distinct_out")
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    val batch = EventStreams.dailyDistinctUsers(evs.toDF())
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.length === 3)
+    // at these cardinalities HLL++ is in its exact (linear counting)
+    // regime — the estimates must equal the true per-day distincts
+    val exact = evs.toDF().groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .select(col("window.start").as("day"), col("exact"))
+      .orderBy("day").collect().map(_.getAs[Long]("exact")).toSeq
+    assert(streamed.map(_(2)) === exact)
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
