@@ -313,6 +313,29 @@ object DedupOracle {
     WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
     ORDER BY doc_a, doc_b"""
 
+  /** Source-matrix twin: the shared pair CTEs, endpoints joined to their
+    * sources, least/greatest normalization, and the global-window share
+    * with the same BIGINT cast before the one double division.
+    */
+  def sourceMatrixSql: String = s"""
+    WITH $ngramPairCtes,
+    sm AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+      WHERE p.jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    ),
+    g AS (
+      SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM sm GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_pairs,
+      n_pairs / CAST(SUM(n_pairs) OVER () AS BIGINT) AS share
+    FROM g
+    ORDER BY source_a, source_b"""
+
   /** Bloom-screen twin: the PLAIN fingerprint join — no bloom anywhere,
     * which is the point: the Spark side's bloom_filter_agg/might_contain
     * prefilter must be exactly semantics-preserving (the

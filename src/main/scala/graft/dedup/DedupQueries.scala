@@ -1497,9 +1497,41 @@ object DedupQueries {
       .limit(PrTopK)
   }
 
+  /** Cross-source duplication matrix — WHERE the near-dup mass lives: the
+    * J >= [[ClusterJaccard]] pairs bucketed by their endpoints' source
+    * pair (unordered — least/greatest normalizes so each pair lands in
+    * one upper-triangular cell), with each cell's share of all dup
+    * pairs. The provenance dashboard behind scraper triage: a hot
+    * diagonal cell is one source re-crawling itself (fix the crawler); a
+    * hot off-diagonal cell is syndication/mirroring between sources
+    * (dedup across them before sampling weights are computed, or the
+    * mirrored mass is double-weighted). Cost on top of the shared miner:
+    * two id-keyed joins against the narrow (doc_id, source) projection
+    * and a |sources|²-bounded aggregate.
+    */
+  val sourceMatrix: GraftQuery = GraftQuery(
+    "dedup_source_matrix",
+    s"near-dup provenance matrix: J >= $ClusterJaccard pair counts per unordered source pair + share",
+    DedupOracle.sourceMatrixSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share",
+        col("n_pairs") / sum(col("n_pairs")).over(Window.partitionBy()))
+      .orderBy("source_a", "source_b")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
-      lshRecallDedup)
+      lshRecallDedup, sourceMatrix)
 }

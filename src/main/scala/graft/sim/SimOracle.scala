@@ -44,6 +44,47 @@ object SimOracle {
       SELECT vec_id, label, v, sqrt(${dotIdx("v", "v")}) AS nrm FROM e
     )"""
 
+  /** kNN label-propagation twin: the brute-force cosine top-10 chain, then
+    * majority vote with the same (cnt DESC, label) tie-break and per-label
+    * accuracy from exact BIGINT counts.
+    */
+  val knnLabelSql: String = s"""
+    WITH $baseCtes,
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, label AS true_label
+      FROM n WHERE vec_id % 100 = 0
+    ),
+    c AS (
+      SELECT qid, true_label, n.label AS label, n.vec_id AS vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM q JOIN n ON n.vec_id <> q.qid
+    ),
+    r AS (
+      SELECT qid, true_label, label,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS rn
+      FROM c
+    ),
+    votes AS (
+      SELECT qid, true_label, label, COUNT(*) AS cnt
+      FROM r WHERE rn <= 10 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, true_label, label AS pred_label FROM (
+        SELECT qid, true_label, label,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cnt DESC, label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label AS label,
+      COUNT(*) AS n_queries,
+      CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_correct,
+      CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+        AS BIGINT) / COUNT(*) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY label"""
+
   val bruteforceSql: String = s"""
     WITH $baseCtes,
     q AS (

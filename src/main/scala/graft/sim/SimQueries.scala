@@ -912,10 +912,51 @@ object SimQueries {
       .orderBy(col("cell"), col("rank"))
   }
 
+  /** kNN label propagation accuracy — the embedding-space EVAL harness: a
+    * training pipeline grades its embedding table by whether a held-out
+    * query's label is recoverable from its nearest neighbors (the
+    * standard linear-probe-free quality check). Each query vector
+    * (vec_id % 100 = 0, the ANN query set) takes the majority label of
+    * its cosine top-10 (ties to the smaller label id), and the output is
+    * the per-true-label confusion summary: queries, correct votes,
+    * accuracy. Scale shape: identical to [[bruteforce]] — broadcast
+    * query side, one embarrassingly-parallel corpus pass, then
+    * query-keyed window votes on the tiny top-k frame; swapping in the
+    * IVF/LSH candidate generator changes recall, not this plan's shape.
+    */
+  val knnLabelAccuracy: GraftQuery = GraftQuery(
+    "ann_knn_label_accuracy",
+    "kNN eval: majority label of cosine top-10 vs true label, per-label accuracy",
+    SimOracle.knnLabelSql) { (s, d) =>
+    val v = vecs(s, d)
+    val q = broadcast(v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("true_label")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    val top = q.join(v, col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+    val votes = top.groupBy(col("qid"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy(col("qid")).orderBy(desc("cnt"), col("label"))
+    val pred = votes.withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"))
+    pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("pred_label") === col("true_label")).cast("long"))
+          .as("n_correct"))
+      .select(col("true_label").as("label"), col("n_queries"),
+        col("n_correct"),
+        (col("n_correct") / col("n_queries")).as("accuracy"))
+      .orderBy("label")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
       clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives,
-      centroidOutliers)
+      centroidOutliers, knnLabelAccuracy)
 }
