@@ -336,6 +336,45 @@ object DedupOracle {
     FROM g
     ORDER BY source_a, source_b"""
 
+  /** Triangle-census twin: the same degree-oriented wedge join and
+    * semi-join closure over the shared pair CTEs; exact BIGINT counts,
+    * one zero-guarded double division.
+    */
+  def trianglesSql: String = s"""
+    WITH $ngramPairCtes,
+    te AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    ),
+    tbi AS (SELECT a AS u, b AS v FROM te UNION ALL SELECT b, a FROM te),
+    tdeg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM tbi GROUP BY u),
+    tor AS (
+      SELECT t.u, t.v
+      FROM tbi t
+      JOIN tdeg d1 ON t.u = d1.node
+      JOIN tdeg d2 ON t.v = d2.node
+      WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND t.u < t.v)
+    ),
+    tw AS (
+      SELECT x.v AS p, y.v AS q
+      FROM tor x JOIN tor y ON x.u = y.u AND x.v < y.v
+    ),
+    tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tw
+      WHERE EXISTS (SELECT 1 FROM te e WHERE e.a = tw.p AND e.b = tw.q)
+    ),
+    tea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM te),
+    twa AS (
+      SELECT CAST(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT)
+        AS n_wedges
+      FROM tdeg
+    )
+    SELECT tea.n_edges, twa.n_wedges, tt.n_triangles,
+      CASE WHEN twa.n_wedges = 0 THEN NULL
+           ELSE 3.0::DOUBLE * tt.n_triangles / twa.n_wedges
+      END AS transitivity
+    FROM tea CROSS JOIN twa CROSS JOIN tt"""
+
   /** Bloom-screen twin: the PLAIN fingerprint join — no bloom anywhere,
     * which is the point: the Spark side's bloom_filter_agg/might_contain
     * prefilter must be exactly semantics-preserving (the

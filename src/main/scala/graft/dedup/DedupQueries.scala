@@ -1529,9 +1529,77 @@ object DedupQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Triangle census of the near-dup graph — the graph-quality number
+    * [[degreeHistogram]] (local hubs), [[pagerank]] (global hubs), and
+    * [[clusters]] (reachability) don't see: TRANSITIVITY. Genuine
+    * template families duplicate transitively (A~B, B~C implies A~C), so
+    * their neighborhoods are triangle-dense; an edge-rich but
+    * triangle-POOR graph is chains of incidental matches that CC will
+    * over-merge — low transitivity here is the "inspect the threshold
+    * before trusting cluster assignment" alarm. Reports edges, wedges
+    * (open 2-paths), triangles, and global transitivity =
+    * 3*triangles/wedges.
+    *
+    * Scale shape: the classic degree-oriented distributed triangle count
+    * (Schank-Wagner): each edge is oriented from its lower-(degree, id)
+    * endpoint, so every wedge join fans out from a vertex's LOWER-degree
+    * neighbors — the quadratic term is Σ min-degreeᵈ, robust to hub skew
+    * where the naive id-orientation explodes on a high-degree node; the
+    * closure check is one semi-join against the canonical edge list. All
+    * counts are exact BIGINTs; transitivity is one IEEE division,
+    * zero-guarded to NULL on an edgeless corpus on both engines.
+    */
+  val triangles: GraftQuery = GraftQuery.oneRow(
+    "dedup_triangles",
+    s"near-dup graph triangle census: edges/wedges/triangles + transitivity (J >= $ClusterJaccard)",
+    DedupOracle.trianglesSql) { (s, d) =>
+    triangleStats(ngramJaccardFrame(Tables.documents(s, d))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a"), col("doc_b")))
+  }
+
+  /** The census over any canonical (doc_a < doc_b) edge frame, so the
+    * spec can drive a hand-computable graph.
+    */
+  private[graft] def triangleStats(edgesIn: DataFrame): DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    val bi = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    graft.api.Checkpoints.release(e)
+    val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // orient each edge away from its smaller (deg, id) endpoint
+    val oriented = bi
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    // wedges centered on the oriented source close iff (p, q) is an edge;
+    // p < q by construction, so the canonical edge list checks it directly
+    val wedgePairs = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("p"), col("y.v").as("q"))
+    val triCanon = bi.filter(col("u") < col("v"))
+    val tAgg = wedgePairs
+      .join(triCanon, col("p") === col("u") && col("q") === col("v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val eAgg = triCanon.agg(count(lit(1)).as("n_edges"))
+    val wAgg = deg.agg(
+      sum((col("deg") * (col("deg") - 1) / lit(2)).cast("long")).as("n_wedges"))
+    eAgg.crossJoin(wAgg).crossJoin(tAgg)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("transitivity"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
-      lshRecallDedup, sourceMatrix)
+      lshRecallDedup, sourceMatrix, triangles)
 }

@@ -417,6 +417,35 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("triangles: square + one diagonal counts 2 triangles, transitivity 3/4") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 1-2, 2-3, 3-4, 4-1, plus diagonal 1-3: triangles {1,2,3} and
+    // {1,3,4}; degrees 3,2,3,2 -> wedges 3+1+3+1 = 8; 3*2/8 = 0.75
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val r = graft.dedup.DedupQueries.triangleStats(edges).collect()(0)
+    assert(r.getAs[Long]("n_edges") === 5L)
+    assert(r.getAs[Long]("n_wedges") === 8L)
+    assert(r.getAs[Long]("n_triangles") === 2L)
+    assert(r.getAs[Double]("transitivity") === 0.75)
+    // orientation is a counting device, not a semantic: any partitioning
+    // must produce the identical census
+    val again = graft.dedup.DedupQueries.triangleStats(edges.repartition(7))
+      .collect()(0)
+    assert(r.toSeq === again.toSeq)
+  }
+
+  test("triangles: edgeless graph reports zeros and NULL transitivity") {
+    val spark0 = spark
+    import spark0.implicits._
+    val r = graft.dedup.DedupQueries.triangleStats(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect()(0)
+    assert(r.getAs[Long]("n_edges") === 0L)
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.isNullAt(r.fieldIndex("transitivity")))
+  }
+
   test("phrase search: consecutive-only matches, counts, first pos, snippet") {
     val spark0 = spark
     import spark0.implicits._
