@@ -336,6 +336,25 @@ object DedupOracle {
     FROM g
     ORDER BY source_a, source_b"""
 
+  /** Prefix-filter twin: the NAIVE uncapped full-set inverted-index join —
+    * deliberately filter-free, so the Spark side's prefix + length
+    * pruning is proven to drop nothing.
+    */
+  def prefixFilterSql: String = s"""
+    WITH ${shingleCtes(DedupQueries.MinhashShingleN, "pp_all", "ppt")},
+    ppsz AS (SELECT doc_id, COUNT(*) AS n FROM pp_all GROUP BY doc_id),
+    ppi AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+      FROM pp_all x JOIN pp_all y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+    FROM ppi
+    JOIN ppsz sa ON doc_a = sa.doc_id
+    JOIN ppsz sb ON doc_b = sb.doc_id
+    WHERE i / (sa.n + sb.n - i) >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    ORDER BY jaccard DESC, doc_a, doc_b"""
+
   /** Triangle-census twin: the same degree-oriented wedge join and
     * semi-join closure over the shared pair CTEs; exact BIGINT counts,
     * one zero-guarded double division.

@@ -1597,9 +1597,72 @@ object DedupQueries {
           .as("transitivity"))
   }
 
+  /** PPJoin-style prefix-filtered exact similarity join — the THIRD
+    * candidate-pruning family next to DF-capping (drop hot shingles —
+    * changes the measured Jaccard) and MinHash banding (probabilistic —
+    * misses pairs): prefix filtering is EXACT over the FULL shingle sets.
+    * Order shingles globally by (document frequency, shingle); a pair
+    * with Jaccard >= t MUST share one of each doc's first
+    * |d| - ceil(t*|d|) + 1 shingles under that order (the All-Pairs/
+    * PPJoin prefix lemma: J >= t forces overlap >= ceil(t*|d|), which
+    * cannot fit inside the excluded suffix), so only PREFIX postings —
+    * the rarest slice of every doc — enter the self-join, with the
+    * length filter t*max(|A|,|B|) <= min(|A|,|B|) applied AT the join.
+    * Candidates are then verified with exact full-set Jaccard. The
+    * oracle runs the NAIVE uncapped full self-join — the join the
+    * DF-capped miners refuse to run — proving both filters
+    * semantics-free: same pairs, same Jaccard values, nothing dropped.
+    * At 100 TB: no global rank is materialized (the (df, sh) pair IS the
+    * order, ranked per-doc by a doc-partitioned window), prefix df is
+    * low by construction (rare shingles first), and the verify touches
+    * only candidate docs via the semi-join prune.
+    */
+  val prefixFilterPairs: GraftQuery = GraftQuery(
+    "dedup_prefix_filter_pairs",
+    s"PPJoin prefix-filtered exact Jaccard >= $ClusterJaccard over FULL $MinhashShingleN-gram sets; oracle = naive full join",
+    DedupOracle.prefixFilterSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = ClusterJaccard
+    val sh = shingleSet(Tables.documents(s, d), MinhashShingleN)
+      .localCheckpoint()
+    val dfFrame = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val sized = sh.join(dfFrame, "sh")
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("pos", row_number().over(wdoc))
+    val pref = sized
+      .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+      .localCheckpoint()
+    val cand = pref.as("x")
+      .join(pref.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id")
+          && lit(t) * greatest(col("x.sz"), col("y.sz")) <=
+            least(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(shc.as("xb"),
+        col("doc_b") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
-      lshRecallDedup, sourceMatrix, triangles)
+      lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs)
 }

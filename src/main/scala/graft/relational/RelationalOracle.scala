@@ -273,4 +273,39 @@ object RelationalOracle {
     FROM mt m JOIN lv l USING (month)
     ORDER BY month"""
   }
+
+  /** Replica-diff twin: the same hash60-of-PK bucketing and BIT_XOR
+    * checksums on both sides of the planted loss; only exact integer
+    * columns enter the concat so pre-images render identically.
+    */
+  def replicaDiffSql: String = {
+    import RelationalQueries.{DiffBuckets, DiffDropModulus}
+    val h = "CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, " +
+      "l_partkey, l_suppkey, l_linenumber)),1,15))::UBIGINT AS BIGINT)"
+    s"""
+    WITH rp AS (SELECT $h AS h FROM lineitem),
+    rr AS (
+      SELECT $h AS h FROM lineitem WHERE l_orderkey % $DiffDropModulus <> 0
+    ),
+    gp AS (
+      SELECT h % $DiffBuckets AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS rows_primary,
+        bit_xor(h) AS xor_primary
+      FROM rp GROUP BY 1
+    ),
+    gr AS (
+      SELECT h % $DiffBuckets AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS rows_replica,
+        bit_xor(h) AS xor_replica
+      FROM rr GROUP BY 1
+    )
+    SELECT COALESCE(gp.bucket, gr.bucket) AS bucket,
+      COALESCE(rows_primary, 0) AS rows_primary,
+      COALESCE(rows_replica, 0) AS rows_replica,
+      (COALESCE(rows_primary, 0) = COALESCE(rows_replica, 0)
+        AND COALESCE(xor_primary, 0) = COALESCE(xor_replica, 0))
+        AS bucket_match
+    FROM gp FULL OUTER JOIN gr ON gp.bucket = gr.bucket
+    ORDER BY bucket"""
+  }
 }

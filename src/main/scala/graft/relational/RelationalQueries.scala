@@ -379,10 +379,63 @@ object RelationalQueries {
       .orderBy(col("n_name"), col("rank_in_nation"), col("s_suppkey"))
   }
 
+  /** Buckets for [[replicaDiff]]'s reconciliation partition; declared
+    * before the GraftQuery val (oracle interpolation — the init-order
+    * rule). 64 here; at 100 TB you'd size this so each bucket's scan is
+    * one task's worth of data.
+    */
+  val DiffBuckets = 64
+
+  /** Orderkey modulus whose multiples are "lost" from the simulated
+    * replica — a deterministic ~0.1% discrepancy that must surface.
+    */
+  val DiffDropModulus = 997
+
+  /** Replica integrity diff — how a 100 TB copy is verified WITHOUT
+    * moving data: both sides compute per-bucket (hash60(PK) mod
+    * [[DiffBuckets]]) row counts and an order-independent BIT_XOR
+    * checksum of the per-row PK hash, and only the two tiny
+    * bucket-summary frames meet. A lost/duplicated/corrupted row flips
+    * its bucket's count or checksum; matching buckets are PROVEN equal
+    * on the hashed columns without a row-level join. The replica here is
+    * the primary minus rows with l_orderkey % [[DiffDropModulus]] = 0 —
+    * a planted ~0.1% loss the diff must localize to its buckets. XOR is
+    * the right fold: commutative/associative (partition-order-free, no
+    * quantization needed), no overflow, and sensitive to any single-row
+    * change; only exact integer columns enter the hash so both engines
+    * render identical pre-images.
+    */
+  val replicaDiff: GraftQuery = GraftQuery(
+    "replica_integrity_diff",
+    s"replication reconciliation: per-bucket counts + BIT_XOR row-hash checksums, primary vs replica with a planted 1/$DiffDropModulus loss",
+    RelationalOracle.replicaDiffSql) { (s, d) =>
+    val pk = graft.text.TextFns.hash60(concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber")))
+    def summarize(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select((pk % DiffBuckets).as("bucket"), pk.as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"rows_$side"),
+          expr("bit_xor(h)").as(s"xor_$side"))
+    val li = Tables.lineitem(s, d)
+    val primary = summarize(li, "primary")
+    val replica = summarize(
+      li.filter(col("l_orderkey") % DiffDropModulus =!= 0), "replica")
+    primary.join(replica, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("rows_primary"), lit(0L)).as("rows_primary"),
+        coalesce(col("rows_replica"), lit(0L)).as("rows_replica"),
+        (coalesce(col("rows_primary"), lit(0L)) ===
+          coalesce(col("rows_replica"), lit(0L)) &&
+          coalesce(col("xor_primary"), lit(0L)) ===
+            coalesce(col("xor_replica"), lit(0L))).as("bucket_match"))
+      .orderBy("bucket")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
-    suppliersWaiting, forecastSes)
+    suppliersWaiting, forecastSes, replicaDiff)
 }

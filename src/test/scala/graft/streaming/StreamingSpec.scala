@@ -412,6 +412,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_(2)) === exact)
   }
 
+  test("userSessions: streaming append emits watermark-closed sessions equal to batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = EventStreams.userSessions(stream.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // sessions close only when the watermark passes session end + gap:
+    // push it with far-future sentinel events (user 99) across two
+    // batches — the watermark for batch N derives from batch N-1's max
+    stream.addData(Ev(90, t("10:00"), 99, "view", 0.0, "{}"))
+    q.processAllAvailable()
+    stream.addData(Ev(91, t("10:01"), 99, "view", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_out")
+      .filter(col("user_id") =!= 99)
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.userSessions(events.toDF())
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.length === 2)
+    // the sentinel user's own session is still open — append must NOT
+    // have emitted it
+    assert(spark.table("sessions_out").filter(col("user_id") === 99).count() === 0)
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
