@@ -341,7 +341,7 @@ object DedupOracle {
     * pruning is proven to drop nothing.
     */
   def prefixFilterSql: String = s"""
-    WITH ${shingleCtes(DedupQueries.MinhashShingleN, "pp_all", "ppt")},
+    WITH ${shingleCtes(DedupQueries.PrefixShingleN, "pp_all", "ppt")},
     ppsz AS (SELECT doc_id, COUNT(*) AS n FROM pp_all GROUP BY doc_id),
     ppi AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
@@ -352,7 +352,7 @@ object DedupOracle {
     FROM ppi
     JOIN ppsz sa ON doc_a = sa.doc_id
     JOIN ppsz sb ON doc_b = sb.doc_id
-    WHERE i / (sa.n + sb.n - i) >= ${DedupQueries.ClusterJaccard}::DOUBLE
+    WHERE i / (sa.n + sb.n - i) >= ${DedupQueries.PrefixJaccard}::DOUBLE
     ORDER BY jaccard DESC, doc_a, doc_b"""
 
   /** Triangle-census twin: the same degree-oriented wedge join and

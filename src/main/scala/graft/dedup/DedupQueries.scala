@@ -1597,6 +1597,30 @@ object DedupQueries {
           .as("transitivity"))
   }
 
+  /** Jaccard threshold for [[prefixFilterPairs]] — deliberately HIGHER
+    * than [[ClusterJaccard]]: the prefix length is |d| - ceil(t*|d|) + 1,
+    * so at t = 0.5 HALF of every doc's shingles are indexed and the
+    * filter barely prunes (measured 46 s at sf0.1 — a scale killer),
+    * while at 0.8 only the rarest ~20% enter the join. 0.8 is the
+    * regime prefix filtering is designed for (verbatim/near-verbatim
+    * dup mining; the corpus's true near-dup pairs all sit at J >= 0.9,
+    * so nothing is lost vs 0.5). Declared before the GraftQuery val
+    * (oracle interpolation — the init-order rule).
+    */
+  val PrefixJaccard = 0.8
+
+  /** Shingle width for [[prefixFilterPairs]] — 5-gram, the
+    * near-verbatim-dup span width (C4-style), deliberately WIDER than
+    * the 2/3-gram miners: prefix filtering lives or dies on feature
+    * rarity, and on this corpus's dense small-vocabulary 2-gram space
+    * even each doc's rarest-20% shingles have global df in the hundreds
+    * (measured: 54k prefix postings -> 1.5M candidates, 46 s — a scale
+    * killer), while 5-grams are near-unique (same prefix mass -> 255
+    * candidates, a 6000x cut). The lesson is general: pick the prefix
+    * feature so its df tail is actually thin.
+    */
+  val PrefixShingleN = 5
+
   /** PPJoin-style prefix-filtered exact similarity join — the THIRD
     * candidate-pruning family next to DF-capping (drop hot shingles —
     * changes the measured Jaccard) and MinHash banding (probabilistic —
@@ -1619,11 +1643,11 @@ object DedupQueries {
     */
   val prefixFilterPairs: GraftQuery = GraftQuery(
     "dedup_prefix_filter_pairs",
-    s"PPJoin prefix-filtered exact Jaccard >= $ClusterJaccard over FULL $MinhashShingleN-gram sets; oracle = naive full join",
+    s"PPJoin prefix-filtered exact Jaccard >= $PrefixJaccard over FULL $PrefixShingleN-gram sets; oracle = naive full join",
     DedupOracle.prefixFilterSql) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val t = ClusterJaccard
-    val sh = shingleSet(Tables.documents(s, d), MinhashShingleN)
+    val t = PrefixJaccard
+    val sh = shingleSet(Tables.documents(s, d), PrefixShingleN)
       .localCheckpoint()
     val dfFrame = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
