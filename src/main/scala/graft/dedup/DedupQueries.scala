@@ -1645,20 +1645,10 @@ object DedupQueries {
     "dedup_prefix_filter_pairs",
     s"PPJoin prefix-filtered exact Jaccard >= $PrefixJaccard over FULL $PrefixShingleN-gram sets; oracle = naive full join",
     DedupOracle.prefixFilterSql) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val t = PrefixJaccard
     val sh = shingleSet(Tables.documents(s, d), PrefixShingleN)
       .localCheckpoint()
-    val dfFrame = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val sized = sh.join(dfFrame, "sh")
-      .withColumn("sz",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("pos", row_number().over(wdoc))
-    val pref = sized
-      .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("doc_id"), col("sh"), col("sz"))
-      .localCheckpoint()
+    val pref = prefixPostings(sh, t).localCheckpoint()
     val cand = pref.as("x")
       .join(pref.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id")
@@ -1682,6 +1672,25 @@ object DedupQueries {
         (col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= t)
       .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+  }
+
+  /** The prefix-posting build for [[prefixFilterPairs]]: each doc's first
+    * |d| - ceil(t*|d|) + 1 shingles under the global (df, sh) order, with
+    * the doc's full size riding along for the length filter. Both windows
+    * are doc_id-partitioned (PlanSpec pins it) — no global rank exists.
+    * Un-checkpointed so the caller owns materialization and the spec can
+    * inspect the plan.
+    */
+  private[graft] def prefixPostings(sh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfFrame = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    sh.join(dfFrame, "sh")
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("pos", row_number().over(wdoc))
+      .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
   }
 
   def all: Seq[GraftQuery] =

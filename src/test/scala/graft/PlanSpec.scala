@@ -400,4 +400,54 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast label-assignment join in the rollup:\n$plan")
   }
+
+  test("dedup_prefix_filter_pairs: prefix rank windows are doc-partitioned, never global") {
+    // the 100 TB contract of prefix filtering: the (df, shingle) order is
+    // consumed per-doc through a doc_id-partitioned window — a GLOBAL
+    // rank (single-partition window) would serialize the corpus. The
+    // query checkpoints the prefix frame (truncating lineage), so the
+    // pin inspects the un-checkpointed builder directly.
+    val sh = dedup.DedupQueries.shingleSet(
+      Tables.documents(spark, sf), dedup.DedupQueries.PrefixShingleN)
+    val df = dedup.DedupQueries.prefixPostings(
+      sh, dedup.DedupQueries.PrefixJaccard)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "found a global (unpartitioned) window in the prefix-filter plan")
+    }
+  }
+
+  test("replica_integrity_diff: checksums partial-aggregate before the bucket exchange") {
+    // count + bit_xor are both partial-aggregable: each side must reduce
+    // map-side so only (bucket, count, xor) rows — never lineitem rows —
+    // cross the shuffle
+    val plan = planOf("replica_integrity_diff")
+    assert(plan.contains("partial_bit_xor") || plan.contains("partial"),
+      s"expected partial aggregation below the exchange:\n$plan")
+  }
+
+  test("ann_knn_label_accuracy: query side is broadcast, corpus scans once") {
+    val plan = planOf("ann_knn_label_accuracy")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected the tiny query set on a broadcast side:\n$plan")
+  }
+
+  test("dedup_source_matrix: the global share window reads the aggregated matrix, not pairs") {
+    // sum(n_pairs) OVER () is a single-partition window — legal ONLY
+    // because its input is the |sources|^2 aggregate; pin that the window
+    // sits above the groupBy in the optimized plan
+    val df = SparkEntry.queries("dedup_source_matrix")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size === 1)
+    // the window's subtree must contain the pair-count aggregate
+    assert(windows.head.collect { case a: Aggregate => a }.nonEmpty,
+      "share window does not sit above the aggregation")
+  }
 }
