@@ -1317,6 +1317,9 @@ object DedupQueries {
     s"LSH grading: band-candidate recall of exact 2-gram J>=$ClusterJaccard pairs + signature MAE",
     DedupOracle.lshRecallSql) { (s, d) =>
     import graft.api.Det
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val tok = tokenizedDocs(Tables.documents(s, d))
     // shingle explodes stay map-side re-runs from the checkpointed token
     // frame — materializing the full shingle frame was A/B'd and LOST
@@ -1324,21 +1327,30 @@ object DedupQueries {
     // same result as clustersMulti's verify path)
     def sh = tok.select(col("doc_id"),
       explode(array_distinct(shingles(col("toks"), MinhashShingleN))).as("sh"))
-    val truth = jaccardPairs(capPostings(sh), lit(true))
-      .filter(col("jaccard") >= ClusterJaccard)
-      .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+    // the truth miner's posting materialization and the whole banded
+    // verify pipeline are INDEPENDENT until the final aggregates — run
+    // their eager checkpoint jobs from concurrent threads (the
+    // clustersMulti overlap pattern: deterministic frames, only
+    // wall-clock changes; A/B'd 1.74 -> ~1.3 s at sf0.1)
+    val truthF = Future(capPostings(sh))
     // ONE signature aggregation (the duplicated SHUFFLE of the round-10
     // shape), shared by the banded verify path and the per-component
     // match columns below
-    val sigs = minhashSigs(sh).localCheckpoint()
-    val matches = (0 until MinhashK).map(i =>
-      when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
-    val verest = minhashJaccardFromShingles(sh, Some(sigs))
-      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        (matches.cast("double") / lit(MinhashK)).as("est"))
-      .localCheckpoint()
+    val verestF = Future {
+      val sigs = minhashSigs(sh).localCheckpoint()
+      val matches = (0 until MinhashK).map(i =>
+        when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0)).reduce(_ + _)
+      minhashJaccardFromShingles(sh, Some(sigs))
+        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          (matches.cast("double") / lit(MinhashK)).as("est"))
+        .localCheckpoint()
+    }
+    val truth = jaccardPairs(Await.result(truthF, Duration.Inf), lit(true))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+    val verest = Await.result(verestF, Duration.Inf)
     // n_truth and n_caught in ONE pass: left join against the (distinct-
     // pair) candidate set, count(*) vs count(matched). truth then has a
     // single consumer, so it needs no materialization barrier — one
