@@ -488,6 +488,47 @@ object DedupOracle {
         AS final_kept
     FROM nd GROUP BY lang ORDER BY lang"""
 
+  /** Keep-best twin: the recursive label closure + the sampleWeighted
+    * quality score (::DOUBLE-pinned literals so no DECIMAL arithmetic
+    * enters the ORDERING), argmax via the same (score DESC, doc_id)
+    * row_number, min-id comparison for the quality-win count.
+    */
+  def keepBestSql: String = {
+    val stops = graft.text.TextFns.Stopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE $clusterLabelCtes,
+    kq AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    ks AS (
+      SELECT doc_id, lang,
+        least(1.0::DOUBLE, len(toks) / 60.0::DOUBLE) *
+          (1.0::DOUBLE -
+            len(list_filter(toks, x -> list_contains($stops, x))) / len(toks))
+          AS score
+      FROM kq
+    ),
+    kl AS (
+      SELECT ks.doc_id, ks.lang, ks.score,
+        COALESCE(l.label, ks.doc_id) AS cluster
+      FROM ks LEFT JOIN lab l ON ks.doc_id = l.node
+    ),
+    kr AS (
+      SELECT lang, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY cluster
+          ORDER BY score DESC, doc_id) AS rn,
+        MIN(doc_id) OVER (PARTITION BY cluster) AS min_id
+      FROM kl
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      CAST(SUM(CASE WHEN rn = 1 AND doc_id <> min_id THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_quality_wins
+    FROM kr GROUP BY lang ORDER BY lang"""
+  }
+
   /** CTE chain ending in `mh_pairs` = every LSH-candidate pair with exact
     * Jaccard — shared by the top-k query and the cross-family cluster
     * oracle. Names are m-prefixed so the chain composes with

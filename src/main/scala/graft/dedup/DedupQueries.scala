@@ -1509,6 +1509,55 @@ object DedupQueries {
       .limit(PrTopK)
   }
 
+  /** Quality-aware keeper selection — the refinement of the min-id keep
+    * rule every serious dedup pipeline ships: within each near-dup
+    * cluster keep the HIGHEST-QUALITY document (the [[graft.text
+    * .TextQueries.sampleWeighted]] score: length saturation x stopword
+    * penalty), ties to the smaller doc_id; singletons keep themselves.
+    * The per-language report counts kept/dropped and — the number that
+    * justifies the extra window — `n_quality_wins`: kept docs that are
+    * NOT their cluster's min doc_id, i.e. where quality-aware selection
+    * actually changed the outcome. Cost on top of [[clusters]]: one
+    * cluster-partitioned window over the labeled docs (the labels frame
+    * is edge-bounded; docs outside any cluster take the coalesce path
+    * and never shuffle by cluster... they do ride the window shuffle,
+    * keyed by their own id — uniform by construction).
+    */
+  val keepBest: GraftQuery = GraftQuery(
+    "dedup_keep_best",
+    "quality-argmax keeper per near-dup cluster: per-language kept/dropped + quality-win count",
+    DedupOracle.keepBestSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextFns
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        (least(lit(1.0), size(col("toks")) / lit(60.0)) *
+          (lit(1.0) - TextFns.stopwordCount(col("toks"), TextFns.Stopwords) /
+            size(col("toks")))).as("score"))
+    val edges = ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(edges)
+    val lbl = scored.join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("lang"), col("score"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    val wq = Window.partitionBy(col("cluster"))
+      .orderBy(desc("score"), col("doc_id"))
+    val ranked = lbl
+      .withColumn("rn", row_number().over(wq))
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("cluster"))))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rn") === 1).cast("long")).as("n_kept"),
+        sum((col("rn") > 1).cast("long")).as("n_dropped"),
+        sum((col("rn") === 1 && col("doc_id") =!= col("min_id")).cast("long"))
+          .as("n_quality_wins"))
+      .orderBy("lang")
+  }
+
   /** Cross-source duplication matrix — WHERE the near-dup mass lives: the
     * J >= [[ClusterJaccard]] pairs bucketed by their endpoints' source
     * pair (unordered — least/greatest normalizes so each pair lands in
@@ -1709,5 +1758,5 @@ object DedupQueries {
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
-      lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs)
+      lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest)
 }

@@ -301,6 +301,28 @@ object EventOracle {
     FROM tr JOIN tot t USING (prev)
     ORDER BY prev, next"""
 
+  /** Trigram twin: two LEADs under the same user window, |types|³
+    * aggregate, global-window share (BIGINT/BIGINT -> one double
+    * division on both engines).
+    */
+  val sequenceTrigramsSql: String = s"""
+    WITH $evCte,
+    tg AS (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT event_type AS e1,
+          LEAD(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS e2,
+          LEAD(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS e3
+        FROM ev
+      ) WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n,
+      n / CAST(SUM(n) OVER () AS BIGINT) AS share
+    FROM tg
+    ORDER BY n DESC, e1, e2, e3 LIMIT 15"""
+
   /** Attribution twin: the PURE interval predicate (no bucket pruning —
     * proving the Spark side's bucketed mine is exactly equivalent), then
     * the same (v_tm DESC, view_id DESC) pick and left join back to all

@@ -390,6 +390,36 @@ object EventQueries {
       .orderBy("prev", "next")
   }
 
+  /** Sequence pattern mining — the higher-order sibling of
+    * [[markovTransitions]]: frequent CONSECUTIVE event-type trigrams over
+    * each user's ordered timeline (two leads per event under the same
+    * user-keyed window), reporting the top-15 with their share of all
+    * trigram instances. The session-template miner (what does a
+    * conversion path actually look like) whose output feeds funnel
+    * design. One user-keyed shuffle for the window sort; the trigram
+    * space is \|types\|³-bounded, so the aggregate and the global-share
+    * window both run over a tiny frame at any corpus size.
+    */
+  val sequenceTrigrams: GraftQuery = GraftQuery(
+    "events_sequence_trigrams",
+    "frequent consecutive event-type trigrams per user timeline: top-15 + share",
+    EventOracle.sequenceTrigramsSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+    tri
+      .withColumn("share",
+        col("n") / sum(col("n")).over(Window.partitionBy()))
+      .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
+      .limit(15)
+  }
+
   /** Attribution window (microseconds): a click attributes to the latest
     * same-user view STRICTLY less than this long before it.
     */
@@ -460,5 +490,5 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, dailyDistinct, markovTransitions)
+      attribution, dailyDistinct, markovTransitions, sequenceTrigrams)
 }

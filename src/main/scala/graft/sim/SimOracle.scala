@@ -647,6 +647,29 @@ object SimOracle {
     ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
   }
 
+  /** Bitext-mining twin: the semanticDedup chain with the language join
+    * and the inverted language predicate at the pair join.
+    */
+  def crosslingualSql: String = {
+    import SimFns.KmeansIters
+    val fin = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    $kmeansChain,
+    xm AS (
+      SELECT n.vec_id, n.v, n.nrm, a.j AS cell, d.lang
+      FROM n
+      JOIN a$fin a ON n.vec_id = a.vec_id
+      JOIN documents d ON n.vec_id = d.doc_id
+    )
+    SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+      x.lang AS lang_a, y.lang AS lang_b,
+      ${dotIdx("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+    FROM xm x JOIN xm y
+      ON x.cell = y.cell AND x.vec_id < y.vec_id AND x.lang <> y.lang
+    ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
+  }
+
   /** Cluster-topic twin: the same trained assignment chain, token
     * occurrences partial-agged per doc, identical division association and
     * 9-decimal ln quantization, ROW_NUMBER cast to INTEGER.

@@ -912,6 +912,39 @@ object SimQueries {
       .orderBy(col("cell"), col("rank"))
   }
 
+  /** Bitext / parallel-corpus candidate mining — the multilingual
+    * training-data operator: documents in DIFFERENT languages whose
+    * embeddings sit close are translation-pair candidates (the
+    * CCMatrix/LASER margin-mining shape). Same trained-cell restriction
+    * as [[semanticDedup]] — candidates never cross the corpus, only the
+    * k-means cell — but the pair predicate inverts the language test:
+    * lang_a != lang_b, joined from the documents side of the parallel
+    * tables. Top-20 by cosine with both languages reported. At scale
+    * this is the exact SemDeDup plan with one extra broadcast-sized
+    * (id, lang) join per side; the cross-lingual filter prunes AT the
+    * pair join, not after it.
+    */
+  val crosslingualPairs: GraftQuery = GraftQuery(
+    "crosslingual_pairs",
+    "bitext candidate mining: cross-language cosine top-20 within trained k-means cells",
+    SimOracle.crosslingualSql) { (s, d) =>
+    val langs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .join(langs, col("vec_id") === col("doc_id"))
+      .join(kmeansCells(s, d), "vec_id")
+    val x = v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("lang").as("lang_a"), col("cell").as("cell_a"))
+    x.join(v.as("y"),
+        col("cell_a") === col("y.cell") && col("vec_a") < col("y.vec_id")
+          && col("lang_a") =!= col("y.lang"))
+      .select(col("cell_a").as("cell"), col("vec_a"),
+        col("y.vec_id").as("vec_b"), col("lang_a"), col("y.lang").as("lang_b"),
+        (dot(col("va"), col("y.v")) / (col("na") * col("y.nrm"))).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
   /** kNN label propagation accuracy — the embedding-space EVAL harness: a
     * training pipeline grades its embedding table by whether a held-out
     * query's label is recoverable from its nearest neighbors (the
@@ -958,5 +991,5 @@ object SimQueries {
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
       clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives,
-      centroidOutliers, knnLabelAccuracy)
+      centroidOutliers, knnLabelAccuracy, crosslingualPairs)
 }
