@@ -624,8 +624,18 @@ object SimQueries {
     "ann_ivfpq_topk",
     s"IVF+PQ ANN: probe $IvfPqNprobe trained coarse cells, ADC-rank the PQ codes within",
     SimOracle.ivfpqTopkSql) { (s, d) =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
-    val cents = trainedCentroids(base)
+    // the coarse quantizer and the PQ codebooks are trained independently
+    // (different objectives over the same materialized base) — run both
+    // driver-iterated Lloyd loops concurrently so their per-sweep jobs
+    // interleave (same-window git-stash A/B at sf0.1: 2.34 -> 1.46 s);
+    // assignment/LUT construction below is lazy and unaffected
+    val centsF = Future(trainedCentroids(base))
+    val cbF = Future(pqCodebook(base))
+    val cents = Await.result(centsF, Duration.Inf)
     val vcell = kmAssign(base, cents).select(col("vec_id"), col("j").as("cell"))
     val q = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -641,7 +651,7 @@ object SimQueries {
       .select(col("qid"),
         explode(slice(col("scored"), 1, IvfPqNprobe)).as("pc"))
       .select(col("qid"), col("pc").getField("j").as("cell"))
-    val cbAll = pqCodebook(base)
+    val cbAll = Await.result(cbF, Duration.Inf)
     val codes = pqAssign(pqSubVecs(base), cbAll)
       .select(col("vec_id"), col("m"), col("j").as("code"))
     val lut = q.crossJoin(broadcast(cbAll))
@@ -882,12 +892,28 @@ object SimQueries {
     "cluster_topic_terms",
     s"cluster labeling: top-$TopicTermsK lift tokens per trained k-means cell",
     SimOracle.clusterTopicsSql) { (s, d) =>
-    val occ = graft.Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.text.TextFns.tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-    val cells = kmeansCells(s, d)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // the token-posting mine and the quantizer TRAINING are independent
+    // until the cell join: materialize the postings (3 downstream
+    // consumers — without the cut the explode+agg re-runs per consumer)
+    // concurrently with the driver-iterated Lloyd loop. Same-window
+    // A/B at sf0.1: a WASH (1.86 -> 1.83 s — the checkpoint barrier
+    // offsets the dedup + overlap at this SF); kept because at corpus
+    // scale the 3x posting re-mine grows with data while the barrier
+    // write is one narrow (doc, token, cnt) frame
+    val occF = Future {
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+    }
+    val cellsF = Future(kmeansCells(s, d))
+    val occ = Await.result(occF, Duration.Inf)
+    val cells = Await.result(cellsF, Duration.Inf)
     val cellTok = occ.join(cells, occ("doc_id") === cells("vec_id"))
       .groupBy(col("cell"), col("token"))
       .agg(sum(col("cnt")).as("cnt_cell"))
