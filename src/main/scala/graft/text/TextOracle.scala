@@ -726,6 +726,96 @@ object TextOracle {
   /** Importance-sampler twin: identical score expression to qualitySql,
     * identical hash60 uniform, all counts exact BIGINTs.
     */
+  /** Epoch-shard twin: the same epoch-tagged content hash mod shards,
+    * exact counts, one per-epoch share division.
+    */
+  def epochShardsSql: String = {
+    val sc = TextQueries.ShardCount
+    val eps = (0 until TextQueries.EpochCount).map(e => s"($e)").mkString(", ")
+    s"""
+    WITH ep(epoch) AS (VALUES $eps),
+    t AS (
+      SELECT ep.epoch,
+        ${hash60Sql("CAST(ep.epoch AS VARCHAR) || ':' || text")} % $sc
+          AS shard,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents CROSS JOIN ep
+    ),
+    g AS (
+      SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1, 2
+    )
+    SELECT epoch, shard, n_docs, n_tokens,
+      n_docs / CAST(SUM(n_docs) OVER (PARTITION BY epoch) AS BIGINT)
+        AS epoch_share
+    FROM g ORDER BY epoch, shard"""
+  }
+
+  /** Chunking twin: identical closed-form k / chunk-token arithmetic in
+    * pure BIGINTs (the ceil is the same floor((n-C+S-1)/S) double form),
+    * one final division per language.
+    */
+  def chunkingSql: String = {
+    val c = TextQueries.ChunkSize
+    val st = TextQueries.ChunkStride
+    s"""
+    WITH t AS (
+      SELECT lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    k AS (
+      SELECT lang, n,
+        CASE WHEN n <= $c THEN 1
+             ELSE CAST(floor((n - $c + $st - 1) / $st::DOUBLE) AS BIGINT) + 1
+        END AS k
+      FROM t
+    ),
+    ct AS (
+      SELECT lang, n, k,
+        CASE WHEN n <= $c THEN n
+             ELSE $c * (k - 1) + n - $st * (k - 1)
+        END AS ct
+      FROM k
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n) AS BIGINT) AS n_tokens,
+      CAST(SUM(k) AS BIGINT) AS n_chunks,
+      CAST(SUM(ct) AS BIGINT) AS n_chunk_tokens,
+      CAST(SUM(ct) AS BIGINT) / CAST(SUM(n) AS BIGINT) AS expansion
+    FROM ct GROUP BY lang ORDER BY lang"""
+  }
+
+  /** Temperature-mix twin: same exact-BIGINT token counts, pow quantized
+    * to 9 decimals per language, exact BIGINT normalizing sum, identical
+    * division association for p and effective epochs.
+    */
+  def temperatureMixSql: String = {
+    val a = TextQueries.MixAlpha
+    s"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    shr AS (
+      SELECT lang, n_docs, n_tokens,
+        n_tokens / CAST(SUM(n_tokens) OVER () AS BIGINT) AS share
+      FROM c
+    ),
+    wq AS (
+      SELECT lang, n_docs, n_tokens, share,
+        CAST(floor(pow(share, $a::DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+          AS w
+      FROM shr
+    )
+    SELECT lang, n_docs, n_tokens, share,
+      w / CAST(SUM(w) OVER () AS BIGINT) AS p,
+      (w / CAST(SUM(w) OVER () AS BIGINT)) / share AS effective_epochs
+    FROM wq ORDER BY lang"""
+  }
+
   def sampleWeightedSql: String = s"""
     WITH t AS (
       SELECT lang, text, string_split(text, ' ') AS toks FROM documents

@@ -525,6 +525,131 @@ object TextQueries {
       .orderBy(desc("n_train_partners"), col("test_doc"))
   }
 
+  /** Shard count / epoch count for [[epochShards]]. Declared before the
+    * GraftQuery val (init-order rule).
+    */
+  val ShardCount = 8
+  val EpochCount = 2
+
+  /** Deterministic epoch shuffling — how a 100 TB training run re-orders
+    * its corpus per epoch WITHOUT a global sort or a seeded RNG: shard =
+    * hash60(epoch || content) mod [[ShardCount]], a pure per-row map
+    * that survives re-shards/re-runs (the [[splits]] argument) yet
+    * decorrelates BETWEEN epochs (the epoch tag changes every hash).
+    * The audit reports the (epoch, shard) doc/token matrix with each
+    * shard's share of its epoch — balance within an epoch AND
+    * between-epoch independence are both visible (a shard repeating its
+    * epoch-0 membership in epoch 1 would show as correlated counts; the
+    * spec pins the stronger per-doc statement: same-shard carryover is
+    * ~1/[[ShardCount]], not 1). Everything is exact integers except the
+    * one share division.
+    */
+  val epochShards: GraftQuery = GraftQuery(
+    "corpus_epoch_shards",
+    s"deterministic per-epoch shard assignment: (epoch, shard) doc/token matrix over $ShardCount shards x $EpochCount epochs",
+    TextOracle.epochShardsSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val epochs = (0 until EpochCount).map(lit(_))
+    Tables.documents(s, d)
+      .select(col("text"), size(tokens(col("text"))).cast("long").as("n_toks"),
+        explode(array(epochs: _*)).as("epoch"))
+      .select(col("epoch"),
+        (hash60(concat(col("epoch").cast("string"), lit(":"), col("text")))
+          % ShardCount).as("shard"),
+        col("n_toks"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("epoch_share",
+        col("n_docs") / sum(col("n_docs")).over(
+          Window.partitionBy(col("epoch"))))
+      .orderBy("epoch", "shard")
+  }
+
+  /** Chunk window / stride (tokens) for [[chunking]] — 32-token overlap.
+    * Declared before the GraftQuery val (init-order rule).
+    */
+  val ChunkSize = 128
+  val ChunkStride = 96
+
+  /** Sliding-window chunking audit — the preprocessing step that feeds an
+    * embedding/retrieval index from long documents: [[ChunkSize]]-token
+    * windows every [[ChunkStride]] tokens (32-token overlap so no
+    * boundary-spanning passage is lost). The count and the duplicated
+    * token mass are CLOSED FORM per document — k = ceil((n-C)/S)+1
+    * chunks, C(k-1) + n - S(k-1) chunk tokens — so the operator is one
+    * narrow map + a per-language aggregate: pure BIGINT arithmetic, no
+    * explode, nothing corpus-sized shuffles (the chunk ROWS themselves
+    * would be materialized by the downstream embedder; this is the
+    * planning/cost artifact). `expansion` = chunk tokens / corpus tokens
+    * is the storage multiplier the overlap buys.
+    */
+  val chunking: GraftQuery = GraftQuery(
+    "corpus_chunking",
+    s"sliding-window chunk audit: $ChunkSize-token windows, stride $ChunkStride, per-language counts + expansion",
+    TextOracle.chunkingSql) { (s, d) =>
+    val n = size(tokens(col("text"))).cast("long")
+    val k = when(n <= ChunkSize, lit(1L)).otherwise(
+      floor((n - ChunkSize + ChunkStride - 1) / lit(ChunkStride.toDouble))
+        .cast("long") + 1L)
+    val chunkToks = when(n <= ChunkSize, n).otherwise(
+      lit(ChunkSize.toLong) * (k - 1) + n - lit(ChunkStride.toLong) * (k - 1))
+    Tables.documents(s, d)
+      .select(col("lang"), n.as("n_toks"), k.as("k"), chunkToks.as("ct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("k")).as("n_chunks"),
+        sum(col("ct")).as("n_chunk_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chunks"),
+        col("n_chunk_tokens"),
+        (col("n_chunk_tokens") / col("n_tokens")).as("expansion"))
+      .orderBy("lang")
+  }
+
+  /** Sampling temperature for [[temperatureMix]] (the mT5/XLM-R alpha):
+    * p_l ∝ share_l^alpha. Declared before the GraftQuery val (oracle
+    * interpolation — the init-order rule).
+    */
+  val MixAlpha = 0.3
+
+  /** Temperature-based mixture weights — the OTHER half of the mixing
+    * story next to [[rebalance]]'s fixed keep-rates: the mT5/XLM-R
+    * low-resource upsampling rule p_l ∝ (n_l/N)^[[MixAlpha]], reported
+    * per language with the resulting effective epoch count
+    * (p_l * N / n_l — how many passes over language l one corpus-sized
+    * sample implies; > 1 for low-resource languages is exactly the
+    * oversampling the temperature buys). One tiny aggregate: per-language
+    * token counts partial-agg map-side, then a |langs|-bounded frame
+    * carries every power/normalization — the exponent never touches a
+    * corpus-sized row. Determinism: share and p are ratios of exact
+    * BIGINTs; pow is quantized to 9 decimals per LANGUAGE (|langs| ulp
+    * exposures, the ln-quantization recipe), and the normalizing sum is
+    * an exact LONG sum of those quantized weights.
+    */
+  val temperatureMix: GraftQuery = GraftQuery(
+    "corpus_temperature_mix",
+    s"mT5-style temperature sampling weights: p_l ~ share^$MixAlpha + effective epochs per language",
+    TextOracle.temperatureMixSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val wAll = Window.partitionBy()
+    val shared = counts
+      .withColumn("share",
+        col("n_tokens") / sum(col("n_tokens")).over(wAll))
+      .withColumn("wq",
+        floor(pow(col("share"), lit(MixAlpha)) * lit(1e9) + lit(0.5))
+          .cast("long"))
+    shared
+      .withColumn("p", col("wq") / sum(col("wq")).over(wAll))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share"),
+        col("p"),
+        (col("p") / col("share")).as("effective_epochs"))
+      .orderBy("lang")
+  }
+
   /** Data-mixture rebalancing — the sampling step that reweights a corpus
     * toward a target language/domain mix: each language keeps a fixed
     * fraction of its documents, selected by CONTENT hash (doc survives
@@ -1377,5 +1502,6 @@ object TextQueries {
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       phraseSearch, keywordExtract,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
-      bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, sampleWeighted)
+      bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, sampleWeighted,
+      temperatureMix, chunking, epochShards)
 }

@@ -72,4 +72,24 @@ class TextPropertySpec extends SparkSpec {
     assert(joined.filter(
       col("ppl") < 1.0 || col("n_bigrams") =!= col("n") - 1).count() === 0L)
   }
+
+  test("epoch shards: deterministic per epoch, decorrelated between epochs") {
+    val d = graft.Tables.documents(spark, sf)
+    def shardCol(epoch: Int) =
+      (hash60(concat(lit(epoch.toString), lit(":"), col("text")))
+        % TextQueries.ShardCount).as(s"s$epoch")
+    val both = d.select(col("doc_id"), shardCol(0), shardCol(1))
+    val n = both.count()
+    // same epoch, re-run -> identical assignment (content hash, no RNG)
+    val again = d.select(col("doc_id"), shardCol(0).as("s0b"))
+    assert(both.join(again, "doc_id")
+      .filter(col("s0") =!= col("s0b")).count() === 0L)
+    // across epochs the assignment decorrelates: same-shard carryover is
+    // ~1/ShardCount, emphatically NOT 1 (a 3x band absorbs small-sample
+    // noise at sf0.001 while still distinguishing 1/8 from 1)
+    val carry = both.filter(col("s0") === col("s1")).count()
+    val expected = n.toDouble / TextQueries.ShardCount
+    assert(carry < 3 * expected, s"carryover $carry vs expected ~$expected")
+    assert(carry > 0)
+  }
 }
