@@ -185,6 +185,39 @@ object MultimodalOracle {
     FROM v
     ORDER BY doc_id, frame_idx"""
 
+  /** Scene-cut twin: the same per-row(frame) integer luma sums over the
+    * byte stream (DuckDB list slices are 1-based inclusive: row r covers
+    * pxs[r*w+1 : r*w+w]), the same exact-integer cut test, one division
+    * per reported double.
+    */
+  def sceneCutsSql: String = {
+    val t = MultimodalQueries.CutThreshold
+    s"""
+    WITH $pixelCte,
+    scf AS (
+      SELECT doc_id, width, height,
+        list_transform(range(0, CAST(height AS BIGINT)),
+          r -> CAST(list_aggregate(
+            pxs[CAST(r * width + 1 AS INTEGER) : CAST(r * width + width AS INTEGER)],
+            'sum') AS BIGINT)) AS rs
+      FROM px WHERE media_type = 'video' AND height >= 2
+    ),
+    scd AS (
+      SELECT doc_id, width, height,
+        list_transform(range(1, CAST(height AS BIGINT)),
+          i -> abs(rs[CAST(i + 1 AS INTEGER)] - rs[CAST(i AS INTEGER)]))
+          AS deltas
+      FROM scf
+    )
+    SELECT doc_id, height AS n_frames, width AS frame_width,
+      CAST(len(list_filter(deltas, x -> x >= $t * width)) AS BIGINT)
+        AS n_cuts,
+      CAST(list_aggregate(deltas, 'max') AS BIGINT) / width AS max_delta,
+      CAST(list_aggregate(deltas, 'sum') AS BIGINT) / ((height - 1) * width)
+        AS mean_abs_delta
+    FROM scd ORDER BY doc_id"""
+  }
+
   /** Cross-modal audit twin: composes [[graft.dedup.DedupOracle]]'s
     * DF-capped 3-gram pair CTEs (the `pairs` CTE) with the
     * [[graft.sim.SimOracle]] ordered-fold cosine — cm-prefixed CTE names

@@ -277,6 +277,49 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-sample mean-luma jump (0-255 scale) at/above which two adjacent
+    * frames are a scene CUT.
+    */
+  val CutThreshold = 8
+
+  /** Scene-cut detection for the video assets — the shot-boundary pass a
+    * video ingest pipeline runs before frame sampling (sample per SHOT,
+    * not per fixed stride, or a long static shot floods the batch):
+    * each raster ROW of the decoded grid is read as one frame of `width`
+    * samples; per-frame integer luma sums fold inside the decode span,
+    * and a cut fires where adjacent frames' mean differs by >=
+    * [[CutThreshold]] — tested in EXACT integers as
+    * |sum_i − sum_{i−1}| >= threshold * width, so no double enters the
+    * decision. Reports cuts, max and mean inter-frame deltas per asset.
+    * Same contract as [[gradients]]: narrow map plan, one IEEE division
+    * per reported double, short/malformed payloads skipped.
+    */
+  val sceneCuts: GraftQuery = GraftQuery(
+    "multimodal_scene_cuts",
+    s"video shot boundaries: per-frame(row) luma sums, cut at mean-delta >= $CutThreshold, exact-integer test",
+    MultimodalOracle.sceneCutsSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val px = col("img.pixels")
+    val w = col("img.width")
+    val h = col("img.height")
+    val rowSums = transform(sequence(lit(0), h - 1),
+      r => aggregate(slice(px, r * w + 1, w), lit(0L), (a, x) => a + x))
+    media(s, d)
+      .filter(col("media_type") === "video")
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(col("img.height") >= 2)
+      .withColumn("rs", rowSums)
+      .withColumn("deltas", transform(sequence(lit(1), h - 1),
+        i => abs(element_at(col("rs"), i + 1) - element_at(col("rs"), i))))
+      .select(col("doc_id"), h.as("n_frames"), w.as("frame_width"),
+        size(filter(col("deltas"),
+          x => x >= lit(CutThreshold.toLong) * w)).cast("long").as("n_cuts"),
+        (array_max(col("deltas")) / w).as("max_delta"),
+        (aggregate(col("deltas"), lit(0L), (a, x) => a + x) /
+          ((h - 1) * w)).as("mean_abs_delta"))
+      .orderBy("doc_id")
+  }
+
   /** Cosine below which a near-dup TEXT pair's embeddings are declared
     * inconsistent — duplicated text should embed nearby; a pair under
     * this line has a broken modality (stale vector, wrong join key, bad
@@ -363,5 +406,5 @@ object MultimodalQueries {
 
   def all: Seq[GraftQuery] =
     Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
-      audioFeatures, crossmodalConsistency)
+      audioFeatures, crossmodalConsistency, sceneCuts)
 }
