@@ -1706,8 +1706,15 @@ object DedupQueries {
     "dedup_prefix_filter_pairs",
     s"PPJoin prefix-filtered exact Jaccard >= $PrefixJaccard over FULL $PrefixShingleN-gram sets; oracle = naive full join",
     DedupOracle.prefixFilterSql) { (s, d) =>
+    prefixFilterFrame(Tables.documents(s, d))
+  }
+
+  /** The PPJoin pipeline over any (doc_id, text) frame, so the property
+    * spec can drive generated corpora against an in-memory naive join.
+    */
+  private[graft] def prefixFilterFrame(docs: DataFrame): DataFrame = {
     val t = PrefixJaccard
-    val sh = shingleSet(Tables.documents(s, d), PrefixShingleN)
+    val sh = shingleSet(docs, PrefixShingleN)
       .localCheckpoint()
     val pref = prefixPostings(sh, t).localCheckpoint()
     val cand = pref.as("x")

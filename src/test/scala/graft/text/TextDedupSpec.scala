@@ -417,6 +417,53 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("prefix filter: finds EXACTLY the naive full-join pair set on a generated corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a small shared vocabulary forces shingle collisions; dup variants
+    // exercise the ceil boundary at several set sizes (identical docs,
+    // 1-appended, tiny docs below the shingle width)
+    val vocab = Vector("red", "blue", "green", "ash", "oak", "elm",
+      "fox", "owl", "ram", "ibex", "kite", "lark")
+    val rnd = new scala.util.Random(7)
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc(6 + rnd.nextInt(25))))
+    val dups = (0 until 10).map { i =>
+      val (src, t) = base(rnd.nextInt(base.size))
+      val variant = rnd.nextInt(3) match {
+        case 0 => t // identical
+        case 1 => t + " " + vocab(rnd.nextInt(vocab.size)) // 1 appended
+        case _ => t.split(" ").dropRight(1).mkString(" ") // 1 removed
+      }
+      (100L + i, variant)
+    }
+    val tiny = Seq((200L, "red blue"), (201L, "red blue")) // < 5 tokens
+    val all = base ++ dups ++ tiny
+    val got = graft.dedup.DedupQueries
+      .prefixFilterFrame(all.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // in-memory naive: full 5-gram sets, exact Jaccard, same threshold
+    def sets(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val byId = all.toMap.map { case (id, t) => id -> sets(t) }
+    val want = (for {
+      (a, sa) <- byId; (b, sb) <- byId
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      i = (sa & sb).size
+      j = i.toDouble / (sa.size + sb.size - i)
+      if j >= graft.dedup.DedupQueries.PrefixJaccard
+    } yield (a, b) -> j).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-12, s"pair $k")
+    }
+    assert(want.nonEmpty, "generator produced no dup pairs — test is vacuous")
+  }
+
   test("triangles: square + one diagonal counts 2 triangles, transitivity 3/4") {
     val spark0 = spark
     import spark0.implicits._
