@@ -44,6 +44,86 @@ object SimOracle {
       SELECT vec_id, label, v, sqrt(${dotIdx("v", "v")}) AS nrm FROM e
     )"""
 
+  /** MMR twin: the brute-force top-10 chain, pairwise candidate sims,
+    * and the greedy selection unrolled step by step. The (1-lambda)
+    * weight is interpolated from the SAME Scala subtraction the query
+    * evaluates (1.0 - 0.7 is NOT the double 0.3 — shortest-repr
+    * round-trips it exactly), with ::DOUBLE pins so no DECIMAL enters.
+    */
+  def mmrSql: String = {
+    import SimQueries.{MmrLambda, MmrK}
+    val lam = s"$MmrLambda::DOUBLE"
+    val oneMinus = s"${1.0 - MmrLambda}::DOUBLE"
+    def step(j: Int): String = s"""
+    mm$j AS (
+      SELECT p.qid, p.ca, MAX(p.sim) AS max_sim
+      FROM mps p JOIN msel${j - 1} s ON p.qid = s.qid AND p.cb = s.sel
+      GROUP BY p.qid, p.ca
+    ),
+    msc$j AS (
+      SELECT c.qid, c.vec_id, c.rel,
+        $lam * c.rel - $oneMinus * m.max_sim AS mmr_score
+      FROM mcand c
+      JOIN mm$j m ON c.qid = m.qid AND c.vec_id = m.ca
+      WHERE NOT EXISTS (SELECT 1 FROM msel${j - 1} s
+        WHERE s.qid = c.qid AND s.sel = c.vec_id)
+    ),
+    ms$j AS (
+      SELECT qid, vec_id, rel, mmr_score FROM (
+        SELECT qid, vec_id, rel, mmr_score,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY mmr_score DESC, vec_id) AS rn
+        FROM msc$j
+      ) WHERE rn = 1
+    ),
+    msel$j AS (
+      SELECT qid, sel FROM msel${j - 1}
+      UNION ALL SELECT qid, vec_id FROM ms$j
+    )"""
+    val steps = (2 to MmrK).map(step).mkString(",")
+    val outs = (2 to MmrK).map(j =>
+      s"UNION ALL SELECT qid, $j, vec_id, rel, mmr_score FROM ms$j")
+      .mkString("\n    ")
+    s"""
+    WITH $baseCtes,
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0
+    ),
+    mc0 AS (
+      SELECT q.qid, n.vec_id, n.v, n.nrm,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS rel
+      FROM q JOIN n ON n.vec_id <> q.qid
+    ),
+    mcand AS (
+      SELECT qid, vec_id, v, nrm, rel FROM (
+        SELECT qid, vec_id, v, nrm, rel,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY rel DESC, vec_id) AS rn
+        FROM mc0
+      ) WHERE rn <= 10
+    ),
+    mps AS (
+      SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+        ${dotIdx("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+      FROM mcand a JOIN mcand b
+        ON a.qid = b.qid AND a.vec_id <> b.vec_id
+    ),
+    ms1 AS (
+      SELECT qid, vec_id, rel FROM (
+        SELECT qid, vec_id, rel,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY rel DESC, vec_id) AS rn
+        FROM mcand
+      ) WHERE rn = 1
+    ),
+    msel1 AS (SELECT qid, vec_id AS sel FROM ms1),
+    $steps
+    SELECT * FROM (
+      SELECT qid, 1 AS rank, vec_id, rel, rel AS mmr_score FROM ms1
+      $outs
+    ) ORDER BY qid, rank"""
+  }
+
   /** kNN label-propagation twin: the brute-force cosine top-10 chain, then
     * majority vote with the same (cnt DESC, label) tie-break and per-label
     * accuracy from exact BIGINT counts.

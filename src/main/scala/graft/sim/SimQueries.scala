@@ -971,6 +971,83 @@ object SimQueries {
       .limit(20)
   }
 
+  /** MMR trade-off weight (relevance vs diversity) and selection depth. */
+  val MmrLambda = 0.7
+  val MmrK = 3
+
+  /** Maximal-marginal-relevance re-ranking — the diversity pass a RAG /
+    * example-selection pipeline runs AFTER ANN retrieval (near-duplicate
+    * passages crowd out coverage; MMR trades relevance against novelty):
+    * greedily pick [[MmrK]] of each query's cosine top-10, step j
+    * scoring each remaining candidate
+    * λ*rel − (1−λ)*max_{s∈selected} sim(c, s) and taking the argmax
+    * (ties to the smaller vec_id). Everything after the ANN stage is
+    * per-query TINY — pairwise candidate sims are 10x10 per query, the
+    * greedy steps are window argmaxes over those frames — so the
+    * operator adds NO corpus-sized work to the retrieval it re-ranks;
+    * the unrolled [[MmrK]]-step plan is the standard way an iterative
+    * greedy of fixed small depth stays one declarative query.
+    * Determinism: rel and sim are the ordered-fold cosines (bit-equal
+    * cross-engine); the score arithmetic keeps one association; argmax
+    * is row_number with a vec_id tie-break.
+    */
+  val mmrRerank: GraftQuery = GraftQuery(
+    "doc_mmr_rerank",
+    s"MMR diversity re-ranking: greedy $MmrK of cosine top-10, lambda=$MmrLambda",
+    SimOracle.mmrSql) { (s, d) =>
+    val lam = MmrLambda
+    val v = vecs(s, d)
+    val q = broadcast(queriesOf(v))
+    val wq = Window.partitionBy(col("qid")).orderBy(desc("rel"), col("vec_id"))
+    // ANN stage: cosine top-10 with vectors riding along for the sims
+    val cand = q.join(v, col("vec_id") =!= col("qid"))
+      .withColumn("rel", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), col("rel"), col("v"), col("nrm"))
+      .localCheckpoint()
+    // pairwise candidate sims: 10x10 per query
+    val ps = cand.as("a")
+      .join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("ca"),
+        col("b.vec_id").as("cb"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("sim"))
+    val slim = cand.select(col("qid"), col("vec_id"), col("rel"))
+    // greedy unroll: step 1 is plain relevance argmax
+    val w1 = Window.partitionBy(col("qid")).orderBy(desc("rel"), col("vec_id"))
+    val first = slim.withColumn("rnk", row_number().over(w1))
+      .filter(col("rnk") === 1)
+    var out = first.select(col("qid"), lit(1).as("rank"), col("vec_id"),
+      col("rel"), col("rel").as("mmr_score"))
+    var selected = first.select(col("qid").as("sq"), col("vec_id").as("sel"))
+    for (j <- 2 to MmrK) {
+      val remaining = slim.join(
+        selected.select(col("sq").as("qid"), col("sel").as("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      val maxSim = ps.as("p")
+        .join(selected, col("p.qid") === col("sq") && col("cb") === col("sel"))
+        .groupBy(col("p.qid").as("mq"), col("ca"))
+        .agg(max(col("sim")).as("max_sim"))
+      val scoredj = remaining
+        .join(maxSim, col("qid") === col("mq") && col("vec_id") === col("ca"))
+        .select(col("qid"), col("vec_id"), col("rel"),
+          (lit(lam) * col("rel") - lit(1.0 - lam) * col("max_sim"))
+            .as("mmr_score"))
+      val wj = Window.partitionBy(col("qid"))
+        .orderBy(desc("mmr_score"), col("vec_id"))
+      val pick = scoredj.withColumn("rnk", row_number().over(wj))
+        .filter(col("rnk") === 1)
+        .localCheckpoint()
+      out = out.unionByName(pick.select(col("qid"), lit(j).as("rank"),
+        col("vec_id"), col("rel"), col("mmr_score")))
+      selected = selected.unionByName(
+        pick.select(col("qid").as("sq"), col("vec_id").as("sel")))
+    }
+    out.orderBy("qid", "rank")
+  }
+
   /** kNN label propagation accuracy — the embedding-space EVAL harness: a
     * training pipeline grades its embedding table by whether a held-out
     * query's label is recoverable from its nearest neighbors (the
@@ -1017,5 +1094,5 @@ object SimQueries {
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
       clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives,
-      centroidOutliers, knnLabelAccuracy, crosslingualPairs)
+      centroidOutliers, knnLabelAccuracy, crosslingualPairs, mmrRerank)
 }
