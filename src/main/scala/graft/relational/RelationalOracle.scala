@@ -53,6 +53,24 @@ object RelationalOracle {
     GROUP BY n_name
     ORDER BY revenue DESC, n_name"""
 
+  def tradeVolumeSql: String = {
+    import RelationalQueries.{TradeNationA, TradeNationB}
+    s"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      ${sumDec("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = '$TradeNationA' AND n2.n_name = '$TradeNationB')
+       OR (n1.n_name = '$TradeNationB' AND n2.n_name = '$TradeNationA')
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year"""
+  }
+
   val forecastRevenueSql: String = s"""
     SELECT ${sumDec("l_extendedprice * l_discount", 6)} AS revenue
     FROM lineitem

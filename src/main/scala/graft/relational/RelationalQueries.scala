@@ -379,6 +379,48 @@ object RelationalQueries {
       .orderBy(col("n_name"), col("rank_in_nation"), col("s_suppkey"))
   }
 
+  /** The two trading nations for [[tradeVolume]] (TPC-H Q7's
+    * FRANCE/GERMANY slot, mapped onto the synthetic nation names).
+    */
+  val TradeNationA = "NATION_3"
+  val TradeNationB = "NATION_7"
+
+  /** Cross-nation trade volume (TPC-H Q7 shape) — the SELF-ALIASED
+    * dimension pattern: `nation` joins the fact twice under different
+    * roles (supplier's nation via supplier, customer's nation via
+    * orders->customer), with the disjunctive pair predicate
+    * (A->B or B->A) applied across BOTH aliases at the join. Both
+    * nation sides broadcast; the year extraction groups the revenue into
+    * the (supp_nation, cust_nation, year) matrix. The shape matters at
+    * scale because a single mis-aliased dim silently halves the pair
+    * space — the oracle's symmetric rows are the check.
+    */
+  val tradeVolume: GraftQuery = GraftQuery(
+    "nation_trade_volume",
+    s"TPC-H Q7: $TradeNationA <-> $TradeNationB shipping volume per (supp nation, cust nation, year)",
+    RelationalOracle.tradeVolumeSql) { (s, d) =>
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2),
+        col("c_nationkey") === col("ck") &&
+          ((col("supp_nation") === TradeNationA &&
+            col("cust_nation") === TradeNationB) ||
+            (col("supp_nation") === TradeNationB &&
+              col("cust_nation") === TradeNationA)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Det.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Buckets for [[replicaDiff]]'s reconciliation partition; declared
     * before the GraftQuery val (oracle interpolation — the init-order
     * rule). 64 here; at 100 TB you'd size this so each bucket's scan is
@@ -437,5 +479,5 @@ object RelationalQueries {
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
-    suppliersWaiting, forecastSes, replicaDiff)
+    suppliersWaiting, forecastSes, replicaDiff, tradeVolume)
 }
