@@ -288,4 +288,39 @@ object PortfolioOracle {
     FROM agg
     ORDER BY region_cleaned NULLS FIRST"""
   }
+
+  /** Vintage twin: the same snapshot-derived crossing date
+    * (asOf − (dpd_days − 91) days), the F2 calendar-month diff, and the
+    * same right-censoring NULL.
+    */
+  def vintageSql: String = {
+    val asOf = LoanOracle.asOf
+    val grid = PortfolioQueries.VintageMobGrid.mkString(", ")
+    s"""
+    WITH $ctes,
+    vb AS (
+      SELECT CAST(date_trunc('month', disbursement_date) AS DATE) AS vintage,
+        CASE WHEN dpd_days > 90 THEN
+          (year($asOf - to_days(dpd_days - 91)) - year(disbursement_date)) * 12
+            + (month($asOf - to_days(dpd_days - 91))
+               - month(disbursement_date))
+        END AS mob_crossed
+      FROM lf
+    ),
+    vk AS (
+      SELECT vb.vintage, vb.mob_crossed, kk.k
+      FROM vb CROSS JOIN (SELECT unnest([$grid]) AS k) kk
+    ),
+    vg AS (
+      SELECT vintage, k, CAST(COUNT(*) AS BIGINT) AS n_loans,
+        CAST(COALESCE(SUM(CASE WHEN mob_crossed <= k THEN 1 END), 0)
+          AS BIGINT) AS n_defaulted
+      FROM vk GROUP BY 1, 2
+    )
+    SELECT vintage, k, n_loans, n_defaulted,
+      CASE WHEN (year($asOf) - year(vintage)) * 12
+                + (month($asOf) - month(vintage)) >= k
+           THEN n_defaulted / n_loans END AS default_rate
+    FROM vg ORDER BY vintage, k"""
+  }
 }

@@ -466,10 +466,52 @@ object PortfolioQueries {
       .orderBy(asc_nulls_first("region_cleaned"))
   }
 
+  /** Months-on-book grid for [[vintageAnalysis]]. */
+  val VintageMobGrid: Seq[Int] = Seq(3, 6, 9, 12)
+
+  /** Vintage (cohort) default-curve analysis — THE lending-portfolio
+    * dashboard: group loans by disbursement month (the "vintage") and
+    * report, for each months-on-book horizon k in [[VintageMobGrid]],
+    * the cumulative share of the cohort that had entered the 90+ DPD
+    * bucket by k months after disbursement. The single as-of snapshot
+    * CONTAINS the history: a loan at dpd_days > 90 today crossed into
+    * 90+ on asOf − (dpd_days − 91) days, so its crossing month-on-book
+    * is derivable per row — no time-series table needed. Horizons a
+    * vintage hasn't reached yet (vintage month + k past the as-of
+    * month) report NULL rate rather than a false 0 — the
+    * right-censoring every real vintage curve shows. Shuffle carries
+    * (vintage, k) counters only.
+    */
+  val vintageAnalysis: GraftQuery = GraftQuery(
+    "loan_vintage_analysis",
+    s"vintage default curves: per disbursement-month cohort, cumulative 90+ DPD entry rate at ${VintageMobGrid.mkString("/")} months on book",
+    PortfolioOracle.vintageSql) { (s, d) =>
+    val lf = LoanDomain.loanFinalFrame(s, d)
+    val asOfD = LoanDomain.asOf
+    val crossDate = date_sub(asOfD, col("dpd_days") - 91)
+    val base = lf.select(
+      trunc(col("disbursement_date"), "month").as("vintage"),
+      when(col("dpd_days") > 90,
+        LoanDomain.monthDiff(crossDate, col("disbursement_date")))
+        .as("mob_crossed"),
+      explode(array(VintageMobGrid.map(lit(_)): _*)).as("k"))
+    base
+      .groupBy(col("vintage"), col("k"))
+      .agg(count(lit(1)).as("n_loans"),
+        sum((col("mob_crossed") <= col("k")).cast("long")).as("n_defaulted"))
+      .select(col("vintage"), col("k"), col("n_loans"),
+        coalesce(col("n_defaulted"), lit(0L)).as("n_defaulted"),
+        // right-censor: the horizon must have elapsed by the as-of month
+        when(LoanDomain.monthDiff(asOfD, col("vintage")) >= col("k"),
+          coalesce(col("n_defaulted"), lit(0L)) / col("n_loans"))
+          .as("default_rate"))
+      .orderBy("vintage", "k")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
-    tableProfile, portfolioNpv)
+    tableProfile, portfolioNpv, vintageAnalysis)
 }
