@@ -750,6 +750,40 @@ object SimOracle {
     ORDER BY cosine DESC, vec_a, vec_b LIMIT 20"""
   }
 
+  /** Semantic-clusters twin: the semanticDedup edge set (UNLIMITED, no
+    * top-20) under the dedup family's recursive reachability closure.
+    */
+  def semanticClustersSql: String = {
+    import SimFns.{KmeansIters, SemDedupCosine}
+    val fin = KmeansIters + 1
+    s"""
+    WITH RECURSIVE $baseCtes,
+    $kmeansChain,
+    scm AS (
+      SELECT n.vec_id, n.v, n.nrm, a.j AS cell
+      FROM n JOIN a$fin a ON n.vec_id = a.vec_id
+    ),
+    scp AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM scm x JOIN scm y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE ${dotIdx("x.v", "y.v")} / (x.nrm * y.nrm) >= $SemDedupCosine
+    ),
+    scedges AS (
+      SELECT a, b FROM scp UNION ALL SELECT b, a FROM scp
+    ),
+    screach AS (
+      SELECT a AS node, b AS r FROM scedges
+      UNION
+      SELECT e.a, rr.r FROM scedges e JOIN screach rr ON rr.node = e.b
+    ),
+    sclab AS (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM screach GROUP BY node
+    )
+    SELECT label AS cluster_id, COUNT(*) AS cluster_size
+    FROM sclab GROUP BY label
+    ORDER BY cluster_size DESC, cluster_id"""
+  }
+
   /** Cluster-topic twin: the same trained assignment chain, token
     * occurrences partial-agged per doc, identical division association and
     * 9-decimal ln quantization, ROW_NUMBER cast to INTEGER.

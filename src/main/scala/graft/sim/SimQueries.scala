@@ -971,6 +971,36 @@ object SimQueries {
       .limit(20)
   }
 
+  /** Semantic dedup CLUSTERS — the embedding-side twin of the text
+    * family's `dedup_clusters`: connected components over the full
+    * intra-cell cosine >= [[SimFns.SemDedupCosine]] edge set (the
+    * unlimited frame `semantic_dedup_pairs` top-20s), one row per
+    * cluster with canonical id (min vec_id) and size. Closes the
+    * symmetric gap: text near-dups got cluster assignment in round 3,
+    * semantic near-dups only ever got ranked pairs. Same scale contract
+    * as SemDeDup (candidates never leave the trained cell) + the
+    * size-adaptive CC machinery, reused across subsystems.
+    */
+  val semanticClusters: GraftQuery = GraftQuery(
+    "semantic_dedup_clusters",
+    s"CC over intra-cell cosine >= ${SimFns.SemDedupCosine} edges: per-cluster canonical id + size",
+    SimOracle.semanticClustersSql) { (s, d) =>
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val m = v.join(kmeansCells(s, d), "vec_id")
+    val x = m.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell").as("cell_a"))
+    val edges = x.join(m.as("y"),
+        col("cell_a") === col("y.cell") && col("vec_a") < col("y.vec_id"))
+      .select(col("vec_a").as("a"), col("y.vec_id").as("b"),
+        (dot(col("va"), col("y.v")) / (col("na") * col("y.nrm"))).as("cosine"))
+      .filter(col("cosine") >= lit(SimFns.SemDedupCosine))
+      .select(col("a"), col("b"))
+    graft.dedup.DedupQueries.connectedComponents(edges)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(desc("cluster_size"), col("cluster_id"))
+  }
+
   /** MMR trade-off weight (relevance vs diversity) and selection depth. */
   val MmrLambda = 0.7
   val MmrK = 3
@@ -1094,5 +1124,6 @@ object SimQueries {
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
       clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives,
-      centroidOutliers, knnLabelAccuracy, crosslingualPairs, mmrRerank)
+      centroidOutliers, knnLabelAccuracy, crosslingualPairs, mmrRerank,
+      semanticClusters)
 }
