@@ -529,6 +529,98 @@ object DedupOracle {
     FROM kr GROUP BY lang ORDER BY lang"""
   }
 
+  /** Stage-funnel twin: exact keeps, then the recursive closure over the
+    * TEXT edge set restricted to stage-1 survivors, then the closure
+    * over the SEMANTIC edge set (the SimOracle kmeans chain, composed
+    * cross-module) restricted to stage-2 survivors — each restriction
+    * applied BEFORE reachability, matching the staged semantics.
+    */
+  def stageFunnelSql: String = {
+    import graft.sim.{SimOracle, SimFns}
+    val fin = SimFns.KmeansIters + 1
+    s"""
+    WITH RECURSIVE $ngramPairCtes,
+    ${SimOracle.baseCtes},
+    ${SimOracle.kmeansChain},
+    fb AS (
+      SELECT doc_id, lang,
+        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    f1 AS (
+      SELECT doc_id, lang,
+        doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep1
+      FROM fb
+    ),
+    fs1 AS (SELECT doc_id, lang FROM f1 WHERE keep1),
+    ftE AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      WHERE jaccard >= ${DedupQueries.ClusterJaccard}::DOUBLE
+        AND doc_a IN (SELECT doc_id FROM fs1)
+        AND doc_b IN (SELECT doc_id FROM fs1)
+    ),
+    ftEb AS (SELECT a, b FROM ftE UNION ALL SELECT b, a FROM ftE),
+    ftReach AS (
+      SELECT a AS node, b AS r FROM ftEb
+      UNION
+      SELECT te.a, rr.r FROM ftEb te JOIN ftReach rr ON rr.node = te.b
+    ),
+    ftLab AS (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM ftReach GROUP BY node
+    ),
+    fs2 AS (
+      SELECT fs1.doc_id, fs1.lang
+      FROM fs1 LEFT JOIN ftLab l ON fs1.doc_id = l.node
+      WHERE l.node IS NULL OR l.label = fs1.doc_id
+    ),
+    fscm AS (
+      SELECT n.vec_id, n.v, n.nrm, a.j AS cell
+      FROM n JOIN a$fin a ON n.vec_id = a.vec_id
+    ),
+    fsE AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM fscm x JOIN fscm y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE ${SimOracle.dotIdx("x.v", "y.v")} / (x.nrm * y.nrm)
+          >= ${SimFns.SemDedupCosine}
+        AND x.vec_id IN (SELECT doc_id FROM fs2)
+        AND y.vec_id IN (SELECT doc_id FROM fs2)
+    ),
+    fsEb AS (SELECT a, b FROM fsE UNION ALL SELECT b, a FROM fsE),
+    fsReach AS (
+      SELECT a AS node, b AS r FROM fsEb
+      UNION
+      SELECT se.a, rr.r FROM fsEb se JOIN fsReach rr ON rr.node = se.b
+    ),
+    fsLab AS (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM fsReach GROUP BY node
+    ),
+    fs3 AS (
+      SELECT fs2.doc_id, fs2.lang
+      FROM fs2 LEFT JOIN fsLab l ON fs2.doc_id = l.node
+      WHERE l.node IS NULL OR l.label = fs2.doc_id
+    ),
+    fcin AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ingest FROM fb GROUP BY lang
+    ),
+    fc1 AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact_kept
+      FROM fs1 GROUP BY lang
+    ),
+    fc2 AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_textdedup_kept
+      FROM fs2 GROUP BY lang
+    ),
+    fc3 AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_semantic_kept
+      FROM fs3 GROUP BY lang
+    )
+    SELECT fcin.lang, n_ingest, n_exact_kept, n_textdedup_kept,
+      n_semantic_kept
+    FROM fcin
+    JOIN fc1 USING (lang) JOIN fc2 USING (lang) JOIN fc3 USING (lang)
+    ORDER BY lang"""
+  }
+
   /** CTE chain ending in `mh_pairs` = every LSH-candidate pair with exact
     * Jaccard — shared by the top-k query and the cross-family cluster
     * oracle. Names are m-prefixed so the chain composes with

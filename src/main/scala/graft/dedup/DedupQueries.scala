@@ -1509,6 +1509,68 @@ object DedupQueries {
       .limit(PrTopK)
   }
 
+  /** The cross-subsystem dedup pipeline as ONE composed artifact — the
+    * stage funnel a production corpus actually runs, in order: (1) exact
+    * dedup (keep min doc_id per md5-normalized fingerprint), (2) TEXT
+    * near-dup CC over J >= [[ClusterJaccard]] edges restricted to
+    * stage-1 survivors, keep each cluster's min id, (3) SEMANTIC
+    * (SemDeDup) CC over intra-cell cosine edges restricted to stage-2
+    * survivors, keep min id. Each stage's edge set is filtered to the
+    * prior stage's survivor set BEFORE components run — the ordering
+    * semantics that make staged dedup different from intersecting three
+    * independent screens (an edge to an already-dropped doc must not
+    * drop its partner). Per-language monotone survivor counts; at scale
+    * the stages share the scans their standalone queries already use
+    * and the survivor filters are id-keyed semi-joins.
+    */
+  val stageFunnel: GraftQuery = GraftQuery(
+    "dedup_stage_funnel",
+    "staged dedup funnel: exact -> text near-dup CC -> semantic CC, per-language survivor counts",
+    DedupOracle.stageFunnelSql) { (s, d) =>
+    import graft.text.TextFns
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("lang"),
+      TextFns.fingerprint(col("text")).as("fp"))
+    // stage 1: exact — keep min doc_id per fingerprint
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val s1 = base
+      .withColumn("keep1", col("doc_id") === min(col("doc_id")).over(w1))
+      .select(col("doc_id"), col("lang"), col("keep1"))
+      .localCheckpoint()
+    val s1ids = s1.filter(col("keep1")).select(col("doc_id"))
+    // stage 2: text near-dup CC over surviving endpoints only
+    val tEdges = ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(s1ids.select(col("doc_id").as("a")), Seq("a"), "semi")
+      .join(s1ids.select(col("doc_id").as("b")), Seq("b"), "semi")
+    val tLab = connectedComponents(tEdges)
+    val s2 = s1.filter(col("keep1"))
+      .join(tLab, col("doc_id") === col("node"), "left")
+      .withColumn("keep2", col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("keep2"))
+      .localCheckpoint()
+    val s2ids = s2.filter(col("keep2")).select(col("doc_id"))
+    // stage 3: semantic CC over stage-2 survivors (vec_id == doc_id)
+    val sEdges = graft.sim.SimQueries.semanticEdges(s, d)
+      .join(s2ids.select(col("doc_id").as("a")), Seq("a"), "semi")
+      .join(s2ids.select(col("doc_id").as("b")), Seq("b"), "semi")
+    val sLab = connectedComponents(sEdges)
+    val s3 = s2.filter(col("keep2"))
+      .join(sLab, col("doc_id") === col("node"), "left")
+      .withColumn("keep3", col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("keep3"))
+    val ingest = base.groupBy(col("lang")).agg(count(lit(1)).as("n_ingest"))
+    val k1 = s1.filter(col("keep1")).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_exact_kept"))
+    val k2 = s2.filter(col("keep2")).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_textdedup_kept"))
+    val k3 = s3.filter(col("keep3")).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_semantic_kept"))
+    ingest.join(k1, "lang").join(k2, "lang").join(k3, "lang")
+      .orderBy("lang")
+  }
+
   /** Quality-aware keeper selection — the refinement of the min-id keep
     * rule every serious dedup pipeline ships: within each near-dup
     * cluster keep the HIGHEST-QUALITY document (the [[graft.text
@@ -1765,5 +1827,6 @@ object DedupQueries {
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
-      lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest)
+      lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest,
+      stageFunnel)
 }

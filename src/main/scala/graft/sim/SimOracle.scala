@@ -34,7 +34,7 @@ object SimOracle {
     (b +: (0 until NumPlanes).map(j => s"xor($b, ${1 << j})"))
       .mkString("[", ", ", "]")
 
-  private val baseCtes: String = s"""
+  private[graft] val baseCtes: String = s"""
     e AS (
       SELECT vec_id, label,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -416,7 +416,7 @@ object SimOracle {
     * `c<KmeansIters>(j, c)` — shared by [[kmeansSql]] and
     * [[semanticDedupSql]] so both grade the same training math.
     */
-  private val kmeansChain: String = {
+  private[graft] val kmeansChain: String = {
     import SimFns.{KmeansIters, KmeansK}
     def sweep(t: Int): String = s"""
     x$t AS (

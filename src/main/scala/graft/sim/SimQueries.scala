@@ -985,20 +985,26 @@ object SimQueries {
     "semantic_dedup_clusters",
     s"CC over intra-cell cosine >= ${SimFns.SemDedupCosine} edges: per-cluster canonical id + size",
     SimOracle.semanticClustersSql) { (s, d) =>
+    graft.dedup.DedupQueries.connectedComponents(semanticEdges(s, d))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(desc("cluster_size"), col("cluster_id"))
+  }
+
+  /** The full (unlimited) intra-cell SemDeDup edge set (a < b), shared by
+    * [[semanticClusters]] and the cross-subsystem dedup funnel.
+    */
+  private[graft] def semanticEdges(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val m = v.join(kmeansCells(s, d), "vec_id")
     val x = m.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell").as("cell_a"))
-    val edges = x.join(m.as("y"),
+    x.join(m.as("y"),
         col("cell_a") === col("y.cell") && col("vec_a") < col("y.vec_id"))
       .select(col("vec_a").as("a"), col("y.vec_id").as("b"),
         (dot(col("va"), col("y.v")) / (col("na") * col("y.nrm"))).as("cosine"))
       .filter(col("cosine") >= lit(SimFns.SemDedupCosine))
       .select(col("a"), col("b"))
-    graft.dedup.DedupQueries.connectedComponents(edges)
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .orderBy(desc("cluster_size"), col("cluster_id"))
   }
 
   /** MMR trade-off weight (relevance vs diversity) and selection depth. */
