@@ -282,6 +282,21 @@ object EventOracle {
       TRUE AS users_est_ok
     FROM ev GROUP BY 1 ORDER BY day"""
 
+  /** Weekly sketch-rollup twin: exact weekly counts; the merged-sketch
+    * estimate is attested in-band on the Spark side (the
+    * [[dailyDistinctSql]] convention), so the oracle pins TRUE — what it
+    * DOES verify exactly is the week/day bucketing, the event totals and
+    * the exact weekly cardinality the sketch is graded against.
+    */
+  val weeklySketchRollupSql: String = s"""
+    WITH $evCte
+    SELECT date_trunc('week', ts) AS week,
+      CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+      COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS merged_est_ok
+    FROM ev GROUP BY 1 ORDER BY week"""
+
   /** Markov twin: same (ts, event_id) lag ordering, bounded matrix,
     * exact-integer probability division.
     */

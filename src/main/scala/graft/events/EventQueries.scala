@@ -363,6 +363,51 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** DataSketches-HLL lgConfigK for [[weeklySketchRollup]] — 2^12 buckets,
+    * relative standard error 1.04/sqrt(4096) ~ 1.6%, so the 5%/min-5 band
+    * is a ~3-sigma bound.
+    */
+  val WeeklySketchLgK = 12
+
+  /** Weekly active users by MERGING per-day HLL sketches — the
+    * re-aggregability contract that makes sketches the 100 TB answer for
+    * distinct counts: a production pipeline materializes one fixed-size
+    * sketch per (day) partition as it lands, and every coarser rollup
+    * (week, month, arbitrary date range) is a sketch UNION over the
+    * stored buffers — no rescan of the raw events, no (week, user)
+    * dedup shuffle. Here both stages run in one plan: per-day
+    * `hll_sketch_agg` (DataSketches HLL, mergeable across executors AND
+    * across days, unlike `approx_count_distinct`'s non-exposed HLL++
+    * buffer), then per-week `hll_union_agg` + estimate. The exact weekly
+    * distinct is computed alongside and the output ATTESTS the merged
+    * estimate against its error band (the [[dailyDistinct]] convention:
+    * sketch bits differ per engine, so the oracle checks the contract
+    * and the exact columns, not the bits).
+    */
+  val weeklySketchRollup: GraftQuery = GraftQuery(
+    "events_weekly_sketch_rollup",
+    "weekly active users via hll_union_agg over per-day DataSketches HLL sketches, graded vs exact",
+    EventOracle.weeklySketchRollupSql) { (s, d) =>
+    val base = Tables.events(s, d).select(
+      date_trunc("week", col("ts")).as("week"),
+      date_trunc("day", col("ts")).as("day"),
+      col("user_id"))
+    val daily = base.groupBy(col("week"), col("day"))
+      .agg(count(lit(1)).as("n_ev"),
+        hll_sketch_agg(col("user_id"), WeeklySketchLgK).as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_ev")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = base.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("n_days"), col("n_events"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          greatest(lit(5.0), col("exact_users") * lit(0.05)))
+          .as("merged_est_ok"))
+      .orderBy("week")
+  }
+
   /** Per-user behavioral Markov chain: (previous event type -> next event
     * type) transition counts and row-normalized probabilities, from a lag
     * window over each user's timeline. The session-modeling input
@@ -490,5 +535,6 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, dailyDistinct, markovTransitions, sequenceTrigrams)
+      attribution, dailyDistinct, weeklySketchRollup, markovTransitions,
+      sequenceTrigrams)
 }

@@ -323,4 +323,42 @@ object PortfolioOracle {
            THEN n_defaulted / n_loans END AS default_rate
     FROM vg ORDER BY vintage, k"""
   }
+
+  /** Roll-rate twin: same no-cure back-projection (prev = max(d-30, 0)),
+    * same F9 label CASE (en-dashes byte-for-byte), quantized arrear sum,
+    * exact BIGINT/BIGINT window division for the roll share.
+    */
+  def rollRateSql: String = {
+    def bucketCase(d: String): String =
+      s"""CASE WHEN $d = 0 THEN 'Current'
+           WHEN $d <= 30 THEN '1–30 DPD'
+           WHEN $d <= 60 THEN '31–60 DPD'
+           WHEN $d <= 90 THEN '61–90 DPD'
+           ELSE '90+ DPD' END"""
+    def rankCase(d: String): String =
+      s"""CAST(CASE WHEN $d = 0 THEN 0 WHEN $d <= 30 THEN 1
+           WHEN $d <= 60 THEN 2 WHEN $d <= 90 THEN 3
+           ELSE 4 END AS INTEGER)"""
+    s"""
+    WITH $ctes,
+    rr AS (
+      SELECT
+        ${rankCase("prev_days")} AS from_rank,
+        ${bucketCase("prev_days")} AS from_bucket,
+        ${rankCase("dpd_days")} AS to_rank,
+        dpd_bucket AS to_bucket,
+        arrear
+      FROM (SELECT greatest(0, dpd_days - 30) AS prev_days, dpd_days,
+              dpd_bucket, arrear FROM lf)
+    ),
+    cell AS (
+      SELECT from_rank, from_bucket, to_rank, to_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_loans,
+        ${sumDec("arrear")} AS arrear_total
+      FROM rr GROUP BY 1, 2, 3, 4
+    )
+    SELECT from_rank, from_bucket, to_rank, to_bucket, n_loans, arrear_total,
+      n_loans / SUM(n_loans) OVER (PARTITION BY from_rank) AS roll_pct
+    FROM cell ORDER BY from_rank, to_rank"""
+  }
 }

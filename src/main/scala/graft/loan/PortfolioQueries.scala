@@ -1,6 +1,6 @@
 package graft.loan
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.api.{Det, GraftQuery}
@@ -508,10 +508,49 @@ object PortfolioQueries {
       .orderBy("vintage", "k")
   }
 
+  /** DPD roll-rate (bucket transition) matrix — the collections KPI that
+    * pairs with [[vintageAnalysis]]: for each delinquency bucket a month
+    * ago, the share of its loans in each bucket now. Like the vintage
+    * curve, the single as-of snapshot CONTAINS the prior state under the
+    * no-cure back-projection: a loan at dpd_days d today was at
+    * max(d - 30, 0) days one month ago (delinquency accrues a day per
+    * day; a loan under 30 DPD was current a month ago), so the matrix
+    * reports the roll-FORWARD rates — Current→1–30, 1–30→31–60, … — that
+    * collections teams track month over month. Numeric bucket ranks ride
+    * along so the ordering never depends on en-dash label collation.
+    * Shuffle carries a 5×5-bounded cell table; roll_pct is an exact
+    * BIGINT/BIGINT window division.
+    */
+  val rollRate: GraftQuery = GraftQuery(
+    "loan_rollrate_matrix",
+    "DPD bucket roll-rate matrix: prior-month bucket (no-cure back-projection) x current bucket, counts + arrear + roll share",
+    PortfolioOracle.rollRateSql) { (s, d) =>
+    def rank(days: Column): Column =
+      when(days === 0, 0).when(days <= 30, 1).when(days <= 60, 2)
+        .when(days <= 90, 3).otherwise(4)
+    val cells = lf(s, d)
+      .withColumn("prev_days", greatest(lit(0), col("dpd_days") - 30))
+      .select(
+        rank(col("prev_days")).as("from_rank"),
+        LoanDomain.dpdBucketFinal(col("prev_days")).as("from_bucket"),
+        rank(col("dpd_days")).as("to_rank"),
+        col("dpd_bucket").as("to_bucket"),
+        col("arrear"))
+      .groupBy("from_rank", "from_bucket", "to_rank", "to_bucket")
+      .agg(count(lit(1)).as("n_loans"),
+        Det.sumQ(col("arrear"), 4).as("arrear_total"))
+    val w = Window.partitionBy(col("from_rank"))
+    cells
+      .withColumn("roll_pct", col("n_loans") / sum(col("n_loans")).over(w))
+      .select(col("from_rank"), col("from_bucket"), col("to_rank"),
+        col("to_bucket"), col("n_loans"), col("arrear_total"), col("roll_pct"))
+      .orderBy("from_rank", "to_rank")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
-    tableProfile, portfolioNpv, vintageAnalysis)
+    tableProfile, portfolioNpv, vintageAnalysis, rollRate)
 }

@@ -627,12 +627,15 @@ object SimOracle {
     * the planner. The candidate set is restricted to the query's nprobe
     * nearest trained cells BEFORE the ADC join, mirroring the Spark plan.
     */
-  def ivfpqTopkSql: String = {
+  /** Shared IVF+PQ CTE chain ending in the UNCUT ADC ranking `ivpr` —
+    * [[ivfpqTopkSql]] takes rn <= 10, [[ivfpqRerankSql]] a wider slate.
+    */
+  private def ivfpqCtes: String = {
     import SimFns.KmeansIters
     import SimQueries.IvfPqNprobe
     val finK = KmeansIters + 1
     s"""
-    WITH $baseCtes,
+    $baseCtes,
     $kmeansChain,
     $pqAdcCtes,
     qq AS (SELECT qid, qv, ${dotIdx("qv", "qv")} AS qq FROM q),
@@ -663,8 +666,40 @@ object SimOracle {
           ORDER BY dl, vec_id) AS INTEGER) AS rn,
         vec_id, dl / 1000000000.0 AS adc_dist
       FROM ivadc
-    )
+    )"""
+  }
+
+  def ivfpqTopkSql: String = s"""
+    WITH $ivfpqCtes
     SELECT qid, rn, vec_id, adc_dist FROM ivpr WHERE rn <= 10
+    ORDER BY qid, rn"""
+
+  /** IVF+PQ + refine twin: the same ADC slate, then the exact squared-L2
+    * recomputed for the slate only with the identical qq + vv - 2*dot
+    * expression shape as [[pqRecallSql]]'s truth side.
+    */
+  def ivfpqRerankSql: String = {
+    import SimQueries.AnnRerankC
+    s"""
+    WITH $ivfpqCtes,
+    rslate AS (
+      SELECT qid, vec_id, adc_dist FROM ivpr WHERE rn <= $AnnRerankC
+    ),
+    rex AS (
+      SELECT r.qid, r.vec_id, r.adc_dist,
+        ${dotIdx("q.qv", "q.qv")} + ${dotIdx("e.v", "e.v")}
+          - 2.0 * ${dotIdx("q.qv", "e.v")} AS l2_dist
+      FROM rslate r
+      JOIN q ON q.qid = r.qid
+      JOIN e ON e.vec_id = r.vec_id
+    )
+    SELECT qid, rn, vec_id, l2_dist, adc_dist FROM (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY l2_dist, vec_id) AS INTEGER) AS rn,
+        vec_id, l2_dist, adc_dist
+      FROM rex
+    ) WHERE rn <= 10
     ORDER BY qid, rn"""
   }
 

@@ -620,14 +620,15 @@ object SimQueries {
     * ranking sorts exact (dist, j) structs; LUT partials are 1e-9 LONGs
     * so the PqM-term ADC sums are exact.
     */
-  val ivfpqTopk: GraftQuery = GraftQuery(
-    "ann_ivfpq_topk",
-    s"IVF+PQ ANN: probe $IvfPqNprobe trained coarse cells, ADC-rank the PQ codes within",
-    SimOracle.ivfpqTopkSql) { (s, d) =>
+  /** The shared IVF+PQ pipeline: train both quantizers (concurrently),
+    * restrict candidates to the probed cells, ADC-rank within — returns
+    * (qid, rn, vec_id, adc_dist) with rn the per-query ADC rank, UNCUT so
+    * [[ivfpqTopk]] takes the top-10 and [[ivfpqRerank]] a wider slate.
+    */
+  private def ivfpqRanked(base: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
     // the coarse quantizer and the PQ codebooks are trained independently
     // (different objectives over the same materialized base) — run both
     // driver-iterated Lloyd loops concurrently so their per-sweep jobs
@@ -672,8 +673,58 @@ object SimQueries {
       .groupBy(col("qid"), col("vec_id"))
       .agg((sum(col("pd")) / lit(graft.api.Det.pow10(9))).as("adc_dist"))
       .withColumn("rn", row_number().over(w).cast("int"))
-      .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("vec_id"), col("adc_dist"))
+  }
+
+  val ivfpqTopk: GraftQuery = GraftQuery(
+    "ann_ivfpq_topk",
+    s"IVF+PQ ANN: probe $IvfPqNprobe trained coarse cells, ADC-rank the PQ codes within",
+    SimOracle.ivfpqTopkSql) { (s, d) =>
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    ivfpqRanked(base)
+      .filter(col("rn") <= 10)
+      .orderBy("qid", "rn")
+  }
+
+  /** ADC candidates carried into [[ivfpqRerank]]'s exact refine stage. */
+  val AnnRerankC = 30
+
+  /** IVF+PQ with exact re-ranking — the deployed two-stage retrieval
+    * shape (FAISS's IVFPQ + refine): the lossy index nominates a slate of
+    * [[AnnRerankC]] ADC-ranked candidates per query, then the TRUE
+    * squared-L2 distance is computed for that slate only and the top-10
+    * re-ranked on it. This recovers most of the recall PQ gives up while
+    * touching raw floats for only rerankC/corpus of the data: at billion
+    * scale stage 1 reads the nprobe cells of a 32x-compressed code table
+    * and stage 2 fetches rerankC full vectors per query by id — a
+    * broadcast-sized equi-join against the vector store, never a scan.
+    *
+    * Determinism: the slate is the ADC ranking's exact LONG sums; the
+    * refine distance uses the same qq + vv - 2*dot expression shape as
+    * [[pqRecall]]'s truth side, so the doubles are bit-identical on both
+    * engines; ties break on vec_id.
+    */
+  val ivfpqRerank: GraftQuery = GraftQuery(
+    "ann_ivfpq_rerank",
+    s"IVF+PQ + exact refine: ADC top-$AnnRerankC slate per query, true-L2 re-rank to top-10",
+    SimOracle.ivfpqRerankSql) { (s, d) =>
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    val slate = ivfpqRanked(base)
+      .filter(col("rn") <= AnnRerankC)
+      .select(col("qid"), col("vec_id"), col("adc_dist"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("l2_dist"), col("vec_id"))
+    slate
+      .join(base.withColumnRenamed("vec_id", "cv"), col("cv") === col("vec_id"))
+      .join(broadcast(q), col("qid2") === col("qid"))
+      .withColumn("l2_dist",
+        dot(col("qv"), col("qv")) + dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("l2_dist"),
+        col("adc_dist"))
       .orderBy("qid", "rn")
   }
 
@@ -1129,7 +1180,7 @@ object SimQueries {
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
-      clusterTopics, ivfpqTopk, pcaPower, contrastiveNegatives,
+      clusterTopics, ivfpqTopk, ivfpqRerank, pcaPower, contrastiveNegatives,
       centroidOutliers, knnLabelAccuracy, crosslingualPairs, mmrRerank,
       semanticClusters)
 }
