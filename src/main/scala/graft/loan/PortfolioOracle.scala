@@ -361,4 +361,41 @@ object PortfolioOracle {
       n_loans / SUM(n_loans) OVER (PARTITION BY from_rank) AS roll_pct
     FROM cell ORDER BY from_rank, to_rank"""
   }
+
+  /** Incremental-merge twin: the same two-path construction — merged
+    * algebraic states vs full recompute — with merge_ok a GENUINE
+    * equality (both engines independently prove the monoid merge exact).
+    */
+  def incrementalMergeSql: String = {
+    import PortfolioQueries.{IncrDeltaMod, IncrDeltaRes}
+    def state(pred: String): String = s"""
+      SELECT region_cleaned, dpd_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(floor(disbursement_amount * 10000.0 + 0.5) AS BIGINT)) AS dq,
+        SUM(CAST(floor(emi_amount * 10000.0 + 0.5) AS BIGINT)) AS eq
+      FROM lf $pred GROUP BY 1, 2"""
+    s"""
+    WITH $ctes,
+    merged AS (
+      SELECT region_cleaned, dpd_bucket,
+        CAST(SUM(n) AS BIGINT) AS n_merged, SUM(dq) AS dqm, SUM(eq) AS eqm
+      FROM (
+        ${state(s"WHERE loan_id % $IncrDeltaMod <> $IncrDeltaRes")}
+        UNION ALL
+        ${state(s"WHERE loan_id % $IncrDeltaMod = $IncrDeltaRes")}
+      ) GROUP BY 1, 2
+    ),
+    fullagg AS (
+      ${state("")}
+    )
+    SELECT m.region_cleaned, m.dpd_bucket,
+      m.n_merged AS n_loans,
+      m.dqm / 10000.0 AS disbursed,
+      m.eqm / 10000.0 / m.n_merged AS avg_emi,
+      (m.n_merged = f.n AND m.dqm = f.dq AND m.eqm = f.eq) AS merge_ok
+    FROM merged m FULL JOIN fullagg f
+      ON m.region_cleaned IS NOT DISTINCT FROM f.region_cleaned
+      AND m.dpd_bucket IS NOT DISTINCT FROM f.dpd_bucket
+    ORDER BY m.region_cleaned NULLS FIRST, m.dpd_bucket"""
+  }
 }

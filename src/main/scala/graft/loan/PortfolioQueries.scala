@@ -521,14 +521,14 @@ object PortfolioQueries {
     * Shuffle carries a 5×5-bounded cell table; roll_pct is an exact
     * BIGINT/BIGINT window division.
     */
-  val rollRate: GraftQuery = GraftQuery(
-    "loan_rollrate_matrix",
-    "DPD bucket roll-rate matrix: prior-month bucket (no-cure back-projection) x current bucket, counts + arrear + roll share",
-    PortfolioOracle.rollRateSql) { (s, d) =>
+  /** [[rollRate]]'s plan over any frame carrying (dpd_days, dpd_bucket,
+    * arrear) — separated so the fixture spec can hand-compute a matrix.
+    */
+  def rollRateFrame(lfd: DataFrame): DataFrame = {
     def rank(days: Column): Column =
       when(days === 0, 0).when(days <= 30, 1).when(days <= 60, 2)
         .when(days <= 90, 3).otherwise(4)
-    val cells = lf(s, d)
+    val cells = lfd
       .withColumn("prev_days", greatest(lit(0), col("dpd_days") - 30))
       .select(
         rank(col("prev_days")).as("from_rank"),
@@ -547,10 +547,65 @@ object PortfolioQueries {
       .orderBy("from_rank", "to_rank")
   }
 
+  val rollRate: GraftQuery = GraftQuery(
+    "loan_rollrate_matrix",
+    "DPD bucket roll-rate matrix: prior-month bucket (no-cure back-projection) x current bucket, counts + arrear + roll share",
+    PortfolioOracle.rollRateSql) { (s, d) => rollRateFrame(lf(s, d)) }
+
+  /** The late-arriving batch for [[incrementalMerge]]: loans with
+    * loan_id % [[IncrDeltaMod]] == [[IncrDeltaRes]] (an ID split on
+    * purpose — the delta must be an arbitrary slice, not a data-dependent
+    * one). Shared with the oracle by interpolation.
+    */
+  val IncrDeltaMod = 10
+  val IncrDeltaRes = 9
+
+  /** Incremental aggregate maintenance — the 100 TB dashboard contract:
+    * when a new partition lands, the materialized rollup is updated by
+    * MERGING its algebraic state (counts and quantized-LONG sums — a
+    * commutative monoid) with the delta's state, never by rescanning the
+    * corpus. AVG is not algebraic but its (sum, count) decomposition is,
+    * so avg_emi is recomposed from merged components. Both paths run
+    * here — merge(state(90%), state(delta)) AND a full recompute — and
+    * `merge_ok` is a GENUINE per-group equality check on both engines
+    * (not an attestation): exact because the quantized sums are
+    * associative LONGs, which is precisely why [[graft.api.Det]] exists.
+    */
+  val incrementalMerge: GraftQuery = GraftQuery(
+    "portfolio_incremental_merge",
+    s"incremental rollup maintenance: merge(state, delta 1/$IncrDeltaMod) vs full recompute, per-cell equality",
+    PortfolioOracle.incrementalMergeSql) { (s, d) =>
+    val base = lf(s, d).select(col("loan_id"), col("region_cleaned"),
+      col("dpd_bucket"), col("disbursement_amount"), col("emi_amount"))
+    def state(df: DataFrame): DataFrame =
+      df.groupBy("region_cleaned", "dpd_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(Det.quantize(col("disbursement_amount"), 4)).as("dq"),
+          sum(Det.quantize(col("emi_amount"), 4)).as("eq"))
+    val merged = state(base.filter(col("loan_id") % IncrDeltaMod =!= IncrDeltaRes))
+      .unionByName(state(base.filter(col("loan_id") % IncrDeltaMod === IncrDeltaRes)))
+      .groupBy("region_cleaned", "dpd_bucket")
+      .agg(sum(col("n")).as("n_merged"), sum(col("dq")).as("dqm"),
+        sum(col("eq")).as("eqm"))
+    val full = state(base).select(col("region_cleaned").as("r2"),
+      col("dpd_bucket").as("b2"), col("n").as("n_full"),
+      col("dq").as("dqf"), col("eq").as("eqf"))
+    merged.join(full,
+        col("region_cleaned") <=> col("r2") && col("dpd_bucket") <=> col("b2"),
+        "full")
+      .select(col("region_cleaned"), col("dpd_bucket"),
+        col("n_merged").as("n_loans"),
+        (col("dqm") / lit(Det.pow10(4))).as("disbursed"),
+        (col("eqm") / lit(Det.pow10(4)) / col("n_merged")).as("avg_emi"),
+        (col("n_merged") === col("n_full") && col("dqm") === col("dqf")
+          && col("eqm") === col("eqf")).as("merge_ok"))
+      .orderBy(asc_nulls_first("region_cleaned"), col("dpd_bucket"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
-    tableProfile, portfolioNpv, vintageAnalysis, rollRate)
+    tableProfile, portfolioNpv, vintageAnalysis, rollRate, incrementalMerge)
 }

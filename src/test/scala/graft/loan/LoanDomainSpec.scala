@@ -149,4 +149,30 @@ class LoanDomainSpec extends SparkSpec {
     // schedule dates formatted dd-MMM-yyyy
     assert(rows(0).getAs[String]("emi_due_date") === "15-Feb-2024")
   }
+
+  test("rollRateFrame: no-cure back-projection matrix on a hand-computed fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    // (dpd_days, arrear): two current, one fresh 15-DPD (current a month
+    // ago), one 45 (was 15), one 100 (was 70), one 130 (was 100)
+    val lfd = Seq(
+      (0, 0.0), (0, 0.0), (15, 50.0), (45, 150.0), (100, 400.0), (130, 700.0))
+      .toDF("dpd_days", "arrear")
+      .withColumn("dpd_bucket", LoanDomain.dpdBucketFinal(col("dpd_days")))
+    val rows = PortfolioQueries.rollRateFrame(lfd).collect()
+    val cells = rows.map(r => (r.getAs[Int]("from_rank"), r.getAs[Int]("to_rank"))
+      -> (r.getAs[String]("from_bucket"), r.getAs[String]("to_bucket"),
+        r.getAs[Long]("n_loans"), r.getAs[Double]("roll_pct"))).toMap
+    assert(rows.length === 5)
+    // Current a month ago: 2 stayed, 1 rolled into 1-30 DPD
+    assert(cells((0, 0)) === (("Current", "Current", 2L, 2.0 / 3.0)))
+    assert(cells((0, 1)) === (("Current", "1–30 DPD", 1L, 1.0 / 3.0)))
+    // each delinquent bucket rolls forward one band (or stays at 90+)
+    assert(cells((1, 2)) === (("1–30 DPD", "31–60 DPD", 1L, 1.0)))
+    assert(cells((3, 4)) === (("61–90 DPD", "90+ DPD", 1L, 1.0)))
+    assert(cells((4, 4)) === (("90+ DPD", "90+ DPD", 1L, 1.0)))
+    // arrear mass lands in its cell
+    assert(rows.find(r => r.getAs[Int]("from_rank") == 3).get
+      .getAs[Double]("arrear_total") === 400.0)
+  }
 }
