@@ -450,4 +450,36 @@ class PlanSpec extends SparkSpec {
     assert(windows.head.collect { case a: Aggregate => a }.nonEmpty,
       "share window does not sit above the aggregation")
   }
+
+  test("events_weekly_sketch_rollup: sketches partial-aggregate (ObjectHashAggregate), no NLJ") {
+    val plan = planOf("events_weekly_sketch_rollup")
+    // DataSketches HLL aggs run under ObjectHashAggregate with a partial
+    // stage — the map-side sketch build that makes the rollup mergeable
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
+    assert(plan.contains("hll_union_agg") || plan.contains("hll_sketch_agg"),
+      s"sketch aggs missing from plan:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("portfolio_incremental_merge: merge vs full meet in an equi join, never a cartesian") {
+    val plan = planOf("portfolio_incremental_merge")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+    assert(plan.contains("FullOuter"), s"expected a full outer equi join:\n$plan")
+  }
+
+  test("ann_ivfpq_rerank: the refine stage fetches slate vectors via hash joins, no cartesian") {
+    // the training pipeline legitimately cross-joins broadcast 1-row
+    // centroid/codebook aggregates (BroadcastNestedLoopJoin over a
+    // single-row build side); what must never appear is an unbroadcast
+    // cartesian, and the refine fetch itself must be an equi HASH join
+    // on the slate's vec_id — the by-id vector-store lookup of the
+    // 100 TB story
+    val plan = SparkEntry.queries("ann_ivfpq_rerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(plan.contains("HashJoin [vec_id") || plan.contains("HashJoin [cv"),
+      s"refine fetch is not a hash join on vec_id:\n$plan")
+  }
 }
