@@ -575,8 +575,12 @@ object PortfolioQueries {
     "portfolio_incremental_merge",
     s"incremental rollup maintenance: merge(state, delta 1/$IncrDeltaMod) vs full recompute, per-cell equality",
     PortfolioOracle.incrementalMergeSql) { (s, d) =>
+    // three aggregations read the 5-column projection; materialize it
+    // once so the loan_final derivation (levenshtein region cleaning
+    // included) doesn't run per-branch
     val base = lf(s, d).select(col("loan_id"), col("region_cleaned"),
       col("dpd_bucket"), col("disbursement_amount"), col("emi_amount"))
+      .localCheckpoint()
     def state(df: DataFrame): DataFrame =
       df.groupBy("region_cleaned", "dpd_bucket")
         .agg(count(lit(1)).as("n"),

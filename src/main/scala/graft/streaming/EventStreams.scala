@@ -79,6 +79,27 @@ object EventStreams {
           graft.events.EventQueries.DailyDistinctRsd).as("users_est"))
       .select(col("window.start").as("day"), col("n_events"), col("users_est"))
 
+  /** Weekly active users, DataSketches-HLL path — the streaming twin of
+    * the batch `events_weekly_sketch_rollup` query. The batch query
+    * proves sketches re-aggregate across DAYS (union of stored per-day
+    * buffers); this transform proves the same sketch re-aggregates
+    * across MICRO-BATCHES: `hll_sketch_agg` state merges commutatively,
+    * so whatever batch boundary splits a week, the final estimate equals
+    * the one-shot batch aggregation — the parity StreamingSpec asserts.
+    * The 7-day window is Monday-aligned (startTime 4 days: 1970-01-05
+    * was a Monday) to mirror the batch query's date_trunc('week').
+    */
+  def weeklyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"),
+          graft.events.EventQueries.WeeklySketchLgK)).as("users_est"))
+      .select(col("window.start").as("week"), col("n_events"),
+        col("users_est"))
+
   /** Session windows per user (6-hour inactivity gap). A session ends
     * gapDuration after its last event (Spark session_window semantics —
     * mirrored exactly by the oracle's gaps-and-islands SQL).

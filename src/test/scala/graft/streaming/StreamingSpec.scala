@@ -412,6 +412,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_(2)) === exact)
   }
 
+  test("weeklyDistinctUsers: DataSketches sketch merges across micro-batches, equals batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two Monday-aligned weeks; week 1 split MID-WEEK across micro-batches
+    // so its sketch state must merge across the boundary
+    def t(day: Int, hr: Int) = Timestamp.valueOf(f"2024-01-$day%02d $hr%02d:00:00")
+    val evs = Seq(
+      Ev(1, t(1, 1), 10, "view", 1.0, "{}"),   // Mon, week of Jan 1
+      Ev(2, t(2, 2), 10, "click", 1.0, "{}"),
+      Ev(3, t(3, 3), 11, "view", 1.0, "{}"),
+      Ev(4, t(6, 1), 12, "view", 1.0, "{}"),   // Sat, same week
+      Ev(5, t(8, 2), 10, "view", 1.0, "{}"),   // Mon, week of Jan 8
+      Ev(6, t(9, 3), 13, "click", 1.0, "{}"))
+    val stream = MemoryStream[Ev]
+    stream.addData(evs.take(3): _*)
+    val q = EventStreams.weeklyDistinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("weekly_distinct_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    stream.addData(evs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("weekly_distinct_out")
+      .orderBy("week").collect().map(_.toSeq).toSeq
+    val batch = EventStreams.weeklyDistinctUsers(evs.toDF())
+      .orderBy("week").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.length === 2)
+    // Monday alignment: both window starts are Mondays at midnight
+    assert(streamed.map(_(0).toString) ===
+      Seq("2024-01-01 00:00:00.0", "2024-01-08 00:00:00.0"))
+    // at these cardinalities the HLL estimate is exact: 3 and 2 users
+    assert(streamed.map(_(2)) === Seq(3L, 2L))
+  }
+
   test("userSessions: streaming append emits watermark-closed sessions equal to batch") {
     val spark0 = spark
     import spark0.implicits._
