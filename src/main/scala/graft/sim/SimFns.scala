@@ -15,17 +15,41 @@ object SimFns {
   val Dims = 64
   val NumPlanes = 8 // 256 LSH buckets
 
-  /** k and sweep count for the Lloyd's k-means coarse-quantizer training
-    * ([[SimQueries.kmeans]]). Leaf-object constants so SimQueries and
-    * SimOracle can both read them without an init-order cycle (see the
-    * note on [[graft.text.TextOracle]]).
+  /** Coarse-quantizer sizing for the Lloyd's k-means training
+    * ([[SimQueries.kmeans]]): k GROWS WITH THE CORPUS,
+    * k = max([[KmeansKFloor]], ceil(n / [[TargetCellSize]])), so expected
+    * cell occupancy stays ~[[TargetCellSize]] at every corpus size — the
+    * FAISS nlist-sizing convention. This is what keeps every intra-cell
+    * pair join (SemDeDup, bitext mining, hard negatives, the funnel's
+    * semantic stage) LINEAR in n: pair space is bounded by
+    * n * (max cell occupancy) ~ n * c*TargetCellSize instead of the
+    * n^2/k a fixed k degrades to at 100x data. The identical formula is
+    * computed IN SQL by the oracle (a scalar-subquery CTE over the same
+    * scan — [[SimOracle.kmeansChain]]'s `kn`), so both engines derive k
+    * from the data rather than from a constant. SimSpec pins the cell-
+    * occupancy bound. Leaf-object constants so SimQueries and SimOracle
+    * can both read them without an init-order cycle (see the note on
+    * [[graft.text.TextOracle]]).
+    *
+    * Training cost note: brute-force assignment is O(n*k*Dims) per sweep;
+    * with k ~ n/TargetCellSize that term is the next asymptote at extreme
+    * scale, and the standard refinement (train on a bounded deterministic
+    * sample, assign via an ANN index over the centroids — FAISS's
+    * quantizer-HNSW) slots into [[SimQueries.trainedCentroids]] without
+    * touching any consumer; the pair joins this sizing fixes remain
+    * linear either way.
     */
-  val KmeansK = 8
+  val KmeansKFloor = 8
+  val TargetCellSize = 64
   val KmeansIters = 3
+
+  /** k for a corpus of n vectors (see [[KmeansKFloor]]). */
+  def kmeansK(n: Long): Int =
+    math.max(KmeansKFloor, math.ceil(n.toDouble / TargetCellSize).toInt)
 
   /** Product-quantization geometry ([[SimQueries.pqTopk]]): PqM subspaces
     * of Dims/PqM dims each, PqK codewords per subspace (init: the PqK
-    * lowest vec_ids' sub-vectors, the [[KmeansK]] convention), PqIters
+    * lowest vec_ids' sub-vectors, the [[kmeansK]] init convention), PqIters
     * Lloyd sweeps per codebook. 4x8 codes store a 64-dim vector in 4
     * 3-bit symbols — the compression that lets a 100 TB vector corpus
     * live in executor memory as codes while full vectors stay on disk.

@@ -414,10 +414,14 @@ object SimOracle {
   /** CTE chain from `e` to the trained-kmeans FINAL assignment
     * `a<KmeansIters+1>(vec_id, j, dist)` and the trained centroids
     * `c<KmeansIters>(j, c)` — shared by [[kmeansSql]] and
-    * [[semanticDedupSql]] so both grade the same training math.
+    * [[semanticDedupSql]] so both grade the same training math. k is
+    * DATA-DERIVED, not a constant: the `kn` scalar-subquery CTE computes
+    * max(KmeansKFloor, ceil(n / TargetCellSize)) over the same scan —
+    * the SQL twin of [[SimQueries.trainedCentroids]]' count-action
+    * sizing, so both engines grow the quantizer with the corpus.
     */
   private[graft] val kmeansChain: String = {
-    import SimFns.{KmeansIters, KmeansK}
+    import SimFns.{KmeansIters, KmeansKFloor, TargetCellSize}
     def sweep(t: Int): String = s"""
     x$t AS (
       SELECT k.vec_id, k.v, ct.j,
@@ -446,9 +450,14 @@ object SimOracle {
     val fin = KmeansIters + 1
     s"""
     k AS (SELECT vec_id, v, ${dotIdx("v", "v")} AS vv FROM e),
+    kn AS (
+      SELECT GREATEST($KmeansKFloor,
+        CAST(ceil(COUNT(*) / $TargetCellSize.0) AS BIGINT)) AS k
+      FROM e
+    ),
     c0 AS (
       SELECT CAST(vec_id AS INTEGER) AS j, v AS c FROM e
-      WHERE vec_id < $KmeansK
+      WHERE vec_id < (SELECT k FROM kn)
     ),
     ${(1 to KmeansIters).map(sweep).mkString(",")},
     x$fin AS (
@@ -726,7 +735,7 @@ object SimOracle {
     GROUP BY er.qid ORDER BY er.qid"""
 
   val kmeansSql: String = {
-    import SimFns.{KmeansIters, KmeansK}
+    import SimFns.KmeansIters
     val fin = KmeansIters + 1
     s"""
     WITH $baseCtes,

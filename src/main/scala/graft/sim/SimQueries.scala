@@ -326,7 +326,8 @@ object SimQueries {
   }
 
   /** IVF coarse-quantizer TRAINING: [[SimFns.KmeansIters]] Lloyd sweeps at
-    * k = [[SimFns.KmeansK]], deterministic init (the k lowest vec_ids),
+    * k = [[SimFns.kmeansK]](n) — corpus-sized, see the scaling note on
+    * [[SimFns.KmeansKFloor]] — deterministic init (the k lowest vec_ids),
     * then a final assignment summarized per cell (size, quantized inertia,
     * centroid norm). This is the missing step [[ivfTopk]] stands in for
     * with the label column: cells learned from the data, against which a
@@ -338,13 +339,17 @@ object SimQueries {
     * chain once per reference (2^sweeps plan blow-up), and the driver
     * still never sees per-vector data.
     */
-  /** The trained centroid frame (j, c): deterministic init from the k
-    * lowest vec_ids, then [[SimFns.KmeansIters]] sweeps. Each sweep's 8-row
+  /** The trained centroid frame (j, c): k = [[SimFns.kmeansK]] of the
+    * corpus count (ONE metadata-cheap count action — parquet answers it
+    * from row-group stats; the oracle derives the same k in SQL via the
+    * `kn` scalar-subquery CTE), deterministic init from the k lowest
+    * vec_ids, then [[SimFns.KmeansIters]] sweeps. Each sweep's k-row
     * result is localCheckpointed — without the cut every later sweep
     * re-executes the whole unrolled chain once per reference.
     */
-  private def trainedCentroids(v: DataFrame, k: Int = KmeansK,
+  private def trainedCentroids(v: DataFrame,
       iters: Int = KmeansIters): DataFrame = {
+    val k = SimFns.kmeansK(v.count())
     var c = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("j"), col("v").as("c"))
       .localCheckpoint()
@@ -364,7 +369,8 @@ object SimQueries {
 
   val kmeans: GraftQuery = GraftQuery(
     "embedding_kmeans",
-    s"IVF coarse-quantizer training: $KmeansIters Lloyd sweeps, k=$KmeansK, per-cell size/inertia/norm",
+    s"IVF coarse-quantizer training: $KmeansIters Lloyd sweeps, " +
+      s"k=max($KmeansKFloor, n/$TargetCellSize), per-cell size/inertia/norm",
     SimOracle.kmeansSql) { (s, d) =>
     val v = vecs(s, d).select(col("vec_id"), col("v"))
     val c = trainedCentroids(v)

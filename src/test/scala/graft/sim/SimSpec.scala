@@ -70,17 +70,36 @@ class SimSpec extends SparkSpec {
 
   test("kmeans training: cells partition the corpus, deterministic across runs") {
     val total = graft.Tables.embeddings(spark, sf).count()
+    val k = SimFns.kmeansK(total)
     val rows = SimQueries.kmeans.frame(spark, sf).collect()
-    assert(rows.nonEmpty && rows.length <= SimFns.KmeansK)
+    assert(rows.nonEmpty && rows.length <= k)
     assert(rows.map(_.getAs[Long]("n_assigned")).sum === total)
     rows.foreach { r =>
       val j = r.getAs[Int]("cluster")
-      assert(j >= 0 && j < SimFns.KmeansK)
+      assert(j >= 0 && j < k)
       assert(r.getAs[Double]("inertia") >= 0.0)
       assert(r.getAs[Double]("centroid_norm") > 0.0)
     }
     val again = SimQueries.kmeans.frame(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  // The quantizer-scaling contract (SimFns.KmeansKFloor note): k grows
+  // with the corpus so cell occupancy — the quadratic term of every
+  // intra-cell pair join — stays bounded by a constant multiple of
+  // TargetCellSize, independent of corpus size. The formula itself is
+  // pinned exactly; occupancy is pinned at the Lloyd-skew bound measured
+  // across the shipped SFs (<= 4x target; avg occupancy <= target by
+  // construction since cells >= n/target).
+  test("kmeans scaling: k follows max(floor, n/target); occupancy bounded") {
+    assert(SimFns.kmeansK(1L) === SimFns.KmeansKFloor)
+    assert(SimFns.kmeansK(500L) === SimFns.KmeansKFloor) // sf0.001/0.01
+    assert(SimFns.kmeansK(2000L) === 32) // sf0.1: 2000/64
+    assert(SimFns.kmeansK(1000000L) === 15625) // k keeps scaling: n/64
+    val occ = SimQueries.kmeansCells(spark, sf).collect()
+      .groupBy(_.getAs[Int]("cell")).map(_._2.length)
+    assert(occ.max <= 4 * SimFns.TargetCellSize,
+      s"cell occupancy ${occ.max} exceeds 4x target ${SimFns.TargetCellSize}")
   }
 
   test("semantic_dedup_pairs: agrees with brute-force intra-cell cosine") {
