@@ -47,13 +47,30 @@ object Bench {
     // after the main sweep the slowest queries are RE-SAMPLED at the end of
     // the run, ~20 minutes later, and the min is merged. A contention
     // window must now span the whole bench to survive into the report.
-    // Optional args restrict the run to the named queries — a local
-    // iterate-on-one-query loop; the driver passes none and times all.
-    val only = args.toSet
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.isEmpty || only(n) }
-    require(only.isEmpty || names.size == only.size,
-      s"unknown query name(s): ${only -- names.map(_._1)}")
+    // Optional args restrict the run — a local iterate-on-a-few-queries
+    // loop so A/B work never pays the full registry sweep; the driver
+    // passes none and times all. Each arg matches by exact name OR by
+    // `--only <prefix>` (e.g. `--only dedup_` times the dedup family).
+    // Every arg must match at least one query: a typo'd restriction
+    // failing silently would masquerade as "nothing regressed".
+    val argv = args.toList
+    val (prefixArgs, nameArgs) = {
+      val i = argv.indexOf("--only")
+      val (post, pre) = if (i >= 0) (argv.drop(i + 1), argv.take(i)) else (Nil, argv)
+      val inline = pre.collect { case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=") }
+      ((post ++ inline).toSet, pre.filterNot(_.startsWith("--only=")).toSet)
+    }
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryNames = all.map(_._1).toSet
+    val names = all.filter { case (n, _) =>
+      (prefixArgs.isEmpty && nameArgs.isEmpty) ||
+        nameArgs(n) || prefixArgs.exists(n.startsWith)
+    }
+    val unmatched = (nameArgs -- queryNames) ++
+      prefixArgs.filterNot(p => queryNames.exists(_.startsWith(p)))
+    require(unmatched.isEmpty,
+      s"no query matches: ${unmatched.toSeq.sorted.mkString(", ")}")
     // Release checkpoint/persist blocks AFTER the timer stops: scratch
     // blocks (localCheckpoint posting tables, CC sweeps) must not linger
     // into the next query's run — BENCH_r03 measured 2-3x inflation on
