@@ -392,7 +392,8 @@ object PortfolioOracle {
       m.n_merged AS n_loans,
       m.dqm / 10000.0 AS disbursed,
       m.eqm / 10000.0 / m.n_merged AS avg_emi,
-      (m.n_merged = f.n AND m.dqm = f.dq AND m.eqm = f.eq) AS merge_ok
+      COALESCE(m.n_merged = f.n AND m.dqm = f.dq AND m.eqm = f.eq,
+        FALSE) AS merge_ok
     FROM merged m FULL JOIN fullagg f
       ON m.region_cleaned IS NOT DISTINCT FROM f.region_cleaned
       AND m.dpd_bucket IS NOT DISTINCT FROM f.dpd_bucket

@@ -601,8 +601,11 @@ object PortfolioQueries {
         col("n_merged").as("n_loans"),
         (col("dqm") / lit(Det.pow10(4))).as("disbursed"),
         (col("eqm") / lit(Det.pow10(4)) / col("n_merged")).as("avg_emi"),
-        (col("n_merged") === col("n_full") && col("dqm") === col("dqf")
-          && col("eqm") === col("eqf")).as("merge_ok"))
+        // coalesce to FALSE: a one-sided group (present in only the
+        // merged or only the full path — a genuine merge defect) must
+        // read merge_ok = false, not NULL-out of the attestation
+        coalesce(col("n_merged") === col("n_full") && col("dqm") === col("dqf")
+          && col("eqm") === col("eqf"), lit(false)).as("merge_ok"))
       .orderBy(asc_nulls_first("region_cleaned"), col("dpd_bucket"))
   }
 

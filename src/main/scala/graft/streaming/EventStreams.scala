@@ -87,7 +87,12 @@ object EventStreams {
     * so whatever batch boundary splits a week, the final estimate equals
     * the one-shot batch aggregation — the parity StreamingSpec asserts.
     * The 7-day window is Monday-aligned (startTime 4 days: 1970-01-05
-    * was a Monday) to mirror the batch query's date_trunc('week').
+    * was a Monday) to mirror the batch query's date_trunc('week') —
+    * UNDER THE REPO'S PINNED spark.sql.session.timeZone=UTC ONLY:
+    * window() offsets absolute epoch time while date_trunc truncates in
+    * session-local time, so in a non-UTC session the two week boundaries
+    * diverge and the batch-parity claim would need the startTime offset
+    * derived from the session zone instead of this constant.
     */
   def weeklyDistinctUsers(events: DataFrame): DataFrame =
     events

@@ -479,7 +479,17 @@ class PlanSpec extends SparkSpec {
     val plan = SparkEntry.queries("ann_ivfpq_rerank")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
-    assert(plan.contains("HashJoin [vec_id") || plan.contains("HashJoin [cv"),
-      s"refine fetch is not a hash join on vec_id:\n$plan")
+    // TWO joins are keyed on the candidate/slate vec id — stage 1's
+    // candidate->codes fetch inside the shared ADC ranking AND the
+    // refine stage's by-id vector fetch (both cv = vec_id). Counting
+    // them anchors the assertion to the refine stage: if the refine
+    // join degraded to a sort-merge or nested-loop, the count drops to
+    // stage 1's single hash join and this fails (a bare contains()
+    // would still pass off stage 1's join alone).
+    val idHashJoins = "HashJoin \\[(vec_id|cv)".r.findAllIn(plan).size
+    assert(idHashJoins >= 2,
+      s"expected stage-1 AND refine vec-id hash joins, found $idHashJoins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a join degraded to sort-merge:\n$plan")
   }
 }
