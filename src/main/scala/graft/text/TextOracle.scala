@@ -485,6 +485,83 @@ object TextOracle {
     ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
   }
 
+  /** Chunk-grain BM25 twin: chunk rows via correlated unnest(range(0,k))
+    * + list_slice (DuckDB's inclusive-end clamp matches Spark slice's
+    * length clamp), then the [[searchBm25Sql]] scorer keyed on
+    * (doc_id, chunk_id) with chunk-count/chunk-length statistics, and
+    * the metadata join-back after the top-k cut.
+    */
+  def chunkSearchBm25Sql: String = {
+    import TextQueries.{Bm25B, Bm25K1, Bm25TopK, Bm25Terms, ChunkSize, ChunkStride}
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val (c, st) = (ChunkSize, ChunkStride)
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    kk AS (
+      SELECT doc_id, toks, n,
+        CASE WHEN n <= $c THEN 1
+             ELSE CAST(floor((n - $c + $st - 1) / $st::DOUBLE) AS BIGINT) + 1
+        END AS k
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, CAST(unnest(range(0, k)) AS BIGINT) AS chunk_id, toks
+      FROM kk
+    ),
+    cht AS (
+      SELECT doc_id, chunk_id,
+        list_slice(toks, chunk_id * $st + 1, chunk_id * $st + $c) AS ctoks
+      FROM ch
+    ),
+    cl AS (
+      SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS cl, ctoks
+      FROM cht
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_chunks,
+        CAST(SUM(cl) AS BIGINT) / COUNT(*) AS avgdl
+      FROM cl
+    ),
+    post AS (
+      SELECT doc_id, chunk_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, chunk_id, unnest(ctoks) AS term FROM cl
+      ) WHERE term IN ($terms)
+      GROUP BY 1, 2, 3
+    ),
+    idf AS (
+      SELECT term, s.avgdl,
+        floor(ln(1.0::DOUBLE + (s.n_chunks - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+          * 1000000000.0 + 0.5) / 1000000000.0 AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM post GROUP BY term)
+      CROSS JOIN stats s
+    ),
+    contrib AS (
+      SELECT p.doc_id, p.chunk_id,
+        CAST(floor(i.idf * ((p.tf * ${Bm25K1 + 1.0}::DOUBLE) /
+          (p.tf + $Bm25K1::DOUBLE * (${1.0 - Bm25B}::DOUBLE +
+            ($Bm25B::DOUBLE * l.cl) / i.avgdl)))
+          * 1000000000.0 + 0.5) AS BIGINT) AS cq
+      FROM post p
+      JOIN idf i USING (term)
+      JOIN cl l USING (doc_id, chunk_id)
+    ),
+    top AS (
+      SELECT doc_id, chunk_id,
+        CAST(SUM(cq) AS BIGINT) / 1000000000.0 AS score,
+        COUNT(*) AS terms_hit
+      FROM contrib GROUP BY doc_id, chunk_id
+      ORDER BY score DESC, doc_id, chunk_id LIMIT $Bm25TopK
+    )
+    SELECT top.doc_id, top.chunk_id, top.chunk_id * $st AS chunk_start,
+      top.score, top.terms_hit, d.lang, d.source
+    FROM top JOIN documents d USING (doc_id)
+    ORDER BY top.score DESC, top.doc_id, top.chunk_id"""
+  }
+
   /** Span-corruption twin: identical position-hash span starts (the
     * hash60 idiom over 'doc_id:pos'), coverage via bounded list scans,
     * and the same fingerprint construction for both pair halves.

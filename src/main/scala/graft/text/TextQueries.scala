@@ -606,6 +606,89 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** The chunk ROWS [[chunking]] only counts: (doc_id, chunk_id, ctoks)
+    * via the same closed-form chunk count + `explode(sequence)` +
+    * `slice` — chunk c covers token positions c*stride .. c*stride+size-1
+    * (the last chunk clamps at the doc end, exactly the mass the audit's
+    * closed form charges). This is the index-grain materialization a RAG
+    * pipeline embeds and retrieves over; one narrow explode, no shuffle.
+    */
+  def chunkRowsFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val k = when(col("n") <= ChunkSize, lit(1L)).otherwise(
+      floor((col("n") - ChunkSize + ChunkStride - 1) / lit(ChunkStride.toDouble))
+        .cast("long") + 1L)
+    t.withColumn("chunk_id", explode(sequence(lit(0L), k - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)).as("ctoks"))
+      .withColumn("cl", size(col("ctoks")).cast("long"))
+  }
+
+  /** BM25 at CHUNK grain over any (doc_id, text) frame — the
+    * [[bm25Frame]] scorer with the chunk as the retrieval unit: N = chunk
+    * count, df = chunks containing the term, dl = chunk length. Same
+    * idf-quantization determinism recipe; ties break (doc_id, chunk_id).
+    */
+  def chunkBm25Frame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ch = chunkRowsFrame(docs)
+    val stats = ch.agg(count(lit(1)).as("n_chunks"),
+      (sum(col("cl")) / count(lit(1))).as("avgdl"))
+    val post = ch
+      .select(col("doc_id"), col("chunk_id"), col("cl"),
+        explode(col("ctoks")).as("term"))
+      .filter(col("term").isInCollection(Bm25Terms))
+      .groupBy(col("doc_id"), col("chunk_id"), col("cl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("avgdl"),
+        (floor(log(lit(1.0) +
+          (col("n_chunks") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * lit(1e9) + lit(0.5)) / lit(1e9)).as("idf"))
+    post.join(broadcast(idf), "term")
+      .select(col("doc_id"), col("chunk_id"),
+        floor(col("idf") * ((col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            (lit(Bm25B) * col("cl")) / col("avgdl"))))
+          * lit(1e9) + lit(0.5)).as("cq"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg((sum(col("cq")) / lit(1e9)).as("score"),
+        count(lit(1)).as("terms_hit"))
+      .orderBy(desc("score"), col("doc_id"), col("chunk_id"))
+      .limit(Bm25TopK)
+  }
+
+  /** Chunk-grain BM25 retrieval — the ACTUAL RAG index shape ([[chunking]]
+    * counts the windows; this retrieves over them): top-[[Bm25TopK]]
+    * CHUNKS for the fixed query, each joined back to its document's
+    * metadata. Chunk grain is what makes retrieval usable from long
+    * documents — a relevant passage buried mid-doc scores on its own
+    * ~[[ChunkSize]]-token window instead of being length-normalized away
+    * at doc grain (ChunkSpec's fixture proves exactly that inversion).
+    *
+    * Scale shape: the chunk explode is a narrow ~1.3x row expansion
+    * (overlap/stride), postings are filtered to the query terms BEFORE
+    * any shuffle (the [[searchBm25]] contract), all statistics joins are
+    * broadcast-sized, and the metadata join runs AFTER the top-k cut —
+    * [[Bm25TopK]] rows against the documents scan, a by-id lookup.
+    */
+  val chunkSearchBm25: GraftQuery = GraftQuery(
+    "chunk_search_bm25",
+    s"chunk-grain BM25: top-$Bm25TopK $ChunkSize-token chunks (stride $ChunkStride) + doc metadata join-back",
+    TextOracle.chunkSearchBm25Sql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    chunkBm25Frame(docs)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("chunk_start"),
+        col("score"), col("terms_hit"), col("lang"), col("source"))
+      .orderBy(desc("score"), col("doc_id"), col("chunk_id"))
+  }
+
   /** Sampling temperature for [[temperatureMix]] (the mT5/XLM-R alpha):
     * p_l ∝ share_l^alpha. Declared before the GraftQuery val (oracle
     * interpolation — the init-order rule).
@@ -1500,7 +1583,7 @@ object TextQueries {
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
-      phraseSearch, keywordExtract,
+      phraseSearch, keywordExtract, chunkSearchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, sampleWeighted,
       temperatureMix, chunking, epochShards)
