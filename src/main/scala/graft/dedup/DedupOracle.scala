@@ -265,6 +265,53 @@ object DedupOracle {
     ORDER BY doc_id"""
   }
 
+  /** Longest-common-span twin: the positional window frame (struct_pack
+    * unnest, the [[spanStripSql]] idiom), the occurrence cap, the
+    * diagonal self-join, and the same gaps-and-islands ROW_NUMBER —
+    * integer-only end to end.
+    */
+  def longestSpanSql: String = {
+    val n = DedupQueries.SpanN
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    occ0 AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= $n THEN
+          list_transform(range(1, CAST(len(toks) - ${n - 2} AS BIGINT)),
+            i -> struct_pack(p := i, sh := array_to_string(toks[i:i+${n - 1}], ' ')))
+        ELSE [] END) AS w
+      FROM t
+    ),
+    occ AS (SELECT doc_id, w.p AS p, w.sh AS sh FROM occ0),
+    rare AS (
+      SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) <= $NgramDfCap
+    ),
+    cp AS (SELECT doc_id, p, sh FROM occ JOIN rare USING (sh)),
+    m AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        x.p AS pa, x.p - y.p AS diag
+      FROM cp x JOIN cp y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag,
+        pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+          AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, grp, COUNT(*) AS run
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+      CAST(SUM(run) AS BIGINT) AS n_window_matches,
+      CAST(MAX(run) AS BIGINT) AS longest_run,
+      CAST(MAX(run) + ${n - 1} AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    ORDER BY longest_span_tokens DESC, doc_a, doc_b LIMIT 20"""
+  }
+
   /** Connected components as a recursive reachability closure: `reach`
     * enumerates (node, reachable node) over the symmetric J-thresholded
     * edge set (components are tiny, so the closure is tiny), the label is

@@ -1225,6 +1225,71 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Longest verbatim common span per pair — the "HOW verbatim is this
+    * pair" signal the span family lacked: [[spanOverlap]] counts shared
+    * windows (a bag statistic — 40 scattered quotations and one 47-token
+    * verbatim block both count 40), while C4/RefinedWeb-style policies
+    * threshold on the longest CONTIGUOUS run. A run of r consecutive
+    * shared [[SpanN]]-token windows on a common diagonal (pa − pb
+    * constant — positions advancing together in BOTH docs, the BLAST
+    * seed-chaining identity) is a verbatim common substring of
+    * r + SpanN − 1 tokens; the max run per pair is found with one
+    * gaps-and-islands window (island id = pa − row_number within the
+    * pair's diagonal) over the positional match frame — no new mine
+    * beyond the span family's inverted index, and integer-only, so no
+    * determinism machinery at all.
+    *
+    * Scale shape: the cap here is the POSITIONAL tightening of the span
+    * family's DF cap — total occurrences per window value <= [[NgramDfCap]]
+    * (occurrences >= distinct docs, so every DF-capped list this keeps is
+    * also occurrence-bounded): posting lists stay <= cap ROWS even for a
+    * window repeated inside one doc, the diagonal join fans out <= cap^2
+    * per window, and the islands window partitions by (pair, diag) —
+    * keys whose cardinality the cap already bounds.
+    */
+  val longestSpan: GraftQuery = GraftQuery(
+    "dedup_longest_span",
+    s"longest verbatim common span per pair: max run of consecutive shared $SpanN-token windows, top-20",
+    DedupOracle.longestSpanSql) { (s, d) =>
+    longestSpanFrame(Tables.documents(s, d))
+  }
+
+  /** The longest-common-span pipeline over any (doc_id, text) frame. */
+  def longestSpanFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val pos = docs
+      .select(col("doc_id"), posexplode(shingles(tokens(col("text")), SpanN)))
+      .select(col("doc_id"), col("pos"), col("col").as("sh"))
+    val capped = pos
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("occ") <= NgramDfCap)
+      .drop("occ")
+      .localCheckpoint()
+    val m = capped.as("x")
+      .join(capped.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+    // pa is unique within (pair, diag): pb = pa - diag, and a position
+    // holds one window — row_number needs no extra tie-break
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m
+      .withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("run")).as("n_window_matches"),
+        max(col("run")).as("longest_run"))
+      .select(col("doc_a"), col("doc_b"), col("n_window_matches"),
+        col("longest_run"),
+        (col("longest_run") + lit(SpanN - 1).cast("long"))
+          .as("longest_span_tokens"))
+      .orderBy(desc("longest_span_tokens"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Corpus duplication-mass dashboard — the memorization-risk number a
     * pretraining report quotes (C4/Lee-et-al-style): what fraction of each
     * language's TOKENS sits inside a verbatim [[SpanN]]-token window that
@@ -1837,7 +1902,8 @@ object DedupQueries {
 
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
-      clustersMulti, keepSummary, spanOverlap, spanStrip, paragraphPairs,
+      clustersMulti, keepSummary, spanOverlap, spanStrip, longestSpan,
+      paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
       lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest,
       stageFunnel)

@@ -772,4 +772,33 @@ class TextDedupSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a === b, "cluster assignment drifted across shuffle partitionings")
   }
+
+  test("longest span: a 10-token verbatim block is a 3-window run; " +
+    "scattered blocks stay runs of 1") {
+    val spark0 = spark
+    import spark0.implicits._
+    val n = graft.dedup.DedupQueries.SpanN // 8
+    def words(p: String, k: Int) = (1 to k).map(i => s"$p$i")
+    val shared10 = words("s", 10) // 10-token contiguous block
+    val blockW = words("w", n) // two scattered 8-token blocks
+    val blockX = words("x", n)
+    val docA = (words("a", 20) ++ shared10 ++ words("c", 10) ++ blockW ++
+      words("d", 10) ++ blockX ++ words("e", 10)).mkString(" ")
+    val docB = (words("f", 15) ++ shared10 ++ words("g", 15)).mkString(" ")
+    val docC = (words("h", 10) ++ blockW ++ words("i", 12) ++ blockX ++
+      words("j", 10)).mkString(" ")
+    val out = graft.dedup.DedupQueries.longestSpanFrame(
+      Seq(0L -> docA, 1L -> docB, 2L -> docC).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_window_matches"), r.getAs[Long]("longest_run"),
+          r.getAs[Long]("longest_span_tokens"))).toMap
+    // A-B: the 10-token block = 3 consecutive shared 8-windows on one
+    // diagonal -> longest span reads back the block's exact length
+    assert(out((0L, 1L)) === ((3L, 3L, 10L)))
+    // A-C: two 8-token blocks at non-adjacent positions = two separate
+    // 1-window runs — a bag count of 2 but NO contiguity beyond 8 tokens
+    assert(out((0L, 2L)) === ((2L, 1L, 8L)))
+    assert(!out.contains((1L, 2L)))
+  }
 }
