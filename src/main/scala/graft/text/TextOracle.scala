@@ -289,6 +289,52 @@ object TextOracle {
   private val normTextSql: String =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** Source-quota twin: same exact-BIGINT token stats, the identical
+    * (cap_ppm * total) / source double division under floor (one
+    * exposure per SOURCE), and the shared hash60(normText) selector.
+    */
+  def sourceQuotaSql: String = {
+    val cap = TextQueries.SourceCapPpm
+    s"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    st AS (
+      SELECT source, COUNT(*) AS docs_in,
+        CAST(SUM(n_toks) AS BIGINT) AS toks_in
+      FROM d GROUP BY source
+    ),
+    tt AS (SELECT CAST(SUM(toks_in) AS BIGINT) AS toks_total FROM st),
+    q AS (
+      SELECT st.source, st.docs_in, st.toks_in, tt.toks_total,
+        LEAST(1000000,
+          CAST(floor($cap * tt.toks_total / st.toks_in) AS BIGINT))
+          AS keep_ppm
+      FROM st CROSS JOIN tt
+    ),
+    k AS (
+      SELECT d.source, COUNT(*) AS docs_kept,
+        CAST(SUM(d.n_toks) AS BIGINT) AS toks_kept
+      FROM d JOIN q USING (source)
+      WHERE ${hash60Sql(normTextSql)} % 1000000 < q.keep_ppm
+      GROUP BY d.source
+    ),
+    r AS (
+      SELECT q.source, q.docs_in, q.toks_in,
+        q.toks_in / q.toks_total AS share_in, q.keep_ppm,
+        COALESCE(k.docs_kept, 0) AS docs_kept,
+        CAST(COALESCE(k.toks_kept, 0) AS BIGINT) AS toks_kept
+      FROM q LEFT JOIN k USING (source)
+    )
+    SELECT source, docs_in, toks_in, share_in, keep_ppm, docs_kept,
+      toks_kept,
+      toks_kept / (SELECT CAST(SUM(toks_kept) AS BIGINT) FROM r)
+        AS realized_share
+    FROM r ORDER BY source"""
+  }
+
   def rebalanceSql: String = {
     val cases = TextQueries.RebalanceThresholds
       .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")

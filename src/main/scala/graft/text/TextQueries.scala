@@ -733,6 +733,71 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Max token share any single source may hold, in parts-per-million
+    * (48000 = 4.8% — between the corpus's typical per-source shares, so
+    * both capped and uncapped sources appear at every SF). Declared
+    * before the GraftQuery val (oracle interpolation — init-order rule).
+    */
+  val SourceCapPpm = 48000L
+
+  /** Per-source keep-quota ENFORCEMENT — the RefinedWeb-style provenance
+    * control that ACTS on what `dedup_source_matrix` only diagnoses: no
+    * source may exceed [[SourceCapPpm]] ppm of the corpus's token mass.
+    * Sources over quota are downsampled by CONTENT hash (the
+    * [[rebalance]] selector keyed by source — deterministic across
+    * re-shards/re-runs, no RNG) with an integer keep threshold
+    * keep_ppm = min(1e6, floor(cap_ppm * total_tokens / source_tokens)),
+    * and the operator reports target vs REALIZED shares — realized
+    * drifts from target exactly as much as the hash-sampled docs' token
+    * masses drift from the source mean, which is the number a mixture
+    * audit needs to see.
+    *
+    * Scale shape: two partial-aggregated groupBys over the scan (source
+    * stats, kept stats) + a |sources|-bounded broadcast of thresholds
+    * back onto the scan — no shuffle ever carries documents. Determinism:
+    * thresholds derive from exact BIGINT token counts through ONE
+    * double division each (identical IEEE754 on both engines; the
+    * numerator cap_ppm * total stays under 2^53 at any tested SF — a
+    * 100 TB deployment flips it to pure BIGINT `div`, same floor);
+    * shares are single divisions of exact LONGs.
+    */
+  val sourceQuota: GraftQuery = GraftQuery(
+    "corpus_source_quota",
+    s"per-source keep quota: cap any source at $SourceCapPpm ppm of token mass, content-hash downsample, target vs realized shares",
+    TextOracle.sourceQuotaSql) { (s, d) =>
+    sourceQuotaFrame(Tables.documents(s, d))
+  }
+
+  /** The source-quota pipeline over any (doc_id, source, text) frame. */
+  def sourceQuotaFrame(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = in
+      .select(col("doc_id"), col("source"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val wAll = Window.partitionBy()
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"), sum(col("n_toks")).as("toks_in"))
+      .withColumn("toks_total", sum(col("toks_in")).over(wAll))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        floor(lit(SourceCapPpm) * col("toks_total") / col("toks_in"))
+          .cast("long")))
+    val kept = docs
+      .join(broadcast(stats.select(col("source"), col("keep_ppm"))), "source")
+      .filter(hash60(normText(col("text"))) % 1000000 < col("keep_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_toks")).as("toks_kept"))
+    stats.join(kept, Seq("source"), "left")
+      .select(col("source"), col("docs_in"), col("toks_in"),
+        (col("toks_in") / col("toks_total")).as("share_in"),
+        col("keep_ppm"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"))
+      .withColumn("realized_share",
+        col("toks_kept") / sum(col("toks_kept")).over(wAll))
+      .orderBy("source")
+  }
+
   /** Data-mixture rebalancing — the sampling step that reweights a corpus
     * toward a target language/domain mix: each language keeps a fixed
     * fraction of its documents, selected by CONTENT hash (doc survives
@@ -1581,7 +1646,8 @@ object TextQueries {
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, qualityNb, qualityNbConfusion, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
-      splits, ngramCounts, repetition, contamination, rebalance, packing,
+      splits, ngramCounts, repetition, contamination, rebalance,
+      sourceQuota, packing,
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       phraseSearch, keywordExtract, chunkSearchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,

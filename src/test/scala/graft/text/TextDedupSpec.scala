@@ -801,4 +801,29 @@ class TextDedupSpec extends SparkSpec {
     assert(out((0L, 2L)) === ((2L, 1L, 8L)))
     assert(!out.contains((1L, 2L)))
   }
+
+  test("source quota: dominant source is capped, minor sources keep all") {
+    val spark0 = spark
+    import spark0.implicits._
+    // "big" holds ~95% of token mass (way over the 4.8% cap); each minor
+    // source holds ~2.4% (under it). Distinct texts so the content-hash
+    // selector sees distinct draws.
+    val docs = ((1 to 200).map(i => (i.toLong, "big", s"alpha beta doc$i")) ++
+      (201 to 205).map(i => (i.toLong, "small_a", s"gamma delta doc$i")) ++
+      (206 to 210).map(i => (i.toLong, "small_b", s"epsilon zeta doc$i")))
+      .toDF("doc_id", "source", "text")
+    val out = TextQueries.sourceQuotaFrame(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val big = out("big")
+    assert(big.getAs[Long]("keep_ppm") < 1000000L)
+    assert(big.getAs[Long]("docs_kept") < big.getAs[Long]("docs_in"))
+    for (s <- Seq("small_a", "small_b")) {
+      assert(out(s).getAs[Long]("keep_ppm") === 1000000L)
+      assert(out(s).getAs[Long]("docs_kept") === out(s).getAs[Long]("docs_in"))
+      assert(out(s).getAs[Long]("toks_kept") === out(s).getAs[Long]("toks_in"))
+    }
+    // realized shares are shares of the KEPT corpus and sum to 1
+    val total = out.values.map(_.getAs[Double]("realized_share")).sum
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
 }
