@@ -448,6 +448,67 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_(2)) === Seq(3L, 2L))
   }
 
+  test("weekly sketch rollup -> warehouse sink: exactly-once across " +
+    "micro-batches, replay no-op, table equals batch") {
+    // the composition the two halves only proved separately: the
+    // DataSketches weekly rollup MERGING across micro-batches
+    // (weeklyDistinctUsers) delivered through the idempotent
+    // foreachBatch warehouse sink (StreamSinks) — the full streaming
+    // dashboard pipeline, end to end
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(day: Int, hr: Int) = Timestamp.valueOf(f"2024-01-$day%02d $hr%02d:00:00")
+    val evs = Seq(
+      Ev(1, t(1, 1), 10, "view", 1.0, "{}"),
+      Ev(2, t(2, 2), 10, "click", 1.0, "{}"),
+      Ev(3, t(3, 3), 11, "view", 1.0, "{}"),
+      Ev(4, t(6, 1), 12, "view", 1.0, "{}"),
+      Ev(5, t(8, 2), 10, "view", 1.0, "{}"),
+      Ev(6, t(9, 3), 13, "click", 1.0, "{}"))
+    val stream = MemoryStream[Ev]
+    // week 1 split MID-WEEK across micro-batches: the sink's final table
+    // is only correct if sketch state merged across the batch boundary
+    // BEFORE each complete-mode delivery
+    stream.addData(evs.take(3): _*)
+    val q = StreamSinks.toWarehouse(
+      EventStreams.weeklyDistinctUsers(stream.toDF()),
+      "stream_weekly_sketch").start()
+    q.processAllAvailable()
+    stream.addData(evs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val sunk = spark.table("test.stream_weekly_sketch")
+      .orderBy("week").collect().map(_.toSeq).toSeq
+    val batch = EventStreams.weeklyDistinctUsers(evs.toDF())
+      .orderBy("week").collect().map(_.toSeq).toSeq
+    assert(sunk === batch, "warehouse table diverged from the batch rollup")
+    assert(sunk.length === 2)
+
+    // at least two micro-batches committed, and a replay of the LAST
+    // committed id must leave the table untouched
+    val committed = StreamSinks.committedBatchId(spark, "stream_weekly_sketch")
+    assert(committed >= 1L, s"expected >= 2 committed batches, got $committed")
+    val decoy = Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 99L))
+      .toDF("week", "n_events", "users_est")
+    StreamSinks.deliverBatch(decoy, committed, "stream_weekly_sketch")
+    assert(spark.table("test.stream_weekly_sketch")
+      .orderBy("week").collect().map(_.toSeq).toSeq === sunk,
+      "replayed batch id mutated the committed sketch rollup")
+
+    // a restart re-delivers the same complete-mode content under a FRESH
+    // batch id and must land byte-identical — idempotence by content on
+    // top of the id guard (complete mode re-emits the full result, which
+    // equals the batch frame)
+    StreamSinks.deliverBatch(
+      EventStreams.weeklyDistinctUsers(evs.toDF()),
+      committed + 1, "stream_weekly_sketch")
+    assert(spark.table("test.stream_weekly_sketch")
+      .orderBy("week").collect().map(_.toSeq).toSeq === sunk,
+      "re-delivered rollup diverged from the original")
+  }
+
   test("userSessions: streaming append emits watermark-closed sessions equal to batch") {
     val spark0 = spark
     import spark0.implicits._
