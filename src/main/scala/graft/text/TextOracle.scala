@@ -1130,6 +1130,116 @@ object TextOracle {
     ORDER BY tok.lang"""
   }
 
+  /** Unigram-LM tokenizer twin: the seed substring inventory, then
+    * [[TextQueries.UniEmRounds]] unrolled E/M CTE pairs — the E-step
+    * enumerates boundary bitmasks and scores each admissible
+    * segmentation by an exact LONG sum of the round's quantized piece
+    * log-probs (same ROW_NUMBER total order as Spark's window), the
+    * M-step recounts weighted piece usage and re-quantizes ln(c/total) —
+    * and a final E-step + corpus join for the per-language report.
+    */
+  def unigramLmSql: String = {
+    import TextQueries.{UniEmRounds, UniMaxPieceLen, UniMaxWordLen}
+    val p = UniMaxPieceLen
+    // E-step at round t: scores s<t-1> -> best segmentations b<t>
+    def eStep(t: Int): String = s"""
+    mk$t AS (
+      SELECT word, cnt,
+        CAST(unnest(range(0, (CAST(1 AS BIGINT) << (length(word) - 1))))
+          AS BIGINT) AS mask
+      FROM uv
+    ),
+    sg$t AS (
+      SELECT word, cnt, mask,
+        '|' || array_to_string(list_transform(range(1, length(word) + 1),
+          i -> substr(word, CAST(i AS INTEGER), 1) ||
+            CASE WHEN i < length(word)
+              AND ((mask >> CAST(i - 1 AS INTEGER)) & 1) = 1
+            THEN '||' ELSE '' END), '') || '|' AS seg
+      FROM mk$t
+    ),
+    vc$t AS (
+      SELECT word, cnt, mask, seg, pieces, len(pieces) AS np FROM (
+        SELECT word, cnt, mask, seg,
+          string_split(substr(seg, 2, length(seg) - 2), '||') AS pieces
+        FROM sg$t
+      ) WHERE list_max(list_transform(pieces, x -> length(x))) <= $p
+    ),
+    px$t AS (
+      SELECT word, cnt, mask, seg, np, unnest(pieces) AS piece FROM vc$t
+    ),
+    sc$t AS (
+      SELECT x.word, x.cnt, x.mask, x.seg, x.np,
+        CAST(SUM(s.q) AS BIGINT) AS sumq, COUNT(*) AS n_scored
+      FROM px$t x JOIN s${t - 1} s ON s.piece = x.piece
+      GROUP BY 1, 2, 3, 4, 5
+      HAVING COUNT(*) = x.np
+    ),
+    b$t AS (
+      SELECT word, cnt, seg, np FROM (
+        SELECT word, cnt, seg, np,
+          ROW_NUMBER() OVER (PARTITION BY word
+            ORDER BY sumq DESC, np, seg) AS rn
+        FROM sc$t
+      ) WHERE rn = 1
+    )"""
+    // M-step at round t: b<t> -> counts uc<t> -> scores s<t>
+    def mStep(t: Int): String = s"""
+    uc$t AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt,
+          unnest(string_split(substr(seg, 2, length(seg) - 2), '||')) AS piece
+        FROM b$t
+      ) GROUP BY piece
+    ),
+    s$t AS (
+      SELECT piece, CAST(floor(ln(c /
+          (SELECT CAST(SUM(c) AS BIGINT) FROM uc$t)) * 1000000000.0 + 0.5)
+        AS BIGINT) AS q
+      FROM uc$t
+    )"""
+    val fin = UniEmRounds + 1
+    s"""
+    WITH uv AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY word HAVING length(word) <= $UniMaxWordLen
+    ),
+    st0 AS (
+      SELECT word, cnt, CAST(unnest(range(1, length(word) + 1)) AS BIGINT)
+        AS start
+      FROM uv
+    ),
+    st1 AS (
+      SELECT cnt, unnest(list_transform(
+        range(1, least($p, length(word) - start + 1) + 1),
+        l -> substr(word, CAST(start AS INTEGER), CAST(l AS INTEGER))))
+        AS piece
+      FROM st0
+    ),
+    uc0 AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM st1 GROUP BY piece),
+    s0 AS (
+      SELECT piece, CAST(floor(ln(c /
+          (SELECT CAST(SUM(c) AS BIGINT) FROM uc0)) * 1000000000.0 + 0.5)
+        AS BIGINT) AS q
+      FROM uc0
+    ),
+    ${(1 to UniEmRounds).map(t => eStep(t) + "," + mStep(t)).mkString(",")},
+    ${eStep(fin)},
+    vsz AS (SELECT COUNT(*) AS vocab_size FROM s$UniEmRounds),
+    dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT dw.lang, COUNT(*) AS n_words,
+      CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+      CAST(SUM(b.np) AS BIGINT) AS n_tokens,
+      vsz.vocab_size,
+      CAST(SUM(length(dw.word)) AS BIGINT) / CAST(SUM(b.np) AS BIGINT)
+        AS chars_per_token,
+      CAST(SUM(b.np) AS BIGINT) / COUNT(*) AS tokens_per_word
+    FROM dw JOIN b$fin b USING (word) CROSS JOIN vsz
+    GROUP BY dw.lang, vsz.vocab_size
+    ORDER BY dw.lang"""
+  }
+
   /** Unigram entropy twin: same per-type p*ln(p) quantization (9 decimals)
     * as the Spark side; counts are exact longs, p is one exact division.
     */

@@ -1610,6 +1610,140 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Unigram-LM geometry: max piece length, max word length admitted to
+    * the trainer (the segmentation enumerator is exponential in word
+    * length — the cap bounds it at 2^11 masks/word; corpus max is 8
+    * chars, so nothing is excluded at any tested SF), and EM rounds.
+    * Declared before the GraftQuery val (oracle interpolation).
+    */
+  val UniMaxPieceLen = 4
+  val UniMaxWordLen = 12
+  val UniEmRounds = 2
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training — the OTHER
+    * production tokenizer next to the BPE family ([[bpeMergesN]] trains
+    * merges greedily bottom-up; unigram starts from a substring
+    * inventory and EM-prunes it top-down): seed piece scores from
+    * weighted substring counts, then [[UniEmRounds]] EM rounds — E-step
+    * segments every vocab word into the max-likelihood piece sequence
+    * (argmax Σ log P(piece)), M-step re-estimates P from the chosen
+    * segmentations (pieces no best segmentation uses drop out — the
+    * pruning that shrinks the inventory toward a real vocab) — and a
+    * final E-step under the trained scores encodes the corpus.
+    *
+    * The E-step enumerates every segmentation with pieces <=
+    * [[UniMaxPieceLen]] chars via boundary BITMASKS over the delimited
+    * `|p1||p2|` representation (the [[bpeMergesN]] trick) and takes the
+    * exact argmax — Viterbi's answer computed by bounded enumeration,
+    * chosen because it is a pure declarative frame both engines evaluate
+    * bit-identically (the linear-in-length DP would need a per-word fold
+    * with map state; at [[UniMaxWordLen]] <= 12 enumeration is <= 2^11
+    * masks/word and the candidate frame stays vocab-bounded). Ties:
+    * higher score, then fewer pieces, then lexicographic segmentation.
+    *
+    * Scale shape: the corpus reduces to the weighted VOCABULARY once
+    * (the one corpus-sized shuffle, the [[bpeMergesN]] contract); every
+    * EM round runs on vocab-bounded frames; the final corpus encode is a
+    * words -> vocab equi-join (broadcastable here, word-keyed shuffle at
+    * 100 TB). Determinism: log P quantized to a 1e-9 LONG per piece TYPE
+    * per round (vocab-bounded ulp exposures, the [[searchBm25]] idf
+    * recipe); segmentation scores are exact LONG sums compared under a
+    * total order; counts are exact BIGINTs.
+    */
+  val unigramLm: GraftQuery = GraftQuery(
+    "corpus_unigram_lm",
+    s"unigram-LM tokenizer: $UniEmRounds EM rounds over <=$UniMaxPieceLen-char pieces, per-language vocab size + fertility",
+    TextOracle.unigramLmSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) <= UniMaxWordLen)
+      .localCheckpoint()
+    // seed: weighted substring counts (every start x len <= MaxPieceLen)
+    val subs = vocab
+      .select(col("word"), col("cnt"),
+        explode(expr("sequence(1, length(word))")).as("start"))
+      .select(col("cnt"), explode(expr(
+        s"""transform(sequence(1, least($UniMaxPieceLen, length(word) - start + 1)),
+           |  l -> substring(word, start, l))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+    var scores = uniNormalize(subs).localCheckpoint()
+    for (_ <- 1 to UniEmRounds)
+      scores = uniNormalize(uniUsageCounts(uniSegment(vocab, scores)))
+        .localCheckpoint()
+    val best = uniSegment(vocab, scores).localCheckpoint()
+    val vs = broadcast(scores.agg(count(lit(1)).as("vocab_size")))
+    docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(best.select(col("word"), col("np"))), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("np")).as("n_tokens"))
+      .crossJoin(vs)
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        col("vocab_size"),
+        (col("n_chars") / col("n_tokens")).as("chars_per_token"),
+        (col("n_tokens") / col("n_words")).as("tokens_per_word"))
+      .orderBy("lang")
+  }
+
+  /** E-step: the max-likelihood segmentation of every vocab word under
+    * `scores` — (word, cnt, seg, np). Words whose every admissible
+    * segmentation touches a pruned piece cannot occur: a vocab word's own
+    * previous best pieces always survive the M-step (they are counted),
+    * and round 1 starts from the full substring inventory.
+    */
+  private def uniSegment(vocab: org.apache.spark.sql.DataFrame,
+      scores: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masked = vocab
+      .select(col("word"), col("cnt"),
+        explode(expr("sequence(0L, shiftleft(1L, length(word) - 1) - 1)"))
+          .as("mask"))
+      .withColumn("seg", expr(
+        """concat('|', array_join(transform(sequence(1, length(word)),
+          |  i -> concat(substring(word, i, 1),
+          |    IF(i < length(word) AND (shiftright(mask, i - 1) & 1) = 1,
+          |       '||', ''))), ''), '|')""".stripMargin))
+      .withColumn("pieces",
+        split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
+      .withColumn("np", size(col("pieces")))
+      .filter(expr(
+        s"array_max(transform(pieces, p -> length(p))) <= $UniMaxPieceLen"))
+    val scored = masked
+      .select(col("word"), col("cnt"), col("mask"), col("seg"), col("np"),
+        explode(col("pieces")).as("piece"))
+      .join(scores, "piece")
+      .groupBy(col("word"), col("cnt"), col("mask"), col("seg"), col("np"))
+      .agg(sum(col("q")).as("sumq"), count(lit(1)).as("n_scored"))
+      .filter(col("n_scored") === col("np"))
+    val w = Window.partitionBy(col("word"))
+      .orderBy(desc("sumq"), col("np"), col("seg"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("word"), col("cnt"), col("seg"), col("np"))
+  }
+
+  /** M-step counts: weighted piece usage over the best segmentations. */
+  private def uniUsageCounts(best: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    best
+      .select(col("cnt"),
+        explode(split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
+          .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+
+  /** (piece, c) -> (piece, q): q = 1e-9-quantized LONG of ln(c/total). */
+  private def uniNormalize(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("tot"))))
+      .select(col("piece"),
+        floor(log(col("c") / col("tot")) * lit(1e9) + lit(0.5)).cast("long")
+          .as("q"))
+
   /** Doc-level importance sampling: keep each doc with probability equal
     * to its quality score, decided by a CONTENT-hash uniform (hash60 /
     * 2^60) rather than a seeded RNG — so the sample survives re-shards,
@@ -1651,6 +1785,7 @@ object TextQueries {
       lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
       phraseSearch, keywordExtract, chunkSearchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
-      bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, sampleWeighted,
+      bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
+      sampleWeighted,
       temperatureMix, chunking, epochShards)
 }

@@ -826,4 +826,35 @@ class TextDedupSpec extends SparkSpec {
     val total = out.values.map(_.getAs[Double]("realized_share")).sum
     assert(math.abs(total - 1.0) < 1e-9)
   }
+
+  test("unigram LM: fertility bounded by piece geometry, EM prunes the " +
+    "seed inventory, deterministic across runs") {
+    val rows = TextQueries.unigramLm.frame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      // every word is 1..len pieces of 1..UniMaxPieceLen chars
+      assert(t >= c / TextQueries.UniMaxPieceLen && t >= w && t <= c,
+        s"fertility out of bounds: words=$w chars=$c tokens=$t")
+      assert(r.getAs[Long]("vocab_size") > 0)
+    }
+    // the trained inventory is SMALLER than the seed substring inventory
+    // (EM pruning did something): recount the seed from the corpus
+    val spark0 = spark
+    import spark0.implicits._
+    val seed = graft.Tables.documents(spark, sf)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .distinct()
+      .flatMap { r =>
+        val w = r.getString(0)
+        for (s <- 1 to w.length;
+             l <- 1 to math.min(TextQueries.UniMaxPieceLen, w.length - s + 1))
+          yield w.substring(s - 1, s - 1 + l)
+      }.distinct().count()
+    assert(rows.head.getAs[Long]("vocab_size") < seed,
+      s"EM kept the whole seed inventory ($seed pieces)")
+    val again = TextQueries.unigramLm.frame(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
