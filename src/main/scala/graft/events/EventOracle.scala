@@ -371,4 +371,30 @@ object EventOracle {
     FROM c LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (click_id)
     ORDER BY click_id"""
   }
+
+  /** SCD2 twin: the same lag-change-detection + row_number/lead interval
+    * chaining over (ts, event_id) ordering.
+    */
+  def scd2Sql: String = s"""
+    WITH $evCte,
+    ch AS (
+      SELECT user_id, ts, event_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM ev
+    ),
+    cr AS (
+      SELECT user_id, ts, event_id, event_type FROM ch
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+      CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS INTEGER) AS version,
+      event_type AS state,
+      ts AS valid_from,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        AS is_current
+    FROM cr
+    ORDER BY user_id, version"""
 }

@@ -532,9 +532,49 @@ object EventQueries {
       .orderBy("click_id")
   }
 
+  /** SCD Type-2 dimension derivation — the warehouse-standard
+    * dimension-maintenance operator (the reference is an ETL pipeline;
+    * this is the history side every Load step with mutable entities
+    * eventually needs): treat the event stream as a per-user change feed
+    * of the `event_type` state and emit one VERSION row per state
+    * change — (version, state, valid_from, valid_to, is_current), with
+    * half-open validity intervals chained so valid_to equals the next
+    * version's valid_from and exactly one open (is_current) version per
+    * user. Change detection is lag() != current (consecutive duplicate
+    * states collapse into one version — the idempotence a CDC feed with
+    * redundant snapshots needs).
+    *
+    * Scale shape: one shuffle by user_id serves ALL THREE window
+    * functions (lag for change detection, row_number for version, lead
+    * for interval chaining — same partition key and ordering, Spark
+    * plans one Exchange + two Window operators over it); the output is
+    * proportional to the number of STATE CHANGES, not events.
+    * Determinism: ordering is (ts, event_id) — event_id breaks
+    * same-timestamp ties; everything else is exact integers/timestamps.
+    */
+  val scd2Dimension: GraftQuery = GraftQuery(
+    "events_scd2_dimension",
+    "SCD2 derivation from the event change feed: per-user state versions with chained validity intervals",
+    EventOracle.scd2Sql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
       attribution, dailyDistinct, weeklySketchRollup, markovTransitions,
-      sequenceTrigrams)
+      sequenceTrigrams, scd2Dimension)
 }

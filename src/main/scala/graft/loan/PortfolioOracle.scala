@@ -399,4 +399,38 @@ object PortfolioOracle {
       AND m.dpd_bucket IS NOT DISTINCT FROM f.dpd_bucket
     ORDER BY m.region_cleaned NULLS FIRST, m.dpd_bucket"""
   }
+
+  /** ECL twin: identical stage backstops, EAD association, and the same
+    * Scala-computed PD x LGD double literals; per-loan ECL/EAD quantize
+    * to 4-decimal LONGs before the sums.
+    */
+  def eclStagingSql: String = {
+    import PortfolioQueries.{EclLgd, EclPd}
+    val cases = EclPd.toSeq.sortBy(_._1)
+      .map { case (st, pd) => s"WHEN $st THEN ${pd * EclLgd}" }.mkString(" ")
+    s"""
+    WITH $ctes,
+    eb AS (
+      SELECT region_cleaned,
+        CASE WHEN dpd_days <= 30 THEN 1
+             WHEN dpd_days <= 90 THEN 2 ELSE 3 END AS stage,
+        arrear + emi_amount * greatest(
+          ((year(due_date) - year(disbursement_date)) * 12
+            + (month(due_date) - month(disbursement_date))) - months_due,
+          0) AS ead
+      FROM lf
+    ),
+    el AS (
+      SELECT region_cleaned, stage, ead,
+        CAST(floor(ead * (CASE stage $cases END) * 10000.0 + 0.5) AS BIGINT)
+          AS eclq
+      FROM eb
+    )
+    SELECT region_cleaned, stage, COUNT(*) AS n_loans,
+      ${sumDec("ead")} AS total_ead,
+      CAST(SUM(eclq) AS BIGINT) / 10000.0 AS total_ecl,
+      (CAST(SUM(eclq) AS BIGINT) / 10000.0) / (${sumDec("ead")}) AS coverage
+    FROM el GROUP BY region_cleaned, stage
+    ORDER BY region_cleaned NULLS FIRST, stage"""
+  }
 }

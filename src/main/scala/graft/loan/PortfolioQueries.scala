@@ -609,10 +609,62 @@ object PortfolioQueries {
       .orderBy(asc_nulls_first("region_cleaned"), col("dpd_bucket"))
   }
 
+  /** IFRS9 ECL parameters: per-stage probability of default (stage 1 =
+    * performing 12-month PD, stage 2 = 30+ DPD backstop lifetime PD,
+    * stage 3 = credit-impaired, PD 1) and a single loss-given-default.
+    * The PD x LGD products are computed ONCE in Scala and interpolated
+    * into both engines as identical double literals.
+    */
+  val EclPd: Map[Int, Double] = Map(1 -> 0.02, 2 -> 0.25, 3 -> 1.0)
+  val EclLgd = 0.45
+
+  /** IFRS9 expected-credit-loss staging — the provisioning dashboard that
+    * completes the lending-analytics family ([[vintageAnalysis]] shows
+    * WHERE defaults come from, [[rollRate]] where they're GOING, this
+    * prices what they COST): every loan lands in a stage by the DPD
+    * backstops (<=30 / 31-90 / >90), exposure-at-default = arrears plus
+    * the undrawn EMI stream (the [[portfolioNpv]] remaining-months
+    * formula, floored at 0 for loans past term), and
+    * ECL = PD(stage) x LGD x EAD, rolled up per (region, stage) with the
+    * coverage ratio auditors quote. One partial-aggregated groupBy over
+    * the loan_final derivation — reduce keys are |regions| x 3.
+    *
+    * Determinism: EAD composes +/x of exact loan_final doubles in the
+    * same association on both engines; each loan's ECL and EAD quantize
+    * to 4-decimal LONGs before the sums; coverage is one division of the
+    * two quantized sums.
+    */
+  val eclStaging: GraftQuery = GraftQuery(
+    "loan_ecl_staging",
+    s"IFRS9 ECL staging: DPD-backstop stages, EAD = arrears + remaining EMIs, PD x LGD x EAD rollup per region x stage",
+    PortfolioOracle.eclStagingSql) { (s, d) =>
+    val stage = when(col("dpd_days") <= 30, 1)
+      .when(col("dpd_days") <= 90, 2).otherwise(3)
+    val pdlgd = EclPd.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (st, pd)) => when(col("stage") === st, lit(pd * EclLgd))
+        .otherwise(acc)
+    }
+    val remaining = LoanDomain.monthDiff(col("due_date"),
+      col("disbursement_date")) - col("months_due")
+    lf(s, d)
+      .select(col("region_cleaned"), col("arrear"), col("emi_amount"),
+        stage.as("stage"),
+        (col("arrear") + col("emi_amount") * greatest(remaining, lit(0)))
+          .as("ead"))
+      .withColumn("eclq", Det.quantize(col("ead") * pdlgd, 4))
+      .groupBy(col("region_cleaned"), col("stage"))
+      .agg(count(lit(1)).as("n_loans"),
+        Det.sumQ(col("ead"), 4).as("total_ead"),
+        (sum(col("eclq")) / lit(Det.pow10(4))).as("total_ecl"))
+      .withColumn("coverage", col("total_ecl") / col("total_ead"))
+      .orderBy(asc_nulls_first("region_cleaned"), col("stage"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
-    tableProfile, portfolioNpv, vintageAnalysis, rollRate, incrementalMerge)
+    tableProfile, portfolioNpv, vintageAnalysis, rollRate, incrementalMerge,
+    eclStaging)
 }
