@@ -372,6 +372,46 @@ object EventOracle {
     ORDER BY click_id"""
   }
 
+  /** A/B twin: identical hash60 arm assignment over the stringified
+    * user id, exact-LONG per-user totals and sums-of-squares, the same
+    * double recompositions for mean/variance/t.
+    */
+  def abTestSql: String = s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS uq,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM ev GROUP BY user_id
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq ELSE 0 END) AS BIGINT) AS sb,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq * uq ELSE 0 END) AS BIGINT) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq * uq ELSE 0 END) AS BIGINT) AS qb
+      FROM pu
+    ),
+    st AS (
+      SELECT n_a, n_b,
+        sa / 10000.0 / n_a AS mean_a,
+        sb / 10000.0 / n_b AS mean_b,
+        (qa / 100000000.0 - (sa / 10000.0) * (sa / 10000.0) / n_a)
+          / (n_a - 1) AS var_a,
+        (qb / 100000000.0 - (sb / 10000.0) * (sb / 10000.0) / n_b)
+          / (n_b - 1) AS var_b
+      FROM ag
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+      (mean_b - mean_a) / mean_a AS uplift,
+      floor((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)
+        * 1000000.0 + 0.5) / 1000000.0 AS t_stat
+    FROM st"""
+
   /** SCD2 twin: the same lag-change-detection + row_number/lead interval
     * chaining over (ts, event_id) ordering.
     */

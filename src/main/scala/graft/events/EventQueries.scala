@@ -572,9 +572,66 @@ object EventQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Deterministic A/B experiment readout — the product-analytics
+    * operator event pipelines exist to feed: users are assigned to arms
+    * by CONTENT hash of their id (the [[graft.text.TextQueries]] splits
+    * convention — assignment survives re-runs/re-shards, and a user's
+    * every event lands in one arm, the unit-of-randomization contract),
+    * the metric is per-USER total event value (randomization unit =
+    * analysis unit, so the variance is honest), and the readout is the
+    * standard Welch two-sample comparison: per-arm n/mean/variance,
+    * relative uplift, and the t statistic.
+    *
+    * Scale shape: one partial-agg shuffle to (user, arm, total), then a
+    * 2-row conditional aggregate — classic map-side-combine analytics.
+    * Determinism: per-user totals are exact 1e-4 LONGs; per-arm sums and
+    * sums-of-squares are exact LONG sums (ssq fits BIGINT through ~1e9
+    * users at these value ranges; past that, scale the quantum); mean/
+    * variance/t recompose those LONGs through the same double
+    * associations on both engines, t quantized to 1e-6.
+    */
+  val abTest: GraftQuery = GraftQuery.oneRow(
+    "events_ab_test",
+    "hash-assigned A/B readout: per-arm user-level value stats + Welch t",
+    EventOracle.abTestSql) { (s, d) =>
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("vq")).as("uq"))
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    val agg = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("uq")).otherwise(0L)).as("sa"),
+      sum(when(col("arm") === 1, col("uq")).otherwise(0L)).as("sb"),
+      sum(when(col("arm") === 0, col("uq") * col("uq")).otherwise(0L))
+        .as("qa"),
+      sum(when(col("arm") === 1, col("uq") * col("uq")).otherwise(0L))
+        .as("qb"))
+    val sc = lit(Det.pow10(4).toDouble)
+    def mean(s0: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) = s0 / sc / n
+    def vr(q: org.apache.spark.sql.Column, s0: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - lit(1))
+    agg.select(
+        col("n_a"), col("n_b"),
+        mean(col("sa"), col("n_a")).as("mean_a"),
+        mean(col("sb"), col("n_b")).as("mean_b"),
+        vr(col("qa"), col("sa"), col("n_a")).as("var_a"),
+        vr(col("qb"), col("sb"), col("n_b")).as("var_b"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"),
+        ((col("mean_b") - col("mean_a")) / col("mean_a")).as("uplift"),
+        (floor((col("mean_b") - col("mean_a")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_stat"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
       attribution, dailyDistinct, weeklySketchRollup, markovTransitions,
-      sequenceTrigrams, scd2Dimension)
+      sequenceTrigrams, scd2Dimension, abTest)
 }

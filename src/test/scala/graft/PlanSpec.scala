@@ -469,6 +469,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("FullOuter"), s"expected a full outer equi join:\n$plan")
   }
 
+  test("events_scd2_dimension: one shuffle serves all three window functions") {
+    // lag (change detection), row_number (version), lead (interval
+    // chaining) all partition by user_id with the same ordering — the
+    // plan must hash-partition ONCE, not re-exchange per window; the
+    // 100 TB contract is one corpus shuffle for the whole derivation
+    val plan = planOf("events_scd2_dimension")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly 1 hash exchange for the stacked windows:\n$plan")
+  }
+
+  test("chunk_search_bm25: stats join broadcast, no cartesian, " +
+    "metadata join after the top-k cut") {
+    val plan = planOf("chunk_search_bm25")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"no broadcast stats join:\n$plan")
+    // the final metadata join is fed by the LIMIT side: a global limit
+    // must appear (top-k cut before the documents join-back)
+    assert(plan.contains("GlobalLimit") || plan.contains("TakeOrdered"),
+      s"no top-k cut in plan:\n$plan")
+  }
+
+  test("dedup_longest_span / corpus_source_quota: equi joins only") {
+    for (q <- Seq("dedup_longest_span", "corpus_source_quota")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q nested-loop join:\n$plan")
+    }
+  }
+
   test("ann_ivfpq_rerank: the refine stage fetches slate vectors via hash joins, no cartesian") {
     // the training pipeline legitimately cross-joins broadcast 1-row
     // centroid/codebook aggregates (BroadcastNestedLoopJoin over a
