@@ -24,6 +24,18 @@ object Bench {
     // warm the session (JVM/codegen/parquet-footer caches) so the first
     // measured query doesn't carry ~5s of one-time startup cost
     spark.range(1 << 20).selectExpr("sum(id)").collect()
+    // Host-speed calibration: a FIXED CPU-bound workload timed min-of-3,
+    // reported as "calib_sec" so every snapshot is self-describing about
+    // the window it ran in (this box shows intermittent multi-minute
+    // 1.5-7x slowdowns; a raw total is uninterpretable without knowing
+    // the window). Consumers compare two snapshots' calib_sec to
+    // separate host drift from plan drift instead of trusting prose
+    // notes about "a slow window".
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("sum(id * (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Warm-up is failure-isolated per table: a single broken loader must
     // fail only the queries that read that table, never zero the whole
     // bench artifact (BENCH_r07/r08 both died rc=1 here when the driver
@@ -124,7 +136,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = passed.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_sec":${fmt(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures only the LAST ~2000 chars of stdout. At 78
     // queries the full line is >2100 bytes, so its HEAD (metric/value) is
@@ -143,7 +155,7 @@ object Bench {
       }
     }
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_total":${passed.size},"queries_shown":$taken,"queries":{$compactEntries},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_sec":${fmt(calib)},"queries_total":${passed.size},"queries_shown":$taken,"queries":{$compactEntries},"failed":$failed,"sf":"$sfDir"}"""
     println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try Files.writeString(Paths.get(out), json + "\n")

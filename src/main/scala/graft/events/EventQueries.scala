@@ -556,9 +556,17 @@ object EventQueries {
     "events_scd2_dimension",
     "SCD2 derivation from the event change feed: per-user state versions with chained validity intervals",
     EventOracle.scd2Sql) { (s, d) =>
+    scd2Frame(Tables.events(s, d)).orderBy("user_id", "version")
+  }
+
+  /** The SCD2 derivation over any events frame — shared by the batch
+    * query and the streaming-parity spec ([[EventStreams.scd2Closed]]).
+    */
+  def scd2Frame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val changes = Tables.events(s, d)
+    val changes = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
@@ -569,7 +577,6 @@ object EventQueries {
         col("event_type").as("state"),
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy("user_id", "version")
   }
 
   /** Deterministic A/B experiment readout — the product-analytics

@@ -136,6 +136,57 @@ object EventStreams {
     * sessions with custom close rules, CDC-style reconciliation); state
     * size is one long per user, dropped with the group timeout at scale.
     */
+  /** SCD2 dimension MAINTENANCE as keyed streaming state — the streaming
+    * twin of the batch `events_scd2_dimension` derivation: per user, the
+    * open version (version, state, valid_from) lives in
+    * flatMapGroupsWithState state; a state-changing event CLOSES the open
+    * version (emitting the finished row append-mode, exactly-once
+    * composable with [[StreamSinks]]) and opens the next. Emitted rows
+    * are precisely the batch query's valid_to-closed rows — StreamingSpec
+    * asserts the parity across a micro-batch split, including a version
+    * whose open and close arrive in DIFFERENT batches (the state
+    * carry-over the batch window can't even express).
+    *
+    * Ordering contract: rows are sorted (ts, event_id) WITHIN each batch
+    * (the iterator has no order guarantee); ACROSS batches the source
+    * must deliver each user's events in order — the usual CDC-ingest
+    * contract. A late cross-batch event would need watermark-buffered
+    * reordering on top of this state machine.
+    */
+  def scd2Closed(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id",
+        "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         gs: GroupState[(Int, String, java.sql.Timestamp)]) => {
+          val sorted = rows.toSeq.sortWith((a, b) => {
+            val c = a._2.compareTo(b._2)
+            c < 0 || (c == 0 && a._3 < b._3)
+          })
+          var cur = gs.getOption
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, Int, String, java.sql.Timestamp, java.sql.Timestamp)]
+          sorted.foreach { case (_, ts, _, et) =>
+            cur match {
+              case None => cur = Some((1, et, ts))
+              case Some((v, s0, from)) if s0 != et =>
+                out += ((user, v, s0, from, ts))
+                cur = Some((v + 1, et, ts))
+              case _ => ()
+            }
+          }
+          cur.foreach(gs.update)
+          out.iterator
+        })
+      .toDF("user_id", "version", "state", "valid_from", "valid_to")
+  }
+
   def valueAlerts(events: DataFrame, threshold: Double = 100.0): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -509,6 +509,44 @@ class StreamingSpec extends SparkSpec {
       "re-delivered rollup diverged from the original")
   }
 
+  test("scd2Closed: streaming keyed state emits the batch query's closed " +
+    "versions across a micro-batch split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // user 10: click -> view (change in batch 1) -> view -> error (change
+    // whose OPEN version started in batch 1 and closes in batch 2 — the
+    // state carry-over case); user 11: one state only (never closes)
+    val evs = Seq(
+      Ev(1, t(1), 10, "click", 1.0, "{}"),
+      Ev(2, t(2), 10, "view", 1.0, "{}"),
+      Ev(3, t(3), 11, "view", 1.0, "{}"),
+      Ev(4, t(4), 10, "view", 1.0, "{}"),
+      Ev(5, t(5), 10, "error", 1.0, "{}"),
+      Ev(6, t(6), 11, "view", 1.0, "{}"))
+    val stream = MemoryStream[Ev]
+    stream.addData(evs.take(3): _*)
+    val q = EventStreams.scd2Closed(stream.toDF())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(evs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scd2_out")
+      .orderBy("user_id", "version").collect().map(_.toSeq).toSeq
+    val batchClosed = graft.events.EventQueries.scd2Frame(evs.toDF())
+      .filter(col("valid_to").isNotNull)
+      .select("user_id", "version", "state", "valid_from", "valid_to")
+      .orderBy("user_id", "version").collect().map(_.toSeq).toSeq
+    assert(streamed === batchClosed,
+      "streaming closed versions diverged from the batch derivation")
+    // both change rows for user 10 surfaced; user 11's single open
+    // version never emits (append-mode SCD2 only ships finished rows)
+    assert(streamed.map(_.head) === Seq(10L, 10L))
+  }
+
   test("userSessions: streaming append emits watermark-closed sessions equal to batch") {
     val spark0 = spark
     import spark0.implicits._
