@@ -372,6 +372,39 @@ object EventOracle {
     ORDER BY click_id"""
   }
 
+  /** Audience-overlap twin: exact per-type distincts, exact pairwise
+    * intersections and Jaccard; the sketch attestation pins TRUE (the
+    * [[dailyDistinctSql]] convention — bits differ per engine, the band
+    * check runs on the Spark side where HLL's sparse regime makes it
+    * hard at these cardinalities).
+    */
+  def audienceOverlapSql: String = s"""
+    WITH $evCte,
+    du AS (SELECT DISTINCT event_type, user_id FROM ev),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM du GROUP BY 1
+    ),
+    xi AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM du x JOIN du y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        a.nd AS users_a, b.nd AS users_b
+      FROM nd a JOIN nd b ON a.event_type < b.event_type
+    )
+    SELECT pr.type_a, pr.type_b, pr.users_a, pr.users_b,
+      COALESCE(xi.exact_inter, 0) AS exact_inter,
+      COALESCE(xi.exact_inter, 0)
+        / (pr.users_a + pr.users_b - COALESCE(xi.exact_inter, 0)) AS jaccard,
+      TRUE AS est_ok
+    FROM pr LEFT JOIN xi
+      ON pr.type_a = xi.type_a AND pr.type_b = xi.type_b
+    ORDER BY pr.type_a, pr.type_b"""
+
   /** A/B twin: identical hash60 arm assignment over the stringified
     * user id, exact-LONG per-user totals and sums-of-squares, the same
     * double recompositions for mean/variance/t.

@@ -145,6 +145,39 @@ object TextOracle {
     FROM nbdoc
     ORDER BY doc_id"""
 
+  /** Calibration-curve twin: the shared NB chain, the identical
+    * norm/bin construction (floor over the same double division), and
+    * exact LONG/LONG rate divisions per bin.
+    */
+  def calibrationCurveSql: String = {
+    val w = TextQueries.CalibBinWidth
+    s"""
+    WITH $nbCtes,
+    ntk AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    cb AS (
+      SELECT n.doc_id, n.heur_label, n.nb_pred,
+        n.nb_pred = n.heur_label AS agree,
+        n.nb_llr / k.nt AS norm
+      FROM nbdoc n JOIN ntk k USING (doc_id)
+    ),
+    cbb AS (
+      SELECT *, CAST(floor(norm / $w::DOUBLE) AS BIGINT) AS bin FROM cb
+    )
+    SELECT bin, bin * $w::DOUBLE AS bin_lo, COUNT(*) AS n_docs,
+      (CAST(SUM(CAST(floor(norm * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        / 1000000.0) / COUNT(*) AS avg_norm_llr,
+      CAST(SUM(CASE WHEN heur_label = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+        / COUNT(*) AS heur_keep_rate,
+      CAST(SUM(CASE WHEN nb_pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+        / COUNT(*) AS nb_keep_rate,
+      CAST(SUM(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT)
+        / COUNT(*) AS agree_rate
+    FROM cbb GROUP BY bin ORDER BY bin"""
+  }
+
   /** Confusion twin: the shared NB chain joined back to the corpus for
     * the language axis; per-cell LLR mass via the 1e-9 quantized sum
     * (exact — nb_llr is an integer/1e9, so the round-trip is lossless).

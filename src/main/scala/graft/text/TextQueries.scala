@@ -1610,6 +1610,53 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Calibration-curve bin width over the per-token LLR axis. */
+  val CalibBinWidth = 0.02
+
+  /** Classifier CALIBRATION curve — the reliability diagram an ML-filter
+    * pipeline audits before trusting a learned quality screen at scale:
+    * documents binned by the NB model's per-token log-likelihood ratio
+    * (length-normalized so long docs don't saturate the axis), each bin
+    * reporting the model's predicted keep rate vs the heuristic
+    * teacher's ACTUAL keep rate and the agreement rate. Monotonicity
+    * violations and over/under-confidence bands are exactly what this
+    * surfaces (this corpus's NB is visibly non-monotonic above
+    * +0.05/token — the artifact shows it rather than hiding it).
+    *
+    * Scale shape: rides [[qualityNbFrame]]'s one corpus-sized posting
+    * shuffle; the curve itself is a groupBy on a bin key whose
+    * cardinality is bounded by the LLR dynamic range over the bin width
+    * (a few dozen), independent of corpus size. Determinism: norm is an
+    * exact-integer llr over a BIGINT count; per-doc norms quantize to
+    * 1e-6 LONGs before the bin mean; rates are LONG/LONG divisions.
+    */
+  val calibrationCurve: GraftQuery = GraftQuery(
+    "quality_calibration_curve",
+    s"NB reliability diagram: per-token-LLR bins (width $CalibBinWidth), predicted vs actual keep rates",
+    TextOracle.calibrationCurveSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nt = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    qualityNbFrame(docs).join(nt, "doc_id")
+      .withColumn("norm", col("nb_llr") / col("nt"))
+      .withColumn("bin",
+        floor(col("norm") / lit(CalibBinWidth)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        ((sum(floor(col("norm") * lit(1e6) + lit(0.5)).cast("long"))
+          / lit(1e6)) / count(lit(1))).as("avg_norm_llr"),
+        (sum(when(col("heur_label") === "keep", 1L).otherwise(0L))
+          / count(lit(1))).as("heur_keep_rate"),
+        (sum(when(col("nb_pred") === "keep", 1L).otherwise(0L))
+          / count(lit(1))).as("nb_keep_rate"),
+        (sum(when(col("agree"), 1L).otherwise(0L)) / count(lit(1)))
+          .as("agree_rate"))
+      .withColumn("bin_lo", col("bin") * lit(CalibBinWidth))
+      .select(col("bin"), col("bin_lo"), col("n_docs"), col("avg_norm_llr"),
+        col("heur_keep_rate"), col("nb_keep_rate"), col("agree_rate"))
+      .orderBy("bin")
+  }
+
   /** Unigram-LM geometry: max piece length, max word length admitted to
     * the trainer (the segmentation enumerator is exponential in word
     * length — the cap bounds it at 2^11 masks/word; corpus max is 8
@@ -1778,7 +1825,8 @@ object TextQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, quality, qualityNb, qualityNbConfusion, piiScreen,
+    Seq(tokenStats, quality, qualityNb, qualityNbConfusion,
+      calibrationCurve, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,
       sourceQuota, packing,
