@@ -925,6 +925,54 @@ object SimOracle {
     SELECT vec_id, label, sqdist, z FROM z
     ORDER BY abs(z) DESC, vec_id LIMIT 10"""
 
+  /** Silhouette twin: the [[centroidOutliersSql]] centroid CTEs, the
+    * per-(vector, centroid) distance under the kmeans association, a/b
+    * via equality/MIN, the same guard and quantized per-label means.
+    */
+  def silhouetteSql: String = s"""
+    WITH $baseCtes,
+    scd AS (
+      SELECT label, i AS pos, v[i] AS x
+      FROM e, (SELECT unnest(range(1, ${Dims + 1})) AS i)
+    ),
+    scent AS (
+      SELECT label, pos,
+        SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS m
+      FROM scd GROUP BY label, pos
+    ),
+    scl AS (SELECT label, list(m ORDER BY pos) AS c FROM scent GROUP BY label),
+    sdist AS (
+      SELECT e.vec_id, e.label AS vlabel, cl.label AS clabel,
+        ${dotIdx("e.v", "e.v")} + ${dotIdx("cl.c", "cl.c")}
+          - 2.0 * ${dotIdx("e.v", "cl.c")} AS d
+      FROM e CROSS JOIN scl cl
+    ),
+    sa AS (
+      SELECT vec_id, vlabel, sqrt(d) AS a FROM sdist WHERE vlabel = clabel
+    ),
+    sb AS (
+      SELECT vec_id, sqrt(MIN(d)) AS b FROM sdist
+      WHERE vlabel <> clabel GROUP BY vec_id
+    ),
+    ss AS (
+      SELECT sa.vec_id, sa.vlabel AS label, sa.a, sb.b,
+        CASE WHEN greatest(sa.a, sb.b) > 0
+          THEN (sb.b - sa.a) / greatest(sa.a, sb.b)
+          ELSE 0.0::DOUBLE END AS sil
+      FROM sa JOIN sb USING (vec_id)
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+      (SUM(CAST(floor(sil * 1000000000.0 + 0.5) AS BIGINT))
+        / 1000000000.0) / COUNT(*) AS mean_silhouette,
+      CAST(SUM(CASE WHEN sil > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        / COUNT(*) AS well_clustered_frac,
+      (SUM(CAST(floor(a * 1000000000.0 + 0.5) AS BIGINT))
+        / 1000000000.0) / COUNT(*) AS mean_dist_own,
+      (SUM(CAST(floor(b * 1000000000.0 + 0.5) AS BIGINT))
+        / 1000000000.0) / COUNT(*) AS mean_dist_other
+    FROM ss GROUP BY label ORDER BY label"""
+
   /** Hard-negative twin: the trained-cell assignment, the same
     * cosine association, the band filter, per-query ranking.
     */

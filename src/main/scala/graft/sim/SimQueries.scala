@@ -796,6 +796,64 @@ object SimQueries {
       .orderBy("dim")
   }
 
+  /** Label-space SEPARATION metric — simplified silhouette (Hruschka et
+    * al.'s centroid form: a = distance to the OWN label centroid, b =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b)), the
+    * embedding-quality number a pipeline gates on before trusting labels
+    * or label-conditioned sampling: mean s per label, the
+    * well-clustered fraction (s > 0), and the own/other distance means.
+    * The full-silhouette's O(n²) pairwise term is exactly what does NOT
+    * scale; the centroid form is the production substitute — per-vector
+    * cost is |labels| broadcast distances, one pass over the scan.
+    *
+    * Determinism: centroids are the [[labelCentroids]] quantized-mean
+    * recipe; distances the kmeans vv + cc − 2·v·c association; per-vector
+    * s/a/b quantize to 1e-9 LONGs before the per-label means.
+    */
+  val silhouette: GraftQuery = GraftQuery(
+    "embedding_silhouette",
+    "simplified silhouette per label: (b − a)/max(a,b) against own vs nearest-other centroid",
+    SimOracle.silhouetteSql) { (s, d) =>
+    import graft.api.Det
+    val v = vecs(s, d).select(col("vec_id"), col("label"), col("v"))
+    val cents = v
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(Det.quantize(col("x"), 9)) /
+        (lit(Det.pow10(9)) * count(lit(1)))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("c"))
+    val cs = broadcast(cents.agg(array_sort(collect_list(struct(
+      col("label").as("l"), col("c"),
+      dot(col("c"), col("c")).as("cc")))).as("cs")))
+    val scored = v.crossJoin(cs)
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("dists", transform(col("cs"), e =>
+        struct(e.getField("l").as("l"),
+          (col("vv") + e.getField("cc")
+            - lit(2.0) * dot(col("v"), e.getField("c"))).as("d"))))
+      .withColumn("a", sqrt(element_at(filter(col("dists"),
+        x => x.getField("l") === col("label")), 1).getField("d")))
+      .withColumn("b", sqrt(array_min(transform(filter(col("dists"),
+        x => x.getField("l") =!= col("label")), x => x.getField("d")))))
+      .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0)))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        ((sum(Det.quantize(col("sil"), 9)) / lit(Det.pow10(9)))
+          / count(lit(1))).as("mean_silhouette"),
+        (sum(when(col("sil") > 0, 1L).otherwise(0L)) / count(lit(1)))
+          .as("well_clustered_frac"),
+        ((sum(Det.quantize(col("a"), 9)) / lit(Det.pow10(9)))
+          / count(lit(1))).as("mean_dist_own"),
+        ((sum(Det.quantize(col("b"), 9)) / lit(Det.pow10(9)))
+          / count(lit(1))).as("mean_dist_other"))
+      .orderBy("label")
+  }
+
   /** Embedding-QA / mislabel screen: z-scored squared distance to the
     * vector's LABEL centroid — a vector far from its own class centroid
     * is a labeling error or an embedding-quality defect. (Norm-based
@@ -1198,6 +1256,7 @@ object SimQueries {
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
       clusterTopics, ivfpqTopk, ivfpqRerank, pcaPower, contrastiveNegatives,
-      centroidOutliers, knnLabelAccuracy, crosslingualPairs, mmrRerank,
+      centroidOutliers, silhouette, knnLabelAccuracy, crosslingualPairs,
+      mmrRerank,
       semanticClusters)
 }
