@@ -326,4 +326,53 @@ object RelationalOracle {
     FROM gp FULL OUTER JOIN gr ON gp.bucket = gr.bucket
     ORDER BY bucket"""
   }
+
+  /** RFM twin: date-granularity recency diff (both sides cast to DATE,
+    * matching Spark's datediff semantics), 4dp-quantized monetary, the
+    * identical fixed-cutoff bands and score-sum segment mapping.
+    */
+  def rfmSegmentsSql: String = {
+    import RelationalQueries.{RfmAsOf, RfmFreq, RfmMonetary, RfmRecencyDays}
+    s"""
+    WITH per AS (
+      SELECT o_custkey,
+        date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '$RfmAsOf')
+          AS rec_days,
+        COUNT(*) AS freq,
+        CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+          AS BIGINT) / 10000.0 AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    sc AS (
+      SELECT *,
+        CASE WHEN rec_days <= ${RfmRecencyDays._1} THEN 3
+             WHEN rec_days <= ${RfmRecencyDays._2} THEN 2 ELSE 1 END +
+        CASE WHEN freq >= ${RfmFreq._1} THEN 3
+             WHEN freq >= ${RfmFreq._2} THEN 2 ELSE 1 END +
+        CASE WHEN mon >= ${RfmMonetary._1} THEN 3
+             WHEN mon >= ${RfmMonetary._2} THEN 2 ELSE 1 END AS score
+      FROM per
+    ),
+    seg AS (
+      SELECT *,
+        CASE WHEN score >= 8 THEN 'champion'
+             WHEN score >= 6 THEN 'loyal'
+             WHEN score >= 4 THEN 'at_risk'
+             ELSE 'hibernating' END AS segment
+      FROM sc
+    ),
+    g AS (
+      SELECT segment, COUNT(*) AS n_customers,
+        CAST(SUM(rec_days) AS BIGINT) / COUNT(*) AS avg_recency_days,
+        CAST(SUM(freq) AS BIGINT) / COUNT(*) AS avg_orders,
+        CAST(SUM(CAST(floor(mon * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          / 10000.0 AS total_monetary
+      FROM seg GROUP BY segment
+    )
+    SELECT segment, n_customers, avg_recency_days, avg_orders,
+      total_monetary,
+      n_customers / (SELECT CAST(SUM(n_customers) AS BIGINT) FROM g)
+        AS customer_share
+    FROM g ORDER BY segment"""
+  }
 }

@@ -474,10 +474,69 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** RFM banding cutoffs — FIXED calibration constants (the
+    * ppl-bands/CCNet convention: fixed thresholds keep the banding a
+    * per-row comparison + a bounded-key aggregate; classic RFM quintiles
+    * need a global sort that does not scale), sitting at the corpus's
+    * empirical terciles so every band is populated at every SF. The
+    * as-of date is pinned (max order date in the corpus) so recency is
+    * reproducible.
+    */
+  val RfmAsOf = "2001-08-01"
+  val RfmRecencyDays: (Int, Int) = (120, 365) // <=120 -> 3, <=365 -> 2
+  val RfmFreq: (Int, Int) = (12, 8) // >=12 -> 3, >=8 -> 2
+  val RfmMonetary: (Double, Double) = (2800000.0, 2000000.0)
+
+  /** RFM customer segmentation — the standard CRM/warehouse operator over
+    * the orders fact: per customer recency (days since last order at the
+    * pinned as-of), frequency (order count) and monetary (total price),
+    * each banded 1-3 by the fixed cutoffs, customers rolled into the
+    * classic score-sum segments (champion 8-9, loyal 6-7, at_risk 4-5,
+    * hibernating 3). One partial-aggregated groupBy by customer (the
+    * only corpus-sized shuffle), then a 4-row segment rollup.
+    * Determinism: recency/frequency are exact integers, monetary
+    * quantized 4dp per customer before banding and summing.
+    */
+  val rfmSegments: GraftQuery = GraftQuery(
+    "customer_rfm_segments",
+    s"RFM segmentation: fixed-cutoff bands at as-of $RfmAsOf, score-sum segments + per-segment rollup",
+    RelationalOracle.rfmSegmentsSql) { (s, d) =>
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(RfmAsOf).cast("timestamp"), max(col("o_orderdate")))
+          .as("rec_days"),
+        count(lit(1)).as("freq"),
+        (sum(Det.quantize(col("o_totalprice"), 4)) / lit(Det.pow10(4)))
+          .as("mon"))
+      .withColumn("r", when(col("rec_days") <= RfmRecencyDays._1, 3)
+        .when(col("rec_days") <= RfmRecencyDays._2, 2).otherwise(1))
+      .withColumn("f", when(col("freq") >= RfmFreq._1, 3)
+        .when(col("freq") >= RfmFreq._2, 2).otherwise(1))
+      .withColumn("m", when(col("mon") >= RfmMonetary._1, 3)
+        .when(col("mon") >= RfmMonetary._2, 2).otherwise(1))
+      .withColumn("score", col("r") + col("f") + col("m"))
+      .withColumn("segment",
+        when(col("score") >= 8, "champion")
+          .when(col("score") >= 6, "loyal")
+          .when(col("score") >= 4, "at_risk")
+          .otherwise("hibernating"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    per.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("rec_days")) / count(lit(1))).as("avg_recency_days"),
+        (sum(col("freq")) / count(lit(1))).as("avg_orders"),
+        (sum(Det.quantize(col("mon"), 4)) / lit(Det.pow10(4)))
+          .as("total_monetary"))
+      .withColumn("customer_share",
+        col("n_customers") / sum(col("n_customers")).over(wAll))
+      .orderBy("segment")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
-    suppliersWaiting, forecastSes, replicaDiff, tradeVolume)
+    suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments)
 }
