@@ -405,6 +405,40 @@ object EventOracle {
       ON pr.type_a = xi.type_a AND pr.type_b = xi.type_b
     ORDER BY pr.type_a, pr.type_b"""
 
+  /** LTV twin: the retention chain carrying 4dp-quantized value, the
+    * same cumulative window over age within a cohort.
+    */
+  def cohortLtvSql: String = s"""
+    WITH $evCte,
+    ew AS (
+      SELECT user_id, date_trunc('week', ts) AS aw,
+        CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+      FROM ev
+    ),
+    fw AS (SELECT user_id, MIN(aw) AS cohort_week FROM ew GROUP BY user_id),
+    cs AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM fw GROUP BY 1),
+    cells AS (
+      SELECT f.cohort_week,
+        CAST(date_diff('day', f.cohort_week, e.aw) / 7 AS INTEGER)
+          AS age_weeks,
+        COUNT(DISTINCT e.user_id) AS n_active,
+        CAST(SUM(e.vq) AS BIGINT) AS wq
+      FROM ew e JOIN fw f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c.cohort_week, c.age_weeks, s.cohort_size, c.n_active, c.wq,
+        CAST(SUM(c.wq) OVER (PARTITION BY c.cohort_week ORDER BY c.age_weeks
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cumq
+      FROM cells c JOIN cs s USING (cohort_week)
+    )
+    SELECT cohort_week, age_weeks, cohort_size, n_active,
+      wq / 10000.0 AS week_value,
+      cumq / 10000.0 AS cum_value,
+      cumq / 10000.0 / cohort_size AS ltv_per_user
+    FROM cum ORDER BY cohort_week, age_weeks"""
+
   /** A/B twin: identical hash60 arm assignment over the stringified
     * user id, exact-LONG per-user totals and sums-of-squares, the same
     * double recompositions for mean/variance/t.

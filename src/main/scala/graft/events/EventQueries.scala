@@ -271,6 +271,47 @@ object EventQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Cohort LTV triangle — the VALUE dimension [[retention]]'s count
+    * matrix lacks (the growth-analytics artifact LTV forecasting and
+    * payback-period decisions read): per (first-seen cohort week, weeks
+    * since first seen), the active users, the week's event value, the
+    * CUMULATIVE value per cohort, and cumulative value per cohort
+    * member. Scale shape: one user-keyed shuffle derives first-seen; the
+    * (cohort, age) key space is weeks² — model-sized; the running sum
+    * windows over age WITHIN a cohort (a few dozen rows per partition).
+    * Determinism: value quantized 4dp per (user, week) before every sum;
+    * the cumulative window accumulates exact LONGs; per-member division
+    * is one exact LONG/LONG.
+    */
+  val cohortLtv: GraftQuery = GraftQuery(
+    "events_cohort_ltv",
+    "cohort LTV triangle: cumulative value per first-seen week x age, per member",
+    EventOracle.cohortLtvSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"),
+        Det.quantize(col("value")).as("vq"))
+    val first = e.groupBy(col("user_id")).agg(min(col("aw")).as("cohort_week"))
+    val sized = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = e.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("aw"), col("cohort_week")) / lit(7)).cast("int")
+          .as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("vq")).as("wq"))
+    val wc = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+    cells.join(sized, "cohort_week")
+      .withColumn("cumq", sum(col("wq")).over(wc))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_size"),
+        col("n_active"),
+        (col("wq") / lit(Det.pow10(4))).as("week_value"),
+        (col("cumq") / lit(Det.pow10(4))).as("cum_value"),
+        (col("cumq") / lit(Det.pow10(4)) / col("cohort_size"))
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   /** Windowed anomaly detection: per event type, the 3 most anomalous
     * 10-minute slots by z-score of the slot's event count against that
     * type's own slot distribution. The z-score is derived from EXACT
@@ -696,5 +737,5 @@ object EventQueries {
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
       attribution, dailyDistinct, weeklySketchRollup, markovTransitions,
-      sequenceTrigrams, scd2Dimension, abTest, audienceOverlap)
+      sequenceTrigrams, scd2Dimension, abTest, audienceOverlap, cohortLtv)
 }

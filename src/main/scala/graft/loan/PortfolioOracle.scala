@@ -400,6 +400,34 @@ object PortfolioOracle {
     ORDER BY m.region_cleaned NULLS FIRST, m.dpd_bucket"""
   }
 
+  /** HHI twin: per-dimension exact 4dp-LONG sums, the identical share
+    * division and 1e-9 share² quantization, UNION ALL of the two
+    * one-row summaries.
+    */
+  def concentrationHhiSql: String = {
+    def dim(c: String): String = s"""
+      SELECT '$c' AS dimension, COUNT(*) AS n_groups,
+        CAST(SUM(CAST(floor(share * share * 1000000000.0 + 0.5) AS BIGINT))
+          AS BIGINT) / 1000000000.0 AS hhi,
+        MAX(share) AS top_share
+      FROM (
+        SELECT aq / (SELECT CAST(SUM(CAST(floor(disbursement_amount
+              * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) FROM lf) AS share
+        FROM (
+          SELECT CAST(SUM(CAST(floor(disbursement_amount * 10000.0 + 0.5)
+            AS BIGINT)) AS BIGINT) AS aq
+          FROM lf GROUP BY $c
+        )
+      )"""
+    s"""
+    WITH $ctes
+    SELECT * FROM (
+      ${dim("region_cleaned")}
+      UNION ALL
+      ${dim("product_type")}
+    ) ORDER BY dimension"""
+  }
+
   /** ECL twin: identical stage backstops, EAD association, and the same
     * Scala-computed PD x LGD double literals; per-loan ECL/EAD quantize
     * to 4-decimal LONGs before the sums.

@@ -660,11 +660,46 @@ object PortfolioQueries {
       .orderBy(asc_nulls_first("region_cleaned"), col("stage"))
   }
 
+  /** Portfolio concentration (Herfindahl-Hirschman index) — the risk
+    * metric regulators and credit committees quote: Σ share² of
+    * disbursed exposure per grouping dimension (region and product), one
+    * summary row per dimension with group count, HHI, and the largest
+    * single share. HHI near 1/n_groups = diversified; near 1 =
+    * concentrated. Each dimension is one partial-agg groupBy to a
+    * |groups|-bounded frame; shares are ratios of exact 4dp-LONG sums,
+    * each share² quantized to a 1e-9 LONG before the (group-bounded)
+    * exact sum. The null-region group participates like any other —
+    * concentration in unknown geography is itself a risk signal.
+    */
+  val concentrationHhi: GraftQuery = GraftQuery(
+    "portfolio_concentration_hhi",
+    "HHI concentration of disbursed exposure by region and by product",
+    PortfolioOracle.concentrationHhiSql) { (s, d) =>
+    val base = lf(s, d)
+      .select(col("region_cleaned"), col("product_type"),
+        col("disbursement_amount"))
+    def forDim(dim: String): DataFrame = {
+      val wAll = Window.partitionBy()
+      base.groupBy(col(dim).as("grp"))
+        .agg(sum(Det.quantize(col("disbursement_amount"), 4)).as("aq"))
+        .withColumn("share", col("aq") / sum(col("aq")).over(wAll))
+        .agg(count(lit(1)).as("n_groups"),
+          (sum(floor(col("share") * col("share") * lit(1e9) + lit(0.5))
+            .cast("long")) / lit(1e9)).as("hhi"),
+          max(col("share")).as("top_share"))
+        .withColumn("dimension", lit(dim))
+    }
+    forDim("region_cleaned").unionByName(forDim("product_type"))
+      .select(col("dimension"), col("n_groups"), col("hhi"),
+        col("top_share"))
+      .orderBy("dimension")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
     tableProfile, portfolioNpv, vintageAnalysis, rollRate, incrementalMerge,
-    eclStaging)
+    eclStaging, concentrationHhi)
 }
