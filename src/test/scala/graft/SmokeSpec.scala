@@ -88,6 +88,25 @@ class SmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size === reg.size)
   }
 
+  test("rfm: segments partition all customers; hhi within [1/n, 1]") {
+    val rfm = SparkEntry.queries("customer_rfm_segments")(spark, sf).collect()
+    val nCust = graft.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rfm.map(_.getAs[Long]("n_customers")).sum === nCust,
+      "RFM segments do not partition the customer base")
+    assert(math.abs(rfm.map(_.getAs[Double]("customer_share")).sum - 1.0)
+      < 1e-9)
+    val hhi = SparkEntry.queries("portfolio_concentration_hhi")(spark, sf)
+      .collect()
+    hhi.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_groups"), r.getAs[Double]("hhi"))
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0 + 1e-9,
+        s"HHI $h outside [1/$n, 1]")
+      assert(r.getAs[Double]("top_share") * r.getAs[Double]("top_share")
+        <= h + 1e-9, "top share inconsistent with HHI")
+    }
+  }
+
   test("loan_final quirk pins: en-dash labels and credited-per-month") {
     val lf = loan.LoanDomain.loanFinalFrame(spark, sf)
     val buckets = lf.select("dpd_bucket").distinct()

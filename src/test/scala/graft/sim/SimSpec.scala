@@ -102,6 +102,21 @@ class SimSpec extends SparkSpec {
       s"cell occupancy ${occ.max} exceeds 4x target ${SimFns.TargetCellSize}")
   }
 
+  test("silhouette: s bounded in [-1, 1], fractions valid, labels partition") {
+    val total = graft.Tables.embeddings(spark, sf).count()
+    val rows = SimQueries.silhouette.frame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"mean silhouette out of range: $s")
+      val f = r.getAs[Double]("well_clustered_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Double]("mean_dist_own") >= 0.0)
+      assert(r.getAs[Double]("mean_dist_other") >= 0.0)
+    }
+  }
+
   test("semantic_dedup_pairs: agrees with brute-force intra-cell cosine") {
     import org.apache.spark.sql.functions._
     val out = SimQueries.semanticDedup.frame(spark, sf).collect()
