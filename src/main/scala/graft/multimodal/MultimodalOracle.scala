@@ -78,6 +78,53 @@ object MultimodalOracle {
     * 1-based inclusive, so bucket j is pxs[lo+1 : hi] — length hi-lo,
     * matching Spark's slice(pixels, lo+1, hi-lo).
     */
+  /** Thumbnail near-dup twin: the [[thumbnailSql]] sample columns, the
+    * identical coarse band string, window cap, and a parenthesized
+    * left-associated |diff| sum matching Spark's ordered fold term for
+    * term.
+    */
+  def thumbnailNeardupSql: String = {
+    import MultimodalQueries.{NeardupBandCap, NeardupBandQ, NeardupBandW,
+      NeardupMaxDist, ThumbWidth}
+    val w = ThumbWidth
+    val ts = (0 until w).map { j =>
+      val lo = s"CAST(floor((np * $j) / $w.0) AS BIGINT)"
+      val hi = s"CAST(floor((np * ${j + 1}) / $w.0) AS BIGINT)"
+      s"CAST(list_aggregate(pxs[$lo + 1 : $hi], 'sum') AS BIGINT) / ($hi - $lo) AS t$j"
+    }.mkString(",\n      ")
+    val band = (0 until NeardupBandW)
+      .map(j => s"CAST(CAST(floor(t$j / $NeardupBandQ) AS BIGINT) AS VARCHAR)")
+      .mkString(" || '-' || ")
+    val l1 = (0 until w).foldLeft("0.0::DOUBLE") {
+      case (acc, j) => s"($acc + abs(a.t$j - b.t$j))"
+    }
+    s"""
+    WITH $pixelCte,
+    th AS (
+      SELECT doc_id, media_type,
+      $ts
+      FROM px WHERE np >= $w
+    ),
+    tb AS (SELECT *, $band AS band FROM th),
+    cb AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY media_type, band) AS bn
+        FROM tb
+      ) WHERE bn <= $NeardupBandCap
+    ),
+    pr AS (
+      SELECT a.media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        floor($l1 / $w.0 * 1000000000.0 + 0.5) / 1000000000.0
+          AS mean_abs_diff
+      FROM cb a JOIN cb b
+        ON a.media_type = b.media_type AND a.band = b.band
+        AND a.doc_id < b.doc_id
+    )
+    SELECT media_type, doc_a, doc_b, mean_abs_diff
+    FROM pr WHERE mean_abs_diff <= $NeardupMaxDist
+    ORDER BY mean_abs_diff, doc_a, doc_b LIMIT 20"""
+  }
+
   def thumbnailSql: String = {
     val w = MultimodalQueries.ThumbWidth
     val ts = (0 until w).map { j =>

@@ -194,6 +194,81 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Thumbnail near-dup banding/threshold: band = the first
+    * [[NeardupBandW]] thumbnail samples coarse-quantized by
+    * [[NeardupBandQ]]; band population capped at [[NeardupBandCap]]
+    * (the dedup family's DF-cap convention); pairs report mean absolute
+    * sample difference and keep those <= [[NeardupMaxDist]].
+    */
+  val NeardupBandW = 4
+  val NeardupBandQ = 32.0
+  val NeardupBandCap = 64
+  val NeardupMaxDist = 8.0
+
+  /** Visual near-duplicate mining over DECODED pixels — the dedup family
+    * applied to the media column: each asset's [[ThumbWidth]]-sample box
+    * thumbnail (real decoded-pixel statistics, the [[thumbnail]]
+    * operator's feature) is the perceptual signature; candidates are
+    * restricted to a coarse-quantized band of the first samples (exact
+    * duplicates and near-variants land in the same band; the cap bounds
+    * any hot band, so the pair space is linear in assets — the
+    * [[graft.dedup.DedupQueries]] inverted-index contract on a media
+    * axis), then verified by the exact mean |sample diff| and kept under
+    * [[NeardupMaxDist]]. (The corpus's duplicated TEXTS do not read back
+    * L1 = 0 here: the per-asset width (doc_id % 7) truncates each raster
+    * differently, so even identical payloads thumbnail slightly apart —
+    * the top pairs sit at mean diffs of ~2-3 gray levels, genuine
+    * near-dups under real decode geometry.)
+    *
+    * Determinism: thumbnail samples are exact integer-sum/count
+    * divisions; the L1 fold is an ordered left fold over the
+    * [[ThumbWidth]] samples mirrored term-for-term by the oracle's
+    * parenthesized sum; the per-pair mean is quantized to 1e-9 before
+    * the threshold and ordering.
+    */
+  val thumbnailNeardup: GraftQuery = GraftQuery(
+    "multimodal_thumbnail_neardup",
+    s"visual near-dup: banded thumbnail candidates, mean |sample diff| <= $NeardupMaxDist, top-20",
+    MultimodalOracle.thumbnailNeardupSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val n = size(col("img.pixels"))
+    val tArr = array((0 until ThumbWidth).map { j =>
+      val lo = floor((n * lit(j)) / lit(ThumbWidth.toDouble)).cast("int")
+      val hi = floor((n * lit(j + 1)) / lit(ThumbWidth.toDouble)).cast("int")
+      aggregate(slice(col("img.pixels"), lo + lit(1), hi - lo),
+        lit(0L), (acc, x) => acc + x) / (hi - lo)
+    }: _*)
+    val t = media(s, d)
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(size(col("img.pixels")) >= ThumbWidth)
+      .select(col("doc_id"), col("media_type"), tArr.as("t"))
+      .withColumn("band", array_join(
+        transform(slice(col("t"), 1, NeardupBandW),
+          x => floor(x / lit(NeardupBandQ)).cast("long").cast("string")),
+        "-"))
+    val capped = t
+      .withColumn("bn", count(lit(1))
+        .over(Window.partitionBy(col("media_type"), col("band"))))
+      .filter(col("bn") <= NeardupBandCap)
+      .drop("bn")
+      .localCheckpoint()
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.media_type") === col("b.media_type")
+          && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.media_type").as("media_type"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (floor(aggregate(
+          zip_with(col("a.t"), col("b.t"), (x, y) => abs(x - y)),
+          lit(0.0), (acc, v) => acc + v) / lit(ThumbWidth.toDouble)
+          * lit(1e9) + lit(0.5)) / lit(1e9)).as("mean_abs_diff"))
+      .filter(col("mean_abs_diff") <= NeardupMaxDist)
+      .orderBy(col("mean_abs_diff"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Adjacent-pixel |difference| at/above this counts as an edge. */
   val EdgeThreshold = 16
 
@@ -406,5 +481,5 @@ object MultimodalQueries {
 
   def all: Seq[GraftQuery] =
     Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
-      audioFeatures, crossmodalConsistency, sceneCuts)
+      audioFeatures, crossmodalConsistency, sceneCuts, thumbnailNeardup)
 }
