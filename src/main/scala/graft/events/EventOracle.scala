@@ -405,6 +405,40 @@ object EventOracle {
       ON pr.type_a = xi.type_a AND pr.type_b = xi.type_b
     ORDER BY pr.type_a, pr.type_b"""
 
+  /** SLO-burn twin: identical hourly tumbling counts, single exact-LONG
+    * share divisions, 1e-6-quantized burn, and the same cumulative
+    * window for the running budget.
+    */
+  def sloBurnSql: String = {
+    import EventQueries.{SloPageBurn, SloTarget}
+    s"""
+    WITH $evCte,
+    h AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_errors
+      FROM ev GROUP BY 1
+    ),
+    r AS (
+      SELECT hour, n_events, n_errors,
+        n_errors / n_events AS err_share,
+        floor(n_errors / n_events / $SloTarget::DOUBLE * 1000000.0 + 0.5)
+          / 1000000.0 AS burn_rate,
+        CAST(SUM(n_errors) OVER (ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_err,
+        CAST(SUM(n_events) OVER (ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_ev
+      FROM h
+    )
+    SELECT hour, n_events, n_errors, err_share, burn_rate,
+      burn_rate >= $SloPageBurn::DOUBLE AS page,
+      floor(cum_err / ($SloTarget::DOUBLE * cum_ev) * 1000000.0 + 0.5)
+        / 1000000.0 AS budget_consumed
+    FROM r ORDER BY hour"""
+  }
+
   /** LTV twin: the retention chain carrying 4dp-quantized value, the
     * same cumulative window over age within a cohort.
     */

@@ -271,6 +271,51 @@ object EventQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Error-budget SLO for [[sloBurn]]: target error share and the burn
+    * multiple that pages (the Google SRE multiwindow convention's fast
+    * window).
+    */
+  val SloTarget = 0.05
+  val SloPageBurn = 2.0
+
+  /** SLO error-budget burn — the ops-monitoring readout an event
+    * pipeline feeds: per tumbling hour, the error share of all events,
+    * the burn rate (share / [[SloTarget]] — how fast that hour consumes
+    * the error budget), a paging flag at [[SloPageBurn]]x, plus the
+    * RUNNING budget consumed since the start of the stream (cumulative
+    * errors / cumulative allowed errors). One tumbling aggregate
+    * (hour-keyed, partial map-side) and one ordered window over the
+    * hour-bounded frame. Determinism: counts are exact; every share is
+    * a single exact-LONG division; burn quantized to 1e-6.
+    */
+  val sloBurn: GraftQuery = GraftQuery(
+    "events_slo_burn",
+    s"hourly SLO burn: error share vs $SloTarget target, ${SloPageBurn}x page flag, running budget consumed",
+    EventOracle.sloBurnSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("err_share", col("n_errors") / col("n_events"))
+      .withColumn("burn_rate",
+        floor(col("err_share") / lit(SloTarget) * lit(1e6) + lit(0.5))
+          / lit(1e6))
+      .withColumn("page", col("burn_rate") >= SloPageBurn)
+      .withColumn("budget_consumed",
+        floor(sum(col("n_errors")).over(w) /
+          (lit(SloTarget) * sum(col("n_events")).over(w)) * lit(1e6)
+          + lit(0.5)) / lit(1e6))
+      .select(col("hour"), col("n_events"), col("n_errors"),
+        col("err_share"), col("burn_rate"), col("page"),
+        col("budget_consumed"))
+      .orderBy("hour")
+  }
+
   /** Cohort LTV triangle — the VALUE dimension [[retention]]'s count
     * matrix lacks (the growth-analytics artifact LTV forecasting and
     * payback-period decisions read): per (first-seen cohort week, weeks
@@ -737,5 +782,6 @@ object EventQueries {
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
       attribution, dailyDistinct, weeklySketchRollup, markovTransitions,
-      sequenceTrigrams, scd2Dimension, abTest, audienceOverlap, cohortLtv)
+      sequenceTrigrams, scd2Dimension, abTest, audienceOverlap, cohortLtv,
+      sloBurn)
 }
