@@ -71,6 +71,12 @@ object Bench {
       val (post, pre) = if (i >= 0) (argv.drop(i + 1), argv.take(i)) else (Nil, argv)
       val inline = pre.collect { case a if a.startsWith("--only=") =>
         a.stripPrefix("--only=") }
+      // a bare `--only` with no operand must fail loudly, not silently
+      // fall through to timing ALL queries (the same typo'd-restriction
+      // contract the unmatched-name require below enforces)
+      require(i < 0 || post.nonEmpty || inline.nonEmpty,
+        "`--only` given with no prefix operand; usage: --only <prefix> " +
+          "[or --only=<prefix>]")
       ((post ++ inline).toSet, pre.filterNot(_.startsWith("--only=")).toSet)
     }
     val all = SparkEntry.queries.toSeq.sortBy(_._1)

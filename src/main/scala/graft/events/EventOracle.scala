@@ -475,7 +475,11 @@ object EventOracle {
 
   /** A/B twin: identical hash60 arm assignment over the stringified
     * user id, exact-LONG per-user totals and sums-of-squares, the same
-    * double recompositions for mean/variance/t.
+    * double recompositions for mean/variance/t — including the same
+    * explicit degenerate-arm guards (mean n>0, variance n>1, uplift
+    * mean_a≠0, t se²>0 — each NULL otherwise; DuckDB's IEEE division
+    * would otherwise give ±Inf/NaN where Spark gives NULL) and the same
+    * overflow raise when a per-user total's square would exceed BIGINT.
     */
   def abTestSql: String = s"""
     WITH $evCte,
@@ -487,31 +491,46 @@ object EventOracle {
           AS BIGINT) % 2 AS arm
       FROM ev GROUP BY user_id
     ),
+    pq AS (
+      SELECT user_id, uq, arm,
+        CASE WHEN abs(uq) > 3037000499
+          THEN CAST(error('events_ab_test: per-user total overflows the '
+            || 'ssq quantum') AS BIGINT)
+          ELSE uq * uq END AS uq2
+      FROM pu
+    ),
     ag AS (
       SELECT
         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         CAST(SUM(CASE WHEN arm = 0 THEN uq ELSE 0 END) AS BIGINT) AS sa,
         CAST(SUM(CASE WHEN arm = 1 THEN uq ELSE 0 END) AS BIGINT) AS sb,
-        CAST(SUM(CASE WHEN arm = 0 THEN uq * uq ELSE 0 END) AS BIGINT) AS qa,
-        CAST(SUM(CASE WHEN arm = 1 THEN uq * uq ELSE 0 END) AS BIGINT) AS qb
-      FROM pu
+        CAST(SUM(CASE WHEN arm = 0 THEN uq2 ELSE 0 END) AS BIGINT) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq2 ELSE 0 END) AS BIGINT) AS qb
+      FROM pq
     ),
     st AS (
       SELECT n_a, n_b,
-        sa / 10000.0 / n_a AS mean_a,
-        sb / 10000.0 / n_b AS mean_b,
-        (qa / 100000000.0 - (sa / 10000.0) * (sa / 10000.0) / n_a)
-          / (n_a - 1) AS var_a,
-        (qb / 100000000.0 - (sb / 10000.0) * (sb / 10000.0) / n_b)
-          / (n_b - 1) AS var_b
+        CASE WHEN n_a > 0 THEN sa / 10000.0 / n_a END AS mean_a,
+        CASE WHEN n_b > 0 THEN sb / 10000.0 / n_b END AS mean_b,
+        CASE WHEN n_a > 1 THEN
+          (qa / 100000000.0 - (sa / 10000.0) * (sa / 10000.0) / n_a)
+            / (n_a - 1) END AS var_a,
+        CASE WHEN n_b > 1 THEN
+          (qb / 100000000.0 - (sb / 10000.0) * (sb / 10000.0) / n_b)
+            / (n_b - 1) END AS var_b
       FROM ag
+    ),
+    se AS (
+      SELECT st.*, var_a / n_a + var_b / n_b AS se2 FROM st
     )
     SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
-      (mean_b - mean_a) / mean_a AS uplift,
-      floor((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)
-        * 1000000.0 + 0.5) / 1000000.0 AS t_stat
-    FROM st"""
+      CASE WHEN mean_a IS NOT NULL AND mean_a <> 0 AND mean_b IS NOT NULL
+        THEN (mean_b - mean_a) / mean_a END AS uplift,
+      CASE WHEN se2 > 0 THEN
+        floor((mean_b - mean_a) / sqrt(se2) * 1000000.0 + 0.5)
+          / 1000000.0 END AS t_stat
+    FROM se"""
 
   /** SCD2 twin: the same lag-change-detection + row_number/lead interval
     * chaining over (ts, event_id) ordering.

@@ -734,10 +734,17 @@ object EventQueries {
     * Scale shape: one partial-agg shuffle to (user, arm, total), then a
     * 2-row conditional aggregate — classic map-side-combine analytics.
     * Determinism: per-user totals are exact 1e-4 LONGs; per-arm sums and
-    * sums-of-squares are exact LONG sums (ssq fits BIGINT through ~1e9
-    * users at these value ranges; past that, scale the quantum); mean/
-    * variance/t recompose those LONGs through the same double
-    * associations on both engines, t quantized to 1e-6.
+    * sums-of-squares are exact LONG sums; mean/variance/t recompose
+    * those LONGs through the same double associations on both engines,
+    * t quantized to 1e-6. Degenerate arms are GUARDED identically on
+    * both engines (Spark's non-ANSI division yields NULL where DuckDB's
+    * IEEE doubles yield ±Inf/NaN, so the guards must be explicit): mean
+    * needs n > 0, variance n > 1, uplift a non-zero control mean, t a
+    * strictly positive standard error — each NULL otherwise. The uq²
+    * term raises explicitly when |uq| would overflow its square
+    * (|uq| > floor(sqrt(2⁶³−1))) instead of wrapping silently; the SUM
+    * of squares then fits BIGINT through ~1e9 users at these value
+    * ranges — past that, scale the quantum.
     */
   val abTest: GraftQuery = GraftQuery.oneRow(
     "events_ab_test",
@@ -749,34 +756,45 @@ object EventQueries {
       .agg(sum(col("vq")).as("uq"))
       .withColumn("arm",
         graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    val uqSq = when(abs(col("uq")) > lit(MaxSqAbs),
+      raise_error(lit("events_ab_test: per-user total overflows the " +
+        "ssq quantum — widen the quantum")).cast("long"))
+      .otherwise(col("uq") * col("uq"))
     val agg = perUser.agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("arm") === 0, col("uq")).otherwise(0L)).as("sa"),
       sum(when(col("arm") === 1, col("uq")).otherwise(0L)).as("sb"),
-      sum(when(col("arm") === 0, col("uq") * col("uq")).otherwise(0L))
-        .as("qa"),
-      sum(when(col("arm") === 1, col("uq") * col("uq")).otherwise(0L))
-        .as("qb"))
+      sum(when(col("arm") === 0, uqSq).otherwise(0L)).as("qa"),
+      sum(when(col("arm") === 1, uqSq).otherwise(0L)).as("qb"))
     val sc = lit(Det.pow10(4).toDouble)
     def mean(s0: org.apache.spark.sql.Column,
-        n: org.apache.spark.sql.Column) = s0 / sc / n
+        n: org.apache.spark.sql.Column) =
+      when(n > lit(0L), s0 / sc / n)
     def vr(q: org.apache.spark.sql.Column, s0: org.apache.spark.sql.Column,
         n: org.apache.spark.sql.Column) =
-      (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - lit(1))
+      when(n > lit(1L),
+        (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - lit(1)))
     agg.select(
         col("n_a"), col("n_b"),
         mean(col("sa"), col("n_a")).as("mean_a"),
         mean(col("sb"), col("n_b")).as("mean_b"),
         vr(col("qa"), col("sa"), col("n_a")).as("var_a"),
         vr(col("qb"), col("sb"), col("n_b")).as("var_b"))
+      .withColumn("se2",
+        col("var_a") / col("n_a") + col("var_b") / col("n_b"))
       .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
         col("var_a"), col("var_b"),
-        ((col("mean_b") - col("mean_a")) / col("mean_a")).as("uplift"),
-        (floor((col("mean_b") - col("mean_a")) /
-          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
-          * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_stat"))
+        when(col("mean_a").isNotNull && col("mean_a") =!= 0 &&
+            col("mean_b").isNotNull,
+          (col("mean_b") - col("mean_a")) / col("mean_a")).as("uplift"),
+        when(col("se2") > 0,
+          floor((col("mean_b") - col("mean_a")) / sqrt(col("se2"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_stat"))
   }
+
+  /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG. */
+  private val MaxSqAbs = 3037000499L
 
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,

@@ -949,10 +949,11 @@ object SimOracle {
       FROM e CROSS JOIN scl cl
     ),
     sa AS (
-      SELECT vec_id, vlabel, sqrt(d) AS a FROM sdist WHERE vlabel = clabel
+      SELECT vec_id, vlabel, sqrt(GREATEST(d, 0)) AS a
+      FROM sdist WHERE vlabel = clabel
     ),
     sb AS (
-      SELECT vec_id, sqrt(MIN(d)) AS b FROM sdist
+      SELECT vec_id, sqrt(GREATEST(MIN(d), 0)) AS b FROM sdist
       WHERE vlabel <> clabel GROUP BY vec_id
     ),
     ss AS (

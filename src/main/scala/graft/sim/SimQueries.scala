@@ -834,10 +834,15 @@ object SimQueries {
         struct(e.getField("l").as("l"),
           (col("vv") + e.getField("cc")
             - lit(2.0) * dot(col("v"), e.getField("c"))).as("d"))))
-      .withColumn("a", sqrt(element_at(filter(col("dists"),
-        x => x.getField("l") === col("label")), 1).getField("d")))
-      .withColumn("b", sqrt(array_min(transform(filter(col("dists"),
-        x => x.getField("l") =!= col("label")), x => x.getField("d")))))
+      // clamp at 0 before sqrt: vv + cc − 2·v·c can cancel to a tiny
+      // negative for a vector ~equal to its own centroid; Spark would
+      // yield NaN while DuckDB ERRORS on sqrt(<0) — the clamp (mirrored
+      // in the oracle's sa/sb CTEs) keeps both engines defined and equal.
+      .withColumn("a", sqrt(greatest(element_at(filter(col("dists"),
+        x => x.getField("l") === col("label")), 1).getField("d"), lit(0.0))))
+      .withColumn("b", sqrt(greatest(array_min(transform(filter(col("dists"),
+        x => x.getField("l") =!= col("label")), x => x.getField("d"))),
+        lit(0.0))))
       .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
         (col("b") - col("a")) / greatest(col("a"), col("b")))
         .otherwise(lit(0.0)))

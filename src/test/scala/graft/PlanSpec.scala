@@ -518,10 +518,17 @@ class PlanSpec extends SparkSpec {
     // join degraded to a sort-merge or nested-loop, the count drops to
     // stage 1's single hash join and this fails (a bare contains()
     // would still pass off stage 1's join alone).
+    // the >= 2 count IS the refine-stage anchor: if either vec-id join
+    // degraded to sort-merge or nested-loop, the hash-join count drops
+    // below 2 and this fails. (A plan-wide !contains("SortMergeJoin")
+    // was rejected as brittle — it would trip on any unrelated join the
+    // planner legitimately sort-merges under a different
+    // autoBroadcastJoinThreshold/AQE config.)
     val idHashJoins = "HashJoin \\[(vec_id|cv)".r.findAllIn(plan).size
     assert(idHashJoins >= 2,
       s"expected stage-1 AND refine vec-id hash joins, found $idHashJoins:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"a join degraded to sort-merge:\n$plan")
+    val idSortMerge = "SortMergeJoin \\[(vec_id|cv)".r.findAllIn(plan).size
+    assert(idSortMerge == 0,
+      s"a vec-id join degraded to sort-merge:\n$plan")
   }
 }
