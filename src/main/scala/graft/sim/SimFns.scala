@@ -31,21 +31,47 @@ object SimFns {
     * can both read them without an init-order cycle (see the note on
     * [[graft.text.TextOracle]]).
     *
-    * Training cost note: brute-force assignment is O(n*k*Dims) per sweep;
-    * with k ~ n/TargetCellSize that term is the next asymptote at extreme
-    * scale, and the standard refinement (train on a bounded deterministic
-    * sample, assign via an ANN index over the centroids — FAISS's
-    * quantizer-HNSW) slots into [[SimQueries.trainedCentroids]] without
-    * touching any consumer; the pair joins this sizing fixes remain
-    * linear either way.
+    * Training cost (the FAISS refinement, both halves):
+    *   - SWEEPS run over a bounded deterministic SAMPLE of
+    *     m = min(n, [[KmeansSampleMult]]*k) vectors — the lowest
+    *     (md5(vec_id), vec_id) ranks, the doc_splits content-hash
+    *     convention, picked by a map-side top-m (TakeOrdered), never a
+    *     global sort. Per-sweep assignment is O(m*k*Dims) =
+    *     O(SampleMult*k²*Dims) — independent of how much corpus sits
+    *     behind the sample.
+    *   - The FINAL full-corpus assignment is TWO-LEVEL (the FAISS
+    *     coarse-quantizer-over-the-quantizer slot): k1 = ceil(sqrt(k))
+    *     ANCHORS = the k1 lowest-j trained centroids; each centroid maps
+    *     to its nearest anchor (k*k1 work, model-state only); each
+    *     vector maps to its nearest LIVE anchor (n*k1) and then argmins
+    *     over just that anchor's centroid group (avg k/k1) — O(n*sqrt(k))
+    *     total, and the per-vector broadcast is k1 anchors (sqrt growth),
+    *     not the full k*Dims centroid array. Assignment is approximate
+    *     in the standard IVF sense (the chosen cell may be a near-nearest
+    *     rather than the global argmin); every consumer needs a
+    *     CONSISTENT partition, not the exact argmin, and the oracle
+    *     ([[SimOracle.kmeansChain]]) derives the identical two-level
+    *     rule in SQL so both engines agree bit-for-bit.
     */
   val KmeansKFloor = 8
   val TargetCellSize = 64
   val KmeansIters = 3
 
+  /** Training-sample multiplier: m = min(n, KmeansSampleMult*k) vectors
+    * feed the Lloyd sweeps (~SampleMult points per centroid).
+    */
+  val KmeansSampleMult = 8
+
   /** k for a corpus of n vectors (see [[KmeansKFloor]]). */
   def kmeansK(n: Long): Int =
     math.max(KmeansKFloor, math.ceil(n.toDouble / TargetCellSize).toInt)
+
+  /** Anchor count for the two-level assignment: ceil(sqrt(k)). */
+  def kmeansK1(k: Int): Int = math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** Training-sample size for a corpus of n vectors. */
+  def kmeansSampleM(n: Long): Int =
+    math.min(n, KmeansSampleMult.toLong * kmeansK(n)).toInt
 
   /** Product-quantization geometry ([[SimQueries.pqTopk]]): PqM subspaces
     * of Dims/PqM dims each, PqK codewords per subspace (init: the PqK

@@ -414,19 +414,25 @@ object SimOracle {
   /** CTE chain from `e` to the trained-kmeans FINAL assignment
     * `a<KmeansIters+1>(vec_id, j, dist)` and the trained centroids
     * `c<KmeansIters>(j, c)` — shared by [[kmeansSql]] and
-    * [[semanticDedupSql]] so both grade the same training math. k is
-    * DATA-DERIVED, not a constant: the `kn` scalar-subquery CTE computes
-    * max(KmeansKFloor, ceil(n / TargetCellSize)) over the same scan —
-    * the SQL twin of [[SimQueries.trainedCentroids]]' count-action
-    * sizing, so both engines grow the quantizer with the corpus.
+    * [[semanticDedupSql]] so both grade the same training math. Every
+    * size is DATA-DERIVED in the `kn` CTE over the same scan — the SQL
+    * twin of [[SimQueries.trainQuantizer]]'s count-action sizing:
+    * k = max(KmeansKFloor, ceil(n / TargetCellSize)), the training
+    * sample m = min(n, KmeansSampleMult*k) (lowest (md5(vec_id), vec_id)
+    * ranks — the `sm` CTE), and the anchor count k1 = ceil(sqrt(k)).
+    * Sweeps run over `sm` only; the final assignment is the TWO-LEVEL
+    * rule of [[SimQueries.kmAssignIndexed]]: centroid -> nearest anchor
+    * (`cmap`), vector -> nearest LIVE anchor (`va`), then argmin within
+    * that anchor's centroid group — identical expression shapes per
+    * (row, candidate) pair, so every argmin agrees bit-for-bit.
     */
   private[graft] val kmeansChain: String = {
-    import SimFns.{KmeansIters, KmeansKFloor, TargetCellSize}
+    import SimFns.{KmeansIters, KmeansKFloor, KmeansSampleMult, TargetCellSize}
     def sweep(t: Int): String = s"""
     x$t AS (
-      SELECT k.vec_id, k.v, ct.j,
-        k.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("k.v", "ct.c")} AS dist
-      FROM k CROSS JOIN c${t - 1} ct
+      SELECT sm.vec_id, sm.v, ct.j,
+        sm.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("sm.v", "ct.c")} AS dist
+      FROM sm CROSS JOIN c${t - 1} ct
     ),
     a$t AS (
       SELECT vec_id, v, j, dist FROM (
@@ -451,19 +457,59 @@ object SimOracle {
     s"""
     k AS (SELECT vec_id, v, ${dotIdx("v", "v")} AS vv FROM e),
     kn AS (
-      SELECT GREATEST($KmeansKFloor,
-        CAST(ceil(COUNT(*) / $TargetCellSize.0) AS BIGINT)) AS k
-      FROM e
+      SELECT n, k,
+        CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1,
+        LEAST(n, $KmeansSampleMult * k) AS m
+      FROM (
+        SELECT COUNT(*) AS n,
+          GREATEST($KmeansKFloor,
+            CAST(ceil(COUNT(*) / $TargetCellSize.0) AS BIGINT)) AS k
+        FROM e
+      )
+    ),
+    sm AS (
+      SELECT vec_id, v, vv FROM (
+        SELECT vec_id, v, vv,
+          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            AS rn
+        FROM k
+      ) WHERE rn <= (SELECT m FROM kn)
     ),
     c0 AS (
       SELECT CAST(vec_id AS INTEGER) AS j, v AS c FROM e
       WHERE vec_id < (SELECT k FROM kn)
     ),
     ${(1 to KmeansIters).map(sweep).mkString(",")},
+    anch AS (
+      SELECT j AS aj, c AS ac, ${dotIdx("c", "c")} AS acc
+      FROM c$KmeansIters WHERE j < (SELECT k1 FROM kn)
+    ),
+    cmap AS (
+      SELECT aj, j, c, cc FROM (
+        SELECT an.aj, ct.j, ct.c, ${dotIdx("ct.c", "ct.c")} AS cc,
+          ROW_NUMBER() OVER (PARTITION BY ct.j ORDER BY
+            ${dotIdx("ct.c", "ct.c")} + an.acc
+              - 2.0 * ${dotIdx("ct.c", "an.ac")},
+            an.aj) AS rn
+        FROM c$KmeansIters ct CROSS JOIN anch an
+      ) WHERE rn = 1
+    ),
+    lanch AS (
+      SELECT an.aj, an.ac, an.acc FROM anch an
+      WHERE an.aj IN (SELECT DISTINCT aj FROM cmap)
+    ),
+    va AS (
+      SELECT vec_id, v, vv, aj FROM (
+        SELECT kk.vec_id, kk.v, kk.vv, la.aj,
+          ROW_NUMBER() OVER (PARTITION BY kk.vec_id ORDER BY
+            kk.vv + la.acc - 2.0 * ${dotIdx("kk.v", "la.ac")}, la.aj) AS rn
+        FROM k kk CROSS JOIN lanch la
+      ) WHERE rn = 1
+    ),
     x$fin AS (
-      SELECT k.vec_id, k.v, ct.j,
-        k.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("k.v", "ct.c")} AS dist
-      FROM k CROSS JOIN c$KmeansIters ct
+      SELECT va.vec_id, va.v, cm.j,
+        va.vv + cm.cc - 2.0 * ${dotIdx("va.v", "cm.c")} AS dist
+      FROM va JOIN cmap cm ON va.aj = cm.aj
     ),
     a$fin AS (
       SELECT vec_id, j, dist FROM (

@@ -337,34 +337,114 @@ object SimQueries {
   /** IVF coarse-quantizer TRAINING: [[SimFns.KmeansIters]] Lloyd sweeps at
     * k = [[SimFns.kmeansK]](n) — corpus-sized, see the scaling note on
     * [[SimFns.KmeansKFloor]] — deterministic init (the k lowest vec_ids),
-    * then a final assignment summarized per cell (size, quantized inertia,
-    * centroid norm). This is the missing step [[ivfTopk]] stands in for
-    * with the label column: cells learned from the data, against which a
-    * query probes one (or nprobe) partitions. Scale shape per sweep: one
+    * sweeps over a BOUNDED content-hash sample (see below), then a final
+    * TWO-LEVEL assignment summarized per cell. Scale shape per sweep: one
     * broadcast of k centroids out, one k x Dims-row shuffle back —
     * the canonical distributed k-means contract (model state moves, data
-    * never does). Each sweep's 8-row centroid frame is localCheckpointed:
+    * never does). Each sweep's k-row centroid frame is localCheckpointed:
     * without the cut, every later sweep re-executes the whole unrolled
     * chain once per reference (2^sweeps plan blow-up), and the driver
     * still never sees per-vector data.
     */
-  /** The trained centroid frame (j, c): k = [[SimFns.kmeansK]] of the
-    * corpus count (ONE metadata-cheap count action — parquet answers it
-    * from row-group stats; the oracle derives the same k in SQL via the
-    * `kn` scalar-subquery CTE), deterministic init from the k lowest
-    * vec_ids, then [[SimFns.KmeansIters]] sweeps. Each sweep's k-row
+  private case class Quantizer(cents: DataFrame, k: Int)
+
+  /** The trained quantizer (centroid frame (j, c) + its k): k =
+    * [[SimFns.kmeansK]] of the corpus count (ONE metadata-cheap count
+    * action — parquet answers it from row-group stats; the oracle derives
+    * the same k in SQL via the `kn` scalar-subquery CTE), deterministic
+    * init from the k lowest vec_ids, then [[SimFns.KmeansIters]] sweeps
+    * over the m = min(n, [[SimFns.KmeansSampleMult]]*k) vectors with the
+    * LOWEST (md5(vec_id), vec_id) — a deterministic content-hash sample
+    * fetched by TakeOrdered (per-partition top-m heaps + a driver-side
+    * merge of m rows; no global sort), so each sweep costs
+    * O(SampleMult*k²*Dims) regardless of corpus size. Each sweep's k-row
     * result is localCheckpointed — without the cut every later sweep
     * re-executes the whole unrolled chain once per reference.
     */
-  private def trainedCentroids(v: DataFrame,
-      iters: Int = KmeansIters): DataFrame = {
-    val k = SimFns.kmeansK(v.count())
+  /** The bounded deterministic training sample: the
+    * m = [[SimFns.kmeansSampleM]](n) vectors with the lowest
+    * (md5(vec_id), vec_id) — exposed at package level so SimSpec can pin
+    * that sweep row counts are bounded by m, not n.
+    */
+  private[graft] def trainingSample(v: DataFrame, n: Long): DataFrame =
+    v.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(SimFns.kmeansSampleM(n))
+
+  private def trainQuantizer(v: DataFrame,
+      iters: Int = KmeansIters): Quantizer = {
+    val n = v.count()
+    val k = SimFns.kmeansK(n)
+    val sample = trainingSample(v, n).localCheckpoint()
     var c = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("j"), col("v").as("c"))
       .localCheckpoint()
     for (_ <- 1 to iters)
-      c = kmUpdate(kmAssign(v, c), c).localCheckpoint()
-    c
+      c = kmUpdate(kmAssign(sample, c), c).localCheckpoint()
+    Quantizer(c, k)
+  }
+
+  /** Two-level full-corpus assignment (the [[SimFns.KmeansKFloor]] scale
+    * note's second half): k1 = ceil(sqrt(k)) ANCHORS = the k1 lowest-j
+    * trained centroids; each CENTROID argmins over the anchors (k*k1,
+    * model state only); each VECTOR argmins over the LIVE anchors (those
+    * that received >= 1 centroid — restricting to live anchors guarantees
+    * every vector's anchor has a non-empty centroid group even when
+    * floating cancellation maps an anchor away from itself), then argmins
+    * within that anchor's centroid group. Per-vector work is
+    * O(k1 + k/k1) = O(sqrt(k)) distances, and the broadcasts are k1
+    * anchors + the k1-row grouped centroid table — at n = 1e9
+    * (k ~ 1.6e7) that is ~4000 anchor vectors per executor instead of an
+    * 8 GB full-centroid array, with the group join a shuffle join on
+    * anchor id if the group table ever outgrows broadcast.
+    * Returns (vec_id, v, j, dist) — [[kmAssign]]'s contract.
+    */
+  private def kmAssignIndexed(v: DataFrame, q: Quantizer): DataFrame = {
+    val k1 = SimFns.kmeansK1(q.k)
+    val anchors = q.cents.filter(col("j") < k1)
+      .select(col("j").as("aj"), col("c").as("ac"),
+        dot(col("c"), col("c")).as("acc"))
+    // centroid -> anchor: map-side argmin against the broadcast anchor
+    // struct array (the kmAssign recipe at k x k1 scale)
+    val as0 = broadcast(anchors.agg(array_sort(collect_list(
+      struct(col("aj"), col("ac"), col("acc")))).as("as0")))
+    val cmap = q.cents.crossJoin(as0)
+      .withColumn("cc", dot(col("c"), col("c")))
+      .withColumn("best",
+        array_min(transform(col("as0"), e =>
+          struct(
+            (col("cc") + e.getField("acc")
+              - lit(2.0) * dot(col("c"), e.getField("ac"))).as("dist"),
+            e.getField("aj").as("aj")))))
+      .select(col("best").getField("aj").as("aj"),
+        col("j"), col("c"), col("cc"))
+    // per-anchor centroid groups (k1 rows carrying all k centroids) and
+    // the LIVE anchor array vectors route through
+    val groups = cmap.groupBy(col("aj"))
+      .agg(array_sort(collect_list(struct(col("j"), col("c"), col("cc"))))
+        .as("gs"))
+      .localCheckpoint() // reused by the live-anchor array AND the join
+    val live = broadcast(groups.select(col("aj"))
+      .join(anchors, "aj")
+      .agg(array_sort(collect_list(struct(col("aj"), col("ac"), col("acc"))))
+        .as("la")))
+    v.crossJoin(live)
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("va",
+        array_min(transform(col("la"), e =>
+          struct(
+            (col("vv") + e.getField("acc")
+              - lit(2.0) * dot(col("v"), e.getField("ac"))).as("dist"),
+            e.getField("aj").as("aj")))).getField("aj"))
+      .join(broadcast(groups), col("va") === col("aj"))
+      .withColumn("best",
+        array_min(transform(col("gs"), e =>
+          struct(
+            (col("vv") + e.getField("cc")
+              - lit(2.0) * dot(col("v"), e.getField("c"))).as("dist"),
+            e.getField("j").as("j")))))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("j").as("j"),
+        col("best").getField("dist").as("dist"))
   }
 
   /** Trained-cell assignment (vec_id, cell) — the write-time partition key
@@ -373,7 +453,8 @@ object SimQueries {
     */
   def kmeansCells(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).select(col("vec_id"), col("v"))
-    kmAssign(v, trainedCentroids(v)).select(col("vec_id"), col("j").as("cell"))
+    kmAssignIndexed(v, trainQuantizer(v))
+      .select(col("vec_id"), col("j").as("cell"))
   }
 
   val kmeans: GraftQuery = GraftQuery(
@@ -382,15 +463,15 @@ object SimQueries {
       s"k=max($KmeansKFloor, n/$TargetCellSize), per-cell size/inertia/norm",
     SimOracle.kmeansSql) { (s, d) =>
     val v = vecs(s, d).select(col("vec_id"), col("v"))
-    val c = trainedCentroids(v)
-    kmAssign(v, c)
+    val q = trainQuantizer(v)
+    kmAssignIndexed(v, q)
       .groupBy(col("j"))
       .agg(
         count(lit(1)).as("n_assigned"),
         (sum(graft.api.Det.quantize(col("dist"), 9)) /
           lit(graft.api.Det.pow10(9))).as("inertia"))
-      .join(c.select(col("j"), sqrt(dot(col("c"), col("c"))).as("centroid_norm")),
-        "j")
+      .join(q.cents.select(col("j"),
+        sqrt(dot(col("c"), col("c"))).as("centroid_norm")), "j")
       .select(col("j").as("cluster"), col("n_assigned"), col("inertia"),
         col("centroid_norm"))
       .orderBy("cluster")
@@ -651,10 +732,12 @@ object SimQueries {
     // driver-iterated Lloyd loops concurrently so their per-sweep jobs
     // interleave (same-window git-stash A/B at sf0.1: 2.34 -> 1.46 s);
     // assignment/LUT construction below is lazy and unaffected
-    val centsF = Future(trainedCentroids(base))
+    val centsF = Future(trainQuantizer(base))
     val cbF = Future(pqCodebook(base))
-    val cents = Await.result(centsF, Duration.Inf)
-    val vcell = kmAssign(base, cents).select(col("vec_id"), col("j").as("cell"))
+    val quant = Await.result(centsF, Duration.Inf)
+    val cents = quant.cents
+    val vcell = kmAssignIndexed(base, quant)
+      .select(col("vec_id"), col("j").as("cell"))
     val q = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cs = broadcast(cents.groupBy()

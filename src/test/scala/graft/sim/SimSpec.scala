@@ -102,6 +102,33 @@ class SimSpec extends SparkSpec {
       s"cell occupancy ${occ.max} exceeds 4x target ${SimFns.TargetCellSize}")
   }
 
+  // The training-cost contract (SimFns.KmeansKFloor note, second half):
+  // Lloyd sweeps run over m = min(n, SampleMult*k) content-hash-sampled
+  // vectors — O(SampleMult*k²) per sweep — and the full-corpus pass is
+  // the two-level anchor assignment at O(n*sqrt(k)), never O(n*k).
+  test("kmeans training: sweep rows bounded by the sample, anchors by sqrt(k)") {
+    // formula pins at the shipped SFs and at scale
+    assert(SimFns.kmeansSampleM(500L) === 64) // min(500, 8*8)
+    assert(SimFns.kmeansSampleM(2000L) === 256) // min(2000, 8*32)
+    assert(SimFns.kmeansSampleM(40L) === 40) // corpus smaller than 8k
+    assert(SimFns.kmeansSampleM(1000000L) === 125000) // 8*15625 << n
+    assert(SimFns.kmeansK1(8) === 3)
+    assert(SimFns.kmeansK1(32) === 6)
+    assert(SimFns.kmeansK1(15625) === 125)
+    // the actual sample frame is bounded by m, NOT n, and deterministic
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val v = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+    val m = SimFns.kmeansSampleM(n)
+    assert(m < n, s"sample m=$m must be a strict subset of n=$n here")
+    val s1 = SimQueries.trainingSample(v, n).collect().map(_.getLong(0))
+    assert(s1.length === m)
+    val s2 = SimQueries.trainingSample(v, n).collect().map(_.getLong(0))
+    assert(s1.toSeq === s2.toSeq)
+  }
+
   test("silhouette: s bounded in [-1, 1], fractions valid, labels partition") {
     val total = graft.Tables.embeddings(spark, sf).count()
     val rows = SimQueries.silhouette.frame(spark, sf).collect()
