@@ -723,6 +723,54 @@ object SimQueries {
     * (qid, rn, vec_id, adc_dist) with rn the per-query ADC rank, UNCUT so
     * [[ivfpqTopk]] takes the top-10 and [[ivfpqRerank]] a wider slate.
     */
+  /** Query-side probe: each query's [[IvfPqNprobe]] nearest trained cells
+    * (qid, cell) — the trained centroids collapsed into one broadcast
+    * struct array, scored map-side. Shared by the in-query pipeline and
+    * the persisted-serve path, so both probe with the identical doubles.
+    */
+  private def ivfpqProbe(cents: DataFrame, q: DataFrame): DataFrame = {
+    val cs = broadcast(cents.groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("cs")))
+    q.crossJoin(cs)
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .withColumn("scored", array_sort(transform(col("cs"), e =>
+        struct(
+          (col("qq") + dot(e.getField("c"), e.getField("c"))
+            - lit(2.0) * dot(col("qv"), e.getField("c"))).as("dist"),
+          e.getField("j").as("j")))))
+      .select(col("qid"),
+        explode(slice(col("scored"), 1, IvfPqNprobe)).as("pc"))
+      .select(col("qid"), col("pc").getField("j").as("cell"))
+  }
+
+  /** Query-side ADC lookup table (qid, m, j, pd): per-codeword partial
+    * squared distances quantized to 1e-9 LONGs so the PqM-term sums are
+    * exact. Shared by the in-query and persisted-serve paths.
+    */
+  private def ivfpqLut(cbAll: DataFrame, q: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cbAll))
+      .withColumn("qs", pqSlice(col("qv"), col("m")))
+      .select(col("qid"), col("m"), col("j"),
+        graft.api.Det.quantize(
+          dot(col("qs"), col("qs")) + dot(col("c"), col("c"))
+            - lit(2.0) * dot(col("qs"), col("c")), 9).as("pd"))
+
+  /** ADC ranking of candidate codes (cq, vec_id, cm, code) against the
+    * broadcast LUT: exact LONG sums, per-query rank with vec_id ties —
+    * returns (qid, rn, vec_id, adc_dist), uncut. Shared tail of the
+    * in-query and persisted-serve pipelines.
+    */
+  private def ivfpqAdcRank(candCodes: DataFrame, lut: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+    candCodes.join(broadcast(lut),
+        col("cq") === col("qid") && col("cm") === col("m")
+          && col("code") === col("j"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg((sum(col("pd")) / lit(graft.api.Det.pow10(9))).as("adc_dist"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .select(col("qid"), col("rn"), col("vec_id"), col("adc_dist"))
+  }
+
   private def ivfpqRanked(base: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -735,45 +783,20 @@ object SimQueries {
     val centsF = Future(trainQuantizer(base))
     val cbF = Future(pqCodebook(base))
     val quant = Await.result(centsF, Duration.Inf)
-    val cents = quant.cents
     val vcell = kmAssignIndexed(base, quant)
       .select(col("vec_id"), col("j").as("cell"))
     val q = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val cs = broadcast(cents.groupBy()
-      .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("cs")))
-    val qc = q.crossJoin(cs)
-      .withColumn("qq", dot(col("qv"), col("qv")))
-      .withColumn("scored", array_sort(transform(col("cs"), e =>
-        struct(
-          (col("qq") + dot(e.getField("c"), e.getField("c"))
-            - lit(2.0) * dot(col("qv"), e.getField("c"))).as("dist"),
-          e.getField("j").as("j")))))
-      .select(col("qid"),
-        explode(slice(col("scored"), 1, IvfPqNprobe)).as("pc"))
-      .select(col("qid"), col("pc").getField("j").as("cell"))
+    val qc = ivfpqProbe(quant.cents, q)
     val cbAll = Await.result(cbF, Duration.Inf)
     val codes = pqAssign(pqSubVecs(base), cbAll)
       .select(col("vec_id"), col("m"), col("j").as("code"))
-    val lut = q.crossJoin(broadcast(cbAll))
-      .withColumn("qs", pqSlice(col("qv"), col("m")))
-      .select(col("qid"), col("m"), col("j"),
-        graft.api.Det.quantize(
-          dot(col("qs"), col("qs")) + dot(col("c"), col("c"))
-            - lit(2.0) * dot(col("qs"), col("c")), 9).as("pd"))
     val cand = vcell.join(qc, "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid").as("cq"), col("vec_id").as("cv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
-    cand.join(codes, col("cv") === col("vec_id"))
+    val candCodes = cand.join(codes, col("cv") === col("vec_id"))
       .select(col("cq"), col("vec_id"), col("m").as("cm"), col("code"))
-      .join(broadcast(lut),
-        col("cq") === col("qid") && col("cm") === col("m")
-          && col("code") === col("j"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg((sum(col("pd")) / lit(graft.api.Det.pow10(9))).as("adc_dist"))
-      .withColumn("rn", row_number().over(w).cast("int"))
-      .select(col("qid"), col("rn"), col("vec_id"), col("adc_dist"))
+    ivfpqAdcRank(candCodes, ivfpqLut(cbAll, q))
   }
 
   val ivfpqTopk: GraftQuery = GraftQuery(
@@ -825,6 +848,65 @@ object SimQueries {
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("vec_id"), col("l2_dist"),
         col("adc_dist"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Persisted-index table names ([[graft.sources.Warehouse.Schema]]). */
+  val IvfCentroidsTable = "ivf_centroids"
+  val PqCodebooksTable = "ivf_pq_codebooks"
+  val IvfCodesTable = "ivf_pq_codes"
+
+  /** The persisted-MODEL lifecycle — train once, persist, serve — the
+    * production shape every in-query training pipeline here stands in
+    * for: the trained coarse centroids and PQ codebooks go through
+    * [[graft.sources.Warehouse.replaceTable]] (replace-mode model
+    * deployment, the [[graft.streaming.StreamSinks]] idempotent-write
+    * discipline), the code table goes through `replacePartitioned` BY
+    * CELL — the IVF layout where a probe's scan reads nprobe partition
+    * directories and skips the rest — and the SERVE stage reads ONLY
+    * those persisted tables plus the incoming queries. Output is
+    * bit-identical to [[ivfpqTopk]] (same oracle grades both): the
+    * model-state analog of `portfolio_incremental_merge`'s
+    * merge-vs-recompute attestation, pinned additionally by SimSpec's
+    * frame-equality test.
+    *
+    * Scale shape: train/persist move model state (k x Dims centroids,
+    * PqM x PqK codewords) plus one code-table write partitioned by cell
+    * (PqM small ints per vector); serve never rebuilds anything — it
+    * broadcasts the persisted centroids/codebooks against the query set
+    * and equi-joins the probed cells' code partitions.
+    */
+  val ivfpqPersisted: GraftQuery = GraftQuery(
+    "ann_ivfpq_persisted",
+    "IVF+PQ lifecycle: train -> persist centroids/codebooks/cell-partitioned codes -> serve top-10 from the persisted index",
+    SimOracle.ivfpqTopkSql) { (s, d) =>
+    import graft.sources.Warehouse
+    // TRAIN + BUILD — exactly the ivfpqRanked training half
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    val quant = trainQuantizer(base)
+    val cbAll = pqCodebook(base)
+    val vcell = kmAssignIndexed(base, quant)
+      .select(col("vec_id"), col("j").as("cell"))
+    val codes = pqAssign(pqSubVecs(base), cbAll)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+    // PERSIST — model state + cell-partitioned codes through the warehouse
+    Warehouse.replaceTable(quant.cents, IvfCentroidsTable)
+    Warehouse.replaceTable(cbAll, PqCodebooksTable)
+    Warehouse.replacePartitioned(codes.join(vcell, "vec_id"),
+      IvfCodesTable, "cell")
+    // SERVE — reads ONLY the persisted tables + the incoming query set
+    val cents = s.table(s"${Warehouse.Schema}.$IvfCentroidsTable")
+    val cbP = s.table(s"${Warehouse.Schema}.$PqCodebooksTable")
+    val codesP = s.table(s"${Warehouse.Schema}.$IvfCodesTable")
+    val q = vecs(s, d).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qc = ivfpqProbe(cents, q)
+    val candCodes = codesP.join(qc, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid").as("cq"), col("vec_id"), col("m").as("cm"),
+        col("code"))
+    ivfpqAdcRank(candCodes, ivfpqLut(cbP, q))
+      .filter(col("rn") <= 10)
       .orderBy("qid", "rn")
   }
 
@@ -1343,7 +1425,8 @@ object SimQueries {
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
-      clusterTopics, ivfpqTopk, ivfpqRerank, pcaPower, contrastiveNegatives,
+      clusterTopics, ivfpqTopk, ivfpqRerank, ivfpqPersisted, pcaPower,
+      contrastiveNegatives,
       centroidOutliers, silhouette, knnLabelAccuracy, crosslingualPairs,
       mmrRerank,
       semanticClusters)

@@ -20,9 +20,30 @@ object Warehouse {
   def ensureSchema(spark: SparkSession): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $Schema")
 
+  /** Replace-mode must also replace an ORPHAN location: with the
+    * in-memory catalog, a prior JVM's managed-table directory survives
+    * on disk with no catalog entry, and `saveAsTable` refuses to adopt
+    * it (LOCATION_ALREADY_EXISTS). When the catalog DOES know the table,
+    * Overwrite handles the swap itself and this is a no-op — the
+    * atomic-per-table property is untouched.
+    */
+  private def clearOrphanLocation(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident =
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
+    if (!cat.tableExists(ident)) {
+      val db = cat.getDatabaseMetadata(Schema)
+      val path = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(db.locationUri), table)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+  }
+
   /** S3/S4: replace-mode load of a result table. */
   def replaceTable(df: DataFrame, table: String): Unit = {
     ensureSchema(df.sparkSession)
+    clearOrphanLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite).saveAsTable(s"$Schema.$table")
   }
 
@@ -45,6 +66,7 @@ object Warehouse {
     */
   def replacePartitioned(df: DataFrame, table: String, partCol: String): Unit = {
     ensureSchema(df.sparkSession)
+    clearOrphanLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partCol)
       .saveAsTable(s"$Schema.$table")
@@ -58,6 +80,7 @@ object Warehouse {
   def replaceBucketed(df: DataFrame, table: String,
     bucketCol: String, buckets: Int): Unit = {
     ensureSchema(df.sparkSession)
+    clearOrphanLocation(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

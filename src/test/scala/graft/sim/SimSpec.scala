@@ -236,6 +236,25 @@ class SimSpec extends SparkSpec {
     shared.foreach { case (full, restricted) => assert(full === restricted) }
   }
 
+  // The persisted-model lifecycle contract: serving from the warehouse-
+  // persisted index must reproduce the in-query index BYTE-FOR-BYTE —
+  // the model-state analog of portfolio_incremental_merge's
+  // merge-vs-recompute attestation.
+  test("ann_ivfpq_persisted: warehouse-served results equal the in-query index") {
+    val served = SimQueries.ivfpqPersisted.frame(spark, sf).collect()
+    val inQuery = SimQueries.ivfpqTopk.frame(spark, sf).collect()
+    assert(served.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq)
+    // the persisted model tables have the trained shapes
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val k = SimFns.kmeansK(n)
+    assert(spark.table(s"${graft.sources.Warehouse.Schema}.${SimQueries.IvfCentroidsTable}")
+      .count() === k)
+    assert(spark.table(s"${graft.sources.Warehouse.Schema}.${SimQueries.PqCodebooksTable}")
+      .count() === SimFns.PqM * SimFns.PqK)
+    assert(spark.table(s"${graft.sources.Warehouse.Schema}.${SimQueries.IvfCodesTable}")
+      .count() === n * SimFns.PqM)
+  }
+
   test("cluster topics: contiguous ranks, lift-ordered, floor respected, lift exact") {
     val rows = SimQueries.clusterTopics.frame(spark, sf).collect()
     assert(rows.nonEmpty)
