@@ -1172,7 +1172,7 @@ object TextOracle {
     * and a final E-step + corpus join for the per-language report.
     */
   def unigramLmSql: String = {
-    import TextQueries.{UniEmRounds, UniMaxPieceLen, UniMaxWordLen}
+    import TextQueries.{UniEmRounds, UniMaxPieceLen}
     val p = UniMaxPieceLen
     // E-step at round t: scores s<t-1> -> best segmentations b<t>
     def eStep(t: Int): String = s"""
@@ -1236,7 +1236,7 @@ object TextOracle {
     WITH uv AS (
       SELECT word, COUNT(*) AS cnt FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
-      ) GROUP BY word HAVING length(word) <= $UniMaxWordLen
+      ) GROUP BY word
     ),
     st0 AS (
       SELECT word, cnt, CAST(unnest(range(1, length(word) + 1)) AS BIGINT)

@@ -1657,10 +1657,12 @@ object TextQueries {
       .orderBy("bin")
   }
 
-  /** Unigram-LM geometry: max piece length, max word length admitted to
-    * the trainer (the segmentation enumerator is exponential in word
-    * length — the cap bounds it at 2^11 masks/word; corpus max is 8
-    * chars, so nothing is excluded at any tested SF), and EM rounds.
+  /** Unigram-LM geometry: max piece length, EM rounds, and the word
+    * length up to which the ENUMERATION twin ([[uniSegmentEnum]]) stays
+    * tractable (2^11 masks at 12 chars). The TRAINER itself has no word
+    * cap — the E-step is the linear Viterbi DP ([[uniSegment]]); the
+    * enum bound only scopes the differential spec and the DuckDB twin
+    * (whose corpus max word is 8 chars, well inside it).
     * Declared before the GraftQuery val (oracle interpolation).
     */
   val UniMaxPieceLen = 4
@@ -1678,14 +1680,15 @@ object TextQueries {
     * pruning that shrinks the inventory toward a real vocab) — and a
     * final E-step under the trained scores encodes the corpus.
     *
-    * The E-step enumerates every segmentation with pieces <=
-    * [[UniMaxPieceLen]] chars via boundary BITMASKS over the delimited
-    * `|p1||p2|` representation (the [[bpeMergesN]] trick) and takes the
-    * exact argmax — Viterbi's answer computed by bounded enumeration,
-    * chosen because it is a pure declarative frame both engines evaluate
-    * bit-identically (the linear-in-length DP would need a per-word fold
-    * with map state; at [[UniMaxWordLen]] <= 12 enumeration is <= 2^11
-    * masks/word and the candidate frame stays vocab-bounded). Ties:
+    * The E-step is the linear-in-length Viterbi DP over pieces <=
+    * [[UniMaxPieceLen]] chars ([[uniSegment]]) — O(len * MaxPieceLen)
+    * per word with NO word-length cap. All DP state is exact (LONG
+    * scores, INT counts, binary string compares), so the DuckDB twin may
+    * keep its bounded boundary-bitmask ENUMERATION (exact argmax over
+    * <= 2^(len-1) masks — its corpus' words max out at 8 chars) and
+    * still agree bit-for-bit: both compute the same optimum under the
+    * same total order. [[uniSegmentEnum]] keeps that enumeration on the
+    * Spark side as the differential twin TokenizerSpec replays. Ties:
     * higher score, then fewer pieces, then lexicographic segmentation.
     *
     * Scale shape: the corpus reduces to the weighted VOCABULARY once
@@ -1705,17 +1708,9 @@ object TextQueries {
     val vocab = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .filter(length(col("word")) <= UniMaxWordLen)
       .localCheckpoint()
     // seed: weighted substring counts (every start x len <= MaxPieceLen)
-    val subs = vocab
-      .select(col("word"), col("cnt"),
-        explode(expr("sequence(1, length(word))")).as("start"))
-      .select(col("cnt"), explode(expr(
-        s"""transform(sequence(1, least($UniMaxPieceLen, length(word) - start + 1)),
-           |  l -> substring(word, start, l))""".stripMargin)).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
-    var scores = uniNormalize(subs).localCheckpoint()
+    var scores = uniSeedScores(vocab).localCheckpoint()
     for (_ <- 1 to UniEmRounds)
       scores = uniNormalize(uniUsageCounts(uniSegment(vocab, scores)))
         .localCheckpoint()
@@ -1737,12 +1732,77 @@ object TextQueries {
   }
 
   /** E-step: the max-likelihood segmentation of every vocab word under
-    * `scores` — (word, cnt, seg, np). Words whose every admissible
-    * segmentation touches a pruned piece cannot occur: a vocab word's own
-    * previous best pieces always survive the M-step (they are counted),
-    * and round 1 starts from the full substring inventory.
+    * `scores` — (word, cnt, seg, np) — by the LINEAR-in-length Viterbi
+    * DP: per word, the admissible edges (end position i, piece length
+    * l <= [[UniMaxPieceLen]], scored piece) are built by one explode +
+    * scores join and collapsed into a per-word lookup map, then a single
+    * `aggregate` fold over positions keeps the best (score, np, seg)
+    * prefix state per position — O(len * MaxPieceLen) work per word, no
+    * exponential mask enumeration and no word-length cap. The candidate
+    * order inside each step's array_min is (negated score asc, np asc,
+    * seg asc) — exactly [[uniSegmentEnum]]'s (sumq DESC, np, seg) window
+    * order, and the lex tie-break is DP-decomposable: two same-prefix
+    * segmentations always diverge at a '|'-vs-char position BEFORE any
+    * common appended suffix, so keeping the per-position lex-min prefix
+    * yields the global lex-min. All state is exact (LONG scores, INT
+    * counts, binary-compared strings), so the DP and the oracle's
+    * bounded enumeration agree bit-for-bit wherever both are defined —
+    * TokenizerSpec proves DP == enumeration over the whole vocab.
+    *
+    * Words whose every admissible segmentation touches a pruned piece
+    * cannot occur: a vocab word's own previous best pieces always
+    * survive the M-step (they are counted), and round 1 starts from the
+    * full substring inventory.
     */
-  private def uniSegment(vocab: org.apache.spark.sql.DataFrame,
+  private[text] def uniSegment(vocab: org.apache.spark.sql.DataFrame,
+      scores: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mult = UniMaxPieceLen + 1
+    val edges = vocab
+      .select(col("word"), col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($UniMaxPieceLen, i)), l ->
+           |    named_struct('i', i, 'l', l,
+           |      'piece', substring(word, i - l + 1, l)))))""".stripMargin))
+        .as("e"))
+      .select(col("word"), col("cnt"),
+        col("e.i").as("i"), col("e.l").as("l"), col("e.piece").as("piece"))
+      .join(scores, "piece")
+      .groupBy(col("word"), col("cnt"))
+      .agg(map_from_entries(collect_list(
+        struct((col("i") * mult + col("l")).as("k"), col("q")))).as("em"))
+    edges
+      .withColumn("fin", expr(
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  array(named_struct('ns', 0L, 'np', 0, 'seg', '')),
+           |  (acc, i) -> concat(acc, array(
+           |    array_min(filter(
+           |      transform(sequence(1, least($UniMaxPieceLen, i)), l ->
+           |        IF(element_at(acc, i - l + 1) IS NOT NULL
+           |           AND element_at(em, i * $mult + l) IS NOT NULL,
+           |          named_struct(
+           |            'ns', element_at(acc, i - l + 1).ns
+           |                    - element_at(em, i * $mult + l),
+           |            'np', element_at(acc, i - l + 1).np + 1,
+           |            'seg', concat(element_at(acc, i - l + 1).seg,
+           |              '|', substring(word, i - l + 1, l), '|')),
+           |          CAST(NULL AS STRUCT<ns: BIGINT, np: INT, seg: STRING>))),
+           |      x -> x IS NOT NULL)))),
+           |  acc -> element_at(acc, length(word) + 1))""".stripMargin))
+      .filter(col("fin").isNotNull)
+      .select(col("word"), col("cnt"),
+        col("fin.seg").as("seg"), col("fin.np").as("np"))
+  }
+
+  /** The bounded-ENUMERATION twin of [[uniSegment]]: every boundary
+    * bitmask over the delimited `|p1||p2|` representation (the
+    * [[bpeMergesN]] trick), exact argmax under the same total order —
+    * exponential in word length, so only defined for words <=
+    * [[UniMaxWordLen]] chars (2^11 masks). Kept as the differential
+    * oracle for the DP (TokenizerSpec) and as the shape the DuckDB twin
+    * still computes (the oracle corpus' longest word is 8 chars).
+    */
+  private[text] def uniSegmentEnum(vocab: org.apache.spark.sql.DataFrame,
       scores: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val masked = vocab
@@ -1772,6 +1832,20 @@ object TextQueries {
       .filter(col("rn") === 1)
       .select(col("word"), col("cnt"), col("seg"), col("np"))
   }
+
+  /** Seed scores: quantized ln-probs of the weighted substring inventory
+    * (every start x len <= [[UniMaxPieceLen]]) — round 0 of the EM loop,
+    * also replayed by TokenizerSpec's DP-vs-enumeration differential.
+    */
+  private[text] def uniSeedScores(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    uniNormalize(vocab
+      .select(col("word"), col("cnt"),
+        explode(expr("sequence(1, length(word))")).as("start"))
+      .select(col("cnt"), explode(expr(
+        s"""transform(sequence(1, least($UniMaxPieceLen, length(word) - start + 1)),
+           |  l -> substring(word, start, l))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c")))
 
   /** M-step counts: weighted piece usage over the best segmentations. */
   private def uniUsageCounts(best: org.apache.spark.sql.DataFrame)

@@ -857,4 +857,38 @@ class TextDedupSpec extends SparkSpec {
     val again = TextQueries.unigramLm.frame(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  // The Viterbi-DP E-step must reproduce the bounded enumeration's exact
+  // argmax (same total order: sumq DESC, np, seg) wherever enumeration is
+  // defined — and keep working past the enumeration's 2^(len-1) wall.
+  test("unigram E-step: Viterbi DP == bounded enumeration; handles words past the enum cap") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the full corpus vocab (max word length 8 here — enumerable)
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val scores = TextQueries.uniSeedScores(vocab).localCheckpoint()
+    val dp = TextQueries.uniSegment(vocab, scores)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val en = TextQueries.uniSegmentEnum(vocab, scores)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(dp.nonEmpty)
+    assert(dp.toSeq === en.toSeq)
+    // a 20-char word (2^19 masks — far past the enum budget) segments in
+    // linear time; with uniform piece scores the argmax is the unique
+    // fewest-pieces split: five 4-char pieces
+    val longWord = "abcdefghijklmnopqrst"
+    val vocab2 = Seq((longWord, 1L)).toDF("word", "cnt")
+    val pieces = (for {
+      s0 <- 0 until longWord.length
+      l <- 1 to TextQueries.UniMaxPieceLen if s0 + l <= longWord.length
+    } yield longWord.substring(s0, s0 + l)).distinct
+    val scores2 = pieces.map(p => (p, -1000000000L)).toDF("piece", "q")
+    val out = TextQueries.uniSegment(vocab2, scores2).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("np") === 5)
+    assert(out.head.getAs[String]("seg") === "|abcd||efgh||ijkl||mnop||qrst|")
+  }
 }
