@@ -292,12 +292,25 @@ object EventQueries {
     "events_slo_burn",
     s"hourly SLO burn: error share vs $SloTarget target, ${SloPageBurn}x page flag, running budget consumed",
     EventOracle.sloBurnSql) { (s, d) =>
+    sloBurnReadout(
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors")))
+      .orderBy("hour")
+  }
+
+  /** The per-hour derived columns + running budget over an already-hourly
+    * frame (hour, n_events, n_errors) — the batch query's tail, shared
+    * with the streaming path ([[graft.streaming.EventStreams
+    * .sloBurnHourly]]): the stream materializes the hourly aggregate,
+    * and THIS readout runs over the model-sized sink table, so the
+    * running ratio never needs streaming state.
+    */
+  def sloBurnReadout(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L))
-          .as("n_errors"))
     val w = Window.orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly
@@ -313,7 +326,6 @@ object EventQueries {
       .select(col("hour"), col("n_events"), col("n_errors"),
         col("err_share"), col("burn_rate"), col("page"),
         col("budget_consumed"))
-      .orderBy("hour")
   }
 
   /** Cohort LTV triangle — the VALUE dimension [[retention]]'s count

@@ -105,6 +105,41 @@ object EventStreams {
       .select(col("window.start").as("week"), col("n_events"),
         col("users_est"))
 
+  /** Hourly SLO error-budget burn — the streaming twin of the batch
+    * `events_slo_burn` query, THE transform a monitoring pipeline runs
+    * continuously rather than nightly: a watermarked 1-hour tumbling
+    * aggregate (counts + error counts merge commutatively across
+    * micro-batches, the [[tumblingCounts]] contract) with the per-hour
+    * derived columns (err_share, burn_rate, page) computed on the closed
+    * window. The RUNNING budget_consumed is deliberately NOT streamed: a
+    * global running ratio would need a total order over every closed
+    * hour (single-key unbounded state); instead the stream materializes
+    * this hourly frame and the serving-layer readout
+    * ([[graft.events.EventQueries.sloBurnReadout]] — the identical tail
+    * the batch query runs) computes the running budget over the
+    * model-sized sink table. StreamingSpec asserts full-row parity with
+    * the batch query across a micro-batch split INSIDE one hour.
+    * Window alignment note: window(ts, '1 hour').start equals the batch
+    * date_trunc('hour') under the repo's pinned UTC session zone only
+    * (the [[weeklyDistinctUsers]] caveat).
+    */
+  def sloBurnHourly(events: DataFrame): DataFrame = {
+    import graft.events.EventQueries.{SloPageBurn, SloTarget}
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("window.start").as("hour"), col("n_events"),
+        col("n_errors"))
+      .withColumn("err_share", col("n_errors") / col("n_events"))
+      .withColumn("burn_rate",
+        floor(col("err_share") / lit(SloTarget) * lit(1e6) + lit(0.5))
+          / lit(1e6))
+      .withColumn("page", col("burn_rate") >= SloPageBurn)
+  }
+
   /** Session windows per user (6-hour inactivity gap). A session ends
     * gapDuration after its last event (Spark session_window semantics —
     * mirrored exactly by the oracle's gaps-and-islands SQL).

@@ -76,6 +76,55 @@ class StreamingSpec extends SparkSpec {
     assert(totalN === events.length * 3L)
   }
 
+  test("sloBurnHourly + readout: parity with the batch transform across a mid-hour micro-batch split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    val batch1 = Seq(
+      Ev(1, t(0, 5), 1, "click", 1.0, "{}"),
+      Ev(2, t(0, 10), 2, "error", 1.0, "{}"),
+      Ev(3, t(1, 0), 1, "view", 1.0, "{}"),
+      Ev(4, t(1, 20), 3, "error", 1.0, "{}"))
+    val batch2 = Seq(
+      Ev(5, t(1, 40), 2, "error", 1.0, "{}"), // hour 1 spans both batches
+      Ev(6, t(1, 55), 1, "click", 1.0, "{}"),
+      Ev(7, t(2, 10), 4, "error", 1.0, "{}"),
+      Ev(8, t(2, 30), 1, "error", 1.0, "{}"))
+
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sloBurnHourly(stream.toDF())
+      .writeStream.format("memory").queryName("slo_out")
+      .outputMode("complete").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = graft.events.EventQueries
+      .sloBurnReadout(spark.table("slo_out"))
+      .orderBy("hour").collect().map(_.toSeq).toSeq
+    val batchRes = graft.events.EventQueries.sloBurnReadout(
+      (batch1 ++ batch2).toDF()
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors")))
+      .orderBy("hour").collect().map(_.toSeq).toSeq
+    assert(streamed === batchRes)
+    assert(streamed.size === 3)
+    // hour 1 merged across the split: 4 events / 2 errors, one error per
+    // micro-batch — the commutative-merge property under test
+    val h1 = streamed(1)
+    assert(h1(1) === 4L && h1(2) === 2L)
+    // burn/page semantics survived the stream: hour 2 is 2/2 errors ->
+    // share 1.0, burn 20x, paging
+    val h2 = streamed(2)
+    assert(h2(4) === 20.0 && h2(5) === true)
+  }
+
   test("dedupEvents: duplicate event_id within watermark is dropped") {
     val spark0 = spark
     import spark0.implicits._
