@@ -329,10 +329,28 @@ object RelationalOracle {
 
   /** RFM twin: date-granularity recency diff (both sides cast to DATE,
     * matching Spark's datediff semantics), 4dp-quantized monetary, the
-    * identical fixed-cutoff bands and score-sum segment mapping.
+    * identical DATA-DERIVED nearest-rank tercile cutoffs (one
+    * ROW_NUMBER ranking per metric with the same custkey tie-break and
+    * the same floor((n-1)*p)+1 rank picks) and score-sum segment
+    * mapping.
     */
   def rfmSegmentsSql: String = {
-    import RelationalQueries.{RfmAsOf, RfmFreq, RfmMonetary, RfmRecencyDays}
+    import RelationalQueries.RfmAsOf
+    def cutCte(name: String, metric: String): String = s"""
+    rk_$name AS (
+      SELECT $metric AS v,
+        ROW_NUMBER() OVER (ORDER BY $metric, o_custkey) AS rk,
+        COUNT(*) OVER () AS n
+      FROM per
+    ),
+    c_$name AS (
+      SELECT
+        MAX(CASE WHEN rk = floor((n - 1) / 3.0) + 1 THEN v END)
+          AS ${name}_t1,
+        MAX(CASE WHEN rk = floor((n - 1) * 2.0 / 3.0) + 1 THEN v END)
+          AS ${name}_t2
+      FROM rk_$name
+    )"""
     s"""
     WITH per AS (
       SELECT o_custkey,
@@ -343,15 +361,19 @@ object RelationalOracle {
           AS BIGINT) / 10000.0 AS mon
       FROM orders GROUP BY o_custkey
     ),
+    ${cutCte("rec", "rec_days")},
+    ${cutCte("frq", "freq")},
+    ${cutCte("mon", "mon")},
+    cut AS (SELECT * FROM c_rec, c_frq, c_mon),
     sc AS (
-      SELECT *,
-        CASE WHEN rec_days <= ${RfmRecencyDays._1} THEN 3
-             WHEN rec_days <= ${RfmRecencyDays._2} THEN 2 ELSE 1 END +
-        CASE WHEN freq >= ${RfmFreq._1} THEN 3
-             WHEN freq >= ${RfmFreq._2} THEN 2 ELSE 1 END +
-        CASE WHEN mon >= ${RfmMonetary._1} THEN 3
-             WHEN mon >= ${RfmMonetary._2} THEN 2 ELSE 1 END AS score
-      FROM per
+      SELECT per.*,
+        CASE WHEN rec_days <= cut.rec_t1 THEN 3
+             WHEN rec_days <= cut.rec_t2 THEN 2 ELSE 1 END +
+        CASE WHEN freq > cut.frq_t2 THEN 3
+             WHEN freq > cut.frq_t1 THEN 2 ELSE 1 END +
+        CASE WHEN mon > cut.mon_t2 THEN 3
+             WHEN mon > cut.mon_t1 THEN 2 ELSE 1 END AS score
+      FROM per CROSS JOIN cut
     ),
     seg AS (
       SELECT *,

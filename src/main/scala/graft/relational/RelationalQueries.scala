@@ -474,47 +474,68 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
-  /** RFM banding cutoffs — FIXED calibration constants (the
-    * ppl-bands/CCNet convention: fixed thresholds keep the banding a
-    * per-row comparison + a bounded-key aggregate; classic RFM quintiles
-    * need a global sort that does not scale), sitting at the corpus's
-    * empirical terciles so every band is populated at every SF. The
-    * as-of date is pinned (max order date in the corpus) so recency is
-    * reproducible.
+  /** RFM as-of date, pinned (max order date in the corpus) so recency is
+    * reproducible. The banding CUTOFFS are no longer constants: they are
+    * DATA-DERIVED terciles (p = 1/3, 2/3) of the per-customer metrics by
+    * the exact nearest-rank recipe ([[graft.loan.PortfolioQueries
+    * .arrearPercentiles]]): rank with a custkey tie-break, pick the
+    * value at floor((n−1)·p)+1 — value PICKS, never interpolation, so
+    * both engines derive bit-identical cutoffs from the same scan and
+    * the segmentation adapts to the data as real CRM scoring does.
     */
   val RfmAsOf = "2001-08-01"
-  val RfmRecencyDays: (Int, Int) = (120, 365) // <=120 -> 3, <=365 -> 2
-  val RfmFreq: (Int, Int) = (12, 8) // >=12 -> 3, >=8 -> 2
-  val RfmMonetary: (Double, Double) = (2800000.0, 2000000.0)
 
   /** RFM customer segmentation — the standard CRM/warehouse operator over
     * the orders fact: per customer recency (days since last order at the
     * pinned as-of), frequency (order count) and monetary (total price),
-    * each banded 1-3 by the fixed cutoffs, customers rolled into the
-    * classic score-sum segments (champion 8-9, loyal 6-7, at_risk 4-5,
-    * hibernating 3). One partial-aggregated groupBy by customer (the
-    * only corpus-sized shuffle), then a 4-row segment rollup.
-    * Determinism: recency/frequency are exact integers, monetary
-    * quantized 4dp per customer before banding and summing.
+    * each banded 1-3 by the DERIVED tercile cutoffs (see [[RfmAsOf]]),
+    * customers rolled into the classic score-sum segments (champion 8-9,
+    * loyal 6-7, at_risk 4-5, hibernating 3). One partial-aggregated
+    * groupBy by customer (the only corpus-sized shuffle), then three
+    * single-partition ranking windows over the PER-CUSTOMER frame to
+    * pick the six cutoffs, broadcast back into a per-row banding.
+    * Scale note: the cutoff ranking sorts the customer DIMENSION, not
+    * the fact table — at a 1e9-customer extreme the exact ranks swap for
+    * the GK sketch (`arrear_approx_quantiles` is the attested sketch
+    * path) and banding inherits the sketch's rank error at the
+    * cutpoints. Determinism: recency/frequency are exact integers,
+    * monetary quantized 4dp per customer before banding and summing;
+    * cutoffs are picked values under a (metric, custkey) total order.
     */
   val rfmSegments: GraftQuery = GraftQuery(
     "customer_rfm_segments",
-    s"RFM segmentation: fixed-cutoff bands at as-of $RfmAsOf, score-sum segments + per-segment rollup",
+    s"RFM segmentation: data-derived tercile cutoffs at as-of $RfmAsOf, score-sum segments + per-segment rollup",
     RelationalOracle.rfmSegmentsSql) { (s, d) =>
-    val per = Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(
-        datediff(lit(RfmAsOf).cast("timestamp"), max(col("o_orderdate")))
-          .as("rec_days"),
-        count(lit(1)).as("freq"),
-        (sum(Det.quantize(col("o_totalprice"), 4)) / lit(Det.pow10(4)))
-          .as("mon"))
-      .withColumn("r", when(col("rec_days") <= RfmRecencyDays._1, 3)
-        .when(col("rec_days") <= RfmRecencyDays._2, 2).otherwise(1))
-      .withColumn("f", when(col("freq") >= RfmFreq._1, 3)
-        .when(col("freq") >= RfmFreq._2, 2).otherwise(1))
-      .withColumn("m", when(col("mon") >= RfmMonetary._1, 3)
-        .when(col("mon") >= RfmMonetary._2, 2).otherwise(1))
+    // checkpointed: the frame feeds three ranking windows + the banding —
+    // without the cut each consumer re-runs the orders scan + shuffle
+    val per = rfmPerCustomer(s, d).localCheckpoint()
+    // exact nearest-rank terciles of one metric: (metric_t1, metric_t2)
+    def cuts(metric: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(metric), col("o_custkey"))
+      per.select(col(metric), col("o_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .agg(
+          max(when(col("rk") ===
+              floor((col("n") - 1) / lit(3.0)) + 1, col(metric)))
+            .as(s"${metric}_t1"),
+          max(when(col("rk") ===
+              floor((col("n") - 1) * lit(2.0) / lit(3.0)) + 1, col(metric)))
+            .as(s"${metric}_t2"))
+    }
+    val cut = broadcast(
+      cuts("rec_days").crossJoin(cuts("freq")).crossJoin(cuts("mon")))
+    val banded = per.crossJoin(cut)
+      // recency: LOWER is better -> bottom tercile bands 3
+      .withColumn("r", when(col("rec_days") <= col("rec_days_t1"), 3)
+        .when(col("rec_days") <= col("rec_days_t2"), 2).otherwise(1))
+      // frequency/monetary: HIGHER is better -> top tercile bands 3
+      .withColumn("f", when(col("freq") > col("freq_t2"), 3)
+        .when(col("freq") > col("freq_t1"), 2).otherwise(1))
+      .withColumn("m", when(col("mon") > col("mon_t2"), 3)
+        .when(col("mon") > col("mon_t1"), 2).otherwise(1))
       .withColumn("score", col("r") + col("f") + col("m"))
       .withColumn("segment",
         when(col("score") >= 8, "champion")
@@ -522,7 +543,7 @@ object RelationalQueries {
           .when(col("score") >= 4, "at_risk")
           .otherwise("hibernating"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    per.groupBy(col("segment"))
+    banded.groupBy(col("segment"))
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("rec_days")) / count(lit(1))).as("avg_recency_days"),
         (sum(col("freq")) / count(lit(1))).as("avg_orders"),
@@ -532,6 +553,21 @@ object RelationalQueries {
         col("n_customers") / sum(col("n_customers")).over(wAll))
       .orderBy("segment")
   }
+
+  /** The per-customer RFM metric frame (o_custkey, rec_days, freq, mon)
+    * — shared with RelationalSpec's derivation pin.
+    */
+  private[relational] def rfmPerCustomer(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(RfmAsOf).cast("timestamp"), max(col("o_orderdate")))
+          .as("rec_days"),
+        count(lit(1)).as("freq"),
+        (sum(Det.quantize(col("o_totalprice"), 4)) / lit(Det.pow10(4)))
+          .as("mon"))
 
   def all: Seq[GraftQuery] = Seq(
     pricingSummary, revenueByNation, orderPriority,
