@@ -149,6 +149,29 @@ object RelationalOracle {
     GROUP BY p_brand
     ORDER BY p_brand"""
 
+  /** Q22-shape twin — dialect-shared: the exact string Spark executes.
+    * Quantized-LONG account-balance sums make the scalar-average
+    * threshold and the totals bit-identical across engines.
+    */
+  val inactiveHighBalanceSql: String = s"""
+    SELECT c_mktsegment AS segment,
+      COUNT(*) AS numcust,
+      SUM(CAST(floor(c_acctbal * 1e4 + 0.5) AS BIGINT)) / 1e4 AS totacctbal
+    FROM customer c
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+      AND c_acctbal > (
+        SELECT SUM(CAST(floor(c2.c_acctbal * 1e4 + 0.5) AS BIGINT)) / 1e4
+                 / COUNT(*)
+        FROM customer c2
+        WHERE c2.c_acctbal > 0.0
+          AND c2.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
   /** Oracle for the BLOOM-PREFILTERED join is the PLAIN join+agg — the
     * prefilter must be exactly semantics-preserving (false positives die
     * in the equi-join; there are no false negatives).

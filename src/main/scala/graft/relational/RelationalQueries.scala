@@ -305,6 +305,31 @@ object RelationalQueries {
     s.sql(RelationalOracle.largeVolumeCustomersSql)
   }
 
+  /** TPC-H Q22 shape (adapted to this schema: market segment stands in
+    * for the phone country code, "no URGENT order" for "no order" — the
+    * corpus gives every customer SOME order): NOT EXISTS against a
+    * filtered orders subquery PLUS an uncorrelated scalar-average
+    * subquery over a filtered customer set, the remaining classic
+    * decorrelation pattern. Dialect-shared SQL (the Q17/Q18 convention);
+    * totals and the average threshold are exact quantized-LONG sums so
+    * the > comparison is partition-invariant on both engines.
+    *
+    * 100 TB shape (PlanSpec pins it): the NOT EXISTS must become a
+    * LEFT ANTI hash join on o_custkey (never a per-row probe), and the
+    * only subquery allowed to survive optimization is the UNCORRELATED
+    * scalar aggregate — executed once as an independent job, which is
+    * the correct plan (one extra customer-dimension pass), unlike a
+    * correlated subquery's per-row re-scan.
+    */
+  val inactiveHighBalance: GraftQuery = GraftQuery(
+    "high_balance_inactive_customers",
+    "NOT EXISTS anti join + uncorrelated scalar-avg subquery (TPC-H Q22 shape)",
+    RelationalOracle.inactiveHighBalanceSql) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(RelationalOracle.inactiveHighBalanceSql)
+  }
+
   /** Manual runtime-filter join: a Bloom filter built over the SELECTIVE
     * side's join keys (`bloom_filter_agg`) is broadcast and probed
     * (`might_contain`) on the fact side BEFORE the shuffle — at 100 TB
@@ -572,7 +597,8 @@ object RelationalQueries {
   def all: Seq[GraftQuery] = Seq(
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
-    smallQtyRevenue, largeVolumeCustomers, bloomPrefilterJoin,
+    smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,
+    bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments)
 }

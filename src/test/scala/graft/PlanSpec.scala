@@ -501,6 +501,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("high_balance_inactive_customers: NOT EXISTS becomes an anti join; only the uncorrelated scalar agg survives") {
+    val df = SparkEntry.queries("high_balance_inactive_customers")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // the NOT EXISTS must decorrelate to a LEFT ANTI join on o_custkey —
+    // a surviving Exists expression would mean a per-row orders re-scan
+    val antiJoins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty, s"no anti join in:\n$optimized")
+    val hasExists = optimized.expressions.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Exists]))
+    assert(!hasExists, "Exists survived optimization")
+    // the scalar-average subquery is UNCORRELATED: it may (and should)
+    // survive as a run-once subquery — but any CORRELATED scalar
+    // subquery (per-row re-scan) is a scale bug
+    val scalarSubs = optimized.expressions.flatMap(_.collect {
+      case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => sq
+    })
+    assert(scalarSubs.forall(_.outerAttrs.isEmpty),
+      "a CORRELATED scalar subquery survived optimization")
+    // the physical anti join must be a hash join (broadcast or shuffled),
+    // never a nested loop over orders
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin LeftAnti")
+      && !plan.contains("CartesianProduct"),
+      s"anti join degraded to a per-row probe:\n$plan")
+  }
+
   test("ann_ivfpq_rerank: the refine stage fetches slate vectors via hash joins, no cartesian") {
     // the training pipeline legitimately cross-joins broadcast 1-row
     // centroid/codebook aggregates (BroadcastNestedLoopJoin over a
