@@ -44,6 +44,112 @@ object SimOracle {
       SELECT vec_id, label, v, sqrt(${dotIdx("v", "v")}) AS nrm FROM e
     )"""
 
+  /** Chunk-grain hybrid twin ([[SimQueries.chunkHybrid]]): the shared
+    * chunk-BM25 CTEs ([[graft.text.TextOracle.chunkBm25Ctes]] — `cl` for
+    * chunk rows, `top` for the lexical channel), the identical hash60
+    * feature projection (dim = h % Dims, sign from bit 6) assembled into
+    * dense Dims-lists ordered by dim, the same LSH bucket/probe literals
+    * as [[lshTopkSql]], cosine via the shared ordered fold, and the
+    * quantized-LONG RRF fusion of [[hybridSearchSql]].
+    */
+  def chunkHybridSql: String = {
+    import SimQueries.RrfK
+    import graft.text.TextQueries.Bm25Terms
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val h60 = (x: String) =>
+      s"CAST(('0x' || substr(md5($x), 1, 15))::UBIGINT AS BIGINT)"
+    s"""
+    WITH ${graft.text.TextOracle.chunkBm25Ctes},
+    pd AS (
+      SELECT doc_id, chunk_id, CAST(h % $Dims AS INTEGER) AS dim,
+        CASE WHEN ((h >> 6) & 1) = 1
+          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+      FROM (
+        SELECT doc_id, chunk_id, ${h60("term")} AS h
+        FROM (SELECT doc_id, chunk_id, unnest(ctoks) AS term FROM cl)
+      )
+    ),
+    ps AS (
+      SELECT doc_id, chunk_id, dim, SUM(sgn) AS x FROM pd GROUP BY 1, 2, 3
+    ),
+    cv AS (
+      SELECT g.doc_id, g.chunk_id,
+        list(COALESCE(p.x, 0.0::DOUBLE) ORDER BY d.i) AS v
+      FROM (SELECT DISTINCT doc_id, chunk_id FROM cl) g
+      CROSS JOIN (SELECT CAST(unnest(range(0, $Dims)) AS INTEGER) AS i) d
+      LEFT JOIN ps p
+        ON p.doc_id = g.doc_id AND p.chunk_id = g.chunk_id AND p.dim = d.i
+      GROUP BY g.doc_id, g.chunk_id
+    ),
+    cb AS (
+      SELECT doc_id, chunk_id, v, sqrt(${dotIdx("v", "v")}) AS nrm,
+        ${bucketExpr("v")} AS bucket
+      FROM cv
+    ),
+    qd AS (
+      SELECT CAST(h % $Dims AS INTEGER) AS dim,
+        SUM(CASE WHEN ((h >> 6) & 1) = 1
+          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS x
+      FROM (SELECT ${h60("term")} AS h
+        FROM (SELECT unnest([$terms]) AS term))
+      GROUP BY 1
+    ),
+    qv AS (
+      SELECT list(COALESCE(q.x, 0.0::DOUBLE) ORDER BY d.i) AS v
+      FROM (SELECT CAST(unnest(range(0, $Dims)) AS INTEGER) AS i) d
+      LEFT JOIN qd q ON q.dim = d.i
+    ),
+    qb AS (
+      SELECT v AS qv, sqrt(${dotIdx("v", "v")}) AS qnrm,
+        ${bucketExpr("v")} AS bucket
+      FROM qv
+    ),
+    qp AS (
+      SELECT qv, qnrm, unnest(${probeList("bucket")}) AS probe FROM qb
+    ),
+    sem0 AS (
+      SELECT c.doc_id, c.chunk_id,
+        ${dotIdx("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cosine
+      FROM qp q JOIN cb c ON c.bucket = q.probe
+      WHERE c.nrm > 0
+    ),
+    sem AS (
+      SELECT doc_id, chunk_id, r_sem FROM (
+        SELECT doc_id, chunk_id,
+          CAST(ROW_NUMBER() OVER (
+            ORDER BY cosine DESC, doc_id, chunk_id) AS INTEGER) AS r_sem
+        FROM sem0
+      ) WHERE r_sem <= 10
+    ),
+    lex AS (
+      SELECT doc_id, chunk_id,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id, chunk_id) AS INTEGER) AS r_lex
+      FROM top
+    ),
+    fused AS (
+      SELECT COALESCE(s.doc_id, t.doc_id) AS doc_id,
+        COALESCE(s.chunk_id, t.chunk_id) AS chunk_id,
+        COALESCE(CAST(floor(1000000000.0 / ($RrfK + s.r_sem) + 0.5)
+          AS BIGINT), 0) +
+        COALESCE(CAST(floor(1000000000.0 / ($RrfK + t.r_lex) + 0.5)
+          AS BIGINT), 0) AS sq
+      FROM sem s FULL OUTER JOIN lex t
+        ON s.doc_id = t.doc_id AND s.chunk_id = t.chunk_id
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY sq DESC, doc_id, chunk_id) AS INTEGER) AS rn,
+        sq / 1000000000.0 AS rrf
+      FROM fused
+    )
+    SELECT r.doc_id, r.chunk_id, r.rn, r.rrf, d.lang, d.source
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rn <= 10
+    ORDER BY r.rn"""
+  }
+
   /** MMR twin: the brute-force top-10 chain, pairwise candidate sims,
     * and the greedy selection unrolled step by step. The (1-lambda)
     * weight is interpolated from the SAME Scala subtraction the query

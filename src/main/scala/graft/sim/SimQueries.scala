@@ -1158,6 +1158,98 @@ object SimQueries {
       .orderBy("qid", "rn")
   }
 
+  /** Chunk-grain HYBRID retrieval — the missing semantic half of the RAG
+    * loop `chunk_search_bm25` opened: chunk VECTORS are derived by
+    * deterministic feature hashing (testdata has no chunk embeddings —
+    * documented synthetic: each token lands in dim = hash60(token) %
+    * [[SimFns.Dims]] with a ±1 sign from hash bit 6, the classic
+    * hashing-trick projection, so the vector space is shared by corpus
+    * chunks and the query's term set), bucketed by the SAME sign-LSH
+    * planes as [[lshTopk]]; the fixed BM25 query projects into the same
+    * space, probes its bucket + Hamming-1 neighbors, cosine-ranks the
+    * candidate chunks, and the semantic top-10 fuses with the chunk-BM25
+    * lexical top-10 ([[graft.text.TextQueries.chunkBm25Frame]]) by the
+    * [[hybridSearch]] RRF recipe, metadata joined AFTER the cut.
+    *
+    * Scale shape: the projection is one narrow explode + a (chunk, dim)-
+    * keyed partial agg (the labelCentroids assembly); LSH bounds the
+    * cosine scan to the probed buckets (~3.5% of chunks at 8 planes);
+    * both channels' fusion touches two top-10 lists; the doc-metadata
+    * join is 10 rows by id. Determinism: projected coordinates are ±1
+    * sums (integer-exact doubles), cosine is the shared ordered fold,
+    * RRF terms quantize to LONGs, all ties break (doc_id, chunk_id).
+    */
+  val chunkHybrid: GraftQuery = GraftQuery(
+    "chunk_hybrid_search",
+    s"chunk-grain RAG retrieval: RRF(k=$RrfK) over hash-projected sign-LSH semantic + chunk BM25 lexical",
+    SimOracle.chunkHybridSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val cl = graft.text.TextQueries.chunkRowsFrame(docs)
+    // feature-hash projection of every chunk into the Dims-dim space
+    val pd = cl
+      .select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("term"))
+      .withColumn("h", graft.text.TextFns.hash60(col("term")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("h") % Dims).cast("int").as("dim"),
+        when(shiftright(col("h"), 6).bitwiseAND(lit(1L)) === 1, lit(1.0))
+          .otherwise(lit(-1.0)).as("sgn"))
+    val cv = pd
+      .groupBy(col("doc_id"), col("chunk_id"), col("dim"))
+      .agg(sum(col("sgn")).as("x"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("x"))))
+        .as("m"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${Dims - 1}), i -> coalesce(element_at(m, i), 0D))"))
+      .select(col("doc_id"), col("chunk_id"), col("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v")))
+    // the SAME projection of the fixed query terms, computed driver-side
+    // (identical md5-hex / bit arithmetic -> identical ±1 counts)
+    val qvArr = {
+      val acc = Array.fill(Dims)(0.0)
+      graft.text.TextQueries.Bm25Terms.foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        acc((h % Dims).toInt) += (if (((h >> 6) & 1L) == 1L) 1.0 else -1.0)
+      }
+      acc.toIndexedSeq
+    }
+    val q = s.range(1)
+      .select(array(qvArr.map(lit): _*).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+      .withColumn("probe", explode(probeBuckets(lshBucket(col("qv")))))
+    val ws = Window.orderBy(desc("cosine"), col("doc_id"), col("chunk_id"))
+    val sem = cv.filter(col("nrm") > 0)
+      .join(broadcast(q), col("bucket") === col("probe"))
+      .withColumn("cosine",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("r_sem", row_number().over(ws).cast("int"))
+      .filter(col("r_sem") <= 10)
+      .select(col("doc_id"), col("chunk_id"), col("r_sem"))
+    val wl = Window.orderBy(desc("score"), col("doc_id"), col("chunk_id"))
+    val lex = graft.text.TextQueries.chunkBm25Frame(docs)
+      .withColumn("r_lex", row_number().over(wl).cast("int"))
+      .select(col("doc_id"), col("chunk_id"), col("r_lex"))
+    val fused = sem.join(lex, Seq("doc_id", "chunk_id"), "full_outer")
+      .select(col("doc_id"), col("chunk_id"),
+        (coalesce(
+          floor(lit(1e9) / (lit(RrfK) + col("r_sem")) + lit(0.5)), lit(0L))
+          + coalesce(
+            floor(lit(1e9) / (lit(RrfK) + col("r_lex")) + lit(0.5)), lit(0L)))
+          .as("sq"))
+    val wf = Window.orderBy(desc("sq"), col("doc_id"), col("chunk_id"))
+    fused
+      .withColumn("rn", row_number().over(wf).cast("int"))
+      .filter(col("rn") <= 10)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("rn"),
+        (col("sq") / lit(1e9)).as("rrf"), col("lang"), col("source"))
+      .orderBy("rn")
+  }
+
   /** Terms reported per cluster and the noise floor for
     * [[clusterTopics]]. Declared before the GraftQuery val (SimOracle
     * interpolates them).
@@ -1424,7 +1516,8 @@ object SimQueries {
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
-      semanticDedup, dimTruncation, hybridSearch, pqTopk, pqRecall,
+      semanticDedup, dimTruncation, hybridSearch, chunkHybrid, pqTopk,
+      pqRecall,
       clusterTopics, ivfpqTopk, ivfpqRerank, ivfpqPersisted, pcaPower,
       contrastiveNegatives,
       centroidOutliers, silhouette, knnLabelAccuracy, crosslingualPairs,

@@ -570,12 +570,17 @@ object TextOracle {
     * (doc_id, chunk_id) with chunk-count/chunk-length statistics, and
     * the metadata join-back after the top-k cut.
     */
-  def chunkSearchBm25Sql: String = {
+  /** The chunk-row + chunk-BM25 CTE chain (t/kk/ch/cht/cl/stats/post/idf/
+    * contrib/top — `cl` carries (doc_id, chunk_id, cl, ctoks), `top` the
+    * BM25 top-k) — shared by [[chunkSearchBm25Sql]] and the chunk-grain
+    * hybrid twin ([[graft.sim.SimOracle.chunkHybridSql]]).
+    */
+  private[graft] def chunkBm25Ctes: String = {
     import TextQueries.{Bm25B, Bm25K1, Bm25TopK, Bm25Terms, ChunkSize, ChunkStride}
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val (c, st) = (ChunkSize, ChunkStride)
     s"""
-    WITH t AS (
+    t AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       FROM documents
@@ -634,8 +639,14 @@ object TextOracle {
         COUNT(*) AS terms_hit
       FROM contrib GROUP BY doc_id, chunk_id
       ORDER BY score DESC, doc_id, chunk_id LIMIT $Bm25TopK
-    )
-    SELECT top.doc_id, top.chunk_id, top.chunk_id * $st AS chunk_start,
+    )"""
+  }
+
+  def chunkSearchBm25Sql: String = {
+    import TextQueries.ChunkStride
+    s"""
+    WITH $chunkBm25Ctes
+    SELECT top.doc_id, top.chunk_id, top.chunk_id * $ChunkStride AS chunk_start,
       top.score, top.terms_hit, d.lang, d.source
     FROM top JOIN documents d USING (doc_id)
     ORDER BY top.score DESC, top.doc_id, top.chunk_id"""
