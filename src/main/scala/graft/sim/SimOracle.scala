@@ -44,6 +44,92 @@ object SimOracle {
       SELECT vec_id, label, v, sqrt(${dotIdx("v", "v")}) AS nrm FROM e
     )"""
 
+  /** Prefix dot for the matryoshka twins: the same ordered fold over the
+    * first [[SimQueries.MatryoshkaDim]] indices of the FULL vectors —
+    * identical products/order/sum to Spark's VecDot over the sliced
+    * array.
+    */
+  private def dotPfx(a: String, b: String): String =
+    fold(s"list_transform(range(1, ${SimQueries.MatryoshkaDim + 1}), " +
+      s"i -> $a[i] * $b[i])")
+
+  /** Shared matryoshka CTE chain ending in the refined top-10 `mfin`. */
+  private def matryoshkaCtes: String = {
+    import SimQueries.AnnRerankC
+    s"""
+    $baseCtes,
+    mpv AS (
+      SELECT vec_id, v, pnrm FROM (
+        SELECT vec_id, v, sqrt(${dotPfx("v", "v")}) AS pnrm FROM e
+      ) WHERE pnrm > 0
+    ),
+    mqf AS (
+      SELECT qid, qv, qnrm, qpnrm FROM (
+        SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+          sqrt(${dotPfx("v", "v")}) AS qpnrm
+        FROM n WHERE vec_id % 100 = 0
+      ) WHERE qpnrm > 0
+    ),
+    msl AS (
+      SELECT qid, vec_id, cosine_prefix FROM (
+        SELECT qid, vec_id, cosine_prefix,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine_prefix DESC, vec_id) AS rp
+        FROM (
+          SELECT q.qid, p.vec_id,
+            ${dotPfx("q.qv", "p.v")} / (q.qpnrm * p.pnrm) AS cosine_prefix
+          FROM mqf q JOIN mpv p ON p.vec_id <> q.qid
+        )
+      ) WHERE rp <= $AnnRerankC
+    ),
+    mfr AS (
+      SELECT s.qid, s.vec_id, s.cosine_prefix,
+        ${dotIdx("q.qv", "x.v")} / (q.qnrm * x.nrm) AS cosine_full
+      FROM msl s
+      JOIN n x ON x.vec_id = s.vec_id
+      JOIN mqf q ON q.qid = s.qid
+    ),
+    mfin AS (
+      SELECT qid, rn, vec_id, cosine_full, cosine_prefix FROM (
+        SELECT qid, vec_id, cosine_full, cosine_prefix,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine_full DESC, vec_id) AS INTEGER) AS rn
+        FROM mfr
+      ) WHERE rn <= 10
+    )"""
+  }
+
+  def matryoshkaRerankSql: String = s"""
+    WITH $matryoshkaCtes
+    SELECT qid, rn, vec_id, cosine_full, cosine_prefix FROM mfin
+    ORDER BY qid, rn"""
+
+  /** Matryoshka recall twin: the [[lshRecallSql]] grading convention —
+    * the exact full-dim top-10 truth LEFT JOINed to the two-stage
+    * pipeline's picks.
+    */
+  def matryoshkaRecallSql: String = s"""
+    WITH $matryoshkaCtes,
+    bp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+            WHERE vec_id % 100 = 0) q
+      JOIN n ON vec_id <> qid
+    ),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rn
+        FROM bp
+      ) WHERE rn <= 10
+    )
+    SELECT bf.qid, COUNT(m.vec_id) AS n_hits,
+      COUNT(m.vec_id) / 10.0::DOUBLE AS recall
+    FROM bf LEFT JOIN mfin m ON bf.qid = m.qid AND bf.vec_id = m.vec_id
+    GROUP BY bf.qid ORDER BY bf.qid"""
+
   /** Chunk-grain hybrid twin ([[SimQueries.chunkHybrid]]): the shared
     * chunk-BM25 CTEs ([[graft.text.TextOracle.chunkBm25Ctes]] — `cl` for
     * chunk rows, `top` for the lexical channel), the identical hash60

@@ -881,10 +881,16 @@ object SimQueries {
     "IVF+PQ lifecycle: train -> persist centroids/codebooks/cell-partitioned codes -> serve top-10 from the persisted index",
     SimOracle.ivfpqTopkSql) { (s, d) =>
     import graft.sources.Warehouse
-    // TRAIN + BUILD — exactly the ivfpqRanked training half
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // TRAIN + BUILD — exactly the ivfpqRanked training half, including
+    // its concurrent driver-iterated Lloyd loops
     val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
-    val quant = trainQuantizer(base)
-    val cbAll = pqCodebook(base)
+    val quantF = Future(trainQuantizer(base))
+    val cbF = Future(pqCodebook(base))
+    val quant = Await.result(quantF, Duration.Inf)
+    val cbAll = Await.result(cbF, Duration.Inf)
     val vcell = kmAssignIndexed(base, quant)
       .select(col("vec_id"), col("j").as("cell"))
     val codes = pqAssign(pqSubVecs(base), cbAll)
@@ -908,6 +914,93 @@ object SimQueries {
     ivfpqAdcRank(candCodes, ivfpqLut(cbP, q))
       .filter(col("rn") <= 10)
       .orderBy("qid", "rn")
+  }
+
+  /** Prefix dimensionality for the matryoshka two-stage retrieval. */
+  val MatryoshkaDim = 16
+
+  /** Matryoshka two-stage retrieval — the SERVING pattern behind
+    * [[dimTruncation]]'s diagnostic (MRL-style): stage 1 ranks by cosine
+    * over the [[MatryoshkaDim]]-dim PREFIX index only — at scale a
+    * stored index Dims/[[MatryoshkaDim]] = 4x smaller than the full
+    * vectors, so the scan reads 4x fewer bytes — and nominates an
+    * [[AnnRerankC]]-candidate slate; stage 2 fetches the slate's FULL
+    * vectors BY ID (an equi-join against the vector store, never a
+    * scan — the [[ivfpqRerank]] refine contract) and re-ranks the exact
+    * full-dim cosine to top-10. The prefix cosine rides along so the
+    * two-stage gap is inspectable per row; [[matryoshkaRecall]] grades
+    * the slate against the full-dim truth.
+    *
+    * Determinism: both cosines are ordered folds (prefix = the same
+    * VecDot over the sliced array as the oracle's range(1,17) fold);
+    * ties break on vec_id at both stages; queries with a zero prefix
+    * norm are excluded identically on both engines.
+    */
+  val matryoshkaRerank: GraftQuery = GraftQuery(
+    "ann_matryoshka_rerank",
+    s"matryoshka retrieval: $MatryoshkaDim-dim prefix cosine top-$AnnRerankC slate, full-dim exact re-rank to top-10",
+    SimOracle.matryoshkaRerankSql) { (s, d) =>
+    matryoshkaFrame(s, d).orderBy("qid", "rn")
+  }
+
+  /** Shared matryoshka pipeline (qid, rn, vec_id, cosine_full,
+    * cosine_prefix).
+    */
+  private def matryoshkaFrame(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    // the 16-dim prefix INDEX: all a stage-1 scan ever touches
+    val pv = v.select(col("vec_id"), slice(col("v"), 1, MatryoshkaDim).as("p"))
+      .withColumn("pnrm", sqrt(dot(col("p"), col("p"))))
+      .filter(col("pnrm") > 0)
+    val qf = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        slice(col("v"), 1, MatryoshkaDim).as("qp"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .withColumn("qpnrm", sqrt(dot(col("qp"), col("qp"))))
+      .filter(col("qpnrm") > 0)
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine_prefix"), col("vec_id"))
+    val slate = broadcast(qf).join(pv, col("vec_id") =!= col("qid"))
+      .withColumn("cosine_prefix",
+        dot(col("qp"), col("p")) / (col("qpnrm") * col("pnrm")))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rp") <= AnnRerankC)
+      .select(col("qid"), col("vec_id"), col("cosine_prefix"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine_full"), col("vec_id"))
+    slate
+      .join(v.select(col("vec_id").as("cv"), col("v"), col("nrm")),
+        col("cv") === col("vec_id"))
+      .join(broadcast(qf.select(col("qid").as("q2"), col("qv"), col("qnrm"))),
+        col("q2") === col("qid"))
+      .withColumn("cosine_full",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wf).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine_full"),
+        col("cosine_prefix"))
+  }
+
+  /** Recall@10 of the matryoshka two-stage pipeline vs the exact
+    * full-dim top-10 — the [[lshRecall]]/[[pqRecall]] grading convention:
+    * the number that tells an index operator whether the 4x-smaller
+    * prefix index plus refine recovers what full-dim brute force finds
+    * (the quantitative license [[dimTruncation]]'s energy fractions only
+    * suggest).
+    */
+  val matryoshkaRecall: GraftQuery = GraftQuery(
+    "ann_matryoshka_recall",
+    s"matryoshka recall@10: $MatryoshkaDim-dim slate + full-dim rerank vs exact full-dim top-10",
+    SimOracle.matryoshkaRecallSql) { (s, d) =>
+    val bf = bruteforce.frame(s, d).select(col("qid"), col("vec_id"))
+    val mr = matryoshkaFrame(s, d)
+      .select(col("qid").as("mq"), col("vec_id").as("mv"))
+    bf.join(mr, col("qid") === col("mq") && col("vec_id") === col("mv"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(col("mv")).as("n_hits"),
+        (count(col("mv")) / lit(10.0)).as("recall"))
+      .orderBy("qid")
   }
 
   /** Power-iteration sweeps for [[pcaPower]]. Five because the synthetic
@@ -1518,7 +1611,8 @@ object SimQueries {
       retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
       semanticDedup, dimTruncation, hybridSearch, chunkHybrid, pqTopk,
       pqRecall,
-      clusterTopics, ivfpqTopk, ivfpqRerank, ivfpqPersisted, pcaPower,
+      clusterTopics, ivfpqTopk, ivfpqRerank, ivfpqPersisted,
+      matryoshkaRerank, matryoshkaRecall, pcaPower,
       contrastiveNegatives,
       centroidOutliers, silhouette, knnLabelAccuracy, crosslingualPairs,
       mmrRerank,
