@@ -18,47 +18,61 @@ object SimFns {
   /** Coarse-quantizer sizing for the Lloyd's k-means training
     * ([[SimQueries.kmeans]]): k GROWS WITH THE CORPUS,
     * k = max([[KmeansKFloor]], ceil(n / [[TargetCellSize]])), so expected
-    * cell occupancy stays ~[[TargetCellSize]] at every corpus size — the
-    * FAISS nlist-sizing convention. This is what keeps every intra-cell
-    * pair join (SemDeDup, bitext mining, hard negatives, the funnel's
-    * semantic stage) LINEAR in n: pair space is bounded by
-    * n * (max cell occupancy) ~ n * c*TargetCellSize instead of the
-    * n^2/k a fixed k degrades to at 100x data. The identical formula is
-    * computed IN SQL by the oracle (a scalar-subquery CTE over the same
-    * scan — [[SimOracle.kmeansChain]]'s `kn`), so both engines derive k
-    * from the data rather than from a constant. SimSpec pins the cell-
-    * occupancy bound. Leaf-object constants so SimQueries and SimOracle
-    * can both read them without an init-order cycle (see the note on
-    * [[graft.text.TextOracle]]).
+    * cell occupancy stays ~[[TargetCellSize]] at every corpus size. (This
+    * is a CELL-OCCUPANCY contract, deliberately more aggressive than
+    * FAISS's own nlist ~ c*sqrt(n) guidance: the intra-cell pair joins
+    * below need bounded cells, not balanced probe cost.) This is what
+    * keeps every intra-cell pair join (SemDeDup, bitext mining, hard
+    * negatives, the funnel's semantic stage) LINEAR in n: pair space is
+    * bounded by n * (max cell occupancy) ~ n * c*TargetCellSize instead
+    * of the n^2/k a fixed k degrades to at 100x data. The identical
+    * formula is computed IN SQL by the oracle (a scalar-subquery CTE over
+    * the same scan — [[SimOracle.kmeansChain]]'s `kn`), so both engines
+    * derive k from the data rather than from a constant. SimSpec pins the
+    * cell-occupancy bound. Leaf-object constants so SimQueries and
+    * SimOracle can both read them without an init-order cycle (see the
+    * note on [[graft.text.TextOracle]]).
     *
-    * Training cost (the FAISS refinement, both halves):
-    *   - SWEEPS run over a bounded deterministic SAMPLE of
-    *     m = min(n, [[KmeansSampleMult]]*k) vectors — the lowest
-    *     (md5(vec_id), vec_id) ranks, the doc_splits content-hash
-    *     convention, picked by a map-side top-m (TakeOrdered), never a
-    *     global sort. Per-sweep assignment is O(m*k*Dims) =
-    *     O(SampleMult*k²*Dims) — independent of how much corpus sits
-    *     behind the sample.
+    * Training is HIERARCHICAL so linear-in-n k never produces
+    * quadratic-in-k training work (total O(n + SampleMult*k^1.5*Dims)):
+    *   - STAGE A trains k1 = ceil(sqrt(k)) ANCHORS: [[KmeansIters]]
+    *     Lloyd sweeps over a content-hash-THRESHOLD sample of expected
+    *     m1 = min(n, [[KmeansSampleMult]]*k1) vectors
+    *     (hash60(vec_id) % n < m1 — a pure per-row filter, the
+    *     doc_splits selector; no global sort, no single-partition
+    *     top-m). Per sweep O(m1*k1*Dims) = O(SampleMult*k*Dims).
+    *   - STAGE B trains each anchor's sub-centroids IN PARALLEL (one
+    *     dataframe job, grouped by anchor): the expected
+    *     m = min(n, SampleMult*k) hash-threshold sample is assigned to
+    *     its nearest trained anchor (O(m*k1)), capped at
+    *     SampleMult * ka rows per anchor (ka = k/k1 +- 1, the anchor's
+    *     sub-centroid budget; cap rank = (md5(vec_id), vec_id) within
+    *     the group), then [[KmeansIters]] sweeps argmin each sampled
+    *     vector over ITS OWN anchor's ka-centroid group only — per
+    *     sweep sum_a (SampleMult*ka)*ka <= SampleMult*k^1.5 distances,
+    *     never the flat m*k = SampleMult*k^2.
     *   - The FINAL full-corpus assignment is TWO-LEVEL (the FAISS
-    *     coarse-quantizer-over-the-quantizer slot): k1 = ceil(sqrt(k))
-    *     ANCHORS = the k1 lowest-j trained centroids; each centroid maps
-    *     to its nearest anchor (k*k1 work, model-state only); each
-    *     vector maps to its nearest LIVE anchor (n*k1) and then argmins
-    *     over just that anchor's centroid group (avg k/k1) — O(n*sqrt(k))
-    *     total, and the per-vector broadcast is k1 anchors (sqrt growth),
-    *     not the full k*Dims centroid array. Assignment is approximate
-    *     in the standard IVF sense (the chosen cell may be a near-nearest
-    *     rather than the global argmin); every consumer needs a
-    *     CONSISTENT partition, not the exact argmin, and the oracle
-    *     ([[SimOracle.kmeansChain]]) derives the identical two-level
-    *     rule in SQL so both engines agree bit-for-bit.
+    *     coarse-quantizer-over-the-quantizer slot): each vector maps to
+    *     its nearest LIVE trained anchor (n*k1) and then argmins over
+    *     just that anchor's own sub-centroid group (~k/k1) —
+    *     O(n*sqrt(k)) total, and the per-vector broadcast is k1 anchors
+    *     (sqrt growth), not the full k*Dims centroid array. Assignment
+    *     is approximate in the standard IVF sense (the chosen cell may
+    *     be a near-nearest rather than the global argmin); every
+    *     consumer needs a CONSISTENT partition, not the exact argmin,
+    *     and the oracle ([[SimOracle.kmeansChain]]) derives the
+    *     identical hierarchy in SQL — same sizes, same hash selectors,
+    *     same argmin expression shapes — so both engines agree
+    *     bit-for-bit.
     */
   val KmeansKFloor = 8
   val TargetCellSize = 64
   val KmeansIters = 3
 
-  /** Training-sample multiplier: m = min(n, KmeansSampleMult*k) vectors
-    * feed the Lloyd sweeps (~SampleMult points per centroid).
+  /** Training-sample multiplier: expected m = min(n, KmeansSampleMult*k)
+    * vectors feed the stage-B Lloyd sweeps (~SampleMult points per
+    * centroid); same multiplier sizes the stage-A anchor sample and the
+    * per-anchor group caps.
     */
   val KmeansSampleMult = 8
 
@@ -66,12 +80,16 @@ object SimFns {
   def kmeansK(n: Long): Int =
     math.max(KmeansKFloor, math.ceil(n.toDouble / TargetCellSize).toInt)
 
-  /** Anchor count for the two-level assignment: ceil(sqrt(k)). */
+  /** Anchor count for the hierarchy: ceil(sqrt(k)). */
   def kmeansK1(k: Int): Int = math.ceil(math.sqrt(k.toDouble)).toInt
 
-  /** Training-sample size for a corpus of n vectors. */
+  /** Expected stage-B training-sample size for a corpus of n vectors. */
   def kmeansSampleM(n: Long): Int =
     math.min(n, KmeansSampleMult.toLong * kmeansK(n)).toInt
+
+  /** Expected stage-A anchor-sample size: min(n, SampleMult*k1). */
+  def kmeansAnchorSampleM(n: Long): Int =
+    math.min(n, KmeansSampleMult.toLong * kmeansK1(kmeansK(n))).toInt
 
   /** Product-quantization geometry ([[SimQueries.pqTopk]]): PqM subspaces
     * of Dims/PqM dims each, PqK codewords per subspace (init: the PqK

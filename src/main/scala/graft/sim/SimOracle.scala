@@ -597,100 +597,145 @@ object SimOracle {
     FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.vec_id = iv.vec_id
     GROUP BY bf.qid ORDER BY bf.qid"""
 
-  /** Unrolled-CTE twin of the Lloyd training loop: per sweep, assignment
-    * by CROSS JOIN + ROW_NUMBER over the identical (vv + cc - 2*v.c)
-    * expression (bit-agrees with Spark's map-side array_min because the
-    * doubles per (vector, centroid) pair are identical), quantized per-dim
-    * means, list re-assembly in dimension order, COALESCE for empty cells.
+  private def hash60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x),1,15))::UBIGINT AS BIGINT)"
+
+  /** Unrolled-CTE twin of the HIERARCHICAL Lloyd training
+    * ([[SimQueries.trainQuantizer]]): per sweep, assignment by CROSS JOIN
+    * (stage A) or an equi-join on the owning anchor (stage B) +
+    * ROW_NUMBER over the identical (vv + cc - 2*v.c) expression
+    * (bit-agrees with Spark's map-side array_min because the doubles per
+    * (vector, centroid) pair are identical), quantized per-dim means,
+    * list re-assembly in dimension order, COALESCE for empty cells.
     */
   /** CTE chain from `e` to the trained-kmeans FINAL assignment
     * `a<KmeansIters+1>(vec_id, j, dist)` and the trained centroids
-    * `c<KmeansIters>(j, c)` — shared by [[kmeansSql]] and
+    * `c<KmeansIters>(aj, j, c)` — shared by [[kmeansSql]] and
     * [[semanticDedupSql]] so both grade the same training math. Every
     * size is DATA-DERIVED in the `kn` CTE over the same scan — the SQL
     * twin of [[SimQueries.trainQuantizer]]'s count-action sizing:
-    * k = max(KmeansKFloor, ceil(n / TargetCellSize)), the training
-    * sample m = min(n, KmeansSampleMult*k) (lowest (md5(vec_id), vec_id)
-    * ranks — the `sm` CTE), and the anchor count k1 = ceil(sqrt(k)).
-    * Sweeps run over `sm` only; the final assignment is the TWO-LEVEL
-    * rule of [[SimQueries.kmAssignIndexed]]: centroid -> nearest anchor
-    * (`cmap`), vector -> nearest LIVE anchor (`va`), then argmin within
-    * that anchor's centroid group — identical expression shapes per
-    * (row, candidate) pair, so every argmin agrees bit-for-bit.
+    * k = max(KmeansKFloor, ceil(n / TargetCellSize)), k1 = ceil(sqrt(k)),
+    * the expected sample sizes m = min(n, KmeansSampleMult*k) and
+    * m1 = min(n, KmeansSampleMult*k1), and the per-anchor budget split
+    * kd = k/k1, kr = k%k1. Both samples are the hash60(vec_id) % n < m
+    * THRESHOLD filter (`sa0`/`sb0` over the shared `hh`) — the identical
+    * per-row predicate Spark applies, no rank anywhere. Stage A
+    * (`bc0..bc<Iters>`) trains the k1 anchors on `sa0`; stage B assigns
+    * `sb0` to its nearest trained anchor (`sba`), caps each group at
+    * SampleMult*ka rows (`kcap`, rank by (md5(vec_id), vec_id) within
+    * the group), inits j = offset(aj)+rank-1 (`sc0`) and runs the
+    * GROUPED sweeps (`sc1..`); the final assignment is the TWO-LEVEL
+    * rule of [[SimQueries.kmAssignIndexed]]: vector -> nearest LIVE
+    * anchor (`va`), then argmin within that anchor's OWN trained group —
+    * identical expression shapes per (row, candidate) pair, so every
+    * argmin agrees bit-for-bit.
     */
   private[graft] val kmeansChain: String = {
     import SimFns.{KmeansIters, KmeansKFloor, KmeansSampleMult, TargetCellSize}
-    def sweep(t: Int): String = s"""
-    x$t AS (
-      SELECT sm.vec_id, sm.v, ct.j,
-        sm.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("sm.v", "ct.c")} AS dist
-      FROM sm CROSS JOIN c${t - 1} ct
+    // one Lloyd sweep: sample rows `s` (x)join centroid table c<t-1>,
+    // argmin, quantized means, coalesce — shared shape for stage A
+    // (prefix b, CROSS JOIN: every anchor is a candidate) and stage B
+    // (prefix s, JOIN ON aj: only the owning anchor's group competes).
+    // Stage-B centroid tables carry aj; the update preserves it.
+    def sweep(p: String, s: String, t: Int, grouped: Boolean): String = {
+      val joined =
+        if (grouped) s"$s JOIN ${p}c${t - 1} ct ON $s.aj = ct.aj"
+        else s"$s CROSS JOIN ${p}c${t - 1} ct"
+      val ajSel = if (grouped) "p.aj, " else ""
+      s"""
+    ${p}x$t AS MATERIALIZED (
+      SELECT $s.vec_id, $s.v, ct.j,
+        $s.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx(s"$s.v", "ct.c")} AS dist
+      FROM $joined
     ),
-    a$t AS (
+    ${p}a$t AS MATERIALIZED (
       SELECT vec_id, v, j, dist FROM (
         SELECT vec_id, v, j, dist,
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-        FROM x$t
+        FROM ${p}x$t
       ) WHERE rn = 1
     ),
-    u$t AS (
+    ${p}u$t AS MATERIALIZED (
       SELECT j, i AS pos,
         SUM(CAST(floor(v[i] * 1000000000.0 + 0.5) AS BIGINT))
           / (1000000000.0 * COUNT(*)) AS m
-      FROM a$t, (SELECT unnest(range(1, ${Dims + 1})) AS i)
+      FROM ${p}a$t, (SELECT unnest(range(1, ${Dims + 1})) AS i)
       GROUP BY j, i
     ),
-    n$t AS (SELECT j, list(m ORDER BY pos) AS cn FROM u$t GROUP BY j),
-    c$t AS (
-      SELECT p.j, COALESCE(n.cn, p.c) AS c
-      FROM c${t - 1} p LEFT JOIN n$t n ON p.j = n.j
+    ${p}n$t AS MATERIALIZED (SELECT j, list(m ORDER BY pos) AS cn FROM ${p}u$t GROUP BY j),
+    ${p}c$t AS MATERIALIZED (
+      SELECT ${ajSel}p.j, COALESCE(n.cn, p.c) AS c
+      FROM ${p}c${t - 1} p LEFT JOIN ${p}n$t n ON p.j = n.j
     )"""
+    }
     val fin = KmeansIters + 1
+    val kaSql = "((SELECT kd FROM kn) + CASE WHEN aj < (SELECT kr FROM kn)" +
+      " THEN 1 ELSE 0 END)"
     s"""
-    k AS (SELECT vec_id, v, ${dotIdx("v", "v")} AS vv FROM e),
-    kn AS (
-      SELECT n, k,
-        CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1,
-        LEAST(n, $KmeansSampleMult * k) AS m
+    k AS MATERIALIZED (SELECT vec_id, v, ${dotIdx("v", "v")} AS vv FROM e),
+    kn AS MATERIALIZED (
+      SELECT n, k, k1,
+        LEAST(n, $KmeansSampleMult * k) AS m,
+        LEAST(n, $KmeansSampleMult * k1) AS m1,
+        k // k1 AS kd, k % k1 AS kr
       FROM (
-        SELECT COUNT(*) AS n,
-          GREATEST($KmeansKFloor,
-            CAST(ceil(COUNT(*) / $TargetCellSize.0) AS BIGINT)) AS k
-        FROM e
+        SELECT n, k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1
+        FROM (
+          SELECT COUNT(*) AS n,
+            GREATEST($KmeansKFloor,
+              CAST(ceil(COUNT(*) / $TargetCellSize.0) AS BIGINT)) AS k
+          FROM e
+        )
       )
     ),
-    sm AS (
-      SELECT vec_id, v, vv FROM (
-        SELECT vec_id, v, vv,
-          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-            AS rn
-        FROM k
-      ) WHERE rn <= (SELECT m FROM kn)
+    hh AS MATERIALIZED (
+      SELECT vec_id, v, vv,
+        ${hash60Sql("CAST(vec_id AS VARCHAR)")} % (SELECT n FROM kn) AS hb
+      FROM k
     ),
-    c0 AS (
+    sa0 AS MATERIALIZED (SELECT vec_id, v, vv FROM hh WHERE hb < (SELECT m1 FROM kn)),
+    bc0 AS MATERIALIZED (
       SELECT CAST(vec_id AS INTEGER) AS j, v AS c FROM e
-      WHERE vec_id < (SELECT k FROM kn)
+      WHERE vec_id < (SELECT k1 FROM kn)
     ),
-    ${(1 to KmeansIters).map(sweep).mkString(",")},
-    anch AS (
-      SELECT j AS aj, c AS ac, ${dotIdx("c", "c")} AS acc
-      FROM c$KmeansIters WHERE j < (SELECT k1 FROM kn)
-    ),
-    cmap AS (
-      SELECT aj, j, c, cc FROM (
-        SELECT an.aj, ct.j, ct.c, ${dotIdx("ct.c", "ct.c")} AS cc,
-          ROW_NUMBER() OVER (PARTITION BY ct.j ORDER BY
-            ${dotIdx("ct.c", "ct.c")} + an.acc
-              - 2.0 * ${dotIdx("ct.c", "an.ac")},
-            an.aj) AS rn
-        FROM c$KmeansIters ct CROSS JOIN anch an
+    ${(1 to KmeansIters).map(sweep("b", "sa0", _, grouped = false)).mkString(",")},
+    sb0 AS MATERIALIZED (SELECT vec_id, v, vv FROM hh WHERE hb < (SELECT m FROM kn)),
+    sba AS MATERIALIZED (
+      SELECT vec_id, v, vv, aj FROM (
+        SELECT s.vec_id, s.v, s.vv, ct.j AS aj,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+            s.vv + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("s.v", "ct.c")},
+            ct.j) AS rn
+        FROM sb0 s CROSS JOIN bc$KmeansIters ct
       ) WHERE rn = 1
     ),
-    lanch AS (
-      SELECT an.aj, an.ac, an.acc FROM anch an
-      WHERE an.aj IN (SELECT DISTINCT aj FROM cmap)
+    kcap AS MATERIALIZED (
+      SELECT vec_id, v, vv, aj FROM (
+        SELECT vec_id, v, vv, aj,
+          ROW_NUMBER() OVER (PARTITION BY aj
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS grn
+        FROM sba
+      ) WHERE grn <= $KmeansSampleMult * $kaSql
     ),
-    va AS (
+    sc0 AS MATERIALIZED (
+      SELECT aj,
+        CAST(aj * (SELECT kd FROM kn) + LEAST(aj, (SELECT kr FROM kn))
+          + rn - 1 AS INTEGER) AS j,
+        v AS c
+      FROM (
+        SELECT aj, v,
+          ROW_NUMBER() OVER (PARTITION BY aj ORDER BY vec_id) AS rn
+        FROM kcap
+      ) WHERE rn <= $kaSql
+    ),
+    ${(1 to KmeansIters).map(sweep("s", "kcap", _, grouped = true)).mkString(",")},
+    c$KmeansIters AS MATERIALIZED (SELECT aj, j, c FROM sc$KmeansIters),
+    lanch AS MATERIALIZED (
+      SELECT b.j AS aj, b.c AS ac, ${dotIdx("b.c", "b.c")} AS acc
+      FROM bc$KmeansIters b
+      WHERE b.j IN (SELECT DISTINCT aj FROM c$KmeansIters)
+    ),
+    va AS MATERIALIZED (
       SELECT vec_id, v, vv, aj FROM (
         SELECT kk.vec_id, kk.v, kk.vv, la.aj,
           ROW_NUMBER() OVER (PARTITION BY kk.vec_id ORDER BY
@@ -698,12 +743,12 @@ object SimOracle {
         FROM k kk CROSS JOIN lanch la
       ) WHERE rn = 1
     ),
-    x$fin AS (
+    x$fin AS MATERIALIZED (
       SELECT va.vec_id, va.v, cm.j,
-        va.vv + cm.cc - 2.0 * ${dotIdx("va.v", "cm.c")} AS dist
-      FROM va JOIN cmap cm ON va.aj = cm.aj
+        va.vv + ${dotIdx("cm.c", "cm.c")} - 2.0 * ${dotIdx("va.v", "cm.c")} AS dist
+      FROM va JOIN c$KmeansIters cm ON va.aj = cm.aj
     ),
-    a$fin AS (
+    a$fin AS MATERIALIZED (
       SELECT vec_id, j, dist FROM (
         SELECT vec_id, j, dist,
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -920,6 +965,128 @@ object SimOracle {
     WITH $ivfpqCtes
     SELECT qid, rn, vec_id, adc_dist FROM ivpr WHERE rn <= 10
     ORDER BY qid, rn"""
+
+  /** Incremental-maintenance twin ([[SimQueries.ivfpqIncremental]]):
+    * `e` is REDEFINED as the hash-kept OLD corpus (hash60(vec_id) % 10
+    * <> 0) so [[kmeansChain]] and the per-subspace PQ chains train on
+    * old data only — exactly the Spark side's frozen model — then the
+    * batch (`nb0`) is assigned at that frozen model (`mva`/`mx`/`ma`
+    * mirror the chain's va/x/a rule; `nerr_m` mirrors the codeword
+    * argmin per subspace), and the per-cell growth/drift report
+    * aggregates quantized-LONG sums divided once (the kmeans-inertia
+    * recipe). The model never sees the batch: no CTE feeding the chains
+    * reads `nb0`.
+    */
+  def ivfpqIncrementalSql: String = {
+    import SimFns.{KmeansIters, PqIters, PqM, PqSub}
+    val finK = KmeansIters + 1
+    val hbSql = s"${hash60Sql("CAST(vec_id AS VARCHAR)")} % 10"
+    val chains = (0 until PqM).map(pqChain).mkString(",")
+    def sliceBounds(m: Int) = (m * PqSub + 1, (m + 1) * PqSub)
+    // per-subspace reconstruction error: old from the training chain's
+    // final cross join, batch from a fresh cross join against the frozen
+    // codebook — MIN(dist) is the assigned codeword's distance (the
+    // argmin orders by (dist, j), so its dist IS the min), quantized
+    // AFTER the min like Spark's Det.quantize on the argmin row
+    val oerrs = (0 until PqM).map { m =>
+      s"""
+    oerr_$m AS MATERIALIZED (
+      SELECT vec_id,
+        CAST(floor(MIN(dist) * 1000000000.0 + 0.5) AS BIGINT) AS pdl
+      FROM x${PqIters + 1}_$m GROUP BY vec_id
+    )"""
+    }.mkString(",")
+    val nerrs = (0 until PqM).map { m =>
+      val (lo, hi) = sliceBounds(m)
+      s"""
+    nbk_$m AS MATERIALIZED (
+      SELECT vec_id, list_slice(v, $lo, $hi) AS v,
+        ${dotSub(s"list_slice(v, $lo, $hi)", s"list_slice(v, $lo, $hi)")} AS vv
+      FROM nb0
+    ),
+    nerr_$m AS MATERIALIZED (
+      SELECT k.vec_id,
+        CAST(floor(MIN(k.vv + ${dotSub("ct.c", "ct.c")}
+          - 2.0 * ${dotSub("k.v", "ct.c")}) * 1000000000.0 + 0.5) AS BIGINT)
+          AS pdl
+      FROM nbk_$m k CROSS JOIN c${PqIters}_$m ct
+      GROUP BY k.vec_id
+    )"""
+    }.mkString(",")
+    val ounion = (0 until PqM)
+      .map(m => s"SELECT vec_id, pdl FROM oerr_$m").mkString("\n      UNION ALL ")
+    val nunion = (0 until PqM)
+      .map(m => s"SELECT vec_id, pdl FROM nerr_$m").mkString("\n      UNION ALL ")
+    s"""
+    WITH all0 AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS MATERIALIZED (SELECT vec_id, v FROM all0 WHERE $hbSql <> 0),
+    nb0 AS MATERIALIZED (SELECT vec_id, v FROM all0 WHERE $hbSql = 0),
+    $kmeansChain,
+    $chains,
+    $oerrs,
+    $nerrs,
+    operr AS MATERIALIZED (
+      SELECT vec_id, SUM(pdl) AS pql FROM (
+        $ounion
+      ) GROUP BY vec_id
+    ),
+    nperr AS MATERIALIZED (
+      SELECT vec_id, SUM(pdl) AS pql FROM (
+        $nunion
+      ) GROUP BY vec_id
+    ),
+    nbv AS MATERIALIZED (
+      SELECT vec_id, v, ${dotIdx("v", "v")} AS vv FROM nb0
+    ),
+    mva AS MATERIALIZED (
+      SELECT vec_id, v, vv, aj FROM (
+        SELECT b.vec_id, b.v, b.vv, la.aj,
+          ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+            b.vv + la.acc - 2.0 * ${dotIdx("b.v", "la.ac")}, la.aj) AS rn
+        FROM nbv b CROSS JOIN lanch la
+      ) WHERE rn = 1
+    ),
+    mx AS MATERIALIZED (
+      SELECT mva.vec_id, cm.j,
+        mva.vv + ${dotIdx("cm.c", "cm.c")} - 2.0 * ${dotIdx("mva.v", "cm.c")}
+          AS dist
+      FROM mva JOIN c$KmeansIters cm ON mva.aj = cm.aj
+    ),
+    ma AS MATERIALIZED (
+      SELECT vec_id, j, dist FROM (
+        SELECT vec_id, j, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM mx
+      ) WHERE rn = 1
+    ),
+    ocell AS MATERIALIZED (
+      SELECT a.j, COUNT(*) AS n_old,
+        SUM(CAST(floor(a.dist * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS mean_res_old,
+        SUM(o.pql) / (1000000000.0 * COUNT(*)) AS mean_pq_err_old
+      FROM a$finK a JOIN operr o USING (vec_id)
+      GROUP BY a.j
+    ),
+    ncell AS MATERIALIZED (
+      SELECT a.j, COUNT(*) AS n_new,
+        SUM(CAST(floor(a.dist * 1000000000.0 + 0.5) AS BIGINT))
+          / (1000000000.0 * COUNT(*)) AS mean_res_new,
+        SUM(o.pql) / (1000000000.0 * COUNT(*)) AS mean_pq_err_new
+      FROM ma a JOIN nperr o USING (vec_id)
+      GROUP BY a.j
+    )
+    SELECT COALESCE(o.j, n.j) AS cell,
+      COALESCE(o.n_old, 0) AS n_old,
+      COALESCE(n.n_new, 0) AS n_new,
+      o.mean_res_old, n.mean_res_new,
+      o.mean_pq_err_old, n.mean_pq_err_new,
+      n.mean_pq_err_new - o.mean_pq_err_old AS pq_err_drift
+    FROM ocell o FULL OUTER JOIN ncell n ON o.j = n.j
+    ORDER BY cell"""
+  }
 
   /** IVF+PQ + refine twin: the same ADC slate, then the exact squared-L2
     * recomputed for the slate only with the identical qq + vv - 2*dot

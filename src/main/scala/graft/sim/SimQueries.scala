@@ -320,8 +320,8 @@ object SimQueries {
     * The shuffle carries k x Dims (cell, dim, counter) rows after partial
     * aggregation — independent of corpus size.
     */
-  private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
-    val upd = assigned
+  private def kmMeans(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("j"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("j"), col("pos"))
       .agg((sum(graft.api.Det.quantize(col("x"), 9)) /
@@ -330,96 +330,155 @@ object SimQueries {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cn"))
-    prev.as("p").join(upd.as("u"), col("p.j") === col("u.j"), "left")
+
+  private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame =
+    prev.as("p").join(kmMeans(assigned).as("u"),
+        col("p.j") === col("u.j"), "left")
       .select(col("p.j").as("j"), coalesce(col("u.cn"), col("p.c")).as("c"))
+
+  /** [[kmUpdate]] for the grouped stage-B sweeps: prev carries the
+    * anchor id (aj, j, c); the cell's owning anchor is part of the model
+    * state, so it rides through unchanged.
+    */
+  private def kmUpdateG(assigned: DataFrame, prev: DataFrame): DataFrame =
+    prev.as("p").join(kmMeans(assigned).as("u"),
+        col("p.j") === col("u.j"), "left")
+      .select(col("p.aj").as("aj"), col("p.j").as("j"),
+        coalesce(col("u.cn"), col("p.c")).as("c"))
+
+  /** One GROUPED Lloyd assignment pass: each sampled vector argmins over
+    * ITS OWN anchor's sub-centroid group only — the per-anchor centroid
+    * arrays (k1 rows carrying all k centroids) are broadcast and met with
+    * an equi-join on aj, so per-row work is the group size (~k/k1), never
+    * k. Same (vv + cc - 2*v.c, j) struct-argmin doubles as [[kmAssign]];
+    * the oracle's grouped sweep computes them via JOIN ... ON aj +
+    * ROW_NUMBER, bit-identical.
+    */
+  private def kmAssignGrouped(sv: DataFrame, c: DataFrame): DataFrame = {
+    val groups = broadcast(c.groupBy(col("aj"))
+      .agg(array_sort(collect_list(struct(col("j"), col("c"),
+        dot(col("c"), col("c")).as("cc")))).as("gs")))
+    sv.join(groups, "aj")
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("best",
+        array_min(transform(col("gs"), e =>
+          struct(
+            (col("vv") + e.getField("cc")
+              - lit(2.0) * dot(col("v"), e.getField("c"))).as("dist"),
+            e.getField("j").as("j")))))
+      .select(col("vec_id"), col("v"),
+        col("best").getField("j").as("j"),
+        col("best").getField("dist").as("dist"))
   }
 
-  /** IVF coarse-quantizer TRAINING: [[SimFns.KmeansIters]] Lloyd sweeps at
-    * k = [[SimFns.kmeansK]](n) — corpus-sized, see the scaling note on
-    * [[SimFns.KmeansKFloor]] — deterministic init (the k lowest vec_ids),
-    * sweeps over a BOUNDED content-hash sample (see below), then a final
-    * TWO-LEVEL assignment summarized per cell. Scale shape per sweep: one
-    * broadcast of k centroids out, one k x Dims-row shuffle back —
-    * the canonical distributed k-means contract (model state moves, data
-    * never does). Each sweep's k-row centroid frame is localCheckpointed:
-    * without the cut, every later sweep re-executes the whole unrolled
-    * chain once per reference (2^sweeps plan blow-up), and the driver
-    * still never sees per-vector data.
+  /** IVF coarse-quantizer TRAINING — HIERARCHICAL, the
+    * [[SimFns.KmeansKFloor]] scale note's training half: stage A trains
+    * k1 = ceil(sqrt(k)) anchors, stage B trains each anchor's ~k/k1
+    * sub-centroids in parallel on that anchor's bounded sub-sample, so
+    * linear-in-n k never produces a Theta(k^2) sweep. Scale shape per
+    * sweep: one broadcast of model state out (k1 anchors, or the k1-row
+    * grouped sub-centroid table), one (centroids x Dims)-row shuffle
+    * back — the canonical distributed k-means contract (model state
+    * moves, data never does). Each sweep's centroid frame is
+    * localCheckpointed: without the cut, every later sweep re-executes
+    * the whole unrolled chain once per reference (2^sweeps plan
+    * blow-up), and the driver still never sees per-vector data.
     */
-  private case class Quantizer(cents: DataFrame, k: Int)
+  private case class Quantizer(cents: DataFrame, anchors: DataFrame, k: Int)
 
-  /** The trained quantizer (centroid frame (j, c) + its k): k =
-    * [[SimFns.kmeansK]] of the corpus count (ONE metadata-cheap count
-    * action — parquet answers it from row-group stats; the oracle derives
-    * the same k in SQL via the `kn` scalar-subquery CTE), deterministic
-    * init from the k lowest vec_ids, then [[SimFns.KmeansIters]] sweeps
-    * over the m = min(n, [[SimFns.KmeansSampleMult]]*k) vectors with the
-    * LOWEST (md5(vec_id), vec_id) — a deterministic content-hash sample
-    * fetched by TakeOrdered (per-partition top-m heaps + a driver-side
-    * merge of m rows; no global sort), so each sweep costs
-    * O(SampleMult*k²*Dims) regardless of corpus size. Each sweep's k-row
-    * result is localCheckpointed — without the cut every later sweep
-    * re-executes the whole unrolled chain once per reference.
+  /** The bounded deterministic training sample: the rows with
+    * hash60(vec_id) % n < m — a content-hash THRESHOLD filter (the
+    * doc_splits selector), a pure per-row predicate that keeps an
+    * expected m of n rows with no global sort and no single-partition
+    * top-m funnel (the fix for the TakeOrdered sample that collected n/8
+    * rows through one reduce at 1e8 vectors). Deterministic and
+    * engine-independent: the oracle applies the identical filter in SQL.
+    * Exposed at package level so SimSpec can pin boundedness + nesting
+    * (m1 <= m makes the anchor sample a subset of the stage-B sample).
     */
-  /** The bounded deterministic training sample: the
-    * m = [[SimFns.kmeansSampleM]](n) vectors with the lowest
-    * (md5(vec_id), vec_id) — exposed at package level so SimSpec can pin
-    * that sweep row counts are bounded by m, not n.
-    */
-  private[graft] def trainingSample(v: DataFrame, n: Long): DataFrame =
-    v.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(SimFns.kmeansSampleM(n))
+  private[graft] def hashSample(v: DataFrame, n: Long, m: Long): DataFrame =
+    v.filter(
+      call_function("hash60", col("vec_id").cast("string")) % n < m)
 
+  /** The trained quantizer: cents (aj, j, c) — every sub-centroid tagged
+    * with its owning anchor — plus the trained k1 anchors (j, c) and k.
+    * Sizing is ONE metadata-cheap count action (parquet answers it from
+    * row-group stats; the oracle derives the same k/k1/m/m1 in SQL via
+    * the `kn` scalar-subquery CTE). Stage A: anchors init from the k1
+    * lowest vec_ids, [[SimFns.KmeansIters]] sweeps over the expected-m1
+    * hash-threshold sample. Stage B: the expected-m sample is assigned
+    * to its nearest trained anchor ([[kmAssign]] at k1 candidates),
+    * capped at SampleMult*ka rows per anchor (rank by (md5(vec_id),
+    * vec_id) within the group — a bounded per-group sort of sample rows,
+    * not corpus rows), sub-centroids init from each group's ka lowest
+    * vec_ids at global ids j = offset(aj) + rank - 1, where
+    * ka = k/k1 + (aj < k%k1) and offset = aj*(k/k1) + min(aj, k%k1) —
+    * exact integer arithmetic both engines replay — then
+    * [[SimFns.KmeansIters]] GROUPED sweeps ([[kmAssignGrouped]]). Groups
+    * smaller than their ka budget simply train fewer cells — consumers
+    * key on j, never on a dense 0..k-1.
+    */
   private def trainQuantizer(v: DataFrame,
       iters: Int = KmeansIters): Quantizer = {
     val n = v.count()
     val k = SimFns.kmeansK(n)
-    val sample = trainingSample(v, n).localCheckpoint()
-    var c = v.filter(col("vec_id") < k)
+    val k1 = SimFns.kmeansK1(k)
+    // STAGE A: anchors
+    val sa = hashSample(v, n, SimFns.kmeansAnchorSampleM(n)).localCheckpoint()
+    var a = v.filter(col("vec_id") < k1)
       .select(col("vec_id").cast("int").as("j"), col("v").as("c"))
       .localCheckpoint()
     for (_ <- 1 to iters)
-      c = kmUpdate(kmAssign(sample, c), c).localCheckpoint()
-    Quantizer(c, k)
+      a = kmUpdate(kmAssign(sa, a), a).localCheckpoint()
+    // STAGE B: per-anchor sub-centroids, all anchors trained in parallel
+    val kd = k / k1
+    val kr = k % k1
+    val ka = lit(kd) + when(col("aj") < kr, 1).otherwise(0)
+    val off = col("aj") * kd + least(col("aj"), lit(kr))
+    val sb = hashSample(v, n, SimFns.kmeansSampleM(n))
+    val wcap = Window.partitionBy(col("aj"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val capped = kmAssign(sb, a)
+      .select(col("vec_id"), col("v"), col("j").as("aj"))
+      .withColumn("grn", row_number().over(wcap))
+      .filter(col("grn") <= lit(KmeansSampleMult) * ka)
+      .localCheckpoint() // shared by the init AND every grouped sweep
+    val winit = Window.partitionBy(col("aj")).orderBy(col("vec_id"))
+    var c = capped
+      .withColumn("rn", row_number().over(winit))
+      .filter(col("rn") <= ka)
+      .select(col("aj"), (off + col("rn") - 1).cast("int").as("j"),
+        col("v").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters)
+      c = kmUpdateG(kmAssignGrouped(capped, c), c).localCheckpoint()
+    Quantizer(c, a, k)
   }
 
   /** Two-level full-corpus assignment (the [[SimFns.KmeansKFloor]] scale
-    * note's second half): k1 = ceil(sqrt(k)) ANCHORS = the k1 lowest-j
-    * trained centroids; each CENTROID argmins over the anchors (k*k1,
-    * model state only); each VECTOR argmins over the LIVE anchors (those
-    * that received >= 1 centroid — restricting to live anchors guarantees
-    * every vector's anchor has a non-empty centroid group even when
-    * floating cancellation maps an anchor away from itself), then argmins
-    * within that anchor's centroid group. Per-vector work is
-    * O(k1 + k/k1) = O(sqrt(k)) distances, and the broadcasts are k1
-    * anchors + the k1-row grouped centroid table — at n = 1e9
-    * (k ~ 1.6e7) that is ~4000 anchor vectors per executor instead of an
-    * 8 GB full-centroid array, with the group join a shuffle join on
-    * anchor id if the group table ever outgrows broadcast.
+    * note's second half): each VECTOR argmins over the LIVE trained
+    * anchors (those that own >= 1 sub-centroid — an anchor whose stage-B
+    * group was empty trained no cells, so routing there would strand the
+    * vector), then argmins within that anchor's OWN sub-centroid group —
+    * the (aj, j) ownership is part of the trained model state
+    * ([[trainQuantizer]]'s stage B), so no centroid->anchor re-derivation
+    * pass is needed. Per-vector work is O(k1 + k/k1) = O(sqrt(k))
+    * distances, and the broadcasts are k1 anchors + the k1-row grouped
+    * centroid table — at n = 1e9 (k ~ 1.6e7) that is ~4000 anchor
+    * vectors per executor instead of an 8 GB full-centroid array, with
+    * the group join a shuffle join on anchor id if the group table ever
+    * outgrows broadcast.
     * Returns (vec_id, v, j, dist) — [[kmAssign]]'s contract.
     */
   private def kmAssignIndexed(v: DataFrame, q: Quantizer): DataFrame = {
-    val k1 = SimFns.kmeansK1(q.k)
-    val anchors = q.cents.filter(col("j") < k1)
+    val anchors = q.anchors
       .select(col("j").as("aj"), col("c").as("ac"),
         dot(col("c"), col("c")).as("acc"))
-    // centroid -> anchor: map-side argmin against the broadcast anchor
-    // struct array (the kmAssign recipe at k x k1 scale)
-    val as0 = broadcast(anchors.agg(array_sort(collect_list(
-      struct(col("aj"), col("ac"), col("acc")))).as("as0")))
-    val cmap = q.cents.crossJoin(as0)
-      .withColumn("cc", dot(col("c"), col("c")))
-      .withColumn("best",
-        array_min(transform(col("as0"), e =>
-          struct(
-            (col("cc") + e.getField("acc")
-              - lit(2.0) * dot(col("c"), e.getField("ac"))).as("dist"),
-            e.getField("aj").as("aj")))))
-      .select(col("best").getField("aj").as("aj"),
-        col("j"), col("c"), col("cc"))
     // per-anchor centroid groups (k1 rows carrying all k centroids) and
     // the LIVE anchor array vectors route through
-    val groups = cmap.groupBy(col("aj"))
+    val groups = q.cents
+      .withColumn("cc", dot(col("c"), col("c")))
+      .groupBy(col("aj"))
       .agg(array_sort(collect_list(struct(col("j"), col("c"), col("cc"))))
         .as("gs"))
       .localCheckpoint() // reused by the live-anchor array AND the join
@@ -591,7 +650,8 @@ object SimQueries {
               - lit(2.0) * dot(col("v"), e.getField("c"))).as("dist"),
             e.getField("j").as("j")))))
       .select(col("vec_id"), col("m"), col("v"),
-        col("best").getField("j").as("j"))
+        col("best").getField("j").as("j"),
+        col("best").getField("dist").as("dist"))
   }
 
   /** Lloyd update across all subspaces: one (m, j, pos)-keyed quantized-
@@ -914,6 +974,120 @@ object SimQueries {
     ivfpqAdcRank(candCodes, ivfpqLut(cbP, q))
       .filter(col("rn") <= 10)
       .orderBy("qid", "rn")
+  }
+
+  /** Persisted-anchor table for the incremental index lifecycle. */
+  val IvfAnchorsTable = "ivf_anchors"
+
+  /** INCREMENTAL index maintenance — the serve story's other half
+    * ([[ivfpqPersisted]] trains+deploys; this maintains): a content-hash
+    * 10% "new vectors" batch (hash60(vec_id) % 10 = 0, the doc_splits
+    * selector — batch membership is a pure function of content, so
+    * re-runs and engines agree) is assigned to the EXISTING persisted
+    * cells and codebooks — NO retrain — and appended to the
+    * cell-partitioned code table ([[graft.sources.Warehouse.appendTable]]:
+    * only the touched partitions grow). The output is the operator's
+    * retrain dashboard: per-cell old/new counts (growth) plus two drift
+    * statistics — the mean coarse residual (vector -> assigned-centroid
+    * squared distance) and the mean PQ reconstruction error (sum of
+    * per-subspace codeword distances), old vs new. A new batch that
+    * codes materially worse under the frozen model is the signal to
+    * retrain ([[graft.dedup.DedupQueries]]' incremental-screen asymmetry
+    * applied to the vector index).
+    *
+    * Scale shape: training + old-code build touch the old corpus once
+    * (the [[ivfpqPersisted]] contract); the batch pass touches ONLY the
+    * batch (assignment O(|batch| * sqrt(k)) via the persisted two-level
+    * anchors, coding O(|batch| * PqM * PqK)), and the append moves
+    * |batch| code rows — nothing proportional to the corpus moves at
+    * maintenance time. Determinism: both means are quantized-LONG sums
+    * divided once (the kmeans-inertia recipe); the oracle replays the
+    * split, the frozen-model assignments, and the per-cell aggregation
+    * CTE-for-CTE. SimSpec pins that the appended table serves exactly
+    * like a full rebuild at the unchanged model.
+    */
+  val ivfpqIncremental: GraftQuery = GraftQuery(
+    "ann_ivfpq_incremental",
+    "IVF+PQ incremental maintenance: 10% hash batch -> existing persisted cells/codebooks (no retrain), append codes, per-cell growth + quantization drift",
+    SimOracle.ivfpqIncrementalSql) { (s, d) =>
+    import graft.sources.Warehouse
+    import graft.api.Det
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    val hb = call_function("hash60", col("vec_id").cast("string")) % 10
+    val old = base.filter(hb =!= 0)
+    val nb = base.filter(hb === 0)
+    // TRAIN on the OLD corpus only + PERSIST model and old code table
+    // (the ivfpqPersisted recipe, concurrent Lloyd loops included)
+    val quantF = Future(trainQuantizer(old))
+    val cbF = Future(pqCodebook(old))
+    val quant = Await.result(quantF, Duration.Inf)
+    val cbAll = Await.result(cbF, Duration.Inf)
+    val oldCells = kmAssignIndexed(old, quant).localCheckpoint()
+    val oldCodes = pqAssign(pqSubVecs(old), cbAll).localCheckpoint()
+    Warehouse.replaceTable(quant.cents, IvfCentroidsTable)
+    Warehouse.replaceTable(quant.anchors, IvfAnchorsTable)
+    Warehouse.replaceTable(cbAll, PqCodebooksTable)
+    Warehouse.replacePartitioned(
+      oldCodes.select(col("vec_id"), col("m"), col("j").as("code"))
+        .join(oldCells.select(col("vec_id"), col("j").as("cell")), "vec_id"),
+      IvfCodesTable, "cell")
+    // MAINTAIN: the batch reads ONLY the persisted model — frozen cells,
+    // frozen codebooks — then appends its codes
+    val centsP = s.table(s"${Warehouse.Schema}.$IvfCentroidsTable")
+    val anchorsP = s.table(s"${Warehouse.Schema}.$IvfAnchorsTable")
+    val cbP = s.table(s"${Warehouse.Schema}.$PqCodebooksTable")
+    val qP = Quantizer(centsP, anchorsP, quant.k)
+    val newCells = kmAssignIndexed(nb, qP).localCheckpoint()
+    val newCodes = pqAssign(pqSubVecs(nb), cbP).localCheckpoint()
+    Warehouse.appendTable(
+      newCodes.select(col("vec_id"), col("m"), col("j").as("code"))
+        .join(newCells.select(col("vec_id"), col("j").as("cell")), "vec_id"),
+      IvfCodesTable, Some("cell"))
+    // REPORT: per-cell growth + drift, quantized-LONG means
+    def perCell(cells: DataFrame, codes: DataFrame, sfx: String): DataFrame = {
+      val pqErr = codes.groupBy(col("vec_id"))
+        .agg(sum(Det.quantize(col("dist"), 9)).as("pql"))
+      cells.join(pqErr, "vec_id")
+        .groupBy(col("j"))
+        .agg(
+          count(lit(1)).as(s"n_$sfx"),
+          (sum(Det.quantize(col("dist"), 9)) /
+            (lit(Det.pow10(9)) * count(lit(1)))).as(s"mean_res_$sfx"),
+          (sum(col("pql")) /
+            (lit(Det.pow10(9)) * count(lit(1)))).as(s"mean_pq_err_$sfx"))
+    }
+    perCell(oldCells, oldCodes, "old").as("o")
+      .join(perCell(newCells, newCodes, "new").as("nw"),
+        Seq("j"), "full_outer")
+      .select(col("j").as("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("mean_res_old"), col("mean_res_new"),
+        col("mean_pq_err_old"), col("mean_pq_err_new"),
+        (col("mean_pq_err_new") - col("mean_pq_err_old")).as("pq_err_drift"))
+      .orderBy("cell")
+  }
+
+  /** Full-corpus code rebuild at the PERSISTED (frozen) model — the
+    * comparison side of SimSpec's append-vs-rebuild attestation: reads
+    * the persisted centroids/anchors/codebooks and recomputes every
+    * vector's (cell, codes) in one pass.
+    */
+  private[graft] def ivfpqRebuildCodes(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Warehouse
+    val base = vecs(s, d).select(col("vec_id"), col("v"))
+    val qP = Quantizer(
+      s.table(s"${Warehouse.Schema}.$IvfCentroidsTable"),
+      s.table(s"${Warehouse.Schema}.$IvfAnchorsTable"), 0)
+    val cells = kmAssignIndexed(base, qP)
+      .select(col("vec_id"), col("j").as("cell"))
+    pqAssign(pqSubVecs(base),
+        s.table(s"${Warehouse.Schema}.$PqCodebooksTable"))
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+      .join(cells, "vec_id")
   }
 
   /** Prefix dimensionality for the matryoshka two-stage retrieval. */
@@ -1612,6 +1786,7 @@ object SimQueries {
       semanticDedup, dimTruncation, hybridSearch, chunkHybrid, pqTopk,
       pqRecall,
       clusterTopics, ivfpqTopk, ivfpqRerank, ivfpqPersisted,
+      ivfpqIncremental,
       matryoshkaRerank, matryoshkaRecall, pcaPower,
       contrastiveNegatives,
       centroidOutliers, silhouette, knnLabelAccuracy, crosslingualPairs,

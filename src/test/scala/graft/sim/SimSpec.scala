@@ -103,10 +103,13 @@ class SimSpec extends SparkSpec {
   }
 
   // The training-cost contract (SimFns.KmeansKFloor note, second half):
-  // Lloyd sweeps run over m = min(n, SampleMult*k) content-hash-sampled
-  // vectors — O(SampleMult*k²) per sweep — and the full-corpus pass is
-  // the two-level anchor assignment at O(n*sqrt(k)), never O(n*k).
-  test("kmeans training: sweep rows bounded by the sample, anchors by sqrt(k)") {
+  // training is HIERARCHICAL — stage A sweeps over the expected-m1
+  // anchor sample at k1 candidates (O(SampleMult*k) per sweep), stage B
+  // sweeps over per-anchor capped groups at ~k/k1 candidates each
+  // (O(SampleMult*k^1.5) per sweep) — so per-sweep work is o(k^2), and
+  // the full-corpus pass is the two-level anchor assignment at
+  // O(n*sqrt(k)), never O(n*k).
+  test("kmeans training: hierarchy sizes make per-sweep work o(k^2)") {
     // formula pins at the shipped SFs and at scale
     assert(SimFns.kmeansSampleM(500L) === 64) // min(500, 8*8)
     assert(SimFns.kmeansSampleM(2000L) === 256) // min(2000, 8*32)
@@ -115,18 +118,43 @@ class SimSpec extends SparkSpec {
     assert(SimFns.kmeansK1(8) === 3)
     assert(SimFns.kmeansK1(32) === 6)
     assert(SimFns.kmeansK1(15625) === 125)
-    // the actual sample frame is bounded by m, NOT n, and deterministic
-    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(SimFns.kmeansAnchorSampleM(2000L) === 48) // 8*k1(32)=8*6
+    assert(SimFns.kmeansAnchorSampleM(1000000L) === 1000) // 8*125
+    // per-sweep distance counts are o(k^2) at scale: stage A is
+    // m1*k1 = SampleMult*k1^2 ~ SampleMult*k; stage B is bounded by
+    // sum_a (SampleMult*ka)*ka <= SampleMult*(kd+1)^2*k1 ~
+    // SampleMult*k^1.5 — both strictly below the flat m*k =
+    // SampleMult*k^2 the pre-hierarchy trainer paid
+    val n = 1000000L
+    val k = SimFns.kmeansK(n).toLong
+    val k1 = SimFns.kmeansK1(k.toInt).toLong
+    val stageA = SimFns.kmeansAnchorSampleM(n).toLong * k1
+    val kd = k / k1
+    val stageB = SimFns.KmeansSampleMult * (kd + 1) * (kd + 1) * k1
+    val flat = SimFns.kmeansSampleM(n).toLong * k // the old Theta(k^2)
+    assert(stageA < flat / 100, s"stage A $stageA not << flat $flat")
+    assert(stageB < flat / 10, s"stage B $stageB not << flat $flat")
+    // the hash-threshold sample: a pure per-row filter (no global sort),
+    // deterministic, expected-size bounded, and NESTED (m' <= m implies
+    // sample(m') is a subset of sample(m) — stage A's sample rides
+    // inside stage B's)
+    val total = graft.Tables.embeddings(spark, sf).count()
     val v = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         org.apache.spark.sql.functions.transform(
           col("embedding"), x => x.cast("double")).as("v"))
-    val m = SimFns.kmeansSampleM(n)
-    assert(m < n, s"sample m=$m must be a strict subset of n=$n here")
-    val s1 = SimQueries.trainingSample(v, n).collect().map(_.getLong(0))
-    assert(s1.length === m)
-    val s2 = SimQueries.trainingSample(v, n).collect().map(_.getLong(0))
-    assert(s1.toSeq === s2.toSeq)
+    graft.functions.GraftFunctions.register(spark)
+    val mA = SimFns.kmeansAnchorSampleM(total)
+    assert(mA < total, s"anchor sample m1=$mA must be a strict subset here")
+    val s1 = SimQueries.hashSample(v, total, mA).collect().map(_.getLong(0))
+    val s2 = SimQueries.hashSample(v, total, mA).collect().map(_.getLong(0))
+    assert(s1.toSeq === s2.toSeq) // deterministic
+    assert(s1.nonEmpty && s1.length < total,
+      s"expected-$mA sample of $total rows came back ${s1.length}")
+    val sFull = SimQueries.hashSample(v, total, total)
+      .collect().map(_.getLong(0))
+    assert(sFull.length === total) // m = n keeps everything
+    assert(s1.toSet.subsetOf(sFull.toSet))
   }
 
   test("silhouette: s bounded in [-1, 1], fractions valid, labels partition") {
@@ -253,6 +281,33 @@ class SimSpec extends SparkSpec {
       .count() === SimFns.PqM * SimFns.PqK)
     assert(spark.table(s"${graft.sources.Warehouse.Schema}.${SimQueries.IvfCodesTable}")
       .count() === n * SimFns.PqM)
+  }
+
+  test("ann_ivfpq_incremental: appended code table == full rebuild at the frozen model") {
+    graft.functions.GraftFunctions.register(spark)
+    val report = SimQueries.ivfpqIncremental.frame(spark, sf).collect()
+    assert(report.nonEmpty)
+    val n = graft.Tables.embeddings(spark, sf).count()
+    // old + new partition the corpus; the hash batch is ~10%
+    val nOld = report.map(_.getAs[Long]("n_old")).sum
+    val nNew = report.map(_.getAs[Long]("n_new")).sum
+    assert(nOld + nNew === n)
+    assert(nNew > 0 && nNew < n / 4, s"batch size $nNew implausible for n=$n")
+    // the maintenance contract: the appended cell-partitioned code table
+    // must serve EXACTLY like a one-pass rebuild of the union at the
+    // same frozen model — same cells, same codes, no drift from the
+    // append path itself
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+        r.getAs[Int]("code"), r.getAs[Int]("cell"))
+    val appended = spark.table(
+        s"${graft.sources.Warehouse.Schema}.${SimQueries.IvfCodesTable}")
+      .collect().map(key).toSet
+    val rebuilt = SimQueries.ivfpqRebuildCodes(spark, sf)
+      .collect().map(key).toSet
+    assert(appended === rebuilt,
+      s"appended index diverges from rebuild: ${(appended diff rebuilt).take(3)} / ${(rebuilt diff appended).take(3)}")
+    assert(appended.size.toLong === n * SimFns.PqM)
   }
 
   test("cluster topics: contiguous ranks, lift-ordered, floor respected, lift exact") {
