@@ -30,12 +30,18 @@ object Bench {
     // 1.5-7x slowdowns; a raw total is uninterpretable without knowing
     // the window). Consumers compare two snapshots' calib_sec to
     // separate host drift from plan drift instead of trusting prose
-    // notes about "a slow window".
-    val calib = (1 to 3).map { _ =>
+    // notes about "a slow window". INTERLEAVED: measured at sweep start,
+    // mid-sweep, and after the main sweep, each phase recorded in the
+    // JSON ("calib_phases") and "calib_sec" the min-of-all — a transient
+    // caught by any single phase can no longer poison the denominator of
+    // every cross-round claim (BENCH_r13 committed a 0.387 start-only
+    // calib its own query timings contradicted).
+    def calibOnce(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(1L << 26).selectExpr("sum(id * (id % 7))").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    val calibPhases = scala.collection.mutable.ListBuffer(calibOnce())
     // Warm-up is failure-isolated per table: a single broken loader must
     // fail only the queries that read that table, never zero the whole
     // bench artifact (BENCH_r07/r08 both died rc=1 here when the driver
@@ -110,12 +116,17 @@ object Bench {
       }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
-    for ((name, fn) <- names) {
+    for (((name, fn), i) <- names.zipWithIndex) {
+      if (names.size >= 4 && i == names.size / 2) {
+        calibPhases += calibOnce() // mid-sweep host-speed sample
+        System.err.println(f"[bench] calib mid-sweep=${calibPhases.last}%6.3f")
+      }
       once(name, fn).foreach(sec => samples(name) ::= sec)
       once(name, fn).foreach(sec => samples(name) ::= sec)
       if (samples(name).nonEmpty && samples(name).min > 1.0)
         once(name, fn).foreach(sec => samples(name) ::= sec)
     }
+    calibPhases += calibOnce() // post-sweep host-speed sample
     // end-of-run outlier resample: two more back-to-back samples for the
     // slowest queries, taken after the rest of the bench has moved the
     // clock past any transient stall window
@@ -141,8 +152,10 @@ object Bench {
     val failed = timed.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = passed.map(_._2).sum
+    val calib = calibPhases.min
+    val calibJson = calibPhases.map(fmt).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_sec":${fmt(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_sec":${fmt(calib)},"calib_phases":$calibJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The driver captures only the LAST ~2000 chars of stdout. At 78
     // queries the full line is >2100 bytes, so its HEAD (metric/value) is
@@ -161,7 +174,7 @@ object Bench {
       }
     }
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_sec":${fmt(calib)},"queries_total":${passed.size},"queries_shown":$taken,"queries":{$compactEntries},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib_sec":${fmt(calib)},"calib_phases":$calibJson,"queries_total":${passed.size},"queries_shown":$taken,"queries":{$compactEntries},"failed":$failed,"sf":"$sfDir"}"""
     println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try Files.writeString(Paths.get(out), json + "\n")
