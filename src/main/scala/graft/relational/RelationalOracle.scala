@@ -149,6 +149,45 @@ object RelationalOracle {
     GROUP BY p_brand
     ORDER BY p_brand"""
 
+  /** Q2-shape twin — dialect-shared: the exact string Spark executes.
+    * The correlated scalar-MIN subquery ranges over a JOIN (lineitem x
+    * supplier x nation x region, lineitem standing in for partsupp —
+    * this schema has no ps_supplycost, so unit price
+    * l_extendedprice / l_quantity is the cost) and references the outer
+    * part key — the classic Q2 decorrelation class: Catalyst must
+    * rewrite it into a min-aggregate over the same join, equi-joined
+    * back on l_partkey (PlanSpec pins no surviving ScalarSubquery + the
+    * agg-join shape). MIN over doubles needs no quantization (it is
+    * order-independent and both engines pick the identical IEEE754
+    * minimum of identical division results), and the = comparison then
+    * selects identical rows. DISTINCT collapses tied lineitems of the
+    * same (part, supplier); (s_name, p_partkey) makes the ORDER BY a
+    * total order, so LIMIT 100 is deterministic.
+    */
+  val cheapestSupplierSql: String = s"""
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+      l.l_extendedprice / l.l_quantity AS unit_cost
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_size IN (5, 15, 25, 35, 45)
+      AND l.l_quantity > 0
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = p.p_partkey
+          AND l2.l_quantity > 0
+          AND r2.r_name = 'EUROPE')
+    GROUP BY ALL
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
   /** Q22-shape twin — dialect-shared: the exact string Spark executes.
     * Quantized-LONG account-balance sums make the scalar-average
     * threshold and the totals bit-identical across engines.

@@ -290,6 +290,31 @@ object RelationalQueries {
     s.sql(RelationalOracle.smallQtyRevenueSql)
   }
 
+  /** Correlated scalar-MIN over a JOIN (TPC-H Q2 shape): cheapest
+    * EUROPE supplier per part, the remaining decorrelation classic —
+    * unlike Q17's single-table correlated AVG, the subquery here ranges
+    * over a four-table join and must STILL decorrelate into one
+    * min-aggregate over that join equi-joined back on l_partkey
+    * (PlanSpec pins no surviving ScalarSubquery and the agg side's
+    * l_partkey join). 100 TB shape: the min-side join shuffles lineitem
+    * once on l_suppkey (supplier/nation/region broadcast), aggregates
+    * per part (map-side partial MIN), then one equi-join on l_partkey
+    * back to the outer join — two fact shuffles total, vs a per-part
+    * re-scan of the join for a surviving subquery. Dialect-shared SQL
+    * (the Q17/Q18/Q21/Q22 convention).
+    */
+  val cheapestSupplier: GraftQuery = GraftQuery(
+    "cheapest_supplier_per_part",
+    "correlated scalar-MIN over a join -> agg+join (TPC-H Q2 shape)",
+    RelationalOracle.cheapestSupplierSql) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(RelationalOracle.cheapestSupplierSql)
+  }
+
   /** IN-over-grouped-HAVING subquery (TPC-H Q18 shape), also dialect-shared
     * SQL: the IN becomes a left-semi join against the re-aggregated
     * lineitem — the 100 TB shape is two shuffles on l_orderkey (one for
@@ -598,6 +623,7 @@ object RelationalQueries {
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,
+    cheapestSupplier,
     bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments)

@@ -117,6 +117,42 @@ class PlanSpec extends SparkSpec {
     assert(aggJoins.nonEmpty, "no decorrelated join on l_partkey:\n" + optimized)
   }
 
+  test("cheapest_supplier_per_part: correlated MIN-over-join decorrelates to agg+join") {
+    val df = SparkEntry.queries("cheapest_supplier_per_part")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // the Q2-class subquery (scalar MIN over a four-table join,
+    // correlated on the outer part key) must not survive — a per-part
+    // re-execution of the min-side join would re-scan lineitem once per
+    // output row at 100 TB
+    val hasSubquery = optimized.expressions.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery]))
+    assert(!hasSubquery, "scalar subquery survived optimization")
+    // the decorrelated shape: a min() aggregate somewhere below a join
+    // whose condition equates the part keys
+    val aggs = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+                .AggregateExpression =>
+              ae.aggregateFunction.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.aggregate.Min]
+            case _ => false
+          }) => a
+    }
+    assert(aggs.nonEmpty, "no min-aggregate in the decorrelated plan:\n" + optimized)
+    val partJoins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("l_partkey")) => j
+    }
+    assert(partJoins.nonEmpty,
+      "no decorrelated join on l_partkey:\n" + optimized)
+    // and it must execute as hash joins, never a nested loop over the fact
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop"), s"nested-loop join in:\n$physical")
+  }
+
   test("large_volume_customers: IN subquery becomes a semi join") {
     val plan = planOf("large_volume_customers")
     assert(plan.toLowerCase.contains("leftsemi"),
