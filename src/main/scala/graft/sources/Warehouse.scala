@@ -72,6 +72,24 @@ object Warehouse {
       .saveAsTable(s"$Schema.$table")
   }
 
+  /** Incremental-batch load: APPEND into an existing (typically
+    * partitioned) managed table — the batch's files land inside the
+    * partition directories it touches; untouched partitions are not
+    * rewritten. This is the WRITE side of index/cluster maintenance
+    * ([[graft.sim.SimQueries.ivfpqIncremental]]): a 10% batch append
+    * moves ~10% of the data, where replace-mode would rewrite 100%.
+    * The existing table's partition spec governs the layout (saveAsTable
+    * Append resolves columns by name and validates against the catalog
+    * spec). Not idempotent on retry — exactly-once belongs to the
+    * table-format layer (the [[compact]] caveat); callers that need
+    * replay safety overwrite the touched partitions instead.
+    */
+  def appendTable(df: DataFrame, table: String,
+      partCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    partCol.fold(w)(c => w.partitionBy(c)).saveAsTable(s"$Schema.$table")
+  }
+
   /** Bucketed replace-mode load: rows hash-distributed into `buckets`
     * files per bucket key. Two tables bucketed the same way join WITHOUT a
     * shuffle (Exchange disappears from the plan) — the write-time answer
