@@ -345,6 +345,102 @@ object DedupOracle {
     FROM lab GROUP BY label
     ORDER BY cluster_size DESC, cluster_id"""
 
+  /** Incremental-maintenance twin ([[DedupQueries.clusterIncrement]]):
+    * the same pair CTEs and threshold, membership by the
+    * incremental-screen content-hash split, then THREE closures — old-old
+    * edges (the persisted state), the contracted frontier, and the full
+    * combined edge set (the audit side) — each the [[clustersSql]]
+    * recursive-reachability recipe, with the identical contraction /
+    * coalesce rules the Spark side applies. merge_ok is bool_and over
+    * per-doc label equality; disagreements force their row into the
+    * output through the same `n_docs >= 2 OR NOT merge_ok` filter.
+    */
+  def clusterIncrementSql: String = {
+    val thr = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    s"""
+    WITH RECURSIVE $ngramPairCtes,
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= $thr
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs WHERE jaccard >= $thr
+    ),
+    memb AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),1,15))::UBIGINT AS BIGINT) % 100
+          >= ${DedupQueries.IncrementalIncomingBucket} AS incoming
+      FROM documents
+    ),
+    te AS MATERIALIZED (
+      SELECT e.a, e.b, ma.incoming AS ia, mb.incoming AS ib
+      FROM edges e
+      JOIN memb ma ON e.a = ma.doc_id
+      JOIN memb mb ON e.b = mb.doc_id
+    ),
+    oreach AS (
+      SELECT a AS node, b AS r FROM te WHERE NOT ia AND NOT ib
+      UNION
+      SELECT e.a, rr.r FROM te e JOIN oreach rr ON rr.node = e.b
+      WHERE NOT e.ia AND NOT e.ib
+    ),
+    olab AS MATERIALIZED (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM oreach GROUP BY node
+    ),
+    state AS MATERIALIZED (
+      SELECT m.doc_id, COALESCE(l.label, m.doc_id) AS cluster
+      FROM memb m LEFT JOIN olab l ON m.doc_id = l.node
+      WHERE NOT m.incoming
+    ),
+    fedge AS MATERIALIZED (
+      SELECT
+        CASE WHEN e.ia THEN e.a ELSE sa.cluster END AS a,
+        CASE WHEN e.ib THEN e.b ELSE sb.cluster END AS b
+      FROM te e
+      LEFT JOIN state sa ON e.a = sa.doc_id
+      LEFT JOIN state sb ON e.b = sb.doc_id
+      WHERE e.ia OR e.ib
+    ),
+    freach AS (
+      SELECT a AS node, b AS r FROM fedge
+      UNION
+      SELECT e.a, rr.r FROM fedge e JOIN freach rr ON rr.node = e.b
+    ),
+    flab AS MATERIALIZED (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM freach GROUP BY node
+    ),
+    mergedold AS (
+      SELECT s.doc_id, COALESCE(f.label, s.cluster) AS m, s.cluster AS src
+      FROM state s LEFT JOIN flab f ON s.cluster = f.node
+    ),
+    mergednew AS (
+      SELECT m.doc_id, COALESCE(f.label, m.doc_id) AS m,
+        CAST(NULL AS BIGINT) AS src
+      FROM memb m LEFT JOIN flab f ON m.doc_id = f.node
+      WHERE m.incoming
+    ),
+    merged AS (SELECT * FROM mergedold UNION ALL SELECT * FROM mergednew),
+    areach AS (
+      SELECT a AS node, b AS r FROM te
+      UNION
+      SELECT e.a, rr.r FROM te e JOIN areach rr ON rr.node = e.b
+    ),
+    alab AS MATERIALIZED (
+      SELECT node, LEAST(node, MIN(r)) AS label FROM areach GROUP BY node
+    ),
+    fullasg AS (
+      SELECT m.doc_id, m.incoming, COALESCE(l.label, m.doc_id) AS f
+      FROM memb m LEFT JOIN alab l ON m.doc_id = l.node
+    )
+    SELECT f AS cluster,
+      COUNT(*) AS n_docs,
+      COUNT(CASE WHEN incoming THEN 1 END) AS n_new_docs,
+      COUNT(DISTINCT src) AS n_old_clusters_merged,
+      bool_and(m = f) AS merge_ok
+    FROM merged JOIN fullasg USING (doc_id)
+    GROUP BY f
+    HAVING COUNT(*) >= 2 OR NOT bool_and(m = f)
+    ORDER BY cluster"""
+  }
+
   /** Edges-only attestation twin of [[clustersSql]]: the SAME pair-CTE
     * chain and [[DedupQueries.ClusterJaccard]] threshold, but no
     * recursive closure — at the 10x attestation scale DuckDB's

@@ -915,6 +915,116 @@ object DedupQueries {
       .orderBy(desc("cluster_size"), col("cluster_id"))
   }
 
+  /** INCREMENTAL cluster maintenance — the production gap between
+    * [[incrementalScreen]] (which flags batch near-dups but assigns no
+    * clusters) and [[clusters]] (which re-runs CC over the whole corpus):
+    * merge a new batch into PERSISTED cluster assignments without
+    * re-clustering the corpus. The batch is the [[incrementalScreen]]
+    * content-hash 10% split; the persisted state is CC over the OLD-OLD
+    * edge subset (labels = min old doc_id per component, singletons =
+    * self). Maintenance runs CC over the FRONTIER graph only: edges
+    * touching a batch doc, with old endpoints CONTRACTED to their
+    * persisted cluster label — a graph bounded by the batch-adjacent
+    * neighborhood (|batch edges| nodes), never the corpus. Contraction
+    * is exact: old-old connectivity is already summarized by the labels,
+    * and a batch doc bridging two old clusters connects their LABELS, so
+    * merged label = min(label ids, batch doc ids) = the combined
+    * component's min doc_id = exactly the full-recompute label.
+    *
+    * The output is the merge-vs-recompute attestation
+    * (`portfolio_incremental_merge`'s contract on the cluster side):
+    * per final cluster, size, batch-doc count, how many persisted
+    * clusters merged into it, and merge_ok — a GENUINE per-doc equality
+    * between the merged assignment and a full CC recompute over the
+    * combined edge set, computed on both engines. Disagreeing docs
+    * force their cluster row into the output (the `n_docs >= 2 OR NOT
+    * merge_ok` filter), so a merge bug cannot hide in the singleton cut.
+    *
+    * Scale: the full recompute here is the AUDIT side (this corpus is
+    * small enough to afford it); production runs only the state CC once,
+    * then per-batch frontier CCs — the edge mining is one shared pass
+    * split by membership, and the frontier CC's input is bounded by the
+    * batch's mined edges.
+    */
+  val clusterIncrement: GraftQuery = GraftQuery(
+    "dedup_cluster_increment",
+    s"incremental cluster maintenance: frontier CC over persisted labels + batch edges, per-cluster merge_ok vs full recompute",
+    DedupOracle.clusterIncrementSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    clusterIncrementFrame(Tables.documents(s, d),
+      hash60(normText(col("text"))) % 100 >= IncrementalIncomingBucket)
+  }
+
+  /** The incremental-cluster pipeline over any (doc_id, text) frame with
+    * an explicit batch-membership predicate, so fixture corpora can
+    * drive the contraction paths the live corpus may not exhibit (e.g.
+    * a batch doc BRIDGING two persisted clusters) — see
+    * [[clusterIncrement]] for semantics.
+    */
+  private[graft] def clusterIncrementFrame(docs: DataFrame,
+      incomingPred: Column): DataFrame = {
+    val memb = docs.select(col("doc_id"), incomingPred.as("incoming"))
+      .localCheckpoint()
+    val edges = ngramJaccardFrame(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(memb.select(col("doc_id").as("a"), col("incoming").as("ia")), "a")
+      .join(memb.select(col("doc_id").as("b"), col("incoming").as("ib")), "b")
+      .select(col("a"), col("b"), col("ia"), col("ib"))
+      .localCheckpoint()
+    // PERSISTED state: CC over old-old edges; unclustered old docs are
+    // their own singleton cluster
+    val oldLab = connectedComponents(
+      edges.filter(!col("ia") && !col("ib")).select("a", "b"))
+    val state = memb.filter(!col("incoming"))
+      .join(oldLab.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .localCheckpoint()
+    // FRONTIER: batch-touching edges with old endpoints contracted
+    val frontier = edges.filter(col("ia") || col("ib"))
+      .join(state.select(col("doc_id").as("a"), col("cluster").as("ca")),
+        Seq("a"), "left")
+      .join(state.select(col("doc_id").as("b"), col("cluster").as("cb")),
+        Seq("b"), "left")
+      .select(
+        when(col("ia"), col("a")).otherwise(col("ca")).as("a"),
+        when(col("ib"), col("b")).otherwise(col("cb")).as("b"))
+    val fLab = connectedComponents(frontier)
+    // MERGED assignments: old docs re-label through their cluster, batch
+    // docs label directly; untouched ids keep their label
+    val mergedOld = state
+      .join(fLab.select(col("node").as("cluster"), col("label").as("fl")),
+        Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fl"), col("cluster")).as("m"),
+        col("cluster").as("src"))
+    val mergedNew = memb.filter(col("incoming"))
+      .join(fLab.select(col("node").as("doc_id"), col("label").as("fl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fl"), col("doc_id")).as("m"),
+        lit(null).cast("long").as("src"))
+    // FULL recompute (the audit side)
+    val fullLab = connectedComponents(edges.select("a", "b"))
+    val full = memb
+      .join(fullLab.select(col("node").as("doc_id"), col("label").as("f")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("incoming"),
+        coalesce(col("f"), col("doc_id")).as("f"))
+    mergedOld.unionByName(mergedNew)
+      .join(full, "doc_id")
+      .groupBy(col("f").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("incoming"), 1)).as("n_new_docs"),
+        countDistinct(col("src")).as("n_old_clusters_merged"),
+        bool_and(col("m") === col("f")).as("merge_ok"))
+      .filter(col("n_docs") >= 2 || !col("merge_ok"))
+      .orderBy("cluster")
+  }
+
   /** Cross-family cluster assignment — how a production dedup pipeline
     * actually builds components: the THREE near-dup evidence classes
     * (exact n-gram Jaccard, MinHash+LSH-verified Jaccard, SimHash
@@ -1902,6 +2012,7 @@ object DedupQueries {
 
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
+      clusterIncrement,
       clustersMulti, keepSummary, spanOverlap, spanStrip, longestSpan,
       paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,

@@ -192,6 +192,37 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Map(0L -> 3L, 5L -> 2L))
   }
 
+  test("cluster increment: a batch doc BRIDGES two persisted clusters; merge == recompute") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    // sliding-window corpus: w1..w24 / w13..w36 are old docs with trigram
+    // J = 10/34 ~ 0.29 (< 0.5 -> separate persisted clusters), while the
+    // batch doc w7..w30 shares J = 16/28 ~ 0.57 (>= 0.5) with BOTH —
+    // the contraction case the live corpus doesn't exhibit: two old
+    // cluster labels merge through one frontier node
+    def toks(lo: Int): String = (lo until lo + 24).map(i => s"w$i").mkString(" ")
+    val xs = (1 to 24).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(1)), // old, cluster 1
+      (2L, toks(13)), // old, cluster 2 (J(1,2) < 0.5)
+      (3L, xs), // old singleton, joined by batch near-copy 13
+      (4L, (1 to 24).map(i => s"q$i").mkString(" ")), // old, untouched
+      (11L, toks(7)), // batch: bridges clusters 1 and 2
+      (12L, (1 to 24).map(i => s"y$i").mkString(" ")), // batch singleton
+      (13L, xs.replace("x24", "zz")) // batch: near-copy of old 3
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.DedupQueries
+      .clusterIncrementFrame(docs, col("doc_id") >= 10L)
+      .collect()
+    val rows = out.map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_new_docs"), r.getAs[Long]("n_old_clusters_merged"),
+      r.getAs[Boolean]("merge_ok"))).toSeq
+    assert(rows === Seq(
+      (1L, 3L, 1L, 2L, true), // {1, 2, 11}: TWO persisted clusters merged
+      (3L, 2L, 1L, 1L, true))) // {3, 13}: batch doc joins an old singleton
+  }
+
   test("repetition metrics: known dup-gram and top-token fractions") {
     val spark0 = spark
     import spark0.implicits._
