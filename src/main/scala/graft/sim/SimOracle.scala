@@ -45,28 +45,34 @@ object SimOracle {
     )"""
 
   /** Prefix dot for the matryoshka twins: the same ordered fold over the
-    * first [[SimQueries.MatryoshkaDim]] indices of the FULL vectors —
-    * identical products/order/sum to Spark's VecDot over the sliced
-    * array.
+    * first `dimSql` indices of the FULL vectors — identical products/
+    * order/sum to Spark's VecDot over the sliced array. `dimSql` is a
+    * literal for the fixed-dim twins and a scalar subquery over the
+    * energy CTE for the adaptive one.
     */
-  private def dotPfx(a: String, b: String): String =
-    fold(s"list_transform(range(1, ${SimQueries.MatryoshkaDim + 1}), " +
+  private def dotPfx(a: String, b: String,
+      dimSql: String = SimQueries.MatryoshkaDim.toString): String =
+    fold(s"list_transform(range(1, $dimSql + 1), " +
       s"i -> $a[i] * $b[i])")
 
-  /** Shared matryoshka CTE chain ending in the refined top-10 `mfin`. */
-  private def matryoshkaCtes: String = {
+  /** Shared matryoshka CTE chain ending in the refined top-10 `mfin` —
+    * WITHOUT [[baseCtes]], so callers can interpose dim-selection CTEs
+    * between the base and the pipeline.
+    */
+  private def matryoshkaTail(
+      dimSql: String = SimQueries.MatryoshkaDim.toString): String = {
     import SimQueries.AnnRerankC
+    def dotPfxD(a: String, b: String) = dotPfx(a, b, dimSql)
     s"""
-    $baseCtes,
     mpv AS (
       SELECT vec_id, v, pnrm FROM (
-        SELECT vec_id, v, sqrt(${dotPfx("v", "v")}) AS pnrm FROM e
+        SELECT vec_id, v, sqrt(${dotPfxD("v", "v")}) AS pnrm FROM e
       ) WHERE pnrm > 0
     ),
     mqf AS (
       SELECT qid, qv, qnrm, qpnrm FROM (
         SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
-          sqrt(${dotPfx("v", "v")}) AS qpnrm
+          sqrt(${dotPfxD("v", "v")}) AS qpnrm
         FROM n WHERE vec_id % 100 = 0
       ) WHERE qpnrm > 0
     ),
@@ -77,7 +83,7 @@ object SimOracle {
             ORDER BY cosine_prefix DESC, vec_id) AS rp
         FROM (
           SELECT q.qid, p.vec_id,
-            ${dotPfx("q.qv", "p.v")} / (q.qpnrm * p.pnrm) AS cosine_prefix
+            ${dotPfxD("q.qv", "p.v")} / (q.qpnrm * p.pnrm) AS cosine_prefix
           FROM mqf q JOIN mpv p ON p.vec_id <> q.qid
         )
       ) WHERE rp <= $AnnRerankC
@@ -100,7 +106,8 @@ object SimOracle {
   }
 
   def matryoshkaRerankSql: String = s"""
-    WITH $matryoshkaCtes
+    WITH $baseCtes,
+    ${matryoshkaTail()}
     SELECT qid, rn, vec_id, cosine_full, cosine_prefix FROM mfin
     ORDER BY qid, rn"""
 
@@ -109,7 +116,8 @@ object SimOracle {
     * pipeline's picks.
     */
   def matryoshkaRecallSql: String = s"""
-    WITH $matryoshkaCtes,
+    WITH $baseCtes,
+    ${matryoshkaTail()},
     bp AS (
       SELECT qid, vec_id,
         ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
@@ -129,6 +137,55 @@ object SimOracle {
       COUNT(m.vec_id) / 10.0::DOUBLE AS recall
     FROM bf LEFT JOIN mfin m ON bf.qid = m.qid AND bf.vec_id = m.vec_id
     GROUP BY bf.qid ORDER BY bf.qid"""
+
+  /** Adaptive-dim twin ([[SimQueries.matryoshkaAdaptive]]): the
+    * dimTruncation energy recipe as a CTE, k* = COALESCE(MIN k at
+    * avg_energy >= target, Dims) in a scalar-subquery CTE (the `kn`
+    * data-derived-parameter convention), then the SAME matryoshka tail
+    * with every prefix fold bounded by that scalar subquery, graded by
+    * the recall twin with the chosen dim riding each row.
+    */
+  def matryoshkaAdaptiveSql: String = {
+    val ks = SimQueries.TruncDims.mkString(", ")
+    val dimSql = "(SELECT kd FROM mkstar)"
+    s"""
+    WITH $baseCtes,
+    men AS (
+      SELECT kk.k AS k,
+        (SUM(CAST(floor(
+          list_reduce(list_transform(v[1:kk.k], x -> x * x), (a, b) -> a + b)
+          / list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)
+          * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0) / COUNT(*)
+          AS avg_energy
+      FROM e CROSS JOIN (SELECT unnest([$ks]) AS k) kk
+      GROUP BY kk.k
+    ),
+    mkstar AS (
+      SELECT COALESCE(MIN(k), ${SimFns.Dims}) AS kd FROM men
+      WHERE avg_energy >= ${SimQueries.MatryoshkaEnergyTarget}::DOUBLE
+    ),
+    ${matryoshkaTail(dimSql)},
+    bp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+            WHERE vec_id % 100 = 0) q
+      JOIN n ON vec_id <> qid
+    ),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rn
+        FROM bp
+      ) WHERE rn <= 10
+    )
+    SELECT bf.qid, COUNT(m.vec_id) AS n_hits,
+      COUNT(m.vec_id) / 10.0::DOUBLE AS recall,
+      (SELECT CAST(kd AS INTEGER) FROM mkstar) AS chosen_dim
+    FROM bf LEFT JOIN mfin m ON bf.qid = m.qid AND bf.vec_id = m.vec_id
+    GROUP BY bf.qid ORDER BY bf.qid"""
+  }
 
   /** Chunk-grain hybrid twin ([[SimQueries.chunkHybrid]]): the shared
     * chunk-BM25 CTEs ([[graft.text.TextOracle.chunkBm25Ctes]] — `cl` for

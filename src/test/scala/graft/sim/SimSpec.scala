@@ -310,6 +310,25 @@ class SimSpec extends SparkSpec {
     assert(appended.size.toLong === n * SimFns.PqM)
   }
 
+  test("matryoshka adaptive: data-derived dim, recall >= the fixed-16 pipeline") {
+    val rows = SimQueries.matryoshkaAdaptive.frame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // on this near-isotropic corpus (~25% energy at 16 dims) the
+    // smallest-k-at->=0.5-energy rule lands on 32 — pinned so a silent
+    // energy-recipe change can't move the serving dim unnoticed
+    assert(rows.forall(_.getAs[Int]("chosen_dim") === 32))
+    val fixed = SimQueries.matryoshkaRecall.frame(spark, sf).collect()
+      .map(_.getAs[Double]("recall"))
+    // the 2x-wider data-derived prefix must not grade worse in aggregate
+    // than the fixed-16 slate (per-query recall is not monotone in
+    // prefix width — the slate cut can reshuffle — but the mean is the
+    // artifact's whole point)
+    val meanA = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val meanF = fixed.sum / fixed.length
+    assert(meanA >= meanF - 1e-9,
+      s"adaptive mean recall $meanA below fixed-16 $meanF")
+  }
+
   test("cluster topics: contiguous ranks, lift-ordered, floor respected, lift exact") {
     val rows = SimQueries.clusterTopics.frame(spark, sf).collect()
     assert(rows.nonEmpty)
