@@ -964,7 +964,7 @@ object DedupQueries {
   private[graft] def clusterIncrementFrame(docs: DataFrame,
       incomingPred: Column): DataFrame = {
     val memb = docs.select(col("doc_id"), incomingPred.as("incoming"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val edges = ngramJaccardFrame(docs)
       .filter(col("jaccard") >= ClusterJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))

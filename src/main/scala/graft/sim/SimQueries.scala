@@ -321,15 +321,27 @@ object SimQueries {
     * aggregation — independent of corpus size.
     */
   private def kmMeans(assigned: DataFrame): DataFrame =
+    // ONE shuffle: per-cell member vectors fold element-wise into a
+    // Dims-long array of quantized-LONG sums (integer adds commute, so
+    // the fold order — collect_list's partition order — cannot change
+    // the result), then divide once. Bit-identical to the former
+    // posexplode + per-(j,pos) partial-sum + re-assembly pipeline (same
+    // LONG sums, same single division), which cost TWO shuffles per
+    // sweep; the oracle's per-(j,pos) AVG recipe is unchanged because
+    // the doubles agree. Shuffle payload is the cell's member vectors —
+    // bounded by the SampleMult*ka group caps during training, never
+    // corpus-sized.
     assigned
-      .select(col("j"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("j"), col("pos"))
-      .agg((sum(graft.api.Det.quantize(col("x"), 9)) /
-        (lit(graft.api.Det.pow10(9)) * count(lit(1)))).as("m"))
       .groupBy(col("j"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cn"))
+      .agg(
+        aggregate(collect_list(col("v")),
+          array_repeat(lit(0L), Dims),
+          (acc, v) => zip_with(acc,
+            transform(v, x => graft.api.Det.quantize(x, 9)),
+            (a, q) => a + q)).as("sq"),
+        count(lit(1)).as("cnt"))
+      .select(col("j"), transform(col("sq"),
+        q => q / (lit(graft.api.Det.pow10(9)) * col("cnt"))).as("cn"))
 
   private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame =
     prev.as("p").join(kmMeans(assigned).as("u"),
@@ -424,12 +436,12 @@ object SimQueries {
     val k = SimFns.kmeansK(n)
     val k1 = SimFns.kmeansK1(k)
     // STAGE A: anchors
-    val sa = hashSample(v, n, SimFns.kmeansAnchorSampleM(n)).localCheckpoint()
+    val sa = hashSample(v, n, SimFns.kmeansAnchorSampleM(n)).localCheckpoint(eager = false)
     var a = v.filter(col("vec_id") < k1)
       .select(col("vec_id").cast("int").as("j"), col("v").as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters)
-      a = kmUpdate(kmAssign(sa, a), a).localCheckpoint()
+      a = kmUpdate(kmAssign(sa, a), a).localCheckpoint(eager = false)
     // STAGE B: per-anchor sub-centroids, all anchors trained in parallel
     val kd = k / k1
     val kr = k % k1
@@ -442,16 +454,16 @@ object SimQueries {
       .select(col("vec_id"), col("v"), col("j").as("aj"))
       .withColumn("grn", row_number().over(wcap))
       .filter(col("grn") <= lit(KmeansSampleMult) * ka)
-      .localCheckpoint() // shared by the init AND every grouped sweep
+      .localCheckpoint(eager = false) // shared by the init AND every grouped sweep
     val winit = Window.partitionBy(col("aj")).orderBy(col("vec_id"))
     var c = capped
       .withColumn("rn", row_number().over(winit))
       .filter(col("rn") <= ka)
       .select(col("aj"), (off + col("rn") - 1).cast("int").as("j"),
         col("v").as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters)
-      c = kmUpdateG(kmAssignGrouped(capped, c), c).localCheckpoint()
+      c = kmUpdateG(kmAssignGrouped(capped, c), c).localCheckpoint(eager = false)
     Quantizer(c, a, k)
   }
 
@@ -481,7 +493,7 @@ object SimQueries {
       .groupBy(col("aj"))
       .agg(array_sort(collect_list(struct(col("j"), col("c"), col("cc"))))
         .as("gs"))
-      .localCheckpoint() // reused by the live-anchor array AND the join
+      .localCheckpoint(eager = false) // reused by live-anchor array + join
     val live = broadcast(groups.select(col("aj"))
       .join(anchors, "aj")
       .agg(array_sort(collect_list(struct(col("aj"), col("ac"), col("acc"))))
@@ -665,15 +677,20 @@ object SimQueries {
     * recipe with m riding the key. Empty cells keep their codeword.
     */
   private def pqUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    // one shuffle, not two: the kmMeans element-wise quantized-LONG fold
+    // keyed by (m, j) — identical doubles (integer adds commute), oracle
+    // per-(j, pos) AVG recipe unchanged
     val upd = assigned
-      .select(col("m"), col("j"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("m"), col("j"), col("pos"))
-      .agg((sum(graft.api.Det.quantize(col("x"), 9)) /
-        (lit(graft.api.Det.pow10(9)) * count(lit(1)))).as("mu"))
       .groupBy(col("m"), col("j"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("mu")))),
-        s => s.getField("mu")).as("cn"))
+      .agg(
+        aggregate(collect_list(col("v")),
+          array_repeat(lit(0L), PqSub),
+          (acc, v) => zip_with(acc,
+            transform(v, x => graft.api.Det.quantize(x, 9)),
+            (a, q) => a + q)).as("sq"),
+        count(lit(1)).as("cnt"))
+      .select(col("m"), col("j"), transform(col("sq"),
+        q => q / (lit(graft.api.Det.pow10(9)) * col("cnt"))).as("cn"))
     prev.as("p").join(upd.as("u"),
         col("p.m") === col("u.m") && col("p.j") === col("u.j"), "left")
       .select(col("p.m").as("m"), col("p.j").as("j"),
@@ -1031,8 +1048,8 @@ object SimQueries {
     val cbF = Future(pqCodebook(old))
     val quant = Await.result(quantF, Duration.Inf)
     val cbAll = Await.result(cbF, Duration.Inf)
-    val oldCells = kmAssignIndexed(old, quant).localCheckpoint()
-    val oldCodes = pqAssign(pqSubVecs(old), cbAll).localCheckpoint()
+    val oldCells = kmAssignIndexed(old, quant).localCheckpoint(eager = false)
+    val oldCodes = pqAssign(pqSubVecs(old), cbAll).localCheckpoint(eager = false)
     Warehouse.replaceTable(quant.cents, IvfCentroidsTable)
     Warehouse.replaceTable(quant.anchors, IvfAnchorsTable)
     Warehouse.replaceTable(cbAll, PqCodebooksTable)
@@ -1046,8 +1063,8 @@ object SimQueries {
     val anchorsP = s.table(s"${Warehouse.Schema}.$IvfAnchorsTable")
     val cbP = s.table(s"${Warehouse.Schema}.$PqCodebooksTable")
     val qP = Quantizer(centsP, anchorsP, quant.k)
-    val newCells = kmAssignIndexed(nb, qP).localCheckpoint()
-    val newCodes = pqAssign(pqSubVecs(nb), cbP).localCheckpoint()
+    val newCells = kmAssignIndexed(nb, qP).localCheckpoint(eager = false)
+    val newCodes = pqAssign(pqSubVecs(nb), cbP).localCheckpoint(eager = false)
     Warehouse.appendTable(
       newCodes.select(col("vec_id"), col("m"), col("j").as("code"))
         .join(newCells.select(col("vec_id"), col("j").as("cell")), "vec_id"),
