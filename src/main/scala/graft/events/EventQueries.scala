@@ -184,16 +184,30 @@ object EventQueries {
     "events_gapfill_15min",
     "dense 15-min grid per type + forward-filled mean value (gap-fill/resample)",
     EventOracle.gapFillSql) { (s, d) =>
+    gapfillReadout(graft.streaming.EventStreams
+      .gapfillSlots(Tables.events(s, d)))
+  }
+
+  /** The gap-fill READOUT tail over a (event_type, slot, n_events,
+    * sum_value) observed-slot aggregate — shared by the batch query and
+    * the streaming path (the [[sloBurnReadout]] extraction pattern): the
+    * dense grid's bounds AND its type list both derive from the
+    * aggregate itself (a type with any event has a slot row), so the
+    * tail reads only model-sized state — in streaming, the materialized
+    * sink table, never the stream.
+    */
+  def gapfillReadout(slotAgg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, d)
-    val slotAgg = e
-      .groupBy(col("event_type"),
-        window(col("ts"), "15 minutes")("start").as("slot"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
-    val bounds = slotAgg.agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
-    val grid = e.select(col("event_type")).distinct()
+    // re-alias the grid-side derivations: the readout references slotAgg
+    // three times (bounds, type list, join right side), and a memory-sink
+    // View repeats attribute ids across branches — the explicit aliases
+    // mint fresh ids so the self-join resolves (parquet-backed frames
+    // dedup automatically; streaming sink tables do not)
+    val slots2 = slotAgg.select(col("event_type").as("event_type"),
+      col("slot").as("slot"))
+    val bounds = slots2.agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+    val grid = slots2.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), expr("INTERVAL 15 MINUTES")))
@@ -383,9 +397,20 @@ object EventQueries {
     "events_anomaly_zscore",
     "top-3 anomalous 10-min slots per type by z-score over exact count stats",
     EventOracle.anomalySql) { (s, d) =>
+    anomalyReadout(EventStreams.tumblingCounts(Tables.events(s, d)))
+  }
+
+  /** The anomaly READOUT tail over a [[EventStreams.tumblingCounts]]
+    * frame — shared by the batch query and the streaming path (the
+    * [[sloBurnReadout]]/[[gapfillReadout]] extraction pattern): the
+    * per-type stats, z-scores, and top-3 cut read only the slot
+    * aggregate (model-sized; in streaming the materialized sink), never
+    * raw events.
+    */
+  def anomalyReadout(tumbling: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val slots = EventStreams.tumblingCounts(Tables.events(s, d))
-      .select(col("event_type"), col("wstart"), col("n"))
+    val slots = tumbling.select(col("event_type"), col("wstart"), col("n"))
     val stats = slots.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("slots"),

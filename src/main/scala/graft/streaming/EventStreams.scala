@@ -140,6 +140,30 @@ object EventStreams {
       .withColumn("page", col("burn_rate") >= SloPageBurn)
   }
 
+  /** Observed 15-minute slots per event type — the streaming half of the
+    * batch `events_gapfill_15min` query, the monitoring family's
+    * remaining batch-only member made continuous: a watermarked tumbling
+    * aggregate whose (count, quantized sum) state merges commutatively
+    * across micro-batches (the [[tumblingCounts]] contract), so whatever
+    * batch boundary splits a slot, the materialized slot frame equals
+    * the one-shot batch aggregation. The dense grid + forward-fill is
+    * deliberately NOT streamed: forward-filling across empty slots needs
+    * a total order over all closed slots per type (the running-budget
+    * argument on [[sloBurnHourly]]); the serving-layer readout
+    * ([[graft.events.EventQueries.gapfillReadout]] — the identical tail
+    * the batch query runs) computes grid + ffill over the model-sized
+    * sink table. StreamingSpec asserts full-row parity across a
+    * mid-slot micro-batch split.
+    */
+  def gapfillSlots(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(col("event_type"),
+        window(col("ts"), "15 minutes")("start").as("slot"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
+
   /** Session windows per user (6-hour inactivity gap). A session ends
     * gapDuration after its last event (Spark session_window semantics —
     * mirrored exactly by the oracle's gaps-and-islands SQL).

@@ -125,6 +125,82 @@ class StreamingSpec extends SparkSpec {
     assert(h2(4) === 20.0 && h2(5) === true)
   }
 
+  test("gapfillSlots + readout: parity with the batch transform across a mid-slot micro-batch split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    val batch1 = Seq(
+      Ev(1, t(0, 1), 1, "click", 2.0, "{}"),
+      Ev(2, t(0, 5), 2, "click", 4.0, "{}"), // slot 00:00 spans the split
+      Ev(3, t(0, 2), 1, "view", 1.0, "{}"))
+    val batch2 = Seq(
+      Ev(4, t(0, 12), 3, "click", 6.0, "{}"), // same 00:00 slot, 2nd batch
+      Ev(5, t(1, 3), 1, "click", 8.0, "{}"), // 3 empty click slots between
+      Ev(6, t(0, 50), 2, "view", 5.0, "{}"))
+
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.gapfillSlots(stream.toDF())
+      .writeStream.format("memory").queryName("gapfill_out")
+      .outputMode("complete").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = graft.events.EventQueries
+      .gapfillReadout(spark.table("gapfill_out"))
+      .collect().map(_.toSeq).toSeq
+    val batchRes = graft.events.EventQueries
+      .gapfillReadout(EventStreams.gapfillSlots((batch1 ++ batch2).toDF()))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batchRes)
+    // the split slot merged: 00:00 click = 3 events summing 2+4+6
+    val clicks = streamed.filter(_.head == "click")
+    assert(clicks.head(2) === 3L)
+    // forward fill bridged the empty click slots with the 00:00 mean 4.0
+    val gaps = clicks.filter(r => r(4) == true)
+    assert(gaps.size === 3 && gaps.forall(_(3) == 4.0))
+  }
+
+  test("anomaly readout over streamed tumbling slots equals the batch query tail") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // one spiky 10-min slot per type; slot 20 split across micro-batches
+    val batch1 = (1 to 4).map(i => Ev(i, t(i), i, "click", 1.0, "{}")) ++
+      Seq(Ev(10, t(11), 1, "click", 1.0, "{}"), Ev(11, t(22), 2, "click", 1.0, "{}"))
+    val batch2 = (20 to 26).map(i => Ev(i, t(23), i, "click", 1.0, "{}")) ++
+      Seq(Ev(30, t(35), 3, "click", 1.0, "{}"))
+
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("complete").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = graft.events.EventQueries
+      .anomalyReadout(spark.table("anom_out"))
+      .collect().map(_.toSeq).toSeq
+    val batchRes = graft.events.EventQueries
+      .anomalyReadout(EventStreams.tumblingCounts((batch1 ++ batch2).toDF()))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batchRes)
+    assert(streamed.nonEmpty)
+    // the split slot (00:20, 8 events across both batches) is the top
+    // anomaly; its count proves the cross-batch merge
+    val top = streamed.head
+    assert(top(1) === 1 && top(3) === 8L)
+  }
+
   test("dedupEvents: duplicate event_id within watermark is dropped") {
     val spark0 = spark
     import spark0.implicits._
