@@ -396,6 +396,51 @@ object RelationalOracle {
     * the same floor((n-1)*p)+1 rank picks) and score-sum segment
     * mapping.
     */
+  /** Sketch-cutoff attestation twin ([[RelationalQueries.rfmSketchCutoffs]]):
+    * the per/cut CTEs shared with [[rfmSegmentsSql]] give the exact t1/t2
+    * values (bit-for-bit), and the in-band booleans are `true` literals —
+    * the approx-quantile attestation convention: GK sketch internals are
+    * engine-local, so the oracle grades the contract (the Spark side must
+    * genuinely compute the band checks and they must all hold for the
+    * row hash to match).
+    */
+  def rfmSketchCutoffsSql: String = {
+    import RelationalQueries.RfmAsOf
+    def cutCte(name: String, metric: String): String = s"""
+    rk_$name AS (
+      SELECT $metric AS v,
+        ROW_NUMBER() OVER (ORDER BY $metric, o_custkey) AS rk,
+        COUNT(*) OVER () AS n
+      FROM per
+    ),
+    c_$name AS (
+      SELECT
+        MAX(CASE WHEN rk = floor((n - 1) / 3.0) + 1 THEN v END)
+          AS ${name}_t1,
+        MAX(CASE WHEN rk = floor((n - 1) * 2.0 / 3.0) + 1 THEN v END)
+          AS ${name}_t2
+      FROM rk_$name
+    )"""
+    s"""
+    WITH per AS (
+      SELECT o_custkey,
+        date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '$RfmAsOf')
+          AS rec_days,
+        COUNT(*) AS freq,
+        CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+          AS BIGINT) / 10000.0 AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    ${cutCte("rec", "rec_days")},
+    ${cutCte("frq", "freq")},
+    ${cutCte("mon", "mon")}
+    SELECT (SELECT COUNT(*) FROM per) AS n_customers,
+      rec_t1, rec_t2, true AS rec_t1_ok, true AS rec_t2_ok,
+      frq_t1, frq_t2, true AS frq_t1_ok, true AS frq_t2_ok,
+      mon_t1, mon_t2, true AS mon_t1_ok, true AS mon_t2_ok
+    FROM c_rec, c_frq, c_mon"""
+  }
+
   def rfmSegmentsSql: String = {
     import RelationalQueries.RfmAsOf
     def cutCte(name: String, metric: String): String = s"""

@@ -604,6 +604,74 @@ object RelationalQueries {
       .orderBy("segment")
   }
 
+  /** approx_percentile accuracy for [[rfmSketchCutoffs]]: relative rank
+    * error <= 1/accuracy, sketch memory O(accuracy * log n) — constant
+    * per metric whatever the customer count.
+    */
+  val RfmSketchAccuracy = 10000
+
+  /** The SKETCH path of [[rfmSegments]]' cutoff derivation, wired and
+    * attested — the size switch the exact path documents: exact
+    * nearest-rank terciles rank the FULL customer dimension through one
+    * window (fine to ~1e8 customers; the ranking shuffle carries every
+    * row), while at 1e9 customers the cutoffs come from a GK sketch
+    * (`approx_percentile` at [[RfmSketchAccuracy]]) whose state is
+    * O(accuracy * log n) per metric and whose partials merge in one
+    * partial-agg pass — no ranking shuffle at all. This query runs BOTH
+    * and attests the sketch inside the exact +-2% rank band (the
+    * `arrear_approx_quantiles` convention: sketch internals are
+    * engine-local, so the oracle grades the contract — the `_ok`
+    * booleans must come out true and the exact cutoffs must match
+    * bit-for-bit — rather than the sketch bits). The t1/t2 outputs use
+    * the [[rfmSegments]] cutoff arithmetic verbatim, so this artifact
+    * also certifies which cutoffs the segmentation would see on either
+    * path.
+    */
+  val rfmSketchCutoffs: GraftQuery = GraftQuery(
+    "customer_rfm_sketch_cutoffs",
+    "GK-sketch RFM tercile cutoffs attested in a +-2% rank band vs the exact nearest-rank terciles",
+    RelationalOracle.rfmSketchCutoffsSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val per = rfmPerCustomer(s, d).localCheckpoint(eager = false)
+    val band = 0.02
+    def one(metric: String, short: String) = {
+      val w = Window.orderBy(col(metric), col("o_custkey"))
+      def pickAt(frac: Double, name: String) =
+        max(when(col("rk") === floor((col("n") - 1) * lit(frac)) + 1,
+          col(metric))).as(name)
+      per.select(col(metric), col("o_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .agg(
+          max(col("n")).as(s"n_$short"),
+          // exact cutoffs: the rfmSegments arithmetic verbatim
+          max(when(col("rk") === floor((col("n") - 1) / lit(3.0)) + 1,
+            col(metric))).as(s"${short}_t1"),
+          max(when(col("rk") ===
+              floor((col("n") - 1) * lit(2.0) / lit(3.0)) + 1,
+            col(metric))).as(s"${short}_t2"),
+          pickAt(1.0 / 3.0 - band, "lo1"), pickAt(1.0 / 3.0 + band, "hi1"),
+          pickAt(2.0 / 3.0 - band, "lo2"), pickAt(2.0 / 3.0 + band, "hi2"),
+          expr(s"approx_percentile($metric, array(${1.0 / 3}, ${2.0 / 3}), " +
+            s"$RfmSketchAccuracy)").as("ap"))
+        .select(col(s"n_$short"), col(s"${short}_t1"), col(s"${short}_t2"),
+          element_at(col("ap"), 1).between(col("lo1"), col("hi1"))
+            .as(s"${short}_t1_ok"),
+          element_at(col("ap"), 2).between(col("lo2"), col("hi2"))
+            .as(s"${short}_t2_ok"))
+    }
+    one("rec_days", "rec").crossJoin(one("freq", "frq"))
+      .crossJoin(one("mon", "mon"))
+      .select(col("n_rec").as("n_customers"),
+        // datediff yields INT; widen to BIGINT to match the oracle's
+        // date_diff, value unchanged
+        col("rec_t1").cast("long").as("rec_t1"),
+        col("rec_t2").cast("long").as("rec_t2"),
+        col("rec_t1_ok"), col("rec_t2_ok"),
+        col("frq_t1"), col("frq_t2"), col("frq_t1_ok"), col("frq_t2_ok"),
+        col("mon_t1"), col("mon_t2"), col("mon_t1_ok"), col("mon_t2_ok"))
+  }
+
   /** The per-customer RFM metric frame (o_custkey, rec_days, freq, mon)
     * — shared with RelationalSpec's derivation pin.
     */
@@ -626,5 +694,6 @@ object RelationalQueries {
     cheapestSupplier,
     bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
-    suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments)
+    suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
+    rfmSketchCutoffs)
 }
