@@ -188,6 +188,47 @@ object RelationalOracle {
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100"""
 
+  /** Q20-shape twin — dialect-shared: nested IN over a grouped derived
+    * table whose filter carries a CORRELATED scalar-SUM referencing TWO
+    * outer columns (the last decorrelation classic after Q2/Q17/Q21/Q22):
+    * "surge suppliers" — suppliers for whom some multi-shipment PROMO
+    * part's Q1-1996 shipments exceed half of their all-time volume of
+    * that part
+    * (partsupp's availqty role played by the all-time (supp, part)
+    * quantity rollup; this schema ships no partsupp). Catalyst must
+    * rewrite the inner correlated SUM into an aggregate left-joined back
+    * on (l_partkey, l_suppkey) — COALESCE keeps pairs with no 1996
+    * shipments comparable — and both INs into semi joins (PlanSpec pins
+    * all three + no nested loop). SUM(l_quantity) is exact on both
+    * engines (integral doubles, far below 2^53), so the 2.0x comparison
+    * is order- and engine-invariant; s_name is unique, so the ORDER BY
+    * is total.
+    */
+  val surgeSuppliersSql: String = s"""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey
+      FROM (
+        SELECT l_suppkey, l_partkey, SUM(l_quantity) AS total_qty,
+          COUNT(*) AS n_ship
+        FROM lineitem
+        GROUP BY l_suppkey, l_partkey
+      ) sp
+      WHERE sp.l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND sp.n_ship >= 2
+        AND sp.total_qty < 2.0 * (
+          SELECT COALESCE(SUM(l2.l_quantity), 0.0)
+          FROM lineitem l2
+          WHERE l2.l_partkey = sp.l_partkey
+            AND l2.l_suppkey = sp.l_suppkey
+            AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l2.l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+    )
+    ORDER BY s.s_name"""
+
   /** Q22-shape twin — dialect-shared: the exact string Spark executes.
     * Quantized-LONG account-balance sums make the scalar-average
     * threshold and the totals bit-identical across engines.

@@ -315,6 +315,27 @@ object RelationalQueries {
     s.sql(RelationalOracle.cheapestSupplierSql)
   }
 
+  /** Nested correlated IN (TPC-H Q20 shape): the inner IN's filter
+    * carries a correlated scalar-SUM referencing TWO outer columns of a
+    * grouped derived table — see [[RelationalOracle.surgeSuppliersSql]]
+    * for the full decorrelation story. 100 TB shape: one (supp, part)
+    * rollup shuffle of lineitem, one more for the 1996-restricted
+    * aggregate (filter pushed to the scan), an equi-join between the two
+    * model-sized rollups, the part filter a broadcast semi join, and the
+    * outer IN a semi join into the supplier dim — a surviving correlated
+    * subquery would instead re-scan lineitem once per (supp, part).
+    */
+  val surgeSuppliers: GraftQuery = GraftQuery(
+    "promo_surge_suppliers",
+    "nested IN + two-column-correlated scalar SUM -> rollup join + semi joins (TPC-H Q20 shape)",
+    RelationalOracle.surgeSuppliersSql) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(RelationalOracle.surgeSuppliersSql)
+  }
+
   /** IN-over-grouped-HAVING subquery (TPC-H Q18 shape), also dialect-shared
     * SQL: the IN becomes a left-semi join against the re-aggregated
     * lineitem — the 100 TB shape is two shuffles on l_orderkey (one for
@@ -691,7 +712,7 @@ object RelationalQueries {
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,
-    cheapestSupplier,
+    cheapestSupplier, surgeSuppliers,
     bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,

@@ -153,6 +153,25 @@ class PlanSpec extends SparkSpec {
     assert(!physical.contains("NestedLoop"), s"nested-loop join in:\n$physical")
   }
 
+  test("promo_surge_suppliers: nested INs become semi joins; the two-column-correlated SUM decorrelates") {
+    val df = SparkEntry.queries("promo_surge_suppliers")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // no correlated subquery may survive — a per-(supp, part) re-scan of
+    // lineitem is the 100 TB failure mode this query exists to pin
+    val hasSubquery = optimized.expressions.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery]))
+    assert(!hasSubquery, "correlated scalar subquery survived optimization")
+    val semis = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size >= 2, s"expected both INs as semi joins:\n$optimized")
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop"), s"nested-loop join in:\n$physical")
+  }
+
   test("large_volume_customers: IN subquery becomes a semi join") {
     val plan = planOf("large_volume_customers")
     assert(plan.toLowerCase.contains("leftsemi"),
