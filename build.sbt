@@ -34,3 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// NOTE (builder workflow, not build config): never recompile while a
+// backgrounded `sbt test` is running — the forked test JVM loads class
+// files LAZILY from target/, so a concurrent compile swaps anonymous
+// function classes under executing suites and produces impossible-
+// looking failures (pattern matches counting nodes that aren't there,
+// ClassCastExceptions between unrelated catalyst node types). Observed
+// twice in round 14; both runs' failures vanish with no code change
+// when the suite runs without concurrent compilation.

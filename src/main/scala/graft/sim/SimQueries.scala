@@ -1094,23 +1094,53 @@ object SimQueries {
       .orderBy("cell")
   }
 
+  /** Frozen-model assignment + coding of ANY (vec_id, v double[]) frame
+    * against a deployed model (cents (aj, j, c) / anchors (j, c) /
+    * codebooks (m, j, c)) — (vec_id, m, code, cell), one row per
+    * subspace. STATELESS by construction: the two-level cell assignment
+    * and the codeword argmin are broadcast-static joins + narrow maps
+    * with no window, aggregate, or self-join over the input — which is
+    * what lets the SAME code serve a STREAMING ingest
+    * ([[graft.streaming.VecStreams.ingestCodes]]): each arriving vector
+    * is coded row-locally against the broadcast model, exactly as the
+    * batch path codes it. The cell rides through the sub-vector explode
+    * instead of being joined back on vec_id — a join of two
+    * stream-derived frames would be a stateful stream-stream join.
+    */
+  private[graft] def frozenModelCodes(v: DataFrame, cents: DataFrame,
+      anchors: DataFrame, cb: DataFrame): DataFrame = {
+    val withCell = kmAssignIndexed(v, Quantizer(cents, anchors, 0))
+      .select(col("vec_id"), col("v"), col("j").as("cell"))
+    val cs = broadcast(cb.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("j"), col("c"),
+        dot(col("c"), col("c")).as("cc")))).as("cs")))
+    withCell
+      .select(col("vec_id"), col("cell"),
+        posexplode(array((0 until PqM).map(m => pqSlice(col("v"), lit(m))): _*))
+          .as(Seq("m", "v")))
+      .join(cs, "m")
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("best",
+        array_min(transform(col("cs"), e =>
+          struct(
+            (col("vv") + e.getField("cc")
+              - lit(2.0) * dot(col("v"), e.getField("c"))).as("dist"),
+            e.getField("j").as("j")))))
+      .select(col("vec_id"), col("m"),
+        col("best").getField("j").as("code"), col("cell"))
+  }
+
   /** Full-corpus code rebuild at the PERSISTED (frozen) model — the
     * comparison side of SimSpec's append-vs-rebuild attestation: reads
     * the persisted centroids/anchors/codebooks and recomputes every
-    * vector's (cell, codes) in one pass.
+    * vector's (cell, codes) in one pass through [[frozenModelCodes]].
     */
   private[graft] def ivfpqRebuildCodes(s: SparkSession, d: String): DataFrame = {
     import graft.sources.Warehouse
-    val base = vecs(s, d).select(col("vec_id"), col("v"))
-    val qP = Quantizer(
+    frozenModelCodes(vecs(s, d).select(col("vec_id"), col("v")),
       s.table(s"${Warehouse.Schema}.$IvfCentroidsTable"),
-      s.table(s"${Warehouse.Schema}.$IvfAnchorsTable"), 0)
-    val cells = kmAssignIndexed(base, qP)
-      .select(col("vec_id"), col("j").as("cell"))
-    pqAssign(pqSubVecs(base),
-        s.table(s"${Warehouse.Schema}.$PqCodebooksTable"))
-      .select(col("vec_id"), col("m"), col("j").as("code"))
-      .join(cells, "vec_id")
+      s.table(s"${Warehouse.Schema}.$IvfAnchorsTable"),
+      s.table(s"${Warehouse.Schema}.$PqCodebooksTable"))
   }
 
   /** Prefix dimensionality for the matryoshka two-stage retrieval. */

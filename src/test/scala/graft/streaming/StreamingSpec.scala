@@ -201,6 +201,43 @@ class StreamingSpec extends SparkSpec {
     assert(top(1) === 1 && top(3) === 8L)
   }
 
+  test("VecStreams.ingestCodes: arriving vectors coded against the persisted model == batch rebuild") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // deploy the frozen model (trains on the old split, persists tables)
+    graft.sim.SimQueries.ivfpqIncremental.frame(spark, sf).collect()
+    // stream a handful of corpus vectors in two micro-batches
+    val rows = graft.Tables.embeddings(spark, sf)
+      .orderBy("vec_id").limit(7)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toSeq))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = VecStreams.ingestCodes(stream.toDF().toDF("vec_id", "v"))
+      .writeStream.format("memory").queryName("ingest_codes")
+      .outputMode("append").start()
+    stream.addData(rows.take(3).toSeq: _*)
+    q.processAllAvailable()
+    stream.addData(rows.drop(3).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+        r.getAs[Int]("code"), r.getAs[Int]("cell"))
+    val streamed = spark.table("ingest_codes").collect().map(key).toSet
+    val ids = rows.map(_._1).toSet
+    val rebuilt = graft.sim.SimQueries.ivfpqRebuildCodes(spark, sf)
+      .collect().map(key).filter(k => ids(k._1)).toSet
+    assert(streamed === rebuilt)
+    assert(streamed.size === rows.length * SimFnsPqM)
+  }
+
+  private val SimFnsPqM = graft.sim.SimFns.PqM
+
   test("dedupEvents: duplicate event_id within watermark is dropped") {
     val spark0 = spark
     import spark0.implicits._
