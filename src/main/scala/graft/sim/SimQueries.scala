@@ -677,20 +677,23 @@ object SimQueries {
     * recipe with m riding the key. Empty cells keep their codeword.
     */
   private def pqUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
-    // one shuffle, not two: the kmMeans element-wise quantized-LONG fold
-    // keyed by (m, j) — identical doubles (integer adds commute), oracle
-    // per-(j, pos) AVG recipe unchanged
+    // NOT the kmMeans collect_list fold: PQ sweeps run over the FULL
+    // corpus's sub-vectors (PqM rows per vector), so a per-(m, j)
+    // collect_list would buffer ~n*PqM/(PqM*PqK) vectors in ONE
+    // aggregation state — corpus-sized reducer memory. The exploded
+    // per-(m, j, pos) quantized-LONG sum partial-aggregates map-side and
+    // shuffles a CONSTANT PqM x PqK x PqSub = 512 reduce keys whatever
+    // the corpus size; kmMeans can afford the fused fold only because
+    // its training inputs are sample/cap-bounded.
     val upd = assigned
+      .select(col("m"), col("j"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("j"), col("pos"))
+      .agg((sum(graft.api.Det.quantize(col("x"), 9)) /
+        (lit(graft.api.Det.pow10(9)) * count(lit(1)))).as("mu"))
       .groupBy(col("m"), col("j"))
-      .agg(
-        aggregate(collect_list(col("v")),
-          array_repeat(lit(0L), PqSub),
-          (acc, v) => zip_with(acc,
-            transform(v, x => graft.api.Det.quantize(x, 9)),
-            (a, q) => a + q)).as("sq"),
-        count(lit(1)).as("cnt"))
-      .select(col("m"), col("j"), transform(col("sq"),
-        q => q / (lit(graft.api.Det.pow10(9)) * col("cnt"))).as("cn"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("cn"))
     prev.as("p").join(upd.as("u"),
         col("p.m") === col("u.m") && col("p.j") === col("u.j"), "left")
       .select(col("p.m").as("m"), col("p.j").as("j"),
