@@ -240,7 +240,19 @@ object EventQueries {
     "events_funnel",
     "3-stage ordered funnel per user (view->click->purchase) + conversion lags",
     EventOracle.funnelSql) { (s, d) =>
-    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    funnelRollup(funnelPerUser(Tables.events(s, d)))
+  }
+
+  /** The batch per-user stage-times frame (user_id, t_view, t_click,
+    * t_purchase — later stages NULL where unreached): first view, first
+    * click strictly after it, first purchase strictly after that. Under
+    * per-user in-order delivery this equals what the streaming keyed
+    * state machine ([[graft.streaming.EventStreams.funnelStages]])
+    * accumulates — StreamingSpec asserts frame-level parity.
+    */
+  def funnelPerUser(e0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = e0.select(col("user_id"), col("event_type"), col("ts"))
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
     val c = e.filter(col("event_type") === "click").join(v, "user_id")
@@ -252,14 +264,36 @@ object EventQueries {
       .agg(min(col("ts")).as("t_purchase"))
     v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
       .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
-      .agg(
-        count(col("t_view")).as("n_view"),
-        count(col("t_click")).as("n_click"),
-        count(col("t_purchase")).as("n_purchase"),
-        (count(col("t_purchase")) / count(col("t_view"))).as("conv_rate"),
-        (sum(unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
-          / (lit(1e6) * count(col("t_purchase")))).as("avg_lag_s"))
   }
+
+  /** The funnel ROLLUP tail over a per-user stage-times frame — shared
+    * by the batch query and the streaming readout (the
+    * [[gapfillReadout]]/[[anomalyReadout]] pattern): stage counts,
+    * conversion rate, mean view->purchase lag, reading only the
+    * model-sized per-user frame (in streaming, the pivot of the sink's
+    * stage-completion rows), never raw events.
+    */
+  def funnelRollup(perUser: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    perUser.agg(
+      count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_click"),
+      count(col("t_purchase")).as("n_purchase"),
+      (count(col("t_purchase")) / count(col("t_view"))).as("conv_rate"),
+      (sum(unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+        / (lit(1e6) * count(col("t_purchase")))).as("avg_lag_s"))
+
+  /** Pivot of the streamed stage-completion rows (user_id, stage, ts —
+    * each stage emitted at most once per user) back into the
+    * [[funnelPerUser]] frame shape, for the shared [[funnelRollup]].
+    */
+  def funnelPerUserFromStages(stages: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    stages.groupBy(col("user_id"))
+      .agg(
+        max(when(col("stage") === "view", col("ts"))).as("t_view"),
+        max(when(col("stage") === "click", col("ts"))).as("t_click"),
+        max(when(col("stage") === "purchase", col("ts"))).as("t_purchase"))
 
   /** Weekly retention cohorts: users grouped by first-seen week, counted
     * in each later week they return — the triangle matrix behind every

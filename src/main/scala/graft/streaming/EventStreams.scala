@@ -246,6 +246,67 @@ object EventStreams {
       .toDF("user_id", "version", "state", "valid_from", "valid_to")
   }
 
+  /** Ordered-funnel stage tracking as keyed streaming state — the
+    * continuous twin of the batch `events_funnel` (the MATCH_RECOGNIZE
+    * class the batch query solves with conditional-min joins): per user,
+    * the three first-times (first view, first click strictly after it,
+    * first purchase strictly after that) live in flatMapGroupsWithState
+    * state; each stage COMPLETION emits one append-mode row
+    * (user_id, stage, ts) — at most three per user ever, composable with
+    * the exactly-once sink — and the serving-layer readout
+    * ([[graft.events.EventQueries.funnelPerUserFromStages]] +
+    * `funnelRollup`, the gap-fill/SLO extraction pattern) recovers the
+    * batch query's rollup from the model-sized sink. State is three
+    * timestamps per user, dropped with a group timeout at scale.
+    *
+    * Ordering contract: in-batch rows re-sorted (ts, event_id); ACROSS
+    * batches per-user in-order delivery — the [[scd2Closed]] CDC-ingest
+    * contract (a late-arriving EARLIER view could re-open a stage the
+    * batch rule would have anchored differently; that needs
+    * watermark-buffered reordering on top of this machine).
+    * StreamingSpec asserts per-user-frame AND rollup parity with the
+    * batch derivation across a mid-journey micro-batch split.
+    */
+  def funnelStages(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id",
+        "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         gs: GroupState[(java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]) => {
+          val sorted = rows.toSeq.sortWith((a, b) => {
+            val c = a._2.compareTo(b._2)
+            c < 0 || (c == 0 && a._3 < b._3)
+          })
+          var (tv, tc, tp) = gs.getOption.getOrElse(
+            (null: java.sql.Timestamp, null: java.sql.Timestamp,
+              null: java.sql.Timestamp))
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, String, java.sql.Timestamp)]
+          sorted.foreach { case (_, ts, _, et) =>
+            et match {
+              case "view" if tv == null =>
+                tv = ts; out += ((user, "view", ts))
+              case "click" if tv != null && tc == null
+                  && ts.compareTo(tv) > 0 =>
+                tc = ts; out += ((user, "click", ts))
+              case "purchase" if tc != null && tp == null
+                  && ts.compareTo(tc) > 0 =>
+                tp = ts; out += ((user, "purchase", ts))
+              case _ => ()
+            }
+          }
+          gs.update((tv, tc, tp))
+          out.iterator
+        })
+      .toDF("user_id", "stage", "ts")
+  }
+
   def valueAlerts(events: DataFrame, threshold: Double = 100.0): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

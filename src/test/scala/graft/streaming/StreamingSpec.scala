@@ -201,6 +201,62 @@ class StreamingSpec extends SparkSpec {
     assert(top(1) === 1 && top(3) === 8L)
   }
 
+  test("funnelStages: keyed-state funnel == batch conditional-min derivation across a mid-journey split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // user 1: full journey SPLIT across batches (view b1; click+purchase
+    // b2). user 2: click before any view (must not count) then a valid
+    // view. user 3: view+click in b1, no purchase. user 4: purchase
+    // before click (must not count).
+    val batch1 = Seq(
+      Ev(1, t(1), 1, "view", 1.0, "{}"),
+      Ev(2, t(2), 2, "click", 1.0, "{}"),
+      Ev(3, t(3), 3, "view", 1.0, "{}"),
+      Ev(4, t(4), 3, "click", 1.0, "{}"),
+      Ev(5, t(5), 4, "view", 1.0, "{}"))
+    val batch2 = Seq(
+      Ev(6, t(6), 1, "click", 1.0, "{}"),
+      Ev(7, t(9), 1, "purchase", 1.0, "{}"),
+      Ev(8, t(7), 2, "view", 1.0, "{}"),
+      Ev(9, t(8), 4, "purchase", 1.0, "{}"))
+
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.funnelStages(stream.toDF())
+      .writeStream.format("memory").queryName("funnel_stages")
+      .outputMode("append").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedPerUser = graft.events.EventQueries
+      .funnelPerUserFromStages(spark.table("funnel_stages"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val batchPerUser = graft.events.EventQueries
+      .funnelPerUser((batch1 ++ batch2).toDF())
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(streamedPerUser === batchPerUser)
+    assert(streamedPerUser.size === 4) // every user has a view
+    // user 1's cross-batch journey completed; users 2/4 rejected the
+    // out-of-order stages exactly like the batch rule
+    val rollupS = graft.events.EventQueries.funnelRollup(
+      graft.events.EventQueries
+        .funnelPerUserFromStages(spark.table("funnel_stages")))
+      .collect()(0)
+    assert(rollupS.getAs[Long]("n_view") === 4L)
+    assert(rollupS.getAs[Long]("n_click") === 2L) // users 1, 3
+    assert(rollupS.getAs[Long]("n_purchase") === 1L) // user 1 only
+    assert(rollupS.getAs[Double]("avg_lag_s") === 480.0) // 00:01 -> 00:09
+    val rollupB = graft.events.EventQueries.funnelRollup(
+      graft.events.EventQueries.funnelPerUser((batch1 ++ batch2).toDF()))
+      .collect()(0)
+    assert(rollupS.toSeq === rollupB.toSeq)
+  }
+
   test("VecStreams.ingestCodes: arriving vectors coded against the persisted model == batch rebuild") {
     val spark0 = spark
     import spark0.implicits._
