@@ -118,6 +118,40 @@ object Warehouse {
     * table `<table>_compacting` to recover from. Table-format layers
     * (Iceberg/Delta) solve this with snapshot commits.
     */
+  /** Partition-level compaction — the maintenance step
+    * [[appendTable]]-driven tables eventually need: every incremental
+    * batch adds files to the partitions it touches (one per task), and
+    * after many batches a hot partition's scan pays per-file open +
+    * footer costs. Rewrites ONE partition's rows into `targetFiles`
+    * files via dynamic partition overwrite (only the written partition
+    * is replaced; sibling partitions' files are untouched — the
+    * whole-table [[compact]] would rewrite 100% to fix 1%). The
+    * partition is materialized (localCheckpoint) before the overwrite —
+    * Spark refuses an insert that reads from its own target. Same
+    * non-atomicity caveat as [[compact]]: a crash mid-write leaves the
+    * partition partially rewritten; table formats with snapshot commits
+    * solve this properly.
+    */
+  def compactPartition(spark: SparkSession, table: String,
+      partCol: String, value: Any, targetFiles: Int = 1): Unit = {
+    val qualified = s"$Schema.$table"
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val rows = spark.table(qualified)
+        .filter(org.apache.spark.sql.functions.col(partCol) === value)
+        .repartition(targetFiles)
+        .localCheckpoint()
+      rows.write.mode(SaveMode.Overwrite).insertInto(qualified)
+      graft.api.Checkpoints.release(rows)
+    } finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def compact(spark: SparkSession, table: String, targetFiles: Int): Unit = {
     val qualified = s"$Schema.$table"
     val meta = spark.sessionState.catalog.getTableMetadata(

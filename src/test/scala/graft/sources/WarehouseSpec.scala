@@ -31,6 +31,36 @@ class WarehouseSpec extends SparkSpec {
     assert(after.inputFiles.length <= 2)
   }
 
+  test("compactPartition: appends fragment one partition; compaction heals ONLY it") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val base = (1L to 40L).map(i => (i, s"v$i", (i % 4).toInt))
+      .toDF("id", "payload", "cell")
+    Warehouse.replacePartitioned(base, "codes_frag", "cell")
+    // three incremental batches land in cell 2 only -> its file count grows
+    (1 to 3).foreach { b =>
+      Warehouse.appendTable(
+        Seq((100L + b, s"w$b", 2)).toDF("id", "payload", "cell"),
+        "codes_frag", Some("cell"))
+    }
+    val t = s"${Warehouse.Schema}.codes_frag"
+    def filesOf(cell: Int) = spark.table(t)
+      .filter(col("cell") === cell).inputFiles.sorted.toSeq
+    val hotBefore = filesOf(2)
+    val coldBefore = filesOf(1)
+    assert(hotBefore.size > coldBefore.size, "appends did not fragment")
+    val rowsBefore = spark.table(t).filter(col("cell") === 2)
+      .collect().map(_.toSeq).toSet
+    Warehouse.compactPartition(spark, "codes_frag", "cell", 2)
+    assert(filesOf(2).size === 1, "hot partition not compacted to 1 file")
+    // untouched partitions keep their exact files; content identical
+    assert(filesOf(1) === coldBefore, "sibling partition was rewritten")
+    assert(spark.table(t).filter(col("cell") === 2)
+      .collect().map(_.toSeq).toSet === rowsBefore)
+    assert(spark.table(t).count() === 43)
+  }
+
   test("ANALYZE TABLE feeds row-count stats to the optimizer (CBO input)") {
     Warehouse.loadAll(spark, sf)
     spark.sql(s"ANALYZE TABLE ${Warehouse.Schema}.loan_final COMPUTE STATISTICS")
