@@ -1023,6 +1023,76 @@ object SimOracle {
     SELECT qid, rn, vec_id, adc_dist FROM ivpr WHERE rn <= 10
     ORDER BY qid, rn"""
 
+  /** Adaptive-nprobe twin ([[SimQueries.ivfAdaptive]]): the shared
+    * [[kmeansChain]] (trained cells + full-corpus assignment), a
+    * per-(query, centroid) distance CTE with the identical
+    * qq + cc - 2 q.c doubles, the rn=1-unconditional eps*d1 probe rule,
+    * candidate restriction to the probed cells, exact-cosine top-10,
+    * and the standard recall LEFT JOIN against the brute-force truth —
+    * n_probed riding each row.
+    */
+  def ivfAdaptiveSql: String = {
+    import SimFns.KmeansIters
+    import SimQueries.{AdaptProbeEps, AdaptProbeMax}
+    val finK = KmeansIters + 1
+    s"""
+    WITH $baseCtes,
+    $kmeansChain,
+    aq AS MATERIALIZED (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+        ${dotIdx("v", "v")} AS qq
+      FROM n WHERE vec_id % 100 = 0
+    ),
+    acd AS MATERIALIZED (
+      SELECT q.qid, q.qv, q.qnrm, ct.j AS cell,
+        q.qq + ${dotIdx("ct.c", "ct.c")} - 2.0 * ${dotIdx("q.qv", "ct.c")}
+          AS cdist
+      FROM aq q CROSS JOIN c$KmeansIters ct
+    ),
+    aprn AS MATERIALIZED (
+      SELECT qid, qv, qnrm, cell,
+        COUNT(*) OVER (PARTITION BY qid) AS n_probed
+      FROM (
+        SELECT qid, qv, qnrm, cell FROM (
+          SELECT qid, qv, qnrm, cell, cdist,
+            MIN(cdist) OVER (PARTITION BY qid) AS d1,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cdist, cell) AS rn
+          FROM acd
+        ) WHERE rn <= $AdaptProbeMax
+          AND (rn = 1 OR cdist <= $AdaptProbeEps * d1)
+      )
+    ),
+    apk AS MATERIALIZED (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+            ${dotIdx("p.qv", "x.v")} / (p.qnrm * x.nrm) DESC, a.vec_id)
+            AS rk
+        FROM aprn p
+        JOIN a$finK a ON a.j = p.cell AND a.vec_id <> p.qid
+        JOIN n x ON x.vec_id = a.vec_id
+      ) WHERE rk <= 10
+    ),
+    abp AS (
+      SELECT q.qid, x.vec_id,
+        ${dotIdx("q.qv", "x.v")} / (q.qnrm * x.nrm) AS cosine
+      FROM aq q JOIN n x ON x.vec_id <> q.qid
+    ),
+    abf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rn
+        FROM abp
+      ) WHERE rn <= 10
+    )
+    SELECT b.qid, COUNT(m.vec_id) AS n_hits,
+      COUNT(m.vec_id) / 10.0::DOUBLE AS recall,
+      (SELECT DISTINCT n_probed FROM aprn p WHERE p.qid = b.qid) AS n_probed
+    FROM abf b LEFT JOIN apk m ON b.qid = m.qid AND b.vec_id = m.vec_id
+    GROUP BY b.qid ORDER BY b.qid"""
+  }
+
   /** Incremental-maintenance twin ([[SimQueries.ivfpqIncremental]]):
     * `e` is REDEFINED as the hash-kept OLD corpus (hash60(vec_id) % 10
     * <> 0) so [[kmeansChain]] and the per-subspace PQ chains train on

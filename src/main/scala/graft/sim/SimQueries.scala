@@ -240,6 +240,97 @@ object SimQueries {
       .orderBy("qid")
   }
 
+  /** Adaptive-probe slack: a cell is probed while its centroid distance
+    * is within [[AdaptProbeEps]] x the nearest centroid's, capped at
+    * [[AdaptProbeMax]] cells.
+    */
+  val AdaptProbeEps = 1.2
+  val AdaptProbeMax = 4
+
+  /** IVF with PER-QUERY adaptive nprobe — the [[matryoshkaAdaptive]]
+    * self-tuning recipe applied to the probe width: a fixed nprobe
+    * over-scans easy queries (one dominant cell) and under-scans hard
+    * ones (near a cell boundary, several near-equidistant centroids).
+    * The rule is data-derived per query: probe every trained cell whose
+    * centroid distance <= [[AdaptProbeEps]] x the nearest centroid's
+    * distance, capped at [[AdaptProbeMax]] — boundary queries fan out,
+    * interior queries stay at 1 cell. Graded like the other `ann_*`
+    * recall artifacts (truth = brute-force cosine top-10), with
+    * n_probed riding each row so the cost of the recall is visible
+    * per query.
+    *
+    * Scale shape: the rule adds NOTHING to the probe's data path — the
+    * per-query centroid scoring it needs already exists (the fixed-
+    * nprobe probe ranks the same distances), the threshold is one
+    * window min over k model-state rows per query, and the candidate
+    * read stays the probed cells' partitions. Determinism: the same
+    * vv + cc - 2 v.c doubles as every kmeans consumer; the <= eps*d1
+    * comparison is a single multiply both engines evaluate identically;
+    * ties in the cap rank break on cell id.
+    */
+  val ivfAdaptive: GraftQuery = GraftQuery(
+    "ann_ivf_adaptive_nprobe",
+    s"IVF with per-query adaptive nprobe (cells within ${AdaptProbeEps}x of nearest, cap $AdaptProbeMax): recall@10 + probed-cell count",
+    SimOracle.ivfAdaptiveSql) { (s, d) =>
+    val base = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(eager = false)
+    val vv = base.select(col("vec_id"), col("v"))
+    val quant = trainQuantizer(vv)
+    val cells = kmAssignIndexed(vv, quant)
+      .select(col("vec_id"), col("j").as("cell"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    // per-(query, cell) centroid distances from the broadcast model
+    val cs = broadcast(quant.cents.agg(array_sort(collect_list(
+      struct(col("j"), col("c"), dot(col("c"), col("c")).as("cc"))))
+      .as("cs")))
+    val wq = Window.partitionBy(col("qid"))
+    val wr = wq.orderBy(col("cdist"), col("cell"))
+    val probed = q.crossJoin(cs)
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        explode(transform(col("cs"), e =>
+          struct(
+            (col("qq") + e.getField("cc")
+              - lit(2.0) * dot(col("qv"), e.getField("c"))).as("cdist"),
+            e.getField("j").as("cell")))).as("pc"))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        col("pc").getField("cdist").as("cdist"),
+        col("pc").getField("cell").as("cell"))
+      .withColumn("d1", min(col("cdist")).over(wq))
+      .withColumn("rn", row_number().over(wr))
+      // rn = 1 is unconditional: floating cancellation can leave d1 a
+      // hair NEGATIVE for a query sitting on its centroid, where
+      // eps*d1 < d1 would reject even the nearest cell
+      .filter(col("rn") <= AdaptProbeMax
+        && (col("rn") === 1
+          || col("cdist") <= lit(AdaptProbeEps) * col("d1")))
+      .withColumn("n_probed", count(lit(1)).over(wq))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cell"),
+        col("n_probed"))
+    // candidates = probed cells' members; exact cosine top-10
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    val picks = probed
+      .join(cells, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(base.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cosine",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= 10)
+      .select(col("qid").as("aq"), col("vec_id").as("av"))
+    val bf = bruteforce.frame(s, d).select(col("qid"), col("vec_id"))
+    bf.join(picks, col("qid") === col("aq") && col("vec_id") === col("av"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(col("av")).as("n_hits"),
+        (count(col("av")) / lit(10.0)).as("recall"))
+      .join(probed.select(col("qid"), col("n_probed")).distinct(), "qid")
+      .orderBy("qid")
+  }
+
   /** Int8 max-abs quantization of the embedding column — the storage/
     * bandwidth scale path for a 100 TB vector corpus (4x smaller than
     * float32, 8x smaller than the double working form): per-vector scale
@@ -1880,7 +1971,8 @@ object SimQueries {
 
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
-      retrieval, vectorStats, ivfTopk, ivfRecall, int8Quant, kmeans,
+      retrieval, vectorStats, ivfTopk, ivfRecall, ivfAdaptive, int8Quant,
+      kmeans,
       semanticDedup, dimTruncation, hybridSearch, chunkHybrid, pqTopk,
       pqRecall,
       clusterTopics, ivfpqTopk, ivfpqRerank, ivfpqPersisted,

@@ -310,6 +310,21 @@ class SimSpec extends SparkSpec {
     assert(appended.size.toLong === n * SimFns.PqM)
   }
 
+  test("ivf adaptive nprobe: probe width within [1, cap], recall well-formed, deterministic") {
+    val rows = SimQueries.ivfAdaptive.frame(spark, sf).collect()
+    assert(rows.length === 5) // one row per query at sf0.001
+    rows.foreach { r =>
+      val np = r.getAs[Long]("n_probed")
+      assert(np >= 1 && np <= SimQueries.AdaptProbeMax,
+        s"probe width $np outside [1, ${SimQueries.AdaptProbeMax}]")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === r.getAs[Long]("n_hits") / 10.0)
+    }
+    val again = SimQueries.ivfAdaptive.frame(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("matryoshka adaptive: data-derived dim, recall >= the fixed-16 pipeline") {
     val rows = SimQueries.matryoshkaAdaptive.frame(spark, sf).collect()
     assert(rows.nonEmpty)
