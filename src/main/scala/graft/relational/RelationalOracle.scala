@@ -252,6 +252,116 @@ object RelationalOracle {
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment"""
 
+  /** Q15-shape twin — dialect-shared: a grouped derived table (the Q15
+    * `revenue` view) referenced TWICE — once as the join input, once
+    * inside an UNCORRELATED scalar-MAX subquery that selects the
+    * winner(s). The remaining classic after Q2/Q17/Q18/Q20/Q21/Q22:
+    * view + scalar-aggregate-over-the-view. Quantized-LONG revenue makes
+    * the MAX and the `=` selection bit-identical across engines and
+    * partitionings (a raw double SUM would tie-break differently run to
+    * run); s_suppkey is unique so the ORDER BY is total.
+    */
+  val topSupplierSql: String = s"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        ${sumDec("l_extendedprice * (1 - l_discount)")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey"""
+
+  /** Q8-shape twin — dialect-shared: national market share. The 8-relation
+    * join (nation joined TWICE — customer-side region filter and the
+    * supplier's nation as a measure dimension) feeds a share-of-total
+    * CASE ratio per order year. Both sums are quantized LONGs; the ratio
+    * divides their exact doubles AFTER an explicit CAST to DOUBLE on
+    * both engines (a decimal-typed division would round by
+    * engine-specific precision rules). EXTRACT(YEAR) is cast to BIGINT
+    * so the grouping key's physical type matches across engines.
+    */
+  val marketShareSql: String = s"""
+    SELECT o_year,
+      CAST(${sumDec("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END")} AS DOUBLE)
+        / CAST(${sumDec("volume")} AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+        l.l_extendedprice * (1 - l.l_discount) AS volume,
+        n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year"""
+
+  /** Q10-shape twin — dialect-shared: returned-item losses. Output
+    * columns adapted to this schema (no c_address/c_phone/c_comment);
+    * ORDER BY quantized revenue DESC with the unique c_custkey as
+    * tiebreak makes the LIMIT 20 total and engine-invariant.
+    */
+  val returnedItemSql: String = s"""
+    SELECT c.c_custkey, c.c_name,
+      ${sumDec("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+      c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  /** Q14-shape twin — dialect-shared: promo revenue share, a one-row
+    * conditional-aggregate ratio over a month of shipments. Same
+    * CAST-to-DOUBLE division contract as [[marketShareSql]]; the 100.0
+    * scaling multiplies the already-identical double.
+    */
+  val promoShareSql: String = s"""
+    SELECT 100.0 * CAST(${sumDec(
+      "CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")} AS DOUBLE)
+      / CAST(${sumDec("l.l_extendedprice * (1 - l.l_discount)")} AS DOUBLE)
+      AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"""
+
+  /** Q19-shape twin — dialect-shared: three OR'd conjunctive predicate
+    * blocks, each referencing BOTH join sides (brand+size on part,
+    * quantity on lineitem — shipmode/shipinstruct don't exist in this
+    * schema, so the bands carry the whole disjunction). The planner
+    * cannot push the disjunction whole; it must extract each side's
+    * common disjunctive component (CNF conversion) so the part scan
+    * still receives an Or'd brand/size filter — PlanSpec pins that.
+    */
+  val brandBandRevenueSql: String = s"""
+    SELECT ${sumDec("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+      OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+      OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity >= 20 AND l.l_quantity <= 30)"""
+
   /** Oracle for the BLOOM-PREFILTERED join is the PLAIN join+agg — the
     * prefilter must be exactly semantics-preserving (false positives die
     * in the equi-join; there are no false negatives).

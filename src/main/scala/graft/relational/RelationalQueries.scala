@@ -376,6 +376,102 @@ object RelationalQueries {
     s.sql(RelationalOracle.inactiveHighBalanceSql)
   }
 
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape): the grouped
+    * `revenue` CTE is consumed twice — joined to the supplier dim AND
+    * reduced by an uncorrelated scalar MAX that picks the winner. 100 TB
+    * shape: ONE lineitem shuffle produces the per-supplier rollup
+    * (filter pushed to the scan, map-side partial sums); the scalar MAX
+    * runs over that model-sized rollup as an independent one-row job
+    * (never a per-row re-aggregation), and the final selection is an
+    * equi-join between two supplier-dimension-sized frames. PlanSpec
+    * pins that no correlated subquery survives and the winner filter
+    * arrives as a scalar-subquery comparison, not a re-scan of
+    * lineitem. Dialect-shared SQL (the Q2/Q17..Q22 convention).
+    */
+  val topSupplier: GraftQuery = GraftQuery(
+    "quarterly_top_supplier",
+    "grouped CTE + uncorrelated scalar-MAX winner selection (TPC-H Q15 shape)",
+    RelationalOracle.topSupplierSql) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(RelationalOracle.topSupplierSql)
+  }
+
+  /** National market share (TPC-H Q8 shape): the 8-relation acyclic star
+    * with nation joined TWICE under different roles (customer-side
+    * region restriction vs supplier-side measure dimension — the alias
+    * disambiguation stress), reduced to a per-year share-of-total CASE
+    * ratio. 100 TB shape: region/nation/part/supplier broadcast, the
+    * fact chain shuffles once on l_orderkey for the orders join and once
+    * for o_custkey⋈customer, then ONE partial-agg shuffle carries two
+    * quantized-LONG sums per year — the share division happens on the
+    * handful of year rows. Dialect-shared SQL.
+    */
+  val marketShare: GraftQuery = GraftQuery(
+    "nation_market_share",
+    "double-role nation join + per-year share-of-total ratio (TPC-H Q8 shape)",
+    RelationalOracle.marketShareSql) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(RelationalOracle.marketShareSql)
+  }
+
+  /** Returned-item losses (TPC-H Q10 shape): quarter-scoped
+    * customer⋈orders⋈lineitem(R-flag) rollup, top 20 by lost revenue.
+    * 100 TB shape: both date bounds and the returnflag filter reach the
+    * scans as PushedFilters, the nation dim broadcasts, and the LIMIT
+    * runs as TakeOrderedAndProject over the per-customer aggregate —
+    * never a global sort of the fact. c_custkey tiebreak keeps the cut
+    * total (revenue alone can tie).
+    */
+  val returnedItems: GraftQuery = GraftQuery(
+    "returned_item_losses",
+    "quarter + returnflag rollup, top-20 customers by lost revenue (TPC-H Q10 shape)",
+    RelationalOracle.returnedItemSql) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(RelationalOracle.returnedItemSql)
+  }
+
+  /** Promo revenue share (TPC-H Q14 shape): one-row conditional-aggregate
+    * ratio over a month of shipments — the CASE partial sums ride the
+    * same single agg pass as the denominator (one scan, zero extra
+    * shuffles), the part type arrives via a broadcast join.
+    */
+  val promoShare: GraftQuery = GraftQuery.oneRow(
+    "promo_revenue_share",
+    "one-row conditional-aggregate ratio (TPC-H Q14 shape)",
+    RelationalOracle.promoShareSql) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(RelationalOracle.promoShareSql)
+  }
+
+  /** Brand/size/quantity band revenue (TPC-H Q19 shape): three OR'd
+    * conjunctive blocks each spanning BOTH join sides — the classic
+    * disjunctive-pushdown stress. The whole disjunction can't be pushed;
+    * Catalyst must extract each side's common component (CNF
+    * conversion), so the part scan still receives the Or'd brand/size
+    * filter and the lineitem scan the Or'd quantity bands — at 100 TB
+    * that's the difference between scanning ~3 brands' row groups and
+    * all 25. PlanSpec pins the pushed Or on the part scan.
+    */
+  val brandBandRevenue: GraftQuery = GraftQuery.oneRow(
+    "brand_band_revenue",
+    "OR'd two-sided predicate blocks with CNF-extracted pushdown (TPC-H Q19 shape)",
+    RelationalOracle.brandBandRevenueSql) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(RelationalOracle.brandBandRevenueSql)
+  }
+
   /** Manual runtime-filter join: a Bloom filter built over the SELECTIVE
     * side's join keys (`bloom_filter_agg`) is broadcast and probed
     * (`might_contain`) on the fact side BEFORE the shuffle — at 100 TB
@@ -712,7 +808,8 @@ object RelationalQueries {
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,
-    cheapestSupplier, surgeSuppliers,
+    cheapestSupplier, surgeSuppliers, topSupplier,
+    marketShare, returnedItems, promoShare, brandBandRevenue,
     bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,

@@ -253,6 +253,26 @@ class PlanSpec extends SparkSpec {
       "order-date range not pushed to the orders scan")
   }
 
+  test("brand_band_revenue: CNF extraction pushes the Or'd brand filter to the part scan") {
+    val df = SparkEntry.queries("brand_band_revenue")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole three-block disjunction spans both join sides and cannot
+    // be pushed — but its per-side common components must be: the part
+    // scan gets an Or over p_brand (without it, 100 TB reads all 25
+    // brands' row groups instead of 3)
+    val pushedOr = "PushedFilters: \\[[^\\]]*Or\\([^\\]]*p_brand".r
+    val pushedOr2 = "PushedFilters: \\[[^\\]]*p_brand[^\\]]*Or".r
+    assert(pushedOr.findFirstIn(plan).isDefined
+      || pushedOr2.findFirstIn(plan).isDefined,
+      s"Or'd brand filter not pushed to the part scan:\n$plan")
+    // and the join itself stays an equi hash join on p_partkey — the
+    // residual disjunction rides as a join/post filter, never a
+    // nested-loop condition
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+  }
+
   test("multimodal_thumbnail: narrow map plan — no exchange before the sort") {
     val df = SparkEntry.queries("multimodal_thumbnail")(spark, sf)
     df.collect()
@@ -585,6 +605,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin LeftAnti")
       && !plan.contains("CartesianProduct"),
       s"anti join degraded to a per-row probe:\n$plan")
+  }
+
+  test("quarterly_top_supplier: winner filter is an uncorrelated scalar MAX over the rollup, not a lineitem re-scan") {
+    val df = SparkEntry.queries("quarterly_top_supplier")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // the scalar MAX is UNCORRELATED — it may survive as a run-once
+    // subquery over the model-sized rollup; any CORRELATED scalar
+    // subquery here would re-aggregate lineitem per output row
+    val scalarSubs = optimized.expressions.flatMap(_.collect {
+      case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => sq
+    })
+    assert(scalarSubs.forall(_.outerAttrs.isEmpty),
+      "a CORRELATED scalar subquery survived optimization")
+    // and the subquery's own plan must be the MAX over the AGGREGATED
+    // revenue rollup (grouped by l_suppkey below it) — never a direct
+    // ungrouped pass over lineitem rows
+    scalarSubs.foreach { sq =>
+      val groupedBelow = sq.plan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.nonEmpty => a
+      }
+      assert(groupedBelow.nonEmpty,
+        s"scalar MAX does not reduce the grouped rollup:\n${sq.plan}")
+    }
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), s"cartesian in:\n$physical")
   }
 
   test("ann_ivfpq_rerank: the refine stage fetches slate vectors via hash joins, no cartesian") {
