@@ -17,7 +17,8 @@ object SparkEntry {
       dedup.DedupQueries.all ++
       sim.SimQueries.all ++
       events.EventQueries.all ++
-      multimodal.MultimodalQueries.all
+      multimodal.MultimodalQueries.all ++
+      layout.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
