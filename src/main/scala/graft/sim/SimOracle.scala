@@ -1637,4 +1637,74 @@ object SimOracle {
       MIN(eq) / 1000000000.0 AS min_energy
     FROM per GROUP BY k ORDER BY k"""
   }
+
+  /** Late-interaction twin: the [[chunkHybridSql]] projection CTEs in
+    * sparse-coordinate form (never densified), the query terms kept as
+    * SEPARATE one-hot rows, per-(doc, term) MaxSim with the
+    * missing-chunk zero clamp, and the per-doc sum — every cosine a
+    * 9-decimal quantized LONG, every aggregate exact.
+    */
+  def lateInteractionSql: String = {
+    import graft.text.TextQueries.Bm25Terms
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH ${graft.text.TextOracle.chunkRowsCtes},
+    pd AS (
+      SELECT doc_id, chunk_id, CAST(h % $Dims AS INTEGER) AS dim,
+        CASE WHEN ((h >> 6) & 1) = 1
+          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+      FROM (
+        SELECT doc_id, chunk_id, ${hash60Sql("term")} AS h
+        FROM (SELECT doc_id, chunk_id, unnest(ctoks) AS term FROM cl)
+      )
+    ),
+    psx AS (
+      SELECT * FROM (
+        SELECT doc_id, chunk_id, dim, SUM(sgn) AS x FROM pd GROUP BY 1, 2, 3
+      ) WHERE x <> 0.0::DOUBLE
+    ),
+    nrm AS (
+      SELECT doc_id, chunk_id, sqrt(SUM(x * x)) AS nrm
+      FROM psx GROUP BY 1, 2
+    ),
+    nch AS (SELECT doc_id, COUNT(*) AS n_chunks FROM cl GROUP BY 1),
+    qd AS (
+      SELECT term, CAST(h % $Dims AS INTEGER) AS dim,
+        CASE WHEN ((h >> 6) & 1) = 1
+          THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS qsgn
+      FROM (SELECT term, ${hash60Sql("term")} AS h
+            FROM (SELECT unnest([$terms]) AS term))
+    ),
+    cand AS (
+      SELECT q.term, p.doc_id, p.chunk_id,
+        CAST(floor(((q.qsgn * p.x) / n.nrm) * 1000000000.0 + 0.5)
+          AS BIGINT) AS cos_q
+      FROM psx p JOIN qd q USING (dim)
+      JOIN nrm n ON n.doc_id = p.doc_id AND n.chunk_id = p.chunk_id
+    ),
+    pt AS (
+      SELECT c.doc_id, c.term,
+        CASE WHEN COUNT(*) < max(h.n_chunks)
+             THEN GREATEST(max(c.cos_q), 0)
+             ELSE max(c.cos_q) END AS maxsim_q
+      FROM cand c JOIN nch h USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    pdoc AS (
+      SELECT doc_id, CAST(SUM(maxsim_q) AS BIGINT) AS sq,
+        CAST(SUM(CASE WHEN maxsim_q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS terms_hit
+      FROM pt GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, sq, terms_hit,
+        CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INTEGER) AS rn
+      FROM pdoc
+    )
+    SELECT r.rn, r.doc_id, r.sq / 1000000000.0 AS li_score, r.terms_hit,
+      h.n_chunks, d.lang, d.source
+    FROM ranked r JOIN nch h USING (doc_id) JOIN documents d USING (doc_id)
+    WHERE r.rn <= 10
+    ORDER BY r.rn"""
+  }
 }

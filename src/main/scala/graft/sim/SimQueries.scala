@@ -1641,18 +1641,8 @@ object SimQueries {
     SimOracle.chunkHybridSql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
-    val cl = graft.text.TextQueries.chunkRowsFrame(docs)
     // feature-hash projection of every chunk into the Dims-dim space
-    val pd = cl
-      .select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("term"))
-      .withColumn("h", graft.text.TextFns.hash60(col("term")))
-      .select(col("doc_id"), col("chunk_id"),
-        (col("h") % Dims).cast("int").as("dim"),
-        when(shiftright(col("h"), 6).bitwiseAND(lit(1L)) === 1, lit(1.0))
-          .otherwise(lit(-1.0)).as("sgn"))
-    val cv = pd
-      .groupBy(col("doc_id"), col("chunk_id"), col("dim"))
-      .agg(sum(col("sgn")).as("x"))
+    val cv = chunkSparseCoords(docs)
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(map_from_entries(collect_list(struct(col("dim"), col("x"))))
         .as("m"))
@@ -1703,6 +1693,92 @@ object SimQueries {
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .select(col("doc_id"), col("chunk_id"), col("rn"),
         (col("sq") / lit(1e9)).as("rrf"), col("lang"), col("source"))
+      .orderBy("rn")
+  }
+
+  /** Sparse hashing-trick chunk coordinates (doc_id, chunk_id, dim, x) —
+    * the shared projection behind [[chunkHybrid]]'s dense chunk vectors
+    * and [[lateInteraction]]'s coordinate postings: each token of each
+    * chunk lands in dim = hash60(token) % [[SimFns.Dims]] with a ±1 sign
+    * from hash bit 6, summed per (chunk, dim). One narrow explode + one
+    * (chunk, dim)-keyed partial agg; nothing dense materializes here.
+    */
+  private[graft] def chunkSparseCoords(docs: DataFrame): DataFrame =
+    graft.text.TextQueries.chunkRowsFrame(docs)
+      .select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("term"))
+      .withColumn("h", graft.text.TextFns.hash60(col("term")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("h") % Dims).cast("int").as("dim"),
+        when(shiftright(col("h"), 6).bitwiseAND(lit(1L)) === 1, lit(1.0))
+          .otherwise(lit(-1.0)).as("sgn"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("dim"))
+      .agg(sum(col("sgn")).as("x"))
+
+  /** ColBERT-style LATE-INTERACTION retrieval — the multi-vector scoring
+    * rule single-vector chunk search cannot express: every query term
+    * keeps its OWN vector (here its hashing-trick projection — a signed
+    * one-hot in the shared [[chunkSparseCoords]] space), each term takes
+    * the MAX cosine over all of a document's chunk vectors (MaxSim), and
+    * the document scores the SUM of its per-term maxima. A term absent
+    * from every chunk contributes 0; a term whose best present chunk is
+    * NEGATIVE clamps to 0 when the doc has any chunk without that
+    * coordinate (the true max includes those chunks' cosine-0).
+    *
+    * Scale shape: the interaction never materializes |terms| × |chunks|
+    * — with one-hot term vectors the per-(term, chunk) cosine is
+    * sgn·x[dim]/‖chunk‖, so candidates are exactly the COORDINATE
+    * POSTINGS at the query terms' dims (an equi-join of the sparse
+    * coords against a broadcast 5-row dim table — the inverted-index
+    * contract of [[graft.text.TextQueries.searchBm25]], here on hash
+    * coordinates, collisions included by construction). Per-doc maxima
+    * and sums are partial aggs on (doc, term) / (doc); the top-10 cut is
+    * a WindowGroupLimit; doc metadata joins after the cut, 10 rows by id.
+    *
+    * Determinism: per-(term, chunk) cosines quantize to 9-decimal LONGs
+    * (one double division each, identical association both engines);
+    * max/sum over longs are exact; ties break on doc_id.
+    */
+  val lateInteraction: GraftQuery = GraftQuery(
+    "chunk_late_interaction",
+    "late-interaction (MaxSim) retrieval: per-term max cosine over chunk vectors, summed per doc, top-10",
+    SimOracle.lateInteractionSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    import graft.text.TextQueries.Bm25Terms
+    // x = 0 coordinates (sign-cancelled) are indistinguishable from
+    // absent on both engines: drop them before anything downstream
+    val ps = chunkSparseCoords(docs).filter(col("x") =!= 0.0)
+    val nrm = ps.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    val nch = graft.text.TextQueries.chunkRowsFrame(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val qd = s.range(1)
+      .select(explode(array(Bm25Terms.map(lit(_)): _*)).as("term"))
+      .withColumn("h", graft.text.TextFns.hash60(col("term")))
+      .select(col("term"), (col("h") % Dims).cast("int").as("dim"),
+        when(shiftright(col("h"), 6).bitwiseAND(lit(1L)) === 1, lit(1.0))
+          .otherwise(lit(-1.0)).as("qsgn"))
+    val cand = ps.join(broadcast(qd), "dim")
+      .join(nrm, Seq("doc_id", "chunk_id"))
+      .select(col("term"), col("doc_id"), col("chunk_id"),
+        floor(col("qsgn") * col("x") / col("nrm") * lit(1e9) + lit(0.5))
+          .cast("long").as("cos_q"))
+    val perTerm = cand.groupBy(col("doc_id"), col("term"))
+      .agg(max(col("cos_q")).as("mx"), count(lit(1)).as("n_present"))
+      .join(nch, "doc_id")
+      .select(col("doc_id"),
+        when(col("n_present") < col("n_chunks"), greatest(col("mx"), lit(0L)))
+          .otherwise(col("mx")).as("maxsim_q"))
+    val perDoc = perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("maxsim_q")).as("sq"),
+        sum(when(col("maxsim_q") > 0, 1L).otherwise(0L)).as("terms_hit"))
+    val w = Window.orderBy(desc("sq"), col("doc_id"))
+    perDoc.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .join(nch, "doc_id")
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("rn"), col("doc_id"), (col("sq") / lit(1e9)).as("li_score"),
+        col("terms_hit"), col("n_chunks"), col("lang"), col("source"))
       .orderBy("rn")
   }
 
@@ -1981,5 +2057,5 @@ object SimQueries {
       contrastiveNegatives,
       centroidOutliers, silhouette, knnLabelAccuracy, crosslingualPairs,
       mmrRerank,
-      semanticClusters)
+      semanticClusters, lateInteraction)
 }

@@ -575,9 +575,11 @@ object TextOracle {
     * BM25 top-k) — shared by [[chunkSearchBm25Sql]] and the chunk-grain
     * hybrid twin ([[graft.sim.SimOracle.chunkHybridSql]]).
     */
-  private[graft] def chunkBm25Ctes: String = {
-    import TextQueries.{Bm25B, Bm25K1, Bm25TopK, Bm25Terms, ChunkSize, ChunkStride}
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  /** The chunk-rows CTE chain alone (ends at `cl`) — the DuckDB twin of
+    * [[TextQueries.chunkRowsFrame]], shared by every chunk-grain oracle.
+    */
+  private[graft] def chunkRowsCtes: String = {
+    import TextQueries.{ChunkSize, ChunkStride}
     val (c, st) = (ChunkSize, ChunkStride)
     s"""
     t AS (
@@ -604,7 +606,14 @@ object TextOracle {
     cl AS (
       SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS cl, ctoks
       FROM cht
-    ),
+    )"""
+  }
+
+  private[graft] def chunkBm25Ctes: String = {
+    import TextQueries.{Bm25B, Bm25K1, Bm25TopK, Bm25Terms}
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    $chunkRowsCtes,
     stats AS (
       SELECT COUNT(*) AS n_chunks,
         CAST(SUM(cl) AS BIGINT) / COUNT(*) AS avgdl
@@ -1303,4 +1312,105 @@ object TextOracle {
     FROM c JOIN t ON c.lang = t.lang
     GROUP BY c.lang, t.n_tokens, t.n_types
     ORDER BY c.lang"""
+
+  /** Retrieval-eval twin: the [[searchBm25Sql]] scorer CTEs keyed on the
+    * eval-term union, then graded coverage relevance, rank windows, and
+    * the NDCG/MRR arithmetic. Gains and position discounts come from the
+    * SAME Scala-side generators as the Spark frame
+    * ([[TextQueries.ndcgGainCase]]/[[TextQueries.ndcgDiscCase]] — pure
+    * CASE/CAST text, zero dialect drift), so no transcendental ever runs
+    * in either engine.
+    */
+  def evalNdcgSql: String = {
+    import TextQueries.{Bm25B, Bm25K1, NdcgK, NdcgQueries, NdcgTfSat}
+    val allTerms = NdcgQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val qtermRows = NdcgQueries.flatMap { case (qid, ts) =>
+      ts.map(w => s"($qid, '$w')")
+    }.mkString(", ")
+    val qinfoRows = NdcgQueries.map { case (qid, ts) =>
+      s"($qid, '${ts.mkString(" ")}', ${ts.length})"
+    }.mkString(", ")
+    val gain = TextQueries.ndcgGainCase("rel")
+    val disc = TextQueries.ndcgDiscCase("rank")
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS term FROM t
+      ) WHERE term IN ($allTerms)
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT term, s.avgdl,
+        floor(ln(1.0::DOUBLE + (s.n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+          * 1000000000.0 + 0.5) / 1000000000.0 AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM post GROUP BY term)
+      CROSS JOIN stats s
+    ),
+    contrib AS (
+      SELECT p.term, p.doc_id, p.tf,
+        CAST(floor(i.idf * ((p.tf * ${Bm25K1 + 1.0}::DOUBLE) /
+          (p.tf + $Bm25K1::DOUBLE * (${1.0 - Bm25B}::DOUBLE +
+            ($Bm25B::DOUBLE * d.dl) / i.avgdl)))
+          * 1000000000.0 + 0.5) AS BIGINT) AS cq
+      FROM post p JOIN idf i USING (term) JOIN dl d USING (doc_id)
+    ),
+    qterms(query_id, term) AS (VALUES $qtermRows),
+    qinfo(query_id, query, n_terms) AS (VALUES $qinfoRows),
+    scored AS (
+      SELECT query_id, doc_id,
+        CAST(SUM(cq) AS BIGINT) AS score_q,
+        COUNT(*) AS cov,
+        COUNT(*) + CAST(SUM(CASE WHEN tf >= $NdcgTfSat THEN 1 ELSE 0 END)
+          AS BIGINT) AS rel
+      FROM contrib JOIN qterms USING (term)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+      FROM scored
+    ),
+    top AS (
+      SELECT query_id,
+        CAST(SUM($gain * $disc) AS BIGINT) AS dcg_q,
+        min(CASE WHEN cov = n_terms THEN rank END) AS first_full,
+        CAST(SUM(CASE WHEN cov = n_terms THEN 1 ELSE 0 END) AS BIGINT)
+          AS full_hits_at_10
+      FROM ranked JOIN qinfo USING (query_id)
+      WHERE rank <= $NdcgK
+      GROUP BY 1
+    ),
+    ideal AS (
+      SELECT query_id, CAST(SUM($gain * $disc) AS BIGINT) AS idcg_q
+      FROM (
+        SELECT query_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rank
+        FROM scored
+      ) WHERE rank <= $NdcgK
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT query_id, COUNT(*) AS n_candidates FROM scored GROUP BY 1
+    )
+    SELECT q.query_id, q.query, c.n_candidates,
+      t.dcg_q / i.idcg_q AS ndcg_at_10,
+      CASE WHEN t.first_full IS NULL THEN 0.0::DOUBLE
+           ELSE 1.0::DOUBLE / t.first_full END AS mrr_full,
+      t.full_hits_at_10
+    FROM qinfo q
+    JOIN cand c USING (query_id)
+    JOIN top t USING (query_id)
+    JOIN ideal i USING (query_id)
+    ORDER BY q.query_id"""
+  }
 }

@@ -65,6 +65,49 @@ object TextQueries {
     */
   val PhraseSnippetLen: Int = PhraseTerms.length + 2
 
+  /** Eval-query set for the retrieval-quality harness ([[evalNdcg]]):
+    * four fixed multi-term queries mixing the rare "dup" with common
+    * terms, so per-query candidate pools and grade distributions differ.
+    * Declared before any GraftQuery val (TextOracle interpolates these).
+    */
+  val NdcgQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "spark"),
+    2 -> Seq("stream", "sort", "hash"),
+    3 -> Seq("vector", "join", "merge"),
+    4 -> Seq("customer", "slow"))
+
+  /** NDCG cutoff (the @k). */
+  val NdcgK = 10
+
+  /** A term with tf >= this earns a second relevance point (graded, not
+    * binary, ground truth: rel = |terms present| + |terms with tf >= sat|).
+    */
+  val NdcgTfSat = 3
+
+  /** Position discounts 1/log2(r+1) for r = 1..[[NdcgK]], quantized to
+    * 9-decimal LONGs in SCALA and inlined as literals on BOTH engines —
+    * the one transcendental in the NDCG arithmetic never evaluates in
+    * either engine, so last-ulp libm drift is impossible by construction
+    * (stronger than the [[searchBm25]] quantize-after-ln recipe: here the
+    * argument space is 10 known ints, so the constants fold completely).
+    */
+  def ndcgDiscQ: Seq[Long] = (1 to NdcgK).map(r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Dialect-shared CASE mapping a rank column to its quantized discount. */
+  private[text] def ndcgDiscCase(rankCol: String): String =
+    "CAST(CASE " + ndcgDiscQ.zipWithIndex.map { case (q, i) =>
+      s"WHEN $rankCol = ${i + 1} THEN $q"
+    }.mkString(" ") + " ELSE 0 END AS BIGINT)"
+
+  /** Dialect-shared CASE mapping a relevance grade to gain 2^rel - 1
+    * (exact integers — no pow() on either engine).
+    */
+  private[text] def ndcgGainCase(relCol: String): String =
+    "CAST(CASE " + (0 to 8).map(g =>
+      s"WHEN $relCol = $g THEN ${(1L << g) - 1}").mkString(" ") +
+      " ELSE 0 END AS BIGINT)"
+
   /** Per-document token statistics: whitespace tokens, distinct tokens,
     * type-token ratio, a BPE-ish sub-word count (regex chunks of <=4 chars),
     * and stopword ratio.
@@ -1898,6 +1941,110 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Retrieval-quality evaluation harness — the measurement loop every
+    * search/RAG pipeline runs before shipping an index change: rank the
+    * corpus for a fixed multi-query eval set with the production scorer
+    * (the [[searchBm25]] BM25, shared formula and quantization), grade
+    * each result against a deterministic ground truth (graded term
+    * coverage: one point per query term present, a second per term with
+    * tf >= [[NdcgTfSat]]), and report per query NDCG@[[NdcgK]],
+    * MRR-of-first-full-coverage-hit, and full-coverage hits in the top k.
+    *
+    * Scale shape: postings are filtered to the eval-term union BEFORE
+    * anything shuffles (the [[searchBm25]] contract), so the scored frame
+    * is O(matching docs x queries), never O(corpus tokens); both rank
+    * windows are row_number-≤-k filters Spark plans as WindowGroupLimit
+    * (the [[sampleStratified]] pin), so each input partition forwards at
+    * most k rows per query; idf/query metadata are broadcast 1-row/tiny
+    * frames. At 100 TB this is a scatter-gather eval over the inverted
+    * index — only (query, doc, grade) pairs move.
+    *
+    * Determinism: scores are the BM25 quantized-LONG sums; grades are
+    * integers; gains 2^rel-1 are exact integers; position discounts
+    * 1/log2(r+1) are Scala-precomputed 9-decimal LONGs inlined on both
+    * engines ([[ndcgDiscQ]]) — DCG/IDCG are exact BIGINT sums and the
+    * final NDCG/MRR divisions are single IEEE754 ops on exact operands.
+    */
+  val evalNdcg: GraftQuery = GraftQuery(
+    "retrieval_eval_ndcg",
+    s"retrieval eval: per-query NDCG@$NdcgK / MRR / full-coverage hits of BM25 vs graded term-coverage truth",
+    TextOracle.evalNdcgSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val allTerms = NdcgQueries.flatMap(_._2).distinct
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = t.select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val post = dl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(allTerms))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("avgdl"),
+        (floor(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * lit(1e9) + lit(0.5)) / lit(1e9)).as("idf"))
+    val contrib = post.join(broadcast(idf), "term")
+      .select(col("term"), col("doc_id"), col("tf"),
+        floor(col("idf") * ((col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            (lit(Bm25B) * col("dl")) / col("avgdl"))))
+          * lit(1e9) + lit(0.5)).cast("long").as("cq"))
+    val qterms = s.range(1).select(explode(array(
+      NdcgQueries.flatMap { case (qid, ts) =>
+        ts.map(w => struct(lit(qid).as("query_id"), lit(w).as("term")))
+      }: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("q.term").as("term"))
+    val qinfo = s.range(1).select(explode(array(
+      NdcgQueries.map { case (qid, ts) =>
+        struct(lit(qid).as("query_id"), lit(ts.mkString(" ")).as("query"),
+          lit(ts.length).as("n_terms"))
+      }: _*)).as("q")).select(col("q.*"))
+    val scored = contrib.join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("cq")).as("score_q"),
+        count(lit(1)).as("cov"),
+        (count(lit(1)) +
+          sum(when(col("tf") >= NdcgTfSat, 1L).otherwise(0L))).as("rel"))
+    val wScore = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score_q"), col("doc_id"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rel"), col("doc_id"))
+    val top = scored
+      .withColumn("rank", row_number().over(wScore))
+      .filter(col("rank") <= NdcgK)
+      .join(broadcast(qinfo.select(col("query_id"), col("n_terms"))),
+        "query_id")
+      .withColumn("gain", expr(ndcgGainCase("rel")))
+      .withColumn("disc", expr(ndcgDiscCase("rank")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain") * col("disc")).as("dcg_q"),
+        min(when(col("cov") === col("n_terms"), col("rank")))
+          .as("first_full"),
+        sum(when(col("cov") === col("n_terms"), 1L).otherwise(0L))
+          .as("full_hits_at_10"))
+    val ideal = scored
+      .withColumn("rank", row_number().over(wIdeal))
+      .filter(col("rank") <= NdcgK)
+      .withColumn("gain", expr(ndcgGainCase("rel")))
+      .withColumn("disc", expr(ndcgDiscCase("rank")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("gain") * col("disc")).as("idcg_q"))
+    val cand = scored.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    qinfo.join(cand, "query_id").join(top, "query_id")
+      .join(ideal, "query_id")
+      .select(col("query_id"), col("query"), col("n_candidates"),
+        (col("dcg_q") / col("idcg_q")).as("ndcg_at_10"),
+        when(col("first_full").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_full")).as("mrr_full"),
+        col("full_hits_at_10"))
+      .orderBy("query_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, qualityNb, qualityNbConfusion,
       calibrationCurve, piiScreen,
@@ -1909,5 +2056,5 @@ object TextQueries {
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
       sampleWeighted,
-      temperatureMix, chunking, epochShards)
+      temperatureMix, chunking, epochShards, evalNdcg)
 }

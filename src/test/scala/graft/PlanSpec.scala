@@ -664,4 +664,28 @@ class PlanSpec extends SparkSpec {
     assert(idSortMerge == 0,
       s"a vec-id join degraded to sort-merge:\n$plan")
   }
+
+  test("retrieval_eval_ndcg: both rank cuts are WindowGroupLimits, metrics in range") {
+    val df = SparkEntry.queries("retrieval_eval_ndcg")(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // score ranking AND ideal ranking are row_number <= k filters — each
+    // must plan as a group limit so partitions forward at most k rows per
+    // query, never the per-query candidate pool
+    val limits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(limits >= 2, s"expected 2 group-limit pushdowns, got $limits:\n$plan")
+    assert(rows.length === graft.text.TextQueries.NdcgQueries.length)
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg_at_10")
+      assert(ndcg > 0.0 && ndcg <= 1.0, s"ndcg out of range: $r")
+      val mrr = r.getAs[Double]("mrr_full")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"mrr out of range: $r")
+      assert(r.getAs[Long]("full_hits_at_10") <=
+        graft.text.TextQueries.NdcgK)
+      assert(r.getAs[Long]("n_candidates") > 0L)
+    }
+    // the graded truth genuinely disagrees with BM25 somewhere (an eval
+    // harness that always says 1.0 measures nothing)
+    assert(rows.exists(_.getAs[Double]("ndcg_at_10") < 1.0))
+  }
 }
