@@ -13,9 +13,21 @@ object LayoutOracle {
 
   private def duckIdiv(a: String, b: String): String = s"($a) // ($b)"
 
-  /** mx/base/enriched: the row-level grid frame (x, pk, y, z, bands). */
-  private def commonCtes: String = {
+  /** mx/base/enriched: the row-level grid frame (x, pk, y, z, bands);
+    * with `ingest` the content-hash split residues ih/ihf ride along
+    * (the [[LayoutQueries.gridRows]] withIngestKey twin).
+    */
+  private def commonCtes(ingest: Boolean = false): String = {
     val z = interleaveExpr("x", "y", duckIdiv)
+    val h60 = "CAST(('0x' || substr(md5(" +
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)" +
+      "),1,15))::UBIGINT AS BIGINT)"
+    val (liCols, baseCols, thruCols) =
+      if (ingest)
+        (s", $h60 AS h",
+          s", (h % $IngestMod) AS ih, ((h // $IngestMod) % $AppendFiles) AS ihf",
+          ", ih, ihf")
+      else ("", "", "")
     s"""mx AS (
       SELECT CAST(max(l_partkey) AS BIGINT) AS maxpk FROM lineitem),
     base AS (
@@ -24,8 +36,8 @@ object LayoutOracle {
           date_diff('day', TIMESTAMP '$BaseDate 00:00:00', l_shipdate),
           0), ${DimCells - 1}) AS BIGINT) AS x,
         CAST(l_partkey AS BIGINT) AS pk,
-        maxpk
-      FROM lineitem, mx),
+        maxpk$baseCols
+      FROM (SELECT l_shipdate, l_partkey$liCols FROM lineitem), mx),
     enriched AS (
       SELECT x, pk, y, $z AS z,
         ((maxpk + 1) * $PredPkLoPct) // 100 AS plo,
@@ -33,8 +45,8 @@ object LayoutOracle {
         date_diff('day', TIMESTAMP '$BaseDate 00:00:00',
                   TIMESTAMP '$PredDateLo 00:00:00') AS xlo,
         date_diff('day', TIMESTAMP '$BaseDate 00:00:00',
-                  TIMESTAMP '$PredDateHi 00:00:00') AS xhi
-      FROM (SELECT x, pk, (pk * $DimCells) // (maxpk + 1) AS y, maxpk
+                  TIMESTAMP '$PredDateHi 00:00:00') AS xhi$thruCols
+      FROM (SELECT x, pk, (pk * $DimCells) // (maxpk + 1) AS y, maxpk$thruCols
             FROM base))"""
   }
 
@@ -77,7 +89,7 @@ object LayoutOracle {
     val cellShift = 1L << (2 * DimBits - FilePrefixBits)
     val linWidth = DimCells / (1L << FilePrefixBits)
     s"""
-    WITH $commonCtes,
+    WITH ${commonCtes()},
     assigned AS (
       SELECT 'zorder' AS layout, z // $cellShift AS file_id, * FROM enriched
       UNION ALL
@@ -96,7 +108,7 @@ object LayoutOracle {
     val dSum = (0 until DimBits).map(k => hilbertStep(k, duckIdiv)._3)
       .mkString(" + ")
     s"""
-    WITH $commonCtes,
+    WITH ${commonCtes()},
     h0 AS (SELECT *, x AS x0, y AS y0 FROM enriched),
     $steps,
     hh AS (SELECT *, $dSum AS hd FROM h$DimBits),
@@ -106,6 +118,22 @@ object LayoutOracle {
       UNION ALL
       SELECT 'zorder' AS layout, z // $HilbertFileWidth AS file_id, *
       FROM hh),
+    ${summarySql("assigned")}"""
+  }
+
+  val appendDegradationSql: String = {
+    val cellShift = 1L << (2 * DimBits - FilePrefixBits)
+    val cellFiles = 1L << FilePrefixBits
+    s"""
+    WITH ${commonCtes(ingest = true)},
+    assigned AS (
+      SELECT 'appended' AS layout,
+        CASE WHEN ih = $IngestBatch THEN $cellFiles + ihf
+             ELSE z // $cellShift END AS file_id,
+        * FROM enriched
+      UNION ALL
+      SELECT 'clustered' AS layout, z // $cellShift AS file_id, *
+      FROM enriched),
     ${summarySql("assigned")}"""
   }
 }

