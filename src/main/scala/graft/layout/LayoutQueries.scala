@@ -212,7 +212,7 @@ object LayoutQueries {
     * date-window bounds `xlo`/`xhi`, and the true per-row `matched` bit.
     * One projected scan + a broadcast 1-row max(l_partkey) aggregate.
     */
-  private[layout] def gridRows(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def gridRows(s: org.apache.spark.sql.SparkSession, d: String,
       withIngestKey: Boolean = false): org.apache.spark.sql.DataFrame = {
     val liAll = Tables.lineitem(s, d)
     // the ingest split key rides along only when asked for — the plain

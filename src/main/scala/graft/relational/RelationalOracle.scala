@@ -6,6 +6,99 @@ package graft.relational
   */
 object RelationalOracle {
 
+  /** KMV twin — a `def` (not `val`): it interpolates KmvK/KmvBand, and
+    * this object initializes at the FIRST RelationalQueries GraftQuery
+    * val, before constants declared further down are set (the
+    * layout_append_degradation init-order lesson). Unlike the HLL/GK
+    * twins, this replays the sketch itself: same hashes, same k-th
+    * distinct minimum, same estimator arithmetic — full value parity.
+    */
+  def kmvDistinctSql: String = {
+    import RelationalQueries.{KmvBand, KmvK}
+    val h60 =
+      "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT AS BIGINT)"
+    s"""
+    WITH post AS (
+      SELECT o_orderpriority, $h60 AS h FROM orders),
+    kept AS (
+      SELECT * FROM (
+        SELECT o_orderpriority, h,
+          dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY h) AS dr
+        FROM post)
+      WHERE dr <= $KmvK),
+    sk AS (
+      SELECT o_orderpriority,
+        max(CASE WHEN dr = $KmvK THEN h END) AS u_k,
+        COUNT(DISTINCT h) AS n_kept
+      FROM kept GROUP BY 1),
+    exact AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_custkeys
+      FROM orders GROUP BY 1),
+    est AS (
+      SELECT s.o_orderpriority, e.exact_custkeys,
+        CASE WHEN s.u_k IS NULL THEN CAST(s.n_kept AS DOUBLE)
+             ELSE ${(KmvK - 1).toDouble}::DOUBLE /
+                  (s.u_k / 1152921504606846976.0) END AS kmv_estimate
+      FROM sk s JOIN exact e USING (o_orderpriority))
+    SELECT o_orderpriority, exact_custkeys, kmv_estimate,
+      (abs(kmv_estimate / exact_custkeys - 1.0::DOUBLE) <= $KmvBand::DOUBLE)
+        AS within_band
+    FROM est
+    ORDER BY o_orderpriority"""
+  }
+
+  /** KMV overlap twin — `def` for the same init-order reason as
+    * [[kmvDistinctSql]]; replays the union k-min signature, membership
+    * flags, and all three estimators value-for-value.
+    */
+  def kmvOverlapSql: String = {
+    import RelationalQueries.{KmvAudienceA, KmvAudienceB, KmvBand, KmvK}
+    val h60 =
+      "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT AS BIGINT)"
+    s"""
+    WITH o AS (
+      SELECT o_custkey,
+        CASE WHEN o_orderpriority = '$KmvAudienceA' THEN 1 ELSE 0 END AS ia,
+        CASE WHEN o_orderpriority = '$KmvAudienceB' THEN 1 ELSE 0 END AS ib
+      FROM orders
+      WHERE o_orderpriority IN ('$KmvAudienceA', '$KmvAudienceB')),
+    ph AS (
+      SELECT h, max(ia) AS in_a, max(ib) AS in_b FROM (
+        SELECT $h60 AS h, ia, ib FROM o)
+      GROUP BY h),
+    sk AS (
+      SELECT
+        max(CASE WHEN rn = $KmvK THEN h END) AS u_k,
+        COUNT(*) AS n_kept,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS inter_k
+      FROM (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM ph)
+      WHERE rn <= $KmvK),
+    exact AS (
+      SELECT
+        CAST(SUM(a) AS BIGINT) AS exact_a,
+        CAST(SUM(b) AS BIGINT) AS exact_b,
+        COUNT(*) AS exact_union,
+        CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS exact_inter
+      FROM (SELECT o_custkey, max(ia) AS a, max(ib) AS b FROM o GROUP BY 1)),
+    est AS (
+      SELECT s.*, e.*,
+        CASE WHEN s.u_k IS NULL THEN CAST(s.n_kept AS DOUBLE)
+             ELSE ${(KmvK - 1).toDouble}::DOUBLE /
+                  (s.u_k / 1152921504606846976.0) END AS kmv_union_est,
+        s.inter_k / LEAST($KmvK, s.n_kept) AS kmv_jaccard_est
+      FROM sk s CROSS JOIN exact e)
+    SELECT exact_a, exact_b, exact_union, exact_inter,
+      kmv_union_est, kmv_jaccard_est,
+      kmv_jaccard_est * kmv_union_est AS kmv_inter_est,
+      (abs(kmv_union_est / exact_union - 1.0::DOUBLE) <= $KmvBand::DOUBLE)
+        AS union_ok,
+      (abs(kmv_jaccard_est * kmv_union_est - exact_inter) / exact_union
+        <= ${2.0 / math.sqrt(KmvK.toDouble)}::DOUBLE) AS inter_ok
+    FROM est"""
+  }
+
   private def sumDec(c: String, scale: Int = 4): String = {
     val p = "1" + ("0" * scale) + ".0"
     s"SUM(CAST(floor(($c) * $p + 0.5) AS BIGINT)) / $p"

@@ -804,7 +804,132 @@ object RelationalQueries {
         (sum(Det.quantize(col("o_totalprice"), 4)) / lit(Det.pow10(4)))
           .as("mon"))
 
+  /** KMV sketch size (k smallest distinct hash values kept per group). */
+  val KmvK = 64
+
+  /** KMV relative-error acceptance band: 4σ at σ ≈ 1/sqrt(k−2). */
+  val KmvBand: Double = 4.0 / math.sqrt(KmvK - 2.0)
+
+  /** K-minimum-values distinct sketch — the ONE cardinality sketch whose
+    * bits both engines can agree on: unlike HLL++ (`product_type_
+    * approx_distinct`, graded by contract attestation because DuckDB's
+    * HLL differs bit-wise), KMV's state is just the [[KmvK]] smallest
+    * distinct hash values, so the ORACLE REPLAYS THE SKETCH ITSELF and
+    * the estimate gets full value parity: est = (k−1)/u_k with u_k the
+    * k-th distinct smallest hash60 normalized to [0,1) (Beyer et al.'s
+    * unbiased KMV estimator). Groups with fewer than k distinct hashes
+    * fall back to the exact kept count (the sketch IS the set there).
+    *
+    * Scale shape: the dense_rank ≤ k cut plans as a WindowGroupLimit —
+    * each input partition forwards at most its k smallest per group
+    * BEFORE the exchange, which is exactly the per-partition k-min merge
+    * a distributed KMV performs; no distinct-shuffle of the raw key
+    * space on the sketch path. The exact count_distinct exists only to
+    * ground the attestation (the `arrear_approx_quantiles` convention).
+    * The estimate must land within ±[[KmvBand]] (4σ) of exact — and the
+    * VALUES, not just the booleans, hash-match the oracle.
+    */
+  val kmvDistinct: GraftQuery = GraftQuery(
+    "orders_kmv_distinct",
+    s"KMV (k=$KmvK) distinct-custkey sketch per order priority: full-parity estimate + 4-sigma attestation",
+    RelationalOracle.kmvDistinctSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val post = o.select(col("o_orderpriority"),
+      graft.text.TextFns.hash60(col("o_custkey").cast("string")).as("h"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
+    val kept = post.withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= KmvK)
+    val sk = kept.groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("dr") === KmvK, col("h"))).as("u_k"),
+        count_distinct(col("h")).as("n_kept"))
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(count_distinct(col("o_custkey")).as("exact_custkeys"))
+    sk.join(exact, "o_orderpriority")
+      .withColumn("kmv_estimate",
+        when(col("u_k").isNull, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (col("u_k") / lit(1152921504606846976.0))))
+      .select(col("o_orderpriority"), col("exact_custkeys"),
+        col("kmv_estimate"),
+        (abs(col("kmv_estimate") / col("exact_custkeys") - lit(1.0))
+          <= lit(KmvBand)).as("within_band"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The two audiences [[kmvOverlap]] compares. */
+  val KmvAudienceA = "1-URGENT"
+  val KmvAudienceB = "5-LOW"
+
+  /** KMV set-overlap estimation — the sketch-composition trick behind
+    * audience overlap at scale, with FULL value parity (the
+    * `events_audience_overlap` HLL inclusion-exclusion twin is graded by
+    * contract; this one's estimator replays bit-for-bit): keep the k
+    * smallest distinct hashes of the UNION with per-hash membership
+    * flags; then union_est = (k−1)/u_k (the [[kmvDistinct]] estimator),
+    * jaccard_est = |kept ∩ both| / min(k, kept) (the k-min signature is
+    * a uniform sample of the union), inter_est = jaccard_est ×
+    * union_est. One row; the exact counts ground the 4σ attestations.
+    *
+    * Scale shape: the union k-min is one global row_number ≤ k cut —
+    * WindowGroupLimit forwards k rows per input partition, the same
+    * merge discipline as [[kmvDistinct]]; the per-hash membership flags
+    * are a (hash)-keyed partial agg. The exact side exists only for the
+    * attestation.
+    */
+  val kmvOverlap: GraftQuery = GraftQuery.oneRow(
+    "orders_kmv_overlap",
+    s"KMV (k=$KmvK) union/Jaccard/intersection estimates for $KmvAudienceA vs $KmvAudienceB custkey audiences, 4-sigma attested",
+    RelationalOracle.kmvOverlapSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin(KmvAudienceA, KmvAudienceB))
+      .select(col("o_custkey"),
+        when(col("o_orderpriority") === KmvAudienceA, 1).otherwise(0).as("ia"),
+        when(col("o_orderpriority") === KmvAudienceB, 1).otherwise(0).as("ib"))
+    val ph = o
+      .select(graft.text.TextFns.hash60(col("o_custkey").cast("string"))
+        .as("h"), col("ia"), col("ib"))
+      .groupBy(col("h"))
+      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+    val w = Window.orderBy(col("h"))
+    val sk = ph.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .agg(
+        max(when(col("rn") === KmvK, col("h"))).as("u_k"),
+        count(lit(1)).as("n_kept"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("inter_k"))
+    val exact = o.groupBy(col("o_custkey"))
+      .agg(max(col("ia")).as("a"), max(col("ib")).as("b"))
+      .agg(
+        sum(col("a")).cast("long").as("exact_a"),
+        sum(col("b")).cast("long").as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("exact_inter"))
+    sk.crossJoin(broadcast(exact))
+      .withColumn("kmv_union_est",
+        when(col("u_k").isNull, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (col("u_k") / lit(1152921504606846976.0))))
+      .withColumn("kmv_jaccard_est",
+        col("inter_k") / least(lit(KmvK.toLong), col("n_kept")))
+      .withColumn("kmv_inter_est",
+        col("kmv_jaccard_est") * col("kmv_union_est"))
+      .select(
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_inter"),
+        col("kmv_union_est"), col("kmv_jaccard_est"), col("kmv_inter_est"),
+        (abs(col("kmv_union_est") / col("exact_union") - lit(1.0))
+          <= lit(KmvBand)).as("union_ok"),
+        (abs(col("kmv_inter_est") - col("exact_inter")) / col("exact_union")
+          <= lit(2.0 / math.sqrt(KmvK.toDouble))).as("inter_ok"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    kmvDistinct, kmvOverlap,
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,

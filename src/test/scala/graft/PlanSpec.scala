@@ -665,6 +665,30 @@ class PlanSpec extends SparkSpec {
       s"a vec-id join degraded to sort-merge:\n$plan")
   }
 
+  test("orders_kmv_distinct: sketch cut is a WindowGroupLimit; estimator sane") {
+    val df = SparkEntry.queries("orders_kmv_distinct")(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the dense_rank <= k cut must run as a group limit — each partition
+    // forwards at most its k smallest hashes per group BEFORE the
+    // exchange, the distributed KMV merge
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_band"), s"estimate out of band: $r")
+      assert(r.getAs[Double]("kmv_estimate") > 0.0)
+    }
+    // at this SF every group exceeds k distinct keys, so the ESTIMATOR
+    // path (not the exact fallback) is what the attestation graded
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_custkeys") >
+        graft.relational.RelationalQueries.KmvK)
+      // a genuine estimate: not exactly the true count
+      assert(r.getAs[Double]("kmv_estimate") !==
+        r.getAs[Long]("exact_custkeys").toDouble)
+    }
+  }
+
   test("retrieval_eval_ndcg: both rank cuts are WindowGroupLimits, metrics in range") {
     val df = SparkEntry.queries("retrieval_eval_ndcg")(spark, sf)
     val rows = df.collect()

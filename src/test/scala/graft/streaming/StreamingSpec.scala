@@ -8,6 +8,8 @@ import graft.SparkSpec
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
   event_type: String, value: Double, props: String)
 
+case class LRow(cell: Long, x: Long, pk: Long)
+
 /** Structured Streaming runs of the shared event transforms
   * ([[EventStreams]]): the SAME logical plan that the batch queries verify
   * against DuckDB, driven here through MemoryStream + watermarks, asserting
@@ -25,6 +27,43 @@ class StreamingSpec extends SparkSpec {
       Ev(5, t(25), 11, "view", 1.0, """{"k": 5}"""),
       Ev(5, t(25), 11, "view", 1.0, """{"k": 5}""") // duplicate event_id
     )
+  }
+
+  test("LayoutStreams.cellStats: streamed skipping index == batch across a mid-stream split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val cellShift =
+      1L << (2 * graft.layout.LayoutQueries.DimBits -
+        graft.layout.LayoutQueries.FilePrefixBits)
+    val rows = graft.layout.LayoutQueries.gridRows(spark, sf)
+      .withColumn("cell", expr(s"z div $cellShift"))
+      .select("cell", "x", "pk").as[LRow].collect().toSeq
+    assert(rows.length > 100)
+    // split mid-stream WITHOUT cell alignment: most cells span both
+    // batches, so the parity below proves the min/max/count merge, not
+    // just per-batch recomputation
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[LRow]
+    stream.addData(a: _*)
+    val q = LayoutStreams.cellStats(stream.toDF())
+      .writeStream.format("memory").queryName("cellstats_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    stream.addData(b: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cellstats_out")
+      .orderBy("cell").collect().map(_.toSeq).toSeq
+    val batch = LayoutStreams.cellStats(rows.toDF())
+      .orderBy("cell").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the maintained index is the one the batch layout query evaluates:
+    // state is one row per cell, bounded by the file-slot space
+    assert(streamed.length <=
+      (1 << graft.layout.LayoutQueries.FilePrefixBits))
   }
 
   test("tumblingCounts: streaming result equals batch result on same input") {
