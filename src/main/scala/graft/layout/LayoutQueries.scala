@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.api.GraftQuery
 
-/** Physical data-layout operators: multi-dimensional clustering (Z-order)
-  * and the file-skipping effectiveness it buys.
+/** Physical data-layout operators: multi-dimensional clustering (Z-order,
+  * Hilbert), the file-skipping effectiveness it buys, and what append
+  * fragmentation takes away.
   *
   * At 100 TB the dominant cost of a selective query is the scan, and the
   * scan is bounded by FILE-LEVEL min/max statistics (parquet row-group /
