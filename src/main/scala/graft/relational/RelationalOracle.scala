@@ -99,6 +99,43 @@ object RelationalOracle {
     FROM est"""
   }
 
+  /** OLS-trend twin — `def` (interpolates OlsBaseYear; init-order rule).
+    * Replays the sufficient statistics and the closed form exactly: all
+    * sums are BIGINT-exact, slope/intercept are the same single double
+    * divisions of exact longs.
+    */
+  def revenueTrendOlsSql: String = {
+    import RelationalQueries.OlsBaseYear
+    s"""
+    WITH monthly AS (
+      SELECT n_name,
+        CAST((year(o_orderdate) - $OlsBaseYear) * 12
+          + month(o_orderdate) - 1 AS BIGINT) AS t,
+        ${sumDec("o_totalprice")} AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    ym AS (
+      SELECT n_name, t, CAST(floor(rev * 100.0 + 0.5) AS BIGINT) AS y
+      FROM monthly),
+    stats AS (
+      SELECT n_name, COUNT(*) AS n_months,
+        CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS stt,
+        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t * y) AS BIGINT) AS sty
+      FROM ym GROUP BY 1),
+    fit AS (
+      SELECT *,
+        (n_months * sty - st * sy) / (n_months * stt - st * st) AS slope_q
+      FROM stats)
+    SELECT n_name, n_months,
+      slope_q / 100.0::DOUBLE AS rev_slope_per_month,
+      ((sy - slope_q * st) / n_months) / 100.0::DOUBLE AS rev_intercept,
+      sy / 100.0::DOUBLE AS total_rev
+    FROM fit
+    ORDER BY n_name"""
+  }
+
   private def sumDec(c: String, scale: Int = 4): String = {
     val p = "1" + ("0" * scale) + ".0"
     s"SUM(CAST(floor(($c) * $p + 0.5) AS BIGINT)) / $p"

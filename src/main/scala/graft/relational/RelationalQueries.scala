@@ -928,8 +928,57 @@ object RelationalQueries {
           <= lit(2.0 / math.sqrt(KmvK.toDouble))).as("inter_ok"))
   }
 
+  /** Month-index base for [[revenueTrendOls]] (the corpus date floor). */
+  val OlsBaseYear = 1995
+
+  /** Per-nation revenue-trend OLS — model fitting as ONE partial-agg
+    * pass, the pattern every distributed regression uses at 100 TB:
+    * the fit needs only the sufficient statistics (n, Σt, Σt², Σy,
+    * Σt·y), which sum associatively per group, so the plan is scan →
+    * per-(nation, month) revenue agg → per-nation stats agg → per-row
+    * closed form. No iteration, no driver-side data, state per group =
+    * five longs.
+    *
+    * Determinism: t is an integer month index; monthly revenue goes
+    * through [[Det.sumQ]] then quantizes to a scale-2 LONG y (keeping
+    * Σt·y and the n·Σty − Σt·Σy numerator exactly representable); slope
+    * and intercept are single double divisions of exact longs with
+    * identical association on both engines. Slope/intercept land in
+    * revenue-units-per-month — the number a capacity dashboard trends.
+    */
+  val revenueTrendOls: GraftQuery = GraftQuery(
+    "revenue_trend_ols",
+    "per-nation OLS revenue trend (slope/intercept) via one-pass sufficient statistics",
+    RelationalOracle.revenueTrendOlsSql) { (s, d) =>
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - OlsBaseYear) * 12 +
+          month(col("o_orderdate")) - 1).cast("long").as("t"))
+      .agg(Det.sumQ(col("o_totalprice"), 4).as("rev"))
+      .withColumn("y", floor(col("rev") * lit(100.0) + lit(0.5)).cast("long"))
+    monthly.groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("y")).as("sy"),
+        sum(col("t") * col("y")).as("sty"))
+      .withColumn("slope_q",
+        (col("n_months") * col("sty") - col("st") * col("sy")) /
+          (col("n_months") * col("stt") - col("st") * col("st")))
+      .select(col("n_name"), col("n_months"),
+        (col("slope_q") / lit(100.0)).as("rev_slope_per_month"),
+        (((col("sy") - col("slope_q") * col("st")) / col("n_months"))
+          / lit(100.0)).as("rev_intercept"),
+        (col("sy") / lit(100.0)).as("total_rev"))
+      .orderBy("n_name")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    kmvDistinct, kmvOverlap,
+    kmvDistinct, kmvOverlap, revenueTrendOls,
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,

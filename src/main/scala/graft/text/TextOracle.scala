@@ -1313,6 +1313,44 @@ object TextOracle {
     GROUP BY c.lang, t.n_tokens, t.n_types
     ORDER BY c.lang"""
 
+  /** Zipf-fit twin: replays the rank cut, the 4-decimal log quantization,
+    * and the exact-long sufficient statistics; slope is a ratio of exact
+    * BIGINTs (the quantization scale cancels).
+    */
+  def zipfFitSql: String = {
+    import TextQueries.{ZipfLogScale, ZipfTopN}
+    s"""
+    WITH cnt AS (
+      SELECT token, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY 1),
+    ranked AS (
+      SELECT * FROM (
+        SELECT c, token,
+          row_number() OVER (ORDER BY c DESC, token) AS r
+        FROM cnt)
+      WHERE r <= $ZipfTopN),
+    q AS (
+      SELECT
+        CAST(floor(ln(r) * $ZipfLogScale + 0.5) AS BIGINT) AS lx,
+        CAST(floor(ln(c) * $ZipfLogScale + 0.5) AS BIGINT) AS ly
+      FROM ranked),
+    st AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+        CAST(SUM(ly) AS BIGINT) AS sy, CAST(SUM(lx * ly) AS BIGINT) AS sxy
+      FROM q),
+    tot AS (
+      SELECT COUNT(*) AS vocab, CAST(max(c) AS BIGINT) AS top1_count
+      FROM cnt),
+    fit AS (
+      SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM st)
+    SELECT n AS n_ranks, vocab, top1_count, slope AS zipf_slope,
+      ((sy - slope * sx) / n) / $ZipfLogScale::DOUBLE AS zipf_intercept_ln
+    FROM fit, tot"""
+  }
+
   /** Retrieval-eval twin: the [[searchBm25Sql]] scorer CTEs keyed on the
     * eval-term union, then graded coverage relevance, rank windows, and
     * the NDCG/MRR arithmetic. Gains and position discounts come from the

@@ -65,6 +65,14 @@ object TextQueries {
     */
   val PhraseSnippetLen: Int = PhraseTerms.length + 2
 
+  /** Ranks fitted by [[zipfFit]] and the log-quantization scale. 4 decimal
+    * digits keeps every OLS sufficient statistic exactly representable:
+    * lx ≤ ln(1000)·1e4 ≈ 6.9e4, ly ≤ ln(corpus)·1e4, so n·Σ(lx·ly) stays
+    * far below 2^63 (1e6-scale logs would overflow the n·Σxy numerator).
+    */
+  val ZipfTopN = 1000
+  val ZipfLogScale = 10000.0
+
   /** Eval-query set for the retrieval-quality harness ([[evalNdcg]]):
     * four fixed multi-term queries mixing the rare "dup" with common
     * terms, so per-query candidate pools and grade distributions differ.
@@ -2045,6 +2053,54 @@ object TextQueries {
       .orderBy("query_id")
   }
 
+  /** Zipf-law fit over the top-[[ZipfTopN]] token ranks — the statistical
+    * corpus-health check next to [[tokenEntropy]] (a natural-text corpus
+    * has slope ≈ −1; template flooding flattens it, dedup failure steepens
+    * the head), and the registry's second one-pass SUFFICIENT-STATISTICS
+    * fit (the `revenue_trend_ols` pattern): OLS of ln(freq) on ln(rank)
+    * needs only n, Σx, Σx², Σy, Σxy, which sum associatively — no
+    * iteration, no driver-side series.
+    *
+    * Scale shape: one explode + (token) partial agg (vocab-bounded);
+    * the rank cut is a row_number ≤ N global window (WindowGroupLimit:
+    * each partition forwards its top N); the fit aggregates N rows. The
+    * two transcendentals quantize per RANK ROW to 4-decimal LONGs
+    * ([[ZipfLogScale]]) before any sum — the slope is a ratio of exact
+    * longs (the quantization scale cancels), the intercept one double
+    * division chain shared with the twin.
+    */
+  val zipfFit: GraftQuery = GraftQuery.oneRow(
+    "corpus_zipf_fit",
+    s"Zipf slope/intercept: OLS of ln(freq) on ln(rank) over the top-$ZipfTopN tokens, one sufficient-statistics pass",
+    TextOracle.zipfFitSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(desc("c"), col("token"))
+    val q = cnt.withColumn("r", row_number().over(w))
+      .filter(col("r") <= ZipfTopN)
+      .select(
+        floor(log(col("r")) * lit(ZipfLogScale) + lit(0.5)).cast("long")
+          .as("lx"),
+        floor(log(col("c")) * lit(ZipfLogScale) + lit(0.5)).cast("long")
+          .as("ly"))
+    val st = q.agg(
+      count(lit(1)).as("n"),
+      sum(col("lx")).as("sx"), sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"))
+    val tot = cnt.agg(count(lit(1)).as("vocab"),
+      max(col("c")).as("top1_count"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").as("n_ranks"), col("vocab"), col("top1_count"),
+        col("slope").as("zipf_slope"),
+        (((col("sy") - col("slope") * col("sx")) / col("n"))
+          / lit(ZipfLogScale)).as("zipf_intercept_ln"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, qualityNb, qualityNbConfusion,
       calibrationCurve, piiScreen,
@@ -2056,5 +2112,5 @@ object TextQueries {
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
       sampleWeighted,
-      temperatureMix, chunking, epochShards, evalNdcg)
+      temperatureMix, chunking, epochShards, evalNdcg, zipfFit)
 }
