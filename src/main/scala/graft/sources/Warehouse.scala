@@ -152,6 +152,45 @@ object Warehouse {
     }
   }
 
+  /** Version suffix for [[snapshotTable]] snapshots. */
+  private val SnapSuffix = "__v"
+
+  /** Snapshot the CURRENT contents of a table as an immutable version —
+    * the time-travel/rollback primitive replace-mode loads otherwise
+    * destroy: `replaceTable` atomically swaps a table's contents, and
+    * with a snapshot taken first, yesterday's load survives today's
+    * overwrite ([[readSnapshot]] serves it; audits, A/B diffs against
+    * the prior publish, and rollback all read it). Returns the new
+    * version number (1-based, monotone per table).
+    *
+    * Semantics here = a full CTAS copy, which attests read-at-version
+    * stability byte-for-byte; a production table FORMAT (Delta/Iceberg)
+    * gets the same semantics metadata-only, by pinning the file
+    * manifest instead of copying files — a format concern, not a
+    * semantics one (the [[compact]] caveat's mirror image).
+    */
+  def snapshotTable(spark: SparkSession, table: String): Int = {
+    val v = snapshots(spark, table).lastOption.getOrElse(0) + 1
+    spark.table(s"$Schema.$table").write
+      .mode(SaveMode.ErrorIfExists)
+      .saveAsTable(s"$Schema.$table$SnapSuffix$v")
+    v
+  }
+
+  /** Read a table AS OF snapshot version `v` (from [[snapshotTable]]). */
+  def readSnapshot(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.table(s"$Schema.$table$SnapSuffix$v")
+
+  /** Existing snapshot versions of `table`, ascending. */
+  def snapshots(spark: SparkSession, table: String): Seq[Int] = {
+    val prefix = s"$table$SnapSuffix"
+    spark.sessionState.catalog.listTables(Schema)
+      .map(_.table)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toIntOption)
+      .sorted
+  }
+
   def compact(spark: SparkSession, table: String, targetFiles: Int): Unit = {
     val qualified = s"$Schema.$table"
     val meta = spark.sessionState.catalog.getTableMetadata(

@@ -55,6 +55,33 @@ object TextOracle {
            THEN 1 ELSE 0 END AS pii_flag
     FROM documents ORDER BY doc_id"""
 
+  /** PII-redaction twin: same pattern literals, same email-then-digits
+    * replacement order (the contract — emails contain digits), 'g' flag
+    * for Spark's replace-all default; the md5 fingerprints the redacted
+    * content value-for-value.
+    */
+  def piiRedactSql: String = {
+    import TextQueries.{PiiDigitPat, PiiEmailPat}
+    s"""
+    WITH r AS (
+      SELECT doc_id, text,
+        regexp_replace(text, '$PiiEmailPat', '<EMAIL>', 'g') AS r1
+      FROM documents),
+    r2 AS (
+      SELECT doc_id, text, r1,
+        regexp_replace(r1, '$PiiDigitPat', '<NUM>', 'g') AS redacted
+      FROM r)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$PiiEmailPat')) AS INTEGER)
+        AS n_emails,
+      CAST(len(regexp_extract_all(r1, '$PiiDigitPat')) AS INTEGER)
+        AS n_digit_runs,
+      CAST(length(text) AS INTEGER) AS n_chars,
+      CAST(length(redacted) AS INTEGER) AS n_chars_redacted,
+      md5(redacted) AS redacted_md5
+    FROM r2 ORDER BY doc_id"""
+  }
+
   def qualitySql: String = s"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -65,6 +65,13 @@ object TextQueries {
     */
   val PhraseSnippetLen: Int = PhraseTerms.length + 2
 
+  /** PII patterns ([[piiRedact]]; the same Java/RE2 common-subset regexes
+    * [[piiScreen]] counts with). Declared before any GraftQuery val
+    * (TextOracle interpolates them).
+    */
+  val PiiEmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PiiDigitPat = "[0-9]{3,}"
+
   /** Ranks fitted by [[zipfFit]] and the log-quantization scale. 4 decimal
     * digits keeps every OLS sufficient statistic exactly representable:
     * lx ≤ ln(1000)·1e4 ≈ 6.9e4, ly ≤ ln(corpus)·1e4, so n·Σ(lx·ly) stays
@@ -2101,6 +2108,38 @@ object TextQueries {
           / lit(ZipfLogScale)).as("zipf_intercept_ln"))
   }
 
+  /** PII REDACTION — the action sibling of [[piiScreen]] (the
+    * `dedup_span_strip`-to-`dedup_span_overlap` pattern: screens find,
+    * actions rewrite): emails then standalone digit runs are replaced
+    * with typed placeholders, in that order (emails contain digits, so
+    * the email pass must run first — the ordering is part of the
+    * contract and the oracle replays it). The output carries the
+    * redaction counts, before/after sizes, and the md5 of the REDACTED
+    * text — full value parity on the rewritten content without dumping
+    * it. Pure per-row codegen'd regex work on the scan; no shuffle
+    * before the presentation sort.
+    */
+  val piiRedact: GraftQuery = GraftQuery(
+    "doc_pii_redact",
+    "PII redaction: email/digit-run placeholders, counts + redacted-content fingerprint per doc",
+    TextOracle.piiRedactSql) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("r1", regexp_replace(col("text"), PiiEmailPat, "<EMAIL>"))
+      .withColumn("redacted", regexp_replace(col("r1"), PiiDigitPat, "<NUM>"))
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$PiiEmailPat', 0)"))
+          .as("n_emails"),
+        // counted on the email-redacted text, so the count IS the number
+        // of <NUM> insertions (digits inside emails are already gone)
+        size(expr(s"regexp_extract_all(r1, '$PiiDigitPat', 0)"))
+          .as("n_digit_runs"),
+        length(col("text")).as("n_chars"),
+        length(col("redacted")).as("n_chars_redacted"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tokenStats, quality, qualityNb, qualityNbConfusion,
       calibrationCurve, piiScreen,
@@ -2112,5 +2151,5 @@ object TextQueries {
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
       sampleWeighted,
-      temperatureMix, chunking, epochShards, evalNdcg, zipfFit)
+      temperatureMix, chunking, epochShards, evalNdcg, zipfFit, piiRedact)
 }

@@ -20,6 +20,30 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.currentDatabase(spark).nonEmpty)
   }
 
+  test("snapshotTable: versions survive replace-mode overwrites (time travel)") {
+    import org.apache.spark.sql.functions._
+    val gen1 = graft.Tables.region(spark, sf).withColumn("gen", lit(1))
+    val gen2 = graft.Tables.nation(spark, sf).select(
+      col("n_nationkey").as("r_regionkey"), col("n_name").as("r_name"))
+      .withColumn("gen", lit(2))
+    Warehouse.replaceTable(gen1, "tt_demo")
+    val v1 = Warehouse.snapshotTable(spark, "tt_demo")
+    Warehouse.replaceTable(gen2, "tt_demo") // today's publish destroys...
+    val v2 = Warehouse.snapshotTable(spark, "tt_demo")
+    assert(v1 === 1 && v2 === 2)
+    assert(Warehouse.snapshots(spark, "tt_demo") === Seq(1, 2))
+    // ...but the snapshot still serves yesterday's load, byte-for-byte
+    val snap1 = Warehouse.readSnapshot(spark, "tt_demo", v1)
+      .orderBy("r_regionkey").collect().map(_.toSeq).toSeq
+    assert(snap1 === gen1.orderBy("r_regionkey").collect().map(_.toSeq).toSeq)
+    assert(Warehouse.readSnapshot(spark, "tt_demo", v2).count() === gen2.count())
+    // the live table is the latest publish
+    assert(spark.table(s"${Warehouse.Schema}.tt_demo")
+      .agg(max(col("gen"))).head.getInt(0) === 2)
+    // and snapshot tables never shadow the base in snapshots() parsing
+    assert(!Warehouse.snapshots(spark, "tt_demo").contains(0))
+  }
+
   test("compact: rewrites a fragmented table to the target file count") {
     val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf).repartition(16)
     Warehouse.replaceTable(lf, "loan_final_frag")
