@@ -13,15 +13,20 @@ object LayoutOracle {
 
   private def duckIdiv(a: String, b: String): String = s"($a) // ($b)"
 
+  /** First-60-bits-of-md5 as BIGINT — must stay bit-identical to
+    * TextFns.hash60 (the per-oracle-file convention).
+    */
+  private def hash60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x),1,15))::UBIGINT AS BIGINT)"
+
   /** mx/base/enriched: the row-level grid frame (x, pk, y, z, bands);
     * with `ingest` the content-hash split residues ih/ihf ride along
     * (the [[LayoutQueries.gridRows]] withIngestKey twin).
     */
   private def commonCtes(ingest: Boolean = false): String = {
     val z = interleaveExpr("x", "y", duckIdiv)
-    val h60 = "CAST(('0x' || substr(md5(" +
-      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)" +
-      "),1,15))::UBIGINT AS BIGINT)"
+    val h60 = hash60Sql(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
     val (liCols, baseCols, thruCols) =
       if (ingest)
         (s", $h60 AS h",

@@ -6,6 +6,13 @@ package graft.relational
   */
 object RelationalOracle {
 
+  /** First-60-bits-of-md5 as BIGINT — must stay bit-identical to
+    * TextFns.hash60 (the SimOracle/TextOracle convention, one copy per
+    * oracle file).
+    */
+  private def hash60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x),1,15))::UBIGINT AS BIGINT)"
+
   /** KMV twin — a `def` (not `val`): it interpolates KmvK/KmvBand, and
     * this object initializes at the FIRST RelationalQueries GraftQuery
     * val, before constants declared further down are set (the
@@ -15,8 +22,7 @@ object RelationalOracle {
     */
   def kmvDistinctSql: String = {
     import RelationalQueries.{KmvBand, KmvK}
-    val h60 =
-      "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT AS BIGINT)"
+    val h60 = hash60Sql("CAST(o_custkey AS VARCHAR)")
     s"""
     WITH post AS (
       SELECT o_orderpriority, $h60 AS h FROM orders),
@@ -53,8 +59,7 @@ object RelationalOracle {
     */
   def kmvOverlapSql: String = {
     import RelationalQueries.{KmvAudienceA, KmvAudienceB, KmvBand, KmvK}
-    val h60 =
-      "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::UBIGINT AS BIGINT)"
+    val h60 = hash60Sql("CAST(o_custkey AS VARCHAR)")
     s"""
     WITH o AS (
       SELECT o_custkey,

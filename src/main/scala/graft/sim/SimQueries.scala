@@ -1766,16 +1766,18 @@ object SimQueries {
     val perTerm = cand.groupBy(col("doc_id"), col("term"))
       .agg(max(col("cos_q")).as("mx"), count(lit(1)).as("n_present"))
       .join(nch, "doc_id")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_chunks"),
         when(col("n_present") < col("n_chunks"), greatest(col("mx"), lit(0L)))
           .otherwise(col("mx")).as("maxsim_q"))
+    // n_chunks rides through the aggregation (constant per doc) so the
+    // chunkRows pipeline behind nch is planted in the plan exactly once
     val perDoc = perTerm.groupBy(col("doc_id"))
       .agg(sum(col("maxsim_q")).as("sq"),
-        sum(when(col("maxsim_q") > 0, 1L).otherwise(0L)).as("terms_hit"))
+        sum(when(col("maxsim_q") > 0, 1L).otherwise(0L)).as("terms_hit"),
+        max(col("n_chunks")).as("n_chunks"))
     val w = Window.orderBy(desc("sq"), col("doc_id"))
     perDoc.withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= 10)
-      .join(nch, "doc_id")
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .select(col("rn"), col("doc_id"), (col("sq") / lit(1e9)).as("li_score"),
         col("terms_hit"), col("n_chunks"), col("lang"), col("source"))

@@ -170,20 +170,28 @@ object Warehouse {
     * semantics one (the [[compact]] caveat's mirror image).
     */
   def snapshotTable(spark: SparkSession, table: String): Int = {
+    ensureSchema(spark)
     val v = snapshots(spark, table).lastOption.getOrElse(0) + 1
+    val snap = s"${table.toLowerCase}$SnapSuffix$v"
+    // same orphan-directory guard as every writer above: a prior JVM's
+    // snapshot directory with no catalog entry must not wedge versioning
+    clearOrphanLocation(spark, snap)
     spark.table(s"$Schema.$table").write
       .mode(SaveMode.ErrorIfExists)
-      .saveAsTable(s"$Schema.$table$SnapSuffix$v")
+      .saveAsTable(s"$Schema.$snap")
     v
   }
 
   /** Read a table AS OF snapshot version `v` (from [[snapshotTable]]). */
   def readSnapshot(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.table(s"$Schema.$table$SnapSuffix$v")
+    spark.table(s"$Schema.${table.toLowerCase}$SnapSuffix$v")
 
-  /** Existing snapshot versions of `table`, ascending. */
+  /** Existing snapshot versions of `table`, ascending. The catalog
+    * lowercases table names, so the prefix must too (a mixed-case caller
+    * would otherwise see an empty history and recompute version 1).
+    */
   def snapshots(spark: SparkSession, table: String): Seq[Int] = {
-    val prefix = s"$table$SnapSuffix"
+    val prefix = s"${table.toLowerCase}$SnapSuffix"
     spark.sessionState.catalog.listTables(Schema)
       .map(_.table)
       .filter(_.startsWith(prefix))

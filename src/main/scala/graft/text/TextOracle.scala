@@ -44,16 +44,19 @@ object TextOracle {
     * 0 when no group arg is given; patterns are the identical Java/RE2
     * common-subset literals (see TextQueries.piiScreen).
     */
-  def piiScreenSql: String = s"""
+  def piiScreenSql: String = {
+    import TextQueries.{PiiDigitPat, PiiEmailPat}
+    s"""
     SELECT doc_id,
-      CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS INTEGER) AS n_emails,
-      CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS INTEGER) AS n_digit_runs,
+      CAST(len(regexp_extract_all(text, '$PiiEmailPat')) AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(text, '$PiiDigitPat')) AS INTEGER) AS n_digit_runs,
       CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS INTEGER) AS n_long_tokens,
       CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INTEGER) AS n_vowel_runs,
-      CASE WHEN len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) > 0
-             OR len(regexp_extract_all(text, '[0-9]{3,}')) > 0
+      CASE WHEN len(regexp_extract_all(text, '$PiiEmailPat')) > 0
+             OR len(regexp_extract_all(text, '$PiiDigitPat')) > 0
            THEN 1 ELSE 0 END AS pii_flag
     FROM documents ORDER BY doc_id"""
+  }
 
   /** PII-redaction twin: same pattern literals, same email-then-digits
     * replacement order (the contract — emails contain digits), 'g' flag

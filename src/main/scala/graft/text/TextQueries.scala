@@ -116,12 +116,18 @@ object TextQueries {
     }.mkString(" ") + " ELSE 0 END AS BIGINT)"
 
   /** Dialect-shared CASE mapping a relevance grade to gain 2^rel - 1
-    * (exact integers — no pow() on either engine).
+    * (exact integers — no pow() on either engine). Grades are bounded by
+    * 2·n_terms (a coverage point plus a saturation point per term), so
+    * the branch list is DERIVED from [[NdcgQueries]] — a longer eval
+    * query can never silently fall into the ELSE-0 branch on both
+    * engines at once.
     */
-  private[text] def ndcgGainCase(relCol: String): String =
-    "CAST(CASE " + (0 to 8).map(g =>
+  private[text] def ndcgGainCase(relCol: String): String = {
+    val maxRel = 2 * NdcgQueries.map(_._2.length).max
+    "CAST(CASE " + (0 to maxRel).map(g =>
       s"WHEN $relCol = $g THEN ${(1L << g) - 1}").mkString(" ") +
       " ELSE 0 END AS BIGINT)"
+  }
 
   /** Per-document token statistics: whitespace tokens, distinct tokens,
     * type-token ratio, a BPE-ish sub-word count (regex chunks of <=4 chars),
@@ -498,10 +504,10 @@ object TextQueries {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(expr(
-          "regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', 0)"))
+        size(expr(s"regexp_extract_all(text, '$PiiEmailPat', 0)"))
           .as("n_emails"),
-        size(expr("regexp_extract_all(text, '[0-9]{3,}', 0)")).as("n_digit_runs"),
+        size(expr(s"regexp_extract_all(text, '$PiiDigitPat', 0)"))
+          .as("n_digit_runs"),
         size(expr("regexp_extract_all(text, '[a-z]{8,}', 0)")).as("n_long_tokens"),
         size(expr("regexp_extract_all(text, '[aeiou]{2,}', 0)")).as("n_vowel_runs"))
       .withColumn("pii_flag",
