@@ -1775,9 +1775,13 @@ object SimQueries {
       .agg(sum(col("maxsim_q")).as("sq"),
         sum(when(col("maxsim_q") > 0, 1L).otherwise(0L)).as("terms_hit"),
         max(col("n_chunks")).as("n_chunks"))
+    // global top-10 as sort+limit, which plans as TakeOrderedAndProject
+    // (distributed partial top-k per partition, no single-partition
+    // window over the candidate docs); the rank window then runs over
+    // exactly 10 rows
     val w = Window.orderBy(desc("sq"), col("doc_id"))
-    perDoc.withColumn("rn", row_number().over(w).cast("int"))
-      .filter(col("rn") <= 10)
+    perDoc.orderBy(desc("sq"), col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(w).cast("int"))
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .select(col("rn"), col("doc_id"), (col("sq") / lit(1e9)).as("li_score"),
         col("terms_hit"), col("n_chunks"), col("lang"), col("source"))

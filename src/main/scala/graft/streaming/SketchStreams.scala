@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming sketch maintenance — the ingest-time half of the KMV story
+  * (`orders_kmv_distinct` builds the same sketch as a batch artifact):
+  * the k-minimum-values state merges like a semilattice (the k smallest
+  * of a union are the k smallest of the merged k-min sets), so a keyed
+  * state of at most k longs per group stays EXACTLY the batch sketch
+  * under any micro-batch split and arrival order. This is the property
+  * that makes KMV (unlike a raw COUNT DISTINCT) maintainable at any
+  * ingest rate: per-batch work is a bounded merge, state never grows
+  * past k·8 bytes per group, and the served estimate is bit-identical
+  * to a from-scratch rebuild (StreamingSpec asserts it against an
+  * independent plain-Scala reference).
+  */
+object SketchStreams {
+
+  /** Maintain the per-group KMV sketch over an arriving (grp, h) stream;
+    * emits the group's CURRENT sketch readout after each micro-batch:
+    * (grp, n_kept, u_k — the k-th distinct minimum, or null below k —
+    * and the (k−1)/normalized-u_k estimate, exactly the
+    * `orders_kmv_distinct` estimator).
+    */
+  def kmvDistinct(rows: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.selectExpr("CAST(grp AS STRING) AS grp", "CAST(h AS BIGINT) AS h")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[(String, Long)],
+         state: GroupState[Array[Long]]) => {
+          val prior = state.getOption.getOrElse(Array.empty[Long])
+          // bounded merge: distinct union of prior k-mins and the batch's
+          // hashes, re-cut to the k smallest — the semilattice step
+          val merged = (prior.iterator ++ batch.map(_._2))
+            .toArray.distinct.sorted.take(k)
+          state.update(merged)
+          val nKept = merged.length
+          val uK = if (nKept >= k) Some(merged(k - 1)) else None
+          val est = uK match {
+            case Some(u) => (k - 1).toDouble / (u / 1152921504606846976.0)
+            case None => nKept.toDouble
+          }
+          Iterator((grp, nKept.toLong, uK, est))
+        })
+      .toDF("grp", "n_kept", "u_k", "kmv_estimate")
+  }
+}

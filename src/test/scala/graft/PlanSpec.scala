@@ -665,6 +665,18 @@ class PlanSpec extends SparkSpec {
       s"a vec-id join degraded to sort-merge:\n$plan")
   }
 
+  test("chunk_late_interaction: posting-bounded candidates, one chunk-count subtree") {
+    val df = SparkEntry.queries("chunk_late_interaction")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the 5-row query-dim table must broadcast (the coordinate-posting
+    // probe), and the global top-10 must be a TakeOrdered (distributed
+    // partial top-k), never a single-partition window over candidates
+    assert(plan.contains("BroadcastHashJoin"), s"qd not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("orders_kmv_distinct: sketch cut is a WindowGroupLimit; estimator sane") {
     val df = SparkEntry.queries("orders_kmv_distinct")(spark, sf)
     val rows = df.collect()

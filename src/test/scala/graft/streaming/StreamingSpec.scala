@@ -66,6 +66,58 @@ class StreamingSpec extends SparkSpec {
       (1 << graft.layout.LayoutQueries.FilePrefixBits))
   }
 
+  test("SketchStreams.kmvDistinct: streamed k-min state == batch sketch across a split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val k = graft.relational.RelationalQueries.KmvK
+    val rows = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("grp"),
+        graft.text.TextFns.hash60(col("o_custkey").cast("string")).as("h"))
+      .as[(String, Long)].collect().toSeq
+    assert(rows.length > 1000)
+    val (a, b) = rows.splitAt(rows.length / 2) // unaligned: groups span both
+    val stream = MemoryStream[(String, Long)]
+    stream.addData(a: _*)
+    val q = SketchStreams.kmvDistinct(
+      stream.toDS().toDF("grp", "h"), k)
+      .writeStream.format("memory").queryName("kmv_stream_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    stream.addData(b: _*)
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends per-batch emissions in order: the
+    // final state per group is its LAST row
+    val finalRows = spark.table("kmv_stream_out").collect()
+      .foldLeft(Map.empty[String, org.apache.spark.sql.Row]) {
+        (m, r) => m + (r.getAs[String]("grp") -> r)
+      }
+    // independent plain-Scala reference: exact k smallest distinct hashes
+    val expected = rows.groupBy(_._1).map { case (g, gs) =>
+      val mins = gs.map(_._2).distinct.sorted.take(k)
+      val est =
+        if (mins.length >= k) (k - 1).toDouble / (mins(k - 1) / 1152921504606846976.0)
+        else mins.length.toDouble
+      g -> (mins.length.toLong, est)
+    }
+    assert(finalRows.keySet === expected.keySet)
+    expected.foreach { case (g, (nKept, est)) =>
+      val r = finalRows(g)
+      assert(r.getAs[Long]("n_kept") === nKept, g)
+      assert(r.getAs[Double]("kmv_estimate") === est, g)
+    }
+    // and the served estimate matches the BATCH query's, bit for bit
+    val batch = graft.relational.RelationalQueries.kmvDistinct
+      .frame(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        r.getAs[Double]("kmv_estimate")).toMap
+    batch.foreach { case (g, est) =>
+      assert(finalRows(g).getAs[Double]("kmv_estimate") === est, g)
+    }
+  }
+
   test("tumblingCounts: streaming result equals batch result on same input") {
     val spark0 = spark
     import spark0.implicits._
