@@ -567,6 +567,53 @@ object DedupOracle {
     * literals so DuckDB's DECIMAL arithmetic (1.0 - 0.85 = exactly 0.15,
     * unlike IEEE) never enters.
     */
+  /** k-core peeling twin — `def` (interpolates KcoreK/KcoreSweeps,
+    * declared late in DedupQueries; init-order rule): the identical
+    * degree-conditioned sweeps unrolled b0..b[[DedupQueries.KcoreSweeps]],
+    * the per-sweep (nodes, edges) curve, and the vacuous-true fixpoint
+    * attestation.
+    */
+  def kcorePeelSql: String = {
+    import DedupQueries.{KcoreK, KcoreSweeps}
+    val thr = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    // each b$t is read twice (next sweep + the curve) and chains 4 deep:
+    // MATERIALIZED stops DuckDB re-inlining the whole pair mine per use
+    def sweep(t: Int): String = s"""
+    n$t AS MATERIALIZED (
+      SELECT src AS node FROM b${t - 1} GROUP BY src
+      HAVING COUNT(*) >= $KcoreK
+    ),
+    b$t AS MATERIALIZED (
+      SELECT e.src, e.dst FROM b${t - 1} e
+      JOIN n$t sa ON e.src = sa.node
+      JOIN n$t sb ON e.dst = sb.node
+    )"""
+    val curve = (0 to KcoreSweeps).map { t =>
+      s"""SELECT $t AS sweep, n_nodes, n_edges FROM (
+        SELECT COUNT(DISTINCT src) AS n_nodes, COUNT(*) AS n_edges
+        FROM b$t)"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH $ngramPairCtes,
+    pedges AS (
+      SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $thr
+    ),
+    b0 AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pedges
+      UNION ALL
+      SELECT doc_b, doc_a FROM pedges
+    ),
+    ${(1 to KcoreSweeps).map(sweep).mkString(",")},
+    conv AS (
+      SELECT COALESCE(MIN(c) >= $KcoreK, TRUE) AS converged FROM (
+        SELECT COUNT(*) AS c FROM b$KcoreSweeps GROUP BY src)
+    )
+    SELECT sweep, n_nodes, n_edges, converged FROM (
+      $curve
+    ) CROSS JOIN conv
+    ORDER BY sweep"""
+  }
+
   def pagerankSql: String = {
     import DedupQueries.{PrDamping, PrIters, PrTopK}
     def sweep(t: Int): String = s"""

@@ -2010,8 +2010,69 @@ object DedupQueries {
       .select(col("doc_id"), col("sh"), col("sz"))
   }
 
+  /** Core order and peel-sweep count for [[kcorePeel]]. */
+  val KcoreK = 2
+  val KcoreSweeps = 4
+
+  /** k-core PEELING over the near-dup graph — the graph family's missing
+    * density miner (CC finds reachability, PageRank finds hubs, triangles
+    * find wedges; the k-core finds the subgraph where EVERY member keeps
+    * ≥ k near-dup neighbors after all weakly-attached docs are peeled
+    * away — boilerplate nests and template farms survive, star whiskers
+    * don't). Iteration class is new too: degree-CONDITIONED peeling
+    * (drop nodes under k, re-derive degrees, repeat), unlike CC's label
+    * propagation or PR's value iteration. Output is the peeling curve —
+    * (sweep, nodes, directed edges) for sweep 0..[[KcoreSweeps]] — plus
+    * an IN-BAND fixpoint attestation: `converged` is true iff every
+    * surviving node already has degree ≥ k, i.e. one more sweep would
+    * change nothing (vacuously true on an empty core).
+    *
+    * Scale shape: each sweep is one degree partial-agg + two semi-joins
+    * against the shrinking survivor set, checkpointed so sweep t+1 reads
+    * sweep t's materialized edges — per-sweep cost is monotone
+    * decreasing in the edge set, the property that makes peeling cheap
+    * at 100 TB. The oracle unrolls the identical sweeps CTE-for-CTE.
+    */
+  val kcorePeel: GraftQuery = GraftQuery(
+    "dedup_kcore_peel",
+    s"$KcoreK-core peeling curve over the J >= $ClusterJaccard graph: per-sweep nodes/edges + fixpoint attestation",
+    DedupOracle.kcorePeelSql) { (s, d) =>
+    val pairs = ngramJaccardFrame(Tables.documents(s, d))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    var bi = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    graft.api.Checkpoints.release(pairs)
+    def counts(t: Int, edges: DataFrame) = edges.agg(
+      count_distinct(col("src")).as("n_nodes"),
+      count(lit(1)).as("n_edges"))
+      .select(lit(t).as("sweep"), col("n_nodes"), col("n_edges"))
+    val curve = scala.collection.mutable.ArrayBuffer(counts(0, bi))
+    for (t <- 1 to KcoreSweeps) {
+      val surv = bi.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= KcoreK).select(col("src").as("node"))
+      // every sweep's checkpoint must stay alive: the curve frames read
+      // them when the FINAL union materializes (the sweep-local release
+      // pattern of pagerankFrame doesn't apply — there only the last
+      // sweep survives into the result)
+      bi = bi
+        .join(surv, col("src") === col("node"), "left_semi")
+        .join(surv, col("dst") === col("node"), "left_semi")
+        .localCheckpoint()
+      curve += counts(t, bi)
+    }
+    val conv = bi.groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(min(col("c")) >= KcoreK, lit(true)).as("converged"))
+    curve.reduce(_ unionByName _)
+      .crossJoin(broadcast(conv))
+      .orderBy("sweep")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
+      kcorePeel,
       clusterIncrement,
       clustersMulti, keepSummary, spanOverlap, spanStrip, longestSpan,
       paragraphPairs,
