@@ -38,6 +38,19 @@ trait GraftQuery {
     * drift from the registry.
     */
   def singleRow: Boolean = false
+
+  /** True when the Spark frame executes the oracle string VERBATIM
+    * (`spark.sql(oracle.get)`). Dialect-shared queries carry an extra
+    * type contract: every literal in the text must parse to the SAME
+    * type in Spark SQL and DuckDB — in particular `x / 10000.0` stays
+    * DECIMAL in Spark but becomes DOUBLE in DuckDB, so quantized-sum
+    * outputs must be wrapped in CAST(... AS DOUBLE) (or use `1e4`
+    * literals). RelationalSpec enforces the observable half of the
+    * contract mechanically: no DecimalType may appear in a shared
+    * query's analyzed output schema. Queries self-declare via
+    * [[GraftQuery.shared]] so the spec's list can't drift.
+    */
+  def dialectShared: Boolean = false
 }
 
 object GraftQuery {
@@ -59,6 +72,25 @@ object GraftQuery {
     def frame(spark: SparkSession, sfDir: String): DataFrame = f(spark, sfDir)
     val oracle = Option(sql)
     override val singleRow = true
+  }
+
+  /** A dialect-shared query: ONE SQL string is both the Spark frame and
+    * the DuckDB oracle. `views` registers the temp views the text reads;
+    * the frame is then literally `spark.sql(sql)`, so Spark-vs-oracle
+    * divergence can only come from dialect semantics, never from a
+    * drifted re-implementation. `oneRow` marks 1-row aggregates (same
+    * exemption as [[oneRow]]).
+    */
+  def shared(n: String, d: String, sql: String, oneRowResult: Boolean = false)(
+      views: (SparkSession, String) => Unit): GraftQuery = new GraftQuery {
+    val name = n
+    val doc = d
+    def frame(spark: SparkSession, sfDir: String): DataFrame = {
+      views(spark, sfDir); spark.sql(sql)
+    }
+    val oracle = Option(sql)
+    override val singleRow = oneRowResult
+    override val dialectShared = true
   }
 
   /** A query with no SQL-expressible oracle (driver does rows-only check). */

@@ -399,7 +399,7 @@ object RelationalOracle {
   val topSupplierSql: String = s"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-        ${sumDec("l_extendedprice * (1 - l_discount)")} AS total_revenue
+        CAST(${sumDec("l_extendedprice * (1 - l_discount)")} AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -449,7 +449,7 @@ object RelationalOracle {
     */
   val returnedItemSql: String = s"""
     SELECT c.c_custkey, c.c_name,
-      ${sumDec("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+      CAST(${sumDec("l.l_extendedprice * (1 - l.l_discount)")} AS DOUBLE) AS revenue,
       c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -486,7 +486,7 @@ object RelationalOracle {
     * still receives an Or'd brand/size filter — PlanSpec pins that.
     */
   val brandBandRevenueSql: String = s"""
-    SELECT ${sumDec("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    SELECT CAST(${sumDec("l.l_extendedprice * (1 - l.l_discount)")} AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE

@@ -230,14 +230,13 @@ object RelationalQueries {
     * anti), each AQE-coalesced, supplier dim broadcast into the tiny
     * post-filter frame.
     */
-  val suppliersWaiting: GraftQuery = GraftQuery(
+  val suppliersWaiting: GraftQuery = GraftQuery.shared(
     "suppliers_waiting",
     "EXISTS + NOT EXISTS on one fact -> chained semi/anti joins (TPC-H Q21 shape)",
     RelationalOracle.suppliersWaitingSql) { (s, d) =>
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(RelationalOracle.suppliersWaitingSql)
   }
 
   /** Data-validation sweep: referential integrity (anti-join counts),
@@ -281,13 +280,12 @@ object RelationalQueries {
     * scans; the decorrelated plan is two scans and one join at any scale
     * (PlanSpec pins the rewrite).
     */
-  val smallQtyRevenue: GraftQuery = GraftQuery(
+  val smallQtyRevenue: GraftQuery = GraftQuery.shared(
     "part_small_qty_revenue",
     "correlated scalar subquery, decorrelated to agg+join (TPC-H Q17 shape)",
     RelationalOracle.smallQtyRevenueSql) { (s, d) =>
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.part(s, d).createOrReplaceTempView("part")
-    s.sql(RelationalOracle.smallQtyRevenueSql)
   }
 
   /** Correlated scalar-MIN over a JOIN (TPC-H Q2 shape): cheapest
@@ -303,7 +301,7 @@ object RelationalQueries {
     * re-scan of the join for a surviving subquery. Dialect-shared SQL
     * (the Q17/Q18/Q21/Q22 convention).
     */
-  val cheapestSupplier: GraftQuery = GraftQuery(
+  val cheapestSupplier: GraftQuery = GraftQuery.shared(
     "cheapest_supplier_per_part",
     "correlated scalar-MIN over a join -> agg+join (TPC-H Q2 shape)",
     RelationalOracle.cheapestSupplierSql) { (s, d) =>
@@ -312,7 +310,6 @@ object RelationalQueries {
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.region(s, d).createOrReplaceTempView("region")
-    s.sql(RelationalOracle.cheapestSupplierSql)
   }
 
   /** Nested correlated IN (TPC-H Q20 shape): the inner IN's filter
@@ -325,7 +322,7 @@ object RelationalQueries {
     * outer IN a semi join into the supplier dim — a surviving correlated
     * subquery would instead re-scan lineitem once per (supp, part).
     */
-  val surgeSuppliers: GraftQuery = GraftQuery(
+  val surgeSuppliers: GraftQuery = GraftQuery.shared(
     "promo_surge_suppliers",
     "nested IN + two-column-correlated scalar SUM -> rollup join + semi joins (TPC-H Q20 shape)",
     RelationalOracle.surgeSuppliersSql) { (s, d) =>
@@ -333,7 +330,6 @@ object RelationalQueries {
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.part(s, d).createOrReplaceTempView("part")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(RelationalOracle.surgeSuppliersSql)
   }
 
   /** IN-over-grouped-HAVING subquery (TPC-H Q18 shape), also dialect-shared
@@ -341,14 +337,13 @@ object RelationalQueries {
     * lineitem — the 100 TB shape is two shuffles on l_orderkey (one for
     * the HAVING aggregate, one for the semi join), both AQE-coalesced.
     */
-  val largeVolumeCustomers: GraftQuery = GraftQuery(
+  val largeVolumeCustomers: GraftQuery = GraftQuery.shared(
     "large_volume_customers",
     "IN over grouped-HAVING subquery -> semi join (TPC-H Q18 shape)",
     RelationalOracle.largeVolumeCustomersSql) { (s, d) =>
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(RelationalOracle.largeVolumeCustomersSql)
   }
 
   /** TPC-H Q22 shape (adapted to this schema: market segment stands in
@@ -367,13 +362,12 @@ object RelationalQueries {
     * the correct plan (one extra customer-dimension pass), unlike a
     * correlated subquery's per-row re-scan.
     */
-  val inactiveHighBalance: GraftQuery = GraftQuery(
+  val inactiveHighBalance: GraftQuery = GraftQuery.shared(
     "high_balance_inactive_customers",
     "NOT EXISTS anti join + uncorrelated scalar-avg subquery (TPC-H Q22 shape)",
     RelationalOracle.inactiveHighBalanceSql) { (s, d) =>
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(RelationalOracle.inactiveHighBalanceSql)
   }
 
   /** Top supplier by quarterly revenue (TPC-H Q15 shape): the grouped
@@ -388,13 +382,12 @@ object RelationalQueries {
     * arrives as a scalar-subquery comparison, not a re-scan of
     * lineitem. Dialect-shared SQL (the Q2/Q17..Q22 convention).
     */
-  val topSupplier: GraftQuery = GraftQuery(
+  val topSupplier: GraftQuery = GraftQuery.shared(
     "quarterly_top_supplier",
     "grouped CTE + uncorrelated scalar-MAX winner selection (TPC-H Q15 shape)",
     RelationalOracle.topSupplierSql) { (s, d) =>
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(RelationalOracle.topSupplierSql)
   }
 
   /** National market share (TPC-H Q8 shape): the 8-relation acyclic star
@@ -407,7 +400,7 @@ object RelationalQueries {
     * quantized-LONG sums per year — the share division happens on the
     * handful of year rows. Dialect-shared SQL.
     */
-  val marketShare: GraftQuery = GraftQuery(
+  val marketShare: GraftQuery = GraftQuery.shared(
     "nation_market_share",
     "double-role nation join + per-year share-of-total ratio (TPC-H Q8 shape)",
     RelationalOracle.marketShareSql) { (s, d) =>
@@ -418,7 +411,6 @@ object RelationalQueries {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.region(s, d).createOrReplaceTempView("region")
-    s.sql(RelationalOracle.marketShareSql)
   }
 
   /** Returned-item losses (TPC-H Q10 shape): quarter-scoped
@@ -429,7 +421,7 @@ object RelationalQueries {
     * never a global sort of the fact. c_custkey tiebreak keeps the cut
     * total (revenue alone can tie).
     */
-  val returnedItems: GraftQuery = GraftQuery(
+  val returnedItems: GraftQuery = GraftQuery.shared(
     "returned_item_losses",
     "quarter + returnflag rollup, top-20 customers by lost revenue (TPC-H Q10 shape)",
     RelationalOracle.returnedItemSql) { (s, d) =>
@@ -437,7 +429,6 @@ object RelationalQueries {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.nation(s, d).createOrReplaceTempView("nation")
-    s.sql(RelationalOracle.returnedItemSql)
   }
 
   /** Promo revenue share (TPC-H Q14 shape): one-row conditional-aggregate
@@ -445,13 +436,12 @@ object RelationalQueries {
     * same single agg pass as the denominator (one scan, zero extra
     * shuffles), the part type arrives via a broadcast join.
     */
-  val promoShare: GraftQuery = GraftQuery.oneRow(
+  val promoShare: GraftQuery = GraftQuery.shared(
     "promo_revenue_share",
     "one-row conditional-aggregate ratio (TPC-H Q14 shape)",
-    RelationalOracle.promoShareSql) { (s, d) =>
+    RelationalOracle.promoShareSql, oneRowResult = true) { (s, d) =>
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.part(s, d).createOrReplaceTempView("part")
-    s.sql(RelationalOracle.promoShareSql)
   }
 
   /** Brand/size/quantity band revenue (TPC-H Q19 shape): three OR'd
@@ -463,13 +453,12 @@ object RelationalQueries {
     * that's the difference between scanning ~3 brands' row groups and
     * all 25. PlanSpec pins the pushed Or on the part scan.
     */
-  val brandBandRevenue: GraftQuery = GraftQuery.oneRow(
+  val brandBandRevenue: GraftQuery = GraftQuery.shared(
     "brand_band_revenue",
     "OR'd two-sided predicate blocks with CNF-extracted pushdown (TPC-H Q19 shape)",
-    RelationalOracle.brandBandRevenueSql) { (s, d) =>
+    RelationalOracle.brandBandRevenueSql, oneRowResult = true) { (s, d) =>
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.part(s, d).createOrReplaceTempView("part")
-    s.sql(RelationalOracle.brandBandRevenueSql)
   }
 
   /** Manual runtime-filter join: a Bloom filter built over the SELECTIVE

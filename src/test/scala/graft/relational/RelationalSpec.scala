@@ -46,4 +46,27 @@ class RelationalSpec extends SparkSpec {
     // every band is actually populated at this SF
     assert(got.keySet === Set("champion", "loyal", "at_risk", "hibernating"))
   }
+
+  // Dialect-shared type contract (the round-14 hash-fail class): Spark
+  // parses `x / 10000.0` as DECIMAL while DuckDB's `/` yields DOUBLE, so
+  // a dialect-shared query whose output schema contains a DecimalType
+  // WILL hash-mismatch the oracle even when every value is numerically
+  // identical. The trap is mechanical (it shipped three times in round
+  // 14 despite being documented at RelationalOracle Q17), so the gate is
+  // mechanical too: walk EVERY self-declared dialect-shared query in the
+  // registry and reject DecimalType anywhere in its analyzed schema.
+  test("dialect-shared queries expose no DecimalType output column") {
+    val sharedQs = graft.SparkEntry.registry.filter(_.dialectShared)
+    // the convention is load-bearing for the relational family — if the
+    // filter comes back (near-)empty the flag has drifted, not the bug
+    assert(sharedQs.size >= 11, s"expected >=11 shared queries, got ${sharedQs.size}")
+    val offenders = sharedQs.flatMap { q =>
+      val bad = q.frame(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
