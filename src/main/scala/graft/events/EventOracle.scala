@@ -535,6 +535,86 @@ object EventOracle {
   /** SCD2 twin: the same lag-change-detection + row_number/lead interval
     * chaining over (ts, event_id) ordering.
     */
+  /** Relational twin of the [[graft.sources.Warehouse.mergeTable]]-driven
+    * SCD2 maintenance ([[EventQueries.scd2Merge]]): the v1 dimension over
+    * the non-delta events, the restatement delta (every version of every
+    * TOUCHED user, re-derived over the full feed), the upsert algebra
+    * (v1 rows whose key the delta doesn't claim, union the delta), and a
+    * row-level full-outer comparison against the from-scratch dimension.
+    * The Spark side reads its merged rows back from the WAREHOUSE TABLE
+    * (the physical attestation); this twin replays the same algebra
+    * relationally, so a hash match proves the persisted merge equals the
+    * recompute column-for-column.
+    */
+  def scd2MergeSql: String = {
+    val mod = EventQueries.Scd2DeltaMod
+    def dim(name: String, src: String) = s"""
+    ${name}ch AS (
+      SELECT user_id, ts, event_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM $src
+    ),
+    ${name}cr AS (
+      SELECT user_id, ts, event_id, event_type FROM ${name}ch
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    $name AS (
+      SELECT user_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS INTEGER) AS version,
+        event_type AS state,
+        ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS valid_to,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          AS is_current
+      FROM ${name}cr
+    )"""
+    s"""
+    WITH $evCte,
+    evold AS (SELECT * FROM ev WHERE event_id % $mod <> 0),
+    ${dim("odim", "evold")},
+    ${dim("fdim", "ev")},
+    tu AS (
+      SELECT DISTINCT user_id FROM ev WHERE event_id % $mod = 0
+    ),
+    delta AS MATERIALIZED (
+      SELECT f.* FROM fdim f JOIN tu USING (user_id)
+    ),
+    merged AS MATERIALIZED (
+      SELECT o.* FROM odim o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM delta d
+        WHERE d.user_id = o.user_id AND d.version = o.version)
+      UNION ALL
+      SELECT * FROM delta
+    ),
+    cmp AS (
+      SELECT COALESCE(m.user_id, f.user_id) AS uid,
+        CASE WHEN m.user_id IS NULL OR f.user_id IS NULL
+          OR m.state IS DISTINCT FROM f.state
+          OR m.valid_from IS DISTINCT FROM f.valid_from
+          OR m.valid_to IS DISTINCT FROM f.valid_to
+          OR m.is_current IS DISTINCT FROM f.is_current
+        THEN 1 ELSE 0 END AS bad
+      FROM merged m
+      FULL JOIN fdim f
+        ON m.user_id = f.user_id AND m.version = f.version
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_versions,
+        MAX(CASE WHEN is_current THEN state END) AS current_state
+      FROM merged GROUP BY user_id
+    ),
+    ok AS (
+      SELECT uid, SUM(bad) = 0 AS merge_ok FROM cmp GROUP BY uid
+    )
+    SELECT a.user_id, a.n_versions, a.current_state, ok.merge_ok
+    FROM agg a JOIN ok ON ok.uid = a.user_id
+    ORDER BY a.user_id"""
+  }
+
   def scd2Sql: String = s"""
     WITH $evCte,
     ch AS (

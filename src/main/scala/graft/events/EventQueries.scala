@@ -772,6 +772,82 @@ object EventQueries {
     scd2Frame(Tables.events(s, d)).orderBy("user_id", "version")
   }
 
+  /** Delta slice for [[scd2Merge]]: events with
+    * event_id % Scd2DeltaMod == 0 are the late-arriving batch (an
+    * arbitrary ID slice, the portfolio_incremental_merge convention).
+    */
+  val Scd2DeltaMod = 10
+
+  /** Warehouse table maintained by [[scd2Merge]]. */
+  val Scd2DimTable = "dim_user_state"
+
+  /** SCD2 dimension maintenance END-TO-END through the warehouse MERGE
+    * primitive ([[graft.sources.Warehouse.mergeTable]]) — the keyed-upsert
+    * Load step [[scd2Dimension]] derives but never persisted:
+    *
+    *   1. initial publish — the dimension over the 90% "on-time" events,
+    *      replace-mode (the v1 deployment);
+    *   2. restatement delta — when the late batch lands, every version of
+    *      every TOUCHED user is re-derived over the full feed (SCD2
+    *      restatement: a late event can re-number and re-bound any of its
+    *      user's versions, so the user's whole history is the upsert
+    *      unit; version counts never shrink — change points only grow
+    *      under insertion — so update+insert covers it with no delete);
+    *   3. MERGE INTO on key (user_id, version) — matched versions update
+    *      (state/validity bounds), new versions insert, other users'
+    *      rows are untouched;
+    *   4. attestation — the PERSISTED table is read back and compared
+    *      row-for-row (full outer join on the key, null-safe on every
+    *      column) against a from-scratch derivation over the full feed.
+    *
+    * Output per user: version count, current state, and the genuine
+    * per-user merge_ok equality bit (the merge-vs-recompute contract).
+    *
+    * 100 TB shape: the delta costs one touched-user semi join + the SCD2
+    * window over touched users only; the merge rewrites only what the
+    * key layout allows pruning to (see [[graft.sources.Warehouse.mergeTable]]);
+    * the attestation is a key-partitioned equi-join. Determinism:
+    * timestamps and version numbers are exact, the comparison is
+    * null-safe equality on exact types — no doubles anywhere.
+    */
+  val scd2Merge: GraftQuery = GraftQuery(
+    "events_scd2_merge",
+    s"SCD2 dimension maintenance via warehouse MERGE: 1/$Scd2DeltaMod late batch -> keyed upsert, per-user merge-vs-recompute equality",
+    EventOracle.scd2MergeSql) { (s, d) =>
+    import graft.sources.Warehouse
+    val ev = Tables.events(s, d)
+    val oldDim = scd2Frame(ev.filter(col("event_id") % Scd2DeltaMod =!= 0))
+    Warehouse.replaceTable(oldDim, Scd2DimTable)
+    val fullDim = scd2Frame(ev).localCheckpoint(eager = false)
+    val touched = ev.filter(col("event_id") % Scd2DeltaMod === 0)
+      .select("user_id").distinct()
+    val delta = fullDim.join(touched, Seq("user_id"), "left_semi")
+      .localCheckpoint() // mergeTable's dup-key guard + write both read it
+    Warehouse.mergeTable(delta, Scd2DimTable, Seq("user_id", "version"))
+    val merged = s.table(s"${Warehouse.Schema}.$Scd2DimTable")
+    val full = fullDim.select(col("user_id").as("fu"),
+      col("version").as("fv"), col("state").as("fs"),
+      col("valid_from").as("ff"), col("valid_to").as("ft"),
+      col("is_current").as("fc"))
+    val cmp = merged.join(full,
+        col("user_id") === col("fu") && col("version") === col("fv"), "full")
+      .select(coalesce(col("user_id"), col("fu")).as("uid"),
+        when(col("user_id").isNull || col("fu").isNull
+          || !(col("state") <=> col("fs"))
+          || !(col("valid_from") <=> col("ff"))
+          || !(col("valid_to") <=> col("ft"))
+          || !(col("is_current") <=> col("fc")), 1).otherwise(0).as("bad"))
+    val agg = merged.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("is_current"), col("state"))).as("current_state"))
+    val ok = cmp.groupBy(col("uid"))
+      .agg((sum(col("bad")) === 0).as("merge_ok"))
+    agg.join(ok, col("user_id") === col("uid"))
+      .select(col("user_id"), col("n_versions"), col("current_state"),
+        col("merge_ok"))
+      .orderBy("user_id")
+  }
+
   /** The SCD2 derivation over any events frame — shared by the batch
     * query and the streaming-parity spec ([[EventStreams.scd2Closed]]).
     */
@@ -871,6 +947,6 @@ object EventQueries {
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
       attribution, dailyDistinct, weeklySketchRollup, markovTransitions,
-      sequenceTrigrams, scd2Dimension, abTest, audienceOverlap, cohortLtv,
-      sloBurn)
+      sequenceTrigrams, scd2Dimension, scd2Merge, abTest, audienceOverlap,
+      cohortLtv, sloBurn)
 }

@@ -497,6 +497,36 @@ object RelationalOracle {
       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
         AND l.l_quantity >= 20 AND l.l_quantity <= 30)"""
 
+  /** Q9-shape twin — dialect-shared: product-line profit by nation and
+    * order year over the 5-relation chain (this schema has no partsupp,
+    * so supply cost is a fixed 0.6 cost ratio on p_retailprice — the 0.6
+    * DECIMAL literal promotes to the same double against a DOUBLE
+    * operand on both engines, the Q17 `0.2 *` precedent). Profit amounts
+    * go NEGATIVE, which the quantized-LONG sum handles exactly
+    * (floor(x*1e4+0.5) rounds identically for negatives on both
+    * engines), and the output sum carries the CAST-AS-DOUBLE
+    * dialect-shared contract from day one. EXTRACT(YEAR) is cast to
+    * BIGINT so the grouping key's physical type matches (the Q8
+    * convention).
+    */
+  val profitByNationSql: String = s"""
+    SELECT n_name, o_year,
+      CAST(${sumDec("amount")} AS DOUBLE) AS profit
+    FROM (
+      SELECT n.n_name,
+        CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+        l.l_extendedprice * (1 - l.l_discount)
+          - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC"""
+
   /** Oracle for the BLOOM-PREFILTERED join is the PLAIN join+agg — the
     * prefilter must be exactly semantics-preserving (false positives die
     * in the equi-join; there are no false negatives).

@@ -461,6 +461,27 @@ object RelationalQueries {
     Tables.part(s, d).createOrReplaceTempView("part")
   }
 
+  /** Product-line profit (TPC-H Q9 shape): nation x order-year profit
+    * over the lineitem⋈part⋈supplier⋈orders⋈nation chain, part-name
+    * restricted — the last big schema-expressible classic. 100 TB shape:
+    * part/supplier/nation broadcast (the p_name LIKE filter reaches the
+    * part scan before the broadcast, so the fact join prunes at probe
+    * time), the orders join is the one fact-fact shuffle on l_orderkey,
+    * and ONE partial-agg shuffle carries the quantized profit per
+    * (nation, year) — PlanSpec pins the broadcast dims and the pushed
+    * part filter. Dialect-shared SQL with the CAST-AS-DOUBLE contract.
+    */
+  val profitByNation: GraftQuery = GraftQuery.shared(
+    "profit_by_nation",
+    "5-relation profit rollup by nation x order year (TPC-H Q9 shape)",
+    RelationalOracle.profitByNationSql) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+  }
+
   /** Manual runtime-filter join: a Bloom filter built over the SELECTIVE
     * side's join keys (`bloom_filter_agg`) is broadcast and probed
     * (`might_contain`) on the fact side BEFORE the shuffle — at 100 TB
@@ -973,7 +994,7 @@ object RelationalQueries {
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,
     cheapestSupplier, surgeSuppliers, topSupplier,
     marketShare, returnedItems, promoShare, brandBandRevenue,
-    bloomPrefilterJoin,
+    profitByNation, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
     rfmSketchCutoffs)

@@ -457,6 +457,133 @@ object SimOracle {
     )
     SELECT qid, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY qid, rn"""
 
+  /** Graph-ANN CTE chain (after [[baseCtes]]): the navigable k-NN graph
+    * build + the [[SimQueries.BeamSweeps]] beam sweeps unrolled
+    * CTE-for-CTE (the dedup_pagerank/kcore recipe), ending in `gsel` —
+    * the final beam minus the self row. Each sweep's beam CTE is read
+    * twice by the next sweep's union, so beams are AS MATERIALIZED
+    * (DuckDB would otherwise re-inline the whole upstream build per use).
+    */
+  private def graphChain: String = {
+    import SimQueries.{GraphDegree, BeamWidth, BeamSweeps}
+    val sweeps = (1 to BeamSweeps).map { i =>
+      s"""
+    gc$i AS (
+      SELECT DISTINCT qid, vec_id FROM (
+        SELECT qid, vec_id FROM gb${i - 1}
+        UNION ALL
+        SELECT b.qid, e.dst AS vec_id
+        FROM gb${i - 1} b JOIN ge e ON e.src = b.vec_id
+      )
+    ),
+    gb$i AS MATERIALIZED (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY c.qid
+            ORDER BY ${dotIdx("gq.qv", "x.v")} / (gq.qnrm * x.nrm) DESC,
+              c.vec_id) AS rn
+        FROM gc$i c
+        JOIN n x ON x.vec_id = c.vec_id
+        JOIN gq ON gq.qid = c.qid
+      ) WHERE rn <= $BeamWidth
+    )"""
+    }.mkString(",")
+    s"""
+    nb AS (
+      SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    ),
+    gx AS (
+      SELECT vec_id AS src, v AS sv, nrm AS snrm,
+        unnest(${probeList("bucket")}) AS probe
+      FROM nb
+    ),
+    gcand AS (
+      SELECT src, y.vec_id AS dst,
+        ${dotIdx("sv", "y.v")} / (snrm * y.nrm) AS cosine
+      FROM gx JOIN nb y ON y.bucket = gx.probe AND y.vec_id <> gx.src
+    ),
+    gf AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY cosine DESC, dst) AS rn
+        FROM gcand
+      ) WHERE rn <= $GraphDegree
+    ),
+    ge AS MATERIALIZED (
+      SELECT src, dst FROM gf
+      UNION
+      SELECT dst AS src, src AS dst FROM gf
+    ),
+    gq AS MATERIALIZED (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm
+      FROM n WHERE vec_id % 100 = 0
+    ),
+    gb0 AS (
+      SELECT qid, (SELECT MIN(vec_id) FROM n) AS vec_id FROM gq
+    ),$sweeps,
+    gsel AS (
+      SELECT qid, vec_id FROM gb$BeamSweeps WHERE vec_id <> qid
+    )"""
+  }
+
+  def graphTopkSql: String = s"""
+    WITH $baseCtes,
+    $graphChain,
+    gres AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn,
+        vec_id, cosine
+      FROM (
+        SELECT b.qid, b.vec_id,
+          ${dotIdx("gq.qv", "x.v")} / (gq.qnrm * x.nrm) AS cosine
+        FROM gsel b
+        JOIN n x ON x.vec_id = b.vec_id
+        JOIN gq ON gq.qid = b.qid
+      )
+    )
+    SELECT qid, rn, vec_id, cosine FROM gres WHERE rn <= 10
+    ORDER BY qid, rn"""
+
+  def graphRecallSql: String = s"""
+    WITH $baseCtes,
+    $graphChain,
+    bq AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0
+    ),
+    bp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM bq JOIN n ON vec_id <> qid
+    ),
+    br AS (
+      SELECT qid,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS rn,
+        vec_id
+      FROM bp
+    ),
+    bf AS (SELECT qid, vec_id FROM br WHERE rn <= 10),
+    gr AS (
+      SELECT qid,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS rn,
+        vec_id
+      FROM (
+        SELECT b.qid, b.vec_id,
+          ${dotIdx("gq.qv", "x.v")} / (gq.qnrm * x.nrm) AS cosine
+        FROM gsel b
+        JOIN n x ON x.vec_id = b.vec_id
+        JOIN gq ON gq.qid = b.qid
+      )
+    ),
+    gs AS (SELECT qid, vec_id FROM gr WHERE rn <= 10)
+    SELECT bf.qid, COUNT(gs.vec_id) AS n_hits,
+      COUNT(gs.vec_id) / 10.0::DOUBLE AS recall
+    FROM bf LEFT JOIN gs ON bf.qid = gs.qid AND bf.vec_id = gs.vec_id
+    GROUP BY bf.qid ORDER BY bf.qid"""
+
   val nearDupPairsSql: String = s"""
     WITH $baseCtes,
     nb AS (

@@ -97,6 +97,140 @@ object SimQueries {
       .orderBy("qid")
   }
 
+  /** Out-degree of the navigable k-NN graph ([[graphEdges]]). */
+  val GraphDegree = 8
+
+  /** Beam width carried through each [[graphBeam]] sweep. */
+  val BeamWidth = 12
+
+  /** Fixed number of greedy-expansion sweeps (driver-unrolled, matching
+    * the oracle's CTE unroll).
+    */
+  val BeamSweeps = 4
+
+  /** Deterministic navigable k-NN graph — the HNSW-class index family's
+    * BUILD stage, single-layer (an NSW graph): each vector's
+    * [[GraphDegree]] most-cosine-similar neighbors among its LSH
+    * multi-probe candidates (the [[nearDupPairs]] candidate generator, so
+    * the build is the SAME bounded bucket join — never all-pairs), made
+    * undirected by adding every reverse edge (NSW's symmetric link
+    * augmentation; degree is bounded by 2x[[GraphDegree]]).
+    *
+    * 100 TB shape: the build is one bucket-partitioned join + a per-src
+    * top-G window (linear in n at fixed bucket occupancy); the edge table
+    * is n x 2G narrow rows, partitioned by src at write time so a beam
+    * expansion reads only the frontier's partitions. Determinism: cosine
+    * ties break on dst id, and the reverse-union dedups exact (src, dst)
+    * rows — both engines rank the identical doubles.
+    */
+  private def graphEdges(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
+    val x = v.select(col("vec_id").as("src"), col("v").as("sv"),
+      col("nrm").as("snrm"), explode(probeBuckets(col("bucket"))).as("probe"))
+    val cand = x.join(v, col("bucket") === col("probe")
+        && col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        (dot(col("sv"), col("v")) / (col("snrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("cosine"), col("dst"))
+    val fwd = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GraphDegree)
+      .select(col("src"), col("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Greedy beam search over [[graphEdges]] — the HNSW-class SEARCH
+    * stage: every query starts at ONE fixed entry point (the corpus-min
+    * vec_id — model state, like HNSW's top-layer entry), and each of the
+    * [[BeamSweeps]] sweeps expands the current beam's out-edges, scores
+    * the union, and keeps the [[BeamWidth]] best per query. Returns the
+    * final beam as (qid, vec_id) WITHOUT the self row — a query vector
+    * is its own nearest neighbor and may even be the entry point, so the
+    * self match rides the beam during search (it expands its own true
+    * neighborhood) and drops only at result time, the [[bruteforce]]
+    * vec_id <> qid convention.
+    *
+    * Scale shape: a sweep is ONE equi-join of the (queries x BeamWidth)
+    * frontier against the src-partitioned edge table plus a broadcast of
+    * the query batch — per-sweep cost is proportional to the query
+    * batch, independent of corpus size, and the driver only iterates
+    * (checkpoint per sweep, the [[graft.dedup.DedupQueries]] CC loop
+    * discipline). Determinism: the expansion union is exact-row
+    * DISTINCT, scoring reuses the plane-fold cosine parity, and every
+    * rank breaks ties on vec_id — the oracle unrolls the identical
+    * sweeps CTE-for-CTE (AS MATERIALIZED, the dedup_kcore_peel recipe).
+    */
+  private def graphBeam(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val edges = graphEdges(s, d).localCheckpoint(eager = false)
+    val q = broadcast(queriesOf(v))
+    val entry = v.orderBy(col("vec_id")).limit(1).select(col("vec_id"))
+    var beam = q.select(col("qid")).crossJoin(entry)
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    for (_ <- 1 to BeamSweeps) {
+      val expand = beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("qid"), col("dst").as("vec_id"))
+      val cands = beam.unionByName(expand).distinct()
+      beam = cands
+        .join(v, "vec_id")
+        .join(q, "qid")
+        .withColumn("cosine",
+          dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BeamWidth)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(eager = false)
+    }
+    beam.filter(col("vec_id") =!= col("qid"))
+  }
+
+  /** HNSW-class graph ANN: navigable k-NN graph + fixed-entry greedy beam
+    * search, top-10 per query — completes the index-family story
+    * (flat / LSH / IVF / PQ / matryoshka / graph) with the class
+    * production vector DBs default to.
+    */
+  val graphTopk: GraftQuery = GraftQuery(
+    "ann_graph_topk",
+    s"graph ANN (NSW shape): degree-$GraphDegree k-NN graph, " +
+      s"$BeamSweeps-sweep beam-$BeamWidth search from a fixed entry, cosine top-10",
+    SimOracle.graphTopkSql) { (s, d) =>
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val q = broadcast(queriesOf(v))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    graphBeam(s, d)
+      .join(v, "vec_id")
+      .join(q, "qid")
+      .withColumn("cosine",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Recall@10 of the graph beam search vs the brute-force baseline —
+    * the graded-accuracy artifact ([[lshRecall]]/[[ivfRecall]]
+    * convention). SimSpec additionally pins beam determinism (two
+    * independent builds of the frame collect identically) and that graph
+    * recall meets the single-cell IVF probe's.
+    */
+  val graphRecall: GraftQuery = GraftQuery(
+    "ann_graph_recall",
+    "recall@10 of graph-beam ANN vs the brute-force baseline, per query",
+    SimOracle.graphRecallSql) { (s, d) =>
+    val bf = bruteforce.frame(s, d).select(col("qid"), col("vec_id"))
+    val gr = graphTopk.frame(s, d)
+      .select(col("qid").as("gqid"), col("vec_id").as("gvec"))
+    bf.join(gr, col("qid") === col("gqid") && col("vec_id") === col("gvec"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(col("gvec")).as("n_hits"),
+        (count(col("gvec")) / lit(10.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Embedding near-dup: top-20 most-cosine-similar pairs, candidates
     * restricted to LSH buckets within Hamming distance 1 (the embedding
     * analogue of MinHash banding, plus multi-probe). With 256 buckets the
@@ -2147,7 +2281,8 @@ object SimQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(bruteforce, lshTopk, lshRecall, nearDupPairs, labelCentroids,
+    Seq(bruteforce, lshTopk, lshRecall, graphTopk, graphRecall,
+      nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, ivfAdaptive, int8Quant,
       kmeans,
       semanticDedup, dimTruncation, hybridSearch, chunkHybrid, pqTopk,

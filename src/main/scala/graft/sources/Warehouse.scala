@@ -152,6 +152,83 @@ object Warehouse {
     }
   }
 
+  /** MERGE INTO (keyed upsert): delta rows UPDATE the current row with the
+    * same key and INSERT where no key matches — the production Load step
+    * for mutable dimensions that [[replaceTable]] (full republish) and
+    * [[appendTable]] (immutable facts) don't cover. Creates the table on
+    * first merge. Matches the SQL MERGE contract where it matters:
+    * duplicate keys in ONE delta are rejected (multiple WHEN MATCHED
+    * candidates — the same error Delta/Iceberg MERGE throws), and the
+    * merge is idempotent (re-merging the same delta is a no-op on
+    * content), the [[graft.streaming.StreamSinks]] replay discipline.
+    *
+    * Physical shape: survivors are `current LEFT ANTI JOIN delta-keys`
+    * unioned with the delta, materialized (localCheckpoint) BEFORE the
+    * overwrite because the write reads from its own target. On a
+    * partitioned table whose partition columns are all key columns, only
+    * the partitions the delta touches are rewritten (dynamic partition
+    * overwrite, the [[compactPartition]] mechanics) — at 100 TB a
+    * dimension batch rewrites the touched slivers, never the table; the
+    * unpartitioned path rewrites the table and is for dimension-sized
+    * data. WHEN MATCHED DELETE is out of scope (soft-delete flags ride
+    * the row). A table FORMAT (Delta/Iceberg) gets the same semantics
+    * with file-level skipping + a snapshot commit; this is the engine
+    * semantics under it.
+    */
+  def mergeTable(delta: DataFrame, table: String, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark = delta.sparkSession
+    ensureSchema(spark)
+    val qualified = s"$Schema.$table"
+    require(keys.nonEmpty, "mergeTable needs at least one key column")
+    val dup = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dup == 0,
+      s"mergeTable delta has duplicate keys on (${keys.mkString(", ")})")
+    val ident =
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(ident)) {
+      clearOrphanLocation(spark, table)
+      delta.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
+      return
+    }
+    val partCols = cat.getTableMetadata(ident).partitionColumnNames
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    if (partCols.nonEmpty && partCols.forall(keys.contains)) {
+      // partition-pruned path: a key row can never move partitions (its
+      // partition values ARE key values), so rows outside the touched
+      // partitions are untouchable and stay on disk as-is
+      val touched = delta.select(partCols.map(col): _*).distinct()
+      val survivors = spark.table(qualified)
+        .join(org.apache.spark.sql.functions.broadcast(touched),
+          partCols, "left_semi")
+        .join(deltaKeys, keys, "left_anti")
+      val cols = spark.table(qualified).columns.map(col).toIndexedSeq
+      val out = survivors.unionByName(delta.select(cols: _*))
+        .select(cols: _*).localCheckpoint()
+      val prior =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try out.write.mode(SaveMode.Overwrite).insertInto(qualified)
+      finally prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      graft.api.Checkpoints.release(out)
+    } else {
+      val cols = spark.table(qualified).columns.map(col).toIndexedSeq
+      val out = spark.table(qualified)
+        .join(deltaKeys, keys, "left_anti")
+        .unionByName(delta.select(cols: _*))
+        .localCheckpoint()
+      out.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
+      graft.api.Checkpoints.release(out)
+    }
+  }
+
   /** Version suffix for [[snapshotTable]] snapshots. */
   private val SnapSuffix = "__v"
 

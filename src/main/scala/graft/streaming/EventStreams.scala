@@ -256,8 +256,21 @@ object EventStreams {
     * the exactly-once sink — and the serving-layer readout
     * ([[graft.events.EventQueries.funnelPerUserFromStages]] +
     * `funnelRollup`, the gap-fill/SLO extraction pattern) recovers the
-    * batch query's rollup from the model-sized sink. State is three
-    * timestamps per user, dropped with a group timeout at scale.
+    * batch query's rollup from the model-sized sink.
+    *
+    * State is three timestamps per user. Pass `idleTimeout` (e.g.
+    * "30 days") to wire the production eviction: a processing-time group
+    * timeout drops users idle past the window, bounding the state store
+    * by the ACTIVE user set instead of the all-time one — the explicit
+    * trade is that an expired user who returns restarts the funnel and
+    * may re-emit stages (completed-funnel state is deliberately NOT
+    * removed early; it suppresses re-emission for returning completed
+    * users inside the window). The DEFAULT is no timeout, deliberately:
+    * with ProcessingTimeTimeout Spark schedules timeout-evaluation
+    * micro-batches continuously under the default trigger, which
+    * busy-loops this harness's unthrottled MemoryStream tests (a real
+    * deployment sets a trigger interval, where the extra batches are
+    * bounded by the trigger rate).
     *
     * Ordering contract: in-batch rows re-sorted (ts, event_id); ACROSS
     * batches per-user in-order delivery — the [[scd2Closed]] CDC-ingest
@@ -267,18 +280,25 @@ object EventStreams {
     * StreamingSpec asserts per-user-frame AND rollup parity with the
     * batch derivation across a mid-journey micro-batch split.
     */
-  def funnelStages(events: DataFrame): DataFrame = {
+  def funnelStages(events: DataFrame,
+      idleTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id",
         "event_type")
       .as[(Long, java.sql.Timestamp, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          gs: GroupState[(java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]) => {
+          if (gs.hasTimedOut) {
+            gs.remove()
+            Iterator.empty
+          } else {
           val sorted = rows.toSeq.sortWith((a, b) => {
             val c = a._2.compareTo(b._2)
             c < 0 || (c == 0 && a._3 < b._3)
@@ -302,7 +322,11 @@ object EventStreams {
             }
           }
           gs.update((tv, tc, tp))
+          // idle-state eviction: no event for this user within the
+          // window -> state dropped (the timeout branch above)
+          idleTimeout.foreach(gs.setTimeoutDuration)
           out.iterator
+          }
         })
       .toDF("user_id", "stage", "ts")
   }

@@ -253,6 +253,23 @@ class PlanSpec extends SparkSpec {
       "order-date range not pushed to the orders scan")
   }
 
+  test("profit_by_nation: dims broadcast, part filter pushed, no cartesian") {
+    val df = SparkEntry.queries("profit_by_nation")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // part/supplier/nation are dimension-sized: they must arrive as
+    // broadcasts, never shuffle the fact chain on their account
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dims in:\n$plan")
+    // the p_name restriction reaches the part scan (at 100 TB this is
+    // the difference between broadcasting the filtered product line and
+    // broadcasting the whole part dim)
+    assert("PushedFilters: \\[[^\\]]*StringContains\\(p_name".r
+        .findFirstIn(plan).isDefined,
+      s"p_name filter not pushed to the part scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+  }
+
   test("brand_band_revenue: CNF extraction pushes the Or'd brand filter to the part scan") {
     val df = SparkEntry.queries("brand_band_revenue")(spark, sf)
     df.collect()

@@ -374,6 +374,26 @@ class SimSpec extends SparkSpec {
     assert(math.floor(lift * 1e9 + 0.5) / 1e9 === top.getAs[Double]("lift"))
   }
 
+  // Graph-ANN pins: the beam search is deterministic (two independent
+  // frame builds collect identically — no nondeterministic tie-break or
+  // partition-order dependence survives into the result), and the graded
+  // recall meets the single-cell IVF probe's (the VERDICT-14 done bar:
+  // a navigable-graph search from ONE entry point should beat reading
+  // one IVF cell at comparable candidate counts).
+  test("ann_graph_topk: beam deterministic; recall >= IVF single-cell") {
+    def run() = SimQueries.graphTopk.frame(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a.sameElements(run()))
+    def meanRecall(q: graft.api.GraftQuery): Double = {
+      val rs = q.frame(spark, sf).collect().map(_.getAs[Double]("recall"))
+      rs.sum / rs.length
+    }
+    assert(meanRecall(SimQueries.graphRecall) >= meanRecall(SimQueries.ivfRecall))
+  }
+
   test("planes are fixed literals (regression pin)") {
     assert(Planes.length === NumPlanes)
     assert(Planes.forall(_.length === Dims))

@@ -348,6 +348,47 @@ class StreamingSpec extends SparkSpec {
     assert(rollupS.toSeq === rollupB.toSeq)
   }
 
+  // The wired production eviction path: with an idle timeout the funnel's
+  // keyed state is DROPPED for idle users — proven behaviorally: after the
+  // timeout fires, a returning user's view RE-EMITS (fresh state), where
+  // retained state would have suppressed it. processAllAvailable can't be
+  // used here (ProcessingTimeTimeout schedules timeout-evaluation batches
+  // continuously under the unthrottled test trigger), so the sink is
+  // polled with a deadline.
+  test("funnelStages: wired idle timeout evicts keyed state") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    def rowsNow(): Long =
+      try spark.table("funnel_evict").count() catch { case _: Exception => 0L }
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (rowsNow() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(rowsNow() >= n, s"sink never reached $n rows")
+    }
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.funnelStages(stream.toDF(), Some("1 millisecond"))
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append").start()
+    try {
+      stream.addData(Ev(1, t(1), 7, "view", 1.0, "{}"))
+      awaitRows(1)
+      // the 1ms timeout expires; continuous timeout-evaluation batches
+      // remove user 7's state well within this margin
+      Thread.sleep(500)
+      stream.addData(Ev(2, t(2), 7, "view", 1.0, "{}"))
+      // a SECOND view row for the same user proves the state was evicted
+      // (retained state ignores repeat views — the batch-parity test pins
+      // that); this is the documented re-emission trade of the eviction
+      awaitRows(2)
+    } finally q.stop()
+    val stages = spark.table("funnel_evict")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("stage")))
+    assert(stages.count(_ == ((7L, "view"))) === 2)
+  }
+
   test("VecStreams.ingestCodes: arriving vectors coded against the persisted model == batch rebuild") {
     val spark0 = spark
     import spark0.implicits._
