@@ -549,13 +549,10 @@ object SimOracle {
   def graphRecallSql: String = s"""
     WITH $baseCtes,
     $graphChain,
-    bq AS (
-      SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0
-    ),
     bp AS (
       SELECT qid, vec_id,
         ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
-      FROM bq JOIN n ON vec_id <> qid
+      FROM gq JOIN n ON vec_id <> qid
     ),
     br AS (
       SELECT qid,

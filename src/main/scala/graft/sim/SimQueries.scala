@@ -157,6 +157,17 @@ object SimQueries {
     s.table(s"${graft.sources.Warehouse.Schema}.$GraphEdgesTable")
   }
 
+  /** Test hook: drop every shared-model marker so the next consumer
+    * RETRAINS and REBUILDS from scratch — SimSpec's determinism pins use
+    * it to compare two genuinely independent builds (without it the
+    * second run would just re-read the persisted tables and the pin
+    * would be vacuous).
+    */
+  private[graft] def resetSharedModels(): Unit = {
+    quantDone.clear(); pqDone.clear(); cellsDone.clear()
+    codesDone.clear(); edgesDone.clear()
+  }
+
   /** Greedy beam search over [[graphEdges]] — the HNSW-class SEARCH
     * stage: every query starts at ONE fixed entry point (the corpus-min
     * vec_id — model state, like HNSW's top-layer entry), and each of the
@@ -1087,7 +1098,10 @@ object SimQueries {
     s"PQ ANN: ${PqM}x$PqK-codeword product codebooks ($PqIters Lloyd sweeps each), " +
       "ADC top-10 per query",
     SimOracle.pqTopkSql) { (s, d) =>
-    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    // base feeds only the 1% query slice now (codes/codebooks come from
+    // the shared tables) — a full-corpus checkpoint would materialize
+    // 99% never-read rows
+    val base = vecs(s, d).select(col("vec_id"), col("v"))
     pqTopFrame(s, d, base).orderBy("qid", "rn")
   }
 
@@ -1228,7 +1242,9 @@ object SimQueries {
     "ann_ivfpq_topk",
     s"IVF+PQ ANN: probe $IvfPqNprobe trained coarse cells, ADC-rank the PQ codes within",
     SimOracle.ivfpqTopkSql) { (s, d) =>
-    val base = vecs(s, d).select(col("vec_id"), col("v")).localCheckpoint()
+    // base feeds only the 1% query slice (the shared tables carry the
+    // model/codes); no full-corpus checkpoint
+    val base = vecs(s, d).select(col("vec_id"), col("v"))
     ivfpqRanked(s, d, base)
       .filter(col("rn") <= 10)
       .orderBy("qid", "rn")

@@ -163,16 +163,28 @@ object Warehouse {
     * content), the [[graft.streaming.StreamSinks]] replay discipline.
     *
     * Physical shape: survivors are `current LEFT ANTI JOIN delta-keys`
-    * unioned with the delta, materialized (localCheckpoint) BEFORE the
-    * overwrite because the write reads from its own target. On a
-    * partitioned table whose partition columns are all key columns, only
-    * the partitions the delta touches are rewritten (dynamic partition
-    * overwrite, the [[compactPartition]] mechanics) — at 100 TB a
-    * dimension batch rewrites the touched slivers, never the table; the
-    * unpartitioned path rewrites the table and is for dimension-sized
-    * data. WHEN MATCHED DELETE is out of scope (soft-delete flags ride
-    * the row). A table FORMAT (Delta/Iceberg) gets the same semantics
-    * with file-level skipping + a snapshot commit; this is the engine
+    * (NULL-SAFE on every key — a NULL-keyed current row must MATCH a
+    * NULL-keyed delta row or replaying the same delta would duplicate
+    * it, and the dup-key guard already treats NULL keys as equal) union
+    * the delta, materialized (localCheckpoint) BEFORE the overwrite
+    * because the write reads from its own target. Layout is PRESERVED,
+    * never silently dropped (the [[compact]] refusal discipline):
+    *   - partition columns all ride the key -> only the partitions the
+    *     delta touches are rewritten (dynamic partition overwrite, the
+    *     [[compactPartition]] mechanics) — at 100 TB a dimension batch
+    *     rewrites the touched slivers, never the table;
+    *   - partitioned otherwise -> full-content overwrite THROUGH the
+    *     existing table definition (insertInto, static overwrite), so
+    *     the partition layout survives for later readers;
+    *   - bucketed -> refused (Spark cannot insertInto a bucketed table
+    *     and a plain rewrite would silently drop the shuffle-free-join
+    *     property — same reason [[compact]] refuses);
+    *   - first merge on a missing table creates it UNPARTITIONED;
+    *     callers that want the pruned path create the layout first
+    *     ([[replacePartitioned]]) and merge into it.
+    * WHEN MATCHED DELETE is out of scope (soft-delete flags ride the
+    * row). A table FORMAT (Delta/Iceberg) gets the same semantics with
+    * file-level skipping + a snapshot commit; this is the engine
     * semantics under it.
     */
   def mergeTable(delta: DataFrame, table: String, keys: Seq[String]): Unit = {
@@ -193,23 +205,21 @@ object Warehouse {
       delta.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
       return
     }
-    val partCols = cat.getTableMetadata(ident).partitionColumnNames
-    val deltaKeys = delta.select(keys.map(col): _*).distinct()
-    if (partCols.nonEmpty && partCols.forall(keys.contains)) {
-      // partition-pruned path: a key row can never move partitions (its
-      // partition values ARE key values), so rows outside the touched
-      // partitions are untouchable and stay on disk as-is
-      val touched = delta.select(partCols.map(col): _*).distinct()
-      val survivors = spark.table(qualified)
-        .join(org.apache.spark.sql.functions.broadcast(touched),
-          partCols, "left_semi")
-        .join(deltaKeys, keys, "left_anti")
-      val cols = spark.table(qualified).columns.map(col).toIndexedSeq
-      val out = survivors.unionByName(delta.select(cols: _*))
-        .select(cols: _*).localCheckpoint()
+    val meta = cat.getTableMetadata(ident)
+    require(meta.bucketSpec.isEmpty,
+      s"mergeTable() would discard the bucket layout of $qualified")
+    val partCols = meta.partitionColumnNames
+    val cols = spark.table(qualified).columns.map(col).toIndexedSeq
+    // null-safe anti join: a NULL key must match a NULL key, or replaying
+    // the same delta re-inserts its NULL-keyed rows (idempotence contract)
+    val dk = delta.select(keys.map(col): _*).distinct().as("k")
+    def survivorsOf(cur: DataFrame): DataFrame = cur.as("c")
+      .join(dk, keys.map(k => col(s"c.$k") <=> col(s"k.$k")).reduce(_ && _),
+        "left_anti")
+    def overwriteInto(out: DataFrame, mode: String): Unit = {
       val prior =
         spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
       try out.write.mode(SaveMode.Overwrite).insertInto(qualified)
       finally prior match {
         case Some(v) =>
@@ -217,11 +227,30 @@ object Warehouse {
         case None =>
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+    }
+    if (partCols.nonEmpty && partCols.forall(keys.contains)) {
+      // partition-pruned path: a key row can never move partitions (its
+      // partition values ARE key values), so rows outside the touched
+      // partitions are untouchable and stay on disk as-is
+      val touched = delta.select(partCols.map(col): _*).distinct()
+      val out = survivorsOf(spark.table(qualified)
+          .join(org.apache.spark.sql.functions.broadcast(touched),
+            partCols, "left_semi"))
+        .unionByName(delta.select(cols: _*))
+        .select(cols: _*).localCheckpoint()
+      overwriteInto(out, "dynamic")
+      graft.api.Checkpoints.release(out)
+    } else if (partCols.nonEmpty) {
+      // layout-preserving full overwrite: the key can move rows across
+      // partitions, so every partition is rewritten — but THROUGH the
+      // existing table definition, keeping the partition layout
+      val out = survivorsOf(spark.table(qualified))
+        .unionByName(delta.select(cols: _*))
+        .select(cols: _*).localCheckpoint()
+      overwriteInto(out, "static")
       graft.api.Checkpoints.release(out)
     } else {
-      val cols = spark.table(qualified).columns.map(col).toIndexedSeq
-      val out = spark.table(qualified)
-        .join(deltaKeys, keys, "left_anti")
+      val out = survivorsOf(spark.table(qualified))
         .unionByName(delta.select(cols: _*))
         .localCheckpoint()
       out.write.mode(SaveMode.Overwrite).saveAsTable(qualified)

@@ -381,9 +381,15 @@ class SimSpec extends SparkSpec {
   // a navigable-graph search from ONE entry point should beat reading
   // one IVF cell at comparable candidate counts).
   test("ann_graph_topk: beam deterministic; recall >= IVF single-cell") {
-    def run() = SimQueries.graphTopk.frame(spark, sf).collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rn"),
-        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    // resetSharedModels forces the second run to RETRAIN and REBUILD the
+    // graph from scratch — without it the run would re-read the persisted
+    // tables and the determinism pin would be vacuous
+    def run() = {
+      SimQueries.resetSharedModels()
+      SimQueries.graphTopk.frame(spark, sf).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rn"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    }
     val a = run()
     assert(a.nonEmpty)
     assert(a.sameElements(run()))

@@ -131,14 +131,17 @@ class WarehouseSpec extends SparkSpec {
   // portfolio_incremental_merge discipline).
   test("mergeTable: upsert equals recompute; dup keys rejected; idempotent") {
     import spark.implicits._
+    // sorted Seq, not Set: the idempotency pin must see row MULTIPLICITY
+    // (an append-instead-of-upsert regression duplicates rows, which a
+    // Set comparison would collapse and miss)
     def table = spark.table(s"${Warehouse.Schema}.merge_plain")
-      .as[(Long, String, Double)].collect().toSet
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("id", "tag", "x")
     Warehouse.replaceTable(v1, "merge_plain")
     val delta = Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("id", "tag", "x")
     Warehouse.mergeTable(delta, "merge_plain", Seq("id"))
-    val expected = Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0),
+    val expected = Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0),
       (4L, "d", 4.0))
     assert(table === expected)
     // idempotent: re-merging the same delta changes nothing

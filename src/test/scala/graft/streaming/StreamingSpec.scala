@@ -375,9 +375,19 @@ class StreamingSpec extends SparkSpec {
     try {
       stream.addData(Ev(1, t(1), 7, "view", 1.0, "{}"))
       awaitRows(1)
-      // the 1ms timeout expires; continuous timeout-evaluation batches
-      // remove user 7's state well within this margin
-      Thread.sleep(500)
+      // eviction needs a timeout-evaluation batch AFTER the 1ms expiry —
+      // Spark only guarantees 'eventually after the duration', so don't
+      // race a fixed sleep against it: wait until the query's batchId has
+      // advanced >= 2 beyond the data batch (the continuous empty batches
+      // under the unthrottled trigger make this fast; the deadline is the
+      // safety net on a stalled host)
+      val bid0 = q.lastProgress.batchId
+      val deadline = System.currentTimeMillis() + 60000
+      while ((q.lastProgress == null || q.lastProgress.batchId < bid0 + 2)
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(q.lastProgress.batchId >= bid0 + 2,
+        "no timeout-evaluation batch ran within the deadline")
       stream.addData(Ev(2, t(2), 7, "view", 1.0, "{}"))
       // a SECOND view row for the same user proves the state was evicted
       // (retained state ignores repeat views — the batch-parity test pins
