@@ -650,6 +650,58 @@ object DedupOracle {
     ORDER BY rank DESC, doc_id LIMIT $PrTopK"""
   }
 
+  /** LPA twin: the synchronous sweeps unrolled CTE-for-CTE. Each sweep's
+    * label CTE is read twice (the next sweep's vote AND nothing else, but
+    * the final lab is read three times) — materialized per the
+    * pagerank/kcore recipe so DuckDB never re-inlines the n-gram mine.
+    */
+  def communitiesSql: String = {
+    import DedupQueries.{LpaIters, ClusterJaccard}
+    def sweep(t: Int): String = s"""
+    v$t AS (
+      SELECT e.src, l.label, COUNT(*) AS n
+      FROM bi e JOIN lab${t - 1} l ON e.dst = l.node
+      GROUP BY e.src, l.label
+    ),
+    lab$t AS MATERIALIZED (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, label) AS rk
+        FROM v$t
+      ) WHERE rk = 1
+    )"""
+    s"""
+    WITH $ngramPairCtes,
+    pedges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE jaccard >= $ClusterJaccard::DOUBLE
+    ),
+    bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pedges
+      UNION ALL
+      SELECT doc_b, doc_a FROM pedges
+    ),
+    lab0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM bi
+    ),
+    ${(1 to LpaIters).map(sweep).mkString(",")},
+    csz AS (
+      SELECT label, COUNT(*) AS size FROM lab$LpaIters GROUP BY label
+    ),
+    cint AS (
+      SELECT ls.label AS il, COUNT(*) AS ie
+      FROM bi e
+      JOIN lab$LpaIters ls ON e.src = ls.node
+      JOIN lab$LpaIters ld ON e.dst = ld.node
+      WHERE e.src < e.dst AND ls.label = ld.label
+      GROUP BY ls.label
+    )
+    SELECT s.label AS community_id, s.size,
+      COALESCE(i.ie, 0) AS internal_edges
+    FROM csz s LEFT JOIN cint i ON i.il = s.label
+    ORDER BY s.size DESC, community_id"""
+  }
+
   /** Funnel twin: keep_exact by fingerprint-group window min, keep_nd by
     * the CC min-label invariant (a node survives iff it IS its cluster's
     * label), unclustered nodes always survive.

@@ -1684,6 +1684,77 @@ object DedupQueries {
       .limit(PrTopK)
   }
 
+  /** Synchronous LPA sweeps ([[communities]]). */
+  val LpaIters = 3
+
+  /** Label-propagation COMMUNITIES over the near-dup graph — the graph
+    * family's missing grouping grain: CC answers reachability (everything
+    * transitively connected is one cluster), LPA answers cohesion (a
+    * dense template farm and a chain of borderline pairs in the same
+    * component get DIFFERENT labels). A new propagation class too: CC
+    * propagates the MIN label (a lattice meet — order-free), LPA
+    * propagates the MODE of the neighbor labels, which needs a per-node
+    * vote count + deterministic argmax each sweep. [[LpaIters]]
+    * synchronous sweeps (every node updates from the PREVIOUS sweep's
+    * labels — the only order-free schedule), ties broken (count DESC,
+    * label ASC); a fixed sweep count makes the artifact well-defined even
+    * where asynchronous LPA would oscillate.
+    *
+    * 100 TB shape: a sweep is one edge-frame join + one (node, label)
+    * partial-agg + one per-node window argmax — all keyed by node id,
+    * shuffle-bounded by the EDGE count (the mined near-dup graph, already
+    * capped), never the corpus; labels checkpoint per sweep with the CC
+    * release discipline. Output: every community's size and internal
+    * edge count (size DESC total order) — internal_edges counts each
+    * undirected edge once via the src < dst direction.
+    */
+  val communities: GraftQuery = GraftQuery(
+    "dedup_communities",
+    s"label-propagation communities over the J >= $ClusterJaccard near-dup graph: $LpaIters synchronous sweeps, size + internal edges",
+    DedupOracle.communitiesSql) { (s, d) =>
+    communitiesFrame(ngramJaccardFrame(Tables.documents(s, d))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a"), col("doc_b")))
+  }
+
+  /** LPA over any undirected (doc_a, doc_b) edge frame. */
+  def communitiesFrame(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.localCheckpoint()
+    val bi = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    graft.api.Checkpoints.release(pairs)
+    var lab = bi.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("n"), col("label"))
+    for (i <- 1 to LpaIters) {
+      val next = bi
+        .join(lab.withColumnRenamed("node", "ln"), col("dst") === col("ln"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+      if (i > 1) graft.api.Checkpoints.release(lab)
+      lab = next
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("size"))
+    val internal = bi.filter(col("src") < col("dst"))
+      .join(lab.select(col("node").as("sn"), col("label").as("sl")),
+        col("src") === col("sn"))
+      .join(lab.select(col("node").as("dn"), col("label").as("dl")),
+        col("dst") === col("dn"))
+      .filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("il"))
+      .agg(count(lit(1)).as("ie"))
+    sizes.join(internal, col("label") === col("il"), "left")
+      .select(col("label").as("community_id"), col("size"),
+        coalesce(col("ie"), lit(0L)).as("internal_edges"))
+      .orderBy(desc("size"), col("community_id"))
+  }
+
   /** The cross-subsystem dedup pipeline as ONE composed artifact — the
     * stage funnel a production corpus actually runs, in order: (1) exact
     * dedup (keep min doc_id per md5-normalized fingerprint), (2) TEXT
@@ -2076,7 +2147,8 @@ object DedupQueries {
       clusterIncrement,
       clustersMulti, keepSummary, spanOverlap, spanStrip, longestSpan,
       paragraphPairs,
-      dupSpanMass, degreeHistogram, incrementalScreen, pagerank, bloomScreen,
+      dupSpanMass, degreeHistogram, incrementalScreen, pagerank, communities,
+      bloomScreen,
       lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest,
       stageFunnel)
 }

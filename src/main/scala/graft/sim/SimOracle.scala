@@ -581,6 +581,46 @@ object SimOracle {
     FROM bf LEFT JOIN gs ON bf.qid = gs.qid AND bf.vec_id = gs.vec_id
     GROUP BY bf.qid ORDER BY bf.qid"""
 
+  /** Twin of [[SimQueries.graphIncremental]]'s REPORT: the attach step
+    * replayed relationally — new vectors' top-G links among old nodes in
+    * their probe buckets. The Spark side reads its rows back from the
+    * persisted augmented table, so the hash match proves the append
+    * landed exactly these rows (the old-graph build rides the
+    * `ann_graph_topk`-verified builder and contributes no src=new rows).
+    */
+  def graphIncrementalSql: String = {
+    import SimQueries.GraphDegree
+    val hb = s"${hash60Sql("CAST(vec_id AS VARCHAR)")} % 10"
+    s"""
+    WITH $baseCtes,
+    nbk AS (
+      SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    ),
+    vold AS (SELECT * FROM nbk WHERE $hb <> 0),
+    vnew AS (SELECT * FROM nbk WHERE $hb = 0),
+    gxn AS (
+      SELECT vec_id AS src, v AS sv, nrm AS snrm,
+        unnest(${probeList("bucket")}) AS probe
+      FROM vnew
+    ),
+    gcn AS (
+      SELECT src, y.vec_id AS dst,
+        ${dotIdx("sv", "y.v")} / (snrm * y.nrm) AS cosine
+      FROM gxn JOIN vold y ON y.bucket = gxn.probe AND y.vec_id <> gxn.src
+    ),
+    gkn AS (
+      SELECT src, dst, cosine,
+        ROW_NUMBER() OVER (PARTITION BY src
+          ORDER BY cosine DESC, dst) AS rn
+      FROM gcn
+    )
+    SELECT src AS vec_id, COUNT(*) AS degree,
+      MAX(CASE WHEN rn = 1 THEN dst END) AS nearest_id,
+      MAX(CASE WHEN rn = 1 THEN cosine END) AS nearest_cosine
+    FROM gkn WHERE rn <= $GraphDegree
+    GROUP BY src ORDER BY vec_id"""
+  }
+
   val nearDupPairsSql: String = s"""
     WITH $baseCtes,
     nb AS (

@@ -261,6 +261,76 @@ object SimQueries {
       .orderBy("qid")
   }
 
+  /** Persisted augmented-graph table for [[graphIncremental]]. */
+  val GraphIncrTable = "knn_edges_incr"
+
+  /** Graph-index MAINTENANCE — the [[ivfpqIncremental]] contract for the
+    * navigable graph: the index over the 90% "old" corpus is built and
+    * persisted (the [[graphEdges]] recipe restricted to old vectors — the
+    * builder `ann_graph_topk`'s oracle verifies on the full corpus), then
+    * the 10% hash batch ATTACHES to the FROZEN graph: each new vector
+    * takes its [[GraphDegree]] most-cosine-similar links among OLD nodes
+    * in its LSH probe buckets — new-new links are deferred to the next
+    * rebuild, the standard freshness/quality trade of incremental graph
+    * indexes — and the forward+backlink rows APPEND to the table
+    * (untouched old partitions stay on disk, the
+    * [[graft.sources.Warehouse.appendTable]] cost model). The report
+    * reads the PERSISTED augmented table (a failed append cannot
+    * hash-match): per new vector, its attached degree and nearest link.
+    *
+    * 100 TB shape: the attach probe costs O(|batch| x bucket occupancy),
+    * never a rebuild; the append moves only the batch's edge rows.
+    * Determinism: the same plane-fold cosine + (cosine DESC, dst)
+    * tie-break as the build; parquet roundtrips the doubles exactly.
+    */
+  val graphIncremental: GraftQuery = GraftQuery(
+    "ann_graph_incremental",
+    s"graph-index maintenance: 10% hash batch attaches degree-$GraphDegree links to the frozen k-NN graph, per-vector degree + nearest link from the persisted table",
+    SimOracle.graphIncrementalSql) { (s, d) =>
+    import graft.sources.Warehouse
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .localCheckpoint()
+    val hb = call_function("hash60", col("vec_id").cast("string")) % 10
+    val old = v.filter(hb =!= 0)
+    val nb = v.filter(hb === 0)
+    val w = Window.partitionBy(col("src")).orderBy(desc("cosine"), col("dst"))
+    // top-G links for `src` vectors among the OLD nodes in their buckets
+    def topG(src: DataFrame): DataFrame = src
+      .select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("snrm"), explode(probeBuckets(col("bucket"))).as("probe"))
+      .join(old, col("bucket") === col("probe") && col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        (dot(col("sv"), col("v")) / (col("snrm") * col("nrm"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GraphDegree)
+      .select(col("src"), col("dst"))
+    def undirected(fwd: DataFrame): DataFrame =
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    Warehouse.replaceTable(undirected(topG(old)), GraphIncrTable)
+    Warehouse.appendTable(undirected(topG(nb)), GraphIncrTable)
+    // report FROM the persisted augmented table: a new vector's edges
+    // there are exactly its attach links (backlinks land src=old)
+    val aug = s.table(s"${Warehouse.Schema}.$GraphIncrTable")
+    val scored = aug
+      .join(nb.select(col("vec_id").as("sv2"), col("v").as("svec"),
+        col("nrm").as("snrm2")), col("src") === col("sv2"))
+      .join(v.select(col("vec_id").as("dv"), col("v").as("dvec"),
+        col("nrm").as("dnrm")), col("dst") === col("dv"))
+      .select(col("src"), col("dst"),
+        (dot(col("svec"), col("dvec")) / (col("snrm2") * col("dnrm")))
+          .as("cosine"))
+    scored.withColumn("rk", row_number().over(w))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"),
+        max(when(col("rk") === 1, col("dst"))).as("nearest_id"),
+        max(when(col("rk") === 1, col("cosine"))).as("nearest_cosine"))
+      .select(col("src").as("vec_id"), col("degree"), col("nearest_id"),
+        col("nearest_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup: top-20 most-cosine-similar pairs, candidates
     * restricted to LSH buckets within Hamming distance 1 (the embedding
     * analogue of MinHash banding, plus multi-probe). With 256 buckets the
@@ -2317,7 +2387,7 @@ object SimQueries {
 
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, graphTopk, graphRecall,
-      nearDupPairs, labelCentroids,
+      graphIncremental, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, ivfAdaptive, int8Quant,
       kmeans,
       semanticDedup, dimTruncation, hybridSearch, chunkHybrid, pqTopk,

@@ -922,4 +922,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out.head.getAs[Int]("np") === 5)
     assert(out.head.getAs[String]("seg") === "|abcd||efgh||ijkl||mnop||qrst|")
   }
+
+  // LPA must resolve COHESION where CC only sees reachability: a barbell
+  // (two triangles joined by one bridge edge) is ONE connected component
+  // but TWO communities. Hand-derived synchronous-sweep trace (ties ->
+  // min label): lab3 = {1,2,3}->1 and {4,5,6}->3. Also pins the
+  // internal-edge count (3 per triangle; the bridge is cross-community).
+  test("communitiesFrame: barbell splits into two communities (CC would not)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = graft.dedup.DedupQueries.communitiesFrame(edges)
+      .collect().map(r => (r.getAs[Long]("community_id"),
+        r.getAs[Long]("size"), r.getAs[Long]("internal_edges")))
+    assert(got.toSeq === Seq((1L, 3L, 3L), (3L, 3L, 3L)))
+    // and CC genuinely cannot split it: one component
+    val cc = graft.dedup.DedupQueries.connectedComponents(
+      edges.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select("label").distinct().count()
+    assert(cc === 1L)
+  }
 }
