@@ -1374,7 +1374,7 @@ object TextQueries {
     "doc_lm_perplexity",
     "per-doc perplexity under a corpus-trained bigram LM (exact MLE)",
     TextOracle.lmPerplexitySql) { (s, d) =>
-    lmPerplexityFrame(Tables.documents(s, d)).orderBy("doc_id")
+    sharedDocPpl(s, d).orderBy("doc_id")
   }
 
   /** The bigram-LM pipeline over any (doc_id, text) frame: per-doc
@@ -1432,7 +1432,7 @@ object TextQueries {
     s"CCNet-style head/middle/tail perplexity bands per language " +
       s"(fixed cutoffs $PplHeadMax / $PplTailMin)",
     TextOracle.pplBandsSql) { (s, d) =>
-    lmPerplexityFrame(Tables.documents(s, d))
+    sharedDocPpl(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("band",
         when(col("ppl") < PplHeadMax, "head")
@@ -1518,7 +1518,7 @@ object TextQueries {
     "corpus_bpe_merges_n",
     s"iterated BPE training: $BpeIters greedy merge rounds over the weighted vocab",
     TextOracle.bpeMergesNSql) { (s, d) =>
-    bpeTrain(Tables.documents(s, d), BpeIters)
+    sharedBpe(s, d)._1.orderBy("iter")
   }
 
   /** The [[bpeMergesN]] training loop over any frame with a `text` column —
@@ -1527,6 +1527,53 @@ object TextQueries {
   def bpeTrain(docs: org.apache.spark.sql.DataFrame,
       iters: Int): org.apache.spark.sql.DataFrame =
     bpeTrainState(docs, iters, applyLast = false)._1
+
+  /** Shared trained-tokenizer tables (the shared-model registry
+    * discipline of [[graft.sim.SimQueries]]/[[graft.dedup.DedupQueries]]):
+    * the BPE trainer is a driver-iterated loop whose three consumers
+    * (merge table, encode, roundtrip) each re-ran it; the first per
+    * (session, sfDir) trains ONCE with `applyLast = true` — the rules are
+    * identical whether or not the last rule is applied to the vocab — and
+    * persists the merge table + the fully-segmented vocab; the rest read.
+    * A deployed tokenizer IS these two tables.
+    */
+  val BpeMergesTable = "bpe_merges_full"
+  val BpeVocabTable = "bpe_vocab_full"
+  private val bpeDone =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]
+  private def tkey(s: org.apache.spark.sql.SparkSession, d: String) =
+    (System.identityHashCode(s.sparkContext), d)
+
+  private def sharedBpe(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    bpeDone.computeIfAbsent(tkey(s, d), _ => {
+      val (rules, vocab) =
+        bpeTrainState(Tables.documents(s, d), BpeIters, applyLast = true)
+      graft.sources.Warehouse.replaceTable(rules, BpeMergesTable)
+      graft.sources.Warehouse.replaceTable(vocab, BpeVocabTable)
+      java.lang.Boolean.TRUE
+    })
+    (s.table(s"${graft.sources.Warehouse.Schema}.$BpeMergesTable"),
+      s.table(s"${graft.sources.Warehouse.Schema}.$BpeVocabTable"))
+  }
+
+  /** Shared per-doc bigram-LM perplexity table — [[lmPerplexityFrame]]
+    * trains the LM and scores the corpus; its two consumers (per-doc
+    * report + CCNet bands) share the persisted result.
+    */
+  val DocPplTable = "doc_ppl_full"
+  private val pplDone =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]
+
+  private def sharedDocPpl(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    pplDone.computeIfAbsent(tkey(s, d), _ => {
+      graft.sources.Warehouse.replaceTable(
+        lmPerplexityFrame(Tables.documents(s, d)), DocPplTable)
+      java.lang.Boolean.TRUE
+    })
+    s.table(s"${graft.sources.Warehouse.Schema}.$DocPplTable")
+  }
 
   /** Shared trainer core: the merge table PLUS the vocab in its final
     * segmentation. `applyLast` controls whether the last round's rule is
@@ -1617,7 +1664,7 @@ object TextQueries {
     s"BPE encode via the $BpeIters-rule trained vocab: per-language fertility + compression",
     TextOracle.bpeEncodeSql) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val (_, vocab) = bpeTrainState(docs, BpeIters, applyLast = true)
+    val vocab = sharedBpe(s, d)._2
     val enc = vocab.select(col("word"),
       size(split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
         .as("n_syms"))
@@ -1652,7 +1699,7 @@ object TextQueries {
     s"BPE decode(encode(w)) == w corpus-wide: per-language mismatch count (0) + fertility",
     TextOracle.bpeRoundtripSql) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val (_, vocab) = bpeTrainState(docs, BpeIters, applyLast = true)
+    val vocab = sharedBpe(s, d)._2
     val dec = vocab.select(col("word"),
       size(split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
         .as("n_syms"),

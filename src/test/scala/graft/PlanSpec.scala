@@ -447,7 +447,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("doc_lm_perplexity: every join consumes pre-aggregated frames, not raw bigrams") {
-    val df = SparkEntry.queries("doc_lm_perplexity")(spark, sf)
+    // the registry query now reads the shared persisted table (zero
+    // joins); the pin targets the TRAINING pipeline that builds it
+    val df = graft.text.TextQueries.lmPerplexityFrame(
+      graft.Tables.documents(spark, sf))
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
