@@ -203,7 +203,7 @@ object TextQueries {
     "doc_quality_nb",
     "model-based quality filter: corpus-trained Naive Bayes over heuristic labels, per-doc LLR + verdict",
     TextOracle.qualityNbSql) { (s, d) =>
-    qualityNbFrame(Tables.documents(s, d))
+    sharedDocNb(s, d).orderBy("doc_id")
   }
 
   /** The Naive-Bayes quality pipeline over any (doc_id, text) frame. */
@@ -358,7 +358,7 @@ object TextQueries {
     "NB-vs-heuristic agreement matrix per language + per-cell LLR mass",
     TextOracle.qualityNbConfusionSql) { (s, d) =>
     val docs = Tables.documents(s, d)
-    qualityNbFrame(docs)
+    sharedDocNb(s, d)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"), col("heur_label"), col("nb_pred"))
       .agg(count(lit(1)).as("docs"),
@@ -1557,6 +1557,24 @@ object TextQueries {
       s.table(s"${graft.sources.Warehouse.Schema}.$BpeVocabTable"))
   }
 
+  /** Shared per-doc NB-quality table — [[qualityNbFrame]] trains the
+    * model and scores the corpus; three consumers (per-doc verdicts,
+    * confusion matrix, calibration curve) share the persisted result.
+    */
+  val DocNbTable = "doc_nb_full"
+  private val nbDone =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]
+
+  private def sharedDocNb(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    nbDone.computeIfAbsent(tkey(s, d), _ => {
+      graft.sources.Warehouse.replaceTable(
+        qualityNbFrame(Tables.documents(s, d)), DocNbTable)
+      java.lang.Boolean.TRUE
+    })
+    s.table(s"${graft.sources.Warehouse.Schema}.$DocNbTable")
+  }
+
   /** Shared per-doc bigram-LM perplexity table — [[lmPerplexityFrame]]
     * trains the LM and scores the corpus; its two consumers (per-doc
     * report + CCNet bands) share the persisted result.
@@ -1748,7 +1766,7 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val nt = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("nt"))
-    qualityNbFrame(docs).join(nt, "doc_id")
+    sharedDocNb(s, d).join(nt, "doc_id")
       .withColumn("norm", col("nb_llr") / col("nt"))
       .withColumn("bin",
         floor(col("norm") / lit(CalibBinWidth)).cast("long"))
