@@ -193,9 +193,7 @@ object DedupQueries {
     "dedup_ngram_topk",
     s"word-$ShingleN-gram Jaccard near-dup: top-20 pairs via shingle inverted index",
     DedupOracle.ngramTopkSql) { (s, d) =>
-    sharedNgramPairs(s, d)
-      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
-      .limit(20)
+    ngramTopkOf(sharedNgramPairs(s, d))
   }
 
   /** The n-gram Jaccard pair pipeline over any (doc_id, text) frame:
@@ -229,17 +227,19 @@ object DedupQueries {
     * passing their own frames to [[ngramJaccardFrame]].
     */
   val NgramPairsTable = "ngram_pairs_full"
-  private val pairsDone =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]
+  private val pairsDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[
+      graft.api.SharedModels.Key, java.lang.Boolean])
 
   private[graft] def sharedNgramPairs(s: SparkSession, d: String): DataFrame = {
-    pairsDone.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), d), _ => {
-        graft.sources.Warehouse.replaceTable(
-          ngramJaccardFrame(Tables.documents(s, d)), NgramPairsTable)
-        java.lang.Boolean.TRUE
-      })
-    s.table(s"${graft.sources.Warehouse.Schema}.$NgramPairsTable")
+    pairsDone.computeIfAbsent(graft.api.SharedModels.key(s, d), _ => {
+      graft.sources.Warehouse.replaceTable(
+        ngramJaccardFrame(Tables.documents(s, d)),
+        graft.api.SharedModels.tableFor(NgramPairsTable, d))
+      java.lang.Boolean.TRUE
+    })
+    s.table(s"${graft.sources.Warehouse.Schema}." +
+      graft.api.SharedModels.tableFor(NgramPairsTable, d))
   }
 
   /** The DF-capped posting table (doc_id[, extra...], sh), checkpointed.
@@ -312,11 +312,16 @@ object DedupQueries {
         carry.map { case (_, nm) => col(nm) }: _*)
   }
 
+  /** Top-20 presentation slice over any (doc_a, doc_b, jaccard) frame —
+    * ONE definition of the cut/tie-break, shared by the registry query
+    * (persisted-table input) and the fixture path.
+    */
+  def ngramTopkOf(pairs: DataFrame): DataFrame =
+    pairs.orderBy(desc("jaccard"), col("doc_a"), col("doc_b")).limit(20)
+
   /** Top-20 presentation slice of [[ngramJaccardFrame]]. */
   def ngramTopkFrame(docs: DataFrame): DataFrame =
-    ngramJaccardFrame(docs)
-      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
-      .limit(20)
+    ngramTopkOf(ngramJaccardFrame(docs))
 
   /** One 32-bit half of the shingle's md5 as a long — the basis of the
     * double-hashing signature family h_i(x) = h1(x) + i*h2(x) (h1 = hex
@@ -1682,13 +1687,12 @@ object DedupQueries {
 
   /** The PR power iteration over any undirected (doc_a, doc_b) edge frame. */
   def pagerankFrame(pairsIn: DataFrame): DataFrame = {
-    // materialize the MINED pairs once — the union below reads it twice,
-    // and without the cut the whole inverted-index mine would run twice
-    val pairs = pairsIn.localCheckpoint()
-    val bi = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // bi is read every sweep -> checkpoint it; the pairs input needs no
+    // checkpoint of its own since the registry path reads the persisted
+    // shared pair table (two scans of parquet, not two mine runs)
+    val bi = pairsIn.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairsIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    graft.api.Checkpoints.release(pairs)
     val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = deg.count()
@@ -1750,11 +1754,12 @@ object DedupQueries {
 
   /** LPA over any undirected (doc_a, doc_b) edge frame. */
   def communitiesFrame(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.localCheckpoint()
-    val bi = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // bi feeds every sweep's vote join AND the internal-edge count ->
+    // checkpoint; pairsIn itself is a persisted-table read on the
+    // registry path (see pagerankFrame)
+    val bi = pairsIn.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairsIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    graft.api.Checkpoints.release(pairs)
     var lab = bi.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val w = org.apache.spark.sql.expressions.Window

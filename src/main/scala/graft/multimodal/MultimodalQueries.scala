@@ -430,13 +430,15 @@ object MultimodalQueries {
     "crossmodal_consistency",
     "cross-modal audit: doc/vector join orphans + near-dup text pairs with disagreeing cosine",
     MultimodalOracle.crossmodalSql) { (s, d) =>
-    crossmodalFrame(Tables.documents(s, d), Tables.embeddings(s, d))
+    crossmodalFrame(Tables.documents(s, d), Tables.embeddings(s, d),
+      Some(graft.dedup.DedupQueries.sharedNgramPairs(s, d)))
   }
 
   /** The audit over any (doc_id, lang, text) + (vec_id, embedding) pair of
     * frames, so the fixture spec can plant orphans and disagreeing pairs.
     */
-  private[graft] def crossmodalFrame(docsIn: DataFrame, embIn: DataFrame): DataFrame = {
+  private[graft] def crossmodalFrame(docsIn: DataFrame, embIn: DataFrame,
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
     import graft.sim.SimFns
     import graft.dedup.DedupQueries
     graft.functions.GraftFunctions.register(docsIn.sparkSession)
@@ -458,7 +460,7 @@ object MultimodalQueries {
       .join(docs, col("vec_id") === col("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n"))
       .select(row("vec_no_doc", lit("(none)"), col("n")): _*)
-    val dupPairs = DedupQueries.ngramJaccardFrame(docsIn)
+    val dupPairs = pairsOpt.getOrElse(DedupQueries.ngramJaccardFrame(docsIn))
       .filter(col("jaccard") >= DedupQueries.ClusterJaccard)
       .join(docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), "doc_a")
       .localCheckpoint()

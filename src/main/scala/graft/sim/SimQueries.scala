@@ -146,15 +146,16 @@ object SimQueries {
     * batch reads the frozen graph).
     */
   val GraphEdgesTable = "knn_edges_full"
-  private val edgesDone =
-    new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean]
+  private val edgesDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean])
 
   private def sharedGraphEdges(s: SparkSession, d: String): DataFrame = {
     edgesDone.computeIfAbsent(skey(s, d), _ => {
-      graft.sources.Warehouse.replaceTable(graphEdges(s, d), GraphEdgesTable)
+      graft.sources.Warehouse.replaceTable(graphEdges(s, d),
+        graft.api.SharedModels.tableFor(GraphEdgesTable, d))
       java.lang.Boolean.TRUE
     })
-    s.table(s"${graft.sources.Warehouse.Schema}.$GraphEdgesTable")
+    sharedTable(s, GraphEdgesTable, d)
   }
 
   /** Test hook: drop every shared-model marker so the next consumer
@@ -163,10 +164,8 @@ object SimQueries {
     * second run would just re-read the persisted tables and the pin
     * would be vacuous).
     */
-  private[graft] def resetSharedModels(): Unit = {
-    quantDone.clear(); pqDone.clear(); cellsDone.clear()
-    codesDone.clear(); edgesDone.clear()
-  }
+  private[graft] def resetSharedModels(): Unit =
+    graft.api.SharedModels.resetAll()
 
   /** Greedy beam search over [[graphEdges]] — the HNSW-class SEARCH
     * stage: every query starts at ONE fixed entry point (the corpus-min
@@ -829,13 +828,20 @@ object SimQueries {
   val SharedCellsTable = "ivf_cells_full"
   val SharedCodesTable = "pq_codes_full"
 
-  private type SKey = (Int, String)
+  private type SKey = graft.api.SharedModels.Key
   private def skey(s: SparkSession, d: String): SKey =
-    (System.identityHashCode(s.sparkContext), d)
-  private val quantDone = new java.util.concurrent.ConcurrentHashMap[SKey, Integer]
-  private val pqDone = new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean]
-  private val cellsDone = new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean]
-  private val codesDone = new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean]
+    graft.api.SharedModels.key(s, d)
+  private def sharedTable(s: SparkSession, base: String, d: String): DataFrame =
+    s.table(s"${graft.sources.Warehouse.Schema}." +
+      graft.api.SharedModels.tableFor(base, d))
+  private val quantDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[SKey, Integer])
+  private val pqDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean])
+  private val cellsDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean])
+  private val codesDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean])
 
   /** The trained full-corpus coarse quantizer, table-backed (trains +
     * persists on first call per (session, sfDir)).
@@ -843,13 +849,14 @@ object SimQueries {
   private def sharedQuantizer(s: SparkSession, d: String): Quantizer = {
     val k = quantDone.computeIfAbsent(skey(s, d), _ => {
       val q = trainQuantizer(vecs(s, d).select(col("vec_id"), col("v")))
-      graft.sources.Warehouse.replaceTable(q.cents, SharedCentsTable)
-      graft.sources.Warehouse.replaceTable(q.anchors, SharedAnchorsTable)
+      graft.sources.Warehouse.replaceTable(q.cents,
+        graft.api.SharedModels.tableFor(SharedCentsTable, d))
+      graft.sources.Warehouse.replaceTable(q.anchors,
+        graft.api.SharedModels.tableFor(SharedAnchorsTable, d))
       Int.box(q.k)
     })
-    Quantizer(
-      s.table(s"${graft.sources.Warehouse.Schema}.$SharedCentsTable"),
-      s.table(s"${graft.sources.Warehouse.Schema}.$SharedAnchorsTable"), k)
+    Quantizer(sharedTable(s, SharedCentsTable, d),
+      sharedTable(s, SharedAnchorsTable, d), k)
   }
 
   /** The trained full-corpus PQ codebooks (m, j, c), table-backed. */
@@ -857,10 +864,11 @@ object SimQueries {
     pqDone.computeIfAbsent(skey(s, d), _ => {
       val base = vecs(s, d).select(col("vec_id"), col("v"))
         .localCheckpoint(eager = false)
-      graft.sources.Warehouse.replaceTable(pqCodebook(base), SharedCodebooksTable)
+      graft.sources.Warehouse.replaceTable(pqCodebook(base),
+        graft.api.SharedModels.tableFor(SharedCodebooksTable, d))
       java.lang.Boolean.TRUE
     })
-    s.table(s"${graft.sources.Warehouse.Schema}.$SharedCodebooksTable")
+    sharedTable(s, SharedCodebooksTable, d)
   }
 
   /** Full-corpus coarse assignment (vec_id, cell, dist), table-backed —
@@ -873,10 +881,10 @@ object SimQueries {
       graft.sources.Warehouse.replaceTable(
         kmAssignIndexed(v, q)
           .select(col("vec_id"), col("j").as("cell"), col("dist")),
-        SharedCellsTable)
+        graft.api.SharedModels.tableFor(SharedCellsTable, d))
       java.lang.Boolean.TRUE
     })
-    s.table(s"${graft.sources.Warehouse.Schema}.$SharedCellsTable")
+    sharedTable(s, SharedCellsTable, d)
   }
 
   /** Full-corpus PQ code table (vec_id, m, code), table-backed. */
@@ -887,10 +895,10 @@ object SimQueries {
       graft.sources.Warehouse.replaceTable(
         pqAssign(pqSubVecs(base), cb)
           .select(col("vec_id"), col("m"), col("j").as("code")),
-        SharedCodesTable)
+        graft.api.SharedModels.tableFor(SharedCodesTable, d))
       java.lang.Boolean.TRUE
     })
-    s.table(s"${graft.sources.Warehouse.Schema}.$SharedCodesTable")
+    sharedTable(s, SharedCodesTable, d)
   }
 
   /** Two-level full-corpus assignment (the [[SimFns.KmeansKFloor]] scale
@@ -1922,8 +1930,7 @@ object SimQueries {
     SimOracle.hybridSearchSql) { (s, d) =>
     val sem = bruteforce.frame(s, d)
       .select(col("qid"), col("vec_id").as("doc"), col("rn").as("r_sem"))
-    val pairs = graft.dedup.DedupQueries
-      .ngramJaccardFrame(Tables.documents(s, d))
+    val pairs = graft.dedup.DedupQueries.sharedNgramPairs(s, d)
     val lexAll = pairs
       .select(col("doc_a").as("qid"), col("doc_b").as("doc"), col("jaccard"))
       .unionByName(pairs

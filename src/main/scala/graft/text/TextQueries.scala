@@ -1539,22 +1539,28 @@ object TextQueries {
     */
   val BpeMergesTable = "bpe_merges_full"
   val BpeVocabTable = "bpe_vocab_full"
-  private val bpeDone =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]
+  private val bpeDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[
+      graft.api.SharedModels.Key, java.lang.Boolean])
   private def tkey(s: org.apache.spark.sql.SparkSession, d: String) =
-    (System.identityHashCode(s.sparkContext), d)
+    graft.api.SharedModels.key(s, d)
+  private def sharedTable(s: org.apache.spark.sql.SparkSession,
+      base: String, d: String): org.apache.spark.sql.DataFrame =
+    s.table(s"${graft.sources.Warehouse.Schema}." +
+      graft.api.SharedModels.tableFor(base, d))
 
   private def sharedBpe(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     bpeDone.computeIfAbsent(tkey(s, d), _ => {
       val (rules, vocab) =
         bpeTrainState(Tables.documents(s, d), BpeIters, applyLast = true)
-      graft.sources.Warehouse.replaceTable(rules, BpeMergesTable)
-      graft.sources.Warehouse.replaceTable(vocab, BpeVocabTable)
+      graft.sources.Warehouse.replaceTable(rules,
+        graft.api.SharedModels.tableFor(BpeMergesTable, d))
+      graft.sources.Warehouse.replaceTable(vocab,
+        graft.api.SharedModels.tableFor(BpeVocabTable, d))
       java.lang.Boolean.TRUE
     })
-    (s.table(s"${graft.sources.Warehouse.Schema}.$BpeMergesTable"),
-      s.table(s"${graft.sources.Warehouse.Schema}.$BpeVocabTable"))
+    (sharedTable(s, BpeMergesTable, d), sharedTable(s, BpeVocabTable, d))
   }
 
   /** Shared per-doc NB-quality table — [[qualityNbFrame]] trains the
@@ -1562,17 +1568,19 @@ object TextQueries {
     * confusion matrix, calibration curve) share the persisted result.
     */
   val DocNbTable = "doc_nb_full"
-  private val nbDone =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]
+  private val nbDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[
+      graft.api.SharedModels.Key, java.lang.Boolean])
 
   private def sharedDocNb(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     nbDone.computeIfAbsent(tkey(s, d), _ => {
       graft.sources.Warehouse.replaceTable(
-        qualityNbFrame(Tables.documents(s, d)), DocNbTable)
+        qualityNbFrame(Tables.documents(s, d)),
+        graft.api.SharedModels.tableFor(DocNbTable, d))
       java.lang.Boolean.TRUE
     })
-    s.table(s"${graft.sources.Warehouse.Schema}.$DocNbTable")
+    sharedTable(s, DocNbTable, d)
   }
 
   /** Shared per-doc bigram-LM perplexity table — [[lmPerplexityFrame]]
@@ -1580,17 +1588,19 @@ object TextQueries {
     * report + CCNet bands) share the persisted result.
     */
   val DocPplTable = "doc_ppl_full"
-  private val pplDone =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]
+  private val pplDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[
+      graft.api.SharedModels.Key, java.lang.Boolean])
 
   private def sharedDocPpl(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     pplDone.computeIfAbsent(tkey(s, d), _ => {
       graft.sources.Warehouse.replaceTable(
-        lmPerplexityFrame(Tables.documents(s, d)), DocPplTable)
+        lmPerplexityFrame(Tables.documents(s, d)),
+        graft.api.SharedModels.tableFor(DocPplTable, d))
       java.lang.Boolean.TRUE
     })
-    s.table(s"${graft.sources.Warehouse.Schema}.$DocPplTable")
+    sharedTable(s, DocPplTable, d)
   }
 
   /** Shared trainer core: the merge table PLUS the vocab in its final

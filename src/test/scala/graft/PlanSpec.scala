@@ -270,6 +270,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
   }
 
+  test("dedup_communities: LPA sweeps stay edge-bounded joins, no cartesian") {
+    val df = SparkEntry.queries("dedup_communities")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    // the per-sweep argmax windows run in the checkpointed sweep jobs and
+    // are cut from THIS plan's lineage; the rollup must still be plain
+    // hash joins over the final label frame (asserted above)
+  }
+
+  test("ann_graph_incremental: attach probe is an equi bucket join, no cartesian") {
+    val df = SparkEntry.queries("ann_graph_incremental")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+  }
+
   test("brand_band_revenue: CNF extraction pushes the Or'd brand filter to the part scan") {
     val df = SparkEntry.queries("brand_band_revenue")(spark, sf)
     df.collect()
