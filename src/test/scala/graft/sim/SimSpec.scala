@@ -400,6 +400,26 @@ class SimSpec extends SparkSpec {
     assert(meanRecall(SimQueries.graphRecall) >= meanRecall(SimQueries.ivfRecall))
   }
 
+  // Structural pins on the attach artifact beyond the oracle's value
+  // parity: the batch's links obey the frozen-index contract — degree
+  // caps at GraphDegree, every link lands on an OLD node (never new-new:
+  // those wait for the next rebuild), and the nearest link is consistent
+  // with the reported degree.
+  test("ann_graph_incremental: links respect degree cap and frozen-node set") {
+    val rows = SimQueries.graphIncremental.frame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val newIds = rows.map(_.getAs[Long]("vec_id")).toSet
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("degree")
+      assert(deg >= 1 && deg <= SimQueries.GraphDegree)
+      val nn = r.getAs[Long]("nearest_id")
+      // a link target is never a batch member — the batch attaches to the
+      // FROZEN old nodes only
+      assert(!newIds.contains(nn), s"new-new link $nn")
+      assert(r.getAs[Double]("nearest_cosine") <= 1.0 + 1e-9)
+    }
+  }
+
   test("planes are fixed literals (regression pin)") {
     assert(Planes.length === NumPlanes)
     assert(Planes.forall(_.length === Dims))
