@@ -26,13 +26,20 @@ object SharedModels {
   def key(s: SparkSession, d: String): Key =
     (System.identityHashCode(s.sparkContext), d)
 
-  /** `base` + a sanitized scale-factor tag, e.g.
-    * `ngram_pairs_full__sf0_01` for `/root/testdata/sf0.01`.
+  /** `base` + a sanitized scale-factor tag + a short hash of the FULL
+    * path, e.g. `ngram_pairs_full__sf0_01_1a2b3c4d` for
+    * `/root/testdata/sf0.01`. The basename alone is not enough: markers
+    * are keyed by the full sfDir, so two directories sharing a basename
+    * (`/a/sf0.1` and `/b/sf0.1`) would share one physical table while
+    * holding independent markers — after B builds, A's still-set marker
+    * would serve B's artifact to A's consumers. The path hash makes
+    * table identity agree with marker identity.
     */
   def tableFor(base: String, d: String): String = {
     val tag = d.split('/').filter(_.nonEmpty).lastOption.getOrElse("root")
       .toLowerCase.replaceAll("[^a-z0-9]", "_")
-    s"${base}__$tag"
+    val h = scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL
+    f"${base}__${tag}_$h%08x"
   }
 
   private val tracked =

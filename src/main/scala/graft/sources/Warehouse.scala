@@ -232,10 +232,18 @@ object Warehouse {
       // partition-pruned path: a key row can never move partitions (its
       // partition values ARE key values), so rows outside the touched
       // partitions are untouchable and stay on disk as-is
-      val touched = delta.select(partCols.map(col): _*).distinct()
-      val out = survivorsOf(spark.table(qualified)
+      // null-safe like survivorsOf: a NULL partition value lands in the
+      // default partition, and a plain-equality semi join would drop the
+      // current table's NULL-partition rows from the survivors frame
+      // while the delta's NULL rows still put that partition into the
+      // dynamic overwrite — silently deleting its non-matching rows
+      val touched = delta
+        .select(partCols.map(c => col(c).as(s"t_$c")): _*).distinct()
+      val out = survivorsOf(spark.table(qualified).as("cur")
           .join(org.apache.spark.sql.functions.broadcast(touched),
-            partCols, "left_semi"))
+            partCols.map(c => col(s"cur.$c") <=> col(s"t_$c"))
+              .reduce(_ && _),
+            "left_semi"))
         .unionByName(delta.select(cols: _*))
         .select(cols: _*).localCheckpoint()
       overwriteInto(out, "dynamic")

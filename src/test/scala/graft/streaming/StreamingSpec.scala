@@ -381,8 +381,13 @@ class StreamingSpec extends SparkSpec {
       // advanced >= 2 beyond the data batch (the continuous empty batches
       // under the unthrottled trigger make this fast; the deadline is the
       // safety net on a stalled host)
-      val bid0 = q.lastProgress.batchId
       val deadline = System.currentTimeMillis() + 60000
+      // the sink row can become visible BEFORE the first progress event is
+      // posted, so awaitRows(1) does not guarantee lastProgress != null yet
+      while (q.lastProgress == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(q.lastProgress != null, "no progress posted within the deadline")
+      val bid0 = q.lastProgress.batchId
       while ((q.lastProgress == null || q.lastProgress.batchId < bid0 + 2)
           && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
