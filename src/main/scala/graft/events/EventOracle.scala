@@ -372,6 +372,30 @@ object EventOracle {
     ORDER BY click_id"""
   }
 
+  /** Stream-stream-join batch-twin oracle: the pure interval left join —
+    * every in-window pair plus one null-padded row per unattributed
+    * click. Lags are exact microsecond BIGINTs; (click_id, view_id) is a
+    * total order (a click never mixes null and non-null view rows).
+    */
+  def attributionPairsSql: String = {
+    val w = EventQueries.AttributionWindowMicros
+    s"""
+    WITH $evCte,
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts, epoch_us(ts) AS v_tm
+      FROM ev WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts, epoch_us(ts) AS c_tm
+      FROM ev WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts,
+      c.c_tm - v.v_tm AS lag_micros
+    FROM c LEFT JOIN v ON c.user_id = v.user_id
+      AND v.v_tm <= c.c_tm AND v.v_tm > c.c_tm - $w
+    ORDER BY click_id, view_id"""
+  }
+
   /** Audience-overlap twin: exact per-type distincts, exact pairwise
     * intersections and Jaccard; the sketch attestation pins TRUE (the
     * [[dailyDistinctSql]] convention — bits differ per engine, the band

@@ -745,6 +745,31 @@ object EventQueries {
       .orderBy("click_id")
   }
 
+  /** Batch twin of the watermarked STREAM-STREAM interval join
+    * ([[graft.streaming.EventStreams.attributionJoin]], left_outer): every
+    * (click, same-user view within the last 30 min) pair, plus a
+    * null-padded row per unattributed click. The IDENTICAL transform runs
+    * as two live watermarked streams (the watermarks are no-ops here), so
+    * this oracle row-pins the join the streaming side serves continuously;
+    * StreamingSpec additionally pins the streaming-only semantics (outer
+    * emission at watermark, late-row drop, state eviction).
+    *
+    * Scale shape: a user-keyed equi-join with the interval as a residual
+    * predicate — in batch Catalyst plans the hash join on user_id; the
+    * bucketed variant ([[attributionCandidates]]) is the shape for skewed
+    * power users. Determinism: exact ids/timestamps/micros, total order
+    * (click_id, view_id) — an unmatched click yields exactly one
+    * null-view row, so null ordering inside a click never arises.
+    */
+  val attributionPairs: GraftQuery = GraftQuery(
+    "events_attribution_pairs",
+    "stream-stream interval join, batch twin: all (click, in-window view) pairs, unattributed clicks null-padded",
+    EventOracle.attributionPairsSql) { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.streaming.EventStreams.attributionJoin(ev, ev, joinType = "left_outer")
+      .orderBy("click_id", "view_id")
+  }
+
   /** SCD Type-2 dimension derivation — the warehouse-standard
     * dimension-maintenance operator (the reference is an ETL pipeline;
     * this is the history side every Load step with mutable entities
@@ -946,7 +971,8 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, dailyDistinct, weeklySketchRollup, markovTransitions,
+      attribution, attributionPairs, dailyDistinct, weeklySketchRollup,
+      markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, abTest, audienceOverlap,
       cohortLtv, sloBurn)
 }

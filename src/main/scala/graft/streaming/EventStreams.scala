@@ -189,6 +189,56 @@ object EventStreams {
       .withWatermark("ts", WatermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM interval join — the click-attribution join
+    * ([[graft.events.EventQueries.attributionCandidates]]'s predicate) as
+    * two live streams: the view stream and the click stream each carry
+    * their OWN watermark, and every click joins the same-user views within
+    * the last [[graft.events.EventQueries.AttributionWindowMicros]]. This
+    * is the Structured Streaming class no single-stream op covers: BOTH
+    * inputs are unbounded, so each side must buffer the other's potential
+    * matches in the state store.
+    *
+    * State bound — why this never grows with stream length: the join
+    * condition relates the two event-time columns directly
+    * (`view_ts IN (click_ts - W, click_ts]`), so Spark derives each
+    * side's watermark from the other's: a buffered view is droppable
+    * once the click watermark passes `view_ts + W` (no future click can
+    * reach back to it), a buffered click once the view watermark passes
+    * `click_ts` — state per side is O(rows inside watermark delay + W),
+    * independent of total stream length. Without the interval condition
+    * the view buffer would be unbounded (any future click could match);
+    * StreamingSpec pins the eviction by watching the state-store row
+    * count fall after the watermark advances.
+    *
+    * `joinType` "left_outer" keeps unattributed clicks (the batch
+    * `events_attribution` contract): the null-padded row emits only when
+    * the VIEW watermark passes the click's window — the earliest moment
+    * "no match" is final. In batch the watermarks are no-ops and the
+    * same plan is the ordinary interval join, which is the oracle-checked
+    * twin (`events_attribution_pairs`).
+    */
+  def attributionJoin(viewEvents: DataFrame, clickEvents: DataFrame,
+      delay: String = WatermarkDelay, joinType: String = "inner"): DataFrame = {
+    val W = graft.events.EventQueries.AttributionWindowMicros
+    val v = viewEvents.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val c = clickEvents.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    c.join(v,
+        col("user_id") === col("v_user")
+          && col("view_ts") <= col("click_ts")
+          && col("view_ts") > col("click_ts") - expr(s"INTERVAL $W MICROSECOND"),
+        joinType)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_micros"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: emit an alert row each
     * time a user's cumulative value crosses a multiple of `threshold`.
     * This is the API for state no built-in window expresses (counters,

@@ -570,14 +570,10 @@ class StreamingSpec extends SparkSpec {
     val cs = MemoryStream[Ev]
     vs.addData(views: _*)
     cs.addData(clicks: _*)
-    val v = vs.toDF().withWatermark("ts", "1 hour")
-      .selectExpr("event_id AS view_id", "user_id AS vu", "ts AS vts")
-    val c = cs.toDF().withWatermark("ts", "1 hour")
-      .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS cts")
-    // the PURE interval predicate — proving the batch side's bucket
-    // pruning admits exactly the watermark-join's candidate set
-    val joined = c.join(v, expr(
-      "cu = vu AND vts <= cts AND vts > cts - INTERVAL 30 MINUTES"))
+    // the production transform's PURE interval predicate — proving the
+    // batch side's bucket pruning admits exactly the watermark-join's
+    // candidate set
+    val joined = EventStreams.attributionJoin(vs.toDF(), cs.toDF())
     val q = joined.writeStream.format("memory").queryName("attr_cand_out")
       .outputMode("append").start()
     q.processAllAvailable()
@@ -585,6 +581,71 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("attr_cand_out").select("click_id", "view_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed === batch)
+  }
+
+  test("attributionJoin left_outer: outer emission at watermark, late-row drop, state eviction") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) =
+      Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    val joined = EventStreams.attributionJoin(vs.toDF(), cs.toDF(),
+      delay = "1 minute", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    def pairs(): Set[(Long, Option[Long])] =
+      spark.table("attr_outer_out").select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    def stateRows(): Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).sum
+    try {
+      // 1. a matched pair joins immediately (no watermark wait)
+      vs.addData(Ev(90, t(10), 10, "view", 0, "{}"))
+      cs.addData(Ev(1, t(11), 10, "click", 0, "{}"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, Some(90L))))
+      // 2. an unattributed click emits NOTHING until the view watermark
+      //    passes it — "no match" is not final while an in-window view
+      //    could still arrive
+      cs.addData(Ev(2, t(40), 10, "click", 0, "{}"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, Some(90L))))
+      val peak = stateRows()
+      assert(peak > 0, "join state should buffer both sides")
+      // 3. advance BOTH watermarks past the click's window (policy: min
+      //    of the two); the second nudge batch applies the watermark the
+      //    first one computed — only then is click 2's null row final
+      vs.addData(Ev(900, t(120), 98, "view", 0, "{}"))
+      cs.addData(Ev(901, t(120), 99, "click", 0, "{}"))
+      q.processAllAvailable()
+      vs.addData(Ev(902, t(121), 98, "view", 0, "{}"))
+      cs.addData(Ev(903, t(121), 99, "click", 0, "{}"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, Some(90L)), (2L, None)))
+      // 4. a LATE view (below the watermark) that would have matched
+      //    click 2 is dropped at the watermark filter — the already-final
+      //    outer row is never contradicted
+      vs.addData(Ev(91, t(35), 10, "view", 0, "{}"))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, Some(90L)), (2L, None)))
+      // 5. state eviction: rows outside (watermark delay + join window)
+      //    are dropped, so the store holds only the recent nudge rows,
+      //    not the whole history — the O(horizon) bound, not O(stream)
+      vs.addData(Ev(904, t(125), 98, "view", 0, "{}"))
+      cs.addData(Ev(905, t(125), 99, "click", 0, "{}"))
+      q.processAllAvailable()
+      val after = stateRows()
+      // 9 input rows total; the 3 pre-watermark ones (view 90, clicks
+      // 1 and 2) must be evicted, leaving only the 6 nudge rows
+      assert(after <= 6,
+        s"pre-watermark state not evicted: peak=$peak after=$after")
+      assert(spark.table("attr_outer_out")
+        .filter(col("view_id") === 91L).isEmpty)
+    } finally q.stop()
   }
 
   test("DocStreams: arriving near-dup flagged against static band index, batch parity") {
