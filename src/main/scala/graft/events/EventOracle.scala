@@ -639,6 +639,111 @@ object EventOracle {
     ORDER BY a.user_id"""
   }
 
+  /** CDC-apply twin: replays the v1/delta/deletes algebra relationally
+    * (the [[scd2MergeSql]] convention) — v1 = on-time latest states minus
+    * churned users, touched users' rule re-evaluated over the full feed,
+    * upserts unioned in and churns removed — then compares against the
+    * plain recompute; cdc_ok is TRUE by that construction, and the Spark
+    * side computes it genuinely from the persisted table.
+    */
+  def cdcApplySql: String = {
+    val mod = EventQueries.Scd2DeltaMod
+    val b = EventQueries.CdcBuckets
+    def latest(name: String, src: String) = s"""
+    ${name}rn AS (
+      SELECT user_id, event_type, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM $src
+    ),
+    $name AS (
+      SELECT user_id, user_id % $b AS u_bucket, event_type AS state, ts
+      FROM ${name}rn WHERE rn = 1
+    )"""
+    s"""
+    WITH $evCte,
+    evold AS (SELECT * FROM ev WHERE event_id % $mod <> 0),
+    ${latest("lold", "evold")},
+    ${latest("lfull", "ev")},
+    v1 AS (SELECT * FROM lold WHERE state <> 'error'),
+    tu AS (SELECT DISTINCT user_id FROM ev WHERE event_id % $mod = 0),
+    tf AS MATERIALIZED (SELECT f.* FROM lfull f JOIN tu USING (user_id)),
+    delta AS (SELECT * FROM tf WHERE state <> 'error'),
+    dels AS (SELECT user_id FROM tf WHERE state = 'error'),
+    merged AS MATERIALIZED (
+      SELECT v.* FROM v1 v
+      WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.user_id = v.user_id)
+        AND NOT EXISTS (SELECT 1 FROM dels x WHERE x.user_id = v.user_id)
+      UNION ALL
+      SELECT * FROM delta
+    ),
+    want AS (SELECT * FROM lfull WHERE state <> 'error'),
+    cmp AS (
+      SELECT COALESCE(m.user_id, w.user_id) AS uid,
+        CASE WHEN m.user_id IS NULL OR w.user_id IS NULL
+          OR m.u_bucket IS DISTINCT FROM w.u_bucket
+          OR m.state IS DISTINCT FROM w.state
+          OR m.ts IS DISTINCT FROM w.ts THEN 1 ELSE 0 END AS bad
+      FROM merged m FULL JOIN want w ON m.user_id = w.user_id
+    ),
+    ok AS (SELECT uid, SUM(bad) = 0 AS cdc_ok FROM cmp GROUP BY uid)
+    SELECT m.user_id, m.u_bucket, m.state, m.ts, ok.cdc_ok
+    FROM merged m JOIN ok ON ok.uid = m.user_id
+    ORDER BY m.user_id"""
+  }
+
+  /** Retention-churn twin: deleting exact (user_id, version) rows of the
+    * published dimension IS the retention filter, so the replay is the
+    * filter itself over the same SCD2 derivation; churn_ok TRUE by
+    * construction, computed genuinely on the Spark side.
+    */
+  def scd2ChurnSql: String = {
+    val cut = EventQueries.Scd2RetentionCutoff
+    s"""
+    WITH $evCte,
+    ch AS (
+      SELECT user_id, ts, event_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM ev
+    ),
+    cr AS (
+      SELECT user_id, ts, event_id, event_type FROM ch
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    fdim AS MATERIALIZED (
+      SELECT user_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS INTEGER) AS version,
+        event_type AS state,
+        ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS valid_to,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          AS is_current
+      FROM cr
+    ),
+    keep AS (
+      SELECT * FROM fdim
+      WHERE valid_to IS NULL OR valid_to >= TIMESTAMP '$cut'
+    ),
+    purged AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purged FROM fdim
+      WHERE valid_to IS NOT NULL AND valid_to < TIMESTAMP '$cut'
+      GROUP BY user_id
+    ),
+    agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+        MAX(CASE WHEN is_current THEN state END) AS current_state
+      FROM keep GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_versions,
+      COALESCE(p.n_purged, CAST(0 AS BIGINT)) AS n_purged,
+      a.current_state, TRUE AS churn_ok
+    FROM agg a LEFT JOIN purged p USING (user_id)
+    ORDER BY a.user_id"""
+  }
+
   def scd2Sql: String = s"""
     WITH $evCte,
     ch AS (

@@ -873,6 +873,167 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Hash-bucket count for the CDC serving table's partition layout. */
+  val CdcBuckets = 8
+
+  /** Warehouse table maintained by [[cdcApply]]. */
+  val CdcStateTable = "user_state_cdc"
+
+  /** Per-user LATEST event as serving state: (user, bucket, state, ts),
+    * ties broken on event_id — the frame both [[cdcApply]]'s publishes
+    * and its recompute attestation derive from.
+    */
+  private def latestState(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts"), desc("event_id"))
+    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), (col("user_id") % CdcBuckets).as("u_bucket"),
+        col("event_type").as("state"), col("ts"))
+  }
+
+  /** CDC changefeed apply END-TO-END through
+    * [[graft.sources.Warehouse.mergeTable]] WITH its delete path — the
+    * full CDC-sink story ([[scd2Merge]] covers update+insert only; a real
+    * changefeed also retires keys):
+    *
+    *   1. the serving table is each user's LATEST event state, keyed
+    *      (user_id, u_bucket) and PARTITIONED by u_bucket = user_id % 8
+    *      (the partition column rides the key, so every apply takes the
+    *      partition-pruned path — at 100 TB a CDC batch rewrites only the
+    *      buckets it touches);
+    *   2. ops derive deterministically from the data: a user whose latest
+    *      event is `error` is CHURNED — op=delete; otherwise op=upsert
+    *      with the latest state. v1 publishes the rule over the 90%
+    *      on-time events;
+    *   3. the 1/10 late batch marks its users touched; their rule is
+    *      re-evaluated over the full feed — upserts become the delta,
+    *      churns become the DELETES frame (a churned user never seen by
+    *      v1 is a delete of an absent key: a no-op, the replay contract);
+    *   4. one mergeTable call applies insert+update+delete; the PERSISTED
+    *      table is read back and compared null-safe per user against the
+    *      from-scratch recompute (latest state over the full feed minus
+    *      churned users).
+    *
+    * Output: the served rows + the genuine per-user cdc_ok equality bit.
+    * The oracle replays the v1/delta/deletes algebra relationally
+    * (the [[scd2Merge]] convention), so the hash match proves the
+    * physical merge-with-deletes equals the recompute. Determinism:
+    * latest = max(ts, event_id), exact types throughout.
+    */
+  val cdcApply: GraftQuery = GraftQuery(
+    "events_cdc_apply",
+    s"CDC changefeed apply via warehouse MERGE with deletes: 1/$Scd2DeltaMod late batch -> upsert/delete per user, bucket-pruned, per-user merge-vs-recompute equality",
+    EventOracle.cdcApplySql) { (s, d) =>
+    import graft.sources.Warehouse
+    val ev = Tables.events(s, d)
+    val v1 = latestState(ev.filter(col("event_id") % Scd2DeltaMod =!= 0))
+      .filter(col("state") =!= "error")
+    Warehouse.replacePartitioned(v1, CdcStateTable, "u_bucket")
+    val touched = ev.filter(col("event_id") % Scd2DeltaMod === 0)
+      .select("user_id").distinct()
+    val full = latestState(ev).localCheckpoint()
+    val tf = full.join(touched, Seq("user_id"), "left_semi")
+    val delta = tf.filter(col("state") =!= "error")
+    val dels = tf.filter(col("state") === "error")
+      .select("user_id", "u_bucket")
+    Warehouse.mergeTable(delta, CdcStateTable, Seq("user_id", "u_bucket"),
+      Some(dels))
+    val merged = s.table(s"${Warehouse.Schema}.$CdcStateTable")
+    val want = full.filter(col("state") =!= "error")
+      .select(col("user_id").as("wu"), col("u_bucket").as("wb"),
+        col("state").as("ws"), col("ts").as("wt"))
+    val cmp = merged.join(want, col("user_id") === col("wu"), "full")
+      .select(coalesce(col("user_id"), col("wu")).as("uid"),
+        when(col("user_id").isNull || col("wu").isNull
+          || !(col("u_bucket") <=> col("wb"))
+          || !(col("state") <=> col("ws"))
+          || !(col("ts") <=> col("wt")), 1).otherwise(0).as("bad"))
+    val ok = cmp.groupBy(col("uid"))
+      .agg((sum(col("bad")) === 0).as("cdc_ok"))
+    merged.join(ok, col("user_id") === col("uid"))
+      .select(col("user_id"), col("u_bucket"), col("state"), col("ts"),
+        col("cdc_ok"))
+      .orderBy("user_id")
+  }
+
+  /** Retention cutoff for [[scd2Churn]] — a pinned literal (the loan
+    * as-of-date convention); the events corpus spans 2024-01.
+    */
+  val Scd2RetentionCutoff = "2024-01-15 00:00:00"
+
+  /** Warehouse table maintained by [[scd2Churn]]. */
+  val Scd2ChurnTable = "dim_user_state_ret"
+
+  /** SCD2 retention churn — the [[scd2Merge]] lifecycle's missing DELETE
+    * leg: a retention rule retires CLOSED versions whose validity ended
+    * before the pinned cutoff (open versions never purge — every user
+    * keeps at least their current row), applied as a pure deletes-frame
+    * merge (empty delta) through
+    * [[graft.sources.Warehouse.mergeTable]]. Because the delete keys are
+    * exact (user_id, version) rows of the published dimension, the
+    * relational meaning of the purge IS the retention filter — so the
+    * attestation compares the PERSISTED post-purge table null-safe
+    * against the from-scratch derivation filtered by the same rule, and
+    * the oracle replays that filter.
+    *
+    * Output per user: retained version count, purge count, current
+    * state, and the genuine churn_ok equality bit. Version numbers keep
+    * their original values (gaps where history was purged) — numbering
+    * is assigned at derivation, not at read.
+    *
+    * 100 TB shape: the deletes frame is a filter over the dimension (no
+    * window work), and the merge rewrites per the table's layout; on a
+    * validity-date-partitioned dimension the same call would drop whole
+    * expired partitions via the emptied-partition path.
+    */
+  val scd2Churn: GraftQuery = GraftQuery(
+    "events_scd2_churn",
+    s"SCD2 retention purge via merge deletes: closed versions ending before $Scd2RetentionCutoff removed, per-user purge-vs-recompute equality",
+    EventOracle.scd2ChurnSql) { (s, d) =>
+    import graft.sources.Warehouse
+    val ev = Tables.events(s, d)
+    val fullDim = scd2Frame(ev).localCheckpoint(eager = false)
+    Warehouse.replaceTable(fullDim, Scd2ChurnTable)
+    val cutoff = lit(Scd2RetentionCutoff).cast("timestamp")
+    val dels = s.table(s"${Warehouse.Schema}.$Scd2ChurnTable")
+      .filter(col("valid_to").isNotNull && col("valid_to") < cutoff)
+      .select("user_id", "version")
+      .localCheckpoint() // must outlive the overwrite it feeds
+    Warehouse.mergeTable(fullDim.limit(0), Scd2ChurnTable,
+      Seq("user_id", "version"), Some(dels))
+    val merged = s.table(s"${Warehouse.Schema}.$Scd2ChurnTable")
+    val keep = fullDim
+      .filter(col("valid_to").isNull || col("valid_to") >= cutoff)
+      .select(col("user_id").as("ku"), col("version").as("kv"),
+        col("state").as("ks"), col("valid_from").as("kf"),
+        col("valid_to").as("kt"), col("is_current").as("kc"))
+    val cmp = merged.join(keep,
+        col("user_id") === col("ku") && col("version") === col("kv"), "full")
+      .select(coalesce(col("user_id"), col("ku")).as("uid"),
+        when(col("user_id").isNull || col("ku").isNull
+          || !(col("state") <=> col("ks"))
+          || !(col("valid_from") <=> col("kf"))
+          || !(col("valid_to") <=> col("kt"))
+          || !(col("is_current") <=> col("kc")), 1).otherwise(0).as("bad"))
+    val ok = cmp.groupBy(col("uid"))
+      .agg((sum(col("bad")) === 0).as("churn_ok"))
+    val agg = merged.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("is_current"), col("state"))).as("current_state"))
+    val purged = dels.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("np"))
+      .select(col("user_id").as("pu"), col("np"))
+    agg.join(ok, col("user_id") === col("uid"))
+      .join(purged, col("user_id") === col("pu"), "left")
+      .select(col("user_id"), col("n_versions"),
+        coalesce(col("np"), lit(0L)).as("n_purged"),
+        col("current_state"), col("churn_ok"))
+      .orderBy("user_id")
+  }
+
   /** The SCD2 derivation over any events frame — shared by the batch
     * query and the streaming-parity spec ([[EventStreams.scd2Closed]]).
     */
@@ -973,6 +1134,6 @@ object EventQueries {
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
       attribution, attributionPairs, dailyDistinct, weeklySketchRollup,
       markovTransitions,
-      sequenceTrigrams, scd2Dimension, scd2Merge, abTest, audienceOverlap,
-      cohortLtv, sloBurn)
+      sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
+      abTest, audienceOverlap, cohortLtv, sloBurn)
 }

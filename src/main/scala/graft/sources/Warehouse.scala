@@ -182,12 +182,27 @@ object Warehouse {
     *   - first merge on a missing table creates it UNPARTITIONED;
     *     callers that want the pruned path create the layout first
     *     ([[replacePartitioned]]) and merge into it.
-    * WHEN MATCHED DELETE is out of scope (soft-delete flags ride the
-    * row). A table FORMAT (Delta/Iceberg) gets the same semantics with
+    *
+    * `deletes` is the DELETE side of a CDC apply — an explicit frame of
+    * KEY rows to remove (scoped by construction: the caller names every
+    * key it deletes, so there is no unscoped WHEN-NOT-MATCHED-BY-SOURCE
+    * full-table-delete trap). Delete keys absent from the table are
+    * no-ops (replay idempotence); a key in BOTH delta and deletes is
+    * rejected — the command is ambiguous. Deletes ride the same
+    * survivors anti join, so the pruned path still rewrites only the
+    * touched partitions (delta's plus the delete keys'); a touched
+    * partition whose every row is deleted produces NO output rows, which
+    * dynamic overwrite alone would silently leave on disk — those
+    * partitions are dropped through the catalog after the write (a NULL
+    * partition value maps to the default-partition name). `delta` may be
+    * empty (a pure retention purge) but must carry the table's schema.
+    *
+    * A table FORMAT (Delta/Iceberg) gets the same semantics with
     * file-level skipping + a snapshot commit; this is the engine
     * semantics under it.
     */
-  def mergeTable(delta: DataFrame, table: String, keys: Seq[String]): Unit = {
+  def mergeTable(delta: DataFrame, table: String, keys: Seq[String],
+      deletes: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val spark = delta.sparkSession
     ensureSchema(spark)
@@ -197,13 +212,25 @@ object Warehouse {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
     require(dup == 0,
       s"mergeTable delta has duplicate keys on (${keys.mkString(", ")})")
+    val delKeys = deletes.map(_.select(keys.map(col): _*).distinct())
     val ident =
       org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
     val cat = spark.sessionState.catalog
     if (!cat.tableExists(ident)) {
+      // delete keys against a missing table are all no-ops
       clearOrphanLocation(spark, table)
       delta.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
       return
+    }
+    delKeys.foreach { dk0 =>
+      val overlap = delta.select(keys.map(col): _*).as("a")
+        .join(dk0.as("b"),
+          keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _),
+          "left_semi")
+        .limit(1).count()
+      require(overlap == 0,
+        s"mergeTable delta and deletes share keys on (${keys.mkString(", ")})" +
+          " — upsert-then-delete is ambiguous; pick one per key")
     }
     val meta = cat.getTableMetadata(ident)
     require(meta.bucketSpec.isEmpty,
@@ -211,8 +238,12 @@ object Warehouse {
     val partCols = meta.partitionColumnNames
     val cols = spark.table(qualified).columns.map(col).toIndexedSeq
     // null-safe anti join: a NULL key must match a NULL key, or replaying
-    // the same delta re-inserts its NULL-keyed rows (idempotence contract)
-    val dk = delta.select(keys.map(col): _*).distinct().as("k")
+    // the same delta re-inserts its NULL-keyed rows (idempotence contract);
+    // delete keys ride the same removal set — a survivor is a current row
+    // matching neither an upserted nor a deleted key
+    val upsertKeys = delta.select(keys.map(col): _*).distinct()
+    val dk = delKeys.fold(upsertKeys)(d => upsertKeys.unionByName(d))
+      .distinct().as("k")
     def survivorsOf(cur: DataFrame): DataFrame = cur.as("c")
       .join(dk, keys.map(k => col(s"c.$k") <=> col(s"k.$k")).reduce(_ && _),
         "left_anti")
@@ -237,8 +268,12 @@ object Warehouse {
       // current table's NULL-partition rows from the survivors frame
       // while the delta's NULL rows still put that partition into the
       // dynamic overwrite — silently deleting its non-matching rows
-      val touched = delta
-        .select(partCols.map(c => col(c).as(s"t_$c")): _*).distinct()
+      val deltaParts = delta.select(partCols.map(col): _*)
+      val touched = delKeys
+        .fold(deltaParts)(d => deltaParts.unionByName(
+          d.select(partCols.map(col): _*)))
+        .distinct()
+        .select(partCols.map(c => col(c).as(s"t_$c")): _*)
       val out = survivorsOf(spark.table(qualified).as("cur")
           .join(org.apache.spark.sql.functions.broadcast(touched),
             partCols.map(c => col(s"cur.$c") <=> col(s"t_$c"))
@@ -246,8 +281,26 @@ object Warehouse {
             "left_semi"))
         .unionByName(delta.select(cols: _*))
         .select(cols: _*).localCheckpoint()
+      // a touched partition with NO output rows is invisible to dynamic
+      // overwrite — its stale files would survive the write; collect them
+      // (bounded by the delta/delete key count) and drop them through the
+      // catalog afterwards
+      val emptied = touched.as("t")
+        .join(out.select(partCols.map(col): _*).distinct().as("o"),
+          partCols.map(c => col(s"t.t_$c") <=> col(s"o.$c")).reduce(_ && _),
+          "left_anti")
+        .collect()
       overwriteInto(out, "dynamic")
       graft.api.Checkpoints.release(out)
+      if (emptied.nonEmpty) {
+        val specs = emptied.toSeq.map(r =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            c -> (if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+                  else r.get(i).toString)
+          }.toMap)
+        cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
+          purge = false, retainData = false)
+      }
     } else if (partCols.nonEmpty) {
       // layout-preserving full overwrite: the key can move rows across
       // partitions, so every partition is rewritten — but THROUGH the

@@ -187,6 +187,75 @@ class WarehouseSpec extends SparkSpec {
       .partitionColumnNames === Seq("part"))
   }
 
+  // the DELETE side of a CDC apply: explicit key rows removed, absent
+  // delete keys are replay no-ops, a key in both delta and deletes is
+  // rejected — each state checked against the plain recompute
+  test("mergeTable deletes: CDC apply removes keys; replay no-op; overlap rejected") {
+    import spark.implicits._
+    def table = spark.table(s"${Warehouse.Schema}.merge_del")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("id", "tag", "x")
+    Warehouse.replaceTable(v1, "merge_del")
+    // one update, one insert, one delete, one delete of an ABSENT key
+    val delta = Seq((2L, "B", 20.0), (5L, "e", 5.0)).toDF("id", "tag", "x")
+    val dels = Seq(3L, 99L).toDF("id")
+    Warehouse.mergeTable(delta, "merge_del", Seq("id"), Some(dels))
+    val expected = Seq((1L, "a", 1.0), (2L, "B", 20.0), (4L, "d", 4.0),
+      (5L, "e", 5.0))
+    assert(table === expected)
+    // replaying the same (delta, deletes) changes nothing
+    Warehouse.mergeTable(delta, "merge_del", Seq("id"), Some(dels))
+    assert(table === expected)
+    // pure retention purge: empty delta (table schema), deletes only
+    Warehouse.mergeTable(delta.limit(0), "merge_del", Seq("id"),
+      Some(Seq(4L).toDF("id")))
+    assert(table === expected.filterNot(_._1 == 4L))
+    // a key both upserted and deleted is ambiguous — rejected, no write
+    val before = table
+    intercept[IllegalArgumentException] {
+      Warehouse.mergeTable(delta, "merge_del", Seq("id"),
+        Some(Seq(5L).toDF("id")))
+    }
+    assert(table === before)
+  }
+
+  test("mergeTable deletes partitioned: pruned path drops emptied partition, untouched files identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val v1 = Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0),
+      (4L, "p3", 4.0), (5L, null, 5.0), (6L, null, 6.0))
+      .toDF("id", "part", "x")
+    Warehouse.replacePartitioned(v1, "merge_delpart", "part")
+    val qualified = s"${Warehouse.Schema}.merge_delpart"
+    def filesOf(p: String): Set[String] =
+      spark.table(qualified).filter(col("part") === p)
+        .select(org.apache.spark.sql.functions
+          .input_file_name().as("f")).as[String].collect().toSet
+    val p3Before = filesOf("p3")
+    // delete empties p2 entirely; delta touches p1; a delete in the NULL
+    // partition must not disturb its non-matching sibling (the null-safe
+    // touched-partition join)
+    val delta = Seq((2L, "p1", 20.0)).toDF("id", "part", "x")
+    val dels = Seq((3L, "p2"), (5L, null)).toDF("id", "part")
+    Warehouse.mergeTable(delta, "merge_delpart", Seq("id", "part"),
+      Some(dels))
+    val got = spark.table(qualified).select(col("id"), col("part"), col("x"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "p1", 1.0), (2L, "p1", 20.0), (4L, "p3", 4.0),
+      (6L, null, 6.0)))
+    // p3 untouched: byte-identical files
+    assert(filesOf("p3") === p3Before)
+    // the emptied p2 is GONE from the catalog (dynamic overwrite alone
+    // would have left its stale files on disk)
+    val parts = spark.sessionState.catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "merge_delpart", Some(Warehouse.Schema)))
+      .map(_.spec("part"))
+    assert(!parts.contains("p2"), s"emptied partition survived: $parts")
+  }
+
   test("bucketed tables join without a shuffle (no Exchange in plan)") {
     import org.apache.spark.sql.functions.col
     val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)
