@@ -463,9 +463,15 @@ object SimOracle {
     * the final beam minus the self row. Each sweep's beam CTE is read
     * twice by the next sweep's union, so beams are AS MATERIALIZED
     * (DuckDB would otherwise re-inline the whole upstream build per use).
+    * The chain now COMPOSES [[kmeansChain]] (the layer-0 router): each
+    * query's entry `gb0` is its own final-assignment cell's
+    * representative member — argmin (dist, vec_id) per cell, the twin of
+    * the Spark side's persisted `ivf_cell_reps_full` table.
     */
   private def graphChain: String = {
     import SimQueries.{GraphDegree, BeamWidth, BeamSweeps}
+    import SimFns.KmeansIters
+    val fin = KmeansIters + 1
     val sweeps = (1 to BeamSweeps).map { i =>
       s"""
     gc$i AS (
@@ -489,6 +495,7 @@ object SimOracle {
     )"""
     }.mkString(",")
     s"""
+    $kmeansChain,
     nb AS (
       SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
     ),
@@ -519,8 +526,18 @@ object SimOracle {
       SELECT vec_id AS qid, v AS qv, nrm AS qnrm
       FROM n WHERE vec_id % 100 = 0
     ),
+    grep AS MATERIALIZED (
+      SELECT j AS cell, vec_id AS rep_id FROM (
+        SELECT j, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY j ORDER BY dist, vec_id) AS rn
+        FROM a$fin
+      ) WHERE rn = 1
+    ),
     gb0 AS (
-      SELECT qid, (SELECT MIN(vec_id) FROM n) AS vec_id FROM gq
+      SELECT gq.qid, grep.rep_id AS vec_id
+      FROM gq
+      JOIN a$fin ac ON ac.vec_id = gq.qid
+      JOIN grep ON grep.cell = ac.j
     ),$sweeps,
     gsel AS (
       SELECT qid, vec_id FROM gb$BeamSweeps WHERE vec_id <> qid

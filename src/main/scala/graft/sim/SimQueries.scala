@@ -168,10 +168,19 @@ object SimQueries {
     graft.api.SharedModels.resetAll()
 
   /** Greedy beam search over [[graphEdges]] — the HNSW-class SEARCH
-    * stage: every query starts at ONE fixed entry point (the corpus-min
-    * vec_id — model state, like HNSW's top-layer entry), and each of the
-    * [[BeamSweeps]] sweeps expands the current beam's out-edges, scores
-    * the union, and keeps the [[BeamWidth]] best per query. Returns the
+    * stage, TWO-LAYER: each query's entry point is DATA-DERIVED — the
+    * representative member ([[sharedCellReps]]) of the query's own
+    * trained IVF cell ([[sharedCells]]) — so the beam starts inside the
+    * query's coarse neighborhood instead of at one fixed node. This is
+    * the HNSW top-layer idea served from artifacts the registry already
+    * persists and shares: choosing the entry costs two model-sized joins
+    * (the query's cell row + the k-row rep table), zero extra corpus
+    * passes. Each of the [[BeamSweeps]] sweeps then expands the current
+    * beam's out-edges, scores the union, and keeps the [[BeamWidth]]
+    * best per query. Recall@10 at equal sweeps/width, per-cell entries
+    * vs the round-15 fixed corpus-min entry: mean 0.44 vs 0.34 at
+    * sf0.01, 0.235 vs 0.225 at sf0.1 (`ann_graph_recall` grades it
+    * continuously). Returns the
     * final beam as (qid, vec_id) WITHOUT the self row — a query vector
     * is its own nearest neighbor and may even be the entry point, so the
     * self match rides the beam during search (it expands its own true
@@ -195,8 +204,16 @@ object SimQueries {
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val edges = sharedGraphEdges(s, d)
     val q = broadcast(queriesOf(v))
-    val entry = v.orderBy(col("vec_id")).limit(1).select(col("vec_id"))
-    var beam = q.select(col("qid")).crossJoin(broadcast(entry))
+    // layer-0 routing: the query's own coarse cell (queries are corpus
+    // members, so their assignment row already exists) -> that cell's
+    // persisted representative. Both sides of the lookup are shared
+    // model tables; the rep table is k rows, broadcast.
+    val cells = sharedCells(s, d)
+    var beam = q.select(col("qid"))
+      .join(cells.select(col("vec_id").as("cv"), col("cell")),
+        col("qid") === col("cv"))
+      .join(broadcast(sharedCellReps(s, d)), "cell")
+      .select(col("qid"), col("rep_id").as("vec_id"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
     for (_ <- 1 to BeamSweeps) {
       val expand = beam.join(edges, beam("vec_id") === edges("src"))
@@ -221,8 +238,9 @@ object SimQueries {
     */
   val graphTopk: GraftQuery = GraftQuery(
     "ann_graph_topk",
-    s"graph ANN (NSW shape): degree-$GraphDegree k-NN graph, " +
-      s"$BeamSweeps-sweep beam-$BeamWidth search from a fixed entry, cosine top-10",
+    s"graph ANN (2-layer NSW shape): degree-$GraphDegree k-NN graph, " +
+      s"$BeamSweeps-sweep beam-$BeamWidth search entered at the query's " +
+      "IVF-cell representative, cosine top-10",
     SimOracle.graphTopkSql) { (s, d) =>
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val q = broadcast(queriesOf(v))
@@ -827,6 +845,7 @@ object SimQueries {
   val SharedCodebooksTable = "pq_codebooks_full"
   val SharedCellsTable = "ivf_cells_full"
   val SharedCodesTable = "pq_codes_full"
+  val SharedRepsTable = "ivf_cell_reps_full"
 
   private type SKey = graft.api.SharedModels.Key
   private def skey(s: SparkSession, d: String): SKey =
@@ -841,6 +860,8 @@ object SimQueries {
   private val cellsDone = graft.api.SharedModels.track(
     new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean])
   private val codesDone = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean])
+  private val repsDone = graft.api.SharedModels.track(
     new java.util.concurrent.ConcurrentHashMap[SKey, java.lang.Boolean])
 
   /** The trained full-corpus coarse quantizer, table-backed (trains +
@@ -885,6 +906,28 @@ object SimQueries {
       java.lang.Boolean.TRUE
     })
     sharedTable(s, SharedCellsTable, d)
+  }
+
+  /** Per-cell representative member (cell, rep_id) — argmin (dist,
+    * vec_id) over [[sharedCells]], i.e. the member nearest its trained
+    * centroid: the layer-0 entry table for [[graphBeam]]'s two-layer
+    * search. k rows, built with ONE window pass over the assignment at
+    * model-build time, then broadcast at serve time — the entry choice
+    * never rescans the corpus.
+    */
+  private def sharedCellReps(s: SparkSession, d: String): DataFrame = {
+    val cells = sharedCells(s, d) // resolve OUTSIDE the marker update
+    repsDone.computeIfAbsent(skey(s, d), _ => {
+      val wr = Window.partitionBy(col("cell"))
+        .orderBy(col("dist"), col("vec_id"))
+      graft.sources.Warehouse.replaceTable(
+        cells.withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("cell"), col("vec_id").as("rep_id")),
+        graft.api.SharedModels.tableFor(SharedRepsTable, d))
+      java.lang.Boolean.TRUE
+    })
+    sharedTable(s, SharedRepsTable, d)
   }
 
   /** Full-corpus PQ code table (vec_id, m, code), table-backed. */
