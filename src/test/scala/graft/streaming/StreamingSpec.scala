@@ -797,6 +797,54 @@ class StreamingSpec extends SparkSpec {
     assert(StreamSinks.committedBatchId(spark, "stream_windows") === committed + 1)
   }
 
+  test("StreamSinks.cdcToWarehouse: keyed merge apply with compaction, deletes, stale-batch skip") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the merge overwrites happen inside foreachBatch's cloned session;
+    // this OUTER session's cached file listing for the table goes stale
+    // after each micro-batch, so a concurrent reader refreshes first —
+    // the standard discipline for readers of non-transactional
+    // replace-mode tables
+    def table = {
+      spark.catalog.refreshTable("test.cdc_sink")
+      spark.table("test.cdc_sink")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    }
+    val stream = MemoryStream[(Long, String, String, Long)]
+    val q = StreamSinks.cdcToWarehouse(
+      stream.toDS().toDF("id", "tag", "op", "seq"),
+      "cdc_sink", Seq("id"), seqCol = Some("seq")).start()
+    try {
+      // batch 1: inserts, incl. two changes for id 1 — compaction keeps
+      // the higher seq
+      stream.addData((1L, "a1", "u", 1L), (1L, "a2", "u", 2L),
+        (2L, "b", "u", 3L), (3L, "c", "u", 4L))
+      q.processAllAvailable()
+      assert(table === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+      // batch 2: update, delete, insert, and an upsert-then-delete pair
+      // for id 5 — compaction resolves to the delete, which is a no-op
+      // on the absent key
+      stream.addData((2L, "B", "u", 5L), (3L, "c", "d", 6L),
+        (4L, "d", "u", 7L), (5L, "x", "u", 8L), (5L, "x", "d", 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Seq((1L, "a2"), (2L, "B"), (4L, "d"))
+    assert(table === expected)
+    // a STALE batch id must not touch the table — a delta apply is not
+    // prefix-pure like complete-mode replace, so the guard is semantic
+    val committed = StreamSinks.committedBatchId(spark, "cdc_sink")
+    assert(committed >= 1L)
+    val stale = Seq((9L, "z", "u", 99L)).toDF("id", "tag", "op", "seq")
+    StreamSinks.deliverCdcBatch(stale, committed, "cdc_sink", Seq("id"),
+      Some("seq"))
+    assert(table === expected, "stale batch id mutated the table")
+    // the NEXT id lands
+    StreamSinks.deliverCdcBatch(stale, committed + 1, "cdc_sink", Seq("id"),
+      Some("seq"))
+    assert(table === expected :+ ((9L, "z")))
+  }
+
   test("dailyDistinctUsers: streaming sketch equals batch sketch, and the batch exact") {
     val spark0 = spark
     import spark0.implicits._
