@@ -1054,6 +1054,70 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("sessions_out").filter(col("user_id") === 99).count() === 0)
   }
 
+  test("TwsSessions: transformWithState timers close sessions equal to batch; inline and timer paths") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val fixture = Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 7, "view", 1.5, "{}"),
+      Ev(2, t("2024-01-01 00:10:00"), 7, "click", 2.5, "{}"),
+      Ev(3, t("2024-01-01 10:00:00"), 7, "view", 1.0, "{}"), // > 6h gap
+      Ev(4, t("2024-01-01 01:00:00"), 8, "view", 4.0, "{}"))
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    val q = TwsSessions.userSessionsTws(stream.toDF())
+      .writeStream.format("memory").queryName("tws_sessions_out")
+      .outputMode("append").start()
+    try {
+      // mid-session micro-batch splits: user 7's first session spans
+      // batches 1-2; batch 3's event closes it INLINE (gap exceeded)
+      stream.addData(fixture(0), fixture(3))
+      q.processAllAvailable()
+      stream.addData(fixture(1))
+      q.processAllAvailable()
+      stream.addData(fixture(2))
+      q.processAllAvailable()
+      // the inline close is final; the 10:00 event itself advances the
+      // watermark to 09:00, which may already have fired user 8's 07:00
+      // timer — but user 7's open session (expiry 16:00) must not close
+      val mid = spark.table("tws_sessions_out").count()
+      assert(mid >= 1 && mid <= 2, s"unexpected closes: $mid")
+      assert(spark.table("tws_sessions_out")
+        .filter(col("user_id") === 7 && col("n") === 2).count() === 1,
+        "inline close missing")
+      // TIMER path: sentinels push the watermark past last + gap (the
+      // watermark for batch N derives from batch N-1's max)
+      stream.addData(Ev(90, t("2024-01-03 00:00:00"), 99, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      stream.addData(Ev(91, t("2024-01-03 00:01:00"), 99, "view", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val streamed = spark.table("tws_sessions_out")
+      .filter(col("user_id") =!= 99)
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.userSessions(fixture.toDF())
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.length === 3)
+    // the sentinel's own session is still open: state holds ONLY the
+    // active user — closed sessions' state and timers are cleared
+    assert(spark.table("tws_sessions_out")
+      .filter(col("user_id") === 99).count() === 0)
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
