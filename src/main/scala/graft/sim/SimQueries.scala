@@ -97,8 +97,14 @@ object SimQueries {
       .orderBy("qid")
   }
 
-  /** Out-degree of the navigable k-NN graph ([[graphEdges]]). */
-  val GraphDegree = 8
+  /** Out-degree of the navigable k-NN graph ([[graphEdges]]). Raised
+    * 8 → 12 in round 16 after an A/B at sf0.1: degree buys as much
+    * recall as extra sweeps (0.235 → 0.295 at equal sweeps) at near-zero
+    * serve cost (the build's top-G window cuts wider, the search plan
+    * depth is unchanged), where 4 → 6 sweeps cost ~4x the search time
+    * for the same recall point.
+    */
+  val GraphDegree = 12
 
   /** Beam width carried through each [[graphBeam]] sweep. */
   val BeamWidth = 12
@@ -177,10 +183,13 @@ object SimQueries {
     * (the query's cell row + the k-row rep table), zero extra corpus
     * passes. Each of the [[BeamSweeps]] sweeps then expands the current
     * beam's out-edges, scores the union, and keeps the [[BeamWidth]]
-    * best per query. Recall@10 at equal sweeps/width, per-cell entries
-    * vs the round-15 fixed corpus-min entry: mean 0.44 vs 0.34 at
-    * sf0.01, 0.235 vs 0.225 at sf0.1 (`ann_graph_recall` grades it
-    * continuously). Returns the
+    * best per query. Recall@10 vs the round-15 configuration (fixed
+    * corpus-min entry, degree 8) at equal sweeps/width: per-cell entries
+    * took sf0.01 from 0.34 to 0.44 and sf0.1 from 0.225 to 0.235; the
+    * [[GraphDegree]] 8 → 12 bump took them to 0.46 and 0.295
+    * (`ann_graph_recall` grades it continuously; LSH multi-probe scores
+    * 0.225 and single-cell IVF 0.095 on the same sf0.1 corpus — the
+    * graph is the strongest index of the family). Returns the
     * final beam as (qid, vec_id) WITHOUT the self row — a query vector
     * is its own nearest neighbor and may even be the entry point, so the
     * self match rides the beam during search (it expands its own true
