@@ -639,6 +639,67 @@ object EventOracle {
     ORDER BY a.user_id"""
   }
 
+  /** Multi-touch twin: the same bucketed mine (UNION ALL replication =
+    * the Spark explode), position windows, credit CASE in the identical
+    * expression shape, per-touch 1e-4 quantization before the per-user
+    * sums.
+    */
+  def multitouchSql: String = {
+    val w = EventQueries.AttributionWindowMicros
+    s"""
+    WITH $evCte,
+    v AS (
+      SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_tm,
+        epoch_us(ts) // $w AS b0
+      FROM ev WHERE event_type = 'view'
+    ),
+    vb AS (
+      SELECT user_id, view_id, v_tm, b0 AS bucket FROM v
+      UNION ALL
+      SELECT user_id, view_id, v_tm, b0 + 1 AS bucket FROM v
+    ),
+    b AS (
+      SELECT event_id AS buy_id, user_id, value, epoch_us(ts) AS b_tm,
+        epoch_us(ts) // $w AS bucket
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT b.buy_id, b.user_id, b.value, vb.view_id, vb.v_tm
+      FROM b JOIN vb ON b.user_id = vb.user_id AND b.bucket = vb.bucket
+        AND vb.v_tm <= b.b_tm AND vb.v_tm > b.b_tm - $w
+    ),
+    c AS (
+      SELECT buy_id, user_id, value, view_id, v_tm,
+        ROW_NUMBER() OVER (PARTITION BY buy_id
+          ORDER BY v_tm, view_id) AS rn,
+        COUNT(*) OVER (PARTITION BY buy_id) AS n
+      FROM t
+    ),
+    q AS (
+      SELECT user_id, buy_id, rn, n,
+        CAST(FLOOR(value * (CASE
+          WHEN n = 1 THEN 1.0::DOUBLE
+          WHEN n = 2 THEN 0.5::DOUBLE
+          WHEN rn = 1 THEN 0.4::DOUBLE
+          WHEN rn = n THEN 0.4::DOUBLE
+          ELSE 0.2::DOUBLE / CAST(n - 2 AS DOUBLE) END) * 1e4 + 0.5)
+          AS BIGINT) AS cq
+      FROM c
+    )
+    SELECT user_id,
+      CAST(COUNT(DISTINCT buy_id) AS BIGINT) AS n_purchases,
+      CAST(COUNT(*) AS BIGINT) AS n_touches,
+      SUM(CASE WHEN n = 1 THEN cq ELSE 0 END) / 1e4 AS credited_solo,
+      SUM(CASE WHEN n > 1 AND rn = 1 THEN cq ELSE 0 END) / 1e4
+        AS credited_first,
+      SUM(CASE WHEN n > 1 AND rn = n THEN cq ELSE 0 END) / 1e4
+        AS credited_last,
+      SUM(CASE WHEN n > 1 AND rn > 1 AND rn < n THEN cq ELSE 0 END) / 1e4
+        AS credited_mid,
+      SUM(cq) / 1e4 AS credited_total
+    FROM q GROUP BY user_id ORDER BY user_id"""
+  }
+
   /** CDC-apply twin: replays the v1/delta/deletes algebra relationally
     * (the [[scd2MergeSql]] convention) — v1 = on-time latest states minus
     * churned users, touched users' rule re-evaluated over the full feed,

@@ -770,6 +770,83 @@ object EventQueries {
       .orderBy("click_id", "view_id")
   }
 
+  /** Position-based (U-shaped) MULTI-TOUCH attribution — the marketing
+    * model beyond [[attribution]]'s last-touch pick: each purchase's
+    * value is credited across ALL its in-window same-user views — a solo
+    * touch gets 100%, a two-touch pair 50/50 (no middle pool to absorb
+    * the 20%; naive 40/40 would leak value), otherwise first and last
+    * get 40% each and the middles split the remaining 20% evenly —
+    * credit is CONSERVED at every n. The touch mine is the
+    * [[attributionCandidates]] time-bucket equi-join anchored on
+    * purchases, so a purchase's touch set is bounded by two
+    * window-widths of the user's views — never the whole history — and
+    * the per-purchase position windows run over that bounded set.
+    *
+    * Output per user: attributed purchases, touches, and the credited
+    * value by position class (solo/first/last/mid) + total. Determinism:
+    * position = (v_tm, view_id) total order; each credited value is
+    * quantized to a 1e-4 LONG before the per-user sums (partition-order
+    * free), with credit factors computed in the same expression shape on
+    * both engines.
+    */
+  val multitouch: GraftQuery = GraftQuery(
+    "events_multitouch",
+    "U-shaped multi-touch attribution: purchase value credited 40/20/40 across in-window views, per-user rollup by position class",
+    EventOracle.multitouchSql) { (s, d) =>
+    multitouchFrame(Tables.events(s, d))
+  }
+
+  /** The multi-touch derivation over any events frame — shared by the
+    * registry query and the hand-fixture credit-model spec
+    * (EventQueriesSpec).
+    */
+  def multitouchFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = AttributionWindowMicros
+    val e = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("tm"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("tm").as("v_tm"))
+      .withColumn("v_bucket",
+        explode(array(expr(s"v_tm div ${W}L"), expr(s"v_tm div ${W}L") + 1L)))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"), col("value"),
+        col("tm").as("b_tm"))
+      .withColumn("b_bucket", expr(s"b_tm div ${W}L"))
+    val touches = buys.join(views,
+        col("user_id") === col("v_user") && col("b_bucket") === col("v_bucket")
+          && col("v_tm") <= col("b_tm") && col("v_tm") > col("b_tm") - W)
+      .select(col("buy_id"), col("user_id"), col("value"), col("view_id"),
+        col("v_tm"))
+    val wp = Window.partitionBy(col("buy_id"))
+    val credited = touches
+      .withColumn("rn", row_number().over(wp.orderBy(col("v_tm"), col("view_id"))))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("credit",
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5)) // no middle pool: value-conserving 50/50
+          .when(col("rn") === 1, lit(0.4))
+          .when(col("rn") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2).cast("double")))
+      .withColumn("cq", Det.quantize(col("value") * col("credit")))
+    val sc = lit(Det.pow10(4))
+    def classSum(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, col("cq")).otherwise(0L)) / sc
+    credited.groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("buy_id")).as("n_purchases"),
+        count(lit(1)).as("n_touches"),
+        classSum(col("n") === 1).as("credited_solo"),
+        classSum(col("n") > 1 && col("rn") === 1).as("credited_first"),
+        classSum(col("n") > 1 && col("rn") === col("n")).as("credited_last"),
+        classSum(col("n") > 1 && col("rn") > 1 && col("rn") < col("n"))
+          .as("credited_mid"),
+        (sum(col("cq")) / sc).as("credited_total"))
+      .orderBy("user_id")
+  }
+
   /** SCD Type-2 dimension derivation — the warehouse-standard
     * dimension-maintenance operator (the reference is an ETL pipeline;
     * this is the history side every Load step with mutable entities
@@ -1132,8 +1209,8 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, attributionPairs, dailyDistinct, weeklySketchRollup,
-      markovTransitions,
+      attribution, attributionPairs, multitouch, dailyDistinct,
+      weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       abTest, audienceOverlap, cohortLtv, sloBurn)
 }

@@ -583,6 +583,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("FullOuter"), s"expected a full outer equi join:\n$plan")
   }
 
+  test("events_attribution_pairs: equi join on user with the interval residual, no cartesian") {
+    // the stream-stream twin's batch plan: user_id must be the HASH key
+    // (at 100 TB the interval condition is a residual on the equi join,
+    // never the join itself — a pure theta join would be a cartesian)
+    val plan = planOf("events_attribution_pairs")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+    assert(plan.contains("LeftOuter"), s"expected left outer join:\n$plan")
+  }
+
   test("events_scd2_dimension: one shuffle serves all three window functions") {
     // lag (change detection), row_number (version), lead (interval
     // chaining) all partition by user_id with the same ordering — the

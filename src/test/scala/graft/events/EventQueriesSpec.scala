@@ -1,0 +1,61 @@
+package graft.events
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** Hand-fixture pins for the event-family derivations whose registry
+  * queries run over the generated corpus: the fixture values are chosen
+  * so every expected number is hand-computable AND exact at the 1e-4
+  * quantum, so a wrong credit rule can't hide behind rounding.
+  */
+class EventQueriesSpec extends SparkSpec {
+
+  private def ev(id: Long, ts: String, user: Long, typ: String,
+      value: Double) =
+    (id, Timestamp.valueOf(ts), user, typ, value, "{}")
+
+  test("multitouchFrame: U-shaped credit on a hand fixture, window boundaries strict") {
+    import spark.implicits._
+    val fixture = Seq(
+      // user 1: purchase 10.0 with FOUR in-window touches ->
+      // first 4.0, last 4.0, two mids 1.0 each
+      ev(1, "2024-01-01 09:35:00", 1, "view", 0),
+      ev(2, "2024-01-01 09:40:00", 1, "view", 0),
+      ev(3, "2024-01-01 09:45:00", 1, "view", 0),
+      ev(4, "2024-01-01 09:59:00", 1, "view", 0),
+      // boundary exclusions: exactly 30 min before (strict >) and after
+      ev(5, "2024-01-01 09:30:00", 1, "view", 0),
+      ev(6, "2024-01-01 10:01:00", 1, "view", 0),
+      ev(7, "2024-01-01 10:00:00", 1, "purchase", 10.0),
+      // user 2: solo touch -> 100% credit
+      ev(8, "2024-01-01 11:59:00", 2, "view", 0),
+      ev(9, "2024-01-01 12:00:00", 2, "purchase", 5.0),
+      // user 3: purchase with no views -> absent from the output
+      ev(10, "2024-01-01 13:00:00", 3, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.multitouchFrame(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 4L, 0.0, 4.0, 4.0, 2.0, 10.0),
+      (2L, 1L, 1L, 5.0, 0.0, 0.0, 0.0, 5.0)))
+  }
+
+  test("multitouchFrame: two-touch purchase splits 50/50 — no middle pool, value conserved") {
+    import spark.implicits._
+    // n = 2 has no middles to absorb the 20% pool; a naive 40/40 would
+    // LEAK 20% of the value, so the model credits 50/50 (value
+    // conservation holds for every n, which the totals column makes
+    // visible to the consumer)
+    val fixture = Seq(
+      ev(1, "2024-01-01 09:50:00", 1, "view", 0),
+      ev(2, "2024-01-01 09:55:00", 1, "view", 0),
+      ev(3, "2024-01-01 10:00:00", 1, "purchase", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.multitouchFrame(fixture)
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got === Seq((1L, 5.0, 5.0, 0.0, 10.0)))
+  }
+}
