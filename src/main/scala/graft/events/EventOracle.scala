@@ -639,6 +639,55 @@ object EventOracle {
     ORDER BY a.user_id"""
   }
 
+  /** Autocorrelation twin: the dense hourly grid (generate_series = the
+    * Spark sequence-explode), one exact mean, per-product 1e-6
+    * quantization before every sum, ratio quantized to 1e-6 — identical
+    * expression shapes throughout.
+    */
+  def autocorrSql: String = {
+    val maxLag = EventQueries.AcfMaxLag
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    x AS (
+      SELECT epoch_us(g.hour) // 3600000000 AS t, COALESCE(ha.n, 0) AS n
+      FROM g LEFT JOIN ha ON g.hour = ha.hour
+    ),
+    st AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM x
+    ),
+    dv AS MATERIALIZED (
+      SELECT t, CAST(n AS DOUBLE) - (SELECT mean FROM st) AS d FROM x
+    ),
+    dn AS (
+      SELECT SUM(CAST(FLOOR(d * d * 1e6 + 0.5) AS BIGINT)) AS den FROM dv
+    ),
+    lg AS (SELECT unnest(generate_series(1, $maxLag)) AS lag),
+    np AS (
+      SELECT lg.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        SUM(CAST(FLOOR(a.d * b.d * 1e6 + 0.5) AS BIGINT)) AS num
+      FROM lg
+      CROSS JOIN dv a
+      JOIN dv b ON b.t = a.t + lg.lag
+      GROUP BY lg.lag
+    )
+    SELECT lag, n_pairs,
+      CASE WHEN (SELECT den FROM dn) > 0 THEN
+        FLOOR(CAST(num AS DOUBLE) / CAST((SELECT den FROM dn) AS DOUBLE)
+          * 1e6 + 0.5) / 1e6
+      END AS acf
+    FROM np ORDER BY lag"""
+  }
+
   /** Multi-touch twin: the same bucketed mine (UNION ALL replication =
     * the Spark explode), position windows, credit CASE in the identical
     * expression shape, per-touch 1e-4 quantization before the per-user

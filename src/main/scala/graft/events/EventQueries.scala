@@ -770,6 +770,84 @@ object EventQueries {
       .orderBy("click_id", "view_id")
   }
 
+  /** Max lag (hours) for [[autocorr]] — two full daily cycles. */
+  val AcfMaxLag = 48
+
+  /** |deviation| bound beyond which [[autocorr]]'s 1e-6 product quantum
+    * would overflow a LONG (3e6² x 1e6 ≈ 9e18 ≈ 2⁶³) — raise instead of
+    * wrapping silently (the [[abTest]] convention); at hourly counts
+    * past ~3M/hour deviation, widen the quantum.
+    */
+  private val AcfMaxDev = 3.0e6
+
+  /** Seasonality detection: the autocorrelation function of the DENSE
+    * hourly event-count series at lags 1..[[AcfMaxLag]] — the
+    * periodicity detector the monitoring family lacked ([[anomaly]]
+    * scores points, [[gapFill]] fills holes, [[sloBurn]] tracks budget;
+    * none answers "does this series have a daily/weekly cycle", which
+    * decides capacity plans and anomaly BASELINES). A daily cycle peaks
+    * at lag 24; the readout is the full ACF so consumers see harmonics
+    * (12/24/36/48) rather than one argmax.
+    *
+    * Scale shape: ONE corpus aggregate to hourly counts; everything
+    * after runs on the model-sized dense grid (hours between min and
+    * max, missing hours = genuine zeros — ACF over only-observed rows
+    * would alias gaps into signal), checkpointed so the lag self-join
+    * never rescans the corpus. Determinism: counts are exact; mean is
+    * one exact-integer division; each centered product is quantized to
+    * a 1e-6 LONG before summing (partition-order free, the [[Det]]
+    * recipe); the final ratio is quantized to 1e-6.
+    */
+  val autocorr: GraftQuery = GraftQuery(
+    "events_autocorr",
+    s"dense hourly-count autocorrelation at lags 1..$AcfMaxLag — seasonality/harmonics detector",
+    EventOracle.autocorrSql) { (s, d) =>
+    autocorrFrame(Tables.events(s, d))
+  }
+
+  /** The ACF derivation over any events frame — shared by the registry
+    * query and the synthetic-cycle detector spec (EventQueriesSpec).
+    */
+  def autocorrFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = events.sparkSession
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("hn"))
+    val grid = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("hour"))
+    val x = grid.join(hourly, Seq("hour"), "left")
+      .select(expr("unix_micros(hour) div 3600000000").as("t"),
+        coalesce(col("hn"), lit(0L)).as("n"))
+      .localCheckpoint()
+    val st = x.agg(
+      (sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean"))
+    val dv = x.crossJoin(broadcast(st))
+      .withColumn("dd", col("n").cast("double") - col("mean"))
+      .withColumn("d", when(abs(col("dd")) > AcfMaxDev,
+          raise_error(lit("events_autocorr: deviation overflows the 1e-6 " +
+            "product quantum — widen the quantum")).cast("double"))
+        .otherwise(col("dd")))
+      .select(col("t"), col("d"))
+    val den = dv.agg(sum(Det.quantize(col("d") * col("d"), 6)).as("den"))
+    val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
+    val pairs = dv.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("t") + col("lag")).as("bt"), col("d").as("da"))
+      .join(dv.select(col("t").as("t2"), col("d").as("db")),
+        col("bt") === col("t2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(Det.quantize(col("da") * col("db"), 6)).as("num"))
+    pairs.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("den") > 0,
+          floor(col("num").cast("double") / col("den").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("acf"))
+      .orderBy("lag")
+  }
+
   /** Position-based (U-shaped) MULTI-TOUCH attribution — the marketing
     * model beyond [[attribution]]'s last-touch pick: each purchase's
     * value is credited across ALL its in-window same-user views — a solo
@@ -1209,7 +1287,7 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, attributionPairs, multitouch, dailyDistinct,
+      attribution, attributionPairs, multitouch, autocorr, dailyDistinct,
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       abTest, audienceOverlap, cohortLtv, sloBurn)

@@ -42,6 +42,32 @@ class EventQueriesSpec extends SparkSpec {
       (2L, 1L, 1L, 5.0, 0.0, 0.0, 0.0, 5.0)))
   }
 
+  test("autocorrFrame: a planted 24-hour cycle peaks at lag 24; zero hours are genuine zeros") {
+    import spark.implicits._
+    // 10 days of hourly events where hours 0-11 carry 3 events and
+    // hours 12-23 carry 1 — a square daily wave; hour 5 of each day is
+    // SKIPPED entirely so the dense grid's zero-fill is exercised (an
+    // only-observed-rows ACF would alias those gaps)
+    val rows = for {
+      day <- 0 until 10
+      hour <- 0 until 24
+      if hour != 5
+      k <- 0 until (if (hour < 12) 3 else 1)
+    } yield (day.toLong * 100 + hour * 10 + k,
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:30:00"),
+      1L, "view", 0.0, "{}")
+    val fixture = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val acf = EventQueries.autocorrFrame(fixture)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val best = acf.maxBy(_._2)
+    assert(best._1 === 24L, s"daily cycle not detected: $acf")
+    assert(acf(24L) > 0.8, s"lag-24 ACF too weak: ${acf(24L)}")
+    assert(acf(48L) > 0.6, s"harmonic at 48 missing: ${acf(48L)}")
+    // the half-period lag is strongly ANTI-correlated on a square wave
+    assert(acf(12L) < -0.5, s"half-period anti-correlation missing: ${acf(12L)}")
+  }
+
   test("multitouchFrame: two-touch purchase splits 50/50 — no middle pool, value conserved") {
     import spark.implicits._
     // n = 2 has no middles to absorb the 20% pool; a naive 40/40 would
