@@ -1040,6 +1040,39 @@ object TextOracle {
       SUM(CASE WHEN u < score THEN 1 ELSE 0 END) / COUNT(*) AS kept_rate
     FROM q GROUP BY lang ORDER BY lang"""
 
+  /** A-Res twin: same weight chain as [[sampleWeightedSql]], u from the
+    * shifted content hash, priority ln(u)/w quantized at 1e-9 BEFORE the
+    * per-language rank so the ordering is engine-exact.
+    */
+  def sampleAresSql: String = {
+    import TextQueries.AresK
+    s"""
+    WITH t AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+        least(1.0, len(toks) / 60.0) *
+          (1.0 - ${stopCount("toks", TextFns.Stopwords)} / len(toks)) AS w,
+        (${hash60Sql("text")} + 1) / 1152921504606846977.0 AS u
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, lang,
+        CAST(floor(ln(u) / w * 1000000000.0 + 0.5) AS BIGINT) AS pq
+      FROM q WHERE w > 0
+    ),
+    r AS (
+      SELECT lang, doc_id, pq,
+        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY pq DESC, doc_id) AS INTEGER) AS rk
+      FROM p
+    )
+    SELECT lang, rk, doc_id, pq / 1000000000.0 AS priority
+    FROM r WHERE rk <= $AresK ORDER BY lang, rk"""
+  }
+
   /** Bigram-LM perplexity twin: lockstep double-unnest builds the bigram
     * stream, ln p(w2|w1) quantized per TYPE at 9 decimals, per-doc sum is
     * exact BIGINT cnt*q, and the one exp per doc is quantized at 1e-6 —

@@ -2037,6 +2037,53 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Reservoir size per language for [[sampleAres]]. */
+  val AresK = 10
+
+  /** Weighted reservoir sampling WITHOUT replacement (Efraimidis-Spirakis
+    * A-Res) — the sampler [[sampleWeighted]] cannot be: the keep-test
+    * yields a BINOMIAL sample (every doc kept independently, size
+    * varies), where curation pipelines usually need EXACTLY k docs per
+    * stratum drawn with probability proportional to weight. A-Res makes
+    * that a rank: each doc draws u from its content hash and takes
+    * priority u^(1/w) — here ranked as the monotone-equivalent ln(u)/w,
+    * quantized to a 1e-9 LONG before the rank so the ordering is
+    * engine-exact — and the top-[[AresK]] per language ARE the weighted
+    * sample. Same weight (the quality score) and same content-hash
+    * randomness as the binomial sampler, so the two samplers are
+    * directly comparable and both survive re-runs/re-shards.
+    *
+    * Scale shape: one corpus pass to (lang, priority), then a per-lang
+    * top-k Spark plans as WindowGroupLimit — k rows forwarded per
+    * partition, the [[graft.relational.RelationalQueries]] KMV merge
+    * discipline; no global sort.
+    */
+  val sampleAres: GraftQuery = GraftQuery(
+    "corpus_sample_ares",
+    s"weighted reservoir sample (A-Res): exactly top-$AresK docs per language by quantized ln(u)/w priority",
+    TextOracle.sampleAresSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        stopwordCount(col("toks"), Stopwords) / col("n_tokens"))
+      .withColumn("w",
+        least(lit(1.0), col("n_tokens") / lit(60.0))
+          * (lit(1.0) - col("stop_ratio")))
+      .filter(col("w") > 0) // zero-weight docs are unsampleable by definition
+      .withColumn("u",
+        (hash60(col("text")) + lit(1L)) / lit(1152921504606846977.0))
+      .withColumn("pq",
+        floor(log(col("u")) / col("w") * lit(1e9) + lit(0.5)).cast("long"))
+    val wr = Window.partitionBy(col("lang")).orderBy(desc("pq"), col("doc_id"))
+    docs.withColumn("rk", row_number().over(wr).cast("int"))
+      .filter(col("rk") <= AresK)
+      .select(col("lang"), col("rk"), col("doc_id"),
+        (col("pq") / lit(1e9)).as("priority"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Retrieval-quality evaluation harness — the measurement loop every
     * search/RAG pipeline runs before shipping an index change: rank the
     * corpus for a fixed multi-query eval set with the production scorer
@@ -2231,6 +2278,6 @@ object TextQueries {
       phraseSearch, keywordExtract, chunkSearchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
-      sampleWeighted,
+      sampleWeighted, sampleAres,
       temperatureMix, chunking, epochShards, evalNdcg, zipfFit, piiRedact)
 }

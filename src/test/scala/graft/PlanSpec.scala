@@ -726,6 +726,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("corpus_sample_ares: the per-language reservoir cut is a WindowGroupLimit") {
+    val df = graft.SparkEntry.queries("corpus_sample_ares")(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the row_number <= k cut must run as a group limit — each partition
+    // forwards at most k candidates per language BEFORE the exchange,
+    // which is what makes A-Res a one-pass distributed reservoir
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    assert(rows.nonEmpty)
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length <= graft.text.TextQueries.AresK, s"$lang over k")
+      // ranks are 1..n and priorities non-increasing (ln(u)/w <= 0)
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length),
+        s"$lang ranks not dense")
+      val ps = sorted.map(_.getAs[Double]("priority"))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a >= b },
+        s"$lang priorities not sorted")
+      assert(ps.forall(_ <= 0.0), s"$lang positive priority")
+    }
+  }
+
   test("orders_kmv_distinct: sketch cut is a WindowGroupLimit; estimator sane") {
     val df = SparkEntry.queries("orders_kmv_distinct")(spark, sf)
     val rows = df.collect()
