@@ -688,6 +688,81 @@ object EventOracle {
     FROM np ORDER BY lag"""
   }
 
+  /** CUSUM twin: same dense grid, 1e-9 rate quantization, exact-LONG
+    * prefix sums and running mins (the max(0,·) recursion unrolled as
+    * P - min(0, running min P)), sqrt is IEEE correctly-rounded on both
+    * engines.
+    */
+  def cusumSql: String = {
+    val k = EventQueries.CusumSlackSigmas
+    val h = EventQueries.CusumThresholdSigmas
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS ne
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    xq AS MATERIALIZED (
+      SELECT g.hour, rate,
+        CAST(FLOOR(rate * 1e9 + 0.5) AS BIGINT) AS rq
+      FROM (
+        SELECT g.hour,
+          CASE WHEN COALESCE(ha.n, 0) = 0 THEN 0.0::DOUBLE
+            ELSE CAST(ha.ne AS DOUBLE) / CAST(ha.n AS DOUBLE) END AS rate
+        FROM g LEFT JOIN ha ON g.hour = ha.hour
+      ) g
+    ),
+    st AS (
+      SELECT CAST(SUM(rq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
+        AS mean, COUNT(*) AS nh
+      FROM xq
+    ),
+    vr AS (
+      SELECT SQRT(CAST(SUM(CAST(FLOOR(
+          (rate - (SELECT mean FROM st)) * (rate - (SELECT mean FROM st))
+          * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e9 / CAST((SELECT nh FROM st) AS DOUBLE)) AS sigma
+      FROM xq
+    ),
+    pr AS (
+      SELECT
+        CAST(FLOOR(((SELECT mean FROM st) + $k * (SELECT sigma FROM vr))
+          * 1e9 + 0.5) AS BIGINT) AS up_ref,
+        CAST(FLOOR(((SELECT mean FROM st) - $k * (SELECT sigma FROM vr))
+          * 1e9 + 0.5) AS BIGINT) AS dn_ref,
+        CAST(FLOOR($h * (SELECT sigma FROM vr) * 1e9 + 0.5) AS BIGINT)
+          AS hq
+    ),
+    c AS (
+      SELECT hour, rq,
+        SUM(rq - (SELECT up_ref FROM pr)) OVER w AS pu,
+        SUM((SELECT dn_ref FROM pr) - rq) OVER w AS pd
+      FROM xq
+      WINDOW w AS (ORDER BY hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sc AS (
+      SELECT hour, rq,
+        pu - LEAST(0, MIN(pu) OVER w) AS su,
+        pd - LEAST(0, MIN(pd) OVER w) AS sd
+      FROM c
+      WINDOW w AS (ORDER BY hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour, rq / 1e9 AS rate, su / 1e9 AS cusum_up,
+      sd / 1e9 AS cusum_down,
+      su > (SELECT hq FROM pr) AS alarm_up,
+      sd > (SELECT hq FROM pr) AS alarm_down
+    FROM sc ORDER BY hour"""
+  }
+
   /** Multi-touch twin: the same bucketed mine (UNION ALL replication =
     * the Spark explode), position windows, credit CASE in the identical
     * expression shape, per-touch 1e-4 quantization before the per-user

@@ -848,6 +848,97 @@ object EventQueries {
       .orderBy("lag")
   }
 
+  /** CUSUM slack, in sigmas (the classic k = sigma/2 tuning). */
+  val CusumSlackSigmas = 0.5
+
+  /** CUSUM alarm threshold, in sigmas (h = 5 sigma). */
+  val CusumThresholdSigmas = 5.0
+
+  /** Changepoint detection: two-sided CUSUM over the dense hourly
+    * error-RATE series — the monitoring family's level-shift detector
+    * ([[anomaly]] flags single outlier points; a deploy that doubles the
+    * error rate produces NO 3-sigma point yet pages ops within hours —
+    * that is CUSUM's regime). The textbook recursion
+    * S_t = max(0, S_{t-1} + (x_t - mean - k)) looks inherently
+    * sequential, but it is exactly S_t = P_t - min_{i<=t} P_i for the
+    * plain prefix sum P — so the whole detector is TWO stacked window
+    * functions (running sum + running min) over the model-sized hourly
+    * frame, no recursion, no driver loop; the downward side mirrors it.
+    *
+    * Determinism: rates quantized to 1e-9 LONGs before any sum; mean
+    * and sigma recompose exact LONG sums (sqrt is IEEE
+    * correctly-rounded on both engines, unlike ln); the per-hour
+    * deviations are quantized LONGs, so prefix sums, running mins, and
+    * the threshold compare are EXACT integer arithmetic — the one
+    * operator class where drift would compound silently.
+    */
+  val cusum: GraftQuery = GraftQuery(
+    "events_cusum",
+    s"two-sided CUSUM (k=${CusumSlackSigmas}s, h=${CusumThresholdSigmas}s) over the dense hourly error-rate series, via prefix-sum minus running-min",
+    EventOracle.cusumSql) { (s, d) =>
+    cusumFrame(Tables.events(s, d))
+  }
+
+  /** The CUSUM derivation over any events frame — shared by the registry
+    * query and the planted-shift detector spec (EventQueriesSpec).
+    */
+  def cusumFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
+    val grid = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("hour"))
+    val x = grid.join(hourly, Seq("hour"), "left")
+      .select(col("hour"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("ne").cast("double") / col("n").cast("double"))
+          .as("rate"))
+      .withColumn("rq", Det.quantize(col("rate"), 9))
+      .localCheckpoint()
+    val st = x.agg(
+        (sum(col("rq")).cast("double") / lit(1e9)
+          / count(lit(1)).cast("double")).as("mean"),
+        count(lit(1)).as("nh"))
+      .select(col("mean"), col("nh"))
+    val withMean = x.crossJoin(broadcast(st))
+    val varq = withMean
+      .select(Det.quantize((col("rate") - col("mean"))
+        * (col("rate") - col("mean")), 9).as("sq"), col("nh"))
+      .groupBy(col("nh"))
+      .agg((sum(col("sq")).cast("double") / lit(1e9)
+        / col("nh").cast("double")).as("variance"))
+      .select(sqrt(col("variance")).as("sigma"))
+    val params = st.crossJoin(broadcast(varq))
+      .select(col("mean"), col("sigma"),
+        Det.quantize(col("mean") + lit(CusumSlackSigmas) * col("sigma"), 9)
+          .as("up_ref"), // quantized (mean + k): subtracted per hour
+        Det.quantize(col("mean") - lit(CusumSlackSigmas) * col("sigma"), 9)
+          .as("dn_ref"),
+        Det.quantize(lit(CusumThresholdSigmas) * col("sigma"), 9).as("hq"))
+    val wAll = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x.crossJoin(broadcast(params))
+      .withColumn("du", col("rq") - col("up_ref"))
+      .withColumn("dd", col("dn_ref") - col("rq"))
+      .withColumn("pu", sum(col("du")).over(wAll))
+      .withColumn("pd", sum(col("dd")).over(wAll))
+      // S_t = P_t - min(0, running min of P): the max(0,...) recursion
+      // unrolled — the virtual P_{-1} = 0 floor rides the least(0, ...)
+      .withColumn("su", col("pu") - least(lit(0L), min(col("pu")).over(wAll)))
+      .withColumn("sd", col("pd") - least(lit(0L), min(col("pd")).over(wAll)))
+      .select(col("hour"),
+        (col("rq") / lit(1e9)).as("rate"),
+        (col("su") / lit(1e9)).as("cusum_up"),
+        (col("sd") / lit(1e9)).as("cusum_down"),
+        (col("su") > col("hq")).as("alarm_up"),
+        (col("sd") > col("hq")).as("alarm_down"))
+      .orderBy("hour")
+  }
+
   /** Position-based (U-shaped) MULTI-TOUCH attribution — the marketing
     * model beyond [[attribution]]'s last-touch pick: each purchase's
     * value is credited across ALL its in-window same-user views — a solo
@@ -1287,8 +1378,8 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, attributionPairs, multitouch, autocorr, dailyDistinct,
-      weeklySketchRollup, markovTransitions,
+      attribution, attributionPairs, multitouch, autocorr, cusum,
+      dailyDistinct, weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       abTest, audienceOverlap, cohortLtv, sloBurn)
 }

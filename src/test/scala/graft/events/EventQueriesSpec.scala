@@ -68,6 +68,35 @@ class EventQueriesSpec extends SparkSpec {
     assert(acf(12L) < -0.5, s"half-period anti-correlation missing: ${acf(12L)}")
   }
 
+  test("cusumFrame: a planted error-rate level shift alarms after — and only after — the changepoint") {
+    import spark.implicits._
+    // 10 days, 10 events/hour; days 1-5 carry 1 error (rate 0.1), days
+    // 6-10 carry 5 (rate 0.5) — no single hour is a 3-sigma outlier
+    // against the global spread, but the LEVEL shifts: CUSUM's regime
+    val rows = for {
+      day <- 0 until 10
+      hour <- 0 until 24
+      k <- 0 until 10
+    } yield {
+      val errs = if (day < 5) 1 else 5
+      (day.toLong * 1000 + hour * 10 + k,
+        Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:15:00"),
+        1L, if (k < errs) "error" else "view", 0.0, "{}")
+    }
+    val fixture = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.cusumFrame(fixture)
+      .select("hour", "alarm_up").collect()
+      .map(r => (r.getTimestamp(0), r.getBoolean(1)))
+    val shift = Timestamp.valueOf("2024-01-06 00:00:00")
+    val upBefore = got.filter(_._1.before(shift)).count(_._2)
+    assert(upBefore === 0, s"alarm_up fired $upBefore times before the shift")
+    val firstAlarm = got.filter(_._2).map(_._1).minBy(_.getTime)
+    assert(!firstAlarm.before(shift), s"first alarm $firstAlarm precedes shift")
+    assert(firstAlarm.getTime - shift.getTime <= 24L * 3600 * 1000,
+      s"detection latency over a day: $firstAlarm")
+  }
+
   test("multitouchFrame: two-touch purchase splits 50/50 — no middle pool, value conserved") {
     import spark.implicits._
     // n = 2 has no middles to absorb the 20% pool; a naive 40/40 would
