@@ -688,6 +688,67 @@ object EventOracle {
     FROM np ORDER BY lag"""
   }
 
+  /** CCF twin: same dense grid and quantized-product recipe as the ACF
+    * twin, two series, denominator = sqrt of the product of both
+    * deviation energies.
+    */
+  def crosscorrSql: String = {
+    val maxLag = EventQueries.CcfMaxLag
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS nv,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS np
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    x AS (
+      SELECT epoch_us(g.hour) // 3600000000 AS t,
+        COALESCE(ha.nv, 0) AS nv, COALESCE(ha.np, 0) AS np
+      FROM g LEFT JOIN ha ON g.hour = ha.hour
+    ),
+    st AS (
+      SELECT CAST(SUM(nv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mv,
+        CAST(SUM(np) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mp
+      FROM x
+    ),
+    dv AS MATERIALIZED (
+      SELECT t,
+        CAST(nv AS DOUBLE) - (SELECT mv FROM st) AS dv,
+        CAST(np AS DOUBLE) - (SELECT mp FROM st) AS dp
+      FROM x
+    ),
+    dn AS (
+      SELECT SUM(CAST(FLOOR(dv * dv * 1e6 + 0.5) AS BIGINT)) AS env,
+        SUM(CAST(FLOOR(dp * dp * 1e6 + 0.5) AS BIGINT)) AS enp
+      FROM dv
+    ),
+    lg AS (SELECT unnest(generate_series(0, $maxLag)) AS lag),
+    np AS (
+      SELECT lg.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        SUM(CAST(FLOOR(a.dv * b.dp * 1e6 + 0.5) AS BIGINT)) AS num
+      FROM lg
+      CROSS JOIN dv a
+      JOIN dv b ON b.t = a.t + lg.lag
+      GROUP BY lg.lag
+    )
+    SELECT lag, n_pairs,
+      CASE WHEN (SELECT env FROM dn) > 0 AND (SELECT enp FROM dn) > 0 THEN
+        FLOOR(CAST(num AS DOUBLE)
+          / SQRT(CAST((SELECT env FROM dn) AS DOUBLE)
+            * CAST((SELECT enp FROM dn) AS DOUBLE))
+          * 1e6 + 0.5) / 1e6
+      END AS ccf
+    FROM np ORDER BY lag"""
+  }
+
   /** CUSUM twin: same dense grid, 1e-9 rate quantization, exact-LONG
     * prefix sums and running mins (the max(0,·) recursion unrolled as
     * P - min(0, running min P)), sqrt is IEEE correctly-rounded on both

@@ -805,19 +805,30 @@ object EventQueries {
     autocorrFrame(Tables.events(s, d))
   }
 
+  /** Dense hourly series builder shared by the time-series detectors
+    * ([[autocorr]], [[cusum]], [[crosscorr]]): one corpus aggregate to
+    * per-hour values, left-joined onto the COMPLETE hour range so
+    * missing hours surface as nulls for the caller to zero — a
+    * detector over only-observed rows would alias gaps into signal.
+    */
+  private def denseHours(events: org.apache.spark.sql.DataFrame)(
+      aggs: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(aggs.head, aggs.tail: _*)
+    val grid = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("hour"))
+    grid.join(hourly, Seq("hour"), "left")
+  }
+
   /** The ACF derivation over any events frame — shared by the registry
     * query and the synthetic-cycle detector spec (EventQueriesSpec).
     */
   def autocorrFrame(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = events.sparkSession
-    val hourly = events
-      .groupBy(date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("hn"))
-    val grid = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
-        .as("hour"))
-    val x = grid.join(hourly, Seq("hour"), "left")
+    val x = denseHours(events)(count(lit(1)).as("hn"))
       .select(expr("unix_micros(hour) div 3600000000").as("t"),
         coalesce(col("hn"), lit(0L)).as("n"))
       .localCheckpoint()
@@ -845,6 +856,75 @@ object EventQueries {
         when(col("den") > 0,
           floor(col("num").cast("double") / col("den").cast("double")
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Max lead (hours) for [[crosscorr]] — one daily cycle. */
+  val CcfMaxLag = 24
+
+  /** Lead-lag analysis: the cross-correlation function between the
+    * dense hourly VIEW series and the PURCHASE series at leads
+    * 0..[[CcfMaxLag]] — ccf(L) = corr(views_t, purchases_{t+L}), so the
+    * argmax answers "purchases lag views by how many hours", the
+    * funnel-latency question at the SERIES level ([[funnel]] answers it
+    * per user; marketing capacity planning needs the aggregate lead
+    * time). Same dense-grid/quantized-product machinery as [[autocorr]]
+    * ([[denseHours]]); the denominator is the product of both series'
+    * full-length deviation energies, so ccf is a genuine correlation
+    * in [-1, 1].
+    */
+  val crosscorr: GraftQuery = GraftQuery(
+    "events_crosscorr",
+    s"hourly views-vs-purchases cross-correlation at leads 0..$CcfMaxLag — series-level funnel lead time",
+    EventOracle.crosscorrSql) { (s, d) =>
+    crosscorrFrame(Tables.events(s, d))
+  }
+
+  /** The CCF derivation over any events frame — shared by the registry
+    * query and the planted-lead detector spec (EventQueriesSpec).
+    */
+  def crosscorrFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = events.sparkSession
+    val x = denseHours(events)(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv0"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np0"))
+      .select(expr("unix_micros(hour) div 3600000000").as("t"),
+        coalesce(col("nv0"), lit(0L)).as("nv"),
+        coalesce(col("np0"), lit(0L)).as("np"))
+      .localCheckpoint()
+    val st = x.agg(
+      (sum(col("nv")).cast("double") / count(lit(1)).cast("double"))
+        .as("mv"),
+      (sum(col("np")).cast("double") / count(lit(1)).cast("double"))
+        .as("mp"))
+    def guarded(c: org.apache.spark.sql.Column) =
+      when(abs(c) > AcfMaxDev,
+        raise_error(lit("events_crosscorr: deviation overflows the 1e-6 " +
+          "product quantum — widen the quantum")).cast("double"))
+        .otherwise(c)
+    val dv = x.crossJoin(broadcast(st))
+      .select(col("t"),
+        guarded(col("nv").cast("double") - col("mv")).as("dv"),
+        guarded(col("np").cast("double") - col("mp")).as("dp"))
+    val den = dv.agg(
+      sum(Det.quantize(col("dv") * col("dv"), 6)).as("env"),
+      sum(Det.quantize(col("dp") * col("dp"), 6)).as("enp"))
+    val lags = s.range(0, CcfMaxLag + 1).select(col("id").as("lag"))
+    val pairs = dv.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("t") + col("lag")).as("bt"), col("dv"))
+      .join(dv.select(col("t").as("t2"), col("dp").as("dpb")),
+        col("bt") === col("t2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(Det.quantize(col("dv") * col("dpb"), 6)).as("num"))
+    pairs.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("env") > 0 && col("enp") > 0,
+          floor(col("num").cast("double")
+            / sqrt(col("env").cast("double") * col("enp").cast("double"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("ccf"))
       .orderBy("lag")
   }
 
@@ -885,14 +965,8 @@ object EventQueries {
   def cusumFrame(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hourly = events
-      .groupBy(date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"),
+    val x = denseHours(events)(count(lit(1)).as("n"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
-    val grid = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
-        .as("hour"))
-    val x = grid.join(hourly, Seq("hour"), "left")
       .select(col("hour"),
         when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("ne").cast("double") / col("n").cast("double"))
@@ -1378,8 +1452,8 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
-      attribution, attributionPairs, multitouch, autocorr, cusum,
-      dailyDistinct, weeklySketchRollup, markovTransitions,
+      attribution, attributionPairs, multitouch, autocorr, crosscorr,
+      cusum, dailyDistinct, weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       abTest, audienceOverlap, cohortLtv, sloBurn)
 }

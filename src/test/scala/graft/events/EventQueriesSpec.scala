@@ -68,6 +68,31 @@ class EventQueriesSpec extends SparkSpec {
     assert(acf(12L) < -0.5, s"half-period anti-correlation missing: ${acf(12L)}")
   }
 
+  test("crosscorrFrame: a planted 3-hour view->purchase lead peaks the CCF at lag 3") {
+    import spark.implicits._
+    // views follow a 12-on/12-off square day wave; purchases follow the
+    // SAME wave shifted +3 hours — the series-level funnel lead
+    val rows = for {
+      day <- 0 until 10
+      hour <- 0 until 24
+      (typ, n) <- Seq(
+        ("view", if (hour < 12) 4 else 1),
+        ("purchase", if (hour >= 3 && hour < 15) 4 else 1))
+      k <- 0 until n
+    } yield ((day.toLong * 24 + hour) * 100 + (if (typ == "view") 0 else 50) + k,
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:20:00"),
+      1L, typ, 0.0, "{}")
+    val fixture = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ccf = EventQueries.crosscorrFrame(fixture)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val best = ccf.maxBy(_._2)
+    assert(best._1 === 3L, s"lead not detected: $ccf")
+    assert(ccf(3L) > 0.8, s"lag-3 CCF too weak: ${ccf(3L)}")
+    // half-period away the waves oppose
+    assert(ccf(15L) < -0.5, s"anti-phase missing: ${ccf(15L)}")
+  }
+
   test("cusumFrame: a planted error-rate level shift alarms after — and only after — the changepoint") {
     import spark.implicits._
     // 10 days, 10 events/hour; days 1-5 carry 1 error (rate 0.1), days
