@@ -1199,19 +1199,25 @@ object EventQueries {
   /** Warehouse table maintained by [[cdcApply]]. */
   val CdcStateTable = "user_state_cdc"
 
-  /** Per-user LATEST event as serving state: (user, bucket, state, ts),
-    * ties broken on event_id — the frame both [[cdcApply]]'s publishes
-    * and its recompute attestation derive from.
+  /** Per-user latest-event picks for [[cdcApply]], ONE corpus pass: the
+    * latest over the full feed, the latest over the on-time slice, and
+    * the touched flag all come from max(struct) aggregates over the same
+    * groupBy — argmax by (tm, event_id) exactly like a row_number pick
+    * (the pair is a total order), but partial-aggregable: each map task
+    * pre-reduces to one row per user, where the window formulation
+    * shuffles EVERY event row twice (once per slice). At 100 TB this is
+    * the difference between two full-corpus sort-shuffles and one
+    * combine-reduced exchange.
     */
-  private def latestState(events: org.apache.spark.sql.DataFrame)
+  private def latestPicks(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(desc("ts"), desc("event_id"))
-    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), (col("user_id") % CdcBuckets).as("u_bucket"),
-        col("event_type").as("state"), col("ts"))
+    val pick = struct(unix_micros(col("ts")).as("tm"), col("event_id"),
+      col("event_type").as("state"), col("ts"))
+    events.groupBy(col("user_id")).agg(
+        max(pick).as("lf"),
+        max(when(col("event_id") % Scd2DeltaMod =!= 0, pick)).as("lo"),
+        max((col("event_id") % Scd2DeltaMod === 0).cast("int")).as("touched"))
+      .withColumn("u_bucket", col("user_id") % CdcBuckets)
   }
 
   /** CDC changefeed apply END-TO-END through
@@ -1241,30 +1247,35 @@ object EventQueries {
     * The oracle replays the v1/delta/deletes algebra relationally
     * (the [[scd2Merge]] convention), so the hash match proves the
     * physical merge-with-deletes equals the recompute. Determinism:
-    * latest = max(ts, event_id), exact types throughout.
+    * latest = max(ts, event_id), exact types throughout. All three
+    * per-user picks (full latest, on-time latest, touched) come from
+    * ONE combine-reduced corpus pass ([[latestPicks]]), checkpointed so
+    * the publish, the delta, and the attestation read the per-user
+    * frame instead of rescanning events.
     */
   val cdcApply: GraftQuery = GraftQuery(
     "events_cdc_apply",
     s"CDC changefeed apply via warehouse MERGE with deletes: 1/$Scd2DeltaMod late batch -> upsert/delete per user, bucket-pruned, per-user merge-vs-recompute equality",
     EventOracle.cdcApplySql) { (s, d) =>
     import graft.sources.Warehouse
-    val ev = Tables.events(s, d)
-    val v1 = latestState(ev.filter(col("event_id") % Scd2DeltaMod =!= 0))
-      .filter(col("state") =!= "error")
+    val picks = latestPicks(Tables.events(s, d)).localCheckpoint()
+    val v1 = picks
+      .filter(col("lo").isNotNull && col("lo.state") =!= "error")
+      .select(col("user_id"), col("u_bucket"),
+        col("lo.state").as("state"), col("lo.ts").as("ts"))
     Warehouse.replacePartitioned(v1, CdcStateTable, "u_bucket")
-    val touched = ev.filter(col("event_id") % Scd2DeltaMod === 0)
-      .select("user_id").distinct()
-    val full = latestState(ev).localCheckpoint()
-    val tf = full.join(touched, Seq("user_id"), "left_semi")
-    val delta = tf.filter(col("state") =!= "error")
-    val dels = tf.filter(col("state") === "error")
+    val tf = picks.filter(col("touched") === 1)
+    val delta = tf.filter(col("lf.state") =!= "error")
+      .select(col("user_id"), col("u_bucket"),
+        col("lf.state").as("state"), col("lf.ts").as("ts"))
+    val dels = tf.filter(col("lf.state") === "error")
       .select("user_id", "u_bucket")
     Warehouse.mergeTable(delta, CdcStateTable, Seq("user_id", "u_bucket"),
       Some(dels))
     val merged = s.table(s"${Warehouse.Schema}.$CdcStateTable")
-    val want = full.filter(col("state") =!= "error")
+    val want = picks.filter(col("lf.state") =!= "error")
       .select(col("user_id").as("wu"), col("u_bucket").as("wb"),
-        col("state").as("ws"), col("ts").as("wt"))
+        col("lf.state").as("ws"), col("lf.ts").as("wt"))
     val cmp = merged.join(want, col("user_id") === col("wu"), "full")
       .select(coalesce(col("user_id"), col("wu")).as("uid"),
         when(col("user_id").isNull || col("wu").isNull
