@@ -239,6 +239,52 @@ object EventOracle {
     LEFT JOIN c ON v.user_id = c.user_id
     LEFT JOIN p ON v.user_id = p.user_id"""
 
+  /** Funnel-latency twin: same v/c/p chain as [[funnelSql]], exact
+    * rank-based quantile picks at ceil(q*n) with q*n forced DOUBLE
+    * (decimal-vs-double ceil disagrees at exact multiples).
+    */
+  val funnelLatencySql: String = {
+    def pick(p: String, name: String) =
+      s"MAX(CASE WHEN rn = CAST(CEIL($p::DOUBLE * n) AS BIGINT) " +
+        s"THEN lat END) AS $name"
+    s"""
+    WITH $evCte,
+    v AS (
+      SELECT user_id, min(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT p.user_id,
+        epoch_us(p.t_purchase) - epoch_us(v.t_view) AS lat
+      FROM p JOIN v ON p.user_id = v.user_id
+    ),
+    r AS (
+      SELECT lat,
+        ROW_NUMBER() OVER (ORDER BY lat, user_id) AS rn,
+        COUNT(*) OVER () AS n
+      FROM lat
+    )
+    SELECT MAX(n) AS n_converted,
+      ${pick("0.25", "p25_micros")},
+      ${pick("0.5", "p50_micros")},
+      ${pick("0.75", "p75_micros")},
+      ${pick("0.9", "p90_micros")},
+      CAST(SUM(lat) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_micros
+    FROM r"""
+  }
+
   /** Gap-fill: time_bucket's 2000-01-03 origin and Spark's 1970-01-01
     * window origin are both 15-minute-aligned, so slots agree. The mean is
     * (quantized sum)/count on both sides — identical double division.

@@ -266,6 +266,47 @@ object EventQueries {
       .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
   }
 
+  /** Exact funnel-latency quantiles — the distribution behind
+    * [[funnel]]'s single mean lag: view→purchase latency per CONVERTED
+    * user, reported as exact rank-based (type-1) p25/p50/p75/p90 plus
+    * the mean. Rank-based rather than interpolated deliberately: the
+    * pick is `value at row ceil(q*n)` under a total order — pure
+    * integer/row_number logic both engines compute identically, where
+    * interpolated quantiles hide engine-specific formula differences.
+    * The q*n product is forced through DOUBLE on both engines (0.9 is
+    * not binary-exact; a decimal-vs-double ceil would disagree at exact
+    * multiples).
+    *
+    * Scale shape: the ranking runs over the CONVERTED-USER frame (model
+    * -sized relative to events — one row per converting user), so the
+    * single total-order window is a deliberate, bounded cost; at
+    * unbounded cardinality the GK sketch (`region_bucket_distinct`
+    * family) is the approximate path.
+    */
+  val funnelLatency: GraftQuery = GraftQuery.oneRow(
+    "events_funnel_latency",
+    "exact rank-based view->purchase latency quantiles (p25/p50/p75/p90) + mean, over converted users",
+    EventOracle.funnelLatencySql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lat = funnelPerUser(Tables.events(s, d))
+      .filter(col("t_purchase").isNotNull)
+      .select((unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+        .as("lat"), col("user_id"))
+    val r = lat
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("lat"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    def pick(p: Double, name: String) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"),
+        col("lat"))).as(name)
+    r.agg(
+      max(col("n")).as("n_converted"),
+      pick(0.25, "p25_micros"), pick(0.5, "p50_micros"),
+      pick(0.75, "p75_micros"), pick(0.9, "p90_micros"),
+      (sum(col("lat")).cast("double") / max(col("n")).cast("double"))
+        .as("mean_micros"))
+  }
+
   /** The funnel ROLLUP tail over a per-user stage-times frame — shared
     * by the batch query and the streaming readout (the
     * [[gapfillReadout]]/[[anomalyReadout]] pattern): stage counts,
@@ -1462,7 +1503,8 @@ object EventQueries {
 
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, interarrival, gapFill, funnel, retention, anomaly,
+      saltedRollup, interarrival, gapFill, funnel, funnelLatency,
+      retention, anomaly,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
       cusum, dailyDistinct, weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
