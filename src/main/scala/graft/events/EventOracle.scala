@@ -285,6 +285,53 @@ object EventOracle {
     FROM r"""
   }
 
+  /** Conversion-path twin: the funnel chain bounds each converting
+    * user's walk; the ordered list aggregation carries the same
+    * (ts, event_id) ORDER BY the Spark struct sort encodes; identical
+    * 8-step truncation with the explicit truncated flag.
+    */
+  def conversionPathsSql: String = {
+    val k = EventQueries.PathMaxSteps
+    s"""
+    WITH $evCte,
+    v AS (
+      SELECT user_id, min(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    b AS (
+      SELECT p.user_id, v.t_view, p.t_purchase
+      FROM p JOIN v ON p.user_id = v.user_id
+    ),
+    wk AS (
+      SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+        array_to_string(
+          (list(e.event_type ORDER BY e.ts, e.event_id))[1:$k], '>') AS path
+      FROM ev e JOIN b ON e.user_id = b.user_id
+        AND e.ts >= b.t_view AND e.ts <= b.t_purchase
+      GROUP BY e.user_id
+    ),
+    bp AS (
+      SELECT path, n_steps > $k AS truncated,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM wk GROUP BY 1, 2
+    )
+    SELECT path, truncated, n_users,
+      n_users / SUM(n_users) OVER () AS share
+    FROM bp ORDER BY n_users DESC, path, truncated LIMIT 20"""
+  }
+
   /** Gap-fill: time_bucket's 2000-01-03 origin and Spark's 1970-01-01
     * window origin are both 15-minute-aligned, so slots agree. The mean is
     * (quantized sum)/count on both sides — identical double division.

@@ -307,6 +307,56 @@ object EventQueries {
         .as("mean_micros"))
   }
 
+  /** Path steps kept by [[conversionPaths]] before truncation. */
+  val PathMaxSteps = 8
+
+  /** Top conversion PATHS — the report [[markovTransitions]] (pairwise)
+    * and [[sequenceTrigrams]] (3-step) approximate but cannot produce:
+    * the full ordered event-type sequence each converting user walked
+    * from their funnel-anchoring first view to their first purchase,
+    * truncated to [[PathMaxSteps]] steps (paths have unbounded length;
+    * the truncation is explicit via n_steps so a capped path can't
+    * masquerade as complete), ranked by user count with share. THE
+    * product-analytics "how do users actually convert" readout.
+    *
+    * Scale shape: the per-user bounds come from [[funnelPerUser]]
+    * (aggregation joins), the walk is one events⋈bounds range join
+    * pruned to converting users, and the path assembly is
+    * sort_array(collect_list(struct)) per user — per-group state is the
+    * user's in-window events, bounded by the funnel window, not the
+    * stream. Determinism: in-path order is (ts, event_id) via the
+    * struct sort; the oracle's string_agg carries the same ORDER BY.
+    */
+  val conversionPaths: GraftQuery = GraftQuery(
+    "events_conversion_paths",
+    s"top-20 view->purchase conversion paths (event-type sequences, first $PathMaxSteps steps) by converting-user count",
+    EventOracle.conversionPathsSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val bounds = funnelPerUser(ev)
+      .filter(col("t_purchase").isNotNull)
+      .select(col("user_id").as("bu"), col("t_view"), col("t_purchase"))
+    val walked = ev
+      .join(bounds, col("user_id") === col("bu")
+        && col("ts") >= col("t_view") && col("ts") <= col("t_purchase"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("steps"))
+      .select(col("user_id"),
+        size(col("steps")).as("n_steps"),
+        array_join(transform(slice(col("steps"), 1, PathMaxSteps),
+          x => x.getField("event_type")), ">").as("path"))
+    val byPath = walked
+      .groupBy(col("path"), (col("n_steps") > PathMaxSteps).as("truncated"))
+      .agg(count(lit(1)).as("n_users"))
+    byPath
+      .withColumn("share",
+        col("n_users") / sum(col("n_users")).over(Window.partitionBy()))
+      .orderBy(desc("n_users"), col("path"), col("truncated"))
+      .limit(20)
+      .select(col("path"), col("truncated"), col("n_users"), col("share"))
+  }
+
   /** The funnel ROLLUP tail over a per-user stage-times frame — shared
     * by the batch query and the streaming readout (the
     * [[gapfillReadout]]/[[anomalyReadout]] pattern): stage counts,
@@ -1504,7 +1554,7 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
-      retention, anomaly,
+      conversionPaths, retention, anomaly,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
       cusum, dailyDistinct, weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
