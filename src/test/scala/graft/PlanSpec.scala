@@ -726,6 +726,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("events_conversion_paths: user-keyed hash joins with range residuals, partial path collect") {
+    val df = graft.SparkEntry.queries("events_conversion_paths")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the funnel-window walk must be an equi join on user with the time
+    // range as a residual — a pure range theta-join would be a cartesian
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+    // the sorted-struct collect runs as a partial+final object aggregate
+    assert(plan.contains("ObjectHashAggregate"),
+      s"path collect not partial-aggregated:\n$plan")
+  }
+
   test("corpus_sample_ares: the per-language reservoir cut is a WindowGroupLimit") {
     val df = graft.SparkEntry.queries("corpus_sample_ares")(spark, sf)
     val rows = df.collect()
