@@ -533,11 +533,22 @@ object SimOracle {
         FROM a$fin
       ) WHERE rn = 1
     ),
+    gcd AS (
+      SELECT gq.qid, ct.j AS cell,
+        ${dotIdx("gq.qv", "gq.qv")} + ${dotIdx("ct.c", "ct.c")}
+          - 2.0 * ${dotIdx("gq.qv", "ct.c")} AS cdist
+      FROM gq CROSS JOIN c$KmeansIters ct
+    ),
+    gtop AS (
+      SELECT qid, cell FROM (
+        SELECT qid, cell,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cdist, cell) AS rn
+        FROM gcd
+      ) WHERE rn <= ${SimQueries.GraphEntryProbes}
+    ),
     gb0 AS (
-      SELECT gq.qid, grep.rep_id AS vec_id
-      FROM gq
-      JOIN a$fin ac ON ac.vec_id = gq.qid
-      JOIN grep ON grep.cell = ac.j
+      SELECT gtop.qid, grep.rep_id AS vec_id
+      FROM gtop JOIN grep ON grep.cell = gtop.cell
     ),$sweeps,
     gsel AS (
       SELECT qid, vec_id FROM gb$BeamSweeps WHERE vec_id <> qid

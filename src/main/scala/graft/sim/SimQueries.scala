@@ -114,6 +114,11 @@ object SimQueries {
     */
   val BeamSweeps = 4
 
+  /** Entry points per query: the nearest-cell count the layer-0 router
+    * probes ([[graphBeam]]) — IVF multi-probe as the HNSW top layer.
+    */
+  val GraphEntryProbes = 3
+
   /** Deterministic navigable k-NN graph — the HNSW-class index family's
     * BUILD stage, single-layer (an NSW graph): each vector's
     * [[GraphDegree]] most-cosine-similar neighbors among its LSH
@@ -174,22 +179,22 @@ object SimQueries {
     graft.api.SharedModels.resetAll()
 
   /** Greedy beam search over [[graphEdges]] — the HNSW-class SEARCH
-    * stage, TWO-LAYER: each query's entry point is DATA-DERIVED — the
-    * representative member ([[sharedCellReps]]) of the query's own
-    * trained IVF cell ([[sharedCells]]) — so the beam starts inside the
-    * query's coarse neighborhood instead of at one fixed node. This is
-    * the HNSW top-layer idea served from artifacts the registry already
-    * persists and shares: choosing the entry costs two model-sized joins
-    * (the query's cell row + the k-row rep table), zero extra corpus
-    * passes. Each of the [[BeamSweeps]] sweeps then expands the current
-    * beam's out-edges, scores the union, and keeps the [[BeamWidth]]
-    * best per query. Recall@10 vs the round-15 configuration (fixed
-    * corpus-min entry, degree 8) at equal sweeps/width: per-cell entries
-    * took sf0.01 from 0.34 to 0.44 and sf0.1 from 0.225 to 0.235; the
-    * [[GraphDegree]] 8 → 12 bump took them to 0.46 and 0.295
-    * (`ann_graph_recall` grades it continuously; LSH multi-probe scores
-    * 0.225 and single-cell IVF 0.095 on the same sf0.1 corpus — the
-    * graph is the strongest index of the family). Returns the
+    * stage, TWO-LAYER with MULTI-PROBE entries: each query ranks the
+    * trained centroids (broadcast model) and enters at its
+    * [[GraphEntryProbes]] nearest cells' representative members
+    * ([[sharedCellReps]]) — IVF multi-probe as the HNSW top layer, so a
+    * query sitting on a cell boundary still seeds a beam inside its
+    * true neighborhood. Entry choice costs one broadcast of the k-row
+    * centroid list + the k-row rep table, zero extra corpus passes.
+    * Each of the [[BeamSweeps]] sweeps then expands the current beam's
+    * out-edges, scores the union, and keeps the [[BeamWidth]] best per
+    * query. Recall@10 progression at equal sweeps/width, graded
+    * continuously by `ann_graph_recall` (sf0.01 / sf0.1): fixed
+    * corpus-min entry + degree 8 (round 15) 0.34 / 0.225; the query's
+    * own-cell rep 0.44 / 0.235; degree 12 0.46 / 0.295; 3-cell
+    * multi-probe entries 0.56 / 0.43 — vs LSH multi-probe 0.225 and
+    * single-cell IVF 0.095 on the same sf0.1 corpus, the graph is the
+    * family's strongest index by 2x. Returns the
     * final beam as (qid, vec_id) WITHOUT the self row — a query vector
     * is its own nearest neighbor and may even be the entry point, so the
     * self match rides the beam during search (it expands its own true
@@ -213,14 +218,28 @@ object SimQueries {
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val edges = sharedGraphEdges(s, d)
     val q = broadcast(queriesOf(v))
-    // layer-0 routing: the query's own coarse cell (queries are corpus
-    // members, so their assignment row already exists) -> that cell's
-    // persisted representative. Both sides of the lookup are shared
-    // model tables; the rep table is k rows, broadcast.
-    val cells = sharedCells(s, d)
-    var beam = q.select(col("qid"))
-      .join(cells.select(col("vec_id").as("cv"), col("cell")),
-        col("qid") === col("cv"))
+    // layer-0 routing: each query ranks the trained centroids (broadcast
+    // model, the ann_ivf_adaptive_nprobe distance recipe) and enters at
+    // the [[GraphEntryProbes]] nearest cells' persisted representatives —
+    // IVF multi-probe as the HNSW top layer, so a query sitting on a
+    // cell boundary still seeds a beam inside its true neighborhood.
+    val quant = sharedQuantizer(s, d)
+    val cs = broadcast(quant.cents.agg(array_sort(collect_list(
+      struct(col("j"), col("c"), dot(col("c"), col("c")).as("cc"))))
+      .as("cs")))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
+    var beam = q.crossJoin(cs)
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .select(col("qid"),
+        explode(transform(col("cs"), e =>
+          struct(
+            (col("qq") + e.getField("cc")
+              - lit(2.0) * dot(col("qv"), e.getField("c"))).as("cdist"),
+            e.getField("j").as("cell")))).as("pc"))
+      .select(col("qid"), col("pc.cdist").as("cdist"),
+        col("pc.cell").as("cell"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= GraphEntryProbes)
       .join(broadcast(sharedCellReps(s, d)), "cell")
       .select(col("qid"), col("rep_id").as("vec_id"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
@@ -248,8 +267,8 @@ object SimQueries {
   val graphTopk: GraftQuery = GraftQuery(
     "ann_graph_topk",
     s"graph ANN (2-layer NSW shape): degree-$GraphDegree k-NN graph, " +
-      s"$BeamSweeps-sweep beam-$BeamWidth search entered at the query's " +
-      "IVF-cell representative, cosine top-10",
+      s"$BeamSweeps-sweep beam-$BeamWidth search entered at the " +
+      s"$GraphEntryProbes nearest cells' representatives, cosine top-10",
     SimOracle.graphTopkSql) { (s, d) =>
     val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val q = broadcast(queriesOf(v))
