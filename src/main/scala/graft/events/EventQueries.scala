@@ -903,10 +903,18 @@ object EventQueries {
     * detector over only-observed rows would alias gaps into signal.
     */
   private def denseHours(events: org.apache.spark.sql.DataFrame)(
-      aggs: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
-    val hourly = events
+      aggs: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    densify(events
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*))
+
+  /** Left-join a sparse per-hour frame onto the complete hour range —
+    * the densification half of [[denseHours]], exposed separately so
+    * serving-layer readouts ([[cusumReadout]]) can densify a STREAMED
+    * hourly sink the same way the batch path densifies its aggregate.
+    */
+  private def densify(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val grid = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
         .as("hour"))
@@ -1054,10 +1062,24 @@ object EventQueries {
     * query and the planted-shift detector spec (EventQueriesSpec).
     */
   def cusumFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cusumReadout(events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne")))
+
+  /** The CUSUM serving-layer readout over a SPARSE hourly (hour, n, ne)
+    * frame — the [[gapfillReadout]]/[[sloBurnReadout]] pattern: the
+    * stream materializes the watermarked hourly aggregate
+    * ([[graft.streaming.EventStreams.sloBurnHourly]] already carries
+    * n_events/n_errors), and this readout densifies + runs the detector
+    * over the model-sized sink; StreamingSpec asserts full-row parity
+    * with the batch derivation across a mid-hour micro-batch split.
+    */
+  def cusumReadout(hourly: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val x = denseHours(events)(count(lit(1)).as("n"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
+    val x = densify(hourly)
       .select(col("hour"),
         when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("ne").cast("double") / col("n").cast("double"))

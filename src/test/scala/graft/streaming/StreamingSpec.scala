@@ -292,6 +292,43 @@ class StreamingSpec extends SparkSpec {
     assert(top(1) === 1 && top(3) === 8L)
   }
 
+  test("cusum readout over the streamed hourly sink equals the batch detector") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 2 is split across micro-batches; hour 1 is all-error so the
+    // rate series genuinely varies
+    val batch1 = Seq(
+      Ev(1, t(0, 5), 1, "view", 0, "{}"), Ev(2, t(0, 40), 2, "view", 0, "{}"),
+      Ev(3, t(1, 10), 3, "error", 0, "{}"),
+      Ev(4, t(2, 5), 4, "view", 0, "{}"))
+    val batch2 = Seq(
+      Ev(5, t(2, 50), 5, "error", 0, "{}"),
+      Ev(6, t(3, 30), 6, "view", 0, "{}"), Ev(7, t(4, 20), 7, "error", 0, "{}"))
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sloBurnHourly(stream.toDF())
+      .writeStream.format("memory").queryName("cusum_src")
+      .outputMode("complete").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the readout consumes the model-sized sink, never raw events
+    val hourly = spark.table("cusum_src")
+      .select(col("hour"), col("n_events").as("n"), col("n_errors").as("ne"))
+    val streamed = graft.events.EventQueries.cusumReadout(hourly)
+      .collect().map(_.toSeq).toSeq
+    val batchRes = graft.events.EventQueries
+      .cusumFrame((batch1 ++ batch2).toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batchRes)
+    assert(streamed.length === 5) // hours 0..4, dense
+    // the split hour merged across batches: rate 1/2, visible in row 2
+    assert(streamed(2)(1) === 0.5)
+  }
+
   test("funnelStages: keyed-state funnel == batch conditional-min derivation across a mid-journey split") {
     val spark0 = spark
     import spark0.implicits._
