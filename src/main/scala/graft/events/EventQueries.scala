@@ -925,9 +925,22 @@ object EventQueries {
     * query and the synthetic-cycle detector spec (EventQueriesSpec).
     */
   def autocorrFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    acfReadout(events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("hn")))
+
+  /** The ACF serving-layer readout over a SPARSE hourly (hour, hn)
+    * frame — the [[cusumReadout]] discipline: the watermarked hourly
+    * aggregate the stream materializes
+    * ([[graft.streaming.EventStreams.sloBurnHourly]]'s n_events) feeds
+    * the detector over the model-sized sink; StreamingSpec asserts
+    * full-row parity across a mid-hour micro-batch split.
+    */
+  def acfReadout(hourly: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val s = events.sparkSession
-    val x = denseHours(events)(count(lit(1)).as("hn"))
+    val s = hourly.sparkSession
+    val x = densify(hourly)
       .select(expr("unix_micros(hour) div 3600000000").as("t"),
         coalesce(col("hn"), lit(0L)).as("n"))
       .localCheckpoint()

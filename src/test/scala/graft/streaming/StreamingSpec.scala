@@ -327,6 +327,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === 5) // hours 0..4, dense
     // the split hour merged across batches: rate 1/2, visible in row 2
     assert(streamed(2)(1) === 0.5)
+    // the ACF readout consumes the SAME sink (n_events alone)
+    val acfStreamed = graft.events.EventQueries
+      .acfReadout(spark.table("cusum_src")
+        .select(col("hour"), col("n_events").as("hn")))
+      .collect().map(_.toSeq).toSeq
+    val acfBatch = graft.events.EventQueries
+      .autocorrFrame((batch1 ++ batch2).toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(acfStreamed === acfBatch)
+    assert(acfStreamed.nonEmpty)
   }
 
   test("funnelStages: keyed-state funnel == batch conditional-min derivation across a mid-journey split") {
