@@ -3,9 +3,12 @@ package graft.events
 /** DuckDB twins of [[EventQueries]]. time_bucket's default origin
   * (2000-01-03) and Spark's window origin (1970-01-01) are both multiples
   * of 10 minutes, so bucket starts agree. Session semantics: Spark's
-  * session_window starts a NEW session when ts >= last_ts + gap and ends
-  * a session gap after its last event — the lag/cumsum SQL mirrors both
-  * rules exactly.
+  * session_window merges an event into the open session while
+  * ts <= last_ts + gap — INCLUSIVE at the boundary (a session's candidate
+  * window [ts, ts+gap] is merged when its start equals the open end;
+  * StreamingSpec pins this empirically) — and ends a session gap after
+  * its last event; the lag/cumsum SQL mirrors both rules exactly
+  * (new session strictly when ts > last_ts + gap).
   */
 object EventOracle {
 
@@ -66,7 +69,7 @@ object EventOracle {
     s1 AS (
       SELECT user_id, event_id, ts, value,
         CASE WHEN LAG(ts) OVER w IS NULL
-               OR ts >= LAG(ts) OVER w + INTERVAL '6 hours' THEN 1
+               OR ts > LAG(ts) OVER w + INTERVAL '6 hours' THEN 1
              ELSE 0 END AS new_s
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

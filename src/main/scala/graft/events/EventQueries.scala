@@ -864,12 +864,24 @@ object EventQueries {
   /** Max lag (hours) for [[autocorr]] — two full daily cycles. */
   val AcfMaxLag = 48
 
-  /** |deviation| bound beyond which [[autocorr]]'s 1e-6 product quantum
-    * would overflow a LONG (3e6² x 1e6 ≈ 9e18 ≈ 2⁶³) — raise instead of
-    * wrapping silently (the [[abTest]] convention); at hourly counts
-    * past ~3M/hour deviation, widen the quantum.
+  /** |deviation| cap for [[autocorr]]/[[crosscorr]]: the bound must hold
+    * for the SUM of quantized products, not one term — n_hours products
+    * each ≤ dev² x 1e6 must stay under 2⁶³ (Spark's non-ANSI LONG sum
+    * wraps silently where DuckDB widens BIGINT to HUGEINT), so the
+    * per-series cap is sqrt(9e12 / n_hours), never above this static
+    * single-term ceiling. Past the cap, raise instead of wrapping (the
+    * [[abTest]] convention) — the quantum's documented design limit;
+    * widen the quantum to go further.
     */
   private val AcfMaxDev = 3.0e6
+
+  /** Column form of the energy-bounded deviation cap: with `nh` dense
+    * hours in the series, n·cap²·1e6 ≤ 9e18 < 2⁶³ holds for every sum
+    * of 1e-6-quantized pairwise products.
+    */
+  private def acfDevCap(nh: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    least(lit(AcfMaxDev), sqrt(lit(9.0e12) / nh))
 
   /** Seasonality detection: the autocorrelation function of the DENSE
     * hourly event-count series at lags 1..[[AcfMaxLag]] — the
@@ -946,10 +958,11 @@ object EventQueries {
       .localCheckpoint()
     val st = x.agg(
       (sum(col("n")).cast("double") / count(lit(1)).cast("double"))
-        .as("mean"))
+        .as("mean"),
+      count(lit(1)).cast("double").as("nh"))
     val dv = x.crossJoin(broadcast(st))
       .withColumn("dd", col("n").cast("double") - col("mean"))
-      .withColumn("d", when(abs(col("dd")) > AcfMaxDev,
+      .withColumn("d", when(abs(col("dd")) > acfDevCap(col("nh")),
           raise_error(lit("events_autocorr: deviation overflows the 1e-6 " +
             "product quantum — widen the quantum")).cast("double"))
         .otherwise(col("dd")))
@@ -1010,9 +1023,10 @@ object EventQueries {
       (sum(col("nv")).cast("double") / count(lit(1)).cast("double"))
         .as("mv"),
       (sum(col("np")).cast("double") / count(lit(1)).cast("double"))
-        .as("mp"))
+        .as("mp"),
+      count(lit(1)).cast("double").as("nh"))
     def guarded(c: org.apache.spark.sql.Column) =
-      when(abs(c) > AcfMaxDev,
+      when(abs(c) > acfDevCap(col("nh")),
         raise_error(lit("events_crosscorr: deviation overflows the 1e-6 " +
           "product quantum — widen the quantum")).cast("double"))
         .otherwise(c)

@@ -285,10 +285,17 @@ object Warehouse {
       // overwrite — its stale files would survive the write; collect them
       // (bounded by the delta/delete key count) and drop them through the
       // catalog afterwards
+      // spec values go through Cast-to-string — the SAME encoding the
+      // writer uses for partition directory names (and hence what the
+      // catalog stores): raw r.get(i).toString diverges for
+      // date/timestamp (java.sql.Timestamp renders trailing ".0") and
+      // the mismatch + ignoreIfNotExists would silently leave the stale
+      // partition on disk
       val emptied = touched.as("t")
         .join(out.select(partCols.map(col): _*).distinct().as("o"),
           partCols.map(c => col(s"t.t_$c") <=> col(s"o.$c")).reduce(_ && _),
           "left_anti")
+        .select(partCols.map(c => col(s"t.t_$c").cast("string")): _*)
         .collect()
       overwriteInto(out, "dynamic")
       graft.api.Checkpoints.release(out)
@@ -296,7 +303,7 @@ object Warehouse {
         val specs = emptied.toSeq.map(r =>
           partCols.zipWithIndex.map { case (c, i) =>
             c -> (if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-                  else r.get(i).toString)
+                  else r.getString(i))
           }.toMap)
         cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
           purge = false, retainData = false)

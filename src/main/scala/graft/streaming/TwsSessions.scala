@@ -73,12 +73,13 @@ object TwsSessions {
     private def closedRow(user: Long, s: Sess) =
       (user, tsOfUs(s._1), tsOfUs(s._2 + GapUs), s._3, s._4 / 1e4)
 
-    /** Timer instant: the first millisecond at which the watermark is
-      * provably past last + gap (round UP — truncation would close a
-      * session early by a sub-millisecond).
+    /** Timer instant: the first millisecond STRICTLY past last + gap —
+      * an event at exactly last + gap still extends (the inclusive
+      * session_window boundary), so the close may only finalize once
+      * the watermark is provably beyond it.
       */
     private def timerMsOf(s: Sess): Long =
-      Math.floorDiv(s._2 + GapUs + 999L, 1000L)
+      Math.floorDiv(s._2 + GapUs, 1000L) + 1L
 
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
@@ -95,11 +96,19 @@ object TwsSessions {
         val us = usOf(ts)
         val q = math.floor(value * 1e4 + 0.5).toLong
         cur match {
+          // STRICT >: session_window merges an event at EXACTLY
+          // last + gap (inclusive-boundary containment, pinned
+          // empirically by StreamingSpec's boundary fixture), and the
+          // batch oracle mirrors it (new session when ts > lag + gap) —
+          // a boundary event extends, it does not close.
           case Some(s) if us > s._2 + GapUs =>
             out += closedRow(user, s) // inline close: gap exceeded
             cur = Some((us, us, 1L, q))
           case Some(s) =>
-            cur = Some((s._1, math.max(s._2, us), s._3 + 1, s._4 + q))
+            // an in-watermark out-of-order event from a LATER micro-batch
+            // can precede the open session's start: session_start is
+            // MIN(ts), exactly as session_window / the batch oracle report
+            cur = Some((math.min(s._1, us), math.max(s._2, us), s._3 + 1, s._4 + q))
           case None =>
             cur = Some((us, us, 1L, q))
         }

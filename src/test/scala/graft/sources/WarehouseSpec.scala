@@ -256,6 +256,33 @@ class WarehouseSpec extends SparkSpec {
     assert(!parts.contains("p2"), s"emptied partition survived: $parts")
   }
 
+  test("mergeTable deletes: emptied TIMESTAMP-partition spec matches the catalog encoding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // java.sql.Timestamp.toString renders "…00:00:00.0" while the catalog
+    // stores the writer's Cast-to-string "…00:00:00"; with the raw
+    // toString spec + ignoreIfNotExists the emptied partition silently
+    // survived — the spec must go through the same Cast
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val v1 = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-01-02 00:00:00"), 2.0),
+      (3L, ts("2024-01-02 00:00:00"), 3.0)).toDF("id", "day", "x")
+    Warehouse.replacePartitioned(v1, "merge_tspart", "day")
+    val delta = Seq((2L, ts("2024-01-02 00:00:00"), 20.0))
+      .toDF("id", "day", "x")
+    val dels = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("id", "day")
+    Warehouse.mergeTable(delta, "merge_tspart", Seq("id", "day"), Some(dels))
+    val got = spark.table(s"${Warehouse.Schema}.merge_tspart")
+      .select(col("id"), col("x")).as[(Long, Double)].collect().toSet
+    assert(got === Set((2L, 20.0), (3L, 3.0)))
+    val parts = spark.sessionState.catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "merge_tspart", Some(Warehouse.Schema)))
+      .map(_.spec("day"))
+    assert(parts.forall(_.startsWith("2024-01-02")),
+      s"emptied timestamp partition survived: $parts")
+  }
+
   test("bucketed tables join without a shuffle (no Exchange in plan)") {
     import org.apache.spark.sql.functions.col
     val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)

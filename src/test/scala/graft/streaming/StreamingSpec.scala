@@ -1165,6 +1165,71 @@ class StreamingSpec extends SparkSpec {
       .filter(col("user_id") === 99).count() === 0)
   }
 
+  test("TwsSessions: cross-batch backward extension and exact-boundary close match batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 5: the open session starts at 02:00 in batch 1; batch 2
+    // delivers an IN-WATERMARK out-of-order event at 01:30 that PRECEDES
+    // the open start — session_start must extend backwards to MIN(ts),
+    // exactly as session_window / the batch gaps-and-islands oracle report.
+    // user 6: second event at EXACTLY first + 6h — session_window's
+    // boundary is INCLUSIVE (the candidate window's start equals the open
+    // session's end and they merge), so ONE session; this fixture is the
+    // empirical pin the oracle's strict ts > lag + gap rule mirrors.
+    val fixture = Seq(
+      Ev(1, t("2024-01-01 02:00:00"), 5, "view", 1.0, "{}"),
+      Ev(2, t("2024-01-01 01:30:00"), 5, "click", 2.0, "{}"),
+      Ev(3, t("2024-01-01 00:00:00"), 6, "view", 3.0, "{}"),
+      Ev(4, t("2024-01-01 06:00:00"), 6, "view", 4.0, "{}"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val stream = MemoryStream[Ev]
+    val q = TwsSessions.userSessionsTws(stream.toDF())
+      .writeStream.format("memory").queryName("tws_ooo_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 max = 02:00 -> watermark 01:00 for batch 2, so the 01:30
+      // straggler is in-watermark (accepted), not dropped
+      stream.addData(fixture(0), fixture(2))
+      q.processAllAvailable()
+      stream.addData(fixture(1), fixture(3))
+      q.processAllAvailable()
+      // sentinels close every open session via the timer path
+      stream.addData(Ev(90, t("2024-01-03 00:00:00"), 99, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      stream.addData(Ev(91, t("2024-01-03 00:01:00"), 99, "view", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val streamed = spark.table("tws_ooo_out")
+      .filter(col("user_id") =!= 99)
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.userSessions(fixture.toDF())
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch, "tws diverged from session_window on " +
+      "out-of-order backward extension / exact-boundary merge")
+    // user 5: ONE session whose start extended backwards to 01:30
+    assert(streamed.count(_.head == 5L) === 1)
+    assert(streamed.find(_.head == 5L).get(1) ===
+      t("2024-01-01 01:30:00"))
+    // user 6: ONE merged session — the boundary event extended (inclusive
+    // session_window containment), spanning [00:00, 06:00+gap]
+    val u6 = streamed.filter(_.head == 6L)
+    assert(u6.length === 1)
+    assert(u6.head(2) === t("2024-01-01 12:00:00") && u6.head(3) === 2L)
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
