@@ -1034,6 +1034,37 @@ object EventOracle {
     ORDER BY m.user_id"""
   }
 
+  /** Schema-evolution twin: the logical feed is the SAME rows with k
+    * defined only on the evolved slice — the physical widened-metadata
+    * reads (old files lack the column entirely; the post-evolution
+    * old-schema append carries typed NULLs) must aggregate identically.
+    */
+  def cdcEvolveSql: String = {
+    val lo = EventQueries.EvolveSplitLo
+    val hi = EventQueries.EvolveSplitHi
+    s"""
+    WITH $evCte,
+    f AS (
+      SELECT event_type, value, CAST(ts AS DATE) AS d,
+        CASE WHEN CAST(ts AS DATE) >= DATE '$lo'
+              AND CAST(ts AS DATE) < DATE '$hi'
+          THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS k
+      FROM ev
+    )
+    SELECT
+      CASE WHEN d < DATE '$lo' THEN 'pre'
+           WHEN d < DATE '$hi' THEN 'evolved'
+           ELSE 'post' END AS slice,
+      event_type,
+      COUNT(*) AS n,
+      COUNT(k) AS n_k,
+      CAST(SUM(k) AS BIGINT) AS sum_k,
+      $q AS sum_value
+    FROM f
+    GROUP BY 1, 2
+    ORDER BY slice, event_type"""
+  }
+
   /** Retention-churn twin: deleting exact (user_id, version) rows of the
     * published dimension IS the retention filter, so the replay is the
     * filter itself over the same SCD2 derivation; churn_ok TRUE by

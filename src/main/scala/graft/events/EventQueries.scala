@@ -1505,6 +1505,70 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Warehouse table maintained by [[cdcEvolve]]. */
+  val EvolveTable = "events_feed_evolved"
+
+  /** [[cdcEvolve]] slice boundaries — pinned literals (the loan
+    * as-of-date convention); the events corpus spans 2024-01.
+    */
+  val EvolveSplitLo = "2024-01-11"
+  val EvolveSplitHi = "2024-01-21"
+
+  /** Mid-stream SCHEMA EVOLUTION of an append-only CDC feed, end-to-end
+    * through [[graft.sources.Warehouse.appendEvolved]] — the lifecycle
+    * leg merge/delete/snapshot/compact don't cover: the PRODUCER's
+    * schema changes while the table keeps serving.
+    *
+    *   1. the feed publishes slice A (before [[EvolveSplitLo]]) with the
+    *      original schema, date-partitioned;
+    *   2. mid-stream the producer GAINS a column — slice B ships `k`
+    *      (the props JSON scalar) — and appendEvolved widens the table
+    *      definition via ALTER TABLE ADD COLUMNS; slice A's files are
+    *      NOT rewritten, their rows read k as NULL;
+    *   3. an OLD-SCHEMA producer keeps publishing after the evolution:
+    *      slice C (from [[EvolveSplitHi]]) appends WITHOUT k and gets a
+    *      typed-NULL fill — pre-evolution writers keep working.
+    *
+    * The readout aggregates the PERSISTED table per (slice, event_type):
+    * row counts, k coverage (n_k = 0 exactly on the old-schema slices —
+    * the NULL backfill attested from the files themselves), sum_k, and
+    * the quantized value sum. The oracle replays the evolution
+    * relationally (k is NULL outside slice B), so the hash match proves
+    * the widened-metadata reads equal the logical feed.
+    *
+    * 100 TB shape: the evolution itself is O(1) — one catalog edit;
+    * appends stay partition-parallel; no historical file is touched.
+    */
+  val cdcEvolve: GraftQuery = GraftQuery(
+    "events_cdc_evolve",
+    "mid-stream schema evolution: feed gains a column between appends; old files read NULL, old-schema producers keep publishing",
+    EventOracle.cdcEvolveSql) { (s, d) =>
+    import graft.sources.Warehouse
+    val lo = lit(EvolveSplitLo).cast("date")
+    val hi = lit(EvolveSplitHi).cast("date")
+    val ev = Tables.events(s, d).withColumn("d", to_date(col("ts")))
+    val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"), col("value"), col("d"))
+    Warehouse.replacePartitioned(base.filter(col("d") < lo),
+      EvolveTable, "d")
+    val evolved = ev.filter(col("d") >= lo && col("d") < hi)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"), col("d"))
+    Warehouse.appendEvolved(evolved, EvolveTable, Some("d"))
+    Warehouse.appendEvolved(base.filter(col("d") >= hi),
+      EvolveTable, Some("d"))
+    s.table(s"${Warehouse.Schema}.$EvolveTable")
+      .withColumn("slice", when(col("d") < lo, "pre")
+        .when(col("d") < hi, "evolved").otherwise("post"))
+      .groupBy(col("slice"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4))).as("sum_value"))
+      .orderBy("slice", "event_type")
+  }
+
   /** The SCD2 derivation over any events frame — shared by the batch
     * query and the streaming-parity spec ([[EventStreams.scd2Closed]]).
     */
@@ -1607,5 +1671,5 @@ object EventQueries {
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
       cusum, dailyDistinct, weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
-      abTest, audienceOverlap, cohortLtv, sloBurn)
+      cdcEvolve, abTest, audienceOverlap, cohortLtv, sloBurn)
 }

@@ -326,6 +326,75 @@ object Warehouse {
     }
   }
 
+  /** Schema-EVOLUTION append — the lakehouse lifecycle primitive
+    * [[appendTable]] lacks: a producer that GAINS columns mid-stream
+    * appends through a WIDENED table definition instead of failing or
+    * forking a second table.
+    *
+    *   - NEW columns (absent from the catalog schema) widen the table
+    *     metadata via `ALTER TABLE ADD COLUMNS`; files already on disk
+    *     are NEVER rewritten — parquet scans project an absent column as
+    *     NULL, so the metadata edit IS the whole evolution (the
+    *     Delta/Iceberg add-column shape, O(1) at 100 TB);
+    *   - MISSING columns (the catalog has them, the batch doesn't — an
+    *     old-schema producer still publishing after the evolution) are
+    *     filled with typed NULLs, so pre-evolution writers keep working
+    *     untouched;
+    *   - TYPE CHANGES are REJECTED, widening and narrowing alike:
+    *     narrowing is corruption, and silent widening would desync the
+    *     on-disk physical types from the catalog (a table FORMAT versions
+    *     physical schemas per file; engine semantics stop at
+    *     "same name = same type"). Nothing is written on rejection.
+    *
+    * Partition columns live in the catalog schema too, so they can never
+    * evolve through this path (they are directory structure). Creates the
+    * table on first append (the [[mergeTable]] convention).
+    */
+  def appendEvolved(df: DataFrame, table: String,
+      partCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = df.sparkSession
+    ensureSchema(spark)
+    val qualified = s"$Schema.$table"
+    val ident =
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(ident)) {
+      clearOrphanLocation(spark, table)
+      val w = df.write.mode(SaveMode.ErrorIfExists)
+      partCol.fold(w)(c => w.partitionBy(c)).saveAsTable(qualified)
+      return
+    }
+    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val meta = cat.getTableMetadata(ident)
+    val incoming = df.schema.fields.map(f => norm(f.name) -> f).toMap
+    // shared columns: the name is the contract, the type must hold it
+    meta.schema.fields.foreach { ef =>
+      incoming.get(norm(ef.name)).foreach { nf =>
+        require(nf.dataType == ef.dataType,
+          s"appendEvolved: $qualified.${ef.name} is ${ef.dataType.sql} " +
+            s"but the batch carries ${nf.dataType.sql} — type changes " +
+            "are corruption, not evolution")
+      }
+    }
+    val known = meta.schema.fieldNames.map(norm).toSet
+    val added = df.schema.fields.filterNot(f => known(norm(f.name)))
+    if (added.nonEmpty) {
+      val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}")
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE $qualified ADD COLUMNS ($ddl)")
+    }
+    // align to the (possibly widened) definition: typed-NULL fill for the
+    // batch's missing columns; saveAsTable Append resolves by name
+    val target = cat.getTableMetadata(ident).schema
+    val aligned = df.select(target.fields.toIndexedSeq.map { f =>
+      if (incoming.contains(norm(f.name))) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val w = aligned.write.mode(SaveMode.Append)
+    partCol.fold(w)(c => w.partitionBy(c)).saveAsTable(qualified)
+  }
+
   /** Version suffix for [[snapshotTable]] snapshots. */
   private val SnapSuffix = "__v"
 

@@ -256,6 +256,45 @@ class WarehouseSpec extends SparkSpec {
     assert(!parts.contains("p2"), s"emptied partition survived: $parts")
   }
 
+  test("appendEvolved: widened metadata, NULL backfill on old files, old-schema appends, type changes rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val qualified = s"${Warehouse.Schema}.evolve_demo"
+    val a = Seq((1L, "x", 1), (2L, "y", 1)).toDF("id", "payload", "part")
+    Warehouse.appendEvolved(a, "evolve_demo", Some("part")) // creates
+    val filesA = spark.table(qualified).inputFiles.toSet
+    // the producer gains a column mid-stream: metadata widens, slice A's
+    // files are NOT rewritten (the O(1)-evolution contract)
+    val b = Seq((3L, "z", 2.5, 2)).toDF("id", "payload", "score", "part")
+    Warehouse.appendEvolved(b, "evolve_demo", Some("part"))
+    assert(filesA.subsetOf(spark.table(qualified).inputFiles.toSet),
+      "evolution rewrote pre-existing files")
+    // NULL backfill byte-check: old rows read score as NULL, new carries it
+    val got = spark.table(qualified).select("id", "payload", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got === Set((1L, "x", null), (2L, "y", null), (3L, "z", 2.5)))
+    // an old-schema producer keeps publishing after the evolution
+    val c = Seq((4L, "w", 1)).toDF("id", "payload", "part")
+    Warehouse.appendEvolved(c, "evolve_demo", Some("part"))
+    assert(spark.table(qualified).filter(col("id") === 4)
+      .select("score").head.isNullAt(0))
+    // type CHANGE rejected (payload string -> int), nothing written
+    val before = spark.table(qualified).count()
+    intercept[IllegalArgumentException] {
+      Warehouse.appendEvolved(
+        Seq((5L, 9, 1)).toDF("id", "payload", "part"),
+        "evolve_demo", Some("part"))
+    }
+    // narrowing the EVOLVED column rejected too (score double -> int)
+    intercept[IllegalArgumentException] {
+      Warehouse.appendEvolved(
+        Seq((6L, "q", 7, 1)).toDF("id", "payload", "score", "part"),
+        "evolve_demo", Some("part"))
+    }
+    assert(spark.table(qualified).count() === before)
+  }
+
   test("mergeTable deletes: emptied TIMESTAMP-partition spec matches the catalog encoding") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
