@@ -319,4 +319,51 @@ object MultimodalOracle {
     )
     ORDER BY "check", lang"""
   }
+
+  /** Cross-modal twin: pixels from text characters (the [[pixelCte]]
+    * contract), the query histogram recomputed relationally from the
+    * literal string (independent of the Spark side's driver projection),
+    * LSH bucket/probes as the shared 3-decimal plane literals, cosines
+    * as the ordered fold — serve rank, truth rank, and the hit grade all
+    * replayed CTE-for-CTE.
+    */
+  def textToAssetSql: String = {
+    import graft.sim.{SimFns, SimOracle}
+    val q = MultimodalQueries.XmodalQuery
+    val qn = q.getBytes("UTF-8").length
+    s"""
+    WITH $pixelCte,
+    sig AS MATERIALIZED (
+      SELECT doc_id, media_type,
+        list_transform(range(0, ${SimFns.Dims}), k ->
+          len(list_filter(pxs, x -> (x >> 2) = k)) / CAST(np AS DOUBLE))
+          AS v
+      FROM px WHERE np > 0
+    ),
+    qh AS (
+      SELECT list_transform(range(0, ${SimFns.Dims}), k ->
+        len(list_filter(range(1, ${qn + 1}),
+          i -> (ord(substr('$q', CAST(i AS INTEGER), 1)) >> 2) = k))
+          / CAST($qn AS DOUBLE)) AS qv
+    ),
+    scored AS MATERIALIZED (
+      SELECT doc_id, media_type,
+        ${SimOracle.dotIdx("qv", "v")}
+          / (sqrt(${SimOracle.dotIdx("qv", "qv")})
+             * sqrt(${SimOracle.dotIdx("v", "v")})) AS cosine,
+        ${SimOracle.bucketExpr("v")} AS bucket
+      FROM sig, qh
+    ),
+    truth AS (SELECT doc_id FROM scored ORDER BY cosine DESC, doc_id LIMIT 10),
+    qb AS (SELECT ${SimOracle.bucketExpr("qv")} AS b FROM qh),
+    served AS (
+      SELECT s.doc_id, s.media_type, s.cosine,
+        ROW_NUMBER() OVER (ORDER BY s.cosine DESC, s.doc_id) AS rn
+      FROM scored s, qb
+      WHERE list_contains(${SimOracle.probeList("qb.b")}, s.bucket)
+    )
+    SELECT CAST(rn AS INTEGER) AS rn, doc_id, media_type, cosine,
+      EXISTS (SELECT 1 FROM truth t WHERE t.doc_id = served.doc_id) AS hit
+    FROM served WHERE rn <= 10 ORDER BY rn"""
+  }
 }

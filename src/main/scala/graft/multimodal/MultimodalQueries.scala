@@ -34,7 +34,13 @@ object MultimodalQueries {
     * corpus).
     */
   def media(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    mediaFrame(Tables.documents(s, d))
+
+  /** The media transform over any (doc_id, text, source) frame — factored
+    * so fixture specs can plant crafted payloads ([[textToAssetFrame]]).
+    */
+  private[graft] def mediaFrame(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -481,7 +487,105 @@ object MultimodalQueries {
       .orderBy("check", "lang")
   }
 
+  /** The fixed cross-modal text query ([[textToAsset]]): the BM25 terms
+    * as one string; its byte-class histogram is the query vector.
+    */
+  val XmodalQuery: String = graft.text.TextQueries.Bm25Terms.mkString(" ")
+
+  /** CROSS-MODAL retrieval: a TEXT query ranks MEDIA assets — the two
+    * modalities meet in a shared signature space, the contract behind
+    * CLIP-style retrieval, with the embedding model swapped for a
+    * deterministic projection both sides can compute:
+    *
+    *   - ASSET side: each payload's byte-CLASS histogram over its DECODED
+    *     pixels (pixel >> 2 — 64 classes == [[graft.sim.SimFns.Dims]],
+    *     chosen so the ANN family's sign-LSH planes and Hamming-1 probe
+    *     set apply VERBATIM to the asset space), assembled sparsely (one
+    *     explode + a (doc, bin)-keyed partial agg + map-to-dense — the
+    *     chunk_hybrid_search assembly; nothing dense shuffles);
+    *   - TEXT side: the SAME projection of the query string's UTF-8
+    *     bytes, computed driver-side (an independent third derivation of
+    *     the histogram — the oracle recomputes it relationally from the
+    *     literal, so a projection bug cannot cancel out);
+    *   - SERVE path (the scale path): the query probes its LSH bucket +
+    *     Hamming-1 neighbors and cosine-ranks only the bucketed
+    *     candidates — per-query cost ∝ probed occupancy, the lshTopk
+    *     contract, here across modalities;
+    *   - TRUTH path: exact full-corpus cosine top-10 in the same space;
+    *     each served row carries `hit` = membership in the exact top-10,
+    *     so the result IS its own recall grade (the ann_*_recall
+    *     convention, fused because there is one pinned query).
+    *
+    * Determinism: histogram fractions are exact small-int divisions,
+    * cosine is the shared ordered left fold, every rank breaks ties on
+    * doc_id; the oracle replays pixels from text characters (pure-ASCII
+    * corpus, the pixelCte contract) and the planes as the same 3-decimal
+    * literals. CrossModalSpec plants a fixture where the right asset wins
+    * rank 1 with hit=true. At 100 TB the truth path is the grading
+    * harness (one exact scan, the ann_bruteforce baseline's cost); the
+    * served path is what ships.
+    */
+  val textToAsset: GraftQuery = GraftQuery(
+    "multimodal_text_to_asset",
+    "cross-modal retrieval: text query LSH-probes byte-class asset signatures, cosine top-10 + exact-truth hit grade",
+    MultimodalOracle.textToAssetSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    textToAssetFrame(media(s, d))
+  }
+
+  /** The retrieval over any media-shaped frame (doc_id, media_type, pgm)
+    * — the fixture seam for CrossModalSpec's planted corpus.
+    */
+  private[graft] def textToAssetFrame(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.SimFns
+    val s = assets.sparkSession
+    val px = assets
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(size(col("img.pixels")) > 0)
+      .select(col("doc_id"), col("media_type"),
+        size(col("img.pixels")).cast("double").as("n"),
+        explode(col("img.pixels")).as("p"))
+    val sig = px
+      .groupBy(col("doc_id"), col("media_type"), col("n"),
+        shiftright(col("p"), 2).as("bin"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"), col("media_type"), col("n"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("c"))))
+        .as("m"))
+      .withColumn("v", expr(s"transform(sequence(0, ${SimFns.Dims - 1}), " +
+        "i -> coalesce(element_at(m, i), 0D) / n)"))
+      .select(col("doc_id"), col("media_type"), col("v"))
+      .withColumn("nrm", SimFns.norm(col("v")))
+      .withColumn("bucket", SimFns.lshBucket(col("v")))
+      .localCheckpoint()
+    // the query's histogram: driver-side exact count/len divisions
+    val qb = XmodalQuery.getBytes("UTF-8")
+    val qh = Array.fill(SimFns.Dims)(0.0)
+    qb.foreach(b => qh((b & 0xff) >> 2) += 1.0)
+    val qv = qh.map(_ / qb.length).toIndexedSeq
+    val qrow = s.range(1).select(array(qv.map(lit): _*).as("qv"))
+      .withColumn("qnrm", SimFns.norm(col("qv")))
+    val scored = sig.crossJoin(broadcast(qrow))
+      .withColumn("cosine",
+        SimFns.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.orderBy(desc("cosine"), col("doc_id"))
+    val truth = scored
+      .withColumn("rt", row_number().over(w)).filter(col("rt") <= 10)
+      .select(col("doc_id").as("t_doc"))
+    val probes = qrow.select(
+      explode(SimFns.probeBuckets(SimFns.lshBucket(col("qv")))).as("probe"))
+    scored.join(broadcast(probes), col("bucket") === col("probe"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .join(truth, col("doc_id") === col("t_doc"), "left")
+      .select(col("rn"), col("doc_id"), col("media_type"), col("cosine"),
+        col("t_doc").isNotNull.as("hit"))
+      .orderBy("rn")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
-      audioFeatures, crossmodalConsistency, sceneCuts, thumbnailNeardup)
+      audioFeatures, crossmodalConsistency, sceneCuts, thumbnailNeardup,
+      textToAsset)
 }

@@ -22,7 +22,7 @@ object SimOracle {
       Double.box(p)))
       .mkString("CAST([", ", ", "] AS DOUBLE[])")
 
-  private def bucketExpr(v: String): String =
+  private[graft] def bucketExpr(v: String): String =
     (0 until NumPlanes).map { j =>
       s"(CASE WHEN ${dotIdx(v, planeLit(j))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -30,7 +30,7 @@ object SimOracle {
   /** Multi-probe list: own bucket + 1-bit-flip neighbors, the DuckDB twin
     * of [[SimFns.probeBuckets]].
     */
-  private def probeList(b: String): String =
+  private[graft] def probeList(b: String): String =
     (b +: (0 until NumPlanes).map(j => s"xor($b, ${1 << j})"))
       .mkString("[", ", ", "]")
 

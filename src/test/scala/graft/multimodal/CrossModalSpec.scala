@@ -47,6 +47,34 @@ class CrossModalSpec extends SparkSpec {
     assert(!out.contains(("dup_pair", "de")))
   }
 
+  test("text_to_asset: the planted matching asset wins rank 1 with hit=true") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val q = MultimodalQueries.XmodalQuery // 26 bytes
+    // doc 7: width 64 (7 % 7 = 0), 64 x 13 = 832 decoded pixels = EXACTLY
+    // 32 concatenated query copies — the asset's byte-class histogram
+    // equals the query's, so cosine is exactly 1.0 and the LSH bucket is
+    // the query's own. Decoys: digits-only (disjoint byte classes) and a
+    // single-letter run (one shared class).
+    val docs = Seq(
+      (7L, q * 32, "web"),
+      (14L, "0123456789" * 90, "web"),
+      (21L, "t" * 900, "web")
+    ).toDF("doc_id", "text", "source")
+    val out = MultimodalQueries.textToAssetFrame(
+      MultimodalQueries.mediaFrame(docs)).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getInt(0) === 1, "rank 1 missing")
+    assert(top.getLong(1) === 7L, "wrong asset won")
+    assert(top.getDouble(3) === 1.0, "exact-histogram cosine must be 1.0")
+    assert(top.getBoolean(4), "rank-1 asset must be an exact-truth hit")
+    // served ranks are contiguous and scores non-increasing
+    assert(out.map(_.getInt(0)).toSeq === (1 to out.length))
+    assert(out.map(_.getDouble(3)).toSeq.sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("healthy corpus: only doc_total rows plus the always-present zero") {
     val (docs, embs) = fixture()
     val healthyDocs = docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 4L)
