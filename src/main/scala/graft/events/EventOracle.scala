@@ -920,6 +920,107 @@ object EventOracle {
     FROM sc ORDER BY hour"""
   }
 
+  /** STL twin: dense grid, the same 25h centered ROWS frame (shrinking
+    * symmetrically at the edges), 1e-6-quantized detrended values before
+    * the per-hod seasonal means, and the CUSUM recursion unrolled over
+    * the deseasonalized series exactly as [[cusumSql]] — every double is
+    * recomposed from exact LONG sums in the same operand order.
+    */
+  def stlDecomposeSql: String = {
+    val w = EventQueries.StlHalfWindow
+    val k = EventQueries.CusumSlackSigmas
+    val h = EventQueries.CusumThresholdSigmas
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    x AS MATERIALIZED (
+      SELECT g.hour, COALESCE(ha.n, 0) AS n
+      FROM g LEFT JOIN ha ON g.hour = ha.hour
+    ),
+    t AS MATERIALIZED (
+      SELECT hour, n,
+        CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+          AS trend
+      FROM x
+      WINDOW w AS (ORDER BY hour
+        ROWS BETWEEN $w PRECEDING AND $w FOLLOWING)
+    ),
+    d AS MATERIALIZED (
+      SELECT hour, n, trend,
+        CAST(n AS DOUBLE) - trend AS d,
+        CAST(FLOOR((CAST(n AS DOUBLE) - trend) * 1e6 + 0.5) AS BIGINT)
+          AS dq,
+        date_part('hour', hour) AS hod
+      FROM t
+    ),
+    se AS (
+      SELECT hod,
+        CAST(SUM(dq) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+          AS seasonal
+      FROM d GROUP BY hod
+    ),
+    r AS MATERIALIZED (
+      SELECT d.hour, d.n, d.trend, se.seasonal,
+        CAST(FLOOR((d.d - se.seasonal) * 1e6 + 0.5) AS BIGINT) / 1e6
+          AS remainder,
+        CAST(d.n AS DOUBLE) - se.seasonal AS xv,
+        CAST(FLOOR((CAST(d.n AS DOUBLE) - se.seasonal) * 1e6 + 0.5)
+          AS BIGINT) AS xq
+      FROM d JOIN se USING (hod)
+    ),
+    st AS (
+      SELECT CAST(SUM(xq) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+        AS mean, COUNT(*) AS nh
+      FROM r
+    ),
+    vr AS (
+      SELECT SQRT(CAST(SUM(CAST(FLOOR(
+          (xv - (SELECT mean FROM st)) * (xv - (SELECT mean FROM st))
+          * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e6 / CAST((SELECT nh FROM st) AS DOUBLE)) AS sigma
+      FROM r
+    ),
+    pr AS (
+      SELECT
+        CAST(FLOOR(((SELECT mean FROM st) + $k * (SELECT sigma FROM vr))
+          * 1e6 + 0.5) AS BIGINT) AS up_ref,
+        CAST(FLOOR(((SELECT mean FROM st) - $k * (SELECT sigma FROM vr))
+          * 1e6 + 0.5) AS BIGINT) AS dn_ref,
+        CAST(FLOOR($h * (SELECT sigma FROM vr) * 1e6 + 0.5) AS BIGINT)
+          AS hq
+    ),
+    c AS (
+      SELECT hour, n, trend, seasonal, remainder, xq,
+        SUM(xq - (SELECT up_ref FROM pr)) OVER w AS pu,
+        SUM((SELECT dn_ref FROM pr) - xq) OVER w AS pd
+      FROM r
+      WINDOW w AS (ORDER BY hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sc AS (
+      SELECT hour, n, trend, seasonal, remainder, xq,
+        pu - LEAST(0, MIN(pu) OVER w) AS su,
+        pd - LEAST(0, MIN(pd) OVER w) AS sd
+      FROM c
+      WINDOW w AS (ORDER BY hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour, n, trend, seasonal, remainder,
+      xq / 1e6 AS deseason,
+      su / 1e6 AS cusum_up, sd / 1e6 AS cusum_down,
+      su > (SELECT hq FROM pr) AS alarm_up,
+      sd > (SELECT hq FROM pr) AS alarm_down
+    FROM sc ORDER BY hour"""
+  }
+
   /** Multi-touch twin: the same bucketed mine (UNION ALL replication =
     * the Spark explode), position windows, credit CASE in the identical
     * expression shape, per-touch 1e-4 quantization before the per-user

@@ -1153,6 +1153,139 @@ object EventQueries {
       .orderBy("hour")
   }
 
+  /** STL-lite trend half-window: trend = the centered mean over
+    * [t-12, t+12] hours, a 25-point symmetric moving average (odd width
+    * on purpose — no half-weight end terms, so the window mean is one
+    * exact LONG-sum division on both engines).
+    */
+  val StlHalfWindow = 12
+
+  /** STL-lite SEASONAL DECOMPOSITION of the dense hourly count series —
+    * the detector the time-series trio still lacked: [[autocorr]] FINDS
+    * the daily cycle, but [[cusum]] et al. then treat the swing as
+    * noise, inflating sigma until real level shifts hide inside it.
+    * Classic STL split, windows all on the model-sized grid:
+    *
+    *   - TREND: centered 25h moving average ([[StlHalfWindow]]) — the
+    *     window shrinks symmetrically at the series edges (both engines
+    *     express the same ROWS frame);
+    *   - SEASONAL: hour-of-day means of the DETRENDED series (the
+    *     detrended values are 1e-6-quantized before the per-hod sums, so
+    *     the means are partition-order-free);
+    *   - REMAINDER: detrended minus seasonal — the decomposition
+    *     readout;
+    *   - DETECTOR: two-sided CUSUM ([[cusumOver]], the [[cusum]]
+    *     prefix-sum-minus-running-min recipe at 1e-6) over the
+    *     DESEASONALIZED series (count - seasonal), NOT the remainder: a
+    *     level shift lives in trend + remainder, and the centered MA
+    *     absorbs a step within half a window — CUSUM on the remainder
+    *     would be blind to exactly the changepoint class it exists for.
+    *     Deseasonalizing removes the swing from sigma, so a shift the
+    *     raw-series CUSUM masks (drift < k·sigma_raw) fires cleanly.
+    *
+    * EventQueriesSpec plants a ±45 square daily wave with a +20 shift:
+    * the RAW-series CUSUM false-alarms daily from day one AND never
+    * isolates the shift, while the deseasonalized detector is silent
+    * before the changepoint and fires within hours after it.
+    */
+  val stlDecompose: GraftQuery = GraftQuery(
+    "events_stl_decompose",
+    s"STL-lite: centered ${2 * StlHalfWindow + 1}h trend + hour-of-day seasonal + remainder over dense hourly counts; CUSUM on the deseasonalized series",
+    EventOracle.stlDecomposeSql) { (s, d) =>
+    stlFrame(Tables.events(s, d))
+  }
+
+  /** The STL derivation over any events frame — shared by the registry
+    * query and the planted cycle+shift spec (EventQueriesSpec).
+    */
+  def stlFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    stlReadout(events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("hn")))
+
+  /** STL-lite over a SPARSE hourly (hour, hn) frame — the serving-layer
+    * readout discipline ([[cusumReadout]]): densify, decompose, detect.
+    */
+  def stlReadout(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = densify(hourly)
+      .select(col("hour"), coalesce(col("hn"), lit(0L)).as("n"))
+      .localCheckpoint()
+    val wT = Window.orderBy(col("hour"))
+      .rowsBetween(-StlHalfWindow, StlHalfWindow)
+    val dt = x
+      .withColumn("trend", sum(col("n")).over(wT).cast("double")
+        / count(lit(1)).over(wT).cast("double"))
+      .withColumn("d", col("n").cast("double") - col("trend"))
+      .withColumn("dq", Det.quantize(col("d"), 6))
+      .withColumn("hod", hour(col("hour")))
+    val seas = dt.groupBy(col("hod"))
+      .agg((sum(col("dq")).cast("double") / lit(1e6)
+        / count(lit(1)).cast("double")).as("seasonal"))
+    val r = dt.join(broadcast(seas), "hod")
+      .withColumn("remainder",
+        (Det.quantize(col("d") - col("seasonal"), 6) / lit(1e6)))
+      .withColumn("deseason", col("n").cast("double") - col("seasonal"))
+      .select(col("hour"), col("n"), col("trend"), col("seasonal"),
+        col("remainder"), col("deseason"))
+    cusumOver(r, "deseason", 6,
+      carry = Seq("n", "trend", "seasonal", "remainder"))
+  }
+
+  /** Two-sided CUSUM over any (hour, `xCol` double) series at quantum
+    * 10^-scale — the [[cusumReadout]] recipe factored so the STL
+    * detector (and the spec's raw-vs-deseasonalized comparison) run the
+    * IDENTICAL arithmetic: series quantized to LONGs, mean/sigma
+    * recomposed from exact sums, k = [[CusumSlackSigmas]]·sigma,
+    * h = [[CusumThresholdSigmas]]·sigma, S as prefix sum minus running
+    * min in exact integers. `carry` columns ride through to the output.
+    */
+  private[graft] def cusumOver(xin: org.apache.spark.sql.DataFrame,
+      xCol: String, scale: Int, carry: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p10 = Det.pow10(scale).toDouble
+    val x = xin
+      .select((Seq(col("hour"), col(xCol).as("xv")) ++ carry.map(col)): _*)
+      .withColumn("xq", Det.quantize(col("xv"), scale))
+      .localCheckpoint()
+    val st = x.agg(
+      (sum(col("xq")).cast("double") / lit(p10)
+        / count(lit(1)).cast("double")).as("mean"),
+      count(lit(1)).as("nh"))
+    val varq = x.crossJoin(broadcast(st))
+      .select(Det.quantize((col("xv") - col("mean"))
+        * (col("xv") - col("mean")), scale).as("sq"), col("nh"))
+      .groupBy(col("nh"))
+      .agg((sum(col("sq")).cast("double") / lit(p10)
+        / col("nh").cast("double")).as("variance"))
+      .select(sqrt(col("variance")).as("sigma"))
+    val params = st.crossJoin(broadcast(varq))
+      .select(
+        Det.quantize(col("mean") + lit(CusumSlackSigmas) * col("sigma"),
+          scale).as("up_ref"),
+        Det.quantize(col("mean") - lit(CusumSlackSigmas) * col("sigma"),
+          scale).as("dn_ref"),
+        Det.quantize(lit(CusumThresholdSigmas) * col("sigma"), scale)
+          .as("hq"))
+    val wAll = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x.crossJoin(broadcast(params))
+      .withColumn("pu", sum(col("xq") - col("up_ref")).over(wAll))
+      .withColumn("pd", sum(col("dn_ref") - col("xq")).over(wAll))
+      .withColumn("su", col("pu") - least(lit(0L), min(col("pu")).over(wAll)))
+      .withColumn("sd", col("pd") - least(lit(0L), min(col("pd")).over(wAll)))
+      .select((col("hour") +: carry.map(col)) ++ Seq(
+        (col("xq") / lit(p10)).as(xCol),
+        (col("su") / lit(p10)).as("cusum_up"),
+        (col("sd") / lit(p10)).as("cusum_down"),
+        (col("su") > col("hq")).as("alarm_up"),
+        (col("sd") > col("hq")).as("alarm_down")): _*)
+      .orderBy("hour")
+  }
+
   /** Position-based (U-shaped) MULTI-TOUCH attribution — the marketing
     * model beyond [[attribution]]'s last-touch pick: each purchase's
     * value is credited across ALL its in-window same-user views — a solo
@@ -1669,7 +1802,8 @@ object EventQueries {
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
       conversionPaths, retention, anomaly,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
-      cusum, dailyDistinct, weeklySketchRollup, markovTransitions,
+      cusum, stlDecompose, dailyDistinct, weeklySketchRollup,
+      markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, abTest, audienceOverlap, cohortLtv, sloBurn)
 }

@@ -122,6 +122,56 @@ class EventQueriesSpec extends SparkSpec {
       s"detection latency over a day: $firstAlarm")
   }
 
+  test("stlFrame: deseasonalized CUSUM isolates a shift the raw-series CUSUM buries in daily false alarms") {
+    import spark.implicits._
+    // 40 days of a 1/10 square daily wave (hod 0-11 -> 1 event, hod
+    // 12-23 -> 10); from day 36 every hour gains +6 — a level shift
+    // SMALLER than the seasonal swing. Raw-series CUSUM: sigma is
+    // swing-inflated (~4.9), yet the 12-hour low phase still drifts
+    // 2.7/h against dn_ref -> a false alarm EVERY day from day one.
+    // Deseasonalized: sigma ~1.8, the pre-shift drift is negative on
+    // both sides (silent), and the +6 shift fires within hours.
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tsOf(h: Int) = new Timestamp(base + h * 3600L * 1000)
+    val nHours = 40 * 24
+    val shiftHour = 36 * 24
+    def countAt(h: Int): Int =
+      (if (h % 24 < 12) 1 else 10) + (if (h >= shiftHour) 6 else 0)
+    val rows = for {
+      h <- 0 until nHours
+      k <- 0 until countAt(h)
+    } yield (h.toLong * 100 + k, tsOf(h), 1L, "view", 0.0, "{}")
+    val fixture = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.stlFrame(fixture)
+      .select("hour", "seasonal", "alarm_up", "alarm_down").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val shiftTs = tsOf(shiftHour)
+    // the seasonal component recovered the planted wave (amplitude 9,
+    // split ±4.5 around the trend)
+    val seasByHod = got.groupBy(_._1.toLocalDateTime.getHour)
+      .view.mapValues(_.map(_._2).head).toMap
+    assert(math.abs(seasByHod(18) - seasByHod(3) - 9.0) < 0.5,
+      s"seasonal amplitude off: ${seasByHod(18)} vs ${seasByHod(3)}")
+    // silent before the changepoint, fires within a day after it
+    assert(got.filter(_._1.before(shiftTs)).forall(r => !r._3 && !r._4),
+      "deseasonalized detector alarmed before the shift")
+    val ups = got.filter(_._3).map(_._1)
+    assert(ups.nonEmpty, "shift never detected")
+    assert(ups.minBy(_.getTime).getTime - shiftTs.getTime <=
+      24L * 3600 * 1000, "detection latency over a day")
+    // the RAW series detector on the SAME counts: swing-driven false
+    // alarms long before the shift — the masking stlDecompose removes
+    val raw = (0 until nHours).map(h => (tsOf(h), countAt(h).toDouble))
+      .toDF("hour", "xv")
+    val rawPre = EventQueries.cusumOver(raw, "xv", 6)
+      .select("hour", "alarm_up", "alarm_down").collect()
+      .filter(_.getTimestamp(0).before(shiftTs))
+    assert(rawPre.exists(r => r.getBoolean(1) || r.getBoolean(2)),
+      "expected raw-series false alarms before the shift")
+  }
+
   test("multitouchFrame: two-touch purchase splits 50/50 — no middle pool, value conserved") {
     import spark.implicits._
     // n = 2 has no middles to absorb the 20% pool; a naive 40/40 would
