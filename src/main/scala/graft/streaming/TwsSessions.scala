@@ -133,6 +133,63 @@ object TwsSessions {
     }
   }
 
+  /** Per-user burst counter with PER-STATE TTL — the third
+    * transformWithState primitive ([[userSessionsTws]] covers named
+    * state + event-time timers; this covers [[TTLConfig]]): the counter
+    * lives while the user stays WARM (state re-written within `ttl` of
+    * its last update, processing time) and is dropped by the state
+    * store once the user idles past it — so a post-expiry event starts
+    * a fresh run at 1 with no tombstone handling in user code. The
+    * cache-expiry semantics (auth sessions, rate-limit windows,
+    * presence) that event-time sessionization deliberately does NOT
+    * model: wall-clock idleness, not event-time gaps. TTL requires
+    * TimeMode.ProcessingTime; emits (user_id, event_id, run_count) per
+    * input row, run_count resetting exactly when the state was
+    * TTL-dropped — StreamingSpec drives both the warm path (counts
+    * survive micro-batch boundaries) and the expiry path (an idle gap
+    * past the TTL resets the run).
+    *
+    * State bound: one LONG per warm user; the TTL is the eviction
+    * policy, so steady-state size tracks the ACTIVE population even if
+    * the key space is unbounded — the property funnel/session state
+    * gets from watermarks, delivered here by the store itself.
+    */
+  def userBurstCounts(events: DataFrame,
+      ttl: java.time.Duration): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BurstProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF("user_id", "event_id", "run_count")
+  }
+
+  private class BurstProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+
+    @transient private var cnt:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(ttl))
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long)], timerValues: TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      // an expired value reads as absent — the reset IS the observable
+      var c = if (cnt.exists()) cnt.get() else 0L
+      rows.toSeq.sortBy(_._2).map { r =>
+        c += 1
+        cnt.update(c) // each write re-arms the TTL clock
+        (user, r._2, c)
+      }.iterator
+    }
+  }
+
   /** The transform: events -> watermarked closed sessions, schema equal
     * to [[EventStreams.userSessions]] (user_id, session_start,
     * session_end, n, sum_value).

@@ -1230,6 +1230,80 @@ class StreamingSpec extends SparkSpec {
     assert(u6.head(2) === t("2024-01-01 12:00:00") && u6.head(3) === 2L)
   }
 
+  test("TwsSessions: per-state TTL drops an idle user's state; a post-expiry event starts fresh") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    // Processing-time TTL keeps the trigger loop hot (empty batches
+    // re-fire continuously — even AvailableNow never terminates, the
+    // ProcessingTimeTimeout gotcha's TWS shape), so neither
+    // processAllAvailable nor awaitTermination can gate a step. Each
+    // pass instead polls the sink to the expected row count and stops
+    // the query; the checkpoint restart carries RocksDB state (and its
+    // TTL expirations) across passes — also the production replay shape.
+    // (the memory sink refuses checkpoint recovery, so the sink is a
+    // foreachBatch into an event-id-keyed map — idempotent under the
+    // one uncommitted-batch replay a restart may perform)
+    def drain(stream: MemoryStream[Ev], ckpt: String,
+        ttl: java.time.Duration,
+        buf: java.util.concurrent.ConcurrentHashMap[Long, Long],
+        expected: Int): Unit = {
+      val q = TwsSessions.userBurstCounts(stream.toDF(), ttl)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => buf.put(r.getLong(1), r.getLong(2)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val deadline = System.currentTimeMillis() + 120000
+      while (buf.size < expected && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      q.stop()
+    }
+    def runsOf(buf: java.util.concurrent.ConcurrentHashMap[Long, Long]) = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.sortBy(_._1).map(_._2)
+    }
+    try {
+      // WARM path: a generous TTL survives micro-batch boundaries — the
+      // counter keeps running across passes 1 and 2
+      val warmCk = java.nio.file.Files.createTempDirectory("ttlw").toString
+      val warmBuf = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val warm = MemoryStream[Ev]
+      warm.addData(Ev(1, t("2024-01-01 00:00:00"), 7, "view", 0.0, "{}"),
+        Ev(2, t("2024-01-01 00:01:00"), 7, "view", 0.0, "{}"))
+      drain(warm, warmCk, java.time.Duration.ofMinutes(10), warmBuf, 2)
+      warm.addData(Ev(3, t("2024-01-01 00:02:00"), 7, "view", 0.0, "{}"))
+      drain(warm, warmCk, java.time.Duration.ofMinutes(10), warmBuf, 3)
+      assert(runsOf(warmBuf) === Seq(1L, 2L, 3L),
+        "warm state must survive micro-batch boundaries under a live TTL")
+      // EXPIRY path: a sub-second TTL with a real idle gap between passes
+      val coldCk = java.nio.file.Files.createTempDirectory("ttlc").toString
+      val coldBuf = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val cold = MemoryStream[Ev]
+      cold.addData(Ev(1, t("2024-01-01 00:00:00"), 9, "view", 0.0, "{}"),
+        Ev(2, t("2024-01-01 00:01:00"), 9, "view", 0.0, "{}"))
+      drain(cold, coldCk, java.time.Duration.ofMillis(400), coldBuf, 2)
+      Thread.sleep(1500) // idle past the 400ms TTL: the store evicts
+      cold.addData(Ev(3, t("2024-01-01 00:02:00"), 9, "view", 0.0, "{}"))
+      drain(cold, coldCk, java.time.Duration.ofMillis(400), coldBuf, 3)
+      // pass 1 counts 1, 2; the idle gap expires the state, so event 3
+      // opens a FRESH run at 1 — no tombstone, no stale carry-over
+      assert(runsOf(coldBuf) === Seq(1L, 2L, 1L),
+        s"TTL expiry did not reset the run: ${runsOf(coldBuf)}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("userSessions: batch run sessionizes with the 6h gap rule") {
     val spark0 = spark
     import spark0.implicits._
