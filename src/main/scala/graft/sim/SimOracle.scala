@@ -1899,4 +1899,48 @@ object SimOracle {
     WHERE r.rn <= 10
     ORDER BY r.rn"""
   }
+
+  /** PSI twin: the kmeansChain's final assignment is the binning, the
+    * hash60 split the same 60-bit md5 prefix, shares exact small-int
+    * divisions, ln quantized per cell to 1e-9 before the term
+    * re-quantizes — the one transcendental never flows raw.
+    */
+  def driftPsiSql: String = {
+    import SimFns.KmeansIters
+    val fin = KmeansIters + 1
+    val pn = "(CAST(n_new + 1 AS DOUBLE) / CAST(t_new + k AS DOUBLE))"
+    val po = "(CAST(n_old + 1 AS DOUBLE) / CAST(t_old + k AS DOUBLE))"
+    val m = SimQueries.PsiModerate
+    val mj = SimQueries.PsiMajor
+    s"""
+    WITH $baseCtes,
+    $kmeansChain,
+    vc AS (SELECT vec_id, j AS cell FROM a$fin),
+    sp AS (
+      SELECT cell,
+        CAST(SUM(CASE WHEN ${hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 <> 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        CAST(SUM(CASE WHEN ${hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 = 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM vc GROUP BY cell
+    ),
+    tot AS (
+      SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new, COUNT(*) AS k
+      FROM sp
+    ),
+    term AS MATERIALIZED (
+      SELECT cell, n_old, n_new,
+        CAST(FLOOR(($pn - $po)
+          * (CAST(FLOOR(ln($pn / $po) * 1e9 + 0.5) AS BIGINT) / 1e9)
+          * 1e9 + 0.5) AS BIGINT) AS termq
+      FROM sp, tot
+    ),
+    ps AS (SELECT SUM(termq) / 1e9 AS psi FROM term)
+    SELECT t.cell, t.n_old, t.n_new, t.termq / 1e9 AS psi_term,
+      ps.psi,
+      CASE WHEN ps.psi < $m::DOUBLE THEN 'stable'
+           WHEN ps.psi < $mj::DOUBLE THEN 'moderate'
+           ELSE 'major' END AS band
+    FROM term t, ps ORDER BY t.cell"""
+  }
 }

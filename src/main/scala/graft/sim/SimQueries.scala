@@ -2500,8 +2500,73 @@ object SimQueries {
       .orderBy("label")
   }
 
+  /** PSI band edges (the industry 0.1 / 0.25 convention). */
+  val PsiModerate = 0.1
+  val PsiMajor = 0.25
+
+  /** EMBEDDING DRIFT monitor — the check a production vector pipeline
+    * runs before anything else consumes a new batch: has the embedding
+    * DISTRIBUTION moved against the population the serving index was
+    * built for? Binning is the trained IVF cell assignment itself (the
+    * shared model — "is the index still balanced for new traffic" is
+    * exactly the question), the batch split is the [[ivfpqIncremental]]
+    * 90/10 content-hash convention, and the score is the Population
+    * Stability Index Σ (p_new − p_old)·ln(p_new/p_old) with add-one
+    * smoothing (a cell empty on either side must contribute a finite
+    * term), banded at the standard [[PsiModerate]]/[[PsiMajor]] edges.
+    *
+    * Scale shape: one narrow pass over the model-sized cells table
+    * (itself one row per vector, already persisted), a k-row broadcast
+    * total, k-row term math — the monitor costs an aggregate, never a
+    * corpus rescan. Determinism: shares are exact small-int divisions;
+    * the ONE transcendental ln is quantized per CELL to a 1e-9 LONG
+    * (the doc_quality_nb recipe); each term re-quantizes to 1e-9 before
+    * the exact LONG sum. SimSpec plants a concentrated-shift fixture
+    * (PSI goes `major`) and an identical-split fixture (PSI `stable`).
+    */
+  val driftPsi: GraftQuery = GraftQuery(
+    "embedding_drift_psi",
+    "embedding drift monitor: PSI of the 10% hash batch's IVF-cell occupancy vs the 90% base, add-one smoothed, banded",
+    SimOracle.driftPsiSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val hb = call_function("hash60", col("vec_id").cast("string")) % 10
+    driftPsiFrame(sharedCells(s, d).withColumn("is_old", (hb =!= 0).cast("int")))
+  }
+
+  /** The PSI derivation over any (cell, is_old) frame — the fixture seam
+    * for SimSpec's planted-drift pins.
+    */
+  private[graft] def driftPsiFrame(cells: DataFrame): DataFrame = {
+    val sp = cells
+      .groupBy(col("cell"))
+      .agg(sum(col("is_old")).as("n_old"),
+        sum(lit(1) - col("is_old")).as("n_new"))
+    val tot = sp.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"), count(lit(1)).as("k"))
+    val terms = sp.crossJoin(broadcast(tot))
+      .withColumn("p_old", (col("n_old") + 1).cast("double")
+        / (col("t_old") + col("k")).cast("double"))
+      .withColumn("p_new", (col("n_new") + 1).cast("double")
+        / (col("t_new") + col("k")).cast("double"))
+      .withColumn("lnq", graft.api.Det.quantize(
+        log(col("p_new") / col("p_old")), 9))
+      .withColumn("termq", graft.api.Det.quantize(
+        (col("p_new") - col("p_old")) * (col("lnq") / lit(1e9)), 9)
+        .cast("long"))
+      .localCheckpoint()
+    val total = terms.agg((sum(col("termq")) / lit(1e9)).as("psi"))
+      .withColumn("band",
+        when(col("psi") < PsiModerate, "stable")
+          .when(col("psi") < PsiMajor, "moderate")
+          .otherwise("major"))
+    terms.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        (col("termq") / lit(1e9)).as("psi_term"), col("psi"), col("band"))
+      .orderBy("cell")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(bruteforce, lshTopk, lshRecall, graphTopk, graphRecall,
+    Seq(bruteforce, lshTopk, lshRecall, graphTopk, graphRecall, driftPsi,
       graphIncremental, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, ivfAdaptive, int8Quant,
       kmeans,

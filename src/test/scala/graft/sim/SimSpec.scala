@@ -420,6 +420,31 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("embedding_drift_psi: concentrated shift goes major; identical split stays stable") {
+    import spark.implicits._
+    // planted drift: the old population spreads uniformly over 4 cells,
+    // the new batch concentrates in cell 0 — PSI must clear the 0.25
+    // `major` edge. Identical distributions must read ~0 (`stable`).
+    val shifted = (
+      (0 until 4).flatMap(c => Seq.fill(25)((c, 1))) ++ // old: 25 per cell
+      Seq.fill(40)((0, 0))                              // new: all in cell 0
+    ).toDF("cell", "is_old")
+    val major = graft.sim.SimQueries.driftPsiFrame(shifted)
+      .select("psi", "band").head
+    assert(major.getString(1) === "major",
+      s"concentrated shift graded ${major.getString(1)} (psi=${major.getDouble(0)})")
+    assert(major.getDouble(0) > 0.25)
+    val same = (
+      (0 until 4).flatMap(c => Seq.fill(25)((c, 1))) ++
+      (0 until 4).flatMap(c => Seq.fill(10)((c, 0)))
+    ).toDF("cell", "is_old")
+    val stable = graft.sim.SimQueries.driftPsiFrame(same)
+      .select("psi", "band").head
+    assert(stable.getString(1) === "stable",
+      s"identical split graded ${stable.getString(1)} (psi=${stable.getDouble(0)})")
+    assert(math.abs(stable.getDouble(0)) < 0.01)
+  }
+
   test("planes are fixed literals (regression pin)") {
     assert(Planes.length === NumPlanes)
     assert(Planes.forall(_.length === Dims))
