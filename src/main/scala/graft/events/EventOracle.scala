@@ -1021,6 +1021,61 @@ object EventOracle {
     FROM sc ORDER BY hour"""
   }
 
+  /** Backtest twin: dense grid, the same cut arithmetic, hod models
+    * from the train prefix only, exact forecasts/errors, MAEs from
+    * 1e-6-quantized error sums.
+    */
+  def forecastBacktestSql: String = {
+    val bh = EventQueries.BacktestHours
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    x AS MATERIALIZED (
+      SELECT g.hour, COALESCE(ha.n, 0) AS n,
+        date_part('hour', g.hour) AS hod
+      FROM g LEFT JOIN ha ON g.hour = ha.hour
+    ),
+    ct AS (SELECT max(hour) - INTERVAL '${bh - 1} hours' AS cut FROM x),
+    train AS (SELECT x.* FROM x, ct WHERE hour < cut),
+    test AS (SELECT x.* FROM x, ct WHERE hour >= cut),
+    sm AS (
+      SELECT hod,
+        CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fc_smean
+      FROM train GROUP BY hod
+    ),
+    nv AS (
+      SELECT hod, CAST(n AS DOUBLE) AS fc_naive
+      FROM train, ct WHERE hour >= cut - INTERVAL '24 hours'
+    ),
+    scored AS MATERIALIZED (
+      SELECT t.hour, t.n, nv.fc_naive, sm.fc_smean,
+        abs(CAST(t.n AS DOUBLE) - nv.fc_naive) AS ae_naive,
+        abs(CAST(t.n AS DOUBLE) - sm.fc_smean) AS ae_smean
+      FROM test t JOIN sm USING (hod) JOIN nv USING (hod)
+    ),
+    mae AS (
+      SELECT
+        CAST(SUM(CAST(FLOOR(ae_naive * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
+        CAST(SUM(CAST(FLOOR(ae_smean * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mae_smean
+      FROM scored
+    )
+    SELECT s.hour, s.n, s.fc_naive, s.fc_smean, s.ae_naive, s.ae_smean,
+      m.mae_naive, m.mae_smean,
+      CASE WHEN m.mae_smean <= m.mae_naive THEN 'seasonal_mean'
+           ELSE 'seasonal_naive' END AS winner
+    FROM scored s, mae m ORDER BY s.hour"""
+  }
+
   /** Multi-touch twin: the same bucketed mine (UNION ALL replication =
     * the Spark explode), position windows, credit CASE in the identical
     * expression shape, per-touch 1e-4 quantization before the per-user

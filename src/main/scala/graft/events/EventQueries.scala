@@ -1234,6 +1234,77 @@ object EventQueries {
       carry = Seq("n", "trend", "seasonal", "remainder"))
   }
 
+  /** Hours held out for [[forecastBacktest]] — one full seasonal period. */
+  val BacktestHours = 24
+
+  /** Seasonal FORECAST with an honest BACKTEST — the eval harness the
+    * forecast family lacked (`revenue_forecast_ses`/`revenue_trend_ols`
+    * fit and extrapolate but never grade themselves): the LAST
+    * [[BacktestHours]] hours of the dense hourly count series are held
+    * out, two standard models forecast them from the TRAIN prefix only
+    * (no leakage — the training-pipeline contract every offline eval
+    * must honor), and each held-out hour carries both absolute errors
+    * plus the global MAEs and the winner:
+    *
+    *   - seasonal-NAIVE: ŷ(h) = the last train day's value at the same
+    *     hour-of-day (the no-skill baseline every forecast must beat);
+    *   - seasonal-MEAN: ŷ(h) = the train mean at that hour-of-day (the
+    *     [[stlDecompose]] seasonal component as a predictor).
+    *
+    * Scale shape: one corpus aggregate to hourly counts, then train/test
+    * splits, 24-row hod models, and a 24-row scored join — all
+    * model-sized. Determinism: both forecasts are exact (integer counts;
+    * hod means are exact LONG-sum divisions), absolute errors are exact
+    * IEEE subtractions, MAEs quantize each error to 1e-6 before the
+    * LONG sum.
+    */
+  val forecastBacktest: GraftQuery = GraftQuery(
+    "events_forecast_backtest",
+    s"seasonal forecast backtest: last ${BacktestHours}h held out, seasonal-naive vs hod-mean forecasts, per-hour errors + MAE winner",
+    EventOracle.forecastBacktestSql) { (s, d) =>
+    forecastBacktestFrame(Tables.events(s, d))
+  }
+
+  /** The backtest over any events frame (EventQueriesSpec plants a
+    * wave + trend where the hod-mean model beats naive and vice versa).
+    */
+  def forecastBacktestFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val x = densify(events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("hn")))
+      .select(col("hour"), coalesce(col("hn"), lit(0L)).as("n"))
+      .localCheckpoint()
+    val cut = x.agg((max(col("hour"))
+      - expr(s"INTERVAL ${BacktestHours - 1} HOURS")).as("cut"))
+    val xc = x.crossJoin(broadcast(cut)).withColumn("hod", hour(col("hour")))
+    val train = xc.filter(col("hour") < col("cut"))
+    val test = xc.filter(col("hour") >= col("cut"))
+    val sm = train.groupBy(col("hod"))
+      .agg((sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("fc_smean"))
+    val nv = train
+      .filter(col("hour") >= col("cut") - expr("INTERVAL 24 HOURS"))
+      .select(col("hod"), col("n").cast("double").as("fc_naive"))
+    val scored = test
+      .join(broadcast(sm), "hod").join(broadcast(nv), "hod")
+      .withColumn("ae_naive", abs(col("n").cast("double") - col("fc_naive")))
+      .withColumn("ae_smean", abs(col("n").cast("double") - col("fc_smean")))
+      .localCheckpoint()
+    val mae = scored.agg(
+        (sum(Det.quantize(col("ae_naive"), 6)).cast("double") / lit(1e6)
+          / count(lit(1)).cast("double")).as("mae_naive"),
+        (sum(Det.quantize(col("ae_smean"), 6)).cast("double") / lit(1e6)
+          / count(lit(1)).cast("double")).as("mae_smean"))
+      .withColumn("winner", when(col("mae_smean") <= col("mae_naive"),
+        "seasonal_mean").otherwise("seasonal_naive"))
+    scored.crossJoin(broadcast(mae))
+      .select(col("hour"), col("n"), col("fc_naive"), col("fc_smean"),
+        col("ae_naive"), col("ae_smean"), col("mae_naive"),
+        col("mae_smean"), col("winner"))
+      .orderBy("hour")
+  }
+
   /** Two-sided CUSUM over any (hour, `xCol` double) series at quantum
     * 10^-scale — the [[cusumReadout]] recipe factored so the STL
     * detector (and the spec's raw-vs-deseasonalized comparison) run the
@@ -1802,8 +1873,8 @@ object EventQueries {
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
       conversionPaths, retention, anomaly,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
-      cusum, stlDecompose, dailyDistinct, weeklySketchRollup,
-      markovTransitions,
+      cusum, stlDecompose, forecastBacktest, dailyDistinct,
+      weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, abTest, audienceOverlap, cohortLtv, sloBurn)
 }

@@ -172,6 +172,37 @@ class EventQueriesSpec extends SparkSpec {
       "expected raw-series false alarms before the shift")
   }
 
+  test("forecastBacktestFrame: hod-mean wins against an outlier train day; naive wins after a recent shift") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tsOf(h: Int) = new Timestamp(base + h * 3600L * 1000)
+    def wave(hod: Int) = if (hod < 12) 2 else 5
+    def build(countAt: Int => Int) = (for {
+      h <- 0 until 10 * 24
+      k <- 0 until countAt(h)
+    } yield (h.toLong * 100 + k, tsOf(h), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // case A: day 8 (the last TRAIN day) is an outlier spike; day 9 (the
+    // held-out day) is normal — naive copies the spike and errs ~10/hour,
+    // the hod-mean averages it down to ~1.1
+    val outlier = build(h =>
+      wave(h % 24) + (if (h / 24 == 8) 10 else 0))
+    val a = EventQueries.forecastBacktestFrame(outlier)
+      .select("winner", "mae_naive", "mae_smean").head
+    assert(a.getString(0) === "seasonal_mean",
+      s"outlier day: naive (${a.getDouble(1)}) should lose to hod-mean (${a.getDouble(2)})")
+    assert(a.getDouble(1) > a.getDouble(2) * 3)
+    // case B: the series LEVEL shifts +10 for days 8-9 — naive copies the
+    // recent day exactly (MAE 0), the hod-mean is dragged by the old level
+    val shifted = build(h =>
+      wave(h % 24) + (if (h / 24 >= 8) 10 else 0))
+    val b = EventQueries.forecastBacktestFrame(shifted)
+      .select("winner", "mae_naive", "mae_smean").head
+    assert(b.getString(0) === "seasonal_naive",
+      s"recent shift: hod-mean (${b.getDouble(2)}) should lose to naive (${b.getDouble(1)})")
+    assert(b.getDouble(1) === 0.0)
+  }
+
   test("multitouchFrame: two-touch purchase splits 50/50 — no middle pool, value conserved") {
     import spark.implicits._
     // n = 2 has no middles to absorb the 20% pool; a naive 40/40 would
