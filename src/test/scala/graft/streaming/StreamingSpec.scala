@@ -337,6 +337,17 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(acfStreamed === acfBatch)
     assert(acfStreamed.nonEmpty)
+    // the STL decomposition consumes the SAME sink — trend/seasonal/
+    // remainder and the deseasonalized detector all serve continuously
+    val stlStreamed = graft.events.EventQueries
+      .stlReadout(spark.table("cusum_src")
+        .select(col("hour"), col("n_events").as("hn")))
+      .collect().map(_.toSeq).toSeq
+    val stlBatch = graft.events.EventQueries
+      .stlFrame((batch1 ++ batch2).toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(stlStreamed === stlBatch)
+    assert(stlStreamed.length === 5)
   }
 
   test("funnelStages: keyed-state funnel == batch conditional-min derivation across a mid-journey split") {
