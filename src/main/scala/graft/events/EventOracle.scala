@@ -1021,6 +1021,41 @@ object EventOracle {
     FROM sc ORDER BY hour"""
   }
 
+  /** Dedup twin: the same replicated feed, keep-one-per-id replayed as
+    * a ROW_NUMBER pick (duplicates are byte-identical, so any pick is
+    * the same row), per-type rollups over feed and survivors.
+    */
+  def streamDedupSql: String = {
+    val mod = EventQueries.DedupReplayMod
+    s"""
+    WITH $evCte,
+    feed AS (
+      SELECT * FROM ev
+      UNION ALL
+      SELECT * FROM ev WHERE event_id % $mod = 0
+    ),
+    fin AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_feed
+      FROM feed GROUP BY event_type
+    ),
+    dd AS (
+      SELECT event_type, value FROM (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY event_id) AS rn
+        FROM feed
+      ) WHERE rn = 1
+    ),
+    uq AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique,
+        $q AS sum_value
+      FROM dd GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_feed, u.n_unique,
+      f.n_feed - u.n_unique AS n_dropped, u.sum_value
+    FROM fin f JOIN uq u USING (event_type)
+    ORDER BY f.event_type"""
+  }
+
   /** Backtest twin: dense grid, the same cut arithmetic, hod models
     * from the train prefix only, exact forecasts/errors, MAEs from
     * 1e-6-quantized error sums.

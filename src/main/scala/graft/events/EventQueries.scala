@@ -1234,6 +1234,42 @@ object EventQueries {
       carry = Seq("n", "trend", "seasonal", "remainder"))
   }
 
+  /** Replay modulus for [[streamDedup]]'s duplicated slice. */
+  val DedupReplayMod = 50
+
+  /** Batch twin of the streaming at-least-once DEDUP
+    * ([[graft.streaming.EventStreams.dedupedEvents]],
+    * dropDuplicatesWithinWatermark): a 1/[[DedupReplayMod]] slice of the
+    * feed is replayed byte-identically (the producer-retry shape) and
+    * the dedup must drop exactly it. Output per type: feed rows, unique
+    * rows, dropped rows, and the quantized value sum over the SURVIVORS
+    * (payloads ride through the dedup untouched). The oracle replays
+    * the keep-one-per-id rule relationally over the same replicated
+    * feed; StreamingSpec pins the streaming-only semantics (same-batch
+    * and cross-batch drops, state eviction at the watermark, and the
+    * post-eviction re-admission boundary).
+    */
+  val streamDedup: GraftQuery = GraftQuery(
+    "events_stream_dedup",
+    s"at-least-once ingestion dedup: 1/$DedupReplayMod replayed slice dropped by event_id, per-type feed/unique/dropped + survivor value sum",
+    EventOracle.streamDedupSql) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val feed = ev.unionByName(
+      ev.filter(col("event_id") % DedupReplayMod === 0))
+    val out = EventStreams.dedupedEvents(feed)
+    val fin = feed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_feed"))
+    val fout = out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4)))
+          .as("sum_value"))
+    fin.join(fout, "event_type")
+      .select(col("event_type"), col("n_feed"), col("n_unique"),
+        (col("n_feed") - col("n_unique")).as("n_dropped"),
+        col("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Hours held out for [[forecastBacktest]] — one full seasonal period. */
   val BacktestHours = 24
 
@@ -1873,7 +1909,7 @@ object EventQueries {
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
       conversionPaths, retention, anomaly,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
-      cusum, stlDecompose, forecastBacktest, dailyDistinct,
+      cusum, stlDecompose, forecastBacktest, streamDedup, dailyDistinct,
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, abTest, audienceOverlap, cohortLtv, sloBurn)

@@ -58,6 +58,35 @@ object EventStreams {
         col("window.end").as("wend"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** At-least-once ingestion DEDUP — the stateful streaming primitive
+    * the family still lacked: Kafka replays and producer retries
+    * duplicate event ids, and exactly-once DOWNSTREAM semantics need
+    * them dropped with BOUNDED state.
+    * `dropDuplicatesWithinWatermark(event_id)` keeps the first arrival
+    * and drops any same-id record arriving while the first's state
+    * lives; state evicts as the watermark passes (plain dropDuplicates
+    * would hold every id forever — unbounded at 100 TB/day). The
+    * eviction also defines the guarantee's HONEST boundary: a same-id
+    * record with an in-watermark ts arriving after the original's state
+    * expired is re-admitted — dedup is guaranteed only within the
+    * delay, the API's documented contract. StreamingSpec pins all
+    * three behaviors plus the state-store eviction row count.
+    *
+    * Batch twin: the API is streaming-only (Spark raises on batch
+    * frames); the batch equivalent of "keep the first byte-identical
+    * copy" is plain dropDuplicates on the key — output-equal whenever
+    * duplicates are byte-identical, which at-least-once REPLAYS are by
+    * definition (a retry re-sends the same record; same-key records
+    * with DIFFERENT payloads are a different defect class — CDC
+    * versioning's job, [[StreamSinks.cdcToWarehouse]]).
+    */
+  def dedupedEvents(events: DataFrame,
+      delay: String = WatermarkDelay): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Per-day distinct users, sketch path — the streaming twin of the
     * batch `events_daily_distinct` query's HLL++ column. Exact
     * countDistinct is not available under streaming aggregation (distinct

@@ -1241,6 +1241,57 @@ class StreamingSpec extends SparkSpec {
     assert(u6.head(2) === t("2024-01-01 12:00:00") && u6.head(3) === 2L)
   }
 
+  test("dedupedEvents: replays dropped within watermark, state evicted past it, post-eviction id re-admitted") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.dedupedEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ids(): Seq[Long] = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    def stateRows(): Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).sum
+    try {
+      // same-batch byte-identical replay: kept once
+      stream.addData(Ev(1, t("00:00"), 1, "view", 1.0, "{}"),
+        Ev(2, t("00:10"), 1, "click", 2.0, "{}"),
+        Ev(1, t("00:00"), 1, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(ids() === Seq(1L, 2L))
+      // cross-batch replay while state lives: dropped; the 12:00 row
+      // advances the NEXT batch's watermark to 11:00
+      stream.addData(Ev(2, t("00:10"), 1, "click", 2.0, "{}"),
+        Ev(90, t("12:00"), 9, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      assert(ids() === Seq(1L, 2L, 90L))
+      // the 12:00 row advanced the watermark to 11:00 and the drained
+      // follow-up batch ALREADY evicted ids 1 and 2 (expiries
+      // 01:00/01:10): only id 90 is live — the bounded-state property
+      // plain dropDuplicates cannot give
+      assert(stateRows() === 1, s"expected only id 90 live: ${stateRows()}")
+      stream.addData(Ev(91, t("12:01"), 9, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      assert(stateRows() === 2, s"expected ids 90,91 live: ${stateRows()}")
+      // the HONEST boundary: id 1 returns with an in-watermark ts after
+      // its original's state expired — re-admitted, not deduped
+      stream.addData(Ev(1, t("11:30"), 1, "view", 5.0, "{}"))
+      q.processAllAvailable()
+      assert(ids() === Seq(1L, 1L, 2L, 90L, 91L),
+        "post-eviction same-id record must re-admit")
+    } finally q.stop()
+    // the batch twin applies keep-one-per-id to a byte-identical replay
+    val out = EventStreams.dedupedEvents(Seq(
+        Ev(1, t("00:00"), 1, "view", 1.0, "{}"),
+        Ev(2, t("00:10"), 1, "click", 2.0, "{}"),
+        Ev(1, t("00:00"), 1, "view", 1.0, "{}")).toDF())
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(out === Seq(1L, 2L))
+  }
+
   test("TwsSessions: per-state TTL drops an idle user's state; a post-expiry event starts fresh") {
     val spark0 = spark
     import spark0.implicits._
