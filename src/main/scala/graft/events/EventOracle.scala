@@ -1256,6 +1256,43 @@ object EventOracle {
     ORDER BY slice, event_type"""
   }
 
+  /** Snapshot-diff twin: v1/v2 are the on-time/full latest-state
+    * derivations (the cdcApply latest rule), classified by the same
+    * full-outer CASE; all four classes explicit via a VALUES spine.
+    */
+  def snapshotDiffSql: String = {
+    val mod = EventQueries.Scd2DeltaMod
+    def latest(name: String, src: String) = s"""
+    ${name}rn AS (
+      SELECT user_id, event_type, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM $src
+    ),
+    $name AS (
+      SELECT user_id, event_type AS state, ts FROM ${name}rn WHERE rn = 1
+    )"""
+    s"""
+    WITH $evCte,
+    evold AS (SELECT * FROM ev WHERE event_id % $mod <> 0),
+    ${latest("v1", "evold")},
+    ${latest("v2", "ev")},
+    cls AS (
+      SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN b.user_id IS NULL THEN 'removed'
+                  WHEN a.state IS DISTINCT FROM b.state
+                    OR a.ts IS DISTINCT FROM b.ts THEN 'changed'
+                  ELSE 'unchanged' END AS diff_class
+      FROM v1 a FULL JOIN v2 b ON a.user_id = b.user_id
+    ),
+    cnt AS (SELECT diff_class, COUNT(*) AS n0 FROM cls GROUP BY 1)
+    SELECT c.diff_class, CAST(COALESCE(cnt.n0, 0) AS BIGINT) AS n_users
+    FROM (VALUES ('added'), ('changed'), ('removed'), ('unchanged'))
+      c(diff_class)
+    LEFT JOIN cnt USING (diff_class)
+    ORDER BY diff_class"""
+  }
+
   /** Retention-churn twin: deleting exact (user_id, version) rows of the
     * published dimension IS the retention filter, so the replay is the
     * filter itself over the same SCD2 derivation; churn_ok TRUE by

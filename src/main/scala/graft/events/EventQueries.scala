@@ -1670,6 +1670,68 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Warehouse table maintained by [[snapshotDiff]]. */
+  val SnapDiffTable = "user_state_snapdiff"
+
+  /** TIME-TRAVEL DIFF — [[graft.sources.Warehouse.snapshotTable]]
+    * composed into the registry (it carried spec coverage only): two
+    * successive PUBLISHES of the per-user latest-state dimension are
+    * snapshotted — v1 over the 90% on-time slice, v2 over the full
+    * feed (the [[cdcApply]] split) — and the audit every publish
+    * pipeline runs ("what did today's load change against yesterday's?")
+    * reads BOTH SNAPSHOTS back from the warehouse, never the live table:
+    * a full outer join classifies every user as added / removed /
+    * changed / unchanged, all four classes explicit (removed is a
+    * GENUINE zero here — on-time users are a subset of the full feed —
+    * the zeros-are-the-assertion convention).
+    *
+    * The snapshots survive the v2 overwrite by construction (that is
+    * [[graft.sources.Warehouse.snapshotTable]]'s whole contract), so a
+    * hash match proves the persisted-version read path end-to-end.
+    * Scale shape: snapshot cost is the format layer's concern
+    * (metadata-only in Delta/Iceberg; a CTAS copy here attests the
+    * semantics); the diff is one id-keyed full outer join of two
+    * model-sized dimensions. Determinism: latest = max(ts, event_id)
+    * via the one-pass [[latestPicks]] argmax; class counts are exact.
+    */
+  val snapshotDiff: GraftQuery = GraftQuery(
+    "events_snapshot_diff",
+    "time-travel diff: two snapshotted publishes full-outer-joined into added/removed/changed/unchanged counts, read from the snapshots",
+    EventOracle.snapshotDiffSql) { (s, d) =>
+    import graft.sources.Warehouse
+    val picks = latestPicks(Tables.events(s, d)).localCheckpoint()
+    val v1 = picks.filter(col("lo").isNotNull)
+      .select(col("user_id"), col("lo.state").as("state"),
+        col("lo.ts").as("ts"))
+    val v2 = picks
+      .select(col("user_id"), col("lf.state").as("state"),
+        col("lf.ts").as("ts"))
+    Warehouse.replaceTable(v1, SnapDiffTable)
+    val sv1 = Warehouse.snapshotTable(s, SnapDiffTable)
+    Warehouse.replaceTable(v2, SnapDiffTable)
+    val sv2 = Warehouse.snapshotTable(s, SnapDiffTable)
+    val a = Warehouse.readSnapshot(s, SnapDiffTable, sv1)
+      .select(col("user_id").as("u1"), col("state").as("st1"),
+        col("ts").as("ts1"))
+    val b = Warehouse.readSnapshot(s, SnapDiffTable, sv2)
+      .select(col("user_id").as("u2"), col("state").as("st2"),
+        col("ts").as("ts2"))
+    val cnt = a.join(b, col("u1") === col("u2"), "full")
+      .select(when(col("u1").isNull, "added")
+        .when(col("u2").isNull, "removed")
+        .when(!(col("st1") <=> col("st2")) || !(col("ts1") <=> col("ts2")),
+          "changed")
+        .otherwise("unchanged").as("diff_class"))
+      .groupBy(col("diff_class")).agg(count(lit(1)).as("n0"))
+    val classes = s.createDataFrame(
+      Seq("added", "changed", "removed", "unchanged").map(Tuple1(_)))
+      .toDF("diff_class")
+    classes.join(cnt, Seq("diff_class"), "left")
+      .select(col("diff_class"),
+        coalesce(col("n0"), lit(0L)).as("n_users"))
+      .orderBy("diff_class")
+  }
+
   /** Retention cutoff for [[scd2Churn]] — a pinned literal (the loan
     * as-of-date convention); the events corpus spans 2024-01.
     */
@@ -1912,5 +1974,5 @@ object EventQueries {
       cusum, stlDecompose, forecastBacktest, streamDedup, dailyDistinct,
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
-      cdcEvolve, abTest, audienceOverlap, cohortLtv, sloBurn)
+      cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn)
 }
