@@ -197,18 +197,25 @@ object Warehouse {
     * partition value maps to the default-partition name). `delta` may be
     * empty (a pure retention purge) but must carry the table's schema.
     *
+    * `evolve = true` makes the merge SCHEMA-EVOLVING: a delta carrying
+    * NEW columns widens the table definition first (the [[appendEvolved]]
+    * step — one catalog edit, old files read the column as NULL, type
+    * changes rejected) and a delta MISSING columns gets typed-NULL
+    * fills. Off by default: for keyed upserts a silent schema mismatch
+    * is usually a producer bug, so the hard error is the safer default.
+    *
     * A table FORMAT (Delta/Iceberg) gets the same semantics with
     * file-level skipping + a snapshot commit; this is the engine
     * semantics under it.
     */
-  def mergeTable(delta: DataFrame, table: String, keys: Seq[String],
-      deletes: Option[DataFrame] = None): Unit = {
+  def mergeTable(delta0: DataFrame, table: String, keys: Seq[String],
+      deletes: Option[DataFrame] = None, evolve: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val spark = delta.sparkSession
+    val spark = delta0.sparkSession
     ensureSchema(spark)
     val qualified = s"$Schema.$table"
     require(keys.nonEmpty, "mergeTable needs at least one key column")
-    val dup = delta.groupBy(keys.map(col): _*)
+    val dup = delta0.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
     require(dup == 0,
       s"mergeTable delta has duplicate keys on (${keys.mkString(", ")})")
@@ -219,9 +226,27 @@ object Warehouse {
     if (!cat.tableExists(ident)) {
       // delete keys against a missing table are all no-ops
       clearOrphanLocation(spark, table)
-      delta.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
+      delta0.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
       return
     }
+    // evolution-aware merge: a CDC feed that gains a column mid-stream
+    // widens the serving table's definition BEFORE the apply (the
+    // [[appendEvolved]] step — old files read the column as NULL, type
+    // changes rejected). Without the flag an unknown delta column is
+    // REJECTED, never silently dropped — losing a producer's new column
+    // on every upsert is exactly the quiet data-loss evolution exists
+    // to prevent.
+    if (!evolve) {
+      val known = spark.table(qualified).columns
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val unknown = delta0.columns
+        .filterNot(c => known(c.toLowerCase(java.util.Locale.ROOT)))
+      require(unknown.isEmpty,
+        s"mergeTable: delta carries columns $qualified does not have " +
+          s"(${unknown.mkString(", ")}) — pass evolve = true to widen " +
+          "the table, or drop them explicitly")
+    }
+    val delta = if (evolve) evolveAndAlign(delta0, table) else delta0
     delKeys.foreach { dk0 =>
       val overlap = delta.select(keys.map(col): _*).as("a")
         .join(dk0.as("b"),
@@ -365,6 +390,23 @@ object Warehouse {
       partCol.fold(w)(c => w.partitionBy(c)).saveAsTable(qualified)
       return
     }
+    val w = evolveAndAlign(df, table).write.mode(SaveMode.Append)
+    partCol.fold(w)(c => w.partitionBy(c)).saveAsTable(qualified)
+  }
+
+  /** The evolution step shared by [[appendEvolved]] and evolution-aware
+    * [[mergeTable]] calls: widen `table`'s definition with `df`'s new
+    * columns (ALTER TABLE ADD COLUMNS — files never rewrite), reject
+    * type changes, and return `df` aligned to the widened schema with
+    * typed NULLs for its missing columns. The table must exist.
+    */
+  private def evolveAndAlign(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = df.sparkSession
+    val qualified = s"$Schema.$table"
+    val ident =
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
+    val cat = spark.sessionState.catalog
     def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     val meta = cat.getTableMetadata(ident)
     val incoming = df.schema.fields.map(f => norm(f.name) -> f).toMap
@@ -372,7 +414,7 @@ object Warehouse {
     meta.schema.fields.foreach { ef =>
       incoming.get(norm(ef.name)).foreach { nf =>
         require(nf.dataType == ef.dataType,
-          s"appendEvolved: $qualified.${ef.name} is ${ef.dataType.sql} " +
+          s"schema evolution: $qualified.${ef.name} is ${ef.dataType.sql} " +
             s"but the batch carries ${nf.dataType.sql} — type changes " +
             "are corruption, not evolution")
       }
@@ -385,14 +427,12 @@ object Warehouse {
       spark.sql(s"ALTER TABLE $qualified ADD COLUMNS ($ddl)")
     }
     // align to the (possibly widened) definition: typed-NULL fill for the
-    // batch's missing columns; saveAsTable Append resolves by name
+    // batch's missing columns; writers resolve by name
     val target = cat.getTableMetadata(ident).schema
-    val aligned = df.select(target.fields.toIndexedSeq.map { f =>
+    df.select(target.fields.toIndexedSeq.map { f =>
       if (incoming.contains(norm(f.name))) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    val w = aligned.write.mode(SaveMode.Append)
-    partCol.fold(w)(c => w.partitionBy(c)).saveAsTable(qualified)
   }
 
   /** Version suffix for [[snapshotTable]] snapshots. */

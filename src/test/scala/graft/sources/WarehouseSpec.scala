@@ -295,6 +295,45 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.table(qualified).count() === before)
   }
 
+  test("mergeTable evolve: a CDC delta gaining a column widens the serving table mid-stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val v1 = Seq((1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c"))
+      .toDF("id", "bucket", "state")
+    Warehouse.replacePartitioned(v1, "merge_evolve", "bucket")
+    val qualified = s"${Warehouse.Schema}.merge_evolve"
+    def filesOf(b: Int): Set[String] =
+      spark.table(qualified).filter(col("bucket") === b)
+        .select(org.apache.spark.sql.functions
+          .input_file_name().as("f")).as[String].collect().toSet
+    val b1Before = filesOf(1)
+    // the feed gains `score` mid-stream; bucket rides the key so the
+    // widened merge still takes the partition-pruned path
+    val delta = Seq((2L, 0, "B", 7.5)).toDF("id", "bucket", "state", "score")
+    Warehouse.mergeTable(delta, "merge_evolve", Seq("id", "bucket"),
+      evolve = true)
+    val got = spark.table(qualified).select("id", "state", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got === Set((1L, "a", null), (2L, "B", 7.5), (3L, "c", null)))
+    // the untouched bucket's PRE-EVOLUTION files are byte-identical —
+    // the widening was a catalog edit, not a rewrite
+    assert(filesOf(1) === b1Before, "evolution rewrote an untouched partition")
+    // an old-schema delta keeps merging after the evolution (NULL fill)
+    Warehouse.mergeTable(Seq((3L, 1, "C")).toDF("id", "bucket", "state"),
+      "merge_evolve", Seq("id", "bucket"), evolve = true)
+    assert(spark.table(qualified).filter(col("id") === 3)
+      .select("state", "score").collect()
+      .map(r => (r.getString(0), r.isNullAt(1))).toSeq === Seq(("C", true)))
+    // without the flag a schema mismatch stays a hard error
+    intercept[Exception] {
+      Warehouse.mergeTable(
+        Seq((4L, 1, "d", 1.0, "x"))
+          .toDF("id", "bucket", "state", "score", "extra"),
+        "merge_evolve", Seq("id", "bucket"))
+    }
+  }
+
   test("mergeTable deletes: emptied TIMESTAMP-partition spec matches the catalog encoding") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
