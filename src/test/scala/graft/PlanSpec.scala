@@ -809,4 +809,31 @@ class PlanSpec extends SparkSpec {
     // harness that always says 1.0 measures nothing)
     assert(rows.exists(_.getAs[Double]("ndcg_at_10") < 1.0))
   }
+
+  test("multimodal_text_to_asset: 1-row query attaches broadcast, probe/grade are hash joins, no cartesian") {
+    val plan = planOf("multimodal_text_to_asset")
+    // the only nested-loop joins are the 1-row query-vector attaches
+    // (IdentityBroadcastMode); candidates and the hit grade join by hash
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+  }
+
+  test("events_stream_dedup: keep-one-per-id plans as an aggregate, not a window sort") {
+    val plan = planOf("events_stream_dedup")
+    // batch dropDuplicates = partial-aggregable first-per-key: at 100 TB
+    // a map-side combine per key, never a per-key total-order sort
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"dedup did not plan as an aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
+  test("events_stl_decompose: one corpus aggregate feeds the checkpointed grid — no event re-scan downstream") {
+    val df = SparkEntry.queries("events_stl_decompose")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // downstream of the localCheckpoint the detector reads the cached
+    // model-sized grid; the events parquet appears in NO scan here
+    assert(!plan.contains("events.parquet"),
+      s"detector re-scans the corpus:\n$plan")
+    assert(df.count() > 0)
+  }
 }
