@@ -210,13 +210,6 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n"), col("sum_value"))
 
-  /** Streaming dedup by key within the watermark horizon — streaming-only
-    * (state-backed); exact-batch dedup is dropDuplicates/groupBy.
-    */
-  def dedupEvents(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", WatermarkDelay)
-      .dropDuplicatesWithinWatermark("event_id")
 
   /** Watermarked STREAM-STREAM interval join — the click-attribution join
     * ([[graft.events.EventQueries.attributionCandidates]]'s predicate) as

@@ -499,20 +499,20 @@ class StreamingSpec extends SparkSpec {
 
   private val SimFnsPqM = graft.sim.SimFns.PqM
 
-  test("dedupEvents: duplicate event_id within watermark is dropped") {
+  test("dedupedEvents: duplicate event_id within watermark is dropped") {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
 
     val stream = MemoryStream[Ev]
     stream.addData(events: _*)
-    val q = EventStreams.dedupEvents(stream.toDF())
-      .writeStream.format("memory").queryName("dedup_out")
+    val q = EventStreams.dedupedEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_smoke_out")
       .outputMode("append").start()
     q.processAllAvailable()
     q.stop()
 
-    val ids = spark.table("dedup_out").select("event_id")
+    val ids = spark.table("dedup_smoke_out").select("event_id")
       .collect().map(_.getLong(0)).sorted
     assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
