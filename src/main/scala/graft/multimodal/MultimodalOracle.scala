@@ -320,6 +320,45 @@ object MultimodalOracle {
     ORDER BY "check", lang"""
   }
 
+  /** Spectral twin: the same thumbnail buckets, then each re/im as the
+    * IDENTICAL left-associated 32-term chain of sample x 6-decimal
+    * coefficient literal (decimal parsing is correctly rounded, so both
+    * engines hold bit-identical coefficient doubles), powers and the
+    * dominant-bin CASE in the same shape.
+    */
+  def spectralSql: String = {
+    val w = MultimodalQueries.ThumbWidth
+    def lit6(x: Double) =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(x))
+    def form(coef: IndexedSeq[Double]): String =
+      (0 until w).map(n => s"t$n * ${lit6(coef(n))}").mkString(" + ")
+    val ts = (0 until w).map { j =>
+      val lo = s"CAST(floor((np * $j) / $w.0) AS BIGINT)"
+      val hi = s"CAST(floor((np * ${j + 1}) / $w.0) AS BIGINT)"
+      s"CAST(list_aggregate(pxs[$lo + 1 : $hi], 'sum') AS BIGINT) / ($hi - $lo) AS t$j"
+    }.mkString(",\n      ")
+    val powers = (0 until MultimodalQueries.SpectralBins).map { k =>
+      val re = form(MultimodalQueries.SpectralCos(k))
+      val im = form(MultimodalQueries.SpectralSin(k))
+      s"($re) * ($re) + ($im) * ($im) AS p${k + 1}"
+    }.mkString(",\n      ")
+    s"""
+    WITH $pixelCte,
+    t AS (
+      SELECT doc_id, $ts
+      FROM px WHERE media_type = 'audio' AND np >= $w
+    ),
+    p AS (
+      SELECT doc_id, $powers
+      FROM t
+    )
+    SELECT doc_id, p1, p2, p3, p4,
+      CASE WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 THEN 1
+           WHEN p2 >= p3 AND p2 >= p4 THEN 2
+           WHEN p3 >= p4 THEN 3 ELSE 4 END AS dominant_bin
+    FROM p ORDER BY doc_id"""
+  }
+
   /** Cross-modal twin: pixels from text characters (the [[pixelCte]]
     * contract), the query histogram recomputed relationally from the
     * literal string (independent of the Spark side's driver projection),

@@ -487,6 +487,91 @@ object MultimodalQueries {
       .orderBy("check", "lang")
   }
 
+  /** DFT bins analyzed by [[spectral]] (low-frequency, DC skipped). */
+  val SpectralBins = 4
+
+  /** Fixed DFT coefficient tables over the [[ThumbWidth]]-sample frame:
+    * cos/−sin(2π k n / W) quantized to 1e-6 and shipped as LITERALS to
+    * both engines (the [[graft.sim.SimFns.Planes]] recipe — decimal
+    * parsing is correctly rounded everywhere, so both sides hold the
+    * bit-identical double). k is 1-based (bin 0 is DC).
+    */
+  val SpectralCos: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(SpectralBins, ThumbWidth) { (k, n) =>
+      math.floor(math.cos(2.0 * math.Pi * (k + 1) * n / ThumbWidth) * 1e6
+        + 0.5) / 1e6
+    }
+  val SpectralSin: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(SpectralBins, ThumbWidth) { (k, n) =>
+      math.floor(-math.sin(2.0 * math.Pi * (k + 1) * n / ThumbWidth) * 1e6
+        + 0.5) / 1e6
+    }
+
+  /** SPECTRAL analysis of audio payloads — the real signal-processing
+    * step after decode → resample: a [[SpectralBins]]-bin DFT over the
+    * [[ThumbWidth]]-sample box-resampled frame ([[thumbnail]]'s
+    * feature), per-bin power |X_k|² and the dominant bin — the
+    * tone/rumble classifier an audio ingest pipeline runs (band energy
+    * decides speech/music/noise routing before any model sees bytes).
+    *
+    * Determinism: thumbnail samples are exact integer-sum divisions;
+    * the DFT is a LITERAL-coefficient linear form — each re/im is a
+    * left-associated 32-term chain of (sample × quantized-literal)
+    * products, mirrored term-for-term by the oracle (the
+    * thumbnailNeardup parenthesized-sum discipline), so powers are
+    * bit-identical raw doubles; the dominant-bin argmax breaks ties
+    * toward the lower bin in the same CASE shape on both engines.
+    * CrossModalSpec plants a pure bin-2 tone (each sample doubled so
+    * the 2:1 box resample reproduces it exactly) and asserts the power
+    * concentrates there.
+    *
+    * 100 TB shape: decode + resample + 8 linear forms fuse into one
+    * narrow codegen span per row — no shuffle before the presentation
+    * sort; a real FFT library would slot in at the same column via
+    * mapInPandas, this is the engine-native exact path.
+    */
+  val spectral: GraftQuery = GraftQuery(
+    "multimodal_spectral",
+    s"audio DFT: $SpectralBins-bin power spectrum of the $ThumbWidth-sample resampled frame + dominant bin",
+    MultimodalOracle.spectralSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    spectralFrame(media(s, d).filter(col("media_type") === "audio"))
+  }
+
+  /** The spectral derivation over any media-shaped frame — the fixture
+    * seam for CrossModalSpec's planted-tone pin.
+    */
+  private[graft] def spectralFrame(assets: DataFrame): DataFrame = {
+    val n = size(col("img.pixels"))
+    val tCols = (0 until ThumbWidth).map { j =>
+      val lo = floor((n * lit(j)) / lit(ThumbWidth.toDouble)).cast("int")
+      val hi = floor((n * lit(j + 1)) / lit(ThumbWidth.toDouble)).cast("int")
+      (aggregate(slice(col("img.pixels"), lo + lit(1), hi - lo),
+        lit(0L), (acc, x) => acc + x) / (hi - lo)).as(s"t$j")
+    }
+    val base = assets
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(size(col("img.pixels")) >= ThumbWidth)
+      .select(col("doc_id") +: tCols: _*)
+    def form(coef: IndexedSeq[Double]): Column =
+      (0 until ThumbWidth).map(nn => col(s"t$nn") * lit(coef(nn)))
+        .reduceLeft(_ + _)
+    val powers = (0 until SpectralBins).map { k =>
+      val re = form(SpectralCos(k))
+      val im = form(SpectralSin(k))
+      (re * re + im * im).as(s"p${k + 1}")
+    }
+    val withP = base.select(col("doc_id") +: powers: _*)
+    val dom = when(col("p1") >= col("p2") && col("p1") >= col("p3")
+        && col("p1") >= col("p4"), 1)
+      .when(col("p2") >= col("p3") && col("p2") >= col("p4"), 2)
+      .when(col("p3") >= col("p4"), 3)
+      .otherwise(4)
+    withP.select(col("doc_id"), col("p1"), col("p2"), col("p3"), col("p4"),
+        dom.as("dominant_bin"))
+      .orderBy("doc_id")
+  }
+
   /** The fixed cross-modal text query ([[textToAsset]]): the BM25 terms
     * as one string; its byte-class histogram is the query vector.
     */
@@ -587,5 +672,5 @@ object MultimodalQueries {
   def all: Seq[GraftQuery] =
     Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
       audioFeatures, crossmodalConsistency, sceneCuts, thumbnailNeardup,
-      textToAsset)
+      textToAsset, spectral)
 }

@@ -75,6 +75,28 @@ class CrossModalSpec extends SparkSpec {
       .forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("spectral: a planted pure bin-2 tone concentrates the DFT power there") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val W = MultimodalQueries.ThumbWidth
+    // 32-sample tone at frequency 2, each sample DOUBLED so the 64-pixel
+    // asset's 2:1 box resample reproduces the tone exactly (integer
+    // pairs average exactly); doc_id 7 -> width 64, media_type audio
+    val tone = (0 until W).map(j =>
+      (64 + math.round(40 * math.cos(2.0 * math.Pi * 2 * j / W))).toInt)
+    val text = tone.flatMap(v => Seq(v, v)).map(_.toChar).mkString
+    val docs = Seq((7L, text, "web")).toDF("doc_id", "text", "source")
+    val out = MultimodalQueries.spectralFrame(
+      MultimodalQueries.mediaFrame(docs)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val ps = (1 to 4).map(k => r.getDouble(k))
+    assert(r.getAs[Int]("dominant_bin") === 2,
+      s"tone not detected at bin 2: $ps")
+    assert(ps(1) > 10 * (ps(0) max ps(2) max ps(3)),
+      s"bin-2 power not dominant: $ps")
+  }
+
   test("healthy corpus: only doc_total rows plus the always-present zero") {
     val (docs, embs) = fixture()
     val healthyDocs = docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 4L)
