@@ -482,6 +482,31 @@ object Warehouse {
       .sorted
   }
 
+  /** Snapshot retention: drop every snapshot of `table` older than the
+    * newest `keep` versions, returning the versions removed (ascending).
+    * The lifecycle leg snapshot/diff/merge/compact leave open — CTAS
+    * snapshots hold real file copies, so an audit pipeline that snapshots
+    * every publish grows the warehouse by one table-size per day until
+    * something reclaims the history. Version numbering keeps ascending
+    * after a vacuum ([[snapshotTable]] derives the next version from the
+    * SURVIVING maximum), so retention never recycles a version id a
+    * downstream reader may have recorded. DROP TABLE on a managed table
+    * deletes its files; under a table FORMAT the same call expires
+    * manifests and lets a GC pass unreference the files (VACUUM in
+    * Delta, expire_snapshots in Iceberg) — semantics here, mechanics
+    * there, the [[snapshotTable]] caveat's mirror image.
+    */
+  def vacuumSnapshots(spark: SparkSession, table: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuumSnapshots(keep = $keep): keeping fewer than " +
+      "one snapshot would silently disable time travel; drop the table " +
+      "explicitly if the history is truly dead")
+    val doomed = snapshots(spark, table).dropRight(keep)
+    doomed.foreach { v =>
+      spark.sql(s"DROP TABLE $Schema.${table.toLowerCase}$SnapSuffix$v")
+    }
+    doomed
+  }
+
   def compact(spark: SparkSession, table: String, targetFiles: Int): Unit = {
     val qualified = s"$Schema.$table"
     val meta = spark.sessionState.catalog.getTableMetadata(

@@ -381,4 +381,38 @@ class WarehouseSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("vacuumSnapshots: retention drops old versions, keeps numbering monotone") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.region(spark, sf)
+    Warehouse.replaceTable(base.withColumn("gen", lit(1)), "vac_demo")
+    val v1 = Warehouse.snapshotTable(spark, "vac_demo")
+    Warehouse.replaceTable(base.withColumn("gen", lit(2)), "vac_demo")
+    val v2 = Warehouse.snapshotTable(spark, "vac_demo")
+    Warehouse.replaceTable(base.withColumn("gen", lit(3)), "vac_demo")
+    val v3 = Warehouse.snapshotTable(spark, "vac_demo")
+    assert(Seq(v1, v2, v3) === Seq(1, 2, 3))
+
+    val dropped = Warehouse.vacuumSnapshots(spark, "vac_demo", keep = 2)
+    assert(dropped === Seq(1))
+    assert(Warehouse.snapshots(spark, "vac_demo") === Seq(2, 3))
+    // the dropped snapshot's table AND files are gone
+    assert(!spark.catalog.tableExists(s"${Warehouse.Schema}.vac_demo__v1"))
+    // survivors still serve their versions byte-for-byte
+    assert(Warehouse.readSnapshot(spark, "vac_demo", 2)
+      .agg(max(col("gen"))).head.getInt(0) === 2)
+    assert(Warehouse.readSnapshot(spark, "vac_demo", 3)
+      .agg(max(col("gen"))).head.getInt(0) === 3)
+    // the live table is untouched by retention
+    assert(spark.table(s"${Warehouse.Schema}.vac_demo")
+      .agg(max(col("gen"))).head.getInt(0) === 3)
+    // numbering never recycles a reclaimed id: the next snapshot is 4
+    assert(Warehouse.snapshotTable(spark, "vac_demo") === 4)
+    // keep wider than history is a no-op; keep < 1 is refused
+    assert(Warehouse.vacuumSnapshots(spark, "vac_demo", keep = 10) === Seq.empty)
+    intercept[IllegalArgumentException] {
+      Warehouse.vacuumSnapshots(spark, "vac_demo", keep = 0)
+    }
+    assert(Warehouse.snapshots(spark, "vac_demo") === Seq(2, 3, 4))
+  }
 }
