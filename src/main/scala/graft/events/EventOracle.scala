@@ -1367,4 +1367,90 @@ object EventOracle {
         AS is_current
     FROM cr
     ORDER BY user_id, version"""
+
+  /** Twin of [[EventQueries.kAnonFrame]]: day-grain class sizes once,
+    * week/month lattice levels as window sums over the class table, local
+    * recoding by the same CASE order. 50.0 and 7.0 are exact doubles, so
+    * both floors agree bit-for-bit; the released share is one BIGINT /
+    * BIGINT division.
+    */
+  def kAnonymitySql: String = {
+    val k = EventQueries.AnonK
+    s"""
+    WITH $evCte,
+    dc AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(floor(value / ${EventQueries.AnonBandWidth}) AS BIGINT) AS band,
+        COUNT(*) AS n_day
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    keyed AS (
+      SELECT *,
+        CAST(floor(date_diff('day',
+          DATE '${EventQueries.AnonWeekAnchor}', day) / 7.0) AS BIGINT)
+          AS week,
+        month(day) AS mon
+      FROM dc
+    ),
+    leveled AS (
+      SELECT event_type, n_day,
+        CASE
+          WHEN n_day >= $k THEN 'day'
+          WHEN SUM(n_day) OVER (PARTITION BY event_type, week, band) >= $k
+            THEN 'week'
+          WHEN SUM(n_day) OVER (PARTITION BY event_type, mon, band) >= $k
+            THEN 'month'
+          ELSE 'suppressed'
+        END AS level
+      FROM keyed
+    ),
+    agg AS (
+      SELECT event_type, level,
+        CAST(SUM(n_day) AS BIGINT) AS n_rows,
+        COUNT(*) AS n_day_classes
+      FROM leveled GROUP BY 1, 2
+    )
+    SELECT event_type, level, n_rows, n_day_classes,
+      n_rows / CAST(SUM(n_rows) OVER (PARTITION BY event_type) AS BIGINT)
+        AS row_share
+    FROM agg
+    ORDER BY event_type, level"""
+  }
+
+  /** Twin of [[EventQueries.contributionCapFrame]]: same (ts, event_id)
+    * keep rank, same conditional quantized-LONG sums, loss share divides
+    * the two exact LONGs.
+    */
+  def contributionCapSql: String = {
+    val c = EventQueries.ContribCap
+    s"""
+    WITH $evCte,
+    r AS (
+      SELECT event_type, user_id,
+        CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq,
+        ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+          ORDER BY ts, event_id) AS rn
+      FROM ev
+    ),
+    a AS (
+      SELECT event_type,
+        COUNT(DISTINCT user_id) AS n_users,
+        COUNT(DISTINCT CASE WHEN rn > $c THEN user_id END) AS n_capped_users,
+        COUNT(*) AS n_events_raw,
+        CAST(SUM(CASE WHEN rn <= $c THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_events_capped,
+        CAST(SUM(vq) AS BIGINT) AS sq_raw,
+        CAST(SUM(CASE WHEN rn <= $c THEN vq ELSE 0 END) AS BIGINT)
+          AS sq_capped
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, n_users, n_capped_users, n_events_raw,
+      n_events_capped,
+      sq_raw / 10000.0 AS sum_value_raw,
+      sq_capped / 10000.0 AS sum_value_capped,
+      CASE WHEN sq_raw = 0 THEN NULL
+        ELSE (sq_raw - sq_capped) / sq_raw END AS loss_share
+    FROM a
+    ORDER BY event_type"""
+  }
 }

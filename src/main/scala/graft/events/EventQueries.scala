@@ -1963,6 +1963,141 @@ object EventQueries {
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_stat"))
   }
 
+  /** k-anonymity threshold for [[kAnonymity]]. */
+  val AnonK = 10
+
+  /** Value-band width for the k-anonymity quasi-identifier. */
+  val AnonBandWidth = 50.0
+
+  /** Week anchor for the k-anonymity generalization lattice (the corpus
+    * epoch; any fixed Monday-agnostic anchor works — weeks are just
+    * 7-day buckets from it, not ISO weeks, so both engines compute them
+    * with the same integer arithmetic).
+    */
+  val AnonWeekAnchor = "2024-01-01"
+
+  /** k-anonymity audit with a generalization lattice — the privacy screen
+    * a training-data release runs over STRUCTURED columns (the PII family
+    * covers free text): a row is releasable only if its quasi-identifier
+    * class — (event_type, time, value band), the attacker-joinable
+    * attributes — contains at least [[AnonK]] rows. Classes too small at
+    * day grain generalize time day → week → month (local recoding: each
+    * row independently takes the finest level whose class clears k);
+    * rows anonymous at no level are suppressed. Output: per (event_type,
+    * resolution level) row/class counts + the released row share.
+    *
+    * Scale shape: ONE corpus-grain groupBy to day-class granularity —
+    * the only corpus shuffle — then the week/month lattice levels are
+    * re-aggregations of that model-sized class table (a coarser class
+    * is a union of finer ones, so sizes roll up without rescanning),
+    * as window sums partitioned by the coarser key. Determinism: class
+    * sizes are exact longs; the band floor and the released share's
+    * long/long division are single IEEE754 ops both engines evaluate
+    * identically.
+    */
+  val kAnonymity: GraftQuery = GraftQuery(
+    "events_k_anonymity",
+    s"k-anonymity (k=$AnonK) over (event_type, time, value-band) with day->week->month generalization; per-level row/class counts",
+    EventOracle.kAnonymitySql) { (s, d) =>
+    kAnonFrame(Tables.events(s, d))
+  }
+
+  /** The k-anonymity derivation over any events frame — shared by the
+    * registry query and the planted-lattice spec (EventQueriesSpec).
+    */
+  def kAnonFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayCls = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / lit(AnonBandWidth)).cast("long").as("band"))
+      .groupBy(col("event_type"), col("day"), col("band"))
+      .agg(count(lit(1)).as("n_day"))
+    val keyed = dayCls
+      .withColumn("week",
+        floor(datediff(col("day"), lit(AnonWeekAnchor).cast("date"))
+          / lit(7.0)).cast("long"))
+      .withColumn("mon", month(col("day")))
+    val wWeek = Window.partitionBy(col("event_type"), col("week"), col("band"))
+    val wMon = Window.partitionBy(col("event_type"), col("mon"), col("band"))
+    val leveled = keyed
+      .withColumn("n_week", sum(col("n_day")).over(wWeek))
+      .withColumn("n_mon", sum(col("n_day")).over(wMon))
+      .withColumn("level",
+        when(col("n_day") >= AnonK, "day")
+          .when(col("n_week") >= AnonK, "week")
+          .when(col("n_mon") >= AnonK, "month")
+          .otherwise("suppressed"))
+    val wType = Window.partitionBy(col("event_type"))
+    leveled
+      .groupBy(col("event_type"), col("level"))
+      .agg(sum(col("n_day")).as("n_rows"), count(lit(1)).as("n_day_classes"))
+      .withColumn("row_share",
+        col("n_rows") / sum(col("n_rows")).over(wType))
+      .orderBy("event_type", "level")
+  }
+
+  /** Per-user contribution cap for [[contributionCap]]. */
+  val ContribCap = 5
+
+  /** Bounded-contribution aggregation — the OTHER half of the privacy
+    * screen ([[kAnonymity]] audits re-identifiability; this bounds
+    * INFLUENCE): before a per-type aggregate is released (or noised, in
+    * a full DP pipeline), each user's contribution is capped at
+    * [[ContribCap]] events — the first C by event time, a deterministic
+    * keep rule — so no single user can dominate a released statistic.
+    * The output puts the raw and capped aggregates side by side with the
+    * value mass the cap removed, i.e. the bias the release trades for
+    * bounded sensitivity.
+    *
+    * Scale shape: one window rank per (type, user) — the corpus shuffle
+    * an aggregation pays anyway — then conditional partial aggs in the
+    * SAME pass (no second scan for the raw side); state per group is a
+    * handful of longs. Determinism: the keep rule breaks ties
+    * (ts, event_id); value sums quantize to LONGs before summing, and
+    * the loss share divides the two exact LONGs.
+    */
+  val contributionCap: GraftQuery = GraftQuery(
+    "events_contribution_cap",
+    s"bounded-contribution aggregate: per-user cap $ContribCap by event time; raw vs capped counts/sums + the cap's value-mass loss",
+    EventOracle.contributionCapSql) { (s, d) =>
+    contributionCapFrame(Tables.events(s, d))
+  }
+
+  /** The bounded-contribution derivation over any events frame — shared
+    * by the registry query and the hand fixture (EventQueriesSpec).
+    */
+  def contributionCapFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = events
+      .select(col("event_type"), col("user_id"), col("ts"),
+        col("event_id"), Det.quantize(col("value")).as("vq"))
+      .withColumn("rn", row_number().over(w))
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("rn") > ContribCap, col("user_id")))
+          .as("n_capped_users"),
+        count(lit(1)).as("n_events_raw"),
+        sum(when(col("rn") <= ContribCap, 1L).otherwise(0L))
+          .as("n_events_capped"),
+        sum(col("vq")).as("sq_raw"),
+        sum(when(col("rn") <= ContribCap, col("vq")).otherwise(0L))
+          .as("sq_capped"))
+      .select(col("event_type"), col("n_users"), col("n_capped_users"),
+        col("n_events_raw"), col("n_events_capped"),
+        (col("sq_raw") / lit(Det.pow10(4))).as("sum_value_raw"),
+        (col("sq_capped") / lit(Det.pow10(4))).as("sum_value_capped"),
+        when(col("sq_raw") === 0L, lit(null))
+          .otherwise((col("sq_raw") - col("sq_capped")) / col("sq_raw"))
+          .as("loss_share"))
+      .orderBy("event_type")
+  }
+
   /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG. */
   private val MaxSqAbs = 3037000499L
 
@@ -1974,5 +2109,6 @@ object EventQueries {
       cusum, stlDecompose, forecastBacktest, streamDedup, dailyDistinct,
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
-      cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn)
+      cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
+      kAnonymity, contributionCap)
 }

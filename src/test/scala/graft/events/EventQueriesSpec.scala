@@ -42,6 +42,71 @@ class EventQueriesSpec extends SparkSpec {
       (2L, 1L, 1L, 5.0, 0.0, 0.0, 0.0, 5.0)))
   }
 
+  test("kAnonFrame: planted lattice resolves each class at its own level") {
+    import spark.implicits._
+    def burst(id0: Long, day: String, typ: String, value: Double, n: Int) =
+      (0 until n).map(i => ev(id0 + i, s"$day 10:0${i % 10}:00", 50 + i, typ, value))
+    val fixture = (
+      // click band 0: 10 rows in ONE day -> anonymous at day grain
+      burst(100, "2024-01-05", "click", 10.0, 10) ++
+        // click band 1: 5+5 across two days of week 0 -> week grain
+        burst(200, "2024-01-02", "click", 60.0, 5) ++
+        burst(210, "2024-01-03", "click", 60.0, 5) ++
+        // click band 2: 4+3+3 across weeks 0/1/2 of January -> month grain
+        burst(300, "2024-01-01", "click", 120.0, 4) ++
+        burst(310, "2024-01-08", "click", 120.0, 3) ++
+        burst(320, "2024-01-15", "click", 120.0, 3) ++
+        // click band 3: 2 rows total -> anonymous nowhere, suppressed
+        burst(400, "2024-01-20", "click", 160.0, 2) ++
+        // view: a clean single-class type -> row_share exactly 1.0
+        burst(500, "2024-01-04", "view", 10.0, 12) ++
+        // err band 0, same 7-day bucket SPANNING the month boundary:
+        // weeks are anchor-relative buckets, not calendar weeks
+        burst(600, "2024-01-31", "err", 10.0, 6) ++
+        burst(610, "2024-02-01", "err", 10.0, 6) ++
+        // err band 1, different weeks AND different months: the lattice
+        // tops out at month -> 5+5 stays suppressed (no year level)
+        burst(700, "2024-01-25", "err", 60.0, 5) ++
+        burst(710, "2024-02-05", "err", 60.0, 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.kAnonFrame(fixture)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      ("click", "day", 10L, 1L, 10.0 / 32.0),
+      ("click", "month", 10L, 3L, 10.0 / 32.0),
+      ("click", "suppressed", 2L, 1L, 2.0 / 32.0),
+      ("click", "week", 10L, 2L, 10.0 / 32.0),
+      ("err", "suppressed", 10L, 2L, 10.0 / 22.0),
+      ("err", "week", 12L, 2L, 12.0 / 22.0),
+      ("view", "day", 12L, 1L, 1.0)))
+  }
+
+  test("contributionCapFrame: first-C-by-time keep rule, event_id tie-break, exact loss") {
+    import spark.implicits._
+    val fixture = (
+      // click/user 1: 8 events, values 1..8 in time order -> keeps 1..5
+      (1 to 8).map(i => ev(i, s"2024-01-01 0$i:00:00", 1, "click", i.toDouble)) ++
+        // click/user 2: 3 events -> under the cap, all kept
+        Seq(ev(21, "2024-01-02 01:00:00", 2, "click", 10.0),
+          ev(22, "2024-01-02 02:00:00", 2, "click", 20.0),
+          ev(23, "2024-01-02 03:00:00", 2, "click", 30.0)) ++
+        // view/user 3: 6 events at the SAME ts -> event_id breaks the tie,
+        // ids 31..35 kept, 36 dropped
+        (31 to 36).map(i =>
+          ev(i, "2024-01-03 12:00:00", 3, "view", (i - 30).toDouble)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.contributionCapFrame(fixture)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq
+    assert(got === Seq(
+      // raw 36+60=96, capped (1+..+5)+60=75, loss 21/96
+      ("click", 2L, 1L, 11L, 8L, 96.0, 75.0, 21.0 / 96.0),
+      // raw 21, capped 15, loss 6/21
+      ("view", 1L, 1L, 6L, 5L, 21.0, 15.0, 6.0 / 21.0)))
+  }
+
   test("autocorrFrame: a planted 24-hour cycle peaks at lag 24; zero hours are genuine zeros") {
     import spark.implicits._
     // 10 days of hourly events where hours 0-11 carry 3 events and
