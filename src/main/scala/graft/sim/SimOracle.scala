@@ -806,6 +806,98 @@ object SimOracle {
     FROM bf LEFT JOIN ls ON bf.qid = ls.qid AND bf.vec_id = ls.vec_id
     GROUP BY bf.qid ORDER BY bf.qid"""
 
+  /** Twin of [[SimQueries.filteredTopk]]: lang metadata joined into the
+    * index CTE, the same probe-with-predicate candidate join, exact
+    * filtered truth, boolean hit from the truth left join.
+    */
+  def filteredTopkSql: String = s"""
+    WITH $baseCtes,
+    m AS (
+      SELECT n.vec_id, n.v, n.nrm, d.lang,
+        ${bucketExpr("n.v")} AS bucket
+      FROM n JOIN documents d ON n.vec_id = d.doc_id
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, lang AS qlang, bucket
+      FROM m WHERE vec_id % 100 = 0
+    ),
+    qp AS (
+      SELECT qid, qv, qnrm, qlang, unnest(${probeList("bucket")}) AS probe
+      FROM q
+    ),
+    sp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM qp JOIN m ON bucket = probe AND vec_id <> qid AND lang = qlang
+    ),
+    served AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn,
+        vec_id, cosine
+      FROM sp
+    ),
+    tp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM q JOIN m ON lang = qlang AND vec_id <> qid
+    ),
+    tr AS (
+      SELECT qid, vec_id,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, vec_id) AS trn
+      FROM tp
+    ),
+    truth AS (SELECT qid, vec_id FROM tr WHERE trn <= 10)
+    SELECT s.qid, s.rn, s.vec_id, s.cosine,
+      t.vec_id IS NOT NULL AS hit
+    FROM served s
+    LEFT JOIN truth t ON s.qid = t.qid AND s.vec_id = t.vec_id
+    WHERE s.rn <= 10
+    ORDER BY s.qid, s.rn"""
+
+  /** Twin of [[SimQueries.rangeSearch]]: per-query exact and probed
+    * in-range counts, coverage = the BIGINT/BIGINT division, the tau
+    * literal cast to DOUBLE (DuckDB decimal-literal gotcha).
+    */
+  def rangeSearchSql: String = {
+    val tau = s"CAST(${SimQueries.RangeTau} AS DOUBLE)"
+    s"""
+    WITH $baseCtes,
+    nb AS (
+      SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bucket FROM n
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket
+      FROM nb WHERE vec_id % 100 = 0
+    ),
+    ex AS (
+      SELECT qid, COUNT(*) AS n_exact
+      FROM q JOIN nb ON vec_id <> qid
+      WHERE ${dotIdx("qv", "v")} / (qnrm * nrm) >= $tau
+      GROUP BY qid
+    ),
+    qp AS (
+      SELECT qid, qv, qnrm, unnest(${probeList("bucket")}) AS probe
+      FROM q
+    ),
+    sv AS (
+      SELECT qid, COUNT(*) AS n_served
+      FROM qp JOIN nb ON bucket = probe AND vec_id <> qid
+      WHERE ${dotIdx("qv", "v")} / (qnrm * nrm) >= $tau
+      GROUP BY qid
+    )
+    SELECT q.qid,
+      COALESCE(ex.n_exact, 0) AS n_exact,
+      COALESCE(sv.n_served, 0) AS n_served,
+      CASE WHEN COALESCE(ex.n_exact, 0) = 0 THEN NULL
+        ELSE COALESCE(sv.n_served, 0) / ex.n_exact END AS coverage
+    FROM q
+    LEFT JOIN ex ON q.qid = ex.qid
+    LEFT JOIN sv ON q.qid = sv.qid
+    ORDER BY q.qid"""
+  }
+
   val ivfRecallSql: String = s"""
     WITH $baseCtes,
     bq AS (

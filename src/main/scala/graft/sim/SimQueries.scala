@@ -2565,8 +2565,126 @@ object SimQueries {
       .orderBy("cell")
   }
 
+  /** Filtered vector search — the named hard problem of production vector
+    * stores (every serving stack grows a metadata predicate the moment two
+    * tenants or languages share an index): top-k among only the vectors
+    * whose DOCUMENT metadata satisfies the query's predicate — here
+    * lang(candidate) = lang(query), the language-scoped retrieval shape.
+    * The filter is applied at CANDIDATE GENERATION (pre-filtering), not
+    * after the rank: post-filtering a top-k returns < k (often 0) rows
+    * whenever the filter is selective, the classic filtered-ANN failure.
+    * Truth = exact cosine top-10 over the SAME filtered corpus; each
+    * served row carries hit = truth membership, so the result is its own
+    * recall grade (the `ann_*_recall` / `multimodal_text_to_asset`
+    * convention).
+    *
+    * Scale shape: metadata rides the index entry — the lang column joins
+    * the corpus once at index-build time (at 100 TB the index is WRITTEN
+    * partitioned by (lang, bucket), so the probe prunes to the tenant's
+    * partitions and the filter costs zero at serve time); the probe scan
+    * stays the LSH contract (~3.5% of the filtered partition at 8
+    * planes + 1-bit multi-probe). Determinism: the shared ordered-fold
+    * cosine, ties (cosine desc, vec_id), boolean hit from a truth
+    * left join.
+    */
+  val filteredTopk: GraftQuery = GraftQuery(
+    "ann_filtered_topk",
+    "filtered vector search: LSH multi-probe top-10 under a lang metadata predicate (pre-filtered candidates), hit-graded vs the exact filtered truth",
+    SimOracle.filteredTopkSql) { (s, d) =>
+    val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .join(meta, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("lang"))
+      .withColumn("bucket", lshBucket(col("v")))
+      .localCheckpoint(eager = false) // read by the serve AND truth paths
+    val q = broadcast(v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("lang").as("qlang"), col("bucket")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    val served = q
+      .select(col("qid"), col("qv"), col("qnrm"), col("qlang"),
+        explode(probeBuckets(col("bucket"))).as("probe"))
+      .join(v, col("bucket") === col("probe")
+        && col("vec_id") =!= col("qid") && col("lang") === col("qlang"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"))
+    val truth = q.drop("bucket")
+      .join(v, col("lang") === col("qlang") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("tr", row_number().over(w))
+      .filter(col("tr") <= 10)
+      .select(col("qid").as("tqid"), col("vec_id").as("tvec"))
+    served
+      .join(truth, col("qid") === col("tqid") && col("vec_id") === col("tvec"),
+        "left")
+      .select(col("qid"), col("rn"), col("vec_id"), col("cosine"),
+        col("tvec").isNotNull.as("hit"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Cosine threshold for [[rangeSearch]] — p99 of the corpus pair-cosine
+    * distribution, so in-range sets stay O(1%) of the corpus per query.
+    */
+  val RangeTau = 0.3
+
+  /** Range search (faiss `range_search`): ALL neighbors within a cosine
+    * radius, not a fixed k — the dedup/recall-sweep primitive top-k can't
+    * express (a top-10 under-reports a dense neighborhood and pads a
+    * sparse one). Served from the LSH multi-probe buckets; the exact
+    * in-range count rides each row, so coverage = served/exact is the
+    * honest per-query grade of what multi-probe misses at the radius
+    * (the fused-recall convention, aggregated because the result SET —
+    * not a rank list — is the output here).
+    *
+    * Scale shape: the exact side is one broadcast-query corpus pass
+    * (the bruteforce contract — it is the TRUTH artifact, priced like
+    * every `ann_*_recall`); the served side scans only probed buckets.
+    * Both sides reduce to per-query counts before the join — nothing
+    * row-sized leaves the aggregation. Determinism: counts are exact
+    * longs over bit-identical cosines; coverage divides the two longs;
+    * the >= tau comparison uses the same double literal on both engines.
+    */
+  val rangeSearch: GraftQuery = GraftQuery(
+    "ann_range_search",
+    s"range search: all neighbors with cosine >= $RangeTau via LSH multi-probe, coverage-graded vs the exact in-range count",
+    SimOracle.rangeSearchSql) { (s, d) =>
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("bucket", lshBucket(col("v")))
+      .localCheckpoint(eager = false)
+    val qb = broadcast(v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket")))
+    val exact = qb.drop("bucket")
+      .join(v, col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .filter(col("cosine") >= lit(RangeTau))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val servedAgg = qb
+      .select(col("qid"), col("qv"), col("qnrm"),
+        explode(probeBuckets(col("bucket"))).as("probe"))
+      .join(v, col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .filter(col("cosine") >= lit(RangeTau))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_served"))
+    // plain (un-hinted) spine: the broadcast hint is for the corpus-side
+    // probe joins above; a left join can't build its LEFT side anyway
+    v.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"))
+      .join(exact, Seq("qid"), "left")
+      .join(servedAgg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_served"), lit(0L)).as("n_served"),
+        when(coalesce(col("n_exact"), lit(0L)) === 0L, lit(null))
+          .otherwise(coalesce(col("n_served"), lit(0L))
+            / coalesce(col("n_exact"), lit(0L))).as("coverage"))
+      .orderBy("qid")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(bruteforce, lshTopk, lshRecall, graphTopk, graphRecall, driftPsi,
+      filteredTopk, rangeSearch,
       graphIncremental, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, ivfAdaptive, int8Quant,
       kmeans,

@@ -836,4 +836,36 @@ class PlanSpec extends SparkSpec {
       s"detector re-scans the corpus:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("events_k_anonymity: one corpus scan; lattice levels roll up the class table") {
+    val plan = planOf("events_k_anonymity")
+    // day/week/month sizes all derive from ONE day-class aggregate —
+    // a second parquet scan would mean a lattice level re-read the corpus
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1,
+      s"expected exactly one corpus scan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"day-class agg missing:\n$plan")
+  }
+
+  test("events_contribution_cap: raw and capped aggregate in ONE pass over one scan") {
+    val plan = planOf("events_contribution_cap")
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1,
+      s"raw/capped sides must share the scan:\n$plan")
+    assert(plan.contains("Window"), s"keep-rank window missing:\n$plan")
+  }
+
+  test("ann_filtered_topk: predicate rides the probe's hash join, no cartesian") {
+    val plan = planOf("ann_filtered_topk")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+  }
+
+  test("ann_range_search: probe side joins by bucket hash; only the truth side is the broadcast NL scan") {
+    val plan = planOf("ann_range_search")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    // served candidates: equi join on the probed bucket
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    // exact truth: the deliberate broadcast-queries corpus pass
+    // (the bruteforce contract every ann_* grade pays)
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"truth pass shape changed:\n$plan")
+  }
 }

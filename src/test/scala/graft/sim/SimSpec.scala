@@ -445,6 +445,84 @@ class SimSpec extends SparkSpec {
     assert(math.abs(stable.getDouble(0)) < 0.01)
   }
 
+  test("ann_filtered_topk: predicate never violated; hit column equals an independent filtered truth") {
+    // independent third implementation: plain-Scala cosines over the
+    // collected corpus (same ascending-index product order as the engine's
+    // ordered fold and the oracle's list_reduce -> bit-identical doubles)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def dotS(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dotS(v, v)) }.toMap
+    val byId = vecs.toMap
+    val truth: Map[Long, Set[Long]] = vecs.collect {
+      case (qid, qv) if qid % 100 == 0 =>
+        val qlang = docs(qid)
+        val ranked = vecs
+          .filter { case (id, _) => id != qid && docs(id) == qlang }
+          .map { case (id, v) =>
+            (dotS(qv, v) / (nrm(qid) * nrm(id)), id)
+          }
+          .sortBy { case (c, id) => (-c, id) }
+          .take(10).map(_._2).toSet
+        qid -> ranked
+    }.toMap
+    val rows = SimQueries.filteredTopk.frame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val vid = r.getAs[Long]("vec_id")
+      // the predicate is enforced at candidate generation, never violated
+      assert(docs(vid) === docs(qid),
+        s"filtered search leaked lang: q=$qid cand=$vid")
+      // hit == exact filtered-truth membership, per row
+      assert(r.getAs[Boolean]("hit") === truth(qid).contains(vid))
+    }
+    // the probe finds SOMETHING on the fixed corpus (recall floor > 0)
+    assert(rows.count(_.getAs[Boolean]("hit")) > 0)
+    // ranks contiguous from 1 per query
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to g.length))
+    }
+  }
+
+  test("ann_range_search: served is a subset of exact; exact count matches an independent scan") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def dotS(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dotS(v, v)) }.toMap
+    val exactCount: Map[Long, Long] = vecs.collect {
+      case (qid, qv) if qid % 100 == 0 =>
+        qid -> vecs.count { case (id, v) =>
+          id != qid &&
+            dotS(qv, v) / (nrm(qid) * nrm(id)) >= SimQueries.RangeTau
+        }.toLong
+    }.toMap
+    val rows = SimQueries.rangeSearch.frame(spark, sf).collect()
+    assert(rows.length === exactCount.size) // every query visible, 0-hit too
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val ne = r.getAs[Long]("n_exact")
+      val ns = r.getAs[Long]("n_served")
+      assert(ne === exactCount(qid), s"exact in-range count drifted: q=$qid")
+      assert(ns <= ne, s"served must be a subset of exact: q=$qid")
+      if (ne == 0) assert(r.isNullAt(r.fieldIndex("coverage")))
+      else assert(r.getAs[Double]("coverage") === ns.toDouble / ne)
+    }
+  }
+
   test("planes are fixed literals (regression pin)") {
     assert(Planes.length === NumPlanes)
     assert(Planes.forall(_.length === Dims))
