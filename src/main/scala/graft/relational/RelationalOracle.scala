@@ -820,4 +820,71 @@ object RelationalOracle {
         AS customer_share
     FROM g ORDER BY segment"""
   }
+
+  /** ER twin: re-derives the dirty replica from the same hash60 rule
+    * (position = h%9 + 10, prefix length h%9 + 9, suffix from h%9 + 11 —
+    * a corruption bug on either side cannot cancel), the same two
+    * half-key blocking passes, DISTINCT candidate pairs, and the
+    * (dist, custkey) argmin. NULL-safe CASE comparisons mirror Spark's
+    * null-propagating `when`.
+    */
+  def entityResolutionSql: String = {
+    val m = RelationalQueries.ErDirtyModulus
+    val h = hash60Sql("c_name")
+    s"""
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+    dpre AS (SELECT c_custkey, c_nationkey, c_name, $h AS h FROM c),
+    d AS (
+      SELECT c_custkey AS true_key, c_nationkey AS d_nation,
+        CASE WHEN h % $m = 0 THEN
+          substr(c_name, 1, CAST(h % 9 AS INT) + 9) || 'x' ||
+            substr(c_name, CAST(h % 9 AS INT) + 11, 18)
+        ELSE c_name END AS dirty_name
+      FROM dpre
+    ),
+    dk AS (
+      SELECT true_key, d_nation, dirty_name,
+        unnest([substr(dirty_name, 10, 4),
+          'R' || substr(dirty_name, 14, 5)]) AS bk
+      FROM d
+    ),
+    ck AS (
+      SELECT c_custkey, c_name, c_nationkey,
+        unnest([substr(c_name, 10, 4), 'R' || substr(c_name, 14, 5)]) AS bk
+      FROM c
+    ),
+    cand AS (
+      SELECT DISTINCT dk.true_key, dk.d_nation, dk.dirty_name,
+        ck.c_custkey, ck.c_name
+      FROM dk JOIN ck ON dk.bk = ck.bk AND dk.d_nation = ck.c_nationkey
+    ),
+    scored AS (
+      SELECT true_key, c_custkey,
+        levenshtein(dirty_name, c_name) AS dist
+      FROM cand
+      WHERE levenshtein(dirty_name, c_name) <= 1
+    ),
+    best AS (
+      SELECT true_key, c_custkey AS matched_key, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY true_key
+          ORDER BY dist, c_custkey) AS rn
+        FROM scored)
+      WHERE rn = 1
+    ),
+    agg AS (
+      SELECT d.d_nation AS nationkey,
+        COUNT(*) AS n_records,
+        COUNT(b.matched_key) AS n_matched,
+        CAST(SUM(CASE WHEN b.dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exact,
+        CAST(SUM(CASE WHEN b.matched_key = d.true_key THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct
+      FROM d LEFT JOIN best b ON d.true_key = b.true_key
+      GROUP BY 1
+    )
+    SELECT nationkey, n_records, n_matched, n_exact, n_correct,
+      CASE WHEN n_matched = 0 THEN NULL
+        ELSE n_correct / n_matched END AS precision
+    FROM agg ORDER BY nationkey"""
+  }
 }

@@ -987,8 +987,93 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /** 1-in-N corruption rate for the entity-resolution replica. */
+  val ErDirtyModulus = 3
+
+  /** Entity resolution / record linkage — the capability the loan fuzzy
+    * cleaner (a 4-entry dictionary argmin) only gestures at: match a
+    * DIRTY second-source replica of the customer dimension back to the
+    * master by blocked fuzzy join. The replica is derived
+    * deterministically (every hash-picked third of names gets ONE digit
+    * of its 9-digit suffix substituted at a hash-picked position — the
+    * planted-signal convention, and the oracle re-derives it so a
+    * corruption bug cannot cancel out). Blocking emits TWO keys per
+    * record — the suffix's first-4 and last-5 digit halves, nation-
+    * scoped: a single-character corruption damages at most one half, so
+    * the true pair ALWAYS shares a key (provable candidate recall under
+    * 1 edit — the multi-pass blocking guarantee real ER systems buy with
+    * phonetic/minhash keys). Candidates dedupe, levenshtein <= 1 scores,
+    * argmin (dist, custkey) picks the survivor; correct = matched key
+    * equals the true source, so the per-nation precision is the
+    * artifact's own grade (ties at distance 1 CAN pick the wrong master
+    * — the classic ER precision story, reported rather than hidden).
+    *
+    * Scale shape: candidate space is bounded by block occupancy (half-id
+    * keys spread ~uniformly; no all-pairs join anywhere); the match is
+    * two hash joins + one per-record window argmin. At 100 TB both
+    * sides partition by the blocking key at write time.
+    */
+  val entityResolution: GraftQuery = GraftQuery(
+    "customer_entity_resolution",
+    s"entity resolution: dirty replica (1/$ErDirtyModulus names corrupted) matched to master via 2-pass half-key blocking + levenshtein argmin; per-nation precision",
+    RelationalOracle.entityResolutionSql) { (s, d) =>
+    entityResolutionFrame(Tables.customer(s, d))
+  }
+
+  /** The ER derivation over any customer frame — shared by the registry
+    * query and the plain-Scala full-replay spec (RelationalSpec).
+    */
+  def entityResolutionFrame(customer: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val h = graft.text.TextFns.hash60(col("c_name"))
+    val pos = (h % 9).cast("int") + lit(10)
+    val dirty = clean.select(
+      col("c_custkey").as("true_key"),
+      col("c_nationkey").as("d_nation"),
+      when(h % ErDirtyModulus === 0,
+        concat(col("c_name").substr(lit(1), pos - 1), lit("x"),
+          col("c_name").substr(pos + 1, lit(18))))
+        .otherwise(col("c_name")).as("dirty_name"))
+    val dk = dirty.select(col("true_key"), col("d_nation"), col("dirty_name"),
+      explode(array(substring(col("dirty_name"), 10, 4),
+        concat(lit("R"), substring(col("dirty_name"), 14, 5)))).as("bk"))
+    val ck = clean.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey").as("d_nation"),
+      explode(array(substring(col("c_name"), 10, 4),
+        concat(lit("R"), substring(col("c_name"), 14, 5)))).as("bk"))
+    val cand = dk.join(ck, Seq("bk", "d_nation"))
+      .select(col("true_key"), col("d_nation"), col("dirty_name"),
+        col("c_custkey"), col("c_name"))
+      .distinct() // a pair found by both key passes scores once
+      .withColumn("dist", levenshtein(col("dirty_name"), col("c_name")))
+      .filter(col("dist") <= 1)
+    val w = Window.partitionBy(col("true_key"))
+      .orderBy(col("dist"), col("c_custkey"))
+    val best = cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("true_key"), col("c_custkey").as("matched_key"),
+        col("dist"))
+    dirty
+      .join(best, Seq("true_key"), "left") // unmatched records stay visible
+      .groupBy(col("d_nation").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        count(col("matched_key")).as("n_matched"),
+        sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("matched_key") === col("true_key"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("nationkey"), col("n_records"), col("n_matched"),
+        col("n_exact"), col("n_correct"),
+        when(col("n_matched") === 0L, lit(null))
+          .otherwise(col("n_correct") / col("n_matched")).as("precision"))
+      .orderBy("nationkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    kmvDistinct, kmvOverlap, revenueTrendOls,
+    kmvDistinct, kmvOverlap, revenueTrendOls, entityResolution,
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,

@@ -859,6 +859,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
   }
 
+  test("customer_entity_resolution: blocked match is hash joins only — no all-pairs scan") {
+    val plan = planOf("customer_entity_resolution")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation fell off the blocking keys:\n$plan")
+  }
+
   test("ann_range_search: probe side joins by bucket hash; only the truth side is the broadcast NL scan") {
     val plan = planOf("ann_range_search")
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")

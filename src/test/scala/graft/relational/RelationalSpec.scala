@@ -69,4 +69,70 @@ class RelationalSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("customer_entity_resolution: full plain-Scala replay (corruption, blocking, argmin) agrees") {
+    // independent third implementation of the WHOLE pipeline — the engine
+    // and the oracle share the rule text, so only an outside replay
+    // catches a rule that is consistently wrong on both
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val clean = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val dirty = clean.map { case (k, name, nat) =>
+      val h = h60(name)
+      val dn = if (h % RelationalQueries.ErDirtyModulus == 0) {
+        val p = (h % 9).toInt + 10 // 1-indexed corruption position
+        name.substring(0, p - 1) + "x" + name.substring(p)
+      } else name
+      (k, nat, dn)
+    }
+    def keys(n: String) = Seq(n.substring(9, 13), "R" + n.substring(13, 18))
+    val cleanByKey = clean
+      .flatMap { case (k, n, nat) => keys(n).map(bk => (bk, nat) -> (k, n)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val expected = dirty.map { case (tk, nat, dn) =>
+      val cands = keys(dn).flatMap(bk => cleanByKey.getOrElse((bk, nat), Array.empty[(Long, String)]))
+        .distinct
+        .map { case (ck, cn) => (lev(dn, cn), ck) }
+        .filter(_._1 <= 1)
+      val best = cands.sorted.headOption
+      (nat, tk, best)
+    }
+    val expAgg = expected.groupBy(_._1).map { case (nat, rows) =>
+      val matched = rows.flatMap(_._3)
+      nat -> (rows.length.toLong, matched.length.toLong,
+        matched.count(_._1 == 0).toLong,
+        rows.count(r => r._3.exists(_._2 == r._2)).toLong)
+    }
+    val got = RelationalQueries.entityResolution.frame(spark, sf).collect()
+    assert(got.length === expAgg.size)
+    got.foreach { r =>
+      val nat = r.getInt(0)
+      val (nRec, nMatch, nExact, nCorrect) = expAgg(nat)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((nRec, nMatch, nExact, nCorrect)), s"nation $nat drifted")
+      if (nMatch == 0) assert(r.isNullAt(5))
+      else assert(r.getDouble(5) === nCorrect.toDouble / nMatch)
+    }
+    // the planted corruption really happened: some records are inexact,
+    // and blocking's 1-edit recall guarantee means every record matches
+    val total = expAgg.values.map(_._1).sum
+    val exact = expAgg.values.map(_._3).sum
+    assert(exact < total, "no record was corrupted — the fixture is dead")
+    assert(expAgg.values.map(_._2).sum === total,
+      "1-edit blocking recall guarantee violated: an unmatched record")
+  }
 }
