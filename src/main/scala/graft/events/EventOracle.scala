@@ -1417,6 +1417,97 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.ewmaReadout]]: the cusumSql dense-grid/stats
+    * CTEs, then the banded kernel join (exact at the 1e-9 quantum past
+    * the cut — scaladoc at EwmaKernelCut), weights quantized right after
+    * their one pow, each term re-quantized before the exact LONG sum,
+    * limits quantized so the alarm compares are integer-exact.
+    */
+  def ewmaChartSql: String = {
+    val lam = s"${EventQueries.EwmaLambda}::DOUBLE"
+    val dec = s"${1.0 - EventQueries.EwmaLambda}::DOUBLE"
+    val den = s"${EventQueries.EwmaDenom}::DOUBLE"
+    val ll = s"${EventQueries.EwmaL}::DOUBLE"
+    val cut = EventQueries.EwmaKernelCut
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS ne
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    xq AS MATERIALIZED (
+      SELECT g.hour, rate,
+        CAST(FLOOR(rate * 1e9 + 0.5) AS BIGINT) AS rq
+      FROM (
+        SELECT g.hour,
+          CASE WHEN COALESCE(ha.n, 0) = 0 THEN 0.0::DOUBLE
+            ELSE CAST(ha.ne AS DOUBLE) / CAST(ha.n AS DOUBLE) END AS rate
+        FROM g LEFT JOIN ha ON g.hour = ha.hour
+      ) g
+    ),
+    st AS (
+      SELECT CAST(SUM(rq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
+        AS mean, COUNT(*) AS nh
+      FROM xq
+    ),
+    vr AS (
+      SELECT SQRT(CAST(SUM(CAST(FLOOR(
+          (rate - (SELECT mean FROM st)) * (rate - (SELECT mean FROM st))
+          * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e9 / CAST((SELECT nh FROM st) AS DOUBLE)) AS sigma
+      FROM xq
+    ),
+    xt AS MATERIALIZED (
+      SELECT hour, rate, rq,
+        CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) AS t
+      FROM xq
+    ),
+    terms AS (
+      SELECT a.hour, a.t, a.rq,
+        CAST(FLOOR(b.rate
+          * (FLOOR($lam * pow($dec, a.t - b.t) * 1e9 + 0.5) / 1e9)
+          * 1e9 + 0.5) AS BIGINT) AS tq
+      FROM xt a JOIN xt b ON b.t <= a.t AND b.t >= a.t - $cut
+    ),
+    zs AS (
+      SELECT hour, t, rq, CAST(SUM(tq) AS BIGINT) AS zq0
+      FROM terms GROUP BY 1, 2, 3
+    ),
+    z AS (
+      SELECT hour, rq,
+        zq0 + CASE WHEN t <= $cut THEN
+          CAST(FLOOR((SELECT mean FROM st)
+            * (FLOOR(pow($dec, t) * 1e9 + 0.5) / 1e9)
+            * 1e9 + 0.5) AS BIGINT)
+          ELSE 0 END AS zq,
+        CASE WHEN t * 2 <= $cut THEN
+          1.0::DOUBLE - FLOOR(pow($dec, t * 2) * 1e9 + 0.5) / 1e9
+          ELSE 1.0::DOUBLE END AS varfac
+      FROM zs
+    ),
+    lim AS (
+      SELECT hour, rq, zq,
+        CAST(FLOOR(((SELECT mean FROM st)
+          + SQRT($lam / $den * varfac) * (SELECT sigma FROM vr) * $ll)
+          * 1e9 + 0.5) AS BIGINT) AS uclq,
+        CAST(FLOOR(((SELECT mean FROM st)
+          - SQRT($lam / $den * varfac) * (SELECT sigma FROM vr) * $ll)
+          * 1e9 + 0.5) AS BIGINT) AS lclq
+      FROM z
+    )
+    SELECT hour, rq / 1e9 AS rate, zq / 1e9 AS ewma,
+      uclq / 1e9 AS ucl, lclq / 1e9 AS lcl,
+      zq > uclq AS alarm_up, zq < lclq AS alarm_down
+    FROM lim ORDER BY hour"""
+  }
+
   /** Twin of [[EventQueries.contributionCapFrame]]: same (ts, event_id)
     * keep rank, same conditional quantized-LONG sums, loss share divides
     * the two exact LONGs.

@@ -1963,6 +1963,128 @@ object EventQueries {
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_stat"))
   }
 
+  /** EWMA smoothing weight (the SPC-standard lambda = 0.2). */
+  val EwmaLambda = 0.2
+
+  /** EWMA control-limit width in sigmas (L = 3). */
+  val EwmaL = 3.0
+
+  /** 2 - lambda, precomputed so both engines parse the same literal. */
+  val EwmaDenom = 1.8
+
+  /** EWMA kernel truncation: weights with lag > this quantize to ZERO at
+    * the 1e-9 quantum (lambda * 0.8^lag < 5e-10 from lag 89), so the
+    * banded unrolling below this cut is EXACTLY the untruncated sum —
+    * a bounded-join rewrite, not an approximation.
+    */
+  val EwmaKernelCut = 124
+
+  /** EWMA control chart — the third classic SPC detector, completing
+    * [[anomaly]] (point outliers) and [[cusum]] (persistent level
+    * shifts): the exponentially weighted moving average
+    * z_t = lambda*x_t + (1-lambda)*z_{t-1}, z_0 = mean, tracked against
+    * TIME-VARYING control limits mean +- L*sigma*sqrt(lambda/(2-lambda)
+    * * (1-(1-lambda)^2t)) — the limits widen from zero as the average
+    * warms up, the property CUSUM lacks (its sum starts trustworthy,
+    * EWMA's average doesn't). Sensitivity sits between the siblings:
+    * faster than CUSUM on medium shifts, immune to the single-point
+    * noise that pages the z-score detector.
+    *
+    * The recursion unrolls to z_t = (1-lambda)^t*mean + lambda *
+    * sum_j (1-lambda)^(t-j)*x_j; the geometric weights make the naive
+    * prefix trick overflow ((1/0.8)^t explodes past ~700 hours), so the
+    * engine uses a BANDED self-join over the model-sized dense hourly
+    * grid — j in [t-[[EwmaKernelCut]], t] — which is exact at the 1e-9
+    * quantum (weights beyond the cut quantize to zero; scaladoc at the
+    * constant). O(T * 125) tiny-row work on a calendar-bounded frame,
+    * never the corpus. Determinism: the SES weight recipe (each weight
+    * quantized to 1e-9 right after its one pow), each weighted term
+    * re-quantized to a 1e-9 LONG before the exact sum, limits quantized
+    * to LONGs so the alarm compares are integer-exact.
+    */
+  val ewmaChart: GraftQuery = GraftQuery(
+    "events_ewma_chart",
+    s"EWMA control chart (lambda=$EwmaLambda, L=$EwmaL) over the dense hourly error-rate series with warm-up-aware limits",
+    EventOracle.ewmaChartSql) { (s, d) =>
+    ewmaFrame(Tables.events(s, d))
+  }
+
+  /** The EWMA derivation over any events frame — shared by the registry
+    * query and the planted-shift spec (EventQueriesSpec).
+    */
+  def ewmaFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ewmaReadout(events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne")))
+
+  /** The EWMA readout over a SPARSE hourly (hour, n, ne) frame — the
+    * [[cusumReadout]] serving-layer signature, so the streamed hourly
+    * sink can feed it unchanged.
+    */
+  def ewmaReadout(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = densify(hourly)
+      .select(col("hour"),
+        when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("ne").cast("double") / col("n").cast("double"))
+          .as("rate"))
+      .withColumn("rq", Det.quantize(col("rate"), 9))
+      .withColumn("t", row_number().over(Window.orderBy(col("hour")))
+        .cast("long"))
+      .localCheckpoint()
+    val st = x.agg(
+      (sum(col("rq")).cast("double") / lit(1e9)
+        / count(lit(1)).cast("double")).as("mean"),
+      count(lit(1)).as("nh"))
+    val varq = x.crossJoin(broadcast(st))
+      .select(Det.quantize((col("rate") - col("mean"))
+        * (col("rate") - col("mean")), 9).as("sq"), col("nh"))
+      .groupBy(col("nh"))
+      .agg((sum(col("sq")).cast("double") / lit(1e9)
+        / col("nh").cast("double")).as("variance"))
+      .select(sqrt(col("variance")).as("sigma"))
+    val params = st.select(col("mean")).crossJoin(broadcast(varq))
+    val decay = lit(1.0 - EwmaLambda)
+    val terms = x.as("a").join(x.as("b"),
+        col("b.t") <= col("a.t")
+          && col("b.t") >= col("a.t") - lit(EwmaKernelCut.toLong))
+      .select(col("a.hour").as("hour"), col("a.t").as("t"),
+        col("a.rq").as("rq"), col("b.rate").as("xj"),
+        (col("a.t") - col("b.t")).as("lag"))
+      .withColumn("wq",
+        floor(lit(EwmaLambda) * pow(decay, col("lag")) * lit(1e9) + lit(0.5))
+          / lit(1e9))
+      .groupBy(col("hour"), col("t"), col("rq"))
+      .agg(sum(Det.quantize(col("xj") * col("wq"), 9)).as("zq0"))
+    terms.crossJoin(broadcast(params))
+      .withColumn("muwq",
+        floor(pow(decay, col("t")) * lit(1e9) + lit(0.5)) / lit(1e9))
+      .withColumn("zq", col("zq0")
+        + when(col("t") <= EwmaKernelCut,
+          Det.quantize(col("mean") * col("muwq"), 9)).otherwise(lit(0L)))
+      .withColumn("varfac",
+        when(col("t") * 2 <= EwmaKernelCut,
+          lit(1.0) - floor(pow(decay, col("t") * 2) * lit(1e9) + lit(0.5))
+            / lit(1e9))
+          .otherwise(lit(1.0)))
+      .withColumn("halfw",
+        sqrt(lit(EwmaLambda) / lit(EwmaDenom) * col("varfac"))
+          * col("sigma") * lit(EwmaL))
+      .withColumn("uclq", Det.quantize(col("mean") + col("halfw"), 9))
+      .withColumn("lclq", Det.quantize(col("mean") - col("halfw"), 9))
+      .select(col("hour"),
+        (col("rq") / lit(1e9)).as("rate"),
+        (col("zq") / lit(1e9)).as("ewma"),
+        (col("uclq") / lit(1e9)).as("ucl"),
+        (col("lclq") / lit(1e9)).as("lcl"),
+        (col("zq") > col("uclq")).as("alarm_up"),
+        (col("zq") < col("lclq")).as("alarm_down"))
+      .orderBy("hour")
+  }
+
   /** k-anonymity threshold for [[kAnonymity]]. */
   val AnonK = 10
 
@@ -2110,5 +2232,5 @@ object EventQueries {
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
-      kAnonymity, contributionCap)
+      kAnonymity, contributionCap, ewmaChart)
 }

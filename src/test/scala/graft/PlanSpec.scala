@@ -859,6 +859,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
   }
 
+  test("events_ewma_chart: one corpus aggregate; the banded kernel join runs on the checkpointed grid") {
+    val df = SparkEntry.queries("events_ewma_chart")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the kernel self-join and the stats pass read the cached model-sized
+    // grid — the events parquet is scanned exactly once, upstream of it
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 1,
+      s"kernel join re-scans the corpus:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("customer_entity_resolution: blocked match is hash joins only — no all-pairs scan") {
     val plan = planOf("customer_entity_resolution")
     assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")

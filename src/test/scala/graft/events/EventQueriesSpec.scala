@@ -107,6 +107,38 @@ class EventQueriesSpec extends SparkSpec {
       ("view", 1L, 1L, 6L, 5L, 21.0, 15.0, 6.0 / 21.0)))
   }
 
+  test("ewmaFrame: planted rate shift crosses the UCL within hours; warm-up never false-alarms") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    // 80 hours at error rate 0.1, then 40 hours at 0.5 (the deploy)
+    val fixture = (for {
+      i <- 0 until 120
+      j <- 0 until 10
+    } yield {
+      val typ = if (j < (if (i < 80) 1 else 5)) "error" else "click"
+      (i * 10L + j, Timestamp.valueOf(t0.plusHours(i.toLong)), 1L, typ, 0.0, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventQueries.ewmaFrame(fixture).collect()
+    assert(rows.length === 120)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ucl") > r.getAs[Double]("lcl"))
+      assert(!r.getAs[Boolean]("alarm_down"),
+        s"spurious low-side alarm at ${r.get(0)}")
+    }
+    val ups = rows.zipWithIndex.collect {
+      case (r, i) if r.getAs[Boolean]("alarm_up") => i
+    }
+    // the warm-up period and the whole base regime stay silent: the
+    // time-varying limits widen exactly as fast as the average warms
+    assert(ups.forall(_ >= 80), s"false alarm before the shift: ${ups.take(3).toSeq}")
+    // the shifted regime fires within single-digit hours (z converges
+    // geometrically: dev >= halfw from ~6 hours after the shift)
+    assert(ups.nonEmpty && ups.min < 90,
+      s"detector slept through the shift: first=${ups.headOption}")
+    // and keeps firing once latched onto the new level
+    assert(ups.contains(119))
+  }
+
   test("autocorrFrame: a planted 24-hour cycle peaks at lag 24; zero hours are genuine zeros") {
     import spark.implicits._
     // 10 days of hourly events where hours 0-11 carry 3 events and

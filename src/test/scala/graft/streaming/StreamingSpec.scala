@@ -348,6 +348,17 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(stlStreamed === stlBatch)
     assert(stlStreamed.length === 5)
+    // the EWMA chart consumes the SAME sink (cusumReadout's signature)
+    val ewmaStreamed = graft.events.EventQueries
+      .ewmaReadout(spark.table("cusum_src")
+        .select(col("hour"), col("n_events").as("n"),
+          col("n_errors").as("ne")))
+      .collect().map(_.toSeq).toSeq
+    val ewmaBatch = graft.events.EventQueries
+      .ewmaFrame((batch1 ++ batch2).toDF())
+      .collect().map(_.toSeq).toSeq
+    assert(ewmaStreamed === ewmaBatch)
+    assert(ewmaStreamed.length === 5)
   }
 
   test("funnelStages: keyed-state funnel == batch conditional-min derivation across a mid-journey split") {
