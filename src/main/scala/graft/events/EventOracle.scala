@@ -1417,6 +1417,74 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.abCupedFrame]]: same cents-quantized per-user
+    * (x, y) sums, the overflow-guarded cross-products, per-arm sufficient
+    * stats, pooled = sums of the 2 arm rows, and the abTestSql division
+    * shapes (sc*sc folds to the 10000.0 literal).
+    */
+  def abCupedSql: String = {
+    val b = s"TIMESTAMP '${EventQueries.CupedBoundary} 00:00:00'"
+    s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN ts < $b
+          THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS xq,
+        CAST(SUM(CASE WHEN ts >= $b
+          THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS yq,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pg AS (
+      SELECT arm, xq, yq,
+        CASE WHEN abs(xq) > 3037000499 OR abs(yq) > 3037000499
+          THEN CAST(error('events_ab_cuped: per-user sum overflows the '
+            || 'cross-product quantum') AS BIGINT)
+          ELSE xq * yq END AS xy,
+        xq * xq AS xx, yq * yq AS yy
+      FROM pu
+    ),
+    pa AS MATERIALIZED (
+      SELECT arm, COUNT(*) AS n,
+        CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+        CAST(SUM(xy) AS BIGINT) AS sxy, CAST(SUM(xx) AS BIGINT) AS sxx,
+        CAST(SUM(yy) AS BIGINT) AS syy
+      FROM pg GROUP BY arm
+    ),
+    pool AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS pn, CAST(SUM(sx) AS BIGINT) AS psx,
+        CAST(SUM(sy) AS BIGINT) AS psy, CAST(SUM(sxy) AS BIGINT) AS psxy,
+        CAST(SUM(sxx) AS BIGINT) AS psxx, CAST(SUM(syy) AS BIGINT) AS psyy
+      FROM pa
+    ),
+    gl AS (
+      SELECT psx / 100.0 / pn AS xbar,
+        (psxy / 10000.0 - (psx / 100.0) * (psy / 100.0) / pn) / (pn - 1)
+          AS cov_xy,
+        (psxx / 10000.0 - (psx / 100.0) * (psx / 100.0) / pn) / (pn - 1)
+          AS var_x,
+        (psyy / 10000.0 - (psy / 100.0) * (psy / 100.0) / pn) / (pn - 1)
+          AS var_y
+      FROM pool
+    ),
+    th AS (
+      SELECT xbar, var_y, cov_xy / var_x AS theta,
+        var_y - (cov_xy / var_x) * cov_xy AS var_y_cuped
+      FROM gl
+    )
+    SELECT arm, n AS n_users,
+      sx / 100.0 / n AS mean_x,
+      sy / 100.0 / n AS mean_y,
+      sy / 100.0 / n - theta * (sx / 100.0 / n - xbar) AS mean_y_cuped,
+      theta, var_y, var_y_cuped,
+      1.0::DOUBLE - var_y_cuped / var_y AS var_reduction
+    FROM pa CROSS JOIN th
+    ORDER BY arm"""
+  }
+
   /** Twin of [[EventQueries.ewmaReadout]]: the cusumSql dense-grid/stats
     * CTEs, then the banded kernel join (exact at the 1e-9 quantum past
     * the cut — scaladoc at EwmaKernelCut), weights quantized right after

@@ -2220,6 +2220,98 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Pre/post boundary for [[abCuped]] (mid-corpus, fixed literal — the
+    * F12 pinned-date convention).
+    */
+  val CupedBoundary = "2024-01-16"
+
+  /** CUPED-adjusted A/B readout — the variance-reduction step every
+    * modern experimentation stack runs on top of the plain Welch readout
+    * ([[abTest]]): each user's post-period metric Y is adjusted by their
+    * OWN pre-period covariate X, y' = y - theta*(x - xbar) with
+    * theta = cov(X,Y)/var(X) pooled across arms — pre-period behavior
+    * predicts post-period behavior, so subtracting the predictable part
+    * shrinks the variance the t-test divides by (by exactly
+    * theta*cov = rho^2 * var(Y)) without biasing the arm difference
+    * (theta and xbar are arm-blind). Output per arm: user count, raw and
+    * adjusted means, plus the pooled theta / variances / variance
+    * reduction riding both rows.
+    *
+    * Scale shape: ONE corpus pass to per-user (x, y) quantized-LONG
+    * sums, then per-arm sufficient statistics (n, Sx, Sy, Sxy, Sxx,
+    * Syy — 2 rows); the pooled stats are SUMS of the per-arm sums, so
+    * nothing user-sized is read twice and nothing corpus-sized is
+    * checkpointed. Determinism: cents-quantized LONG sums (scale 2 keeps
+    * the guarded cross-products inside the exact LONG range), every
+    * double recomposition in the abTest expression shapes.
+    */
+  val abCuped: GraftQuery = GraftQuery(
+    "events_ab_cuped",
+    s"CUPED A/B readout: post-period purchase value adjusted by the pre-$CupedBoundary covariate; per-arm means + pooled variance reduction",
+    EventOracle.abCupedSql) { (s, d) =>
+    abCupedFrame(Tables.events(s, d))
+  }
+
+  /** The CUPED derivation over any events frame — shared by the registry
+    * query and the hand fixture (EventQueriesSpec).
+    */
+  def abCupedFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val boundary = lit(CupedBoundary).cast("timestamp")
+    val vq2 = Det.quantize(col("value"), 2)
+    val perUser = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < boundary, vq2).otherwise(0L)).as("xq"),
+        sum(when(col("ts") >= boundary, vq2).otherwise(0L)).as("yq"))
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    // one guard aborts the whole pass when EITHER factor could overflow a
+    // cross-product; past it every square/product fits a LONG
+    val xyGuarded =
+      when(abs(col("xq")) > lit(MaxSqAbs) || abs(col("yq")) > lit(MaxSqAbs),
+        raise_error(lit("events_ab_cuped: per-user sum overflows the " +
+          "cross-product quantum — widen the quantum")).cast("long"))
+        .otherwise(col("xq") * col("yq"))
+    val perArm = perUser.groupBy(col("arm")).agg(
+        count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"),
+        sum(col("yq")).as("sy"),
+        sum(xyGuarded).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"))
+      .localCheckpoint() // 2 rows; read per-arm AND summed into the pool
+    val pooled = perArm.agg(
+      sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+      sum(col("sy")).as("psy"), sum(col("sxy")).as("psxy"),
+      sum(col("sxx")).as("psxx"), sum(col("syy")).as("psyy"))
+    val sc = lit(Det.pow10(2).toDouble)
+    def varOf(q: org.apache.spark.sql.Column, s0: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - lit(1))
+    perArm.crossJoin(broadcast(pooled))
+      .withColumn("xbar", col("psx") / sc / col("pn"))
+      .withColumn("cov_xy",
+        (col("psxy") / (sc * sc)
+          - (col("psx") / sc) * (col("psy") / sc) / col("pn"))
+          / (col("pn") - lit(1)))
+      .withColumn("var_x", varOf(col("psxx"), col("psx"), col("pn")))
+      .withColumn("var_y", varOf(col("psyy"), col("psy"), col("pn")))
+      .withColumn("theta", col("cov_xy") / col("var_x"))
+      .withColumn("var_y_cuped", col("var_y") - col("theta") * col("cov_xy"))
+      .withColumn("mean_x", col("sx") / sc / col("n"))
+      .withColumn("mean_y", col("sy") / sc / col("n"))
+      .select(col("arm"), col("n").as("n_users"),
+        col("mean_x"), col("mean_y"),
+        (col("mean_y") - col("theta") * (col("mean_x") - col("xbar")))
+          .as("mean_y_cuped"),
+        col("theta"), col("var_y"), col("var_y_cuped"),
+        (lit(1.0) - col("var_y_cuped") / col("var_y")).as("var_reduction"))
+      .orderBy("arm")
+  }
+
   /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG. */
   private val MaxSqAbs = 3037000499L
 
@@ -2232,5 +2324,5 @@ object EventQueries {
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
-      kAnonymity, contributionCap, ewmaChart)
+      kAnonymity, contributionCap, ewmaChart, abCuped)
 }

@@ -821,6 +821,46 @@ object RelationalOracle {
     FROM g ORDER BY segment"""
   }
 
+  /** Association-rules twin: same distinct (order, part) base, order-keyed
+    * pair self-join, support filter, both directions, identical division
+    * shapes for confidence and lift, (lift, conf, keys) top-20.
+    */
+  def associationRulesSql: String = {
+    val ms = RelationalQueries.BasketMinSupport
+    s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    items AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= $ms
+    ),
+    directed AS (
+      SELECT pa AS antecedent, pb AS consequent, n_pair FROM pairs
+      UNION ALL
+      SELECT pb AS antecedent, pa AS consequent, n_pair FROM pairs
+    ),
+    rules AS (
+      SELECT d.antecedent, d.consequent, d.n_pair,
+        ia.n_item AS n_ant, ic.n_item AS n_cons,
+        d.n_pair / ia.n_item AS confidence,
+        (d.n_pair / ia.n_item)
+          / (ic.n_item / (SELECT n_orders FROM tot)) AS lift
+      FROM directed d
+      JOIN items ia ON d.antecedent = ia.l_partkey
+      JOIN items ic ON d.consequent = ic.l_partkey
+    )
+    SELECT antecedent, consequent, n_pair, n_ant, n_cons, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 20"""
+  }
+
   /** ER twin: re-derives the dirty replica from the same hash60 rule
     * (position = h%9 + 10, prefix length h%9 + 9, suffix from h%9 + 11 —
     * a corruption bug on either side cannot cancel), the same two

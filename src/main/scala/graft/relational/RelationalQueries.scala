@@ -987,6 +987,68 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /** Minimum pair-support count for [[associationRules]]. */
+  val BasketMinSupport = 2
+
+  /** Market-basket association rules — the classic co-occurrence analytics
+    * class (frequent itemsets at the pairwise grain + confidence/lift
+    * rules): which parts ship together in the same order more often than
+    * their popularity predicts? Pair mining is an ORDER-keyed equi
+    * self-join — candidate space is bounded by per-basket item count
+    * squared (TPC-H orders hold ~4 lines), never corpus-quadratic, the
+    * same bound A-Priori's first pass exploits — then a support filter
+    * cuts the rule table before any ranking. Both rule directions emit
+    * (lift is symmetric, confidence is not). Top-20 by (lift, confidence,
+    * keys) — a TakeOrdered over the support-bounded rule table.
+    *
+    * Determinism: supports are exact long counts; confidence and lift
+    * divide them in the same expression shape on both engines
+    * (lift = conf / (n_cons / N), evaluated left-to-right).
+    */
+  val associationRules: GraftQuery = GraftQuery(
+    "basket_association_rules",
+    s"market-basket rules: same-order part pairs (support >= $BasketMinSupport), confidence + lift, top-20",
+    RelationalOracle.associationRulesSql) { (s, d) =>
+    associationRulesFrame(Tables.lineitem(s, d))
+  }
+
+  /** The rule-mining derivation over any lineitem frame — shared by the
+    * registry query and the hand-arithmetic fixture (RelationalSpec).
+    */
+  def associationRulesFrame(lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(eager = false) // read by items, pairs, and the total
+    val totals = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= BasketMinSupport)
+    val directed = pairs
+      .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+        col("n_pair"))
+      .unionByName(pairs.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("n_pair")))
+    directed
+      .join(items.select(col("l_partkey").as("antecedent"),
+        col("n_item").as("n_ant")), "antecedent")
+      .join(items.select(col("l_partkey").as("consequent"),
+        col("n_item").as("n_cons")), "consequent")
+      .crossJoin(broadcast(totals))
+      .withColumn("confidence", col("n_pair") / col("n_ant"))
+      .withColumn("lift",
+        col("confidence") / (col("n_cons") / col("n_orders")))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ant"), col("n_cons"), col("confidence"), col("lift"))
+      .orderBy(desc("lift"), desc("confidence"), col("antecedent"),
+        col("consequent"))
+      .limit(20)
+  }
+
   /** 1-in-N corruption rate for the entity-resolution replica. */
   val ErDirtyModulus = 3
 
@@ -1074,6 +1136,7 @@ object RelationalQueries {
 
   def all: Seq[GraftQuery] = Seq(
     kmvDistinct, kmvOverlap, revenueTrendOls, entityResolution,
+    associationRules,
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,

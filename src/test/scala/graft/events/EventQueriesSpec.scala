@@ -107,6 +107,62 @@ class EventQueriesSpec extends SparkSpec {
       ("view", 1L, 1L, 6L, 5L, 21.0, 15.0, 6.0 / 21.0)))
   }
 
+  test("abCupedFrame: plain-Scala replay agrees; correlated covariate buys real variance reduction") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2
+    }
+    // per user: (pre-period purchase value, post-period value) with post
+    // strongly predicted by pre (y ~ 2x) so CUPED has signal to remove
+    val users = Seq(
+      1L -> (10.0, 21.5), 2L -> (20.0, 39.0), 3L -> (30.0, 62.25),
+      4L -> (40.0, 81.0), 5L -> (15.0, 32.0), 6L -> (25.0, 49.5),
+      7L -> (35.0, 69.75), 8L -> (45.0, 92.0))
+    val fixture = users.zipWithIndex.flatMap { case ((u, (x, y)), i) =>
+      Seq(ev(i * 2L, "2024-01-05 10:00:00", u, "purchase", x),
+        ev(i * 2L + 1, "2024-01-20 10:00:00", u, "purchase", y))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // replay with the engine's exact expression shapes
+    val per = users.map { case (u, (x, y)) =>
+      (arm(u), math.floor(x * 100.0 + 0.5).toLong,
+        math.floor(y * 100.0 + 0.5).toLong)
+    }
+    val arms = per.groupBy(_._1).map { case (a, rs) =>
+      a -> (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(r => r._2 * r._3).sum, rs.map(r => r._2 * r._2).sum,
+        rs.map(r => r._3 * r._3).sum)
+    }
+    val (pn, psx, psy, psxy, psxx, psyy) = arms.values
+      .reduce((l, r) => (l._1 + r._1, l._2 + r._2, l._3 + r._3,
+        l._4 + r._4, l._5 + r._5, l._6 + r._6))
+    val sc = 100.0
+    val xbar = psx / sc / pn
+    val cov = (psxy / (sc * sc) - (psx / sc) * (psy / sc) / pn) / (pn - 1)
+    val varX = (psxx / (sc * sc) - (psx / sc) * (psx / sc) / pn) / (pn - 1)
+    val varY = (psyy / (sc * sc) - (psy / sc) * (psy / sc) / pn) / (pn - 1)
+    val theta = cov / varX
+    val varYC = varY - theta * cov
+    val got = EventQueries.abCupedFrame(fixture).collect()
+    assert(got.length === arms.size)
+    got.foreach { r =>
+      val (n, sx, sy, _, _, _) = arms(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getDouble(2) === sx / sc / n) // mean_x
+      assert(r.getDouble(3) === sy / sc / n) // mean_y
+      assert(r.getDouble(4) === sy / sc / n - theta * (sx / sc / n - xbar))
+      assert(r.getDouble(5) === theta)
+      assert(r.getDouble(6) === varY)
+      assert(r.getDouble(7) === varYC)
+      assert(r.getDouble(8) === 1.0 - varYC / varY)
+    }
+    // the adjustment is real: y ~ 2x leaves little residual variance
+    assert(theta > 1.5 && theta < 2.5, s"theta off: $theta")
+    assert(1.0 - varYC / varY > 0.9,
+      s"variance reduction too weak: ${1.0 - varYC / varY}")
+  }
+
   test("ewmaFrame: planted rate shift crosses the UCL within hours; warm-up never false-alarms") {
     import spark.implicits._
     val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)

@@ -70,6 +70,29 @@ class RelationalSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("associationRulesFrame: confidence is directional, lift symmetric, arithmetic exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 5 baskets: {1,2} x3, {1,3}, {4}; duplicate line for (10,1) pins the
+    // DISTINCT base (a part twice in one order is still one basket hit)
+    val li = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L),
+      (14L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = RelationalQueries.associationRulesFrame(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // pair (1,2) n=3 survives min-support 2; (1,3) n=1 does not.
+    // N=5, n_1=4, n_2=3: conf(1->2)=3/4 lift=(3/4)/(3/5)=1.25;
+    // conf(2->1)=1.0 lift=1/(4/5)=1.25 — symmetric lift, directional conf
+    assert(got === Seq(
+      (2L, 1L, 3L, 3L, 4L, 1.0, 1.0 / (4.0 / 5.0)),
+      (1L, 2L, 3L, 4L, 3L, 3.0 / 4.0, (3.0 / 4.0) / (3.0 / 5.0))))
+  }
+
   test("customer_entity_resolution: full plain-Scala replay (corruption, blocking, argmin) agrees") {
     // independent third implementation of the WHOLE pipeline — the engine
     // and the oracle share the rule text, so only an outside replay
