@@ -1014,18 +1014,28 @@ object RelationalQueries {
 
   /** The rule-mining derivation over any lineitem frame — shared by the
     * registry query and the hand-arithmetic fixture (RelationalSpec).
+    * ONE basket-grain aggregate (collect_set dedupes repeat lines), then
+    * pairs expand WITHIN each row from the sorted part array — bounded by
+    * basket size squared, with no order-keyed self-join (the naive
+    * distinct + self-join formulation costs a third shuffle and
+    * re-materializes the fact table twice).
     */
   def associationRulesFrame(lineitem: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .localCheckpoint(eager = false) // read by items, pairs, and the total
-    val totals = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val items = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val items = baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= BasketMinSupport)
     val directed = pairs
