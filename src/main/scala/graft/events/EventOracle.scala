@@ -1417,6 +1417,60 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.survivalKmFrame]]: same lifetime classes,
+    * censor rule, descending at-risk window, 1e-9 ln/ratio quantization,
+    * and the exp-of-exact-prefix-sum survival recomposition.
+    */
+  def survivalKmSql: String = {
+    val gap = EventQueries.KmChurnGapDays
+    val zq = EventQueries.KmZeroLnQ
+    s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM ev GROUP BY 1
+    ),
+    cls AS (
+      SELECT CAST(date_diff('day', CAST(first_ts AS DATE),
+          CAST(last_ts AS DATE)) AS INTEGER) AS dur,
+        CAST(last_ts AS DATE) AS last_day, COUNT(*) AS nu
+      FROM pu GROUP BY 1, 2
+    ),
+    obs AS (SELECT max(last_day) AS obs_day FROM cls),
+    pd AS (
+      SELECT dur,
+        CAST(SUM(CASE WHEN last_day < (SELECT obs_day FROM obs) - $gap
+          THEN nu ELSE 0 END) AS BIGINT) AS n_events,
+        CAST(SUM(CASE WHEN last_day < (SELECT obs_day FROM obs) - $gap
+          THEN 0 ELSE nu END) AS BIGINT) AS n_censored
+      FROM cls GROUP BY 1
+    ),
+    rk AS (
+      SELECT dur, n_events, n_censored,
+        CAST(SUM(n_events + n_censored) OVER (ORDER BY dur DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_risk
+      FROM pd
+    ),
+    lq AS (
+      SELECT dur, n_risk, n_events, n_censored,
+        CASE WHEN n_events = 0 THEN 0
+          WHEN n_events < n_risk THEN
+            CAST(FLOOR(ln((n_risk - n_events) / n_risk) * 1e9 + 0.5)
+              AS BIGINT)
+          ELSE $zq END AS lnq,
+        CAST(FLOOR(n_events / n_risk * 1e9 + 0.5) AS BIGINT) AS hq
+      FROM rk
+    )
+    SELECT dur, n_risk, n_events, n_censored,
+      FLOOR(exp(SUM(lnq) OVER wa / 1e9) * 1e6 + 0.5) / 1e6 AS survival,
+      SUM(hq) OVER wa / 1e9 AS cum_hazard
+    FROM lq
+    WINDOW wa AS (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY dur"""
+  }
+
   /** Twin of [[EventQueries.abCupedFrame]]: same cents-quantized per-user
     * (x, y) sums, the overflow-guarded cross-products, per-arm sufficient
     * stats, pooled = sums of the 2 arm rows, and the abTestSql division

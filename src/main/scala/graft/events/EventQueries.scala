@@ -2220,6 +2220,92 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Churn rule for [[survivalKm]]: a user whose last event is more than
+    * this many days before the observation end has churned; later users
+    * are CENSORED (still active when observation stopped).
+    */
+  val KmChurnGapDays = 7
+
+  /** ln-factor sentinel for a duration where EVERY at-risk user churns:
+    * the true factor is 0 (survival hits exactly zero) and ln(0) is
+    * -inf, so the quantized chain carries e^-69 instead — which the
+    * 1e-6 output quantum rounds to exactly 0.0, at every later step too.
+    */
+  val KmZeroLnQ = -69000000000L
+
+  /** Kaplan-Meier survival curve + Nelson-Aalen cumulative hazard — the
+    * survival-analysis class the retention cohort table approximates
+    * without censoring-awareness: users still active at observation end
+    * did NOT churn at their last-seen duration, and counting them as
+    * deaths (what a naive retention curve does) biases survival down.
+    * Lifetime = days between a user's first and last event; churn vs
+    * censored by the [[KmChurnGapDays]] rule against the corpus's last
+    * day; at each duration t with d_t churns among n_t at-risk,
+    * S(t) = prod(1 - d_u/n_u), H(t) = sum(d_u/n_u).
+    *
+    * Scale shape: ONE corpus shuffle to per-user lifetimes, immediately
+    * re-aggregated to the (duration, last_day) class grain — calendar-
+    * bounded, so the at-risk/product windows run over a model-sized
+    * frame (the documented global-window class); the observation end
+    * derives from the class table, never a second corpus pass.
+    * Determinism: d/n ratios and ln factors quantize to 1e-9 LONGs
+    * before their prefix sums (the running product is exp of an EXACT
+    * integer prefix sum — the doc_lm_perplexity recipe); survival
+    * quantizes to 1e-6 after the one exp.
+    */
+  val survivalKm: GraftQuery = GraftQuery(
+    "events_survival_km",
+    s"Kaplan-Meier survival + Nelson-Aalen hazard over user lifetimes (censor rule: active within $KmChurnGapDays days of observation end)",
+    EventOracle.survivalKmSql) { (s, d) =>
+    survivalKmFrame(Tables.events(s, d))
+  }
+
+  /** The KM derivation over any events frame — shared by the registry
+    * query and the textbook hand fixture (EventQueriesSpec).
+    */
+  def survivalKmFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cls = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(
+        datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+          .as("dur"),
+        to_date(col("last_ts")).as("last_day"))
+      .groupBy(col("dur"), col("last_day"))
+      .agg(count(lit(1)).as("nu"))
+      .localCheckpoint() // model-sized: durations x last-days
+    val obs = cls.agg(max(col("last_day")).as("obs_day"))
+    val perDur = cls.crossJoin(broadcast(obs))
+      .withColumn("churn",
+        col("last_day") < date_sub(col("obs_day"), KmChurnGapDays))
+      .groupBy(col("dur"))
+      .agg(
+        sum(when(col("churn"), col("nu")).otherwise(0L)).as("n_events"),
+        sum(when(col("churn"), 0L).otherwise(col("nu"))).as("n_censored"))
+    val wDesc = Window.orderBy(desc("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDur
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wDesc))
+      .withColumn("lnq",
+        when(col("n_events") === 0L, lit(0L))
+          .when(col("n_events") < col("n_risk"),
+            Det.quantize(log((col("n_risk") - col("n_events"))
+              / col("n_risk")), 9).cast("long"))
+          .otherwise(lit(KmZeroLnQ)))
+      .withColumn("hq", Det.quantize(col("n_events") / col("n_risk"), 9))
+      .withColumn("lnsum", sum(col("lnq")).over(wAsc))
+      .select(col("dur"), col("n_risk"), col("n_events"), col("n_censored"),
+        (floor(exp(col("lnsum") / lit(1e9)) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("survival"),
+        (sum(col("hq")).over(wAsc) / lit(1e9)).as("cum_hazard"))
+      .orderBy("dur")
+  }
+
   /** Pre/post boundary for [[abCuped]] (mid-corpus, fixed literal — the
     * F12 pinned-date convention).
     */
@@ -2324,5 +2410,5 @@ object EventQueries {
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
-      kAnonymity, contributionCap, ewmaChart, abCuped)
+      kAnonymity, contributionCap, ewmaChart, abCuped, survivalKm)
 }

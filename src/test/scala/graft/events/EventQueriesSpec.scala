@@ -14,6 +14,13 @@ class EventQueriesSpec extends SparkSpec {
       value: Double) =
     (id, Timestamp.valueOf(ts), user, typ, value, "{}")
 
+  private object EventQueriesSpecKm {
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, Long, Long, Long, Double, Double)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+  }
+
   test("multitouchFrame: U-shaped credit on a hand fixture, window boundaries strict") {
     import spark.implicits._
     val fixture = Seq(
@@ -105,6 +112,36 @@ class EventQueriesSpec extends SparkSpec {
       ("click", 2L, 1L, 11L, 8L, 96.0, 75.0, 21.0 / 96.0),
       // raw 21, capped 15, loss 6/21
       ("view", 1L, 1L, 6L, 5L, 21.0, 15.0, 6.0 / 21.0)))
+  }
+
+  test("survivalKmFrame: textbook product-limit values; censored users never count as deaths") {
+    import spark.implicits._
+    def life(u: Long, firstDay: Int, lastDay: Int) = Seq(
+      ev(u * 10, f"2024-01-$firstDay%02d 10:00:00", u, "view", 0),
+      ev(u * 10 + 1, f"2024-01-$lastDay%02d 10:00:00", u, "view", 0))
+    val fixture = (
+      life(1, 30, 30) ++ // duration 0, last seen at obs end -> CENSORED
+        life(2, 1, 3) ++ life(3, 1, 3) ++ life(4, 2, 4) ++ // dur 2, churned
+        life(5, 1, 6) ++ // dur 5, churned
+        life(6, 1, 28)) // dur 27, within 7d of obs end -> CENSORED
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueriesSpecKm.rows(EventQueries.survivalKmFrame(fixture))
+    // risk sets walk down: 6 at dur 0, 5 at dur 2, 2 at dur 5, 1 at dur 27
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) === Seq(
+      (0, 6L, 0L, 1L), (2, 5L, 3L, 0L), (5, 2L, 1L, 0L), (27, 1L, 0L, 1L)))
+    // S: 1, 1*(2/5)=0.4, 0.4*(1/2)=0.2, 0.2 (censoring never steps S)
+    val surv = got.map(_._5)
+    assert(surv.zip(Seq(1.0, 0.4, 0.2, 0.2)).forall {
+      case (a, b) => math.abs(a - b) < 2e-6
+    }, s"survival drifted: $surv")
+    // H: 0, 3/5, 3/5+1/2=1.1, 1.1
+    val haz = got.map(_._6)
+    assert(haz.zip(Seq(0.0, 0.6, 1.1, 1.1)).forall {
+      case (a, b) => math.abs(a - b) < 2e-6
+    }, s"hazard drifted: $haz")
+    // a naive retention curve would have counted users 1 and 6 as deaths;
+    // KM keeps S at 0.2 where naive would end at 0
+    assert(surv.last > 0.0)
   }
 
   test("abCupedFrame: plain-Scala replay agrees; correlated covariate buys real variance reduction") {
