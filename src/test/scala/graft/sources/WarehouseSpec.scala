@@ -99,6 +99,48 @@ class WarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("column stats + CBO: filter selectivity flips the join build side to broadcast") {
+    import org.apache.spark.sql.functions.col
+    Warehouse.loadAll(spark, sf)
+    val t = s"${Warehouse.Schema}.loan_final"
+    // probe = the raw fact table: far above any threshold below, so the
+    // ONLY broadcastable side is the dim
+    val probe = graft.Tables.lineitem(spark, sf)
+    def joinPlan(dim: org.apache.spark.sql.DataFrame): String = dim
+      .join(probe, col("loan_id") === col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", true)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+        "region_cleaned, loan_id")
+      // rowCount x rowSize units throughout (CBO estimates are
+      // decompressed — never compare them against parquet file bytes)
+      val rawEst = spark.table(t).queryExecution.optimizedPlan
+        .stats.sizeInBytes.toLong
+      val filtered = spark.table(t)
+        .filter(col("region_cleaned") === "Mumbai")
+      val filteredEst = filtered.queryExecution.optimizedPlan
+        .stats.sizeInBytes.toLong
+      // NDV-driven equality selectivity: 1 of ~4 cleaned regions
+      assert(filteredEst * 2 < rawEst,
+        s"column stats did not apply selectivity: $rawEst -> $filteredEst")
+      // threshold between the two estimates: the flip is the stats' doing.
+      // The dim is the LEFT side, so the pin is on BuildLeft — the probe
+      // side's own (file-size-based) estimate is irrelevant to it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((filteredEst + rawEst) / 2).toString)
+      assert(!joinPlan(spark.table(t)).contains("BuildLeft"),
+        s"unfiltered dim built under the threshold (raw=$rawEst):\n${joinPlan(spark.table(t))}")
+      assert(joinPlan(filtered).contains("BuildLeft"),
+        s"selectivity did not flip the build side ($rawEst -> $filteredEst):\n${joinPlan(filtered)}")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+  }
+
   test("partitioned load: filter on partition column prunes the scan") {
     val lf = graft.loan.LoanDomain.loanFinalUnordered(spark, sf)
     Warehouse.replacePartitioned(lf, "loan_final_by_region", "region_cleaned")
