@@ -25,6 +25,20 @@ class SmokeSpec extends SparkSpec {
     }
   }
 
+  test("no registry query plans a CartesianProduct (registry-wide anti-pattern gate)") {
+    // PlanSpec pins individual shapes; this is the mechanical sweep — a
+    // cartesian anywhere is corpus² at scale. The model-frame crossJoins
+    // throughout the codebase are against broadcast 1-row/k-row frames
+    // and plan as BroadcastNestedLoopJoin, never CartesianProduct, so no
+    // allowlist is needed; a query that genuinely needs one must hint
+    // its build side instead.
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.frame(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("every oracle has a deterministic total order (or is a 1-row aggregate)") {
     // hash-comparison is order-sensitive: any multi-row oracle without an
     // ORDER BY is a latent flake. 1-row aggregates self-declare via
