@@ -1417,6 +1417,61 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.funnelZtest]]: the funnelSql v/c/p chain, the
+    * md5 arm rule, guarded rate divisions, the pooled-null z in the same
+    * expression shape (1.0 forced DOUBLE before the 1/n terms).
+    */
+  def funnelZtestSql: String = s"""
+    WITH $evCte,
+    v AS (
+      SELECT user_id, min(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    base AS (
+      SELECT v.user_id, p.t_purchase,
+        CAST(('0x' || substr(md5(CAST(v.user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM v LEFT JOIN p ON v.user_id = p.user_id
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 AND t_purchase IS NOT NULL THEN 1
+          ELSE 0 END) AS BIGINT) AS k_a,
+        CAST(SUM(CASE WHEN arm = 1 AND t_purchase IS NOT NULL THEN 1
+          ELSE 0 END) AS BIGINT) AS k_b
+      FROM base
+    ),
+    st AS (
+      SELECT n_a, n_b, k_a, k_b,
+        CASE WHEN n_a > 0 THEN k_a / n_a END AS rate_a,
+        CASE WHEN n_b > 0 THEN k_b / n_b END AS rate_b,
+        CASE WHEN n_a + n_b > 0 THEN (k_a + k_b) / (n_a + n_b) END AS p_pool
+      FROM ag
+    ),
+    se AS (
+      SELECT st.*,
+        SQRT(p_pool * (1.0::DOUBLE - p_pool)
+          * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)) AS sev
+      FROM st
+    )
+    SELECT n_a, n_b, k_a, k_b, rate_a, rate_b,
+      CASE WHEN sev > 0 THEN (rate_b - rate_a) / sev END AS z_score
+    FROM se"""
+
   /** Twin of [[EventQueries.survivalKmFrame]]: same lifetime classes,
     * censor rule, descending at-risk window, 1e-9 ln/ratio quantization,
     * and the exp-of-exact-prefix-sum survival recomposition.

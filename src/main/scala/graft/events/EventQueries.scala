@@ -2220,6 +2220,54 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Two-proportion z-test on funnel conversion — the experimentation
+    * readout for a RATE metric, completing [[abTest]] (value metric,
+    * Welch t) and [[abCuped]] (variance-reduced value): did arm B convert
+    * view->click->purchase more often than arm A? Population = users who
+    * VIEWED (the funnel anchor); conversion = completed the ordered
+    * funnel ([[funnelPerUser]] — the same chain every funnel artifact
+    * shares); z = (p_b - p_a) / sqrt(p(1-p)(1/n_a + 1/n_b)) under the
+    * pooled null.
+    *
+    * Scale shape: the funnel chain's corpus work, then ONE 4-long
+    * aggregate; everything after is scalar math on exact counts.
+    */
+  val funnelZtest: GraftQuery = GraftQuery.oneRow(
+    "events_funnel_ztest",
+    "two-proportion z-test: funnel conversion rate per hash arm, pooled-null z",
+    EventOracle.funnelZtestSql) { (s, d) =>
+    funnelZtestFrame(Tables.events(s, d))
+  }
+
+  /** The z-test derivation over any events frame — shared by the registry
+    * query and the plain-Scala replay spec (EventQueriesSpec).
+    */
+  def funnelZtestFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = funnelPerUser(events)
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    base.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0 && col("t_purchase").isNotNull, 1L)
+          .otherwise(0L)).as("k_a"),
+        sum(when(col("arm") === 1 && col("t_purchase").isNotNull, 1L)
+          .otherwise(0L)).as("k_b"))
+      .withColumn("rate_a", when(col("n_a") > 0, col("k_a") / col("n_a")))
+      .withColumn("rate_b", when(col("n_b") > 0, col("k_b") / col("n_b")))
+      .withColumn("p_pool",
+        when(col("n_a") + col("n_b") > 0,
+          (col("k_a") + col("k_b")) / (col("n_a") + col("n_b"))))
+      .withColumn("se",
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+        col("rate_a"), col("rate_b"),
+        when(col("se") > 0, (col("rate_b") - col("rate_a")) / col("se"))
+          .as("z_score"))
+  }
+
   /** Churn rule for [[survivalKm]]: a user whose last event is more than
     * this many days before the observation end has churned; later users
     * are CENSORED (still active when observation stopped).
@@ -2410,5 +2458,6 @@ object EventQueries {
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
-      kAnonymity, contributionCap, ewmaChart, abCuped, survivalKm)
+      kAnonymity, contributionCap, ewmaChart, abCuped, survivalKm,
+      funnelZtest)
 }

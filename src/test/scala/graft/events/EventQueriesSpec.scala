@@ -114,6 +114,38 @@ class EventQueriesSpec extends SparkSpec {
       ("view", 1L, 1L, 6L, 5L, 21.0, 15.0, 6.0 / 21.0)))
   }
 
+  test("events_funnel_ztest: z matches a plain-Scala replay; non-viewers excluded from the population") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2
+    }
+    // 8 viewers; 2/4/6 convert view -> click -> purchase (asymmetric
+    // across the hash arms so z is nonzero). user 99 purchases WITHOUT
+    // viewing: not in the funnel population.
+    val converters = Set(2L, 4L, 6L)
+    val fixture = ((1L to 8L).flatMap { u =>
+      val view = Seq(ev(u * 10, "2024-01-01 10:00:00", u, "view", 0))
+      if (converters(u))
+        view ++ Seq(ev(u * 10 + 1, "2024-01-01 11:00:00", u, "click", 0),
+          ev(u * 10 + 2, "2024-01-01 12:00:00", u, "purchase", 5.0))
+      else view
+    } :+ ev(990, "2024-01-01 12:00:00", 99, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val Seq(na, nb) = Seq(0L, 1L).map(a => (1L to 8L).count(arm(_) == a).toLong)
+    val Seq(ka, kb) = Seq(0L, 1L)
+      .map(a => (1L to 8L).count(u => arm(u) == a && converters(u)).toLong)
+    val p = (ka + kb).toDouble / (na + nb)
+    val se = math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    val row = EventQueries.funnelZtestFrame(fixture).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((na, nb, ka, kb)))
+    assert(row.getDouble(4) === ka.toDouble / na)
+    assert(row.getDouble(5) === kb.toDouble / nb)
+    assert(row.getDouble(6) === (kb.toDouble / nb - ka.toDouble / na) / se)
+  }
+
   test("survivalKmFrame: textbook product-limit values; censored users never count as deaths") {
     import spark.implicits._
     def life(u: Long, firstDay: Int, lastDay: Int) = Seq(
