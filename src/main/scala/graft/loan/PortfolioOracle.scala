@@ -13,6 +13,47 @@ object PortfolioOracle {
   private def sumDec(c: String): String =
     s"SUM(CAST(floor(($c) * 10000.0 + 0.5) AS BIGINT)) / 10000.0"
 
+  /** IRR twin: the m7 intermediate (it still carries duration_months),
+    * the same Newton step as a chain of [[PortfolioQueries.IrrIters]]
+    * CTEs — every subexpression parenthesized to Spark's evaluation
+    * shape, pow re-evaluated where Spark reuses a column (same pure
+    * function, same double) — and the same [1e-9, 10] clamp and 1e-6
+    * output quanta.
+    */
+  def irrSql: String = {
+    val iters = PortfolioQueries.IrrIters
+    def pw(r: String) = s"pow(1.0::DOUBLE + $r, -nd)"
+    val steps = (1 to iters).map { k =>
+      val r = s"r${k - 1}"
+      s"""
+    i$k AS (
+      SELECT loan_id, duration_months, interest_rate, p, a, nd,
+        LEAST(GREATEST($r -
+          (a * (1.0::DOUBLE - ${pw(r)}) / $r - p)
+          / (a * (nd * (${pw(r)} / (1.0::DOUBLE + $r)) * $r
+              - (1.0::DOUBLE - ${pw(r)})) / ($r * $r)),
+          1e-9), 10.0::DOUBLE) AS r$k
+      FROM i${k - 1}
+    )"""
+    }.mkString(",")
+    s"""
+    WITH $ctes,
+    i0 AS (
+      SELECT loan_id, duration_months, interest_rate,
+        disbursement_amount AS p, emi_amount AS a,
+        CAST(duration_months AS DOUBLE) AS nd,
+        0.01::DOUBLE AS r0
+      FROM m7
+      WHERE duration_months >= 1 AND emi_amount > 0
+        AND disbursement_amount > 0
+    ),$steps
+    SELECT loan_id, duration_months, interest_rate,
+      FLOOR(r$iters * 1e6 + 0.5) / 1e6 AS irr_monthly,
+      FLOOR((pow(1.0::DOUBLE + FLOOR(r$iters * 1e6 + 0.5) / 1e6,
+          12.0::DOUBLE) - 1.0::DOUBLE) * 1e6 + 0.5) / 1e6 AS apr_effective
+    FROM i$iters ORDER BY loan_id"""
+  }
+
   val byRegionSql: String = s"""
     WITH $ctes
     SELECT region_cleaned, dpd_bucket,

@@ -695,7 +695,75 @@ object PortfolioQueries {
       .orderBy("dimension")
   }
 
+  /** Newton iterations for [[irrEffective]] — quadratic convergence snaps
+    * the root to machine precision well inside 12 steps for every annuity
+    * shape the portfolio holds, and both engines then agree within the
+    * 1e-6 output quantum.
+    */
+  val IrrIters = 12
+
+  /** Per-loan IRR / effective APR — the portfolio metric the reference's
+    * simple-interest EMI formula quietly hides: EMI = P(1 + rate·yrs)/N
+    * charges interest on the FULL principal for the full term, so the
+    * EFFECTIVE rate of the resulting annuity is nearly twice the nominal
+    * (a 12%-nominal 12-month loan prices at ~23.4% APR — the spec pins
+    * exactly this). IRR solves NPV(r) = A·(1−(1+r)^−N)/r − P = 0 by
+    * Newton's method UNROLLED into [[IrrIters]] chained column
+    * expressions — closed-form annuity NPV means no per-month explode,
+    * no UDF, no driver loop: the whole solver is one whole-stage-codegen
+    * pass over the loan table, embarrassingly parallel at any scale.
+    * Iterates clamp to [1e-9, 10]: a zero-interest loan's root is 0, and
+    * the clamp pins both engines to the same floor instead of letting
+    * r→0 cancellation diverge them.
+    *
+    * Determinism: each Newton step is a fixed dag of IEEE ops mirrored
+    * shape-for-shape (pow's last-ulp wobble is erased by the quadratic
+    * contraction near the root); outputs quantize to 1e-6.
+    */
+  val irrEffective: GraftQuery = GraftQuery(
+    "loan_irr_effective",
+    s"per-loan IRR via $IrrIters unrolled Newton steps on the closed-form annuity NPV; effective APR vs nominal",
+    PortfolioOracle.irrSql) { (s, d) =>
+    irrFrame(LoanDomain.loanFinal(LoanDomain.joined(s, d))
+      .select(col("loan_id"), col("disbursement_amount"), col("emi_amount"),
+        col("duration_months"), col("interest_rate")))
+  }
+
+  /** The IRR solver over any (loan_id, disbursement_amount, emi_amount,
+    * duration_months, interest_rate) frame — shared by the registry query
+    * and the root-check spec (PortfolioQueriesSpec-style, in LoanSpec).
+    */
+  def irrFrame(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val in = base
+      .filter(col("duration_months") >= 1 && col("emi_amount") > 0
+        && col("disbursement_amount") > 0)
+      .select(col("loan_id"), col("duration_months"), col("interest_rate"),
+        col("disbursement_amount").as("p"), col("emi_amount").as("a"),
+        col("duration_months").cast("double").as("nd"))
+    def step(r: Column): Column = {
+      val pw = pow(lit(1.0) + r, -col("nd"))
+      val f = col("a") * (lit(1.0) - pw) / r - col("p")
+      val fp = col("a") * (col("nd") * (pw / (lit(1.0) + r)) * r
+        - (lit(1.0) - pw)) / (r * r)
+      least(greatest(r - f / fp, lit(1e-9)), lit(10.0))
+    }
+    val solved = (1 to IrrIters)
+      .foldLeft(in.withColumn("r0", lit(0.01))) { (df, k) =>
+        df.withColumn(s"r$k", step(col(s"r${k - 1}")))
+      }
+    solved
+      .select(col("loan_id"), col("duration_months"), col("interest_rate"),
+        (floor(col(s"r$IrrIters") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("irr_monthly"))
+      .withColumn("apr_effective",
+        floor((pow(lit(1.0) + col("irr_monthly"), 12.0) - lit(1.0))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy("loan_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    irrEffective,
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,

@@ -175,4 +175,31 @@ class LoanDomainSpec extends SparkSpec {
     assert(rows.find(r => r.getAs[Int]("from_rank") == 3).get
       .getAs[Double]("arrear_total") === 400.0)
   }
+
+  test("irrFrame: Newton root solves the annuity NPV; simple interest hides ~2x effective APR") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 12% nominal simple interest over 12 months: total payable
+    // 1200*(1+0.12) = 1344, EMI 112; plus a zero-interest control and a
+    // degenerate 0-month loan the solver must exclude
+    val base = Seq(
+      (1L, 1200.0, 112.0, 12, 12.0),
+      (2L, 1200.0, 100.0, 12, 0.0),
+      (3L, 1200.0, 0.0, 0, 12.0))
+      .toDF("loan_id", "disbursement_amount", "emi_amount",
+        "duration_months", "interest_rate")
+    val got = PortfolioQueries.irrFrame(base).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // loan 3 excluded
+    val r1 = got(0).getAs[Double]("irr_monthly")
+    // root check: NPV(irr) ~ 0 for the solved rate
+    val npv = 112.0 * (1.0 - math.pow(1.0 + r1, -12.0)) / r1 - 1200.0
+    assert(math.abs(npv) < 0.01, s"Newton did not converge: irr=$r1 npv=$npv")
+    // the effective APR of a 12%-nominal simple-interest loan is ~23.4%
+    val apr1 = got(0).getAs[Double]("apr_effective")
+    assert(apr1 > 0.20 && apr1 < 0.26, s"effective APR off: $apr1")
+    assert(apr1 > 1.8 * 0.12, "simple interest should hide ~2x the nominal rate")
+    // zero-interest: the clamp floors the root, quantization reads 0
+    assert(got(1).getAs[Double]("irr_monthly") === 0.0)
+    assert(got(1).getAs[Double]("apr_effective") === 0.0)
+  }
 }
