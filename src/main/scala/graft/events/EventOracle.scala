@@ -1417,6 +1417,63 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.survivalCohortsFrame]]: the survivalKmSql
+    * chain with the anchor-relative cohort week threaded through and
+    * every window partitioned by it.
+    */
+  def survivalCohortsSql: String = {
+    val gap = EventQueries.KmChurnGapDays
+    val zq = EventQueries.KmZeroLnQ
+    s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM ev GROUP BY 1
+    ),
+    cls AS (
+      SELECT
+        CAST(floor(date_diff('day',
+          DATE '${EventQueries.AnonWeekAnchor}',
+          CAST(first_ts AS DATE)) / 7.0) AS BIGINT) AS cohort,
+        CAST(date_diff('day', CAST(first_ts AS DATE),
+          CAST(last_ts AS DATE)) AS INTEGER) AS dur,
+        CAST(last_ts AS DATE) AS last_day, COUNT(*) AS nu
+      FROM pu GROUP BY 1, 2, 3
+    ),
+    obs AS (SELECT max(last_day) AS obs_day FROM cls),
+    pd AS (
+      SELECT cohort, dur,
+        CAST(SUM(CASE WHEN last_day < (SELECT obs_day FROM obs) - $gap
+          THEN nu ELSE 0 END) AS BIGINT) AS n_events,
+        CAST(SUM(CASE WHEN last_day < (SELECT obs_day FROM obs) - $gap
+          THEN 0 ELSE nu END) AS BIGINT) AS n_censored
+      FROM cls GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT cohort, dur, n_events, n_censored,
+        CAST(SUM(n_events + n_censored) OVER (PARTITION BY cohort
+          ORDER BY dur DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_risk
+      FROM pd
+    ),
+    lq AS (
+      SELECT cohort, dur, n_risk, n_events, n_censored,
+        CASE WHEN n_events = 0 THEN 0
+          WHEN n_events < n_risk THEN
+            CAST(FLOOR(ln((n_risk - n_events) / n_risk) * 1e9 + 0.5)
+              AS BIGINT)
+          ELSE $zq END AS lnq
+      FROM rk
+    )
+    SELECT cohort, dur, n_risk, n_events, n_censored,
+      FLOOR(exp(SUM(lnq) OVER wa / 1e9) * 1e6 + 0.5) / 1e6 AS survival
+    FROM lq
+    WINDOW wa AS (PARTITION BY cohort ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY cohort, dur"""
+  }
+
   /** Twin of [[EventQueries.funnelZtest]]: the funnelSql v/c/p chain, the
     * md5 arm rule, guarded rate divisions, the pooled-null z in the same
     * expression shape (1.0 forced DOUBLE before the 1/n terms).

@@ -2354,6 +2354,72 @@ object EventQueries {
       .orderBy("dur")
   }
 
+  /** Cohort-stratified Kaplan-Meier — [[survivalKm]] sharded by
+    * acquisition cohort (first-seen 7-day bucket, the [[kAnonymity]]
+    * anchor-relative week), the comparison product teams actually read:
+    * is THIS week's intake churning faster than last week's? Each
+    * cohort's curve is an independent risk-set walk, so every window
+    * partitions BY COHORT — the global-order window class [[survivalKm]]
+    * deliberately accepts on its one model-sized frame here shards
+    * across executors, the shape that survives arbitrarily many cohorts
+    * at 100 TB. Same censor rule, same exact quantized-ln product, same
+    * everyone-churns sentinel.
+    */
+  val survivalCohorts: GraftQuery = GraftQuery(
+    "events_survival_cohorts",
+    "Kaplan-Meier per acquisition-week cohort: stratified risk sets, per-cohort survival curves",
+    EventOracle.survivalCohortsSql) { (s, d) =>
+    survivalCohortsFrame(Tables.events(s, d))
+  }
+
+  /** The stratified-KM derivation over any events frame — shared by the
+    * registry query and the two-cohort fixture (EventQueriesSpec).
+    */
+  def survivalCohortsFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cls = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(
+        floor(datediff(to_date(col("first_ts")),
+          lit(AnonWeekAnchor).cast("date")) / lit(7.0)).cast("long")
+          .as("cohort"),
+        datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+          .as("dur"),
+        to_date(col("last_ts")).as("last_day"))
+      .groupBy(col("cohort"), col("dur"), col("last_day"))
+      .agg(count(lit(1)).as("nu"))
+      .localCheckpoint() // model-sized: cohorts x durations x last-days
+    val obs = cls.agg(max(col("last_day")).as("obs_day"))
+    val perDur = cls.crossJoin(broadcast(obs))
+      .withColumn("churn",
+        col("last_day") < date_sub(col("obs_day"), KmChurnGapDays))
+      .groupBy(col("cohort"), col("dur"))
+      .agg(
+        sum(when(col("churn"), col("nu")).otherwise(0L)).as("n_events"),
+        sum(when(col("churn"), 0L).otherwise(col("nu"))).as("n_censored"))
+    val wDesc = Window.partitionBy(col("cohort")).orderBy(desc("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDur
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wDesc))
+      .withColumn("lnq",
+        when(col("n_events") === 0L, lit(0L))
+          .when(col("n_events") < col("n_risk"),
+            Det.quantize(log((col("n_risk") - col("n_events"))
+              / col("n_risk")), 9).cast("long"))
+          .otherwise(lit(KmZeroLnQ)))
+      .withColumn("lnsum", sum(col("lnq")).over(wAsc))
+      .select(col("cohort"), col("dur"), col("n_risk"), col("n_events"),
+        col("n_censored"),
+        (floor(exp(col("lnsum") / lit(1e9)) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("survival"))
+      .orderBy("cohort", "dur")
+  }
+
   /** Pre/post boundary for [[abCuped]] (mid-corpus, fixed literal — the
     * F12 pinned-date convention).
     */
@@ -2459,5 +2525,5 @@ object EventQueries {
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
       kAnonymity, contributionCap, ewmaChart, abCuped, survivalKm,
-      funnelZtest)
+      survivalCohorts, funnelZtest)
 }

@@ -176,6 +176,36 @@ class EventQueriesSpec extends SparkSpec {
     assert(surv.last > 0.0)
   }
 
+  test("survivalCohortsFrame: risk sets are cohort-independent; fast cohort's curve drops harder") {
+    import spark.implicits._
+    def life(u: Long, first: String, last: String) = Seq(
+      ev(u * 10, s"$first 10:00:00", u, "view", 0),
+      ev(u * 10 + 1, s"$last 10:00:00", u, "view", 0))
+    val fixture = (
+      // cohort 0 (week of 01-01): 3 of 4 churn at duration 2
+      life(1, "2024-01-01", "2024-01-03") ++ life(2, "2024-01-01", "2024-01-03") ++
+        life(3, "2024-01-01", "2024-01-03") ++ life(4, "2024-01-01", "2024-01-28") ++
+        // cohort 1 (week of 01-08): only 1 of 4 churns at duration 2
+        life(5, "2024-01-08", "2024-01-10") ++ life(6, "2024-01-08", "2024-01-28") ++
+        life(7, "2024-01-08", "2024-01-28") ++ life(8, "2024-01-08", "2024-01-28") ++
+        // observation-end sentinel (cohort 4, censored at duration 0)
+        life(99, "2024-01-30", "2024-01-30"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.survivalCohortsFrame(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    def close(a: Double, b: Double) = math.abs(a - b) < 2e-6
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) === Seq(
+      (0L, 2, 4L, 3L, 0L), (0L, 27, 1L, 0L, 1L),
+      (1L, 2, 4L, 1L, 0L), (1L, 20, 3L, 0L, 3L),
+      (4L, 0, 1L, 0L, 1L)))
+    // same duration, cohort-separate risk walks: 1/4 vs 3/4 survive
+    assert(close(got(0)._6, 0.25) && close(got(2)._6, 0.75),
+      s"stratification leaked across cohorts: $got")
+    assert(close(got(1)._6, 0.25) && close(got(3)._6, 0.75))
+    assert(got(4)._6 === 1.0)
+  }
+
   test("abCupedFrame: plain-Scala replay agrees; correlated covariate buys real variance reduction") {
     import spark.implicits._
     def arm(u: Long): Long = {
