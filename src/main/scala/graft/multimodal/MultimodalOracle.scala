@@ -220,6 +220,60 @@ object MultimodalOracle {
     WHERE media_type = 'audio' AND np >= 2
     ORDER BY doc_id"""
 
+  /** Segmentation twin: same full-frame cut, exact integer energies, the
+    * multiplication-only gate, and the f - row_number islands.
+    */
+  def audioSegmentsSql: String = {
+    val fl = MultimodalQueries.VadFrameLen
+    s"""
+    WITH $pixelCte,
+    au AS (
+      SELECT doc_id, np, pxs FROM px
+      WHERE media_type = 'audio' AND np >= $fl
+    ),
+    ex AS (
+      SELECT doc_id, np, pxs,
+        unnest(range(1, CAST(np + 1 AS BIGINT))) AS i
+      FROM au
+    ),
+    fe AS (
+      SELECT doc_id, CAST((i - 1) // $fl AS BIGINT) AS f,
+        CAST(SUM(CAST((pxs[CAST(i AS INTEGER)] - 128) AS BIGINT)
+          * (pxs[CAST(i AS INTEGER)] - 128)) AS BIGINT) AS e
+      FROM ex WHERE (i - 1) // $fl < np // $fl
+      GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, f, e,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_frames,
+        CAST(SUM(e) OVER w AS BIGINT) AS te
+      FROM fe WINDOW w AS (PARTITION BY doc_id)
+    ),
+    ac2 AS (SELECT *, e * n_frames * 2 > te AS active FROM act),
+    sg AS (
+      SELECT doc_id,
+        f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM ac2 WHERE active
+    ),
+    sl AS (SELECT doc_id, grp, COUNT(*) AS seg_len FROM sg GROUP BY 1, 2),
+    sa AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        CAST(MAX(seg_len) AS BIGINT) AS longest_segment
+      FROM sl GROUP BY 1
+    ),
+    ro AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+      FROM ac2 GROUP BY 1
+    )
+    SELECT ro.doc_id, n_frames, n_active,
+      n_active / n_frames AS active_frac,
+      COALESCE(sa.n_segments, 0) AS n_segments,
+      COALESCE(sa.longest_segment, 0) AS longest_segment
+    FROM ro LEFT JOIN sa ON ro.doc_id = sa.doc_id
+    ORDER BY ro.doc_id"""
+  }
+
   val frameSampleSql: String = s"""
     WITH $mediaCte,
     v AS (

@@ -669,8 +669,78 @@ object MultimodalQueries {
       .orderBy("rn")
   }
 
+  /** Frame length (samples) for [[audioSegments]]' energy gate. */
+  val VadFrameLen = 16
+
+  /** Activity segmentation (VAD-lite) — the audio analog of
+    * [[sceneCuts]]: frame the signal into [[VadFrameLen]]-sample
+    * windows, gate each frame on energy > half the asset's mean frame
+    * energy, and run-length the active frames into segments — the
+    * silence-trimming pass a speech corpus runs before any model sees
+    * audio (untrimmed silence wastes tokens and skews loss). Per asset:
+    * frame/active counts, active fraction, segment count, longest
+    * segment.
+    *
+    * Scale shape: one explode bounded by payload size, per-frame integer
+    * energy partial aggs, and islands via a row_number window — ALL
+    * windows partition by asset, so the op shards across executors at
+    * any corpus size. Determinism: energies are exact integer sums of
+    * (sample-128)^2; the gate compares e * n_frames * 2 > total_energy —
+    * pure LONG arithmetic, no division, no epsilon.
+    */
+  val audioSegments: GraftQuery = GraftQuery(
+    "multimodal_audio_segments",
+    s"audio activity segmentation: $VadFrameLen-sample frames, integer energy gate at half the mean, run-length segments per asset",
+    MultimodalOracle.audioSegmentsSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    audioSegmentsFrame(media(s, d).filter(col("media_type") === "audio"))
+  }
+
+  /** The segmentation over any (doc_id, pgm) frame — the fixture seam
+    * for the planted silence/burst spec (CrossModalSpec).
+    */
+  private[graft] def audioSegmentsFrame(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = assets
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .withColumn("np", size(col("img.pixels")))
+      .filter(col("np") >= VadFrameLen)
+      .select(col("doc_id"), col("np"), col("img.pixels").as("pxs"))
+    val fr = base
+      .select(col("doc_id"), col("np"),
+        posexplode(col("pxs")).as(Seq("pos", "x")))
+      .withColumn("f", expr(s"pos div $VadFrameLen").cast("long"))
+      .filter(col("f") < expr(s"np div $VadFrameLen"))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(sum((col("x") - 128).cast("long") * (col("x") - 128)).as("e"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val act = fr
+      .withColumn("n_frames", count(lit(1)).over(wd))
+      .withColumn("te", sum(col("e")).over(wd))
+      .withColumn("active", col("e") * col("n_frames") * lit(2L) > col("te"))
+      .localCheckpoint(eager = false) // read by the rollup AND the islands
+    val wf = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    val segs = act.filter(col("active"))
+      .withColumn("grp", col("f") - row_number().over(wf))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        max(col("seg_len")).as("longest_segment"))
+    act
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("active"), 1L).otherwise(0L)).as("n_active"))
+      .join(segs, Seq("doc_id"), "left") // all-silent assets stay visible
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        (col("n_active") / col("n_frames")).as("active_frac"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
       audioFeatures, crossmodalConsistency, sceneCuts, thumbnailNeardup,
-      textToAsset, spectral)
+      textToAsset, spectral, audioSegments)
 }

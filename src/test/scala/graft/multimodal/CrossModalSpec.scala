@@ -97,6 +97,30 @@ class CrossModalSpec extends SparkSpec {
       s"bin-2 power not dominant: $ps")
   }
 
+  test("audio segments: planted silence/burst pattern yields exactly the two bursts") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val fl = MultimodalQueries.VadFrameLen
+    // 8 frames of 16 samples (doc 7 -> audio, width 64, 128 bytes = 2
+    // rows): silence = 127 (energy 1/sample), burst = 28 (energy 1e4).
+    // Pattern s s L L s L L s -> segments {2,3} and {5,6}. ASCII-only
+    // samples keep the text->byte identity the media derivation pins.
+    val pattern = Seq(false, false, true, true, false, true, true, false)
+    val text = pattern.flatMap { loud =>
+      Seq.fill(fl)(if (loud) 28.toChar else 127.toChar)
+    }.mkString
+    val docs = Seq((7L, text, "web")).toDF("doc_id", "text", "source")
+    val out = MultimodalQueries.audioSegmentsFrame(
+      MultimodalQueries.mediaFrame(docs)
+        .filter(org.apache.spark.sql.functions.col("media_type") === "audio"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+      r.getLong(5)) === ((8L, 4L, 0.5, 2L, 2L)),
+      s"segmentation drifted: ${r.toSeq}")
+  }
+
   test("healthy corpus: only doc_total rows plus the always-present zero") {
     val (docs, embs) = fixture()
     val healthyDocs = docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 4L)
