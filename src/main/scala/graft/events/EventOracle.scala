@@ -1474,6 +1474,65 @@ object EventOracle {
     ORDER BY cohort, dur"""
   }
 
+  /** Twin of [[EventQueries.didFrame]]: per-user post-minus-pre exact
+    * LONG diffs, guarded squares, per-arm sufficient stats, and the
+    * abTestSql mean/variance shapes at the cents quantum.
+    */
+  def didSql: String = {
+    val b = s"TIMESTAMP '${EventQueries.CupedBoundary} 00:00:00'"
+    s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN ts >= $b
+            THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+          - SUM(CASE WHEN ts < $b
+            THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS dq,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pq AS (
+      SELECT arm, dq,
+        CASE WHEN abs(dq) > 3037000499
+          THEN CAST(error('events_did: per-user diff overflows the ssq '
+            || 'quantum') AS BIGINT)
+          ELSE dq * dq END AS dq2
+      FROM pu
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN dq ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 1 THEN dq ELSE 0 END) AS BIGINT) AS sb,
+        CAST(SUM(CASE WHEN arm = 0 THEN dq2 ELSE 0 END) AS BIGINT) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN dq2 ELSE 0 END) AS BIGINT) AS qb
+      FROM pq
+    ),
+    st AS (
+      SELECT n_a, n_b,
+        CASE WHEN n_a > 0 THEN sa / 100.0 / n_a END AS mean_d_a,
+        CASE WHEN n_b > 0 THEN sb / 100.0 / n_b END AS mean_d_b,
+        CASE WHEN n_a > 1 THEN
+          (qa / 10000.0 - (sa / 100.0) * (sa / 100.0) / n_a)
+            / (n_a - 1) END AS var_d_a,
+        CASE WHEN n_b > 1 THEN
+          (qb / 10000.0 - (sb / 100.0) * (sb / 100.0) / n_b)
+            / (n_b - 1) END AS var_d_b
+      FROM ag
+    ),
+    fin AS (
+      SELECT st.*, mean_d_b - mean_d_a AS did,
+        SQRT(var_d_a / n_a + var_d_b / n_b) AS sev
+      FROM st
+    )
+    SELECT n_a, n_b, mean_d_a, mean_d_b, did,
+      CASE WHEN sev > 0 THEN did / sev END AS t_stat
+    FROM fin"""
+  }
+
   /** Twin of [[EventQueries.funnelZtest]]: the funnelSql v/c/p chain, the
     * md5 arm rule, guarded rate divisions, the pooled-null z in the same
     * expression shape (1.0 forced DOUBLE before the 1/n terms).

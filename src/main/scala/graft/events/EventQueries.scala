@@ -2268,6 +2268,83 @@ object EventQueries {
           .as("z_score"))
   }
 
+  /** Pre/post boundary for [[abCuped]] and [[didEstimate]] (mid-corpus,
+    * fixed literal — the F12 pinned-date convention). Declared ABOVE both
+    * consumers: their GraftQuery vals evaluate the oracle defs at object
+    * init, and a later-declared constant would still be null there (the
+    * kAnonymity init-order lesson).
+    */
+  val CupedBoundary = "2024-01-16"
+
+  /** Difference-in-differences — the estimator the experimentation family
+    * reaches for when assignment ISN'T randomized: compare each group's
+    * pre→post CHANGE, so any level difference between the groups (the
+    * confound randomization would have washed out) subtracts away and
+    * only the differential trend remains; the identifying assumption
+    * (parallel trends) replaces randomization. Per user
+    * d = post − pre purchase value; DiD = mean_d(B) − mean_d(A) with a
+    * Welch SE over the per-user diffs — on the hash-assigned arms here
+    * the estimate coincides with the randomized contrast, which is
+    * exactly the property the spec pins (a planted common SHOCK to both
+    * groups cancels; a planted differential effect survives).
+    *
+    * Scale shape: ONE corpus pass to per-user (pre, post) quantized-LONG
+    * sums, then a 6-long per-arm aggregate — the [[abTest]] sufficient-
+    * statistics discipline, diffs exact longs before any double.
+    */
+  val didEstimate: GraftQuery = GraftQuery.oneRow(
+    "events_did",
+    s"difference-in-differences: per-user post-minus-pre purchase value (boundary $CupedBoundary), arm contrast + Welch t",
+    EventOracle.didSql) { (s, d) =>
+    didFrame(Tables.events(s, d))
+  }
+
+  /** The DiD derivation over any events frame — shared by the registry
+    * query and the planted shock/effect spec (EventQueriesSpec).
+    */
+  def didFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val boundary = lit(CupedBoundary).cast("timestamp")
+    val vq2 = Det.quantize(col("value"), 2)
+    val perUser = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(when(col("ts") >= boundary, vq2).otherwise(0L))
+          - sum(when(col("ts") < boundary, vq2).otherwise(0L))).as("dq"))
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    val dqSq = when(abs(col("dq")) > lit(MaxSqAbs),
+      raise_error(lit("events_did: per-user diff overflows the ssq " +
+        "quantum — widen the quantum")).cast("long"))
+      .otherwise(col("dq") * col("dq"))
+    val agg = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("dq")).otherwise(0L)).as("sa"),
+      sum(when(col("arm") === 1, col("dq")).otherwise(0L)).as("sb"),
+      sum(when(col("arm") === 0, dqSq).otherwise(0L)).as("qa"),
+      sum(when(col("arm") === 1, dqSq).otherwise(0L)).as("qb"))
+    val sc = lit(Det.pow10(2).toDouble)
+    def mean(s0: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(n > lit(0L), s0 / sc / n)
+    def vr(q: org.apache.spark.sql.Column, s0: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      when(n > lit(1L),
+        (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - lit(1)))
+    agg
+      .withColumn("mean_d_a", mean(col("sa"), col("n_a")))
+      .withColumn("mean_d_b", mean(col("sb"), col("n_b")))
+      .withColumn("var_d_a", vr(col("qa"), col("sa"), col("n_a")))
+      .withColumn("var_d_b", vr(col("qb"), col("sb"), col("n_b")))
+      .withColumn("did", col("mean_d_b") - col("mean_d_a"))
+      .withColumn("se",
+        sqrt(col("var_d_a") / col("n_a") + col("var_d_b") / col("n_b")))
+      .select(col("n_a"), col("n_b"), col("mean_d_a"), col("mean_d_b"),
+        col("did"),
+        when(col("se") > 0, col("did") / col("se")).as("t_stat"))
+  }
+
   /** Churn rule for [[survivalKm]]: a user whose last event is more than
     * this many days before the observation end has churned; later users
     * are CENSORED (still active when observation stopped).
@@ -2420,11 +2497,6 @@ object EventQueries {
       .orderBy("cohort", "dur")
   }
 
-  /** Pre/post boundary for [[abCuped]] (mid-corpus, fixed literal — the
-    * F12 pinned-date convention).
-    */
-  val CupedBoundary = "2024-01-16"
-
   /** CUPED-adjusted A/B readout — the variance-reduction step every
     * modern experimentation stack runs on top of the plain Welch readout
     * ([[abTest]]): each user's post-period metric Y is adjusted by their
@@ -2525,5 +2597,5 @@ object EventQueries {
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
       kAnonymity, contributionCap, ewmaChart, abCuped, survivalKm,
-      survivalCohorts, funnelZtest)
+      survivalCohorts, funnelZtest, didEstimate)
 }

@@ -821,6 +821,41 @@ object RelationalOracle {
     FROM g ORDER BY segment"""
   }
 
+  /** Fulfillment-lag twin: same first-ship join, priority-partitioned
+    * rank, type-1 picks at CEIL(q::DOUBLE * n), exact mean.
+    */
+  def fulfillmentLagSql: String = {
+    def pick(q: String, name: String) =
+      s"MAX(CASE WHEN rn = CAST(CEIL($q::DOUBLE * n) AS BIGINT) " +
+        s"THEN lag END) AS $name"
+    s"""
+    WITH fs AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY 1
+    ),
+    lg AS (
+      SELECT o_orderpriority AS priority,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE),
+          CAST(first_ship AS DATE)) AS INTEGER) AS lag
+      FROM orders JOIN fs ON o_orderkey = l_orderkey
+    ),
+    rk AS (
+      SELECT priority, lag,
+        CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY lag)
+          AS BIGINT) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM lg
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      ${pick("0.5", "p50_days")},
+      ${pick("0.9", "p90_days")},
+      ${pick("0.99", "p99_days")},
+      CAST(SUM(lag) AS BIGINT) / COUNT(*) AS mean_days
+    FROM rk
+    GROUP BY priority
+    ORDER BY priority"""
+  }
+
   /** Association-rules twin: same distinct (order, part) base, order-keyed
     * pair self-join, support filter, both directions, identical division
     * shapes for confidence and lift, (lift, conf, keys) top-20.

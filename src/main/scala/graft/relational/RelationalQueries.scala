@@ -987,6 +987,53 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /** Order-to-first-shipment latency distribution per priority class —
+    * the operational SLA readout `suppliers_waiting` (late counts) only
+    * thresholds: HOW LATE is each priority class, as exact rank-based
+    * (type-1) p50/p90/p99 plus the mean, the `events_funnel_latency`
+    * quantile recipe on relational data. Lag = days from order date to
+    * the order's FIRST shipped line; orders with no lines never shipped
+    * and stay out of the latency population (they are `suppliers_waiting`'s
+    * subject). Rank windows partition by priority — five bounded strata,
+    * shard-friendly at any scale; the q*n product is forced through
+    * DOUBLE on both engines (the decimal-vs-double ceil trap).
+    */
+  val fulfillmentLag: GraftQuery = GraftQuery(
+    "orders_fulfillment_lag",
+    "order-to-first-ship latency per priority: exact type-1 p50/p90/p99 + mean",
+    RelationalOracle.fulfillmentLagSql) { (s, d) =>
+    fulfillmentLagFrame(Tables.orders(s, d), Tables.lineitem(s, d))
+  }
+
+  /** The latency derivation over any (orders, lineitem) frames — shared
+    * by the registry query and the hand-quantile fixture (RelationalSpec).
+    */
+  def fulfillmentLagFrame(orders: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstShip = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    val lag = orders
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("first_ship")), to_date(col("o_orderdate")))
+          .as("lag"))
+    val wp = Window.partitionBy(col("priority"))
+    val ranked = lag
+      .withColumn("rn", row_number().over(wp.orderBy(col("lag"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+    def pick(q: Double, name: String) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("lag"))).as(name)
+    ranked
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        pick(0.5, "p50_days"), pick(0.9, "p90_days"), pick(0.99, "p99_days"),
+        (sum(col("lag")) / count(lit(1))).as("mean_days"))
+      .orderBy("priority")
+  }
+
   /** Minimum pair-support count for [[associationRules]]. */
   val BasketMinSupport = 2
 
@@ -1146,7 +1193,7 @@ object RelationalQueries {
 
   def all: Seq[GraftQuery] = Seq(
     kmvDistinct, kmvOverlap, revenueTrendOls, entityResolution,
-    associationRules,
+    associationRules, fulfillmentLag,
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,
     smallQtyRevenue, largeVolumeCustomers, inactiveHighBalance,

@@ -206,6 +206,47 @@ class EventQueriesSpec extends SparkSpec {
     assert(got(4)._6 === 1.0)
   }
 
+  test("didFrame: a common shock cancels exactly; a differential effect is recovered exactly") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2
+    }
+    // within-arm noise (u % 2) is BALANCED inside each md5 arm
+    // ({1,2,5,6} and {3,4,7,8} hold two odds + two evens each), so it
+    // adds variance without moving either arm's mean — the estimate
+    // stays exact while t stays finite
+    def fixture(shock: Double, effect: Double, noisy: Boolean) =
+      (1L to 8L).flatMap { u =>
+        val pre = 10.0 * u // level differences across users
+        val post = pre + 10.0 + (if (noisy) (u % 2).toDouble else 0.0) +
+          shock + (if (arm(u) == 1) effect else 0.0)
+        Seq(ev(u * 10, "2024-01-05 10:00:00", u, "purchase", pre),
+          ev(u * 10 + 1, "2024-01-20 10:00:00", u, "purchase", post))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def didOf(shock: Double, effect: Double, noisy: Boolean = true) = {
+      val r = EventQueries.didFrame(fixture(shock, effect, noisy))
+        .collect().head
+      (r.getDouble(4), r.getAs[Any]("t_stat"))
+    }
+    // pure differential effect: recovered exactly at the cents quantum
+    val (did1, t1) = didOf(0.0, 50.0)
+    assert(did1 === 50.0, s"effect not recovered: $did1")
+    assert(t1 != null && t1.asInstanceOf[Double] > 10.0,
+      s"strong planted effect should be loudly significant: $t1")
+    // a +100 shock hitting BOTH groups' post periods changes nothing —
+    // the property DiD exists for
+    val (did2, _) = didOf(100.0, 50.0)
+    assert(did2 === did1, s"common shock leaked into the estimate: $did2")
+    // no effect: estimate exactly 0, t exactly 0
+    val (did0, t0) = didOf(0.0, 0.0)
+    assert(did0 === 0.0 && t0 === 0.0)
+    // degenerate: identical diffs everywhere -> zero variance -> t null
+    val (_, tFlat) = didOf(0.0, 0.0, noisy = false)
+    assert(tFlat === null, "t must be null when the diffs have zero variance")
+  }
+
   test("abCupedFrame: plain-Scala replay agrees; correlated covariate buys real variance reduction") {
     import spark.implicits._
     def arm(u: Long): Long = {

@@ -70,6 +70,30 @@ class RelationalSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("orders_fulfillment_lag: type-1 picks at hand-computed ranks; unshipped orders excluded") {
+    val spark0 = spark
+    import spark0.implicits._
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      (1L, t("1996-01-01"), "1-URGENT"), (2L, t("1996-01-01"), "1-URGENT"),
+      (3L, t("1996-01-01"), "1-URGENT"), (4L, t("1996-01-01"), "1-URGENT"),
+      (5L, t("1996-01-01"), "1-URGENT"),
+      (6L, t("1996-01-01"), "1-URGENT")) // never ships -> excluded
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    // lags 1,2,3,4,100; order 5 also has a LATER line that must not move
+    // the first-ship date
+    val lineitem = Seq(
+      (1L, t("1996-01-02")), (2L, t("1996-01-03")), (3L, t("1996-01-04")),
+      (4L, t("1996-01-05")), (5L, t("1996-04-10")), (5L, t("1996-06-01")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = RelationalQueries.fulfillmentLagFrame(orders, lineitem)
+      .collect().head
+    // lags {1,2,3,4,100}: ceil(.5*5)=3 -> 3; ceil(.9*5)=5 -> 100
+    assert((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getDouble(5)) === ((5L, 3, 100, 100, 110.0 / 5.0)))
+  }
+
   test("associationRulesFrame: confidence is directional, lift symmetric, arithmetic exact") {
     val spark0 = spark
     import spark0.implicits._
