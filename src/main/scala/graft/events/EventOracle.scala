@@ -1389,7 +1389,7 @@ object EventOracle {
         CAST(floor(date_diff('day',
           DATE '${EventQueries.AnonWeekAnchor}', day) / 7.0) AS BIGINT)
           AS week,
-        month(day) AS mon
+        CAST(year(day) * 12 + month(day) AS BIGINT) AS mon
       FROM dc
     ),
     leveled AS (
@@ -1414,6 +1414,85 @@ object EventOracle {
       n_rows / CAST(SUM(n_rows) OVER (PARTITION BY event_type) AS BIGINT)
         AS row_share
     FROM agg
+    ORDER BY event_type, level"""
+  }
+
+  /** Twin of [[EventQueries.lDiversityFrame]]: the same residual chain —
+    * (class, sens) base, day stats, week stats over day-failed rows only,
+    * month stats over week-failed rows only — CTE for CTE, all counts
+    * exact BIGINTs, the share one BIGINT/BIGINT division.
+    */
+  def lDiversitySql: String = {
+    val k = EventQueries.AnonK
+    val l = EventQueries.AnonL
+    s"""
+    WITH $evCte,
+    b0 AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(floor(value / ${EventQueries.AnonBandWidth}) AS BIGINT) AS band,
+        COALESCE(CAST(floor(
+          CAST(json_extract_string(props, '$$.k') AS BIGINT)
+            / ${EventQueries.AnonSensWidth}.0) AS BIGINT), -1) AS sens,
+        COUNT(*) AS n
+      FROM ev GROUP BY 1, 2, 3, 4
+    ),
+    b AS (
+      SELECT *,
+        CAST(floor(date_diff('day',
+          DATE '${EventQueries.AnonWeekAnchor}', day) / 7.0) AS BIGINT)
+          AS week,
+        CAST(year(day) * 12 + month(day) AS BIGINT) AS mon
+      FROM b0
+    ),
+    cd AS (
+      SELECT event_type, day, band, CAST(SUM(n) AS BIGINT) AS n_day,
+        COUNT(DISTINCT sens) AS l_day
+      FROM b GROUP BY 1, 2, 3
+    ),
+    u1 AS (
+      SELECT b.* FROM b JOIN cd USING (event_type, day, band)
+      WHERE NOT (cd.n_day >= $k AND cd.l_day >= $l)
+    ),
+    cw AS (
+      SELECT event_type, week, band, CAST(SUM(n) AS BIGINT) AS n_week,
+        COUNT(DISTINCT sens) AS l_week
+      FROM u1 GROUP BY 1, 2, 3
+    ),
+    u2 AS (
+      SELECT u1.* FROM u1 JOIN cw USING (event_type, week, band)
+      WHERE NOT (cw.n_week >= $k AND cw.l_week >= $l)
+    ),
+    cm AS (
+      SELECT event_type, mon, band, CAST(SUM(n) AS BIGINT) AS n_mon,
+        COUNT(DISTINCT sens) AS l_mon
+      FROM u2 GROUP BY 1, 2, 3
+    ),
+    u3 AS (
+      SELECT u2.* FROM u2 JOIN cm USING (event_type, mon, band)
+      WHERE NOT (cm.n_mon >= $k AND cm.l_mon >= $l)
+    ),
+    lv AS (
+      SELECT event_type, 'day' AS level, CAST(SUM(n_day) AS BIGINT) AS n_rows,
+        COUNT(*) AS n_classes, MIN(n_day) AS min_k, MIN(l_day) AS min_l
+      FROM cd WHERE n_day >= $k AND l_day >= $l GROUP BY 1
+      UNION ALL
+      SELECT event_type, 'week', CAST(SUM(n_week) AS BIGINT),
+        COUNT(*), MIN(n_week), MIN(l_week)
+      FROM cw WHERE n_week >= $k AND l_week >= $l GROUP BY 1
+      UNION ALL
+      SELECT event_type, 'month', CAST(SUM(n_mon) AS BIGINT),
+        COUNT(*), MIN(n_mon), MIN(l_mon)
+      FROM cm WHERE n_mon >= $k AND l_mon >= $l GROUP BY 1
+      UNION ALL
+      SELECT event_type, 'suppressed', CAST(SUM(n) AS BIGINT),
+        COUNT(DISTINCT (day, band)), CAST(NULL AS BIGINT),
+        CAST(NULL AS BIGINT)
+      FROM u3 GROUP BY 1
+    )
+    SELECT event_type, level, n_rows, n_classes, min_k, min_l,
+      n_rows / CAST(SUM(n_rows) OVER (PARTITION BY event_type) AS BIGINT)
+        AS row_share
+    FROM lv
     ORDER BY event_type, level"""
   }
 

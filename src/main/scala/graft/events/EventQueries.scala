@@ -2001,6 +2001,17 @@ object EventQueries {
     * quantized to 1e-9 right after its one pow), each weighted term
     * re-quantized to a 1e-9 LONG before the exact sum, limits quantized
     * to LONGs so the alarm compares are integer-exact.
+    *
+    * BASELINE CAVEAT: mean/sigma are estimated over the WHOLE series —
+    * there is no Phase-I in-control reference window — so a large shift
+    * occupying much of the window inflates both and dampens the chart's
+    * sensitivity to it (the planted-shift spec sizes its shift against
+    * exactly this). That is the textbook retrospective-chart limitation,
+    * shared by [[cusum]] and deliberate here: a production deployment
+    * would freeze (mean, sigma) from a vetted in-control prefix and
+    * serve them as model state (the [[ewmaReadout]] signature already
+    * accepts any hourly frame, so a frozen-baseline variant is a
+    * params-source swap, not a new operator).
     */
   val ewmaChart: GraftQuery = GraftQuery(
     "events_ewma_chart",
@@ -2116,6 +2127,22 @@ object EventQueries {
     * sizes are exact longs; the band floor and the released share's
     * long/long division are single IEEE754 ops both engines evaluate
     * identically.
+    *
+    * Both coarse levels bucket time YEAR-AWARE: weeks are 7-day offsets
+    * from [[AnonWeekAnchor]] and months are months-since-anchor
+    * (year*12 + month), so a class can never merge rows from the same
+    * calendar month of DIFFERENT years — a year-blind month(day) key
+    * would overstate anonymity on any corpus spanning a year boundary.
+    *
+    * KNOWN RESIDUAL-CLASS CAVEAT (mixed-grain local recoding): the
+    * week/month class sizes here include rows already released at a
+    * finer grain, so an attacker who subtracts the day-level release
+    * can face a coarse RESIDUAL class smaller than k. This audit
+    * reports the classic lattice walk; [[lDiversity]] implements the
+    * strict variant — coarse class sizes counted over ONLY the rows
+    * not yet released at a finer level — plus the sensitive-attribute
+    * diversity gate, and is the query to run when the day-level
+    * release is itself published.
     */
   val kAnonymity: GraftQuery = GraftQuery(
     "events_k_anonymity",
@@ -2139,7 +2166,9 @@ object EventQueries {
       .withColumn("week",
         floor(datediff(col("day"), lit(AnonWeekAnchor).cast("date"))
           / lit(7.0)).cast("long"))
-      .withColumn("mon", month(col("day")))
+      // year-aware month bucket: months-since-epoch, never just
+      // month(day) — January classes of different years must not merge
+      .withColumn("mon", (year(col("day")) * 12 + month(col("day"))).cast("long"))
     val wWeek = Window.partitionBy(col("event_type"), col("week"), col("band"))
     val wMon = Window.partitionBy(col("event_type"), col("mon"), col("band"))
     val leveled = keyed
@@ -2156,6 +2185,106 @@ object EventQueries {
       .agg(sum(col("n_day")).as("n_rows"), count(lit(1)).as("n_day_classes"))
       .withColumn("row_share",
         col("n_rows") / sum(col("n_rows")).over(wType))
+      .orderBy("event_type", "level")
+  }
+
+  /** l-diversity threshold for [[lDiversity]]. */
+  val AnonL = 3
+
+  /** Sensitive-attribute bucket width for [[lDiversity]]: props.k spans
+    * 0..99, so floor(k/25) yields four sensitive categories (a missing k
+    * coalesces to its own -1 category, deterministic on both engines).
+    */
+  val AnonSensWidth = 25
+
+  /** l-diversity audit on the k-anonymity release lattice — the screen
+    * [[kAnonymity]] leaves open: a class with k rows but ONE sensitive
+    * value re-identifies nothing yet still leaks the attribute (every
+    * member provably shares it), so a release gate needs BOTH k-many
+    * rows AND l-many distinct sensitive values per class. Same
+    * (event_type, day, value band) quasi-identifier and day→week→month
+    * lattice; sensitive attribute = the props.k bucket
+    * ([[AnonSensWidth]]).
+    *
+    * Unlike [[kAnonymity]]'s classic local recoding, the coarse levels
+    * here are RESIDUAL: week class sizes (and diversities) count ONLY
+    * rows not already released at day grain, and month counts only rows
+    * failing both — so when the finer releases are themselves published,
+    * an attacker who subtracts them still faces ≥ k rows and ≥ l values
+    * in every released coarse class (the mixed-grain weakness the
+    * classic walk carries, closed by construction). The per-level
+    * min_k / min_l columns attest the guarantee inside the output.
+    *
+    * Scale shape: ONE corpus groupBy to (class, sensitive) granularity,
+    * then three sequential model-sized aggregations (classes × ≤5
+    * sensitive buckets) — the residual chain adds no corpus pass.
+    * Determinism: all counts are exact longs; the released share is one
+    * long/long division.
+    */
+  val lDiversity: GraftQuery = GraftQuery(
+    "events_l_diversity",
+    s"l-diversity (k=$AnonK, l=$AnonL) over the residual-recoded day->week->month lattice; per-level rows/classes + min class k/l",
+    EventOracle.lDiversitySql) { (s, d) =>
+    lDiversityFrame(Tables.events(s, d))
+  }
+
+  /** The l-diversity derivation over any events frame — shared by the
+    * registry query and the planted-lattice spec (EventQueriesSpec).
+    */
+  def lDiversityFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / lit(AnonBandWidth)).cast("long").as("band"),
+        coalesce(
+          floor(get_json_object(col("props"), "$.k").cast("long")
+            / lit(AnonSensWidth.toDouble)).cast("long"),
+          lit(-1L)).as("sens"))
+      .groupBy(col("event_type"), col("day"), col("band"), col("sens"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("week",
+        floor(datediff(col("day"), lit(AnonWeekAnchor).cast("date"))
+          / lit(7.0)).cast("long"))
+      .withColumn("mon",
+        (year(col("day")) * 12 + month(col("day"))).cast("long"))
+      .localCheckpoint()
+    def classStats(rows: org.apache.spark.sql.DataFrame, timeCol: String,
+        nName: String, lName: String): org.apache.spark.sql.DataFrame =
+      rows.groupBy(col("event_type"), col(timeCol), col("band"))
+        .agg(sum(col("n")).as(nName), countDistinct(col("sens")).as(lName))
+    val released = (nc: String, lc: String) =>
+      col(nc) >= AnonK && col(lc) >= AnonL
+    val cd = classStats(b, "day", "n_day", "l_day").localCheckpoint()
+    val u1 = b.join(cd, Seq("event_type", "day", "band"))
+      .filter(!released("n_day", "l_day"))
+    val cw = classStats(u1, "week", "n_week", "l_week").localCheckpoint()
+    val u2 = u1.join(cw, Seq("event_type", "week", "band"))
+      .filter(!released("n_week", "l_week"))
+    val cm = classStats(u2, "mon", "n_mon", "l_mon").localCheckpoint()
+    val u3 = u2.join(cm, Seq("event_type", "mon", "band"))
+      .filter(!released("n_mon", "l_mon"))
+    def levelRow(cls: org.apache.spark.sql.DataFrame, level: String,
+        nc: String, lc: String): org.apache.spark.sql.DataFrame =
+      cls.filter(released(nc, lc))
+        .groupBy(col("event_type"))
+        .agg(sum(col(nc)).as("n_rows"), count(lit(1)).as("n_classes"),
+          min(col(nc)).as("min_k"), min(col(lc)).as("min_l"))
+        .withColumn("level", lit(level))
+    val suppressed = u3.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_rows"),
+        countDistinct(col("day"), col("band")).as("n_classes"),
+        lit(null).cast("long").as("min_k"),
+        lit(null).cast("long").as("min_l"))
+      .withColumn("level", lit("suppressed"))
+    val wType = Window.partitionBy(col("event_type"))
+    levelRow(cd, "day", "n_day", "l_day")
+      .unionByName(levelRow(cw, "week", "n_week", "l_week"))
+      .unionByName(levelRow(cm, "month", "n_mon", "l_mon"))
+      .unionByName(suppressed)
+      .select(col("event_type"), col("level"), col("n_rows"),
+        col("n_classes"), col("min_k"), col("min_l"),
+        (col("n_rows") / sum(col("n_rows")).over(wType)).as("row_share"))
       .orderBy("event_type", "level")
   }
 
@@ -2596,6 +2725,6 @@ object EventQueries {
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
-      kAnonymity, contributionCap, ewmaChart, abCuped, survivalKm,
-      survivalCohorts, funnelZtest, didEstimate)
+      kAnonymity, lDiversity, contributionCap, ewmaChart, abCuped,
+      survivalKm, survivalCohorts, funnelZtest, didEstimate)
 }

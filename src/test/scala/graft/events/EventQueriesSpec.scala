@@ -74,7 +74,12 @@ class EventQueriesSpec extends SparkSpec {
         // err band 1, different weeks AND different months: the lattice
         // tops out at month -> 5+5 stays suppressed (no year level)
         burst(700, "2024-01-25", "err", 60.0, 5) ++
-        burst(710, "2024-02-05", "err", 60.0, 5))
+        burst(710, "2024-02-05", "err", 60.0, 5) ++
+        // jan: 5+5 in JANUARY of two different YEARS — a year-blind
+        // month(day) key would merge them into one 10-row 'month' class;
+        // the months-since-epoch bucket keeps them apart -> suppressed
+        burst(800, "2024-01-10", "jan", 10.0, 5) ++
+        burst(810, "2025-01-10", "jan", 10.0, 5))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val got = EventQueries.kAnonFrame(fixture)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
@@ -86,7 +91,60 @@ class EventQueriesSpec extends SparkSpec {
       ("click", "week", 10L, 2L, 10.0 / 32.0),
       ("err", "suppressed", 10L, 2L, 10.0 / 22.0),
       ("err", "week", 12L, 2L, 12.0 / 22.0),
+      ("jan", "suppressed", 10L, 2L, 1.0),
       ("view", "day", 12L, 1L, 1.0)))
+  }
+
+  test("lDiversityFrame: diversity gate + RESIDUAL coarse classes; kAnonFrame releases what the residual walk suppresses") {
+    import spark.implicits._
+    // sens bucket s in 0..3 encodes as props.k = s*25 (AnonSensWidth = 25)
+    def burst(id0: Long, day: String, typ: String, sens: Int, n: Int) =
+      (0 until n).map(i => (id0 + i,
+        Timestamp.valueOf(s"$day 10:0${i % 10}:00"), 50L + i, typ, 10.0,
+        s"""{"k": ${sens * 25}}"""))
+    val fixture = (
+      // divok: 12 rows, one day, three sensitive values -> day release
+      burst(100, "2024-01-05", "divok", 0, 4) ++
+        burst(110, "2024-01-05", "divok", 1, 4) ++
+        burst(120, "2024-01-05", "divok", 2, 4) ++
+        // mono: day 1 is k-large but SINGLE-valued (the leak kAnonymity
+        // misses); day 2 of the same week is small but diverse -> both
+        // fail day, the merged week class (20 rows, 3 values) releases
+        burst(200, "2024-01-05", "mono", 0, 12) ++
+        burst(220, "2024-01-03", "mono", 1, 4) ++
+        burst(230, "2024-01-03", "mono", 2, 4) ++
+        // mth: 4 rows in each of three DIFFERENT weeks of January, one
+        // sensitive value per week -> day and week fail, month releases
+        burst(300, "2024-01-02", "mth", 0, 4) ++
+        burst(310, "2024-01-10", "mth", 1, 4) ++
+        burst(320, "2024-01-17", "mth", 2, 4) ++
+        // resid — the ADVICE scenario: day 1 releases (k=10, l=3); day
+        // 2's 6 rows fail day, and the RESIDUAL week class holds only
+        // those 6 (< k) -> suppressed, even though the FULL week class
+        // (16 rows) would clear k — the classic walk's leak
+        burst(400, "2024-01-05", "resid", 0, 4) ++
+        burst(410, "2024-01-05", "resid", 1, 3) ++
+        burst(420, "2024-01-05", "resid", 2, 3) ++
+        burst(430, "2024-01-03", "resid", 3, 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.lDiversityFrame(fixture)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getDouble(6))).toSeq
+    assert(got === Seq(
+      ("divok", "day", 12L, 1L, Some(12L), Some(3L), 1.0),
+      ("mono", "week", 20L, 1L, Some(20L), Some(3L), 1.0),
+      ("mth", "month", 12L, 1L, Some(12L), Some(3L), 1.0),
+      ("resid", "day", 10L, 1L, Some(10L), Some(3L), 10.0 / 16.0),
+      ("resid", "suppressed", 6L, 1L, None, None, 6.0 / 16.0)))
+    // the classic (non-residual) walk on the same rows DOES release
+    // resid's 6 leftover rows at week — the full week class counts the
+    // 10 already-released day rows toward k
+    val ka = EventQueries.kAnonFrame(fixture.filter($"event_type" === "resid"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(ka === Seq(("day", 10L), ("week", 6L)))
   }
 
   test("contributionCapFrame: first-C-by-time keep rule, event_id tie-break, exact loss") {
