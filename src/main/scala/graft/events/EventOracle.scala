@@ -1057,11 +1057,15 @@ object EventOracle {
   }
 
   /** Backtest twin: dense grid, the same cut arithmetic, hod models
-    * from the train prefix only, exact forecasts/errors, MAEs from
-    * 1e-6-quantized error sums.
+    * from the train prefix only, the Holt-Winters level as the same
+    * truncated 1e-9-quantized SES kernel over the deseasonalized train
+    * tail, exact forecasts/errors, MAEs from 1e-6-quantized error sums.
     */
   def forecastBacktestSql: String = {
     val bh = EventQueries.BacktestHours
+    val alpha = s"${EventQueries.HwAlpha}::DOUBLE"
+    val dec = s"${1.0 - EventQueries.HwAlpha}::DOUBLE"
+    val hwCut = EventQueries.HwKernelCut
     s"""
     WITH $evCte,
     ha AS (
@@ -1090,23 +1094,50 @@ object EventOracle {
       SELECT hod, CAST(n AS DOUBLE) AS fc_naive
       FROM train, ct WHERE hour >= cut - INTERVAL '24 hours'
     ),
+    gg AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_g,
+        COUNT(*) AS t_train, max(hour) AS tmax
+      FROM train
+    ),
+    lvl AS (
+      SELECT gg.mean_g,
+        SUM(CAST(FLOOR(
+          ((CAST(t.n AS DOUBLE) - (sm.fc_smean - gg.mean_g))
+            * (FLOOR(CASE WHEN date_diff('hour', t.hour, gg.tmax)
+                  = gg.t_train - 1
+                THEN pow($dec, date_diff('hour', t.hour, gg.tmax))
+                ELSE $alpha * pow($dec, date_diff('hour', t.hour, gg.tmax))
+                END * 1e9 + 0.5) / 1e9))
+          * 1e6 + 0.5) AS BIGINT)) / 1e6 AS level
+      FROM train t JOIN sm USING (hod) CROSS JOIN gg
+      WHERE date_diff('hour', t.hour, gg.tmax) <= $hwCut
+      GROUP BY gg.mean_g
+    ),
     scored AS MATERIALIZED (
       SELECT t.hour, t.n, nv.fc_naive, sm.fc_smean,
+        lvl.level + (sm.fc_smean - lvl.mean_g) AS fc_hw,
         abs(CAST(t.n AS DOUBLE) - nv.fc_naive) AS ae_naive,
-        abs(CAST(t.n AS DOUBLE) - sm.fc_smean) AS ae_smean
-      FROM test t JOIN sm USING (hod) JOIN nv USING (hod)
+        abs(CAST(t.n AS DOUBLE) - sm.fc_smean) AS ae_smean,
+        abs(CAST(t.n AS DOUBLE)
+          - (lvl.level + (sm.fc_smean - lvl.mean_g))) AS ae_hw
+      FROM test t JOIN sm USING (hod) JOIN nv USING (hod) CROSS JOIN lvl
     ),
     mae AS (
       SELECT
         CAST(SUM(CAST(FLOOR(ae_naive * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
           / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
         CAST(SUM(CAST(FLOOR(ae_smean * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-          / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mae_smean
+          / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mae_smean,
+        CAST(SUM(CAST(FLOOR(ae_hw * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mae_hw
       FROM scored
     )
-    SELECT s.hour, s.n, s.fc_naive, s.fc_smean, s.ae_naive, s.ae_smean,
-      m.mae_naive, m.mae_smean,
-      CASE WHEN m.mae_smean <= m.mae_naive THEN 'seasonal_mean'
+    SELECT s.hour, s.n, s.fc_naive, s.fc_smean, s.fc_hw,
+      s.ae_naive, s.ae_smean, s.ae_hw,
+      m.mae_naive, m.mae_smean, m.mae_hw,
+      CASE WHEN m.mae_hw <= m.mae_naive AND m.mae_hw <= m.mae_smean
+             THEN 'holt_winters'
+           WHEN m.mae_smean <= m.mae_naive THEN 'seasonal_mean'
            ELSE 'seasonal_naive' END AS winner
     FROM scored s, mae m ORDER BY s.hour"""
   }

@@ -1273,6 +1273,19 @@ object EventQueries {
   /** Hours held out for [[forecastBacktest]] — one full seasonal period. */
   val BacktestHours = 24
 
+  /** Holt-Winters level smoothing weight for [[forecastBacktest]]'s third
+    * model (the SES-standard alpha).
+    */
+  val HwAlpha = 0.3
+
+  /** HW level kernel truncation: alpha*(1-alpha)^lag < 5e-10 from lag 57
+    * (0.3 * 0.7^57 = 4.4e-10), so every weight beyond [[HwKernelCut]]
+    * quantizes to ZERO at the 1e-9 quantum — the truncated level sum is
+    * EXACTLY the untruncated one (the [[EwmaKernelCut]] argument at
+    * alpha = 0.3).
+    */
+  val HwKernelCut = 60
+
   /** Seasonal FORECAST with an honest BACKTEST — the eval harness the
     * forecast family lacked (`revenue_forecast_ses`/`revenue_trend_ols`
     * fit and extrapolate but never grade themselves): the LAST
@@ -1285,18 +1298,32 @@ object EventQueries {
     *   - seasonal-NAIVE: ŷ(h) = the last train day's value at the same
     *     hour-of-day (the no-skill baseline every forecast must beat);
     *   - seasonal-MEAN: ŷ(h) = the train mean at that hour-of-day (the
-    *     [[stlDecompose]] seasonal component as a predictor).
+    *     [[stlDecompose]] seasonal component as a predictor);
+    *   - HOLT-WINTERS (level + seasonal, additive): seasonal(hod) = the
+    *     hod-mean minus the grand train mean, level = SES (alpha =
+    *     [[HwAlpha]], the `revenue_forecast_ses` closed-form weight
+    *     recipe) over the DESEASONALIZED train series evaluated at the
+    *     train end; ŷ(h) = level + seasonal(hod). The model production
+    *     hourly series actually use: it tracks level shifts the frozen
+    *     hod-mean is dragged by, while averaging out the day-to-day
+    *     noise the naive copy pays in full. No trend term — hourly ops
+    *     series are mean-reverting at this horizon, and a damped trend
+    *     would need one more smoothing constant for no planted gain.
     *
     * Scale shape: one corpus aggregate to hourly counts, then train/test
-    * splits, 24-row hod models, and a 24-row scored join — all
-    * model-sized. Determinism: both forecasts are exact (integer counts;
-    * hod means are exact LONG-sum divisions), absolute errors are exact
-    * IEEE subtractions, MAEs quantize each error to 1e-6 before the
-    * LONG sum.
+    * splits, 24-row hod models, a ≤ [[HwKernelCut]]+1-row level kernel,
+    * and a 24-row scored join — all model-sized. Determinism: naive and
+    * hod-mean forecasts are exact (integer counts; hod means are exact
+    * LONG-sum divisions); the HW level quantizes each SES weight to 1e-9
+    * right after its one pow and each weighted term to 1e-6 before the
+    * LONG sum (truncation exact — see [[HwKernelCut]]); absolute errors
+    * are exact IEEE subtractions, MAEs quantize each error to 1e-6
+    * before the LONG sum. Winner tie-breaks: HW wins ties (the richer
+    * model at equal error is the one you'd deploy), then hod-mean.
     */
   val forecastBacktest: GraftQuery = GraftQuery(
     "events_forecast_backtest",
-    s"seasonal forecast backtest: last ${BacktestHours}h held out, seasonal-naive vs hod-mean forecasts, per-hour errors + MAE winner",
+    s"seasonal forecast backtest: last ${BacktestHours}h held out, seasonal-naive vs hod-mean vs Holt-Winters forecasts, per-hour errors + MAE winner",
     EventOracle.forecastBacktestSql) { (s, d) =>
     forecastBacktestFrame(Tables.events(s, d))
   }
@@ -1322,22 +1349,51 @@ object EventQueries {
     val nv = train
       .filter(col("hour") >= col("cut") - expr("INTERVAL 24 HOURS"))
       .select(col("hod"), col("n").cast("double").as("fc_naive"))
+    // Holt-Winters level: SES closed form over the deseasonalized train
+    // series at the train end — only the last HwKernelCut+1 hours carry
+    // non-zero quantized weight (exact truncation, see the constant)
+    val g = train.agg(
+      (sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_g"),
+      count(lit(1)).as("t_train"), max(col("hour")).as("tmax"))
+    val decay = lit(1.0 - HwAlpha)
+    val lvl = train.join(broadcast(sm), "hod").crossJoin(broadcast(g))
+      .withColumn("lag",
+        expr("(unix_timestamp(tmax) - unix_timestamp(hour)) div 3600"))
+      .filter(col("lag") <= HwKernelCut)
+      .withColumn("dz",
+        col("n").cast("double") - (col("fc_smean") - col("mean_g")))
+      .withColumn("wq",
+        floor(when(col("lag") === col("t_train") - 1, pow(decay, col("lag")))
+          .otherwise(lit(HwAlpha) * pow(decay, col("lag")))
+          * lit(1e9) + lit(0.5)) / lit(1e9))
+      .groupBy(col("mean_g"))
+      .agg((sum(Det.quantize(col("dz") * col("wq"), 6)) / lit(1e6))
+        .as("level"))
     val scored = test
       .join(broadcast(sm), "hod").join(broadcast(nv), "hod")
+      .crossJoin(broadcast(lvl))
+      .withColumn("fc_hw", col("level") + (col("fc_smean") - col("mean_g")))
       .withColumn("ae_naive", abs(col("n").cast("double") - col("fc_naive")))
       .withColumn("ae_smean", abs(col("n").cast("double") - col("fc_smean")))
+      .withColumn("ae_hw", abs(col("n").cast("double") - col("fc_hw")))
       .localCheckpoint()
     val mae = scored.agg(
         (sum(Det.quantize(col("ae_naive"), 6)).cast("double") / lit(1e6)
           / count(lit(1)).cast("double")).as("mae_naive"),
         (sum(Det.quantize(col("ae_smean"), 6)).cast("double") / lit(1e6)
-          / count(lit(1)).cast("double")).as("mae_smean"))
-      .withColumn("winner", when(col("mae_smean") <= col("mae_naive"),
-        "seasonal_mean").otherwise("seasonal_naive"))
+          / count(lit(1)).cast("double")).as("mae_smean"),
+        (sum(Det.quantize(col("ae_hw"), 6)).cast("double") / lit(1e6)
+          / count(lit(1)).cast("double")).as("mae_hw"))
+      .withColumn("winner",
+        when(col("mae_hw") <= col("mae_naive")
+            && col("mae_hw") <= col("mae_smean"), "holt_winters")
+          .when(col("mae_smean") <= col("mae_naive"), "seasonal_mean")
+          .otherwise("seasonal_naive"))
     scored.crossJoin(broadcast(mae))
       .select(col("hour"), col("n"), col("fc_naive"), col("fc_smean"),
-        col("ae_naive"), col("ae_smean"), col("mae_naive"),
-        col("mae_smean"), col("winner"))
+        col("fc_hw"), col("ae_naive"), col("ae_smean"), col("ae_hw"),
+        col("mae_naive"), col("mae_smean"), col("mae_hw"), col("winner"))
       .orderBy("hour")
   }
 

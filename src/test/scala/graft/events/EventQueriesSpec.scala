@@ -523,7 +523,7 @@ class EventQueriesSpec extends SparkSpec {
       "expected raw-series false alarms before the shift")
   }
 
-  test("forecastBacktestFrame: hod-mean wins against an outlier train day; naive wins after a recent shift") {
+  test("forecastBacktestFrame: each of the three models wins its planted regime") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     def tsOf(h: Int) = new Timestamp(base + h * 3600L * 1000)
@@ -535,23 +535,44 @@ class EventQueriesSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     // case A: day 8 (the last TRAIN day) is an outlier spike; day 9 (the
     // held-out day) is normal — naive copies the spike and errs ~10/hour,
-    // the hod-mean averages it down to ~1.1
+    // the HW level absorbs ~all of it too (alpha=0.3 hourly adapts within
+    // a day), the hod-mean averages it down to ~1.1
     val outlier = build(h =>
       wave(h % 24) + (if (h / 24 == 8) 10 else 0))
     val a = EventQueries.forecastBacktestFrame(outlier)
-      .select("winner", "mae_naive", "mae_smean").head
+      .select("winner", "mae_naive", "mae_smean", "mae_hw").head
     assert(a.getString(0) === "seasonal_mean",
-      s"outlier day: naive (${a.getDouble(1)}) should lose to hod-mean (${a.getDouble(2)})")
+      s"outlier day: expected hod-mean win, got ${a.getString(0)} " +
+        s"(naive=${a.getDouble(1)} smean=${a.getDouble(2)} hw=${a.getDouble(3)})")
     assert(a.getDouble(1) > a.getDouble(2) * 3)
-    // case B: the series LEVEL shifts +10 for days 8-9 — naive copies the
-    // recent day exactly (MAE 0), the hod-mean is dragged by the old level
+    assert(a.getDouble(3) > a.getDouble(2) * 3)
+    // case B: the series LEVEL shifts +10 for days 8-9 with NO noise —
+    // naive copies the recent day exactly (MAE 0); HW is off by the
+    // 10*(0.7^24 + kernel dust) its level hasn't fully absorbed; the
+    // hod-mean is dragged by the old level
     val shifted = build(h =>
       wave(h % 24) + (if (h / 24 >= 8) 10 else 0))
     val b = EventQueries.forecastBacktestFrame(shifted)
-      .select("winner", "mae_naive", "mae_smean").head
+      .select("winner", "mae_naive", "mae_smean", "mae_hw").head
     assert(b.getString(0) === "seasonal_naive",
-      s"recent shift: hod-mean (${b.getDouble(2)}) should lose to naive (${b.getDouble(1)})")
+      s"recent shift: expected naive win, got ${b.getString(0)} " +
+        s"(naive=${b.getDouble(1)} smean=${b.getDouble(2)} hw=${b.getDouble(3)})")
     assert(b.getDouble(1) === 0.0)
+    assert(b.getDouble(3) > 0.0 && b.getDouble(3) < 0.01,
+      s"HW should trail the shift by ~10*0.7^24: ${b.getDouble(3)}")
+    // case C — the regime HW exists for: a level shift (days 6-9) UNDER
+    // deterministic per-hour jitter. The hod-mean is dragged by the old
+    // level (~5.6), naive pays the full jitter difference day-over-day
+    // (~2.4), HW tracks the level and smooths the jitter out (~1.3)
+    def jitter(h: Int) = (h * 7) % 5 - 2
+    val noisyShift = build(h =>
+      wave(h % 24) + jitter(h) + (if (h / 24 >= 6) 10 else 0))
+    val c = EventQueries.forecastBacktestFrame(noisyShift)
+      .select("winner", "mae_naive", "mae_smean", "mae_hw").head
+    assert(c.getString(0) === "holt_winters",
+      s"shift under jitter: expected HW win, got ${c.getString(0)} " +
+        s"(naive=${c.getDouble(1)} smean=${c.getDouble(2)} hw=${c.getDouble(3)})")
+    assert(c.getDouble(3) < c.getDouble(1) && c.getDouble(1) < c.getDouble(2))
   }
 
   test("multitouchFrame: two-touch purchase splits 50/50 — no middle pool, value conserved") {
