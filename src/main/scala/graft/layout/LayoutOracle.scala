@@ -141,4 +141,41 @@ object LayoutOracle {
       FROM enriched),
     ${summarySql("assigned")}"""
   }
+
+  /** Twin of [[LayoutQueries.optimizeZorder]]: the placement key of the
+    * persisted table is a pure function of the data (recent-ship-date
+    * rows in append slots before the rewrite, Z-cell after), so the
+    * relational assignment predicts the physical layout exactly and the
+    * before/after measurement over the real table must hash-match this
+    * synthetic replay. A `def`, not a `val`: LayoutOracle initializes
+    * while LayoutQueries is mid-init (its first query val touches this
+    * object), and the Optimize* string constants are declared after
+    * that point — a val here would capture them as null (the
+    * kAnonymity init-order lesson).
+    */
+  def optimizeZorderSql: String = {
+    val cellShift = 1L << (2 * DimBits - FilePrefixBits)
+    val cellFiles = 1L << FilePrefixBits
+    val xbcut = s"""date_diff('day', TIMESTAMP '$BaseDate 00:00:00',
+                  TIMESTAMP '$OptimizeSinceDate 00:00:00')"""
+    s"""
+    WITH ${commonCtes(ingest = true)},
+    en2 AS (
+      SELECT x, pk, y, z, plo, phi,
+        date_diff('day', TIMESTAMP '$BaseDate 00:00:00',
+                  TIMESTAMP '$OptPredDateLo 00:00:00') AS xlo,
+        date_diff('day', TIMESTAMP '$BaseDate 00:00:00',
+                  TIMESTAMP '$OptPredDateHi 00:00:00') AS xhi,
+        ih, ihf
+      FROM enriched),
+    assigned AS (
+      SELECT 'appended' AS layout,
+        CASE WHEN x >= $xbcut THEN $cellFiles + ihf
+             ELSE z // $cellShift END AS file_id,
+        * FROM en2
+      UNION ALL
+      SELECT 'clustered' AS layout, z // $cellShift AS file_id, *
+      FROM en2),
+    ${summarySql("assigned")}"""
+  }
 }

@@ -208,6 +208,98 @@ object LayoutQueries {
       "clustered" -> s"z div $cellShift")))
   }
 
+  /** Managed-table name for [[optimizeZorder]]'s persisted lifecycle. */
+  val LayoutTable = "lineitem_layout"
+
+  /** "Last OPTIMIZE run" date for [[optimizeZorder]]: rows shipped on or
+    * after this date are the append batch (~3.5% of the corpus — the last
+    * ~90 days of the 1995..2001-11-04 range). A RECENT-data batch, unlike
+    * [[appendDegradation]]'s content-hash one, is both the realistic
+    * ingest shape and the property that keeps the rewrite INCREMENTAL:
+    * the batch's cluster cells concentrate in one x-stripe of the 16×16
+    * grid, so OPTIMIZE touches the 8 append slots + ~16 destination
+    * cells, never the table.
+    */
+  val OptimizeSinceDate = "2001-08-07"
+
+  /** The 2-D predicate [[optimizeZorder]] grades pruning with: a 2-month
+    * window INSIDE the append batch's date range × the standard partkey
+    * band — the dashboards-over-recent-data query class that unclustered
+    * appends actually poison (the corpus-middle [[PredDateLo]] window
+    * never touches an append file, so it can't see the degradation).
+    */
+  val OptPredDateLo = "2001-08-15"
+  val OptPredDateHi = "2001-10-15"
+
+  /** OPTIMIZE ZORDER on a REAL persisted table — [[appendDegradation]]
+    * measures the appended-vs-clustered trade on synthetic per-row file
+    * assignments; this runs the actual lakehouse maintenance verb and
+    * attests the same trade from the table's OWN partitions:
+    *
+    *   1. PUBLISH the appended state as a managed table PARTITIONED BY
+    *      the placement key `file_id` (each "file" is a real partition
+    *      directory — the row's Z-cell for the clustered base, an
+    *      arrival-order append slot for the recent-ship-date ingest
+    *      batch, see [[OptimizeSinceDate]]), one physical file per slot
+    *      (hash-repartitioned by file_id);
+    *   2. MEASURE the skipping index from the table's own layout
+    *      (per-partition min/max → files touched / rows scanned / read
+    *      amplification for the fixed 2-D predicate), materialized
+    *      BEFORE the rewrite;
+    *   3. OPTIMIZE via [[graft.sources.Warehouse.compactClustered]] —
+    *      every misplaced row moves to its Z-cell partition; only
+    *      partitions losing or gaining rows rewrite, emptied append
+    *      slots drop through the catalog;
+    *   4. MEASURE again: the output is the before/after pair; the
+    *      oracle replays both placements relationally — the placement
+    *      key is a pure function of the data, which is exactly what
+    *      makes a real table's physical layout oracle-checkable.
+    *
+    * At 100 TB this is the weekly maintenance job behind every
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`: the rewrite moves
+    * O(batch + touched cells), never the table, and the read-amp drop
+    * (15.1 -> 4.3 at sf0.01) is the scan cost the next thousand recent-
+    * window 2-D queries stop paying. LayoutSpec pins the physical half:
+    * partition
+    * directories match the index file counts, untouched cells keep
+    * their files byte-identical, and a second OPTIMIZE is a no-op.
+    */
+  val optimizeZorder: GraftQuery = GraftQuery(
+    "layout_optimize_zorder",
+    "OPTIMIZE ZORDER lifecycle: persist the appended state as a file_id-partitioned table, clustered rewrite, before/after skipping index from the table's own partitions",
+    LayoutOracle.optimizeZorderSql) { (s, d) =>
+    import graft.sources.Warehouse
+    val cellShift = 1L << (2 * DimBits - FilePrefixBits)
+    val cellFiles = 1L << FilePrefixBits
+    val rows = gridRows(s, d, withIngestKey = true)
+      .withColumn("zcell", expr(s"z div $cellShift"))
+      .withColumn("xbcut",
+        datediff(lit(OptimizeSinceDate).cast("timestamp"),
+          lit(BaseDate).cast("timestamp")).cast("long"))
+      .withColumn("file_id", expr(
+        s"CASE WHEN x >= xbcut THEN $cellFiles + ihf ELSE zcell END"))
+      // the RECENT 2-D predicate replaces gridRows' corpus-middle one
+      .withColumn("xlo", datediff(lit(OptPredDateLo).cast("timestamp"),
+        lit(BaseDate).cast("timestamp")).cast("long"))
+      .withColumn("xhi", datediff(lit(OptPredDateHi).cast("timestamp"),
+        lit(BaseDate).cast("timestamp")).cast("long"))
+      .withColumn("matched",
+        col("x").between(col("xlo"), col("xhi"))
+          && col("pk").between(col("plo"), col("phi")))
+      .select(col("file_id"), col("x"), col("pk"), col("zcell"),
+        col("matched"), col("plo"), col("phi"), col("xlo"), col("xhi"))
+      .repartition(col("file_id"))
+    Warehouse.replacePartitioned(rows, LayoutTable, "file_id")
+    def measure(state: String) = pruneSummary(
+      s.table(s"${Warehouse.Schema}.$LayoutTable")
+        .select(lit(state).as("layout"), col("file_id"), col("x"),
+          col("pk"), col("matched"), col("plo"), col("phi"), col("xlo"),
+          col("xhi")))
+    val before = measure("appended").localCheckpoint()
+    Warehouse.compactClustered(s, LayoutTable, "file_id", "zcell")
+    before.unionByName(measure("clustered")).orderBy("layout")
+  }
+
   /** The shared row-level grid frame: day offset `x`, raw `pk`, grid `y`,
     * Morton `z`, the data-derived predicate band `plo`/`phi`, the
     * date-window bounds `xlo`/`xhi`, and the true per-row `matched` bit.
@@ -295,5 +387,6 @@ object LayoutQueries {
       .orderBy("layout")
   }
 
-  def all: Seq[GraftQuery] = Seq(zorderPruning, hilbertPruning, appendDegradation)
+  def all: Seq[GraftQuery] =
+    Seq(zorderPruning, hilbertPruning, appendDegradation, optimizeZorder)
 }

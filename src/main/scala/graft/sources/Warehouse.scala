@@ -272,18 +272,8 @@ object Warehouse {
     def survivorsOf(cur: DataFrame): DataFrame = cur.as("c")
       .join(dk, keys.map(k => col(s"c.$k") <=> col(s"k.$k")).reduce(_ && _),
         "left_anti")
-    def overwriteInto(out: DataFrame, mode: String): Unit = {
-      val prior =
-        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
-      try out.write.mode(SaveMode.Overwrite).insertInto(qualified)
-      finally prior match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    def overwriteInto(out: DataFrame, mode: String): Unit =
+      overwritePartitioned(spark, qualified, out, mode)
     if (partCols.nonEmpty && partCols.forall(keys.contains)) {
       // partition-pruned path: a key row can never move partitions (its
       // partition values ARE key values), so rows outside the touched
@@ -349,6 +339,99 @@ object Warehouse {
       out.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
       graft.api.Checkpoints.release(out)
     }
+  }
+
+  /** `INSERT OVERWRITE` through an existing partitioned table definition
+    * under the given partitionOverwriteMode ("dynamic" = only partitions
+    * present in `out` are replaced; "static" = full content), restoring
+    * the session conf afterwards — the write step [[mergeTable]] and
+    * [[compactClustered]] share.
+    */
+  private def overwritePartitioned(spark: SparkSession, qualified: String,
+      out: DataFrame, mode: String): Unit = {
+    val prior =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    try out.write.mode(SaveMode.Overwrite).insertInto(qualified)
+    finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Clustered-rewrite maintenance — the lakehouse `OPTIMIZE ... ZORDER BY`
+    * verb ([[compact]] fixes file COUNT; this fixes file PLACEMENT): a
+    * table partitioned by a physical placement key `partCol` whose rows
+    * carry their IDEAL multi-dimensional cluster cell in `clusterCol`
+    * (a Z/Hilbert curve cell id — [[graft.layout.LayoutQueries]] computes
+    * them) accumulates misplaced rows as ingest appends land in
+    * arrival-order files; this rewrites every misplaced row into its
+    * cluster cell's partition and returns the number of rows moved.
+    *
+    * INCREMENTAL by construction — the property that makes weekly
+    * OPTIMIZE affordable at 100 TB: only partitions that hold a
+    * misplaced row (sources) or receive one (destinations) are
+    * rewritten, via the [[mergeTable]] dynamic-overwrite mechanics; a
+    * fully-clustered table is a no-op (returns 0 without writing), and
+    * already-clustered partitions nothing moved into keep their files
+    * byte-identical (LayoutSpec pins this from the real file listing).
+    * Source partitions emptied by the move (an append file whose every
+    * row belonged elsewhere) are invisible to dynamic overwrite and are
+    * dropped through the catalog — the [[mergeTable]] emptied-partition
+    * discipline. Same crash-atomicity caveat as every rewrite here: a
+    * table FORMAT gets the identical semantics under a snapshot commit.
+    */
+  def compactClustered(spark: SparkSession, table: String,
+      partCol: String, clusterCol: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val qualified = s"$Schema.$table"
+    val ident =
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    require(meta.partitionColumnNames == Seq(partCol),
+      s"compactClustered expects $qualified partitioned by exactly ($partCol)")
+    require(meta.bucketSpec.isEmpty,
+      s"compactClustered() would discard the bucket layout of $qualified")
+    val t = spark.table(qualified)
+    val cols = t.columns.map(col).toIndexedSeq
+    val misplaced = t.filter(!(col(partCol) <=> col(clusterCol)))
+    val nMoved = misplaced.count()
+    if (nMoved == 0L) return 0L
+    // touched = partitions losing rows plus partitions gaining them; all
+    // their rows rewrite (a destination's resident rows must ride the
+    // dynamic overwrite or they'd be dropped with the old files)
+    val touched = misplaced.select(col(partCol))
+      .unionByName(misplaced.select(col(clusterCol).as(partCol)))
+      .distinct()
+      .select(col(partCol).as("t_p"))
+    val out = t.as("cur")
+      .join(broadcast(touched), col(s"cur.$partCol") <=> col("t_p"),
+        "left_semi")
+      .withColumn(partCol, col(clusterCol))
+      .select(cols: _*)
+      .localCheckpoint()
+    // sources emptied by the move would keep stale files under dynamic
+    // overwrite — collect them (bounded by the touched-partition count)
+    // and drop through the catalog, Cast-to-string spec encoding as in
+    // mergeTable
+    val emptied = touched.as("t")
+      .join(out.select(col(partCol)).distinct().as("o"),
+        col("t.t_p") <=> col(s"o.$partCol"), "left_anti")
+      .select(col("t.t_p").cast("string"))
+      .collect()
+    overwritePartitioned(spark, qualified, out, "dynamic")
+    graft.api.Checkpoints.release(out)
+    if (emptied.nonEmpty) {
+      val specs = emptied.toSeq.map(r => Map(
+        partCol -> (if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
+                    else r.getString(0))))
+      cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
+        purge = false, retainData = false)
+    }
+    nMoved
   }
 
   /** Schema-EVOLUTION append — the lakehouse lifecycle primitive

@@ -188,6 +188,111 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("layout_optimize_zorder: real-table rewrite wins the recent-window scan, leaves the table clustered") {
+    val got = LayoutQueries.optimizeZorder.frame(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(got.keySet === Set("appended", "clustered"))
+    val a = got("appended"); val c = got("clustered")
+    // same data, same truth, on both sides of the rewrite
+    assert(a.getAs[Long]("rows_matched") === c.getAs[Long]("rows_matched"))
+    assert(a.getAs[Long]("rows_total") === c.getAs[Long]("rows_total"))
+    assert(c.getAs[Long]("rows_matched") > 0L)
+    // what OPTIMIZE buys on the recent-window query: strictly less read
+    assert(a.getAs[Double]("read_amp") > c.getAs[Double]("read_amp"))
+    assert(a.getAs[Long]("rows_scanned") > c.getAs[Long]("rows_scanned"))
+    // physical state after OPTIMIZE: the catalog's partition directories
+    // ARE the index's file slots, no row is misplaced, append slots gone
+    val tbl = s"${graft.sources.Warehouse.Schema}.${LayoutQueries.LayoutTable}"
+    val parts = spark.sql(s"SHOW PARTITIONS $tbl").count()
+    assert(parts === c.getAs[Long]("n_files"))
+    assert(spark.table(tbl)
+      .filter(col("file_id") =!= col("zcell")).count() === 0L)
+    // a clustered table is a no-op for the maintenance verb
+    assert(graft.sources.Warehouse.compactClustered(
+      spark, LayoutQueries.LayoutTable, "file_id", "zcell") === 0L)
+  }
+
+  test("layout_optimize_zorder is INCREMENTAL: cells outside the ingest stripe keep their files") {
+    import graft.sources.Warehouse
+    // rebuild the appended state exactly as the query does, then OPTIMIZE
+    // by hand so the before-files of an untouched cell can be captured
+    val cellShift = 1L << (2 * LayoutQueries.DimBits - LayoutQueries.FilePrefixBits)
+    val cellFiles = 1L << LayoutQueries.FilePrefixBits
+    val rows = LayoutQueries.gridRows(spark, sf, withIngestKey = true)
+      .withColumn("zcell", expr(s"z div $cellShift"))
+      .withColumn("xbcut",
+        datediff(lit(LayoutQueries.OptimizeSinceDate).cast("timestamp"),
+          lit(LayoutQueries.BaseDate).cast("timestamp")).cast("long"))
+      .withColumn("file_id", expr(
+        s"CASE WHEN x >= xbcut THEN $cellFiles + ihf ELSE zcell END"))
+      .select(col("file_id"), col("x"), col("pk"), col("zcell"))
+      .repartition(col("file_id"))
+    val tbl = "spec_opt_incremental"
+    Warehouse.replacePartitioned(rows, tbl, "file_id")
+    val q = s"${Warehouse.Schema}.$tbl"
+    val batch = spark.table(q)
+      .filter(col("file_id") =!= col("zcell")).count()
+    assert(batch > 0L)
+    // an old-data cell is never a source or destination of the move
+    val coldCell = spark.table(q)
+      .filter(col("file_id") === col("zcell")
+        && col("file_id") < lit(cellFiles))
+      .groupBy(col("file_id")).count()
+      .orderBy(col("file_id")).head.getAs[Long]("file_id")
+    val destCells = spark.table(q)
+      .filter(col("file_id") =!= col("zcell"))
+      .select(col("zcell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!destCells.contains(coldCell))
+    val coldBefore = spark.table(q)
+      .filter(col("file_id") === coldCell).inputFiles.toSet
+    val moved = Warehouse.compactClustered(spark, tbl, "file_id", "zcell")
+    assert(moved === batch)
+    // the move rewrote only the append slots + destination cells: the
+    // cold cell's physical files are untouched (same paths, no rewrite)
+    assert(spark.table(q)
+      .filter(col("file_id") === coldCell).inputFiles.toSet === coldBefore)
+    // append slots emptied and dropped
+    assert(spark.table(q)
+      .filter(col("file_id") >= lit(cellFiles)).count() === 0L)
+    assert(spark.sql(s"SHOW PARTITIONS $q").collect()
+      .forall(_.getString(0).stripPrefix("file_id=").toLong < cellFiles))
+  }
+
+  test("compactClustered: moves only misplaced rows, drops emptied sources, untouched partitions keep their files") {
+    import spark.implicits._
+    import graft.sources.Warehouse
+    val tbl = "spec_opt_clustered"
+    val q = s"${Warehouse.Schema}.$tbl"
+    // cells 0/1 resident and well-placed; append slot 100 holds rows
+    // belonging to cells 1 (two rows) and 2 (one row — a NEW partition)
+    val rows = Seq(
+      (10L, 0L, 0L), (11L, 0L, 0L),          // cell 0 — untouched
+      (20L, 1L, 1L),                          // cell 1 — gains rows
+      (90L, 100L, 1L), (91L, 100L, 1L),      // misplaced -> cell 1
+      (92L, 100L, 2L))                        // misplaced -> new cell 2
+      .toDF("id", "file_id", "zcell")
+      .select(col("id"), col("zcell"), col("file_id")) // part col last
+    Warehouse.replacePartitioned(rows, tbl, "file_id")
+    val cell0Before = spark.table(q).filter(col("file_id") === 0L)
+      .inputFiles.toSet
+    assert(Warehouse.compactClustered(spark, tbl, "file_id", "zcell") === 3L)
+    // every row sits in its cluster cell; content is key-preserved
+    val after = spark.table(q).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("file_id"))).sorted
+    assert(after === Seq(10L -> 0L, 11L -> 0L, 20L -> 1L, 90L -> 1L,
+      91L -> 1L, 92L -> 2L))
+    // the emptied append slot is gone from the catalog, not just empty
+    val parts = spark.sql(s"SHOW PARTITIONS $q").collect().map(_.getString(0))
+    assert(parts.sorted === Seq("file_id=0", "file_id=1", "file_id=2"))
+    // the untouched cell's files are byte-identical (same paths — no
+    // rewrite happened there)
+    assert(spark.table(q).filter(col("file_id") === 0L)
+      .inputFiles.toSet === cell0Before)
+    // and the verb is idempotent
+    assert(Warehouse.compactClustered(spark, tbl, "file_id", "zcell") === 0L)
+  }
+
   test("layout_zorder_pruning: scan reads only the two layout columns") {
     val plan = LayoutQueries.zorderPruning.frame(spark, sf)
       .queryExecution.executedPlan.toString
