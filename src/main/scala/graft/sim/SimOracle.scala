@@ -1307,6 +1307,30 @@ object SimOracle {
     SELECT qid, rn, vec_id, adc_dist FROM ivpr WHERE rn <= 10
     ORDER BY qid, rn"""
 
+  /** Deletion-lifecycle twin ([[SimQueries.ivfpqDeleted]]): the full
+    * ivfpq chain (model trained on the FULL corpus — deletion is a
+    * data-plane purge, not a retrain) with the doomed content-hash slice
+    * excluded from the ranked candidates; ranks re-number over the
+    * survivors exactly as the engine's window does over the shrunk
+    * serving table.
+    */
+  def ivfpqDeletedSql: String = {
+    val keep =
+      s"${hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 <> ${SimQueries.DeleteResidue}"
+    s"""
+    WITH $ivfpqCtes,
+    delpr AS (
+      SELECT qid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY dl, vec_id) AS INTEGER) AS rn,
+        vec_id, dl / 1000000000.0 AS adc_dist
+      FROM ivadc
+      WHERE $keep
+    )
+    SELECT qid, rn, vec_id, adc_dist FROM delpr WHERE rn <= 10
+    ORDER BY qid, rn"""
+  }
+
   /** Adaptive-nprobe twin ([[SimQueries.ivfAdaptive]]): the shared
     * [[kmeansChain]] (trained cells + full-corpus assignment), a
     * per-(query, centroid) distance CTE with the identical

@@ -1638,6 +1638,76 @@ object SimQueries {
       .orderBy("cell")
   }
 
+  /** Content-hash residue selecting [[ivfpqDeleted]]'s doomed vectors
+    * (hash60(vec_id) % 10 — the doc_splits selector, disjoint by value
+    * from [[ivfpqIncremental]]'s batch residue 0 so the two lifecycles
+    * stay independently interpretable).
+    */
+  val DeleteResidue = 3
+
+  /** Serving code table for the deletion lifecycle. */
+  val IvfDelCodesTable = "ivf_pq_codes_del"
+
+  /** Index DELETION lifecycle — the maintenance verb [[ivfpqIncremental]]
+    * leaves open (append covers growth; production also needs REMOVAL —
+    * the GDPR/right-to-be-forgotten story every vector store ships): a
+    * content-hash 10% slice of vectors is deleted from the serving code
+    * table via [[graft.sources.Warehouse.mergeTable]]'s delete path (an
+    * empty delta + explicit key rows; keys carry the cell partition, so
+    * only partitions holding a doomed row rewrite), and the query then
+    * SERVES top-10 from the shrunk table — a deleted vector can never
+    * surface because its codes are physically gone, not filtered at
+    * query time (tombstone filters leak through every new query path;
+    * removal doesn't).
+    *
+    * The serving table deploys from the SHARED full-corpus model
+    * (centroids/codebooks/codes — the [[ivfpqTopk]] read path), so the
+    * model is NOT retrained on the survivors: deletion is a data-plane
+    * operation, the model ages until the next scheduled retrain — the
+    * [[ivfpqIncremental]] drift-dashboard decision, from the other
+    * direction. Scale shape: deploy moves one narrow code row per
+    * vector into cell partitions; the delete rewrites only touched cell
+    * partitions (SimSpec pins untouched-partition files byte-identical
+    * for a targeted delete); serve reads nprobe partitions per query.
+    * Determinism: the slice is a pure content function; serve is the
+    * exact [[ivfpqTopk]] arithmetic over fewer candidates, so the
+    * oracle is the ivfpq chain with the doomed ids excluded before
+    * ranking.
+    */
+  val ivfpqDeleted: GraftQuery = GraftQuery(
+    "ann_ivfpq_deleted",
+    s"IVF+PQ deletion lifecycle: 10% content-hash slice merge-deleted from the cell-partitioned serving table, top-10 served from the shrunk index",
+    SimOracle.ivfpqDeletedSql) { (s, d) =>
+    import graft.sources.Warehouse
+    // DEPLOY the serving table from the shared full-corpus model
+    val quant = sharedQuantizer(s, d)
+    val cb = sharedCodebook(s, d)
+    Warehouse.replacePartitioned(
+      sharedCodes(s, d).join(kmeansCells(s, d), "vec_id")
+        .select(col("vec_id"), col("m"), col("code"), col("cell")),
+      IvfDelCodesTable, "cell")
+    // DELETE the slice: explicit key rows, empty delta (a pure purge)
+    val tbl = s.table(s"${Warehouse.Schema}.$IvfDelCodesTable")
+    val doomed = tbl
+      .filter(call_function("hash60", col("vec_id").cast("string")) % 10
+        === DeleteResidue)
+      .select(col("cell"), col("vec_id"), col("m"))
+    Warehouse.mergeTable(tbl.filter(lit(false)), IvfDelCodesTable,
+      Seq("cell", "vec_id", "m"), deletes = Some(doomed))
+    // SERVE from the shrunk table only (the ivfpqPersisted read path)
+    val codesP = s.table(s"${Warehouse.Schema}.$IvfDelCodesTable")
+    val q = vecs(s, d).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qc = ivfpqProbe(quant.cents, q)
+    val candCodes = codesP.join(qc, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid").as("cq"), col("vec_id"), col("m").as("cm"),
+        col("code"))
+    ivfpqAdcRank(candCodes, ivfpqLut(cb, q))
+      .filter(col("rn") <= 10)
+      .orderBy("qid", "rn")
+  }
+
   /** Frozen-model assignment + coding of ANY (vec_id, v double[]) frame
     * against a deployed model (cents (aj, j, c) / anchors (j, c) /
     * codebooks (m, j, c)) — (vec_id, m, code, cell), one row per
@@ -2691,7 +2761,7 @@ object SimQueries {
       semanticDedup, dimTruncation, hybridSearch, chunkHybrid, pqTopk,
       pqRecall,
       clusterTopics, ivfpqTopk, ivfpqRerank, ivfpqPersisted,
-      ivfpqIncremental,
+      ivfpqIncremental, ivfpqDeleted,
       matryoshkaRerank, matryoshkaRecall, matryoshkaAdaptive, pcaPower,
       contrastiveNegatives,
       centroidOutliers, silhouette, knnLabelAccuracy, crosslingualPairs,

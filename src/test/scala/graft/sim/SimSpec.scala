@@ -310,6 +310,57 @@ class SimSpec extends SparkSpec {
     assert(appended.size.toLong === n * SimFns.PqM)
   }
 
+  test("ann_ivfpq_deleted: doomed vectors physically gone, survivors byte-equal the deploy source") {
+    graft.functions.GraftFunctions.register(spark)
+    val served = SimQueries.ivfpqDeleted.frame(spark, sf).collect()
+    assert(served.nonEmpty)
+    def doomedId(id: Long): Boolean = {
+      val h = graft.functions.Hash60.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+      h % 10 == SimQueries.DeleteResidue
+    }
+    // a deleted vector can never surface in a served result
+    assert(served.forall(r => !doomedId(r.getAs[Long]("vec_id"))),
+      "deleted vec_id surfaced in the served top-10")
+    // ...because its rows are physically gone from the serving table
+    val q = s"${graft.sources.Warehouse.Schema}.${SimQueries.IvfDelCodesTable}"
+    val tbl = spark.table(q).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+        r.getAs[Int]("code"), r.getAs[Int]("cell")))
+    assert(tbl.forall(t => !doomedId(t._1)))
+    // merge-delete == rebuild-from-survivors: the purge touched nothing
+    // but the doomed keys (the portfolio_incremental_merge contract)
+    val rebuilt = SimQueries.kmeansCells(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val nDoomed = (0L until n).count(doomedId)
+    assert(nDoomed > 0, "fixture has no doomed vectors — residue dead")
+    assert(tbl.length.toLong === (n - nDoomed) * SimFns.PqM)
+    assert(tbl.forall(t => rebuilt(t._1) === t._4))
+  }
+
+  test("mergeTable targeted delete rewrites only the touched cell partitions") {
+    import spark.implicits._
+    import graft.sources.Warehouse
+    // a 2-cell code-like table; delete one key from cell 1 only
+    val tbl = "spec_del_codes"
+    val q = s"${Warehouse.Schema}.$tbl"
+    val rows = Seq((10L, 0, 5, 0), (11L, 0, 6, 0), (20L, 0, 7, 1),
+      (21L, 0, 8, 1))
+      .toDF("vec_id", "m", "code", "cell")
+    Warehouse.replacePartitioned(rows, tbl, "cell")
+    val cell0Before = spark.table(q).filter(col("cell") === 0)
+      .inputFiles.toSet
+    val doomed = Seq((1, 20L, 0)).toDF("cell", "vec_id", "m")
+    Warehouse.mergeTable(spark.table(q).filter(lit(false)), tbl,
+      Seq("cell", "vec_id", "m"), deletes = Some(doomed))
+    assert(spark.table(q).collect().map(_.getAs[Long]("vec_id")).sorted
+      === Seq(10L, 11L, 21L))
+    // cell 0 held no doomed key: its files were never rewritten
+    assert(spark.table(q).filter(col("cell") === 0)
+      .inputFiles.toSet === cell0Before)
+  }
+
   test("ivf adaptive nprobe: probe width within [1, cap], recall well-formed, deterministic") {
     val rows = SimQueries.ivfAdaptive.frame(spark, sf).collect()
     assert(rows.length === 5) // one row per query at sf0.001
