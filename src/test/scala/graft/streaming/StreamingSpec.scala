@@ -1303,6 +1303,67 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("dedupedEvents observability: StreamingQueryProgress carries the runbook metrics (state rows, late drops, batch timing)") {
+    // the OPERATIONAL readout a production stream is monitored by — not
+    // result parity (the sibling tests pin that) but the
+    // StreamingQueryProgress fields an on-call dashboard alarms on:
+    // per-batch input rows, state-store size, watermark position,
+    // late-row drops, and batch durations
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.dedupedEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_obs_out")
+      .outputMode("append").start()
+    def state() = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    def lateDrops(): Long =
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    try {
+      stream.addData(Ev(1, t("00:00"), 1, "view", 1.0, "{}"),
+        Ev(2, t("00:10"), 1, "click", 2.0, "{}"),
+        Ev(3, t("00:20"), 2, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      // input accounting: the fed rows all arrived through the source
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      assert(inputRows === 3L, s"numInputRows=$inputRows")
+      // state accounting: one dedup operator, one state row per live id
+      val ops = state()
+      assert(ops.size === 1, s"expected one state operator: $ops")
+      assert(ops.head.operatorName.toLowerCase.contains("dedupe"),
+        ops.head.operatorName)
+      assert(ops.head.numRowsTotal === 3L)
+      // timing: the batch reported wall-clock and a positive addBatch leg
+      val prog = q.lastProgress
+      assert(prog.batchDuration > 0L)
+      assert(prog.durationMs.get("addBatch") != null
+        && prog.durationMs.get("addBatch") >= 0L)
+      // watermark: published in eventTime once computed (trails by one
+      // batch; the drain after addData guarantees at least one follow-up)
+      stream.addData(Ev(90, t("12:00"), 9, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val wm = Option(q.lastProgress.eventTime.get("watermark"))
+      assert(wm.exists(_.startsWith("2024-01-01T11:00")),
+        s"watermark not published or wrong: $wm")
+      assert(lateDrops() === 0L)
+      // a row below the watermark is dropped AT THE OPERATOR and the
+      // drop is COUNTED — the metric an ingest SLO alarms on (silent
+      // late-data loss is the failure mode this readout exists for)
+      stream.addData(Ev(50, t("00:30"), 5, "view", 9.0, "{}"))
+      q.processAllAvailable()
+      assert(lateDrops() === 1L,
+        s"late row not counted in numRowsDroppedByWatermark: ${lateDrops()}")
+      assert(spark.table("dedup_obs_out")
+        .filter(col("event_id") === 50L).isEmpty)
+      // and the eviction the watermark bought is visible as state-size
+      // decay: ids 1/2/3 (expiries 01:00-01:20) are gone, id 90 lives
+      assert(state().head.numRowsTotal === 1L,
+        s"state rows after eviction: ${state().head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("TwsSessions: per-state TTL drops an idle user's state; a post-expiry event starts fresh") {
     val spark0 = spark
     import spark0.implicits._
