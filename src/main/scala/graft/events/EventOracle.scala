@@ -1448,6 +1448,103 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.targetEncodingFrame]]: identical content-hash
+    * fold rule, the cat×fold grid via CROSS JOIN range, and the same
+    * exact-integer sufficient statistics with single-division prior and
+    * m-estimate encoding.
+    */
+  def targetEncodingSql: String = {
+    val k = EventQueries.TeFolds
+    val m = EventQueries.TeSmoothing
+    s"""
+    WITH $evCte,
+    b AS (
+      SELECT user_id,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % $k AS fold,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS s
+      FROM ev GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS cn,
+        CAST(SUM(s) AS BIGINT) AS cs
+      FROM b GROUP BY 1
+    ),
+    pf AS (
+      SELECT fold, CAST(SUM(n) AS BIGINT) AS fn,
+        CAST(SUM(s) AS BIGINT) AS fs
+      FROM b GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(s) AS BIGINT) AS gs
+      FROM b
+    ),
+    grid AS (
+      SELECT pc.user_id, f.fold, pc.cn, pc.cs,
+        COALESCE(b.n, 0) AS n_in_fold, COALESCE(b.s, 0) AS s_in_fold
+      FROM pc
+      CROSS JOIN (SELECT unnest(range(0, $k)) AS fold) f
+      LEFT JOIN b ON b.user_id = pc.user_id AND b.fold = f.fold
+    )
+    SELECT grid.user_id, grid.fold, grid.n_in_fold,
+      grid.cn - grid.n_in_fold AS oof_cnt,
+      grid.cs - grid.s_in_fold AS oof_sum,
+      CAST(g.gs - COALESCE(pf.fs, 0) AS DOUBLE)
+        / CAST(g.gn - COALESCE(pf.fn, 0) AS DOUBLE) AS prior,
+      (CAST(grid.cs - grid.s_in_fold AS DOUBLE)
+        + $m * (CAST(g.gs - COALESCE(pf.fs, 0) AS DOUBLE)
+            / CAST(g.gn - COALESCE(pf.fn, 0) AS DOUBLE)))
+        / (CAST(grid.cn - grid.n_in_fold AS DOUBLE) + $m) AS encoding
+    FROM grid LEFT JOIN pf ON pf.fold = grid.fold CROSS JOIN g
+    ORDER BY grid.user_id, grid.fold"""
+  }
+
+  /** Twin of [[EventQueries.valueWinsorizeFrame]]: same rank window,
+    * nearest-rank cut points (percentile fractions forced ::DOUBLE — the
+    * DECIMAL-literal floor divergence at exact multiples), clamp, and
+    * 1e-4-quantized means.
+    */
+  def valueWinsorizeSql: String = {
+    val lo = s"${EventQueries.WinsLoPct}::DOUBLE"
+    val hi = s"${EventQueries.WinsHiPct}::DOUBLE"
+    s"""
+    WITH $evCte,
+    ranked AS (
+      SELECT event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS nn
+      FROM ev
+    ),
+    cuts AS (
+      SELECT event_type,
+        MAX(CASE WHEN rk = floor((nn - 1) * $lo) + 1 THEN value END) AS p_lo,
+        MAX(CASE WHEN rk = floor((nn - 1) * $hi) + 1 THEN value END) AS p_hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MAX(c.p_lo) AS p_lo, MAX(c.p_hi) AS p_hi,
+      CAST(SUM(CASE WHEN e.value < c.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clamped_lo,
+      CAST(SUM(CASE WHEN e.value > c.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clamped_hi,
+      CAST(SUM(CAST(floor(e.value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e4 / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+      CAST(SUM(CAST(floor(LEAST(GREATEST(e.value, c.p_lo), c.p_hi)
+          * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e4 / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized,
+      CAST(SUM(CAST(floor(e.value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e4 / CAST(COUNT(*) AS DOUBLE)
+      - CAST(SUM(CAST(floor(LEAST(GREATEST(e.value, c.p_lo), c.p_hi)
+          * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e4 / CAST(COUNT(*) AS DOUBLE) AS mean_shift
+    FROM ev e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type"""
+  }
+
   /** Twin of [[EventQueries.lDiversityFrame]]: the same residual chain —
     * (class, sens) base, day stats, week stats over day-failed rows only,
     * month stats over week-failed rows only — CTE for CTE, all counts

@@ -2769,6 +2769,163 @@ object EventQueries {
       .orderBy("arm")
   }
 
+  /** Folds for [[targetEncoding]]'s K-fold scheme. */
+  val TeFolds = 5
+
+  /** Smoothing pseudo-count for [[targetEncoding]] (the standard
+    * m-estimate: a category's encoding shrinks toward the prior until it
+    * has ~m observations).
+    */
+  val TeSmoothing = 20.0
+
+  /** K-fold LEAKAGE-FREE target encoding — the feature-engineering
+    * operator a training pipeline runs before fitting a model on a
+    * high-cardinality categorical (here: user_id, target = is-purchase):
+    * naive target encoding (category mean of the label over ALL rows)
+    * leaks each row's own label into its feature and the model overfits
+    * to the leak; the K-fold scheme encodes every row using ONLY the
+    * other folds:
+    *
+    *   - fold f = hash60(event_id) % [[TeFolds]] (content-hash — fold
+    *     membership is a pure function of the row, stable across
+    *     re-shards and engines, the doc_splits convention);
+    *   - prior(f) = out-of-fold global target mean — even the prior is
+    *     computed without fold f, so NO statistic a fold-f row sees was
+    *     touched by a fold-f label;
+    *   - enc(c, f) = (oof_sum(c,f) + m·prior(f)) / (oof_cnt(c,f) + m)
+    *     with m = [[TeSmoothing]] — the m-estimate shrink, which also
+    *     closes the unseen-category edge: a category living only in
+    *     fold f has oof_cnt 0 and encodes to exactly prior(f).
+    *
+    * Output grain: one row per (category, fold) — the ENCODING TABLE a
+    * trainer joins back to its rows by (user_id, fold). Scale shape: ONE
+    * corpus groupBy to (category, fold) sufficient statistics, then
+    * per-category and per-fold rollups of that model-sized frame;
+    * applying the encoding at 100 TB is a shuffle-or-broadcast join of
+    * the |categories|×K table against the fact — no second corpus pass.
+    * Determinism: targets are 0/1 longs so every sufficient statistic
+    * is an exact integer; prior and encoding are single IEEE divisions
+    * in the same expression shape on both engines.
+    */
+  val targetEncoding: GraftQuery = GraftQuery(
+    "events_target_encoding",
+    s"K-fold leakage-free target encoding of user_id against is-purchase ($TeFolds folds, m=$TeSmoothing m-estimate, out-of-fold prior)",
+    EventOracle.targetEncodingSql) { (s, d) =>
+    targetEncodingFrame(Tables.events(s, d))
+  }
+
+  /** The encoding-table derivation over any events frame — shared by the
+    * registry query and the plain-Scala-replay / label-flip leakage spec
+    * (EventQueriesSpec).
+    */
+  def targetEncodingFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = events
+      .select(col("user_id"),
+        (graft.text.TextFns.hash60(col("event_id").cast("string"))
+          % TeFolds).as("fold"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("user_id"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      .localCheckpoint()
+    // per-category, per-fold, and global totals (model-sized rollups)
+    val perCat = base.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("cn"), sum(col("s")).as("cs"))
+    val perFold = base.groupBy(col("fold"))
+      .agg(sum(col("n")).as("fn"), sum(col("s")).as("fs"))
+    val glob = base.agg(sum(col("n")).as("gn"), sum(col("s")).as("gs"))
+    // the encoding table must carry EVERY (category, fold) pair — also
+    // folds where the category has no rows (a trainer's fold-f rows may
+    // hold categories absent from fold f) — so the grid is cat × folds
+    val folds = base.sparkSession.range(TeFolds.toLong)
+      .select(col("id").as("fold"))
+    val grid = perCat.crossJoin(broadcast(folds))
+      .join(base, Seq("user_id", "fold"), "left")
+      .select(col("user_id"), col("fold"), col("cn"), col("cs"),
+        coalesce(col("n"), lit(0L)).as("n_in_fold"),
+        coalesce(col("s"), lit(0L)).as("s_in_fold"))
+    grid.join(broadcast(perFold), Seq("fold"), "left")
+      .crossJoin(broadcast(glob))
+      .withColumn("prior",
+        (col("gs") - coalesce(col("fs"), lit(0L))).cast("double")
+          / (col("gn") - coalesce(col("fn"), lit(0L))).cast("double"))
+      .withColumn("oof_cnt", col("cn") - col("n_in_fold"))
+      .withColumn("oof_sum", col("cs") - col("s_in_fold"))
+      .withColumn("encoding",
+        (col("oof_sum").cast("double") + lit(TeSmoothing) * col("prior"))
+          / (col("oof_cnt").cast("double") + lit(TeSmoothing)))
+      .select(col("user_id"), col("fold"), col("n_in_fold"),
+        col("oof_cnt"), col("oof_sum"), col("prior"), col("encoding"))
+      .orderBy("user_id", "fold")
+  }
+
+  /** Winsorization tail percentiles for [[valueWinsorize]]. */
+  val WinsLoPct = 0.01
+  val WinsHiPct = 0.99
+
+  /** Winsorized robust scaling — the feature-preprocessing step next to
+    * [[targetEncoding]] in a training pipeline: per event_type, the
+    * p01/p99 cut points of `value` (exact nearest-rank type-1, the
+    * `arrear_percentiles` convention), every value clamped into
+    * [p01, p99], and the per-type readout a feature store publishes:
+    * row/clamp counts and the raw vs winsorized means — the heavy-tail
+    * influence the clamp removed, which is exactly why robust scaling
+    * beats plain standardization on telemetry values.
+    *
+    * Scale shape: one rank window per type (the per-type sort an exact
+    * percentile costs; at 100 TB the GK-sketch cutoff path of
+    * `rfm_segments_sketch` substitutes, same downstream), then the clamp
+    * pass joins the model-sized cutoff frame back broadcast. Determinism:
+    * cut points are corpus values (exact); clamp compares and counts are
+    * exact; both means quantize to 1e-4 LONGs before summing.
+    */
+  val valueWinsorize: GraftQuery = GraftQuery(
+    "events_value_winsorize",
+    s"per-type winsorization at [p$WinsLoPct, p$WinsHiPct]: exact nearest-rank cut points, clamp counts, raw vs winsorized means",
+    EventOracle.valueWinsorizeSql) { (s, d) =>
+    valueWinsorizeFrame(Tables.events(s, d))
+  }
+
+  /** The winsorization derivation over any events frame — shared by the
+    * registry query and the planted-outlier spec (EventQueriesSpec).
+    */
+  def valueWinsorizeFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("event_type"), col("value"))
+      .localCheckpoint()
+    val wT = Window.partitionBy(col("event_type"))
+    val ranked = ev
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("nn", count(lit(1)).over(wT))
+    val cuts = ranked
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rk") ===
+          floor((col("nn") - 1) * lit(WinsLoPct)) + 1, col("value")))
+          .as("p_lo"),
+        max(when(col("rk") ===
+          floor((col("nn") - 1) * lit(WinsHiPct)) + 1, col("value")))
+          .as("p_hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("p_lo")), col("p_hi")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("p_lo")).as("p_lo"), max(col("p_hi")).as("p_hi"),
+        sum(when(col("value") < col("p_lo"), 1L).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("value") > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clamped_hi"),
+        (sum(Det.quantize(col("value"))).cast("double") / lit(1e4)
+          / count(lit(1)).cast("double")).as("mean_raw"),
+        (sum(Det.quantize(col("w"))).cast("double") / lit(1e4)
+          / count(lit(1)).cast("double")).as("mean_winsorized"))
+      .withColumn("mean_shift", col("mean_raw") - col("mean_winsorized"))
+      .orderBy("event_type")
+  }
+
   /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG. */
   private val MaxSqAbs = 3037000499L
 
@@ -2782,5 +2939,6 @@ object EventQueries {
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
       kAnonymity, lDiversity, contributionCap, ewmaChart, abCuped,
-      survivalKm, survivalCohorts, funnelZtest, didEstimate)
+      survivalKm, survivalCohorts, funnelZtest, didEstimate,
+      targetEncoding, valueWinsorize)
 }

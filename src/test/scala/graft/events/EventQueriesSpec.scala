@@ -575,6 +575,92 @@ class EventQueriesSpec extends SparkSpec {
     assert(c.getDouble(3) < c.getDouble(1) && c.getDouble(1) < c.getDouble(2))
   }
 
+  test("targetEncodingFrame: plain-Scala replay bit-exact; flipping a fold's label never moves that fold's encoding") {
+    import spark.implicits._
+    def fold(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % EventQueries.TeFolds
+    }
+    def build(rows: Seq[(Long, Long, String)]) = rows
+      .map { case (id, u, typ) =>
+        ev(id, "2024-01-01 10:00:00", u, typ, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // users 1..4, ~40 events, purchases sprinkled by id parity-ish rule
+    val rows = (1L to 40L).map(id =>
+      (id, 1L + id % 4, if (id % 3 == 0) "purchase" else "view"))
+    val got = EventQueries.targetEncodingFrame(build(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // independent plain-Scala replay of the whole encoding table
+    val k = EventQueries.TeFolds
+    val m = EventQueries.TeSmoothing
+    val y = rows.map { case (id, u, t) =>
+      (u, fold(id), if (t == "purchase") 1L else 0L) }
+    val gs = y.map(_._3).sum; val gn = y.size.toLong
+    val cats = y.map(_._1).distinct.sorted
+    val expected = (for { c <- cats; f <- 0L until k.toLong } yield {
+      val inFold = y.filter(r => r._1 == c && r._2 == f)
+      val cAll = y.filter(_._1 == c)
+      val fAll = y.filter(_._2 == f)
+      val oofCnt = cAll.size.toLong - inFold.size
+      val oofSum = cAll.map(_._3).sum - inFold.map(_._3).sum
+      val prior = (gs - fAll.map(_._3).sum).toDouble /
+        (gn - fAll.size).toDouble
+      val enc = (oofSum.toDouble + m * prior) / (oofCnt.toDouble + m)
+      (c, f) -> (inFold.size.toLong, oofCnt, oofSum, prior, enc)
+    }).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, e) =>
+      assert(got(key) === e, s"encoding row $key diverged") }
+    // LEAKAGE pin: flip the label of one event; the encodings of ITS OWN
+    // (category, fold) cell must not move — no statistic that cell sees
+    // was touched — while the category's OTHER folds must move
+    val victim = rows.find { case (id, u, _) => u == 1L }.get
+    val flipped = rows.map { case r @ (id, u, t) =>
+      if (id == victim._1)
+        (id, u, if (t == "purchase") "view" else "purchase")
+      else r }
+    val got2 = EventQueries.targetEncodingFrame(build(flipped)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(6)).toMap
+    val vf = fold(victim._1)
+    assert(got2((1L, vf)) === got((1L, vf))._5,
+      "own-fold encoding moved on a label flip — leakage")
+    val others = (0L until k.toLong).filter(_ != vf)
+    assert(others.exists(f => got2((1L, f)) !== got((1L, f))._5),
+      "no other fold moved — the flip wasn't applied")
+  }
+
+  test("valueWinsorizeFrame: exact nearest-rank cuts; a 100x outlier moves the raw mean, never the winsorized one") {
+    import spark.implicits._
+    // 101 values 0..100 -> (n-1)*0.01 = 1 -> p01 = value at rank 2 = 1.0;
+    // (n-1)*0.99 = 99 -> p99 = value at rank 100 = 99.0
+    def build(top: Double) = ((0 to 99).map(_.toDouble) :+ top)
+      .zipWithIndex.map { case (v, i) =>
+        ev(i + 1L, "2024-01-01 10:00:00", 1L, "click", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val a = EventQueries.valueWinsorizeFrame(build(100.0)).head
+    assert(a.getAs[Long]("n") === 101L)
+    assert(a.getAs[Double]("p_lo") === 1.0)
+    assert(a.getAs[Double]("p_hi") === 99.0)
+    assert(a.getAs[Long]("n_clamped_lo") === 1L) // the 0
+    assert(a.getAs[Long]("n_clamped_hi") === 1L) // the 100
+    // winsorized sum: 1 + (1..99 sum) + 99 = 5050 - 0 - 100 + 1 + 99
+    assert(a.getAs[Double]("mean_winsorized") === 5050.0 / 101.0)
+    assert(a.getAs[Double]("mean_raw") === 5050.0 / 101.0)
+    // blow the outlier up 100x: cut points and the winsorized mean are
+    // UNCHANGED (the robustness the operator exists for); raw mean moves
+    val b = EventQueries.valueWinsorizeFrame(build(10000.0)).head
+    assert(b.getAs[Double]("p_lo") === 1.0)
+    assert(b.getAs[Double]("p_hi") === 99.0)
+    assert(b.getAs[Double]("mean_winsorized")
+      === a.getAs[Double]("mean_winsorized"))
+    assert(b.getAs[Double]("mean_raw") > a.getAs[Double]("mean_raw") + 90)
+    assert(b.getAs[Double]("mean_shift") > 90)
+  }
+
   test("multitouchFrame: two-touch purchase splits 50/50 — no middle pool, value conserved") {
     import spark.implicits._
     // n = 2 has no middles to absorb the 20% pool; a naive 40/40 would
