@@ -1923,12 +1923,22 @@ object EventOracle {
     * their one pow, each term re-quantized before the exact LONG sum,
     * limits quantized so the alarm compares are integer-exact.
     */
-  def ewmaChartSql: String = {
+  def ewmaChartSql: String = ewmaSqlWith(None)
+
+  /** Frozen-baseline twin ([[EventQueries.ewmaFrozen]]): identical chart
+    * arithmetic, (mean, sigma) and the warm-up seed from only the first
+    * [[EventQueries.EwmaPhase1Hours]] grid hours.
+    */
+  def ewmaFrozenSql: String =
+    ewmaSqlWith(Some(EventQueries.EwmaPhase1Hours))
+
+  private def ewmaSqlWith(baselineHours: Option[Int]): String = {
     val lam = s"${EventQueries.EwmaLambda}::DOUBLE"
     val dec = s"${1.0 - EventQueries.EwmaLambda}::DOUBLE"
     val den = s"${EventQueries.EwmaDenom}::DOUBLE"
     val ll = s"${EventQueries.EwmaL}::DOUBLE"
     val cut = EventQueries.EwmaKernelCut
+    val basePred = baselineHours.fold("")(n => s" WHERE t <= $n")
     s"""
     WITH $evCte,
     ha AS (
@@ -1952,22 +1962,23 @@ object EventOracle {
         FROM g LEFT JOIN ha ON g.hour = ha.hour
       ) g
     ),
+    xt AS MATERIALIZED (
+      SELECT hour, rate, rq,
+        CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) AS t
+      FROM xq
+    ),
+    xb AS (SELECT rate, rq FROM xt$basePred),
     st AS (
       SELECT CAST(SUM(rq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
         AS mean, COUNT(*) AS nh
-      FROM xq
+      FROM xb
     ),
     vr AS (
       SELECT SQRT(CAST(SUM(CAST(FLOOR(
           (rate - (SELECT mean FROM st)) * (rate - (SELECT mean FROM st))
           * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
         / 1e9 / CAST((SELECT nh FROM st) AS DOUBLE)) AS sigma
-      FROM xq
-    ),
-    xt AS MATERIALIZED (
-      SELECT hour, rate, rq,
-        CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) AS t
-      FROM xq
+      FROM xb
     ),
     terms AS (
       SELECT a.hour, a.t, a.rq,

@@ -2064,10 +2064,9 @@ object EventQueries {
     * sensitivity to it (the planted-shift spec sizes its shift against
     * exactly this). That is the textbook retrospective-chart limitation,
     * shared by [[cusum]] and deliberate here: a production deployment
-    * would freeze (mean, sigma) from a vetted in-control prefix and
-    * serve them as model state (the [[ewmaReadout]] signature already
-    * accepts any hourly frame, so a frozen-baseline variant is a
-    * params-source swap, not a new operator).
+    * freezes (mean, sigma) from a vetted in-control prefix — which is
+    * exactly [[ewmaFrozen]], the sibling operator; run that one when a
+    * shift may occupy a large share of the window.
     */
   val ewmaChart: GraftQuery = GraftQuery(
     "events_ewma_chart",
@@ -2081,16 +2080,57 @@ object EventQueries {
     */
   def ewmaFrame(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    ewmaReadout(events
+    ewmaReadout(hourlyErrorCounts(events))
+
+  private def hourlyErrorCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne")))
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
+
+  /** Phase-I in-control window for [[ewmaFrozen]] (one week of the
+    * 30-day corpus).
+    */
+  val EwmaPhase1Hours = 168
+
+  /** EWMA chart with a FROZEN Phase-I baseline — the production variant
+    * the [[ewmaChart]] scaladoc's caveat points at: (mean, sigma) — and
+    * the chart's warm-up seed — come from only the first
+    * [[EwmaPhase1Hours]] hours, vetted in-control, instead of the whole
+    * window. The retrospective chart's known blind spot is a shift that
+    * OCCUPIES much of the window: it inflates its own baseline (mean
+    * drifts toward it, sigma absorbs it as spread) until the limits
+    * swallow the signal; a frozen baseline cannot be polluted by what it
+    * is measuring. The planted spec shows exactly that — a shift over
+    * 60% of the window that the whole-series chart never flags UP while
+    * this one fires within hours. Same banded-kernel arithmetic and
+    * model-sized frames as the sibling; the baseline filter is one
+    * predicate on the dense grid.
+    */
+  val ewmaFrozen: GraftQuery = GraftQuery(
+    "events_ewma_frozen",
+    s"EWMA control chart with frozen Phase-I baseline (first $EwmaPhase1Hours h): lambda=$EwmaLambda, L=$EwmaL, shift-proof limits",
+    EventOracle.ewmaFrozenSql) { (s, d) =>
+    ewmaFrozenFrame(Tables.events(s, d))
+  }
+
+  /** The frozen-baseline derivation over any events frame — shared by
+    * the registry query and the majority-shift spec (EventQueriesSpec).
+    */
+  def ewmaFrozenFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ewmaReadout(hourlyErrorCounts(events), Some(EwmaPhase1Hours))
 
   /** The EWMA readout over a SPARSE hourly (hour, n, ne) frame — the
     * [[cusumReadout]] serving-layer signature, so the streamed hourly
-    * sink can feed it unchanged.
+    * sink can feed it unchanged. `baselineHours = Some(n)` freezes the
+    * chart's (mean, sigma) — and the warm-up seed — to the FIRST n
+    * hours (the Phase-I in-control window of [[ewmaFrozen]]); None is
+    * the classic whole-series retrospective chart.
     */
-  def ewmaReadout(hourly: org.apache.spark.sql.DataFrame)
+  def ewmaReadout(hourly: org.apache.spark.sql.DataFrame,
+      baselineHours: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val x = densify(hourly)
@@ -2102,11 +2142,12 @@ object EventQueries {
       .withColumn("t", row_number().over(Window.orderBy(col("hour")))
         .cast("long"))
       .localCheckpoint()
-    val st = x.agg(
+    val xb = baselineHours.fold(x)(n => x.filter(col("t") <= n))
+    val st = xb.agg(
       (sum(col("rq")).cast("double") / lit(1e9)
         / count(lit(1)).cast("double")).as("mean"),
       count(lit(1)).as("nh"))
-    val varq = x.crossJoin(broadcast(st))
+    val varq = xb.crossJoin(broadcast(st))
       .select(Det.quantize((col("rate") - col("mean"))
         * (col("rate") - col("mean")), 9).as("sq"), col("nh"))
       .groupBy(col("nh"))
@@ -2938,7 +2979,8 @@ object EventQueries {
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
-      kAnonymity, lDiversity, contributionCap, ewmaChart, abCuped,
+      kAnonymity, lDiversity, contributionCap, ewmaChart, ewmaFrozen,
+      abCuped,
       survivalKm, survivalCohorts, funnelZtest, didEstimate,
       targetEncoding, valueWinsorize)
 }

@@ -575,6 +575,43 @@ class EventQueriesSpec extends SparkSpec {
     assert(c.getDouble(3) < c.getDouble(1) && c.getDouble(1) < c.getDouble(2))
   }
 
+  test("ewmaFrozenFrame: a shift over 60% of the window — invisible to the whole-series chart, flagged within hours by the frozen baseline") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tsOf(h: Int) = new Timestamp(base + h * 3600L * 1000)
+    val nHours = 720; val shiftHour = 288 // 60% of the window shifted
+    // 100 events/hour; errors 10/12 alternating in-control (mean 0.11,
+    // sigma 0.01), 30 after the shift (delta = 0.19 = 19 sigma)
+    def errAt(h: Int) = if (h >= shiftHour) 30 else if (h % 2 == 0) 10 else 12
+    val fixture = (for {
+      h <- 0 until nHours
+      k <- 0 until 100
+    } yield (h.toLong * 1000 + k, tsOf(h), 1L,
+      if (k < errAt(h)) "error" else "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def alarms(df: org.apache.spark.sql.DataFrame) = df
+      .select("hour", "alarm_up").collect()
+      .map(r => (r.getTimestamp(0).getTime - base) / 3600000L ->
+        r.getBoolean(1)).toMap
+    // whole-series chart: the shift owns the baseline — mean drifts to
+    // ~0.224, sigma inflates to ~0.094, UCL ~0.318 > the 0.30 plateau:
+    // the chart never flags the shift UP
+    val retro = alarms(EventQueries.ewmaFrame(fixture))
+    assert(!retro.values.exists(identity),
+      "whole-series chart unexpectedly flagged the majority shift")
+    // frozen Phase-I baseline (first 168h, clean): UCL ~0.121 — fires
+    // within hours of the changepoint and stays on through the plateau
+    val frozen = alarms(EventQueries.ewmaFrozenFrame(fixture))
+    assert((0 until shiftHour).forall(h => !frozen(h.toLong)),
+      "frozen chart false-alarmed in the in-control region")
+    val firstUp = (shiftHour until nHours)
+      .find(h => frozen(h.toLong))
+    assert(firstUp.exists(_ <= shiftHour + 6),
+      s"frozen chart late or silent: first alarm at $firstUp")
+    assert((shiftHour + 24 until nHours).forall(h => frozen(h.toLong)),
+      "frozen chart dropped the alarm mid-plateau")
+  }
+
   test("targetEncodingFrame: plain-Scala replay bit-exact; flipping a fold's label never moves that fold's encoding") {
     import spark.implicits._
     def fold(id: Long): Long = {
