@@ -1142,6 +1142,72 @@ object EventOracle {
     FROM scored s, mae m ORDER BY s.hour"""
   }
 
+  /** Conformal twin ([[EventQueries.forecastConformalFrame]]): same
+    * dense grid and window cuts, hod-mean model from the train prefix,
+    * rank-(ceil((n+1)(1-alpha))) calibration residual as the radius
+    * (the product forced ::DOUBLE on both engines), exact interval
+    * bounds and coverage.
+    */
+  def forecastConformalSql: String = {
+    val bh = EventQueries.BacktestHours
+    val ch = EventQueries.ConformalCalHours
+    val keep = s"${1.0 - EventQueries.ConformalAlpha}::DOUBLE"
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    x AS MATERIALIZED (
+      SELECT g.hour, COALESCE(ha.n, 0) AS n,
+        date_part('hour', g.hour) AS hod
+      FROM g LEFT JOIN ha ON g.hour = ha.hour
+    ),
+    ct AS (
+      SELECT max(hour) - INTERVAL '${bh - 1} hours' AS test_lo,
+        max(hour) - INTERVAL '${bh + ch - 1} hours' AS cal_lo
+      FROM x
+    ),
+    train AS (SELECT x.* FROM x, ct WHERE hour < cal_lo),
+    cal AS (SELECT x.* FROM x, ct WHERE hour >= cal_lo AND hour < test_lo),
+    test AS (SELECT x.* FROM x, ct WHERE hour >= test_lo),
+    sm AS (
+      SELECT hod,
+        CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fc
+      FROM train GROUP BY hod
+    ),
+    resid AS (
+      SELECT abs(CAST(c.n AS DOUBLE) - sm.fc) AS r
+      FROM cal c JOIN sm USING (hod)
+    ),
+    qq AS (
+      SELECT r AS q_conf, nc AS n_cal FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk,
+          COUNT(*) OVER () AS nc
+        FROM resid
+      ) WHERE rk = CEIL((nc + 1) * $keep)
+    ),
+    scored AS MATERIALIZED (
+      SELECT t.hour, t.n, sm.fc, qq.q_conf, qq.n_cal,
+        sm.fc - qq.q_conf AS lo, sm.fc + qq.q_conf AS hi,
+        CAST(t.n AS DOUBLE) >= sm.fc - qq.q_conf
+          AND CAST(t.n AS DOUBLE) <= sm.fc + qq.q_conf AS covered
+      FROM test t JOIN sm USING (hod) CROSS JOIN qq
+    )
+    SELECT s.hour, s.n, s.fc, s.q_conf, s.n_cal, s.lo, s.hi, s.covered,
+      c.coverage
+    FROM scored s CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS coverage
+      FROM scored) c
+    ORDER BY s.hour"""
+  }
+
   /** Multi-touch twin: the same bucketed mine (UNION ALL replication =
     * the Spark explode), position windows, credit CASE in the identical
     * expression shape, per-touch 1e-4 quantization before the per-user

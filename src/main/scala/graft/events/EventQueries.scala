@@ -1397,6 +1397,96 @@ object EventQueries {
       .orderBy("hour")
   }
 
+  /** Miscoverage level for [[forecastConformal]] (90% intervals). */
+  val ConformalAlpha = 0.1
+
+  /** Calibration hours for [[forecastConformal]] — one week, disjoint
+    * from both the train prefix and the held-out test day.
+    */
+  val ConformalCalHours = 168
+
+  /** Split-CONFORMAL prediction intervals on the seasonal forecast — the
+    * uncertainty-quantification leg the forecast family lacked: a point
+    * forecast ([[forecastBacktest]] grades those) says nothing about how
+    * wrong it may be, and split conformal turns ANY point model into
+    * calibrated intervals with a finite-sample guarantee — no
+    * distributional assumption, just exchangeability:
+    *
+    *   - TRAIN: hours before the calibration window fit the hod-mean
+    *     model (exact LONG-sum divisions);
+    *   - CALIBRATE: the next [[ConformalCalHours]] hours score absolute
+    *     residuals |y - ŷ| against that frozen model; the conformal
+    *     radius q is the ceil((n+1)(1-alpha))-th smallest residual —
+    *     the finite-sample-valid rank, not the naive (1-alpha) quantile;
+    *   - TEST: the last [[BacktestHours]] hours get intervals ŷ ± q, each
+    *     graded covered/missed, plus the empirical coverage — which the
+    *     guarantee lower-bounds by 1-alpha in expectation.
+    *
+    * Scale shape: one corpus aggregate to hourly counts, then a 24-row
+    * model, a calibration-window rank (model-sized — the window is
+    * calendar-bounded), and a 24-row scored join. Determinism: the
+    * model and residuals are exact; the rank index is an integer both
+    * engines compute from the same ::DOUBLE product; interval bounds
+    * are single IEEE adds.
+    */
+  val forecastConformal: GraftQuery = GraftQuery(
+    "events_forecast_conformal",
+    s"split-conformal ${(1 - ConformalAlpha) * 100}% forecast intervals: hod-mean model, ${ConformalCalHours}h calibration residual quantile, per-hour coverage on the ${BacktestHours}h holdout",
+    EventOracle.forecastConformalSql) { (s, d) =>
+    forecastConformalFrame(Tables.events(s, d))
+  }
+
+  /** The conformal derivation over any events frame — shared by the
+    * registry query and the plain-Scala replay spec (EventQueriesSpec).
+    */
+  def forecastConformalFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = densify(events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("hn")))
+      .select(col("hour"), coalesce(col("hn"), lit(0L)).as("n"))
+      .localCheckpoint()
+    val cuts = x.agg(
+      (max(col("hour")) - expr(s"INTERVAL ${BacktestHours - 1} HOURS"))
+        .as("test_lo"),
+      (max(col("hour")) - expr(
+        s"INTERVAL ${BacktestHours + ConformalCalHours - 1} HOURS"))
+        .as("cal_lo"))
+    val xc = x.crossJoin(broadcast(cuts)).withColumn("hod", hour(col("hour")))
+    val train = xc.filter(col("hour") < col("cal_lo"))
+    val cal = xc.filter(col("hour") >= col("cal_lo")
+      && col("hour") < col("test_lo"))
+    val test = xc.filter(col("hour") >= col("test_lo"))
+    val sm = train.groupBy(col("hod"))
+      .agg((sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("fc"))
+    val resid = cal.join(broadcast(sm), "hod")
+      .withColumn("r", abs(col("n").cast("double") - col("fc")))
+    val q = resid
+      .withColumn("rk", row_number().over(Window.orderBy(col("r"))))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rk") ===
+        ceil((col("nc") + 1) * lit(1.0 - ConformalAlpha)))
+      .select(col("r").as("q_conf"), col("nc").as("n_cal"))
+    val scored = test.join(broadcast(sm), "hod")
+      .crossJoin(broadcast(q))
+      .withColumn("lo", col("fc") - col("q_conf"))
+      .withColumn("hi", col("fc") + col("q_conf"))
+      .withColumn("covered",
+        col("n").cast("double") >= col("lo")
+          && col("n").cast("double") <= col("hi"))
+      .localCheckpoint()
+    val cov = scored.agg(
+      (sum(when(col("covered"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("coverage"))
+    scored.crossJoin(broadcast(cov))
+      .select(col("hour"), col("n"), col("fc"), col("q_conf"),
+        col("n_cal"), col("lo"), col("hi"), col("covered"),
+        col("coverage"))
+      .orderBy("hour")
+  }
+
   /** Two-sided CUSUM over any (hour, `xCol` double) series at quantum
     * 10^-scale — the [[cusumReadout]] recipe factored so the STL
     * detector (and the spec's raw-vs-deseasonalized comparison) run the
@@ -2975,7 +3065,8 @@ object EventQueries {
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
       conversionPaths, retention, anomaly,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
-      cusum, stlDecompose, forecastBacktest, streamDedup, dailyDistinct,
+      cusum, stlDecompose, forecastBacktest, forecastConformal,
+      streamDedup, dailyDistinct,
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,

@@ -575,6 +575,55 @@ class EventQueriesSpec extends SparkSpec {
     assert(c.getDouble(3) < c.getDouble(1) && c.getDouble(1) < c.getDouble(2))
   }
 
+  test("forecastConformalFrame: plain-Scala replay bit-exact; q is the finite-sample rank; coverage matches") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tsOf(h: Int) = new Timestamp(base + h * 3600L * 1000)
+    val nHours = 480 // 288h train, 168h calibration, 24h test
+    // day-grain jitter with period 5 over days: exchangeable-enough that
+    // the finite-sample guarantee is visible on a deterministic fixture
+    def jitter(h: Int) = (h / 24 * 3) % 5 - 2
+    def countAt(h: Int) = 100 + (if (h % 24 < 12) 2 else 5) + jitter(h)
+    val fixture = (for {
+      h <- 0 until nHours
+      k <- 0 until countAt(h)
+    } yield (h.toLong * 1000 + k, tsOf(h), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.forecastConformalFrame(fixture).collect()
+      .map(r => ((r.getTimestamp(0).getTime - base) / 3600000L,
+        r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getBoolean(7), r.getDouble(8)))
+    // independent plain-Scala replay
+    val ch = EventQueries.ConformalCalHours
+    val bh = EventQueries.BacktestHours
+    val calLo = nHours - bh - ch; val testLo = nHours - bh
+    val fc = (0 until 24).map { hod =>
+      val ys = (hod until calLo by 24).map(countAt)
+      hod -> ys.sum.toDouble / ys.size.toDouble
+    }.toMap
+    val resid = (calLo until testLo)
+      .map(h => math.abs(countAt(h).toDouble - fc(h % 24))).sorted
+    val k = math.ceil((resid.size + 1) * (1.0 - EventQueries.ConformalAlpha))
+      .toInt
+    val q = resid(k - 1)
+    val covExp = (testLo until nHours).count { h =>
+      val y = countAt(h).toDouble
+      y >= fc(h % 24) - q && y <= fc(h % 24) + q
+    }.toDouble / bh
+    assert(got.length === bh)
+    got.foreach { case (h, n, f, qc, ncal, lo, hi, cov, covRate) =>
+      assert(n === countAt(h.toInt).toLong)
+      assert(f === fc(h.toInt % 24), s"fc at $h")
+      assert(qc === q, s"conformal radius: got $qc expected $q")
+      assert(ncal === ch.toLong)
+      assert(lo === f - q && hi === f + q)
+      assert(cov === (n.toDouble >= lo && n.toDouble <= hi))
+      assert(covRate === covExp)
+    }
+    // the guarantee holds on this well-behaved series
+    assert(covExp >= 1.0 - EventQueries.ConformalAlpha - 0.05, s"$covExp")
+  }
+
   test("ewmaFrozenFrame: a shift over 60% of the window — invisible to the whole-series chart, flagged within hours by the frozen baseline") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
