@@ -1514,6 +1514,92 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.abSequentialFrame]]: identical daily arm
+    * sufficient statistics (quantized LONGs), running windows, the mSPRT
+    * log-likelihood in the same expression shape, 1e-9-quantized log L
+    * running max, and the nonincreasing always-valid p.
+    */
+  def abSequentialSql: String = {
+    val tau2 = s"${EventQueries.SeqTauSq}::DOUBLE"
+    val alpha = s"${EventQueries.SeqAlpha}::DOUBLE"
+    s"""
+    WITH $evCte,
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN arm = 0 THEN vq ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 1 THEN vq ELSE 0 END) AS BIGINT) AS sb,
+        CAST(SUM(CASE WHEN arm = 0 THEN wq ELSE 0 END) AS BIGINT) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN wq ELSE 0 END) AS BIGINT) AS qb
+      FROM (
+        SELECT ts,
+          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+            AS BIGINT) % 2 AS arm,
+          CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq,
+          CAST(floor(value * value * 10000.0 + 0.5) AS BIGINT) AS wq
+        FROM ev WHERE event_type = 'purchase'
+      ) GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+        CAST(SUM(na) OVER w AS BIGINT) AS n_a,
+        CAST(SUM(nb) OVER w AS BIGINT) AS n_b,
+        CAST(SUM(sa) OVER w AS BIGINT) AS csa,
+        CAST(SUM(sb) OVER w AS BIGINT) AS csb,
+        CAST(SUM(qa) OVER w AS BIGINT) AS cqa,
+        CAST(SUM(qb) OVER w AS BIGINT) AS cqb
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW)
+    ),
+    ex AS (
+      SELECT day, n_a, n_b,
+        CASE WHEN n_a > 0 THEN CAST(csa AS DOUBLE) / 1e4
+          / CAST(n_a AS DOUBLE) END AS mean_a,
+        CASE WHEN n_b > 0 THEN CAST(csb AS DOUBLE) / 1e4
+          / CAST(n_b AS DOUBLE) END AS mean_b,
+        CAST(csa + csb AS DOUBLE) / 1e4 AS sx,
+        CAST(cqa + cqb AS DOUBLE) / 1e4 AS sxx,
+        n_a + n_b AS n
+      FROM cum
+    ),
+    vx AS (
+      SELECT *,
+        CASE WHEN n > 2 THEN (sxx - sx * sx / CAST(n AS DOUBLE))
+          / CAST(n - 1 AS DOUBLE) END AS var_pooled
+      FROM ex
+    ),
+    lx AS (
+      SELECT *,
+        CASE WHEN n_a > 1 AND n_b > 1 AND var_pooled > 0 THEN
+          var_pooled * (1.0::DOUBLE / CAST(n_a AS DOUBLE)
+            + 1.0::DOUBLE / CAST(n_b AS DOUBLE)) END AS vv,
+        mean_b - mean_a AS delta
+      FROM vx
+    ),
+    ll AS (
+      SELECT *,
+        CAST(FLOOR((0.5::DOUBLE * ln(vv / (vv + $tau2))
+          + delta * delta * $tau2
+            / (2.0::DOUBLE * vv * (vv + $tau2))) * 1e9 + 0.5) AS BIGINT)
+          AS llq
+      FROM lx
+    ),
+    mx AS (
+      SELECT *, MAX(llq) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        PRECEDING AND CURRENT ROW) AS maxllq
+      FROM ll
+    )
+    SELECT day, n_a, n_b, mean_a, mean_b, delta, var_pooled,
+      CAST(llq AS DOUBLE) / 1e9 AS log_lambda,
+      CASE WHEN maxllq IS NULL OR maxllq <= 0 THEN 1.0::DOUBLE
+        ELSE exp(-(CAST(maxllq AS DOUBLE) / 1e9)) END AS p_always_valid,
+      CASE WHEN maxllq IS NULL OR maxllq <= 0 THEN FALSE
+        ELSE exp(-(CAST(maxllq AS DOUBLE) / 1e9)) <= $alpha END AS reject
+    FROM mx ORDER BY day"""
+  }
+
   /** Twin of [[EventQueries.targetEncodingFrame]]: identical content-hash
     * fold rule, the cat×fold grid via CROSS JOIN range, and the same
     * exact-integer sufficient statistics with single-division prior and

@@ -2900,6 +2900,111 @@ object EventQueries {
       .orderBy("arm")
   }
 
+  /** mSPRT mixing variance for [[abSequential]] (tau^2 on the
+    * mean-difference scale; purchase values have sd ~48, so tau = 5
+    * weights plausible per-mean effects of a few units).
+    */
+  val SeqTauSq = 25.0
+
+  /** Always-valid significance level for [[abSequential]]. */
+  val SeqAlpha = 0.05
+
+  /** ALWAYS-VALID sequential A/B inference (mixture SPRT) — the
+    * experimentation readout [[abTest]] cannot give: a fixed-horizon
+    * t-test is only valid at its pre-registered stopping day, but every
+    * real dashboard is PEEKED daily, and repeated looks inflate false
+    * positives far past alpha. The mSPRT (Johari et al.'s always-valid
+    * p-value) closes this: after each day, the likelihood ratio of
+    * H1 (effect ~ N(0, tau^2 = [[SeqTauSq]])) vs H0 (no effect) on the
+    * cumulative arm-mean difference is
+    *
+    *   log L = 0.5·ln(V/(V+tau^2)) + d^2·tau^2 / (2·V·(V+tau^2)),
+    *
+    * with d the cumulative mean difference and V = s^2·(1/n_a + 1/n_b)
+    * its variance estimate; p_t = min(1, 1/max_{s<=t} L_s) is a valid
+    * p-value AT EVERY LOOK simultaneously, and is nonincreasing — a
+    * rejection can never un-happen, so "stop the first day p <= alpha"
+    * is safe. Output: the daily monitoring table (cumulative counts,
+    * means, delta, pooled variance, log L, always-valid p, reject).
+    *
+    * Scale shape: one corpus pass to per-(day) arm sufficient
+    * statistics (conditional partial aggs), then windows over the
+    * calendar-bounded daily frame. Determinism: sufficient statistics
+    * are quantized-LONG exact; ln/exp/sqrt-free chain is single IEEE
+    * ops in shared shapes; log L quantizes to 1e-9 LONGs so the running
+    * max is integer-exact and p/reject compare deterministically.
+    */
+  val abSequential: GraftQuery = GraftQuery(
+    "events_ab_sequential",
+    s"always-valid sequential A/B (mSPRT, tau^2=$SeqTauSq): daily cumulative stats, log likelihood ratio, nonincreasing p, reject at $SeqAlpha",
+    EventOracle.abSequentialSql) { (s, d) =>
+    abSequentialFrame(Tables.events(s, d))
+  }
+
+  /** The sequential-test derivation over any events frame — shared by
+    * the registry query and the plain-Scala replay / A-A spec
+    * (EventQueriesSpec).
+    */
+  def abSequentialFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        (graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+          .as("arm"),
+        Det.quantize(col("value")).as("vq"),
+        Det.quantize(col("value") * col("value")).as("wq"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 0, col("vq")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 1, col("vq")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 0, col("wq")).otherwise(0L)).as("qa"),
+        sum(when(col("arm") === 1, col("wq")).otherwise(0L)).as("qb"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tau2 = lit(SeqTauSq)
+    daily
+      .select(col("day"),
+        sum(col("na")).over(w).as("n_a"), sum(col("nb")).over(w).as("n_b"),
+        sum(col("sa")).over(w).as("csa"), sum(col("sb")).over(w).as("csb"),
+        sum(col("qa")).over(w).as("cqa"), sum(col("qb")).over(w).as("cqb"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("mean_a",
+        when(col("n_a") > 0, col("csa").cast("double") / lit(1e4)
+          / col("n_a").cast("double")))
+      .withColumn("mean_b",
+        when(col("n_b") > 0, col("csb").cast("double") / lit(1e4)
+          / col("n_b").cast("double")))
+      .withColumn("sx", (col("csa") + col("csb")).cast("double") / lit(1e4))
+      .withColumn("sxx", (col("cqa") + col("cqb")).cast("double") / lit(1e4))
+      .withColumn("var_pooled",
+        when(col("n") > 2,
+          (col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+            / (col("n") - 1).cast("double")))
+      .withColumn("vv",
+        when(col("n_a") > 1 && col("n_b") > 1 && col("var_pooled") > 0,
+          col("var_pooled") * (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double"))))
+      .withColumn("delta", col("mean_b") - col("mean_a"))
+      .withColumn("llq",
+        Det.quantize(
+          lit(0.5) * log(col("vv") / (col("vv") + tau2))
+            + col("delta") * col("delta") * tau2
+              / (lit(2.0) * col("vv") * (col("vv") + tau2)), 9))
+      .withColumn("maxllq", max(col("llq")).over(w))
+      .withColumn("log_lambda", col("llq").cast("double") / lit(1e9))
+      .withColumn("p_always_valid",
+        when(col("maxllq").isNull || col("maxllq") <= 0, lit(1.0))
+          .otherwise(exp(-(col("maxllq").cast("double") / lit(1e9)))))
+      .withColumn("reject", col("p_always_valid") <= lit(SeqAlpha))
+      .select(col("day"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("delta"), col("var_pooled"), col("log_lambda"),
+        col("p_always_valid"), col("reject"))
+      .orderBy("day")
+  }
+
   /** Folds for [[targetEncoding]]'s K-fold scheme. */
   val TeFolds = 5
 
@@ -3073,5 +3178,5 @@ object EventQueries {
       kAnonymity, lDiversity, contributionCap, ewmaChart, ewmaFrozen,
       abCuped,
       survivalKm, survivalCohorts, funnelZtest, didEstimate,
-      targetEncoding, valueWinsorize)
+      targetEncoding, valueWinsorize, abSequential)
 }

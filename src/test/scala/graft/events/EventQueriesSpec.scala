@@ -575,6 +575,78 @@ class EventQueriesSpec extends SparkSpec {
     assert(c.getDouble(3) < c.getDouble(1) && c.getDouble(1) < c.getDouble(2))
   }
 
+  test("abSequentialFrame: plain-Scala replay bit-exact; A/A never rejects; planted effect rejects and p is nonincreasing") {
+    import spark.implicits._
+    def arm(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val users = (1L to 60L)
+    val armA = users.filter(arm(_) == 0).take(10)
+    val armB = users.filter(arm(_) == 1).take(10)
+    assert(armA.size == 10 && armB.size == 10)
+    // 20 days x 10 purchases per arm; deterministic value pattern
+    def build(effect: Double) = (for {
+      d <- 0 until 20
+      (u, i) <- (armA ++ armB).zipWithIndex
+    } yield {
+      val ts = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+      val v = 10.0 + ((d + i) % 7) + (if (arm(u) == 1) effect else 0.0)
+      (d.toLong * 100 + i, ts, u, "purchase", v, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // A/A: identical per-arm value streams -> delta exactly 0, log L
+    // strictly negative, p pinned at 1, never a rejection at any peek
+    val aa = EventQueries.abSequentialFrame(build(0.0)).collect()
+    assert(aa.length === 20)
+    assert(aa.forall(_.getAs[Double]("p_always_valid") === 1.0))
+    assert(aa.forall(!_.getAs[Boolean]("reject")))
+    // planted +15 effect: replay the full chain in plain Scala
+    val got = EventQueries.abSequentialFrame(build(15.0)).collect()
+      .map(r => (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"),
+        r.getAs[Double]("log_lambda"), r.getAs[Double]("p_always_valid"),
+        r.getAs[Boolean]("reject")))
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5).toLong
+    val tau2 = EventQueries.SeqTauSq
+    var (csa, csb, cqa, cqb) = (0L, 0L, 0L, 0L)
+    var maxllq = Long.MinValue
+    val exp = (0 until 20).map { d =>
+      for (i <- 0 until 20) {
+        val u = (armA ++ armB)(i)
+        val v = 10.0 + ((d + i) % 7) + (if (arm(u) == 1) 15.0 else 0.0)
+        if (arm(u) == 0) { csa += q4(v); cqa += q4(v * v) }
+        else { csb += q4(v); cqb += q4(v * v) }
+      }
+      val (na, nb) = ((d + 1) * 10L, (d + 1) * 10L)
+      val n = na + nb
+      val meanA = csa.toDouble / 1e4 / na.toDouble
+      val meanB = csb.toDouble / 1e4 / nb.toDouble
+      val sx = (csa + csb).toDouble / 1e4
+      val sxx = (cqa + cqb).toDouble / 1e4
+      val vp = (sxx - sx * sx / n.toDouble) / (n - 1).toDouble
+      val vv = vp * (1.0 / na.toDouble + 1.0 / nb.toDouble)
+      val delta = meanB - meanA
+      val ll = 0.5 * math.log(vv / (vv + tau2)) +
+        delta * delta * tau2 / (2.0 * vv * (vv + tau2))
+      val llq = math.floor(ll * 1e9 + 0.5).toLong
+      maxllq = math.max(maxllq, llq)
+      // StrictMath, not math.exp: Spark's Exp expression evaluates via
+      // StrictMath and the Math.exp intrinsic differs in the last ULP
+      val p = if (maxllq <= 0) 1.0
+        else StrictMath.exp(-(maxllq.toDouble / 1e9))
+      (na, nb, meanA, meanB, llq.toDouble / 1e9, p, p <= EventQueries.SeqAlpha)
+    }
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), d) =>
+      assert(g === e, s"day $d diverged") }
+    // the always-valid guarantees: p nonincreasing, rejection latches
+    assert(got.sliding(2).forall(w => w(1)._6 <= w(0)._6))
+    assert(got.last._7, "planted effect never rejected")
+    assert(got.indexWhere(_._7) >= 0 &&
+      got.drop(got.indexWhere(_._7)).forall(_._7))
+  }
+
   test("forecastConformalFrame: plain-Scala replay bit-exact; q is the finite-sample rank; coverage matches") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
