@@ -1514,6 +1514,65 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.theilSenFrame]]: same dense grid and t
+    * index, pairwise-slope join, nearest-rank medians (fraction forced
+    * ::DOUBLE), exact-BIGINT OLS sufficient statistics.
+    */
+  def trendTheilSenSql: String = s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    x AS MATERIALIZED (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) - 1 AS t
+      FROM (SELECT g.hour, COALESCE(ha.n, 0) AS n
+            FROM g LEFT JOIN ha ON g.hour = ha.hour)
+    ),
+    sl AS (
+      SELECT CAST(b.n - a.n AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl
+      FROM x a JOIN x b ON b.t > a.t
+    ),
+    bts AS (
+      SELECT sl AS slope_theilsen, cnt AS n_pairs FROM (
+        SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS rk,
+          COUNT(*) OVER () AS cnt
+        FROM sl
+      ) WHERE rk = floor((cnt - 1) * 0.5::DOUBLE) + 1
+    ),
+    ats AS (
+      SELECT ic AS intercept_theilsen FROM (
+        SELECT ic, ROW_NUMBER() OVER (ORDER BY ic) AS rk,
+          COUNT(*) OVER () AS cnt
+        FROM (
+          SELECT CAST(n AS DOUBLE)
+            - (SELECT slope_theilsen FROM bts) * CAST(t AS DOUBLE) AS ic
+          FROM x)
+      ) WHERE rk = floor((cnt - 1) * 0.5::DOUBLE) + 1
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+        CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS sy,
+        CAST(SUM(t * t) AS BIGINT) AS stt,
+        CAST(SUM(t * n) AS BIGINT) AS sty
+      FROM x
+    )
+    SELECT ols.nh AS n_hours, bts.n_pairs, bts.slope_theilsen,
+      ats.intercept_theilsen,
+      CAST(ols.nh * ols.sty - ols.st * ols.sy AS DOUBLE)
+        / CAST(ols.nh * ols.stt - ols.st * ols.st AS DOUBLE) AS slope_ols,
+      (CAST(ols.sy AS DOUBLE)
+        - (CAST(ols.nh * ols.sty - ols.st * ols.sy AS DOUBLE)
+            / CAST(ols.nh * ols.stt - ols.st * ols.st AS DOUBLE))
+          * CAST(ols.st AS DOUBLE))
+        / CAST(ols.nh AS DOUBLE) AS intercept_ols
+    FROM ols CROSS JOIN bts CROSS JOIN ats"""
+
   /** Twin of [[EventQueries.abSequentialFrame]]: identical daily arm
     * sufficient statistics (quantized LONGs), running windows, the mSPRT
     * log-likelihood in the same expression shape, 1e-9-quantized log L

@@ -2900,6 +2900,76 @@ object EventQueries {
       .orderBy("arm")
   }
 
+  /** Theil-Sen ROBUST trend estimation over the dense hourly count
+    * series — the robust-statistics twin of the OLS trend
+    * (`revenue_trend_ols`): OLS minimizes squared error, so a handful of
+    * outlier hours (an ingest backfill, a bot burst) drag its slope
+    * arbitrarily far; the Theil-Sen estimator — the MEDIAN of all
+    * pairwise slopes — has a 29.3% breakdown point: up to ~29% of the
+    * points can be arbitrarily corrupted before the slope moves at all.
+    * Output (one row): both fits side by side — the robust slope and
+    * intercept (median of y - b·t), the OLS slope and intercept from
+    * exact integer sufficient statistics, and the pair/hour counts.
+    *
+    * Scale shape: the pair frame is CALENDAR-bounded (hours², never the
+    * corpus — one corpus pass aggregates to the grid first); at
+    * multi-year horizons the quadratic pair space calls for the
+    * repeated-median or a coarser grid — documented trade, same
+    * downstream. Determinism: slopes are single IEEE divisions of exact
+    * integer deltas; both medians are exact nearest-rank picks (rank
+    * floor((n-1)·0.5)+1 ordered by value — the value at the rank is
+    * tie-order-free); OLS sums are exact longs.
+    */
+  val trendTheilSen: GraftQuery = GraftQuery.oneRow(
+    "events_trend_theilsen",
+    "Theil-Sen robust trend vs OLS over dense hourly counts: median pairwise slope + median intercept, exact-integer OLS, side by side",
+    EventOracle.trendTheilSenSql) { (s, d) =>
+    theilSenFrame(Tables.events(s, d))
+  }
+
+  /** The Theil-Sen derivation over any events frame — shared by the
+    * registry query and the planted-outlier spec (EventQueriesSpec).
+    */
+  def theilSenFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = densify(events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("hn")))
+      .select(col("hour"), coalesce(col("hn"), lit(0L)).as("n"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("hour"))).cast("long") - 1)
+      .localCheckpoint()
+    def medianOf(df: org.apache.spark.sql.DataFrame, vCol: String,
+        outName: String, cntName: String): org.apache.spark.sql.DataFrame =
+      df.withColumn("rk", row_number().over(Window.orderBy(col(vCol))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rk") === floor((col("cnt") - 1) * lit(0.5)) + 1)
+        .select(col(vCol).as(outName), col("cnt").as(cntName))
+    val slopes = x.as("a").join(x.as("b"), col("b.t") > col("a.t"))
+      .select(((col("b.n") - col("a.n")).cast("double")
+        / (col("b.t") - col("a.t")).cast("double")).as("sl"))
+    val bTs = medianOf(slopes, "sl", "slope_theilsen", "n_pairs")
+    val aTs = medianOf(
+      x.crossJoin(broadcast(bTs))
+        .select((col("n").cast("double")
+          - col("slope_theilsen") * col("t").cast("double")).as("ic")),
+      "ic", "intercept_theilsen", "nh2")
+    val ols = x.agg(count(lit(1)).as("nh"), sum(col("t")).as("st"),
+        sum(col("n")).as("sy"), sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("n")).as("sty"))
+      .withColumn("slope_ols",
+        (col("nh") * col("sty") - col("st") * col("sy")).cast("double")
+          / (col("nh") * col("stt") - col("st") * col("st")).cast("double"))
+      .withColumn("intercept_ols",
+        (col("sy").cast("double") - col("slope_ols") * col("st").cast("double"))
+          / col("nh").cast("double"))
+    ols.crossJoin(broadcast(bTs)).crossJoin(broadcast(aTs))
+      .select(col("nh").as("n_hours"), col("n_pairs"),
+        col("slope_theilsen"), col("intercept_theilsen"),
+        col("slope_ols"), col("intercept_ols"))
+  }
+
   /** mSPRT mixing variance for [[abSequential]] (tau^2 on the
     * mean-difference scale; purchase values have sd ~48, so tau = 5
     * weights plausible per-mean effects of a few units).
@@ -3178,5 +3248,5 @@ object EventQueries {
       kAnonymity, lDiversity, contributionCap, ewmaChart, ewmaFrozen,
       abCuped,
       survivalKm, survivalCohorts, funnelZtest, didEstimate,
-      targetEncoding, valueWinsorize, abSequential)
+      targetEncoding, valueWinsorize, abSequential, trendTheilSen)
 }

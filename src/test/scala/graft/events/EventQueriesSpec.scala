@@ -575,6 +575,41 @@ class EventQueriesSpec extends SparkSpec {
     assert(c.getDouble(3) < c.getDouble(1) && c.getDouble(1) < c.getDouble(2))
   }
 
+  test("theilSenFrame: recovers the exact slope under planted outliers that wreck OLS") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tsOf(h: Int) = new Timestamp(base + h * 3600L * 1000)
+    val nHours = 72
+    // y = 5 + 3t, with 5 hours corrupted by +2000 (7% of points)
+    val outliers = Set(10, 25, 40, 55, 70)
+    def countAt(h: Int) = 5 + 3 * h + (if (outliers(h)) 2000 else 0)
+    val fixture = (for {
+      h <- 0 until nHours
+      k <- 0 until countAt(h)
+    } yield (h.toLong * 10000 + k, tsOf(h), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventQueries.theilSenFrame(fixture).head
+    assert(r.getAs[Long]("n_hours") === 72L)
+    assert(r.getAs[Long]("n_pairs") === 72L * 71 / 2)
+    // the median pairwise slope is EXACTLY the clean slope — outlier
+    // pairs are a small minority and the median never sees them
+    assert(r.getAs[Double]("slope_theilsen") === 3.0)
+    assert(r.getAs[Double]("intercept_theilsen") === 5.0)
+    // OLS is dragged hard by the same five points
+    assert(math.abs(r.getAs[Double]("slope_ols") - 3.0) > 0.5,
+      s"OLS should be wrecked: ${r.getAs[Double]("slope_ols")}")
+    // clean series: both agree exactly
+    val clean = (for {
+      h <- 0 until 24
+      k <- 0 until (5 + 3 * h)
+    } yield (h.toLong * 10000 + k, tsOf(h), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val c = EventQueries.theilSenFrame(clean).head
+    assert(c.getAs[Double]("slope_theilsen") === 3.0)
+    assert(c.getAs[Double]("slope_ols") === 3.0)
+    assert(c.getAs[Double]("intercept_ols") === 5.0)
+  }
+
   test("abSequentialFrame: plain-Scala replay bit-exact; A/A never rejects; planted effect rejects and p is nonincreasing") {
     import spark.implicits._
     def arm(u: Long): Long = {
