@@ -54,6 +54,51 @@ object PortfolioOracle {
     FROM i$iters ORDER BY loan_id"""
   }
 
+  /** Stress-grid twin ([[PortfolioQueries.rateStress]]): the m3
+    * intermediate (base EMI, months_due, ec0 all live there), a 5-way
+    * ::DOUBLE shock unnest, the identical F3 re-pricing chain, quantized
+    * sums and the 1e-9-quantized uplift mean. A `def` — this object
+    * initializes while PortfolioQueries is mid-init and StressShocks is
+    * declared after the first query val (the LayoutOracle init-order
+    * lesson).
+    */
+  def rateStressSql: String = {
+    val shocks = PortfolioQueries.StressShocks
+      .map(s => s"$s::DOUBLE").mkString("[", ", ", "]")
+    s"""
+    WITH $ctes,
+    grid AS (
+      SELECT m3.*, s.shock,
+        GREATEST(0.0::DOUBLE, interest_rate + s.shock) AS rate_s
+      FROM m3 CROSS JOIN (SELECT unnest($shocks) AS shock) s
+    ),
+    px AS (
+      SELECT shock, months_due, ec0, emi_amount AS emi_base,
+        CASE WHEN duration_months > 0 THEN
+          (disbursement_amount + disbursement_amount * (rate_s / 100.0)
+            * (duration_months / 12.0)) / duration_months
+        ELSE 0.0 END AS emi_s
+      FROM grid
+    ),
+    ax AS (
+      SELECT shock, emi_s,
+        GREATEST(0.0::DOUBLE, emi_s * months_due - ec0) AS arrear_s,
+        CASE WHEN emi_base > 0 THEN (emi_s - emi_base) / emi_base END
+          AS uplift
+      FROM px
+    )
+    SELECT shock, CAST(COUNT(*) AS BIGINT) AS n_loans,
+      ${sumDec("emi_s")} AS sum_emi,
+      ${sumDec("arrear_s")} AS sum_arrear,
+      CAST(SUM(CASE WHEN arrear_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_delinquent,
+      CAST(SUM(CAST(floor(uplift * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e9 / CAST(COUNT(uplift) AS DOUBLE) AS avg_emi_uplift
+    FROM ax
+    GROUP BY shock
+    ORDER BY shock"""
+  }
+
   val byRegionSql: String = s"""
     WITH $ctes
     SELECT region_cleaned, dpd_bucket,

@@ -762,6 +762,68 @@ object PortfolioQueries {
       .orderBy("loan_id")
   }
 
+  /** Rate shocks (percentage points) for [[rateStress]]'s scenario grid. */
+  val StressShocks: Seq[Double] = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+
+  /** Rate-shock STRESS GRID — the what-if scenario operator a lending
+    * portfolio runs before a rate decision: every loan is re-priced
+    * under each of [[StressShocks]] (interest rate shifted by the shock,
+    * floored at 0), the reference's own F3 simple-interest EMI chain
+    * re-derives payment and arrears at the pinned as-of date, and the
+    * output is one row per scenario: loan count, portfolio EMI and
+    * arrear totals, delinquent-loan count, and the mean per-loan EMI
+    * uplift vs the unshocked base — the sensitivity row a risk
+    * committee reads.
+    *
+    * Scale shape: the scenario grid is a 5-way in-row explode of the
+    * one-pass loan frame (scenarios × loans rows, partial-aggregated
+    * per scenario map-side — never a per-scenario rescan); at 100 TB a
+    * 50-scenario grid is still ONE corpus pass. Determinism: shock
+    * arithmetic and the F3 chain are the [[LoanDomain]] expressions
+    * verbatim (shock 0 reproduces the base EMI bit-for-bit: x + 0.0 = x
+    * in IEEE); sums quantize to LONGs; the uplift mean quantizes each
+    * per-loan ratio to 1e-9 first.
+    */
+  val rateStress: GraftQuery = GraftQuery(
+    "loan_rate_stress",
+    s"rate-shock stress grid (${StressShocks.mkString("/")}pp): per-scenario EMI/arrear totals, delinquency counts, mean EMI uplift vs base",
+    PortfolioOracle.rateStressSql) { (s, d) =>
+    val m1 = LoanDomain.joined(s, d)
+      .withColumn("duration_months",
+        LoanDomain.monthDiff(col("due_date"), col("disbursement_date")))
+      .withColumn("ec0", coalesce(col("emi_collected"), lit(0.0)))
+    val base = m1
+      .withColumn("months_due", LoanDomain.monthsDue(LoanDomain.asOf,
+        col("disbursement_date"), col("duration_months")))
+      .withColumn("emi_base", LoanDomain.emiAmount(
+        LoanDomain.totalPayable(col("disbursement_amount"),
+          col("interest_rate"), col("duration_months")),
+        col("duration_months")))
+    base
+      .withColumn("shock",
+        explode(array(StressShocks.map(lit): _*)))
+      .withColumn("rate_s",
+        greatest(lit(0.0), col("interest_rate") + col("shock")))
+      .withColumn("emi_s", LoanDomain.emiAmount(
+        LoanDomain.totalPayable(col("disbursement_amount"), col("rate_s"),
+          col("duration_months")),
+        col("duration_months")))
+      .withColumn("arrear_s",
+        greatest(lit(0.0), col("emi_s") * col("months_due") - col("ec0")))
+      .withColumn("uplift",
+        when(col("emi_base") > 0,
+          (col("emi_s") - col("emi_base")) / col("emi_base")))
+      .groupBy(col("shock"))
+      .agg(
+        count(lit(1)).as("n_loans"),
+        Det.sumQ(col("emi_s")).as("sum_emi"),
+        Det.sumQ(col("arrear_s")).as("sum_arrear"),
+        sum(when(col("arrear_s") > 0, 1L).otherwise(0L)).as("n_delinquent"),
+        (sum(Det.quantize(col("uplift"), 9)).cast("double") / lit(1e9)
+          / count(col("uplift")).cast("double")).as("avg_emi_uplift"))
+      .orderBy("shock")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     irrEffective,
     byRegion, rollupQ, cubeQ, topArrearsByRegion, monthlyRunning,
@@ -769,5 +831,5 @@ object PortfolioQueries {
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
     tableProfile, portfolioNpv, vintageAnalysis, rollRate, incrementalMerge,
-    eclStaging, concentrationHhi)
+    eclStaging, concentrationHhi, rateStress)
 }

@@ -202,4 +202,33 @@ class LoanDomainSpec extends SparkSpec {
     assert(got(1).getAs[Double]("irr_monthly") === 0.0)
     assert(got(1).getAs[Double]("apr_effective") === 0.0)
   }
+
+  test("rateStress: shock 0 reproduces the base book exactly; EMI and delinquency monotone in the shock") {
+    val rows = PortfolioQueries.rateStress.frame(spark, sf).collect()
+      .map(r => r.getAs[Double]("shock") -> r).toMap
+    assert(rows.keySet === PortfolioQueries.StressShocks.toSet)
+    val base = rows(0.0)
+    // the unshocked scenario IS the book: x + 0.0 = x in IEEE, so the
+    // re-priced EMI equals loan_final's and the uplift is exactly zero
+    assert(base.getAs[Double]("avg_emi_uplift") === 0.0)
+    val lfAgg = LoanDomain.loanFinalUnordered(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(
+        graft.api.Det.quantize(
+          org.apache.spark.sql.functions.col("emi_amount")))
+        .as("q")).head.getLong(0)
+    assert(base.getAs[Double]("sum_emi") === lfAgg / 1e4)
+    assert(base.getAs[Long]("n_delinquent") ===
+      LoanDomain.loanFinalUnordered(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("arrear") > 0).count())
+    // monotonicity: a higher rate can only raise EMI, demand, arrears
+    val ordered = PortfolioQueries.StressShocks.map(rows)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getAs[Double]("sum_emi") <= b.getAs[Double]("sum_emi"))
+      assert(a.getAs[Double]("sum_arrear") <= b.getAs[Double]("sum_arrear"))
+      assert(a.getAs[Long]("n_delinquent") <= b.getAs[Long]("n_delinquent"))
+      assert(a.getAs[Double]("avg_emi_uplift") <= b.getAs[Double]("avg_emi_uplift"))
+    }
+    // every scenario re-prices the whole book
+    assert(rows.values.map(_.getAs[Long]("n_loans")).toSet.size === 1)
+  }
 }
