@@ -346,6 +346,59 @@ object TextOracle {
     FROM gs JOIN tt ON gs.doc_id = tt.doc_id
     ORDER BY gs.doc_id"""
 
+  /** Twin of [[TextQueries.tokenDrift]]: same content-hash grouping,
+    * vocab counts, Monroe-style smoothed log-odds z in the identical
+    * expression shape, quantized-z ranks with the token tie-break. A
+    * `def` (the init-order lesson — Drift constants live below the
+    * first TextQueries query val).
+    */
+  def tokenDriftSql: String = {
+    val k = TextQueries.DriftTopK
+    val a = s"${TextQueries.DriftAlpha}::DOUBLE"
+    val a2 = s"${2 * TextQueries.DriftAlpha}::DOUBLE"
+    s"""
+    WITH tok AS (
+      SELECT ${hash60Sql("source")} % 2 AS grp,
+        unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+        CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS y_a,
+        CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS y_b
+      FROM tok GROUP BY token
+    ),
+    totals AS (
+      SELECT CAST(SUM(y_a) AS BIGINT) AS n_a,
+        CAST(SUM(y_b) AS BIGINT) AS n_b
+      FROM counts
+    ),
+    scored AS (
+      SELECT token, y_a, y_b,
+        CAST(FLOOR((
+          (ln((y_a + $a) / (n_a + $a2 - y_a - $a))
+            - ln((y_b + $a) / (n_b + $a2 - y_b - $a)))
+          / sqrt(1.0::DOUBLE / (y_a + $a) + 1.0::DOUBLE / (y_b + $a)))
+          * 1e9 + 0.5) AS BIGINT) AS zq
+      FROM counts CROSS JOIN totals
+    ),
+    ranked AS (
+      SELECT 'group_a' AS leaning,
+        CAST(ROW_NUMBER() OVER (ORDER BY zq DESC, token) AS BIGINT)
+          AS rank,
+        token, y_a, y_b, CAST(zq AS DOUBLE) / 1e9 AS z
+      FROM scored
+      UNION ALL
+      SELECT 'group_b',
+        CAST(ROW_NUMBER() OVER (ORDER BY zq ASC, token) AS BIGINT),
+        token, y_a, y_b, CAST(zq AS DOUBLE) / 1e9
+      FROM scored
+    )
+    SELECT leaning, rank, token, y_a, y_b, z
+    FROM ranked WHERE rank <= $k
+    ORDER BY leaning, rank"""
+  }
+
   private def hash60Sql(x: String): String =
     s"CAST(('0x' || substr(md5($x),1,15))::UBIGINT AS BIGINT)"
 

@@ -2268,8 +2268,81 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Top-k per side for [[tokenDrift]]. */
+  val DriftTopK = 20
+
+  /** Dirichlet smoothing pseudo-count for [[tokenDrift]] (the
+    * uninformative alpha = 0.5 of the Monroe et al. log-odds recipe).
+    */
+  val DriftAlpha = 0.5
+
+  /** Corpus TOKEN DRIFT between source groups — the text twin of
+    * `embedding_drift_psi`: when a new provider (or a re-crawl) joins
+    * the mix, the first question is WHICH tokens shifted, not just how
+    * much. The Monroe et al. smoothed log-odds-ratio with its delta
+    * variance: for token w with counts y_a/y_b in the two source groups
+    * (content-hash of `source`, so membership is engine-stable),
+    *
+    *   delta = ln((y_a+α)/(n_a+2α-y_a-α)) - ln((y_b+α)/(n_b+2α-y_b-α)),
+    *   z = delta / sqrt(1/(y_a+α) + 1/(y_b+α)),
+    *
+    * and the readout is each side's [[DriftTopK]] most-leaning tokens by
+    * z — the named-token drill-down a PSI-style scalar cannot give.
+    *
+    * Scale shape: one corpus token explode + vocab groupBy (the shuffle
+    * every token stat pays), then the z math and two top-k windows on
+    * the vocab-bounded frame. Determinism: counts are exact longs;
+    * ln/sqrt are single IEEE calls in shared shapes; rank orders by the
+    * 1e-9-quantized z with a token tie-break.
+    */
+  val tokenDrift: GraftQuery = GraftQuery(
+    "corpus_token_drift",
+    s"token drift between content-hash source groups: smoothed log-odds z, top-$DriftTopK leaning tokens per side",
+    TextOracle.tokenDriftSql) { (s, d) =>
+    tokenDriftFrame(Tables.documents(s, d))
+  }
+
+  /** The drift derivation over any documents frame — shared by the
+    * registry query and the planted-leaning spec (TextDedupSpec).
+    */
+  def tokenDriftFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select((TextFns.hash60(col("source")) % 2).as("grp"),
+        explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("y_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("y_b"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("y_a")).as("n_a"),
+      sum(col("y_b")).as("n_b"))
+    val a = lit(DriftAlpha)
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("delta",
+        log((col("y_a") + a) / (col("n_a") + lit(2 * DriftAlpha)
+          - col("y_a") - a))
+          - log((col("y_b") + a) / (col("n_b") + lit(2 * DriftAlpha)
+            - col("y_b") - a)))
+      .withColumn("z", col("delta")
+        / sqrt(lit(1.0) / (col("y_a") + a) + lit(1.0) / (col("y_b") + a)))
+      .withColumn("zq", graft.api.Det.quantize(col("z"), 9))
+      .localCheckpoint()
+    def side(name: String, ord: Seq[org.apache.spark.sql.Column]) =
+      scored
+        .withColumn("rank",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .filter(col("rank") <= DriftTopK)
+        .select(lit(name).as("leaning"), col("rank"), col("token"),
+          col("y_a"), col("y_b"),
+          (col("zq").cast("double") / lit(1e9)).as("z"))
+    side("group_a", Seq(col("zq").desc, col("token")))
+      .unionByName(side("group_b", Seq(col("zq").asc, col("token"))))
+      .orderBy("leaning", "rank")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(tokenStats, quality, qualityNb, qualityNbConfusion,
+    Seq(tokenDrift, tokenStats, quality, qualityNb, qualityNbConfusion,
       calibrationCurve, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,

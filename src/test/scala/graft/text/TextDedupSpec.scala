@@ -942,4 +942,42 @@ class TextDedupSpec extends SparkSpec {
       .select("label").distinct().count()
     assert(cc === 1L)
   }
+
+  test("tokenDrift: planted leaning tokens surface on the right side; z replays in plain Scala") {
+    val spark0 = spark
+    import spark0.implicits._
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // two sources landing in DIFFERENT content-hash groups
+    val srcs = (0 until 50).map(i => s"s$i")
+    val sa = srcs.find(h60(_) % 2 == 0).get
+    val sb = srcs.find(h60(_) % 2 == 1).get
+    // shared filler everywhere; 'alpha' lives only in group A docs,
+    // 'beta' only in group B
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "x y alpha alpha", "en", sa, 10L)) ++
+        (11 to 16).map(i => (i.toLong, "x y beta beta", "en", sb, 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextQueries.tokenDriftFrame(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val (aTop, bTop) = (got(("group_a", 1L)), got(("group_b", 1L)))
+    assert(aTop._1 === "alpha" && aTop._2 === 12L && aTop._3 === 0L)
+    assert(bTop._1 === "beta" && bTop._2 === 0L && bTop._3 === 12L)
+    assert(aTop._4 > 0 && bTop._4 < 0)
+    // plain-Scala replay of alpha's z: y_a=12, y_b=0, n_a=n_b=24
+    val (ya, yb, na, nb, al) = (12.0, 0.0, 24.0, 24.0, 0.5)
+    val delta = math.log((ya + al) / (na + 1.0 - ya - al)) -
+      math.log((yb + al) / (nb + 1.0 - yb - al))
+    val z = delta / math.sqrt(1.0 / (ya + al) + 1.0 / (yb + al))
+    assert(aTop._4 === math.floor(z * 1e9 + 0.5) / 1e9)
+    // symmetric filler: x/y counts equal in both groups -> z exactly the
+    // smoothing-only residue, identical for both, far from the leaders
+    assert(math.abs(got(("group_a", 1L))._4) >
+      math.abs(got.filter(_._2._1 == "x").values.head._4))
+  }
 }
