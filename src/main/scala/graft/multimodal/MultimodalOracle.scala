@@ -58,6 +58,47 @@ object MultimodalOracle {
       FROM documents
     )"""
 
+  /** Blur twin ([[MultimodalQueries.blurScore]]): interior-pixel
+    * 4-neighbour Laplacians from the same byte grid, exact BIGINT sums,
+    * the (n·Σx² − (Σx)²)/n² variance in one division. A `def` — the
+    * threshold constant lives below MultimodalQueries' first query val
+    * (the init-order lesson).
+    */
+  def blurScoreSql: String = {
+    val thr = MultimodalQueries.BlurVarThreshold
+    s"""
+    WITH $pixelCte,
+    l AS (
+      SELECT doc_id, width, height,
+        list_filter(list_transform(range(1, CAST(np + 1 AS BIGINT)),
+          i -> CASE WHEN i > width AND i <= width * (height - 1)
+                 AND (i - 1) % width <> 0 AND i % width <> 0
+               THEN 4 * pxs[CAST(i AS INTEGER)]
+                 - pxs[CAST(i - width AS INTEGER)]
+                 - pxs[CAST(i + width AS INTEGER)]
+                 - pxs[CAST(i - 1 AS INTEGER)]
+                 - pxs[CAST(i + 1 AS INTEGER)]
+               ELSE NULL END),
+          x -> x IS NOT NULL) AS lap
+      FROM px
+      WHERE media_type = 'image' AND np > 0 AND height >= 3 AND width >= 3
+    ),
+    v AS (
+      SELECT doc_id, width, height,
+        CAST(len(lap) AS BIGINT) AS nl,
+        CAST(list_aggregate(lap, 'sum') AS BIGINT) AS sl,
+        CAST(list_aggregate(list_transform(lap,
+          x -> CAST(x AS BIGINT) * x), 'sum') AS BIGINT) AS sll
+      FROM l
+    )
+    SELECT doc_id, width, height, nl AS n_interior,
+      CAST(nl * sll - sl * sl AS DOUBLE) / CAST(nl * nl AS DOUBLE)
+        AS lap_var,
+      CAST(nl * sll - sl * sl AS DOUBLE) / CAST(nl * nl AS DOUBLE)
+        < $thr::DOUBLE AS blurry
+    FROM v ORDER BY doc_id"""
+  }
+
   /** Features twin: pixel stats over the decoded grid. Sums are exact
     * integer folds (HUGEINT in DuckDB, cast back), every double is one
     * exact IEEE754 division over identical integer operands.

@@ -739,8 +739,71 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Variance-of-Laplacian floor under which an image is BLURRY. */
+  val BlurVarThreshold = 500.0
+
+  /** BLUR detection — the vision-quality screen a training-data ingest
+    * runs before spending GPU time on an image (the classic OpenCV
+    * `variance of Laplacian` recipe): sharp images have strong local
+    * second derivatives, defocus smears them toward zero. Per decoded
+    * image, the 4-neighbour discrete Laplacian
+    * 4·p(r,c) − p(r−1,c) − p(r+1,c) − p(r,c−1) − p(r,c+1) over every
+    * INTERIOR pixel, its variance from exact integer sums, and the
+    * blurry verdict at [[BlurVarThreshold]].
+    *
+    * Same contract as [[gradients]]: the whole computation fuses into
+    * the decode span (narrow map, no shuffle until the final sort);
+    * variance = (n·Σx² − (Σx)²)/n² on exact LONGs with ONE IEEE
+    * division, so no quantization is even needed. Laplacian magnitudes
+    * are ≤ 1020 and interiors ≤ 10⁴ pixels here, so both longs are far
+    * inside range; at production image sizes (10⁶ px, |L| ≤ 1020) the
+    * sums still fit 2⁶³ with 10⁵ headroom.
+    */
+  val blurScore: GraftQuery = GraftQuery(
+    "multimodal_blur_score",
+    s"vision quality screen: variance of the 4-neighbour Laplacian per decoded image, blurry at < $BlurVarThreshold",
+    MultimodalOracle.blurScoreSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    blurFrame(media(s, d))
+  }
+
+  /** The blur derivation over any media frame — shared by the registry
+    * query and the flat-vs-checkerboard spec (CrossModalSpec).
+    */
+  private[graft] def blurFrame(mediaDf: DataFrame): DataFrame = {
+    val px = col("img.pixels")
+    val w = col("img.width")
+    val h = col("img.height")
+    mediaDf
+      .filter(col("media_type") === "image")
+      .withColumn("img", call_function("decode_pgm", col("pgm")))
+      .filter(size(col("img.pixels")) > 0
+        && col("img.height") >= 3 && col("img.width") >= 3)
+      .withColumn("lap", filter(
+        transform(sequence(lit(1), size(px)),
+          i => when(i > w && i <= w * (h - 1)
+              && (i - 1) % w =!= 0 && i % w =!= 0,
+            lit(4) * element_at(px, i) - element_at(px, i - w)
+              - element_at(px, i + w) - element_at(px, i - 1)
+              - element_at(px, i + 1))
+            .otherwise(lit(null).cast("int"))),
+        x => x.isNotNull))
+      .withColumn("nl", size(col("lap")).cast("long"))
+      .withColumn("sl",
+        aggregate(col("lap"), lit(0L), (a, x) => a + x))
+      .withColumn("sll",
+        aggregate(col("lap"), lit(0L), (a, x) => a + x.cast("long") * x))
+      .withColumn("lap_var",
+        (col("nl") * col("sll") - col("sl") * col("sl")).cast("double")
+          / (col("nl") * col("nl")).cast("double"))
+      .select(col("doc_id"), w.as("width"), h.as("height"),
+        col("nl").as("n_interior"), col("lap_var"),
+        (col("lap_var") < BlurVarThreshold).as("blurry"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(catalog, frameSample, features, phashBuckets, thumbnail, gradients,
       audioFeatures, crossmodalConsistency, sceneCuts, thumbnailNeardup,
-      textToAsset, spectral, audioSegments)
+      textToAsset, spectral, audioSegments, blurScore)
 }

@@ -133,4 +133,24 @@ class CrossModalSpec extends SparkSpec {
       check == "doc_total" || check == "vec_no_doc"
     })
   }
+
+  test("blurFrame: flat image is maximally blurry (var 0); stripe pattern scores exactly 2500") {
+    val spark0 = spark
+    import spark0.implicits._
+    // doc_id 0 -> image, width 64; doc_id 6 -> image, width 70
+    val flat = "a" * 256                  // 64x4, every Laplacian 0
+    val stripes = "az" * 175              // 70x5, columns alternate +-25
+    val docs = Seq((0L, flat, "s"), (6L, stripes, "s"))
+      .toDF("doc_id", "text", "source")
+    val out = MultimodalQueries.blurFrame(
+        MultimodalQueries.mediaFrame(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.keySet === Set(0L, 6L))
+    // flat: interior (64-2)x(4-2) = 124 Laplacians, all zero
+    assert(out(0L) === ((64, 4, 124L, 0.0, true)))
+    // stripes: every interior Laplacian is 4p - 2p - 2q = +-2*25 = +-50;
+    // interior columns split evenly so the mean is 0 and var = 50^2
+    assert(out(6L) === ((70, 5, 204L, 2500.0, false)))
+  }
 }
