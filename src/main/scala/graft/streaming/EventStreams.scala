@@ -87,6 +87,35 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Online FEATURE SERVING for the K-fold target encoding — the apply
+    * side of `events_target_encoding`: a trainer computed the
+    * (category, fold) encoding table offline; at inference time each
+    * ARRIVING event must pick up its feature row-locally. The event's
+    * fold is the same content hash the trainer used, the lookup is a
+    * BROADCAST stream-static join against the persisted table (model
+    * state, never stream state), and a category the table has never
+    * seen falls back to its fold's out-of-fold prior — the m-estimate's
+    * own unseen-category limit, so online and offline encodings agree
+    * by construction. STATELESS like [[graft.streaming.VecStreams]]'
+    * ingest coding: no watermark, no state store, exactly-once composes
+    * through [[StreamSinks]]; StreamingSpec pins batch/stream row
+    * parity across a micro-batch split including the unseen-category
+    * fallback.
+    */
+  def encodedEvents(events: DataFrame, encoding: DataFrame): DataFrame = {
+    import graft.events.EventQueries.TeFolds
+    val enc = encoding.select(col("user_id"), col("fold"), col("encoding"))
+    val priors = encoding.groupBy(col("fold"))
+      .agg(max(col("prior")).as("fold_prior"))
+    events
+      .withColumn("fold",
+        graft.text.TextFns.hash60(col("event_id").cast("string")) % TeFolds)
+      .join(broadcast(enc), Seq("user_id", "fold"), "left")
+      .join(broadcast(priors), Seq("fold"), "left")
+      .withColumn("te_user", coalesce(col("encoding"), col("fold_prior")))
+      .drop("encoding", "fold_prior")
+  }
+
   /** Per-day distinct users, sketch path — the streaming twin of the
     * batch `events_daily_distinct` query's HLL++ column. Exact
     * countDistinct is not available under streaming aggregation (distinct

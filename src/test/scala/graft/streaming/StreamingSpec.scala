@@ -1303,6 +1303,55 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("encodedEvents: streamed feature lookup == batch join across a split; unseen category takes the fold prior") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // offline training corpus: users 1..4, purchases by id % 3
+    val train = (1L to 40L).map(id =>
+      Ev(id, t((id % 50).toInt), 1 + id % 4,
+        if (id % 3 == 0) "purchase" else "view", 0.0, "{}")).toDF()
+    val enc = graft.events.EventQueries.targetEncodingFrame(train)
+      .localCheckpoint()
+    // serving traffic: known users + user 99 the table never saw
+    val serve = Seq(
+      Ev(100, t(1), 1, "view", 0.0, "{}"),
+      Ev(101, t(2), 2, "view", 0.0, "{}"),
+      Ev(102, t(3), 99, "view", 0.0, "{}"),
+      Ev(103, t(4), 3, "view", 0.0, "{}"),
+      Ev(104, t(5), 99, "purchase", 0.0, "{}"))
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.encodedEvents(stream.toDF(), enc)
+      .writeStream.format("memory").queryName("te_serve_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(serve.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(serve.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "fold", "te_user").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val streamed = rows(spark.table("te_serve_out"))
+    val batch = rows(EventStreams.encodedEvents(serve.toDF(), enc))
+    assert(streamed === batch)
+    assert(streamed.size === serve.size)
+    // the unseen category fell back to its fold's out-of-fold prior
+    val priors = enc.groupBy("fold")
+      .agg(org.apache.spark.sql.functions.max("prior").as("p")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    streamed.filter(_._2 == 99L).foreach { case (_, _, fold, te) =>
+      assert(te === priors(fold), s"unseen category fold $fold") }
+    // known categories got their exact table rows
+    val encMap = enc.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("encoding")).toMap
+    streamed.filter(_._2 != 99L).foreach { case (_, u, fold, te) =>
+      assert(te === encMap((u, fold))) }
+  }
+
   test("dedupedEvents observability: StreamingQueryProgress carries the runbook metrics (state rows, late drops, batch timing)") {
     // the OPERATIONAL readout a production stream is monitored by — not
     // result parity (the sibling tests pin that) but the
