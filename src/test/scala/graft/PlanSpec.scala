@@ -885,4 +885,57 @@ class PlanSpec extends SparkSpec {
     // (the bruteforce contract every ann_* grade pays)
     assert(plan.contains("BroadcastNestedLoopJoin"), s"truth pass shape changed:\n$plan")
   }
+
+  test("multimodal_blur_score: Laplacian math stays inside codegen, no object boundary") {
+    val df = SparkEntry.queries("multimodal_blur_score")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), s"encoder boundary in:\n$plan")
+    assert(!plan.contains("MapPartitions"), s"mapPartitions decode in:\n$plan")
+    assert(plan.contains("decode_pgm"), "native decode expression missing")
+    // narrow map plan: the only exchange is the presentation sort
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"unexpected shuffles in a per-asset map plan:\n$plan")
+  }
+
+  test("events_target_encoding: rollups reuse the one checkpointed corpus pass; model joins broadcast") {
+    val df = SparkEntry.queries("events_target_encoding")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the (category, fold) sufficient statistics are checkpointed after
+    // ONE corpus pass; every rollup and the grid must read the
+    // checkpoint, never re-scan the parquet corpus
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"corpus re-scanned past the checkpointed base:\n$plan")
+    // the fold grid and totals ride broadcast joins, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"), s"no broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("layout_optimize_zorder: the published table's measure scan prunes to the layout columns") {
+    // the read-back measurement must not drag unused columns through the
+    // per-partition index aggregation
+    val df = SparkEntry.queries("layout_optimize_zorder")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the lineitem grid scan reads only the 4 needed columns
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    reads.filter(_.contains("l_")).foreach { r =>
+      assert(!r.contains("l_extendedprice") && !r.contains("l_comment"),
+        s"unpruned lineitem scan: $r")
+    }
+  }
+
+  test("events_l_diversity: corpus aggregates once; lattice re-aggregations stay post-shuffle") {
+    val df = SparkEntry.queries("events_l_diversity")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the residual chain runs on the checkpointed class table: past that
+    // one corpus pass, NO plan node re-scans the events parquet
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"corpus re-scanned past the checkpointed class table:\n$plan")
+  }
 }
