@@ -1514,6 +1514,73 @@ object EventOracle {
     ORDER BY event_type, level"""
   }
 
+  /** Twin of [[EventQueries.anomalyMadReadout]]: same tumbling slots,
+    * per-type nearest-rank median and MAD (fractions ::DOUBLE), the
+    * modified z in the identical shape, quantized-|z| top-3, exact
+    * integer threshold compare.
+    */
+  def anomalyMadSql: String = {
+    val c = s"${EventQueries.MadC}::DOUBLE"
+    val fc = s"${EventQueries.MadFallbackC}::DOUBLE"
+    val thrQ = (EventQueries.MadZThreshold * 1e9).toLong
+    s"""
+    WITH $evCte,
+    slots AS (
+      SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, n AS med FROM (
+        SELECT event_type, n,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rk,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM slots
+      ) WHERE rk = floor((cnt - 1) * 0.5::DOUBLE) + 1
+    ),
+    dev AS (
+      SELECT s.event_type, s.wstart, s.n, m.med,
+        abs(s.n - m.med) AS absdev
+      FROM slots s JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, absdev AS mad FROM (
+        SELECT event_type, absdev,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY absdev)
+            AS rk,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM dev
+      ) WHERE rk = floor((cnt - 1) * 0.5::DOUBLE) + 1
+    ),
+    ma AS (
+      SELECT event_type,
+        CAST(SUM(absdev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ad
+      FROM dev GROUP BY event_type
+    ),
+    z AS (
+      SELECT d.event_type, d.wstart, d.n, d.med, a.mad, ma.mean_ad,
+        CASE WHEN a.mad > 0 THEN
+          CAST(FLOOR(($c * CAST(d.n - d.med AS DOUBLE)
+            / CAST(a.mad AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        ELSE
+          CAST(FLOOR((CAST(d.n - d.med AS DOUBLE)
+            / ($fc * ma.mean_ad)) * 1e9 + 0.5) AS BIGINT)
+        END AS zq
+      FROM dev d JOIN mad a USING (event_type)
+        JOIN ma USING (event_type)
+      WHERE a.mad > 0 OR ma.mean_ad > 0
+    ),
+    top3 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY abs(zq) DESC, wstart) AS rk3
+      FROM z
+    )
+    SELECT event_type, wstart, n, med, mad, mean_ad,
+      CAST(zq AS DOUBLE) / 1e9 AS z, abs(zq) >= $thrQ AS outlier
+    FROM top3 WHERE rk3 <= 3
+    ORDER BY event_type, wstart"""
+  }
+
   /** Twin of [[EventQueries.theilSenFrame]]: same dense grid and t
     * index, pairwise-slope join, nearest-rank medians (fraction forced
     * ::DOUBLE), exact-BIGINT OLS sufficient statistics.

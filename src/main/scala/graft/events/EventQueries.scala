@@ -2900,6 +2900,94 @@ object EventQueries {
       .orderBy("arm")
   }
 
+  /** Iglewicz-Hoaglin modified-z scale constant (0.6745 = Phi^-1(0.75),
+    * making MAD consistent with sigma under normality).
+    */
+  val MadC = 0.6745
+
+  /** Modified-z outlier threshold (the Iglewicz-Hoaglin 3.5). */
+  val MadZThreshold = 3.5
+
+  /** MAD-0 fallback scale (1.253314 = sqrt(pi/2), making meanAD
+    * consistent with sigma under normality — Iglewicz-Hoaglin's
+    * alternative when over half the points sit AT the median).
+    */
+  val MadFallbackC = 1.253314
+
+  /** MAD-based ROBUST anomaly detection — the robust twin of
+    * [[anomaly]] (`events_anomaly_zscore`): the classic z-score's mean
+    * and std are computed FROM the data they screen, so a couple of
+    * giant spikes inflate sigma until a moderate genuine anomaly scores
+    * under 1 — the detector is blinded by exactly what it is hunting.
+    * The median/MAD pair has a 50% breakdown point: modified
+    * z = [[MadC]]·(n − median)/MAD, outlier at |z| ≥ [[MadZThreshold]]
+    * (Iglewicz-Hoaglin). Same 10-minute tumbling grain and top-3-per-
+    * type readout as the sibling so the two detectors compare row for
+    * row; med/MAD ride each row and the outlier flag compares the
+    * 1e-9-quantized z against the threshold in exact integers.
+    *
+    * Scale shape: the corpus aggregates once to slots (the shuffle the
+    * sibling pays too); medians are per-type window ranks over the
+    * model-sized slot frame. MAD 0 (a majority of slots AT the median —
+    * routine for sparse Poisson counts) falls back to the
+    * Iglewicz-Hoaglin alternative scale z = (n − med)/(1.253314·meanAD)
+    * (meanAD = mean absolute deviation, exact-LONG sum / count), so the
+    * detector never degenerates on thin series; a series with meanAD 0
+    * too is constant and is screened like the sibling's sd > 0.
+    */
+  val anomalyMad: GraftQuery = GraftQuery(
+    "events_anomaly_mad",
+    s"robust anomaly detection: per-type median/MAD modified z over 10-min slots, top-3 by |z|, outlier at ${MadZThreshold}",
+    EventOracle.anomalyMadSql) { (s, d) =>
+    anomalyMadReadout(EventStreams.tumblingCounts(Tables.events(s, d)))
+  }
+
+  /** The MAD readout over a tumbling (event_type, wstart, n) frame —
+    * shared by the registry query and the spike-blindness spec.
+    */
+  def anomalyMadReadout(tumbling: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slots = tumbling.select(col("event_type"), col("wstart"), col("n"))
+      .localCheckpoint()
+    def medianBy(df: org.apache.spark.sql.DataFrame, vCol: String,
+        outName: String): org.apache.spark.sql.DataFrame =
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col(vCol))))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rk") === floor((col("cnt") - 1) * lit(0.5)) + 1)
+        .select(col("event_type").as(s"${outName}_t"),
+          col(vCol).as(outName))
+    val med = medianBy(slots, "n", "med")
+    val dev = slots.join(broadcast(med), col("event_type") === col("med_t"))
+      .withColumn("absdev", abs(col("n") - col("med")))
+    val mad = medianBy(dev.select(col("event_type"), col("absdev")),
+      "absdev", "mad")
+    val meanAd = dev.groupBy(col("event_type").as("ma_t"))
+      .agg((sum(col("absdev")).cast("double")
+        / count(lit(1)).cast("double")).as("mean_ad"))
+    val w3 = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("zq")).desc, col("wstart"))
+    dev.join(broadcast(mad), col("event_type") === col("mad_t"))
+      .join(broadcast(meanAd), col("event_type") === col("ma_t"))
+      .filter(col("mad") > 0 || col("mean_ad") > 0)
+      .withColumn("zq",
+        when(col("mad") > 0,
+          Det.quantize(lit(MadC) * (col("n") - col("med")).cast("double")
+            / col("mad").cast("double"), 9))
+          .otherwise(Det.quantize(
+            (col("n") - col("med")).cast("double")
+              / (lit(MadFallbackC) * col("mean_ad")), 9)))
+      .withColumn("rk3", row_number().over(w3))
+      .filter(col("rk3") <= 3)
+      .select(col("event_type"), col("wstart"), col("n"), col("med"),
+        col("mad"), col("mean_ad"),
+        (col("zq").cast("double") / lit(1e9)).as("z"),
+        (abs(col("zq")) >= lit((MadZThreshold * 1e9).toLong)).as("outlier"))
+      .orderBy("event_type", "wstart")
+  }
+
   /** Theil-Sen ROBUST trend estimation over the dense hourly count
     * series — the robust-statistics twin of the OLS trend
     * (`revenue_trend_ols`): OLS minimizes squared error, so a handful of
@@ -3238,7 +3326,7 @@ object EventQueries {
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
-      conversionPaths, retention, anomaly,
+      conversionPaths, retention, anomaly, anomalyMad,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
       cusum, stlDecompose, forecastBacktest, forecastConformal,
       streamDedup, dailyDistinct,

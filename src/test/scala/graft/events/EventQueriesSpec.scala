@@ -575,6 +575,67 @@ class EventQueriesSpec extends SparkSpec {
     assert(c.getDouble(3) < c.getDouble(1) && c.getDouble(1) < c.getDouble(2))
   }
 
+  test("anomalyMadReadout: flags the moderate anomaly the spike-blinded z-score misses") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def slotTs(i: Int) = new Timestamp(base + i * 600000L)
+    // 40 baseline slots alternating 98/102 (43 slots total -> median
+    // 102, MAD 4), two 1000 spikes, and ONE moderate 160 slot — the
+    // genuine anomaly under test
+    def countAt(i: Int) = i match {
+      case 40 | 41 => 1000
+      case 42 => 160
+      case _ => if (i % 2 == 0) 98 else 102
+    }
+    val fixture = (for {
+      i <- 0 until 43
+      k <- 0 until countAt(i)
+    } yield (i.toLong * 10000 + k, slotTs(i), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val madTop = EventQueries.anomalyMadReadout(
+        graft.streaming.EventStreams.tumblingCounts(fixture)).collect()
+      .map(r => r.getAs[Long]("n") ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Double]("z"), r.getAs[Boolean]("outlier")))).toMap
+    // top-3 by |modified z| = the two spikes + the moderate anomaly
+    assert(madTop.keySet === Set(1000L, 160L))
+    assert(madTop(160L)._1 === 102L && madTop(160L)._2 === 4L)
+    // z(160) = 0.6745 * 58 / 4 = 9.78 — flagged (quantized at 1e-9)
+    val zExp = math.floor(0.6745 * (58.0 / 4.0) * 1e9 + 0.5) / 1e9
+    assert(madTop(160L)._3 === zExp && madTop(160L)._4)
+    assert(madTop(1000L)._4)
+    // the classic z-score on the SAME slots: the spikes inflate sigma
+    // (~192) until the 160 slot scores ~0.09 — BELOW the ordinary
+    // baseline wiggle (|z(98)| ~ 0.24), so the blinded detector's top-3
+    // ranks baseline slots ABOVE the genuine anomaly and 160 never
+    // even surfaces
+    val classic = EventQueries.anomalyReadout(
+        graft.streaming.EventStreams.tumblingCounts(fixture)).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Double]("z")).toMap
+    assert(!classic.contains(160L),
+      s"expected the classic top-3 to miss the 160 slot: $classic")
+    assert(madTop(160L)._3 > EventQueries.MadZThreshold)
+    // MAD-0 fallback: a constant-majority baseline (41 x 100) puts the
+    // median absdev at 0; the meanAD alternative scale still flags the
+    // spikes instead of screening the whole type out
+    def cAt(i: Int) = if (i >= 41) 1000 else 100
+    val flat = (for {
+      i <- 0 until 43
+      k <- 0 until cAt(i)
+    } yield (i.toLong * 10000 + k, slotTs(i), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fb = EventQueries.anomalyMadReadout(
+        graft.streaming.EventStreams.tumblingCounts(flat)).collect()
+      .map(r => r.getAs[Long]("n") ->
+        ((r.getAs[Long]("mad"), r.getAs[Double]("mean_ad"),
+          r.getAs[Double]("z"), r.getAs[Boolean]("outlier")))).toMap
+    assert(fb.keySet === Set(1000L, 100L)) // 2 spikes + 1 baseline = top 3
+    assert(fb(1000L)._1 === 0L)
+    assert(fb(1000L)._2 === 1800.0 / 43.0)
+    assert(fb(1000L)._4, s"fallback scale failed to flag: ${fb(1000L)}")
+    assert(!fb(100L)._4 && fb(100L)._3 === 0.0)
+  }
+
   test("theilSenFrame: recovers the exact slope under planted outliers that wreck OLS") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
