@@ -346,6 +346,82 @@ object TextOracle {
     FROM gs JOIN tt ON gs.doc_id = tt.doc_id
     ORDER BY gs.doc_id"""
 
+  /** Twin of [[TextQueries.sampleNeyman]]: strata sufficient statistics,
+    * 1e-9-quantized Neyman weights, largest-remainder apportionment with
+    * the identical rank rule, capped allocations, content-hash draw. A
+    * `def` (init-order lesson).
+    */
+  def sampleNeymanSql: String = {
+    val div = TextQueries.NeymanBudgetDiv
+    val h60 = hash60Sql("CAST(doc_id AS VARCHAR)")
+    s"""
+    WITH base AS (
+      SELECT lang, doc_id, n_chars, $h60 AS h FROM documents
+    ),
+    strata AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+        CAST(SUM(n_chars) AS BIGINT) AS sx,
+        CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM base GROUP BY lang
+    ),
+    sg AS (
+      SELECT *, CASE WHEN n_h > 1 THEN
+          sqrt((sxx - CAST(sx AS DOUBLE) * sx / n_h)
+            / CAST(n_h - 1 AS DOUBLE))
+        ELSE 0.0::DOUBLE END AS sigma_h
+      FROM strata
+    ),
+    sw AS (
+      SELECT *, CAST(FLOOR(CAST(n_h AS DOUBLE) * sigma_h * 1e9 + 0.5)
+        AS BIGINT) AS wq
+      FROM sg
+    ),
+    tot AS (
+      SELECT CAST(SUM(wq) AS BIGINT) AS wq_tot,
+        CAST(SUM(n_h) AS BIGINT) // $div AS budget
+      FROM sw
+    ),
+    qb AS (
+      SELECT sw.*, tot.budget, tot.wq_tot,
+        CAST(FLOOR(CAST(tot.budget AS DOUBLE)
+          * (CAST(sw.wq AS DOUBLE) / CAST(tot.wq_tot AS DOUBLE)))
+          AS BIGINT) AS base_a,
+        CAST(FLOOR((CAST(tot.budget AS DOUBLE)
+            * (CAST(sw.wq AS DOUBLE) / CAST(tot.wq_tot AS DOUBLE))
+          - FLOOR(CAST(tot.budget AS DOUBLE)
+            * (CAST(sw.wq AS DOUBLE) / CAST(tot.wq_tot AS DOUBLE))))
+          * 1e9 + 0.5) AS BIGINT) AS remq
+      FROM sw CROSS JOIN tot
+    ),
+    sp AS (SELECT CAST(SUM(base_a) AS BIGINT) AS base_tot FROM qb),
+    al AS (
+      SELECT qb.lang, qb.n_h, qb.sigma_h,
+        CAST(qb.wq AS DOUBLE) / CAST(qb.wq_tot AS DOUBLE) AS w_share,
+        LEAST(qb.base_a
+          + CASE WHEN ROW_NUMBER() OVER (ORDER BY qb.remq DESC, qb.lang)
+              <= qb.budget - sp.base_tot THEN 1 ELSE 0 END,
+          qb.n_h) AS alloc,
+        CAST(qb.sx AS DOUBLE) / CAST(qb.n_h AS DOUBLE) AS pop_mean_chars
+      FROM qb CROSS JOIN sp
+    ),
+    dr AS (
+      SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        CAST(SUM(b.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS sample_mean_chars
+      FROM (
+        SELECT lang, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        FROM base
+      ) b JOIN al ON al.lang = b.lang AND b.rn <= al.alloc
+      GROUP BY b.lang
+    )
+    SELECT al.lang, al.n_h, al.sigma_h, al.w_share, al.alloc,
+      COALESCE(dr.n_sampled, 0) AS n_sampled, al.pop_mean_chars,
+      dr.sample_mean_chars
+    FROM al LEFT JOIN dr ON dr.lang = al.lang
+    ORDER BY al.lang"""
+  }
+
   /** Twin of [[TextQueries.tokenDrift]]: same content-hash grouping,
     * vocab counts, Monroe-style smoothed log-odds z in the identical
     * expression shape, quantized-z ranks with the token tie-break. A

@@ -2268,6 +2268,96 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Budget divisor for [[sampleNeyman]]: B = floor(corpus / 5). */
+  val NeymanBudgetDiv = 5
+
+  /** NEYMAN-allocation stratified sampling — the sampling DESIGN step
+    * the existing samplers skip (stratified/quota/weighted all take
+    * their per-stratum sizes as GIVEN): when a labeling budget of B
+    * documents must estimate a per-corpus mean (here: n_chars), equal
+    * or proportional allocation wastes budget on low-variance strata —
+    * Neyman's optimum allocates a_h ∝ N_h·σ_h, the textbook
+    * minimum-variance design. The operator computes per-language
+    * N_h/σ_h from exact integer sums, apportions B = N/[[NeymanBudgetDiv]]
+    * by LARGEST REMAINDER (floor every quota, hand the leftover units to
+    * the largest 1e-9-quantized remainders, language tie-break — exact
+    * integer apportionment, no drifting rounds), caps at N_h, then
+    * draws each stratum's sample in content-hash order (the
+    * deterministic reservoir convention) and reports the realized
+    * sample mean beside the population mean.
+    *
+    * Scale shape: one corpus pass to strata sufficient statistics, the
+    * apportionment on the strata-sized frame, and the draw as one rank
+    * window per stratum (WindowGroupLimit-prunable — the
+    * `corpus_sample_stratified` shape). Determinism: weights quantize
+    * to 1e-9 LONGs before the total; quotas/remainders are shared-shape
+    * IEEE ops ranked on quantized values.
+    */
+  val sampleNeyman: GraftQuery = GraftQuery(
+    "corpus_sample_neyman",
+    s"Neyman-allocation stratified sample: per-language N_h*sigma_h weights, largest-remainder apportionment of N/$NeymanBudgetDiv, content-hash draw, sample-vs-population means",
+    TextOracle.sampleNeymanSql) { (s, d) =>
+    neymanFrame(Tables.documents(s, d))
+  }
+
+  /** The Neyman design over any documents frame — shared by the
+    * registry query and the hand-apportionment spec (TextDedupSpec).
+    */
+  def neymanFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("lang"), col("doc_id"), col("n_chars"),
+        TextFns.hash60(col("doc_id").cast("string")).as("h"))
+      .localCheckpoint()
+    val strata = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("sigma_h",
+        when(col("n_h") > 1,
+          sqrt((col("sxx") - col("sx").cast("double") * col("sx")
+            / col("n_h")) / (col("n_h") - 1).cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("wq",
+        graft.api.Det.quantize(col("n_h").cast("double") * col("sigma_h"), 9))
+    val tot = strata.agg(sum(col("n_h")).as("n_total"),
+        sum(col("wq")).as("wq_tot"))
+      .withColumn("budget", expr(s"n_total div $NeymanBudgetDiv"))
+    val quota = strata.crossJoin(broadcast(tot))
+      .withColumn("q", col("budget").cast("double")
+        * (col("wq").cast("double") / col("wq_tot").cast("double")))
+      .withColumn("base", floor(col("q")))
+      .withColumn("remq", graft.api.Det.quantize(col("q") - col("base"), 9))
+    val spent = quota.agg(sum(col("base")).as("base_tot"))
+    val alloc = quota.crossJoin(broadcast(spent))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("remq").desc, col("lang"))))
+      .withColumn("alloc",
+        least(col("base")
+          + when(col("rk") <= col("budget") - col("base_tot"), 1L)
+            .otherwise(0L),
+          col("n_h")))
+      .select(col("lang"), col("n_h"), col("sigma_h"),
+        (col("wq").cast("double") / col("wq_tot").cast("double"))
+          .as("w_share"),
+        col("alloc"), (col("sx").cast("double") / col("n_h").cast("double"))
+          .as("pop_mean_chars"))
+    val drawn = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(alloc.select(col("lang"), col("alloc"))), "lang")
+      .filter(col("rn") <= col("alloc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        (sum(col("n_chars")).cast("double")
+          / count(lit(1)).cast("double")).as("sample_mean_chars"))
+    alloc.join(drawn, Seq("lang"), "left")
+      .select(col("lang"), col("n_h"), col("sigma_h"), col("w_share"),
+        col("alloc"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("pop_mean_chars"), col("sample_mean_chars"))
+      .orderBy("lang")
+  }
+
   /** Top-k per side for [[tokenDrift]]. */
   val DriftTopK = 20
 
@@ -2342,7 +2432,8 @@ object TextQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(tokenDrift, tokenStats, quality, qualityNb, qualityNbConfusion,
+    Seq(tokenDrift, sampleNeyman, tokenStats, quality, qualityNb,
+      qualityNbConfusion,
       calibrationCurve, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,

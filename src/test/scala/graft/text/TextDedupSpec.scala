@@ -980,4 +980,68 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(got(("group_a", 1L))._4) >
       math.abs(got.filter(_._2._1 == "x").values.head._4))
   }
+
+  test("sampleNeyman: plain-Scala apportionment replay; zero-variance stratum gets nothing, tiny high-variance stratum caps at N_h") {
+    val spark0 = spark
+    import spark0.implicits._
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // a: mid variance; b: CONSTANT (sigma 0 -> no budget); c: tiny but
+    // wild (its Neyman quota exceeds N_h -> capped at 4)
+    val rows =
+      (1 to 10).map(i => (i.toLong, "a", 100L + (i % 2) * 200L)) ++
+        (11 to 50).map(i => (i.toLong, "b", 200L)) ++
+        (51 to 54).map(i => (i.toLong, "c", ((i % 2) * 5000).toLong))
+    val docs = rows.map { case (id, l, nc) => (id, "t", l, s"s$id", nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextQueries.neymanFrame(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    // plain-Scala replay of the whole design
+    val byLang = rows.groupBy(_._2)
+    val stats = byLang.map { case (l, rs) =>
+      val n = rs.size.toLong
+      val sx = rs.map(_._3).sum
+      val sxx = rs.map(r => r._3 * r._3).sum
+      val sigma = if (n > 1)
+        math.sqrt((sxx - sx.toDouble * sx / n) / (n - 1).toDouble) else 0.0
+      l -> ((n, sx, sigma,
+        math.floor(n.toDouble * sigma * 1e9 + 0.5).toLong))
+    }
+    val budget = rows.size.toLong / TextQueries.NeymanBudgetDiv
+    val wqTot = stats.values.map(_._4).sum
+    val quotas = stats.map { case (l, (n, _, _, wq)) =>
+      val q = budget.toDouble * (wq.toDouble / wqTot.toDouble)
+      val base = math.floor(q).toLong
+      (l, n, base, math.floor((q - base) * 1e9 + 0.5).toLong)
+    }.toSeq
+    val leftover = budget - quotas.map(_._3).sum
+    val ranked = quotas.sortBy(t => (-t._4, t._1)).zipWithIndex
+    val allocExp = ranked.map { case ((l, n, base, _), i) =>
+      l -> math.min(base + (if (i < leftover) 1L else 0L), n)
+    }.toMap
+    got.foreach { case (l, (n, sigma, _, alloc, nSampled, _, _)) =>
+      assert(n === stats(l)._1)
+      assert(sigma === stats(l)._3, s"sigma $l")
+      assert(alloc === allocExp(l), s"alloc $l")
+      assert(nSampled === alloc)
+    }
+    // design properties: zero-variance stratum unfunded; wild stratum
+    // capped at its size; the budget is spent up to the cap shortfall
+    assert(got("b")._4 === 0L)
+    assert(got("c")._4 === 4L)
+    assert(got.values.map(_._4).sum <= budget)
+    // sample means replay through the content-hash draw
+    val drawMeans = byLang.map { case (l, rs) =>
+      val picked = rs.sortBy(r => (h60(r._1.toString), r._1))
+        .take(allocExp(l).toInt)
+      l -> (if (picked.isEmpty) None
+            else Some(picked.map(_._3).sum.toDouble / picked.size))
+    }
+    got.foreach { case (l, t) => assert(t._7 === drawMeans(l), s"mean $l") }
+  }
 }
