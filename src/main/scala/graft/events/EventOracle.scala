@@ -1190,7 +1190,7 @@ object EventOracle {
         SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk,
           COUNT(*) OVER () AS nc
         FROM resid
-      ) WHERE rk = CEIL((nc + 1) * $keep)
+      ) WHERE rk = LEAST(CEIL((nc + 1) * $keep), nc)
     ),
     scored AS MATERIALIZED (
       SELECT t.hour, t.n, sm.fc, qq.q_conf, qq.n_cal,
@@ -1777,6 +1777,140 @@ object EventOracle {
         / (CAST(grid.cn - grid.n_in_fold AS DOUBLE) + $m) AS encoding
     FROM grid LEFT JOIN pf ON pf.fold = grid.fold CROSS JOIN g
     ORDER BY grid.user_id, grid.fold"""
+  }
+
+  /** Twin of [[EventQueries.dpReleaseFrame]]: identical cap/clamp chain,
+    * the same seeded hash60 uniform and inverse-CDF Laplace in matching
+    * expression shapes (sign/ln/abs are single IEEE calls both sides).
+    */
+  def dpReleaseSql: String = {
+    val cap = EventQueries.ContribCap
+    val eps = EventQueries.DpEpsilon
+    val clamp = EventQueries.DpValueClamp
+    val bC = cap.toDouble / eps
+    val bS = cap * clamp / eps
+    def lap(tag: String, b: Double): String = {
+      val u = s"""((CAST(('0x' || substr(md5('dp19:' || event_type ||
+        ':$tag'), 1, 15))::UBIGINT AS BIGINT) + 1)
+        / 1152921504606846977.0)"""
+      s"""(-($b::DOUBLE) * sign($u - 0.5::DOUBLE)
+        * ln(1.0::DOUBLE - 2.0::DOUBLE * abs($u - 0.5::DOUBLE)))"""
+    }
+    s"""
+    WITH $evCte,
+    ranked AS (
+      SELECT event_type, user_id,
+        CAST(floor(GREATEST(LEAST(value, $clamp::DOUBLE), 0.0::DOUBLE)
+          * 10000.0 + 0.5) AS BIGINT) AS cq,
+        ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+          ORDER BY ts, event_id) AS rn
+      FROM ev
+    ),
+    agg AS (
+      SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(COUNT(*) AS BIGINT) AS count_capped,
+        CAST(SUM(cq) AS BIGINT) AS sq
+      FROM ranked WHERE rn <= $cap GROUP BY event_type
+    )
+    SELECT event_type, n_users, count_capped,
+      sq / 10000.0 AS sum_clamped,
+      $eps::DOUBLE AS epsilon_each,
+      ${2 * eps}::DOUBLE AS epsilon_total,
+      CAST($cap AS BIGINT) AS sens_count,
+      ${cap * clamp}::DOUBLE AS sens_sum,
+      ${lap("count", bC)} AS noise_count,
+      CAST(count_capped AS DOUBLE) + ${lap("count", bC)}
+        AS released_count,
+      ${lap("sum", bS)} AS noise_sum,
+      sq / 10000.0 + ${lap("sum", bS)} AS released_sum
+    FROM agg
+    ORDER BY event_type"""
+  }
+
+  /** Twin of [[EventQueries.pitTrainingFrame]]: running snapshots under
+    * the identical (ts, event_id) total order, the strictly-before
+    * as-of pick with the same tie-break, the identical hash60 fold, and
+    * the target-encoding chain re-derived for the te_user join.
+    */
+  def pitTrainingSql: String = {
+    val k = EventQueries.TeFolds
+    val m = EventQueries.TeSmoothing
+    s"""
+    WITH $evCte,
+    evq AS (
+      SELECT event_id, user_id, ts, event_type,
+        CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+      FROM ev
+    ),
+    feats AS (
+      SELECT user_id AS f_user, ts AS f_ts, event_id AS f_event_id,
+        CAST(COUNT(*) OVER w AS BIGINT) AS f_cnt,
+        CAST(SUM(vq) OVER w AS BIGINT) AS f_vq
+      FROM evq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    labels AS (
+      SELECT event_id AS label_id, user_id, ts AS label_ts,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % $k AS fold,
+        CAST(vq AS DOUBLE) / 10000.0 AS label_value
+      FROM evq WHERE event_type = 'purchase'
+    ),
+    pit AS (
+      SELECT * FROM (
+        SELECT l.*, f.f_ts, f.f_cnt, f.f_vq,
+          ROW_NUMBER() OVER (PARTITION BY l.label_id
+            ORDER BY f.f_ts DESC, f.f_event_id DESC) AS rn
+        FROM labels l
+        LEFT JOIN feats f
+          ON f.f_user = l.user_id AND f.f_ts < l.label_ts
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT user_id,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % $k AS fold,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS s
+      FROM ev GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS cn,
+        CAST(SUM(s) AS BIGINT) AS cs
+      FROM b GROUP BY 1
+    ),
+    pf AS (
+      SELECT fold, CAST(SUM(n) AS BIGINT) AS fn,
+        CAST(SUM(s) AS BIGINT) AS fs
+      FROM b GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(s) AS BIGINT) AS gs
+      FROM b
+    ),
+    enc AS (
+      SELECT pc.user_id, f.fold,
+        (CAST(pc.cs - COALESCE(b.s, 0) AS DOUBLE)
+          + $m * (CAST(g.gs - COALESCE(pf.fs, 0) AS DOUBLE)
+              / CAST(g.gn - COALESCE(pf.fn, 0) AS DOUBLE)))
+          / (CAST(pc.cn - COALESCE(b.n, 0) AS DOUBLE) + $m) AS te_user
+      FROM pc
+      CROSS JOIN (SELECT unnest(range(0, $k)) AS fold) f
+      LEFT JOIN b ON b.user_id = pc.user_id AND b.fold = f.fold
+      LEFT JOIN pf ON pf.fold = f.fold
+      CROSS JOIN g
+    )
+    SELECT p.label_id, p.user_id, p.label_ts, p.fold, p.label_value,
+      p.f_ts AS feat_ts, p.f_cnt AS feat_cnt,
+      CAST(p.f_vq AS DOUBLE) / 10000.0 AS feat_value_sum,
+      epoch_us(p.label_ts) - epoch_us(p.f_ts) AS staleness_us,
+      e.te_user
+    FROM pit p
+    LEFT JOIN enc e ON e.user_id = p.user_id AND e.fold = p.fold
+    ORDER BY p.label_id"""
   }
 
   /** Twin of [[EventQueries.valueWinsorizeFrame]]: same rank window,

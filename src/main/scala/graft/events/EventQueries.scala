@@ -1463,11 +1463,17 @@ object EventQueries {
         .as("fc"))
     val resid = cal.join(broadcast(sm), "hod")
       .withColumn("r", abs(col("n").cast("double") - col("fc")))
+    // rank clamped at nc: with ceil((nc+1)(1-alpha)) > nc (tiny calibration
+    // windows) the conventional conformal radius is infinite; the clamp
+    // degrades to the max residual instead of silently matching no row and
+    // returning an empty frame. Unreachable at the pinned 168h/0.1
+    // constants (ceil(169*0.9) = 153 <= 168); the guarantee weakens only
+    // in the same degenerate case the convention already concedes.
     val q = resid
       .withColumn("rk", row_number().over(Window.orderBy(col("r"))))
       .withColumn("nc", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("rk") ===
-        ceil((col("nc") + 1) * lit(1.0 - ConformalAlpha)))
+      .filter(col("rk") === least(
+        ceil((col("nc") + 1) * lit(1.0 - ConformalAlpha)), col("nc")))
       .select(col("r").as("q_conf"), col("nc").as("n_cal"))
     val scored = test.join(broadcast(sm), "hod")
       .crossJoin(broadcast(q))
@@ -2536,6 +2542,107 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Per-statistic privacy budget for [[dpRelease]]. */
+  val DpEpsilon = 0.5
+
+  /** Per-event value clamp for [[dpRelease]]'s sum release. */
+  val DpValueClamp = 500.0
+
+  /** Deterministic Laplace draw on any column (seeded by `tagCol`): the
+    * inverse-CDF over the hash60 uniform — u strictly inside (0,1)
+    * because (h+1)/(2^60+1) with h in [0, 2^60-1] never reaches either
+    * end, so ln(1-2|u-1/2|) is finite. Shared by the engine frame and
+    * (shape-for-shape) the DuckDB twin.
+    */
+  private def laplaceNoise(tagCol: org.apache.spark.sql.Column, b: Double)
+      : org.apache.spark.sql.Column = {
+    val u = (graft.text.TextFns.hash60(tagCol) + lit(1L)) /
+      lit(1152921504606846977.0)
+    -lit(b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+  }
+
+  /** DIFFERENTIALLY-PRIVATE noisy release — the endgame of the privacy
+    * family ([[kAnonymity]] audits, [[lDiversity]] hardens,
+    * [[contributionCap]] bounds influence, this RELEASES): the capped
+    * per-type statistics get Laplace noise calibrated to their exact
+    * USER-LEVEL sensitivity, which the upstream bounding makes finite:
+    *
+    *   - count release: a user contributes <= [[ContribCap]] kept
+    *     events, so removing them moves the capped count by at most
+    *     Delta_c = [[ContribCap]] -> scale b_c = Delta_c/[[DpEpsilon]];
+    *   - sum release: each kept event's value is clamped into
+    *     [0, [[DpValueClamp]]] BEFORE aggregation, so
+    *     Delta_s = [[ContribCap]]*[[DpValueClamp]] -> b_s =
+    *     Delta_s/[[DpEpsilon]]; the total budget over both releases is
+    *     2*[[DpEpsilon]] by sequential composition, attested in-band.
+    *
+    * The noise is DETERMINISTIC — Laplace by inverse CDF over the
+    * hash60 uniform (the `corpus_sample_weighted` trick), seeded by
+    * (release tag, event_type, statistic) — so the release is
+    * oracle-checkable at full value parity; a production deployment
+    * swaps the seed column for a secret drawn per release, nothing
+    * else changes. (Deterministic noise is NOT private against an
+    * adversary who knows the seed — this pins the MECHANISM; the
+    * sensitivity bound it relies on is what EventQueriesSpec proves by
+    * neighboring-dataset construction.)
+    *
+    * Scale shape: identical to [[contributionCap]] — one (type, user)
+    * rank window, then a bounded per-type aggregate; the noise is one
+    * scalar expression per released row. Determinism: capped stats are
+    * exact LONGs; u, ln, and the released additions are single IEEE
+    * ops in shared shapes.
+    */
+  val dpRelease: GraftQuery = GraftQuery(
+    "events_dp_release",
+    s"DP noisy release: cap $ContribCap + clamp $DpValueClamp bound user-level sensitivity; deterministic Laplace at eps=$DpEpsilon per statistic, composition attested",
+    EventOracle.dpReleaseSql) { (s, d) =>
+    dpReleaseFrame(Tables.events(s, d))
+  }
+
+  /** The DP-release derivation over any events frame — shared by the
+    * registry query and the neighboring-dataset sensitivity spec
+    * (EventQueriesSpec).
+    */
+  def dpReleaseFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bCount = ContribCap.toDouble / DpEpsilon
+    val bSum = ContribCap * DpValueClamp / DpEpsilon
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val kept = events
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        Det.quantize(greatest(least(col("value"), lit(DpValueClamp)),
+          lit(0.0))).as("cq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ContribCap)
+    kept.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("count_capped"),
+        sum(col("cq")).as("sq"))
+      .withColumn("noise_count",
+        laplaceNoise(concat_ws(":", lit("dp19"), col("event_type"),
+          lit("count")), bCount))
+      .withColumn("noise_sum",
+        laplaceNoise(concat_ws(":", lit("dp19"), col("event_type"),
+          lit("sum")), bSum))
+      .select(col("event_type"), col("n_users"), col("count_capped"),
+        (col("sq") / lit(Det.pow10(4))).as("sum_clamped"),
+        lit(DpEpsilon).as("epsilon_each"),
+        lit(2 * DpEpsilon).as("epsilon_total"),
+        lit(ContribCap.toLong).as("sens_count"),
+        lit(ContribCap * DpValueClamp).as("sens_sum"),
+        col("noise_count"),
+        (col("count_capped").cast("double") + col("noise_count"))
+          .as("released_count"),
+        col("noise_sum"),
+        (col("sq") / lit(Det.pow10(4)) + col("noise_sum"))
+          .as("released_sum"))
+      .orderBy("event_type")
+  }
+
   /** Two-proportion z-test on funnel conversion — the experimentation
     * readout for a RATE metric, completing [[abTest]] (value metric,
     * Welch t) and [[abCuped]] (variance-reduced value): did arm B convert
@@ -3000,10 +3107,18 @@ object EventQueries {
     * exact integer sufficient statistics, and the pair/hour counts.
     *
     * Scale shape: the pair frame is CALENDAR-bounded (hours², never the
-    * corpus — one corpus pass aggregates to the grid first); at
-    * multi-year horizons the quadratic pair space calls for the
-    * repeated-median or a coarser grid — documented trade, same
-    * downstream. Determinism: slopes are single IEEE divisions of exact
+    * corpus — one corpus pass aggregates to the grid first; the gate
+    * corpus spans ~1 month of hourly grid, so ~260k pairs), and both
+    * [[medianOf]] picks run a GLOBAL Window.orderBy over that pair
+    * frame — a single-reducer sort that is fine precisely because the
+    * frame is grid-sized, and ONLY because of that (the documented
+    * global-window class). At multi-year horizons (10k+ grid points,
+    * ~10^8+ pairs) the escape hatch is a bucketed two-pass median:
+    * pass 1 range-partitions slopes into value buckets and counts per
+    * bucket (one shuffle, parallel), pass 2 sorts only the bucket
+    * containing the global median rank — or switch to the
+    * repeated-median / coarser grid, same downstream columns.
+    * Determinism: slopes are single IEEE divisions of exact
     * integer deltas; both medians are exact nearest-rank picks (rank
     * floor((n-1)·0.5)+1 ordered by value — the value at the rank is
     * tie-order-free); OLS sums are exact longs.
@@ -3079,7 +3194,12 @@ object EventQueries {
     *   log L = 0.5·ln(V/(V+tau^2)) + d^2·tau^2 / (2·V·(V+tau^2)),
     *
     * with d the cumulative mean difference and V = s^2·(1/n_a + 1/n_b)
-    * its variance estimate; p_t = min(1, 1/max_{s<=t} L_s) is a valid
+    * its variance estimate — s^2 here is the TOTAL variance of the
+    * combined sample (no per-arm centering), which under a real effect
+    * is inflated by ~d^2/4 relative to the within-arm pooled variance of
+    * Johari et al.; the mSPRT stays valid (an overstated V only shrinks
+    * L), it is merely CONSERVATIVE — detection lags slightly on large
+    * effects, never the reverse; p_t = min(1, 1/max_{s<=t} L_s) is a valid
     * p-value AT EVERY LOOK simultaneously, and is nonincreasing — a
     * rejection can never un-happen, so "stop the first day p <= alpha"
     * is safe. Output: the daily monitoring table (cumulative counts,
@@ -3253,6 +3373,88 @@ object EventQueries {
       .orderBy("user_id", "fold")
   }
 
+  /** POINT-IN-TIME-correct training-set assembly — the feature-store
+    * join every ML ETL runs daily, composing the as-of machinery
+    * ([[asOfJoin]]'s recipe) with [[targetEncoding]]'s feature table:
+    * each LABEL row (a purchase event) is joined to
+    *
+    *   - the user's latest FEATURE SNAPSHOT strictly BEFORE the label
+    *     timestamp — snapshots are the running per-user history (event
+    *     count, 1e-4-quantized value sum) written at every event, and
+    *     "strictly before" (f_ts < label_ts, not <=) is the leakage
+    *     rule: a feature computed from the label's own event (or any
+    *     same-instant event) must NOT surface, else the label leaks
+    *     into its own feature row and offline metrics lie;
+    *   - the K-fold target encoding of its user, picked by the label's
+    *     OWN fold (hash60(event_id) % [[TeFolds]]) — the out-of-fold
+    *     table, so this join is leakage-free by construction too.
+    *
+    * A label with no prior history gets NULL feature columns and the
+    * encoding's unseen-category behavior — exactly what online serving
+    * would produce, which is the point: train-serve skew zero.
+    *
+    * Scale shape: snapshots are one window pass over the per-user
+    * shuffle; the as-of pick is the equi-join + row_number(=1) shape,
+    * which the optimizer runs as a WindowGroupLimit (each partition
+    * forwards only the latest candidate per label — PlanSpec pins it);
+    * the encoding join is the model-sized (|users| x K) table broadcast
+    * (the [[graft.streaming.EventStreams.encodedEvents]] size
+    * precondition — shuffle it instead past ~10^8 categories).
+    * Determinism: snapshot sums are exact quantized LONGs under a
+    * total (ts, event_id) order; the as-of tie-break is
+    * (f_ts, f_event_id) desc; staleness is exact micros arithmetic.
+    */
+  val pitTraining: GraftQuery = GraftQuery(
+    "events_pit_training",
+    s"point-in-time training assembly: label rows joined to the latest feature snapshot strictly before label time + $TeFolds-fold out-of-fold target encoding",
+    EventOracle.pitTrainingSql) { (s, d) =>
+    pitTrainingFrame(Tables.events(s, d))
+  }
+
+  /** The PIT assembly over any events frame — shared by the registry
+    * query and the planted-leakage spec (EventQueriesSpec).
+    */
+  def pitTrainingFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), Det.quantize(col("value")).as("vq"))
+      .localCheckpoint()
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val feats = ev
+      .withColumn("f_cnt", count(lit(1)).over(wU))
+      .withColumn("f_vq", sum(col("vq")).over(wU))
+      .select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+        col("event_id").as("f_event_id"), col("f_cnt"), col("f_vq"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("label_id"), col("user_id"),
+        col("ts").as("label_ts"),
+        (graft.text.TextFns.hash60(col("event_id").cast("string"))
+          % TeFolds).as("fold"),
+        (col("vq").cast("double") / lit(Det.pow10(4))).as("label_value"))
+    val wPick = Window.partitionBy(col("label_id"))
+      .orderBy(desc("f_ts"), desc("f_event_id"))
+    val pit = labels
+      .join(feats, col("user_id") === col("f_user")
+        && col("f_ts") < col("label_ts"), "left")
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+    val enc = targetEncodingFrame(events)
+      .select(col("user_id"), col("fold"), col("encoding").as("te_user"))
+    pit.join(broadcast(enc), Seq("user_id", "fold"), "left")
+      .select(col("label_id"), col("user_id"), col("label_ts"),
+        col("fold"), col("label_value"), col("f_ts").as("feat_ts"),
+        col("f_cnt").as("feat_cnt"),
+        (col("f_vq").cast("double") / lit(Det.pow10(4)))
+          .as("feat_value_sum"),
+        (unix_micros(col("label_ts")) - unix_micros(col("f_ts")))
+          .as("staleness_us"),
+        col("te_user"))
+      .orderBy("label_id")
+  }
+
   /** Winsorization tail percentiles for [[valueWinsorize]]. */
   val WinsLoPct = 0.01
   val WinsHiPct = 0.99
@@ -3333,8 +3535,10 @@ object EventQueries {
       weeklySketchRollup, markovTransitions,
       sequenceTrigrams, scd2Dimension, scd2Merge, cdcApply, scd2Churn,
       cdcEvolve, snapshotDiff, abTest, audienceOverlap, cohortLtv, sloBurn,
-      kAnonymity, lDiversity, contributionCap, ewmaChart, ewmaFrozen,
+      kAnonymity, lDiversity, contributionCap, dpRelease, ewmaChart,
+      ewmaFrozen,
       abCuped,
       survivalKm, survivalCohorts, funnelZtest, didEstimate,
-      targetEncoding, valueWinsorize, abSequential, trendTheilSen)
+      targetEncoding, valueWinsorize, abSequential, trendTheilSen,
+      pitTraining)
 }

@@ -96,7 +96,17 @@ object EventStreams {
     * state, never stream state), and a category the table has never
     * seen falls back to its fold's out-of-fold prior — the m-estimate's
     * own unseen-category limit, so online and offline encodings agree
-    * by construction. STATELESS like [[graft.streaming.VecStreams]]'
+    * by construction.
+    *
+    * SIZE PRECONDITION on the explicit broadcast: the encoding table is
+    * |categories| x K rows — here user_id cardinality, which fits an
+    * executor comfortably at every test SF, but a high-cardinality
+    * category column (10^8+ users) outgrows a broadcast and the hint
+    * becomes an executor-OOM hazard. At that scale drop the hint (let
+    * AQE pick a shuffled stream-static join) or pre-bucket the table by
+    * the join key — targetEncoding's own "shuffle-or-broadcast" stance;
+    * the hint here encodes the serving-table-is-model-sized assumption,
+    * it is not part of the semantics. STATELESS like [[graft.streaming.VecStreams]]'
     * ingest coding: no watermark, no state store, exactly-once composes
     * through [[StreamSinks]]; StreamingSpec pins batch/stream row
     * parity across a micro-batch split including the unseen-category

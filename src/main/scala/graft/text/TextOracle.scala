@@ -222,6 +222,64 @@ object TextOracle {
     GROUP BY 1, 2, 3
     ORDER BY lang, heur_label, nb_pred"""
 
+  /** AUC twin: the shared NB chain, lossless BIGINT score recovery,
+    * identical midrank/operating-point windows over distinct scores,
+    * the same trapezoid shape with 1e-9 term quantization. A `def`
+    * (init-order lesson).
+    */
+  def qualityNbAucSql: String = s"""
+    WITH $nbCtes,
+    sqt AS (
+      SELECT CAST(floor(nb_llr * 1e9 + 0.5) AS BIGINT) AS sq,
+        CASE WHEN heur_label = 'keep' THEN 1 ELSE 0 END AS y
+      FROM nbdoc
+    ),
+    grp AS (
+      SELECT sq, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(y) AS BIGINT) AS pos
+      FROM sqt GROUP BY sq
+    ),
+    pts AS (
+      SELECT sq, cnt, pos,
+        COALESCE(SUM(cnt) OVER (ORDER BY sq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        SUM(pos) OVER (ORDER BY sq DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        SUM(cnt - pos) OVER (ORDER BY sq DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(MAX(tp) AS BIGINT) AS p, CAST(MAX(fp) AS BIGINT) AS n,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(pos * (2 * cum + cnt + 1)) AS BIGINT) AS r2
+      FROM pts
+    ),
+    ops AS (
+      SELECT sq,
+        CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE) AS recall,
+        CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec
+      FROM pts, tot t
+    ),
+    prterms AS (
+      SELECT (recall - COALESCE(LAG(recall) OVER (ORDER BY sq DESC),
+          0.0::DOUBLE))
+        * (prec + COALESCE(LAG(prec) OVER (ORDER BY sq DESC),
+          1.0::DOUBLE))
+        * 0.5::DOUBLE AS term
+      FROM ops
+    ),
+    pr AS (
+      SELECT CAST(SUM(CAST(floor(term * 1e9 + 0.5) AS BIGINT))
+        AS BIGINT) AS prq
+      FROM prterms
+    )
+    SELECT t.p AS n_pos, t.n AS n_neg, t.n_groups,
+      CAST(t.r2 - t.p * (t.p + 1) AS DOUBLE)
+        / CAST(2 * t.p * t.n AS DOUBLE) AS auc_roc,
+      CAST(pr.prq AS DOUBLE) / 1e9 AS pr_auc
+    FROM tot t, pr"""
+
   private val langStructs: String =
     TextFns.LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
       val negc =
@@ -366,8 +424,9 @@ object TextOracle {
     ),
     sg AS (
       SELECT *, CASE WHEN n_h > 1 THEN
-          sqrt((sxx - CAST(sx AS DOUBLE) * sx / n_h)
-            / CAST(n_h - 1 AS DOUBLE))
+          sqrt(GREATEST(0.0::DOUBLE,
+            (sxx - CAST(sx AS DOUBLE) * sx / n_h)
+              / CAST(n_h - 1 AS DOUBLE)))
         ELSE 0.0::DOUBLE END AS sigma_h
       FROM strata
     ),

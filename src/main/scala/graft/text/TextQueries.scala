@@ -367,6 +367,97 @@ object TextQueries {
       .orderBy("lang", "heur_label", "nb_pred")
   }
 
+  /** THRESHOLD-FREE evaluation of the trained quality filter — the
+    * ranking-quality number the confusion matrix and calibration curve
+    * cannot give: ROC-AUC says how well the NB log-likelihood ratio
+    * ORDERS keep-docs above drop-docs at every threshold at once, and
+    * PR-AUC grades the same ranking where the classes are imbalanced.
+    * Both are computed EXACTLY from the score ranking — no sampling, no
+    * transcendentals:
+    *
+    *   - the score is the lossless BIGINT recovery of the NB LLR
+    *     (nb_llr is integer/1e9 by construction, so floor(x·1e9+0.5)
+    *     round-trips it — the `quality_nb_confusion` precedent);
+    *   - ROC-AUC is the tie-corrected Mann-Whitney rank-sum: per
+    *     DISTINCT score, positives earn twice-the-midrank
+    *     2·cum + cnt + 1 (an exact integer), and
+    *     AUC = (2R⁺ − P(P+1)) / (2PN) — ties contribute exactly 1/2,
+    *     the standard correction, with ONE double division at the end;
+    *   - PR-AUC walks distinct scores descending with cumulative
+    *     TP/FP, linearly interpolating between operating points
+    *     (trapezoid, anchored at recall 0 / precision 1 — the stated
+    *     convention); each trapezoid term quantizes to a 1e-9 LONG
+    *     before the order-insensitive sum.
+    *
+    * Scale shape: the per-doc score frame aggregates to DISTINCT
+    * quantized scores (bounded by the corpus but typically far smaller),
+    * and the cumulative windows run GLOBALLY over that score frame — the
+    * documented global-window class, single-reducer-sized at every test
+    * SF; at 100 TB the escape hatch is the two-pass range-partitioned
+    * prefix sum (per-bucket partials, broadcast bucket offsets), same
+    * downstream arithmetic. Determinism: counts and midranks are exact
+    * BIGINTs; precision/recall are exact-long ratios; the only ordered
+    * double sum (trapezoid) rides the 1e-9 quantization.
+    */
+  val qualityNbAuc: GraftQuery = GraftQuery.oneRow(
+    "quality_nb_auc",
+    "ROC-AUC (tie-corrected exact rank-sum) + trapezoid PR-AUC of the NB quality ranking vs heuristic labels",
+    TextOracle.qualityNbAucSql) { (s, d) =>
+    aucFrame(sharedDocNb(s, d))
+  }
+
+  /** ROC-AUC / PR-AUC over any (heur_label, nb_llr) frame — shared by
+    * the registry query and the planted separable / shuffled / tie
+    * fixtures (TextDedupSpec).
+    */
+  def aucFrame(nb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = nb
+      .select(when(col("heur_label") === "keep", 1L).otherwise(0L).as("y"),
+        graft.api.Det.quantize(col("nb_llr"), 9).as("sq"))
+      .groupBy(col("sq"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    // ascending-score cumulative BEFORE each group: positives in a tie
+    // group of size cnt starting after cum rows have midrank
+    // cum + (cnt+1)/2, i.e. twice-midrank 2*cum + cnt + 1 (exact integer)
+    val wAsc = Window.orderBy(col("sq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // descending-score cumulative INCLUDING each group: the (TP, FP)
+    // operating point after admitting every doc scoring >= this group
+    val wDesc = Window.orderBy(col("sq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialized via localCheckpoint: pts feeds BOTH readouts (rank-sum
+    // totals and PR trapezoid) — without it each leg re-runs the score
+    // groupBy from the scan (the region_set_ops lesson). The frame is
+    // distinct-scores-sized, not the corpus.
+    val pts = grp
+      .withColumn("cum", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .withColumn("r2pos", col("pos") * (lit(2) * col("cum") + col("cnt") + 1))
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+      .withColumn("fp", sum(col("cnt") - col("pos")).over(wDesc))
+      .localCheckpoint()
+    val tot = pts.agg(max(col("tp")).as("p"),
+      max(col("fp")).as("n"), count(lit(1)).as("n_groups"),
+      sum(col("r2pos")).as("r2"))
+    val wLag = Window.orderBy(col("sq").desc)
+    val pr = pts.crossJoin(broadcast(tot))
+      .withColumn("recall", col("tp").cast("double") / col("p").cast("double"))
+      .withColumn("prec", col("tp").cast("double")
+        / (col("tp") + col("fp")).cast("double"))
+      .withColumn("recall_prev",
+        lag(col("recall"), 1, 0.0).over(wLag))
+      .withColumn("prec_prev", lag(col("prec"), 1, 1.0).over(wLag))
+      .agg(sum(graft.api.Det.quantize(
+        (col("recall") - col("recall_prev"))
+          * (col("prec") + col("prec_prev")) * lit(0.5), 9)).as("prq"))
+    tot.crossJoin(broadcast(pr))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"), col("n_groups"),
+        ((col("r2") - col("p") * (col("p") + 1)).cast("double")
+          / (lit(2) * col("p") * col("n")).cast("double")).as("auc_roc"),
+        (col("prq").cast("double") / lit(1e9)).as("pr_auc"))
+  }
+
   /** Language-ID confusion matrix: marker-word argmax prediction vs the
     * corpus label. (The corpus is synthetic latin text under every label,
     * so the matrix degenerates towards the argmax default — the point is
@@ -2281,7 +2372,12 @@ object TextQueries {
     * N_h/σ_h from exact integer sums, apportions B = N/[[NeymanBudgetDiv]]
     * by LARGEST REMAINDER (floor every quota, hand the leftover units to
     * the largest 1e-9-quantized remainders, language tie-break — exact
-    * integer apportionment, no drifting rounds), caps at N_h, then
+    * integer apportionment, no drifting rounds), caps at N_h — a
+    * leftover unit handed to a stratum the cap then truncates is
+    * FORFEITED, not redistributed, so the realized sample can fall
+    * short of B when a high-weight stratum is nearly exhausted (the
+    * design trades a unit of budget for not over-sampling a stratum
+    * past its population; the spec asserts only sum(alloc) <= B) — then
     * draws each stratum's sample in content-hash order (the
     * deterministic reservoir convention) and reports the realized
     * sample mean beside the population mean.
@@ -2313,10 +2409,16 @@ object TextQueries {
       .agg(count(lit(1)).as("n_h"),
         sum(col("n_chars")).as("sx"),
         sum(col("n_chars") * col("n_chars")).as("sxx"))
+      // greatest(0, ...) guards the double-cancellation corner: once
+      // sx^2 exceeds 2^53 the subtraction can see a tiny negative and
+      // sqrt would yield NaN — which Spark's floor(NaN) silently casts
+      // to 0 while DuckDB's CAST raises, a parity divergence on
+      // degenerate/huge strata (ADVICE r18)
       .withColumn("sigma_h",
         when(col("n_h") > 1,
-          sqrt((col("sxx") - col("sx").cast("double") * col("sx")
-            / col("n_h")) / (col("n_h") - 1).cast("double")))
+          sqrt(greatest(lit(0.0),
+            (col("sxx") - col("sx").cast("double") * col("sx")
+              / col("n_h")) / (col("n_h") - 1).cast("double"))))
           .otherwise(lit(0.0)))
       .withColumn("wq",
         graft.api.Det.quantize(col("n_h").cast("double") * col("sigma_h"), 9))
@@ -2342,9 +2444,18 @@ object TextQueries {
           .as("w_share"),
         col("alloc"), (col("sx").cast("double") / col("n_h").cast("double"))
           .as("pop_mean_chars"))
+    // LITERAL rank prefilter before the exact alloc cut: alloc <= budget
+    // = n_total div NeymanBudgetDiv for every stratum, and a literal
+    // row_number bound is what the optimizer rewrites to WindowGroupLimit
+    // (each partition forwards only its top-B rows instead of fully
+    // materializing the per-stratum rank — the corpus_sample_stratified
+    // plan shape). The count() is one job over the checkpointed base;
+    // the scalar it moves to the driver is iteration control, not data.
+    val budgetCap = base.count() / NeymanBudgetDiv
     val drawn = base
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= lit(budgetCap))
       .join(broadcast(alloc.select(col("lang"), col("alloc"))), "lang")
       .filter(col("rn") <= col("alloc"))
       .groupBy(col("lang"))
@@ -2433,7 +2544,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] =
     Seq(tokenDrift, sampleNeyman, tokenStats, quality, qualityNb,
-      qualityNbConfusion,
+      qualityNbConfusion, qualityNbAuc,
       calibrationCurve, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,

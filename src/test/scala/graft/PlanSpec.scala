@@ -91,6 +91,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
   }
 
+  test("quality_nb_auc: score groups materialize once — no rescan, no hash shuffle after the checkpoint") {
+    val df = SparkEntry.queries("quality_nb_auc")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the distinct-score frame is checkpointed before fanning out to the
+    // rank-sum and PR legs: the final plan must hold NO parquet scan
+    // (both legs read the materialized frame — the one-corpus-pass claim,
+    // pinned the checkpoint-hidden-scan way) and no hash exchange (all
+    // post-checkpoint work is model-sized single-partition windows)
+    assert(!plan.contains("Scan parquet"), s"score groups recomputed from scan:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("corpus_sample_neyman: draw rank prefilters as a WindowGroupLimit") {
+    val df = SparkEntry.queries("corpus_sample_neyman")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the literal budget-bound prefilter (rn <= B) must plan as a group
+    // limit so each partition forwards at most B rows per stratum before
+    // the exact alloc cut — without it every stratum pays a full rank
+    // materialization (r18 verdict note)
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
+  }
+
+  test("events_pit_training: the as-of pick runs as a WindowGroupLimit; encoding join broadcasts") {
+    val df = SparkEntry.queries("events_pit_training")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // rn = 1 over (label_id ORDER BY f_ts DESC, ...) must plan as a group
+    // limit: each partition forwards only the latest feature candidate
+    // per label, never the label's full join fan-out
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
+    // the (user x fold) encoding table rides a broadcast join
+    assert(plan.contains("BroadcastHashJoin"), s"encoding join not broadcast in:\n$plan")
+  }
+
   test("embedding_int8_quant: pure map plan — no exchange before the presentation sort") {
     val df = SparkEntry.queries("embedding_int8_quant")(spark, sf)
     df.collect()

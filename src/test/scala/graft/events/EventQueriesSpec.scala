@@ -887,6 +887,123 @@ class EventQueriesSpec extends SparkSpec {
       "no other fold moved — the flip wasn't applied")
   }
 
+  test("pitTrainingFrame: strictly-before pick; same-instant and later features provably absent; te_user matches the fold's encoding row") {
+    import spark.implicits._
+    def fold(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % EventQueries.TeFolds
+    }
+    val fixture = Seq(
+      // user 1: one prior view, one SAME-INSTANT view (must not surface
+      // — strictly before), one later view (must not surface)
+      ev(1, "2024-01-01 09:00:00", 1, "view", 10.0),
+      ev(2, "2024-01-01 10:00:00", 1, "view", 20.0),
+      ev(3, "2024-01-01 10:00:00", 1, "purchase", 100.0),
+      ev(4, "2024-01-01 11:00:00", 1, "view", 30.0),
+      // user 2: label with NO history — only an event AFTER label time;
+      // feature columns must be NULL, not the later snapshot
+      ev(5, "2024-01-01 09:00:00", 2, "purchase", 50.0),
+      ev(6, "2024-01-01 09:30:00", 2, "view", 99.0),
+      // user 3: two labels — the second sees the first purchase and both
+      // views in its history
+      ev(7, "2024-01-01 09:00:00", 3, "view", 5.0),
+      ev(8, "2024-01-01 10:00:00", 3, "purchase", 40.0),
+      ev(9, "2024-01-01 11:00:00", 3, "view", 7.0),
+      ev(10, "2024-01-01 12:00:00", 3, "purchase", 60.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.pitTrainingFrame(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(3L, 5L, 8L, 10L))
+    // user 1: the 09:00 view only — the 10:00 view shares the label
+    // instant and is leakage under the strict rule
+    val l3 = got(3L)
+    assert(l3.getAs[Long]("feat_cnt") === 1L)
+    assert(l3.getAs[Double]("feat_value_sum") === 10.0)
+    assert(l3.getAs[Timestamp]("feat_ts") ===
+      Timestamp.valueOf("2024-01-01 09:00:00"))
+    assert(l3.getAs[Long]("staleness_us") === 3600L * 1000000L)
+    assert(l3.getAs[Double]("label_value") === 100.0)
+    // user 2: a feature stamped after label time must be ABSENT — nulls,
+    // not the 09:30 snapshot
+    val l5 = got(5L)
+    assert(l5.isNullAt(l5.fieldIndex("feat_ts")))
+    assert(l5.isNullAt(l5.fieldIndex("feat_cnt")))
+    assert(l5.isNullAt(l5.fieldIndex("staleness_us")))
+    // user 3, second label: history = view(5) + purchase(40) + view(7)
+    val l10 = got(10L)
+    assert(l10.getAs[Long]("feat_cnt") === 3L)
+    assert(l10.getAs[Double]("feat_value_sum") === 52.0)
+    assert(l10.getAs[Timestamp]("feat_ts") ===
+      Timestamp.valueOf("2024-01-01 11:00:00"))
+    // first label of user 3 sees only the 09:00 view
+    assert(got(8L).getAs[Long]("feat_cnt") === 1L)
+    assert(got(8L).getAs[Double]("feat_value_sum") === 5.0)
+    // te_user is the (user, label-fold) row of the encoding table
+    val enc = EventQueries.targetEncodingFrame(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(6)).toMap
+    got.foreach { case (id, r) =>
+      assert(r.getAs[Double]("te_user") ===
+        enc((r.getAs[Long]("user_id"), fold(id))), s"te_user of label $id")
+    }
+    // fold column is the label's own content hash
+    got.foreach { case (id, r) =>
+      assert(r.getAs[Long]("fold") === fold(id)) }
+  }
+
+  test("dpReleaseFrame: neighboring datasets move capped stats by at most the attested sensitivity; noise replays bit-exact") {
+    import spark.implicits._
+    def build(rows: Seq[(Long, Long, Double)]) = rows
+      .map { case (id, u, v) => ev(id, "2024-01-01 10:00:00", u, "click", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // base: 3 users, few modest events
+    val base = Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 2L, 30.0),
+      (4L, 3L, 700.0)) // 700 clamps to 500 even in the base release
+    // neighbor: + one HOSTILE user with 50 events of a million each —
+    // without cap+clamp the release would move by 5e7
+    val hostile = (100L to 149L).map(i => (i, 99L, 1e6))
+    def release(rows: Seq[(Long, Long, Double)]) =
+      EventQueries.dpReleaseFrame(build(rows)).collect().head
+    val a = release(base)
+    val b = release(base ++ hostile)
+    val cap = EventQueries.ContribCap
+    val sensSum = cap * EventQueries.DpValueClamp
+    assert(a.getAs[Long]("count_capped") === 4L)
+    assert(b.getAs[Long]("count_capped") - a.getAs[Long]("count_capped")
+      === cap.toLong, "count moved by exactly the cap")
+    assert(a.getAs[Double]("sum_clamped") === 10.0 + 20.0 + 30.0 + 500.0)
+    assert(b.getAs[Double]("sum_clamped") - a.getAs[Double]("sum_clamped")
+      === sensSum, "sum moved by exactly cap x clamp")
+    // the attested sensitivities are the bound the construction proves
+    assert(a.getAs[Long]("sens_count") === cap.toLong)
+    assert(a.getAs[Double]("sens_sum") === sensSum)
+    assert(a.getAs[Double]("epsilon_total")
+      === 2 * EventQueries.DpEpsilon)
+    // plain-Scala replay of the deterministic Laplace (StrictMath — the
+    // Spark-side ln evaluates via StrictMath)
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def lap(tag: String, bScale: Double): Double = {
+      val u = (h60(s"dp19:click:$tag") + 1L) / 1152921504606846977.0
+      -bScale * math.signum(u - 0.5) *
+        StrictMath.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val bC = cap.toDouble / EventQueries.DpEpsilon
+    val bS = sensSum / EventQueries.DpEpsilon
+    assert(a.getAs[Double]("noise_count") === lap("count", bC))
+    assert(a.getAs[Double]("noise_sum") === lap("sum", bS))
+    assert(a.getAs[Double]("released_count")
+      === a.getAs[Long]("count_capped").toDouble + lap("count", bC))
+    assert(a.getAs[Double]("released_sum")
+      === a.getAs[Double]("sum_clamped") + lap("sum", bS))
+    // seed includes the statistic tag: the two draws differ
+    assert(a.getAs[Double]("noise_count") !== a.getAs[Double]("noise_sum"))
+  }
+
   test("valueWinsorizeFrame: exact nearest-rank cuts; a 100x outlier moves the raw mean, never the winsorized one") {
     import spark.implicits._
     // 101 values 0..100 -> (n-1)*0.01 = 1 -> p01 = value at rank 2 = 1.0;

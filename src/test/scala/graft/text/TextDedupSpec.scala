@@ -1044,4 +1044,64 @@ class TextDedupSpec extends SparkSpec {
     }
     got.foreach { case (l, t) => assert(t._7 === drawMeans(l), s"mean $l") }
   }
+
+  test("aucFrame: separable ranking scores 1.0; class-symmetric scores 0.5; tie midranks match the hand pair count") {
+    val spark0 = spark
+    import spark0.implicits._
+    def auc(rows: Seq[(String, Double)]): (Long, Long, Long, Double, Double) = {
+      val r = TextQueries.aucFrame(rows.toDF("heur_label", "nb_llr"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))
+    }
+    // SEPARABLE, power-of-two counts so every trapezoid term is an exact
+    // binary fraction: both areas land on exactly 1.0
+    val sep = (1 to 4).map(i => ("keep", 10.0 + i)) ++
+      (1 to 4).map(i => ("drop", i.toDouble))
+    val (p1, n1, g1, roc1, pr1) = auc(sep)
+    assert((p1, n1, g1) === ((4L, 4L, 8L)))
+    assert(roc1 === 1.0 && pr1 === 1.0)
+    // CLASS-SYMMETRIC score distributions: AUC exactly 1/2 (every pair
+    // has its mirror), the no-signal floor a shuffled-label filter hits
+    val sym = Seq(("keep", 1.0), ("keep", 2.0), ("drop", 1.0), ("drop", 2.0))
+    assert(auc(sym)._4 === 0.5)
+    // TIE CORRECTION by hand: P=N=2, pairs = 3 wins + 1 tie (at score 5)
+    // -> (3 + 0.5)/4 = 0.875; distinct-score groups = 3
+    val tie = Seq(("keep", 10.0), ("keep", 5.0), ("drop", 5.0), ("drop", 0.0))
+    val (p3, n3, g3, roc3, _) = auc(tie)
+    assert((p3, n3, g3) === ((2L, 2L, 3L)))
+    assert(roc3 === 0.875)
+    // plain-Scala replay on a mixed fixture: midrank rank-sum + anchored
+    // trapezoid with per-term 1e-9 quantization, bit-for-bit
+    val mix = Seq(("keep", 9.0), ("drop", 9.0), ("keep", 7.5), ("keep", 6.0),
+      ("drop", 6.0), ("drop", 6.0), ("keep", 2.0), ("drop", 1.0),
+      ("keep", 1.0), ("drop", -3.5))
+    val (pm, nm, gm, rocM, prM) = auc(mix)
+    val grouped = mix.groupBy(t => math.floor(t._2 * 1e9 + 0.5).toLong)
+      .toSeq.map { case (sq, rs) =>
+        (sq, rs.size.toLong, rs.count(_._1 == "keep").toLong)
+      }
+    val asc = grouped.sortBy(_._1)
+    val pTot = asc.map(_._3).sum
+    val nTot = asc.map(t => t._2 - t._3).sum
+    val cums = asc.scanLeft(0L)((c, t) => c + t._2).init
+    val r2 = asc.zip(cums).map { case ((_, cnt, pos), cum) =>
+      pos * (2 * cum + cnt + 1)
+    }.sum
+    val rocExp = (r2 - pTot * (pTot + 1)).toDouble / (2 * pTot * nTot).toDouble
+    val desc = asc.reverse
+    val tps = desc.scanLeft(0L)((c, t) => c + t._3).tail
+    val fps = desc.scanLeft(0L)((c, t) => c + (t._2 - t._3)).tail
+    val recs = tps.map(_.toDouble / pTot.toDouble)
+    val precs = tps.zip(fps).map { case (tp, fp) =>
+      tp.toDouble / (tp + fp).toDouble }
+    val prExp = recs.zip(precs).zipWithIndex.map { case ((rc, pc), i) =>
+      val rp = if (i == 0) 0.0 else recs(i - 1)
+      val pp = if (i == 0) 1.0 else precs(i - 1)
+      math.floor((rc - rp) * (pc + pp) * 0.5 * 1e9 + 0.5).toLong
+    }.sum.toDouble / 1e9
+    assert((pm, nm, gm) === ((pTot, nTot, asc.size.toLong)))
+    assert(rocM === rocExp)
+    assert(prM === prExp)
+  }
 }
