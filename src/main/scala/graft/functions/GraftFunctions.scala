@@ -62,6 +62,14 @@ object GraftFunctions {
       children => children match {
         case Seq(h) => SimhashAgg(h).toAggregateExpression()
         case other => throw wrongNumArgs("simhash_agg", "1", other.length)
+      }),
+    ("mg_summary", classOf[MgSummaryAgg].getName,
+      // k must be a foldable integer literal (the slot budget is part of
+      // the operator, not data)
+      children => children match {
+        case Seq(c, kExpr) => MgSummaryAgg(c,
+          kExpr.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case other => throw wrongNumArgs("mg_summary", "2", other.length)
       }))
 
   private def wrongNumArgs(fn: String, expected: String, actual: Int) =

@@ -48,4 +48,53 @@ object SketchStreams {
         })
       .toDF("grp", "n_kept", "u_k", "kmv_estimate")
   }
+
+  /** Maintain a per-group Misra-Gries heavy-hitter summary over an
+    * arriving (grp, token) stream; emits the group's CURRENT state after
+    * each micro-batch: total count n, decrement total err, and the live
+    * (token, counter) slots sorted by token.
+    *
+    * State is k counters + two longs per group — BOUNDED at any ingest
+    * rate, like [[kmvDistinct]]. The split-parity property differs in
+    * kind and the spec asserts exactly it: MG is a SEQUENTIAL FOLD, and
+    * folding is associative over stream concatenation
+    * (fold(fold(s, A), B) = fold(s, A ++ B)), so the final state after
+    * the same total arrival sequence is IDENTICAL under any micro-batch
+    * split — counter values and all. (Reordering arrivals may move
+    * counter values, as in any MG; the guarantee bands — every counter
+    * in [f-err, f], every item with f > n/(k+1) present, err <= n/(k+1)
+    * — hold at every emission under every order, and the batch twin
+    * `corpus_heavy_hitters` grades those same bands.)
+    */
+  def mgHeavyHitters(rows: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.selectExpr("CAST(grp AS STRING) AS grp",
+        "CAST(token AS STRING) AS token")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[(String, String)],
+         state: GroupState[(Long, Long, Map[String, Long])]) => {
+          var (n, err, counts) =
+            state.getOption.getOrElse((0L, 0L, Map.empty[String, Long]))
+          batch.foreach { case (_, t) =>
+            n += 1L
+            counts.get(t) match {
+              case Some(c) => counts = counts.updated(t, c + 1L)
+              case None if counts.size < k => counts = counts.updated(t, 1L)
+              case None =>
+                err += 1L
+                counts = counts.flatMap { case (key, c) =>
+                  if (c == 1L) None else Some(key -> (c - 1L))
+                }
+            }
+          }
+          state.update((n, err, counts))
+          val sorted = counts.toSeq.sortBy(_._1)
+          Iterator((grp, n, err, sorted.map(_._1), sorted.map(_._2)))
+        })
+      .toDF("grp", "n", "err", "tokens", "cnts")
+  }
 }

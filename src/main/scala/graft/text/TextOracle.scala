@@ -222,6 +222,36 @@ object TextOracle {
     GROUP BY 1, 2, 3
     ORDER BY lang, heur_label, nb_pred"""
 
+  /** Heavy-hitter twin: exact counts over the vocabulary (affordable at
+    * gate SF — the engine's sketch path is the 100 TB shape), the same
+    * strict n/(k+1) threshold in exact BIGINT arithmetic, TRUE for the
+    * attested bands (the sketch-contract precedent). A `def`
+    * (init-order lesson — MgK lives below the first query val).
+    */
+  def heavyHittersSql: String = {
+    val k1 = TextQueries.MgK + 1
+    s"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ),
+    t AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS n_total FROM c),
+    hh AS (
+      SELECT c.token, c.exact_cnt, t.n_total
+      FROM c, t WHERE c.exact_cnt * $k1 > t.n_total
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token)
+        AS BIGINT) AS rank,
+      token, exact_cnt, n_total,
+      true AS est_le_exact, true AS est_within_err,
+      true AS err_within_bound
+    FROM hh
+    ORDER BY rank"""
+  }
+
   /** AUC twin: the shared NB chain, lossless BIGINT score recovery,
     * identical midrank/operating-point windows over distinct scores,
     * the same trapezoid shape with 1e-9 term quantization. A `def`

@@ -2469,6 +2469,74 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Counter budget for [[heavyHitters]]. */
+  val MgK = 32
+
+  /** HEAVY-HITTER DISCOVERY under bounded state (Misra-Gries) — the
+    * missing middle of the frequency family: `corpus_token_cms` answers
+    * point probes (you must already know the token), `corpus_top_ngrams`
+    * is exact but pays the full vocabulary shuffle; Misra-Gries DISCOVERS
+    * the frequent tokens with [[MgK]] counters per aggregation buffer —
+    * at 100 TB the shuffle moves k counters per partition, never the
+    * vocabulary (the [[graft.functions.MgSummaryAgg]] merge is the
+    * Agarwal et al. mergeable-summaries rule, so any merge tree works).
+    *
+    * The readout is the CONTRACT-graded surface (the HLL/GK attestation
+    * precedent — raw MG counters are arrival-order-dependent, the
+    * guarantees are not): the guaranteed-heavy tokens — exact frequency
+    * strictly above n/(k+1), which Misra-Gries provably retains — each
+    * with its exact count and three attested bands (counter <= f,
+    * counter >= f - err, err·(k+1) <= n). Exact counts come from a
+    * SECOND scan restricted to the <= k candidates (broadcast semi-join,
+    * shuffle bounded by k): discovery is one bounded-state pass, the
+    * gate's exactness costs one more scan — a serving deployment can
+    * publish the summary alone. A guaranteed token missing from the
+    * sketch would MISS a row here and fail the driver's row comparison —
+    * coverage is hash-gated, not self-attested.
+    *
+    * On THIS corpus the whitespace vocabulary (31 types) sits under k=32,
+    * so the sketch holds every type exactly and the bands are tight at
+    * err=0 — the honest readout of a near-uniform synthetic corpus; the
+    * eviction/merge machinery is exercised by the planted-skew spec
+    * (universe >> k, FunctionsSpec) and the streaming twin
+    * ([[graft.streaming.SketchStreams.mgHeavyHitters]]).
+    */
+  val heavyHitters: GraftQuery = GraftQuery(
+    "corpus_heavy_hitters",
+    s"Misra-Gries heavy hitters, k=$MgK: guaranteed tokens above n/(k+1), exact counts, error-band attestations",
+    TextOracle.heavyHittersSql) { (s, d) =>
+    heavyHittersFrame(s, Tables.documents(s, d))
+  }
+
+  /** The heavy-hitter derivation over any documents frame — shared by
+    * the registry query and the planted-skew spec. */
+  def heavyHittersFrame(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val sk = toks
+      .agg(call_function("mg_summary", col("token"), lit(MgK)).as("sk"))
+      .select(col("sk.n").as("n_total"), col("sk.err").as("err"),
+        explode(col("sk.items")).as("item"))
+      .select(col("n_total"), col("err"),
+        col("item.token").as("token"), col("item.cnt").as("mg_cnt"))
+      .localCheckpoint() // sketch-sized: <= k rows
+    val exact = toks
+      .join(broadcast(sk.select(col("token"))), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    sk.join(exact, Seq("token"))
+      .filter(col("exact_cnt") * (MgK + 1) > col("n_total"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("exact_cnt"), col("token"))).cast("long"))
+      .select(col("rank"), col("token"), col("exact_cnt"), col("n_total"),
+        (col("mg_cnt") <= col("exact_cnt")).as("est_le_exact"),
+        (col("mg_cnt") >= col("exact_cnt") - col("err"))
+          .as("est_within_err"),
+        (col("err") * (MgK + 1) <= col("n_total")).as("err_within_bound"))
+      .orderBy("rank")
+  }
+
   /** Top-k per side for [[tokenDrift]]. */
   val DriftTopK = 20
 
@@ -2554,5 +2622,6 @@ object TextQueries {
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
       sampleWeighted, sampleAres,
-      temperatureMix, chunking, epochShards, evalNdcg, zipfFit, piiRedact)
+      temperatureMix, chunking, epochShards, evalNdcg, zipfFit, piiRedact,
+      heavyHitters)
 }

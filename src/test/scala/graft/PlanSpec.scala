@@ -91,6 +91,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
   }
 
+  test("corpus_heavy_hitters: sketch is a partial-merged object aggregate; exact pass is a broadcast semi join") {
+    val df = SparkEntry.queries("corpus_heavy_hitters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the k-slot summaries build map-side per partition and merge in the
+    // final aggregate — the shuffle moves k counters per partition
+    // (visible in the checkpointed sketch's OWN plan at build time; the
+    // final plan proves the exact-count pass shape)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"exact-count pass not a broadcast semi join:\n$plan")
+    val sketch = graft.text.TextQueries.heavyHittersFrame(spark,
+      graft.Tables.documents(spark, sf))
+    // the registry frame's first job ran above; check the aggregate mode
+    // on a fresh build of the sketch leg
+    val skPlan = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+      .agg(org.apache.spark.sql.functions.call_function("mg_summary",
+        org.apache.spark.sql.functions.col("token"),
+        org.apache.spark.sql.functions.lit(graft.text.TextQueries.MgK)))
+      .queryExecution.executedPlan.toString
+    assert(skPlan.contains("ObjectHashAggregate"),
+      s"mg_summary not a partial object aggregate:\n$skPlan")
+    assert(sketch.columns.contains("rank"))
+  }
+
   test("quality_nb_auc: score groups materialize once — no rescan, no hash shuffle after the checkpoint") {
     val df = SparkEntry.queries("quality_nb_auc")(spark, sf)
     df.collect()

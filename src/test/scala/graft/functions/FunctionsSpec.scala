@@ -316,4 +316,56 @@ class FunctionsSpec extends SparkSpec {
     // fingerprints stay in the 60-bit range
     fast.values.foreach(v => assert(v >= 0L && v < (1L << SimhashBits)))
   }
+
+  test("MgSummaryAgg: planted skew with universe >> k — guarantees hold under evictions and any merge tree") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    val k = 8
+    // 2000 arrivals: 'hot' 500x (25%), 'warm' 300x (15%), 1200 singleton
+    // cold tokens — universe 1202 >> 8 slots, so the decrement path and
+    // the Agarwal merge both genuinely fire
+    val items = Seq.fill(500)("hot") ++ Seq.fill(300)("warm") ++
+      (1 to 1200).map(i => s"cold$i")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    for (parts <- Seq(1, 7)) {
+      val df = items.toDF("token").repartition(parts)
+      val r = df.agg(expr(s"mg_summary(token, $k)").as("sk"))
+        .select(col("sk.n"), col("sk.err"), col("sk.items")).collect().head
+      assert(r.getLong(0) === n, s"parts=$parts n")
+      val err = r.getLong(1)
+      assert(err > 0L, s"parts=$parts expected real evictions")
+      assert(err * (k + 1) <= n, s"parts=$parts err bound")
+      val slots = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(slots.size <= k, s"parts=$parts slot budget")
+      // every guaranteed-heavy token (f > n/(k+1)) holds a slot
+      exact.filter { case (_, f) => f * (k + 1) > n }.keys.foreach { t =>
+        assert(slots.contains(t), s"parts=$parts lost guaranteed $t")
+      }
+      // every counter sits inside its band [f - err, f]
+      slots.foreach { case (t, c) =>
+        val f = exact(t)
+        assert(c <= f && c >= f - err, s"parts=$parts band of $t: $c vs $f")
+      }
+    }
+    // the registry readout over a docs-shaped frame: guaranteed set with
+    // exact counts and all-true attestations
+    val docs = items.grouped(40).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val out = graft.text.TextQueries.heavyHittersFrame(spark, docs).collect()
+    // with k=32 in the registry frame, guaranteed = f*33 > 2000: hot, warm
+    assert(out.map(_.getAs[String]("token")).toSeq === Seq("hot", "warm"))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+    assert(out.find(_.getAs[String]("token") == "hot").get
+      .getAs[Long]("exact_cnt") === 500L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_total") === n)
+      assert(r.getAs[Boolean]("est_le_exact"))
+      assert(r.getAs[Boolean]("est_within_err"))
+      assert(r.getAs[Boolean]("err_within_bound"))
+    }
+  }
 }

@@ -118,6 +118,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("SketchStreams.mgHeavyHitters: k-slot state identical under any micro-batch split; bands hold at the final emission") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    // planted skew per group: 'hot' every 3rd arrival among singleton
+    // cold tokens — universe >> k, so decrements fire mid-stream
+    val seqs: Map[String, Seq[String]] = Map(
+      "g1" -> (1 to 900).map(i => if (i % 3 == 0) "hot" else s"c$i"),
+      "g2" -> (1 to 600).map(i => if (i % 4 == 0) "hh" else s"d$i"))
+    val arrivals: Seq[(String, String)] = seqs.toSeq.sortBy(_._1)
+      .flatMap { case (g, ts) => ts.map(g -> _) }
+    def runSplit(cuts: Seq[Int], name: String)
+        : Map[String, org.apache.spark.sql.Row] = {
+      val stream = MemoryStream[(String, String)]
+      val q = SketchStreams.mgHeavyHitters(
+        stream.toDS().toDF("grp", "token"), k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val bounds = (0 +: cuts) :+ arrivals.length
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        if (hi > lo) {
+          stream.addData(arrivals.slice(lo, hi): _*)
+          q.processAllAvailable()
+        }
+      }
+      q.stop()
+      // update-mode memory sink appends per-batch emissions in order:
+      // the final state per group is its LAST row
+      spark.table(name).collect()
+        .foldLeft(Map.empty[String, org.apache.spark.sql.Row]) {
+          (m, r) => m + (r.getAs[String]("grp") -> r)
+        }
+    }
+    val one = runSplit(Seq.empty, "mg_stream_one")
+    val three = runSplit(Seq(400, 1100), "mg_stream_three")
+    assert(one.keySet === Set("g1", "g2"))
+    // SEQUENTIAL-FOLD split invariance: same arrival sequence, any batch
+    // boundaries -> bit-identical state (n, err, slots, counters)
+    Seq("g1", "g2").foreach { g =>
+      assert(one(g).getAs[Long]("n") === three(g).getAs[Long]("n"), g)
+      assert(one(g).getAs[Long]("err") === three(g).getAs[Long]("err"), g)
+      assert(one(g).getAs[scala.collection.Seq[String]]("tokens")
+        === three(g).getAs[scala.collection.Seq[String]]("tokens"), g)
+      assert(one(g).getAs[scala.collection.Seq[Long]]("cnts")
+        === three(g).getAs[scala.collection.Seq[Long]]("cnts"), g)
+    }
+    // the MG contract at the final emission, per group
+    seqs.foreach { case (g, ts) =>
+      val exact = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = ts.size.toLong
+      val r = one(g)
+      assert(r.getAs[Long]("n") === n, g)
+      val err = r.getAs[Long]("err")
+      assert(err > 0L, s"$g expected evictions")
+      assert(err * (k + 1) <= n, s"$g err bound")
+      val slots = r.getAs[scala.collection.Seq[String]]("tokens")
+        .zip(r.getAs[scala.collection.Seq[Long]]("cnts")).toMap
+      assert(slots.size <= k, g)
+      exact.filter { case (_, f) => f * (k + 1) > n }.keys.foreach { t =>
+        assert(slots.contains(t), s"$g lost guaranteed $t") }
+      slots.foreach { case (t, c) =>
+        assert(c <= exact(t) && c >= exact(t) - err, s"$g band of $t") }
+    }
+  }
+
   test("tumblingCounts: streaming result equals batch result on same input") {
     val spark0 = spark
     import spark0.implicits._
