@@ -51,6 +51,63 @@ object Warehouse {
   def currentDatabase(spark: SparkSession): String =
     spark.catalog.currentDatabase
 
+  /** Table property carrying the optimistic-concurrency commit version. */
+  private val CommitVersionProp = "graft.commit.version"
+
+  /** Current commit version of a managed table (0 for a table no guarded
+    * writer has published yet, and for a missing table). Guarded writers
+    * ([[mergeTable]], [[compactClustered]] with `expectedVersion`) bump
+    * it by one per successful publish; a writer that records the version
+    * it READ and passes it back as `expectedVersion` gets the optimistic
+    * check-and-swap every table format ships: publishing over a version
+    * it did not read is refused, never silently lost.
+    */
+  def commitVersion(spark: SparkSession, table: String): Long = {
+    val ident =
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(ident)) 0L
+    else cat.getTableMetadata(ident).properties
+      .getOrElse(CommitVersionProp, "0").toLong
+  }
+
+  /** The CHECK of check-and-swap: runs after the writer's reads are
+    * materialized and immediately before its publish; a concurrent
+    * publish since the caller's recorded read makes this throw instead
+    * of silently overwriting the other writer's rows (the lost update).
+    * Returns the current version so the successful publish can bump
+    * from it.
+    *
+    * Atomicity caveat, same family as [[compact]]'s: the check and the
+    * write are two steps, so two writers racing INSIDE this window can
+    * still both pass — a table FORMAT closes that window with an atomic
+    * snapshot commit (the version check rides the commit itself); the
+    * engine semantics — record what you read, refuse to publish over
+    * what you didn't — are exactly these, and WarehouseSpec stages the
+    * read-modify-write race this detects.
+    */
+  private def guardStale(spark: SparkSession, table: String,
+      expected: Option[Long]): Long = {
+    val cur = commitVersion(spark, table)
+    expected.foreach { v =>
+      if (cur != v) throw new java.util.ConcurrentModificationException(
+        s"optimistic concurrency: $Schema.$table is at commit version " +
+          s"$cur but the writer read version $v — the table changed " +
+          "under the writer; re-read and retry")
+    }
+    cur
+  }
+
+  /** The SWAP: bump the commit version after a successful publish.
+    * Re-sets the property explicitly because replace-style writes
+    * (saveAsTable Overwrite) recreate the table definition and would
+    * otherwise silently reset the version clock.
+    */
+  private def bumpVersion(spark: SparkSession, table: String,
+      prior: Long): Unit =
+    spark.sql(s"ALTER TABLE $Schema.$table SET TBLPROPERTIES " +
+      s"('$CommitVersionProp' = '${prior + 1}')")
+
   /** The reference's full Load step: both derived tables, replace mode
     * (main.py:204-219).
     */
@@ -204,12 +261,20 @@ object Warehouse {
     * fills. Off by default: for keyed upserts a silent schema mismatch
     * is usually a producer bug, so the hard error is the safer default.
     *
+    * `expectedVersion` opts into OPTIMISTIC CONCURRENCY: pass the
+    * [[commitVersion]] the writer read and the merge refuses
+    * (ConcurrentModificationException, nothing written) if another
+    * guarded publish landed since — the lost-update detection every
+    * table format ships ([[guardStale]] for the atomicity caveat).
+    * Every successful merge bumps the version, guarded or not.
+    *
     * A table FORMAT (Delta/Iceberg) gets the same semantics with
     * file-level skipping + a snapshot commit; this is the engine
     * semantics under it.
     */
   def mergeTable(delta0: DataFrame, table: String, keys: Seq[String],
-      deletes: Option[DataFrame] = None, evolve: Boolean = false): Unit = {
+      deletes: Option[DataFrame] = None, evolve: Boolean = false,
+      expectedVersion: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val spark = delta0.sparkSession
     ensureSchema(spark)
@@ -224,9 +289,13 @@ object Warehouse {
       org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Schema))
     val cat = spark.sessionState.catalog
     if (!cat.tableExists(ident)) {
-      // delete keys against a missing table are all no-ops
+      // delete keys against a missing table are all no-ops; a writer
+      // claiming to have read a positive version of a table that does
+      // not exist is stale by definition (someone dropped it since)
+      guardStale(spark, table, expectedVersion)
       clearOrphanLocation(spark, table)
       delta0.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
+      bumpVersion(spark, table, 0L)
       return
     }
     // evolution-aware merge: a CDC feed that gains a column mid-stream
@@ -312,6 +381,9 @@ object Warehouse {
           "left_anti")
         .select(partCols.map(c => col(s"t.t_$c").cast("string")): _*)
         .collect()
+      // reads are materialized (out is checkpointed): the optimistic
+      // check runs here, immediately before the publish
+      val prior = guardStale(spark, table, expectedVersion)
       overwriteInto(out, "dynamic")
       graft.api.Checkpoints.release(out)
       if (emptied.nonEmpty) {
@@ -323,6 +395,7 @@ object Warehouse {
         cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
           purge = false, retainData = false)
       }
+      bumpVersion(spark, table, prior)
     } else if (partCols.nonEmpty) {
       // layout-preserving full overwrite: the key can move rows across
       // partitions, so every partition is rewritten — but THROUGH the
@@ -330,14 +403,18 @@ object Warehouse {
       val out = survivorsOf(spark.table(qualified))
         .unionByName(delta.select(cols: _*))
         .select(cols: _*).localCheckpoint()
+      val prior = guardStale(spark, table, expectedVersion)
       overwriteInto(out, "static")
       graft.api.Checkpoints.release(out)
+      bumpVersion(spark, table, prior)
     } else {
       val out = survivorsOf(spark.table(qualified))
         .unionByName(delta.select(cols: _*))
         .localCheckpoint()
+      val prior = guardStale(spark, table, expectedVersion)
       out.write.mode(SaveMode.Overwrite).saveAsTable(qualified)
       graft.api.Checkpoints.release(out)
+      bumpVersion(spark, table, prior)
     }
   }
 
@@ -382,9 +459,15 @@ object Warehouse {
     * dropped through the catalog — the [[mergeTable]] emptied-partition
     * discipline. Same crash-atomicity caveat as every rewrite here: a
     * table FORMAT gets the identical semantics under a snapshot commit.
+    *
+    * `expectedVersion` is the [[mergeTable]] optimistic-concurrency
+    * guard: an OPTIMIZE that read the table at version v refuses to
+    * publish its rewrite over an ingest that landed after v (a no-op
+    * rewrite publishes nothing and skips the check).
     */
   def compactClustered(spark: SparkSession, table: String,
-      partCol: String, clusterCol: String): Long = {
+      partCol: String, clusterCol: String,
+      expectedVersion: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val qualified = s"$Schema.$table"
     val ident =
@@ -422,6 +505,9 @@ object Warehouse {
         col("t.t_p") <=> col(s"o.$partCol"), "left_anti")
       .select(col("t.t_p").cast("string"))
       .collect()
+    // reads are materialized (out is checkpointed): optimistic check
+    // immediately before the rewrite publishes
+    val prior = guardStale(spark, table, expectedVersion)
     overwritePartitioned(spark, qualified, out, "dynamic")
     graft.api.Checkpoints.release(out)
     if (emptied.nonEmpty) {
@@ -431,6 +517,7 @@ object Warehouse {
       cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
         purge = false, retainData = false)
     }
+    bumpVersion(spark, table, prior)
     nMoved
   }
 

@@ -457,4 +457,79 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(Warehouse.snapshots(spark, "vac_demo") === Seq(2, 3, 4))
   }
+
+  test("optimistic concurrency: the lost-update race — a stale merge is refused, the winner's row survives, retry-after-reread lands") {
+    import spark.implicits._
+    val t = "merge_occ"
+    val q = s"${Warehouse.Schema}.$t"
+    Warehouse.mergeTable(Seq((1L, "a"), (2L, "b")).toDF("id", "state"),
+      t, Seq("id"))
+    assert(Warehouse.commitVersion(spark, t) === 1L)
+    // writers A and B both read version 1 and prepare upserts of key 2
+    val vRead = Warehouse.commitVersion(spark, t)
+    // B publishes first: check-and-swap to 2
+    Warehouse.mergeTable(Seq((2L, "B")).toDF("id", "state"), t, Seq("id"),
+      expectedVersion = Some(vRead))
+    assert(Warehouse.commitVersion(spark, t) === vRead + 1)
+    // A now holds a stale read: without the guard its overwrite would
+    // silently erase B's update (the lost update); the publish is REFUSED
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Warehouse.mergeTable(Seq((2L, "A")).toDF("id", "state"), t, Seq("id"),
+        expectedVersion = Some(vRead))
+    }
+    assert(ex.getMessage.contains("commit version"))
+    // nothing published: B's row intact, version clock unmoved
+    assert(spark.table(q).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "a", 2L -> "B"))
+    assert(Warehouse.commitVersion(spark, t) === vRead + 1)
+    // A re-reads and retries — the optimistic protocol's happy path
+    Warehouse.mergeTable(Seq((2L, "A")).toDF("id", "state"), t, Seq("id"),
+      expectedVersion = Some(Warehouse.commitVersion(spark, t)))
+    assert(spark.table(q).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "a", 2L -> "A"))
+    assert(Warehouse.commitVersion(spark, t) === vRead + 2)
+    // unguarded callers keep last-writer-wins semantics but still
+    // advance the clock for guarded readers
+    Warehouse.mergeTable(Seq((3L, "c")).toDF("id", "state"), t, Seq("id"))
+    assert(Warehouse.commitVersion(spark, t) === vRead + 3)
+    // a guarded create over a DROPPED table: a positive expectation is
+    // stale by definition
+    spark.sql(s"DROP TABLE $q")
+    intercept[java.util.ConcurrentModificationException] {
+      Warehouse.mergeTable(Seq((1L, "x")).toDF("id", "state"), t, Seq("id"),
+        expectedVersion = Some(vRead + 3))
+    }
+  }
+
+  test("optimistic concurrency: compactClustered refuses to rewrite over a mid-read ingest; retry moves the rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = "occ_clustered"
+    val q = s"${Warehouse.Schema}.$t"
+    // row 2 misplaced (cell 1 living in partition 0)
+    Warehouse.replacePartitioned(
+      Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 1L, 1L)).toDF("id", "cell", "p"),
+      t, "p")
+    val vRead = Warehouse.commitVersion(spark, t) // 0: no guarded publish yet
+    // an ingest batch lands AFTER the optimizer's read: another misplaced
+    // row appears and the version advances
+    Warehouse.mergeTable(Seq((4L, 1L, 0L)).toDF("id", "cell", "p"),
+      t, Seq("id", "p"))
+    assert(Warehouse.commitVersion(spark, t) === vRead + 1)
+    // the optimizer's stale rewrite is refused BEFORE any file moves
+    intercept[java.util.ConcurrentModificationException] {
+      Warehouse.compactClustered(spark, t, "p", "cell",
+        expectedVersion = Some(vRead))
+    }
+    assert(spark.table(q).filter(col("p") =!= col("cell")).count() === 2L,
+      "refused rewrite must not have moved rows")
+    // re-read, retry: both misplaced rows move, the clock advances
+    val moved = Warehouse.compactClustered(spark, t, "p", "cell",
+      expectedVersion = Some(Warehouse.commitVersion(spark, t)))
+    assert(moved === 2L)
+    assert(spark.table(q).filter(col("p") =!= col("cell")).count() === 0L)
+    assert(Warehouse.commitVersion(spark, t) === vRead + 2)
+  }
 }
