@@ -1779,6 +1779,88 @@ object EventOracle {
     ORDER BY grid.user_id, grid.fold"""
   }
 
+  /** Twin of [[EventQueries.kpiContributionFrame]]: identical
+    * days x types grid, lag over observed days, exact quantized
+    * contributions, and the |contrib| rank with the type tie-break.
+    */
+  def kpiContributionSql: String = s"""
+    WITH $evCte,
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS vq
+      FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, t.event_type, COALESCE(daily.vq, 0) AS vq
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      LEFT JOIN daily ON daily.day = d.day
+        AND daily.event_type = t.event_type
+    ),
+    lagged AS (
+      SELECT day, event_type, vq,
+        LAG(vq) OVER (PARTITION BY event_type ORDER BY day) AS pvq
+      FROM grid
+    ),
+    contrib AS (
+      SELECT day, event_type, vq, pvq, vq - pvq AS contrib_q,
+        CAST(SUM(vq - pvq) OVER (PARTITION BY day) AS BIGINT) AS delta_q
+      FROM lagged WHERE pvq IS NOT NULL
+    )
+    SELECT day, event_type,
+      vq / 10000.0 AS value,
+      pvq / 10000.0 AS prev_value,
+      contrib_q / 10000.0 AS contribution,
+      delta_q / 10000.0 AS day_delta,
+      CASE WHEN delta_q <> 0
+        THEN CAST(contrib_q AS DOUBLE) / CAST(delta_q AS DOUBLE)
+      END AS share_of_delta,
+      CAST(ROW_NUMBER() OVER (PARTITION BY day
+        ORDER BY abs(contrib_q) DESC, event_type) AS BIGINT) AS rank_in_day
+    FROM contrib
+    ORDER BY day, event_type"""
+
+  /** Twin of [[EventQueries.keySkewFrame]]: identical rank windows over
+    * the key-count frame, Gini/share/salt arithmetic shape-for-shape
+    * (ceil cast to BIGINT to match Spark's LONG ceil).
+    */
+  def keySkewSql: String = {
+    val p = EventQueries.SkewReducers
+    s"""
+    WITH $evCte,
+    counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c,
+        CAST(ROW_NUMBER() OVER (ORDER BY c, user_id) AS BIGINT) AS rk,
+        CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rkd
+      FROM counts
+    ),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(MAX(c) AS BIGINT) AS max_cnt,
+        CAST(SUM(rk * c) AS BIGINT) AS s_ic,
+        CAST(SUM(CASE WHEN rkd <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10
+      FROM ranked
+    )
+    SELECT 'user_id' AS key_col, n_rows, n_keys, max_cnt,
+      CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+      CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+      2.0::DOUBLE * CAST(s_ic AS DOUBLE)
+        / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+        - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini,
+      CAST(n_rows AS DOUBLE) / $p.0::DOUBLE AS avg_per_reducer,
+      CAST(CEIL(CAST(max_cnt AS DOUBLE) * $p.0::DOUBLE
+        / CAST(n_rows AS DOUBLE)) AS BIGINT) AS suggested_salt,
+      CAST(max_cnt AS DOUBLE) > 2.0::DOUBLE
+        * (CAST(n_rows AS DOUBLE) / $p.0::DOUBLE) AS skewed
+    FROM agg"""
+  }
+
   /** Twin of [[EventQueries.dpReleaseFrame]]: identical cap/clamp chain,
     * the same seeded hash60 uniform and inverse-CDF Laplace in matching
     * expression shapes (sign/ln/abs are single IEEE calls both sides).

@@ -3522,6 +3522,141 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** KPI CONTRIBUTION ANALYSIS — the root-cause decomposition a metrics
+    * dashboard runs the morning a KPI moves: the day-over-day change of
+    * total value decomposed ADDITIVELY by event_type (contributions sum
+    * to the day's delta exactly, because the decomposition is just the
+    * distributive law over exact quantized sums — no residual bucket),
+    * with each segment's share of the move and a per-day rank by
+    * absolute contribution, so "what moved the number" is row 1.
+    *
+    * Grain: one row per (day, event_type) from the second observed day
+    * on; a type absent on a day contributes from/to zero (the grid is
+    * observed-days x types, so segments appearing or vanishing are
+    * decomposed, not dropped). `share_of_delta` is NULL on a
+    * zero-delta day (shares of nothing are undefined; contributions
+    * still carry the offsetting moves).
+    *
+    * Scale shape: one corpus pass to the (day, type) aggregate; grid,
+    * lag, and rank windows all run on the calendar-bounded frame.
+    * Determinism: contributions are exact quantized-LONG differences;
+    * the rank orders by exact |contrib_q| with a type tie-break; the
+    * share is one double division of exact longs.
+    */
+  val kpiContribution: GraftQuery = GraftQuery(
+    "events_kpi_contribution",
+    "day-over-day KPI delta decomposed per event_type: exact additive contributions, share of move, per-day rank",
+    EventOracle.kpiContributionSql) { (s, d) =>
+    kpiContributionFrame(Tables.events(s, d))
+  }
+
+  /** The contribution decomposition over any events frame — shared by
+    * the registry query and the hand fixture (EventQueriesSpec).
+    */
+  def kpiContributionFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(Det.quantize(col("value"))).as("vq"))
+      .localCheckpoint()
+    val grid = daily.select(col("day")).distinct()
+      .crossJoin(daily.select(col("event_type")).distinct())
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("vq"), lit(0L)).as("vq"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wD = Window.partitionBy(col("day"))
+    val wR = Window.partitionBy(col("day"))
+      .orderBy(abs(col("contrib_q")).desc, col("event_type"))
+    grid
+      .withColumn("pvq", lag(col("vq"), 1).over(wT))
+      .filter(col("pvq").isNotNull)
+      .withColumn("contrib_q", col("vq") - col("pvq"))
+      .withColumn("delta_q", sum(col("contrib_q")).over(wD))
+      .withColumn("rank_in_day", row_number().over(wR).cast("long"))
+      .select(col("day"), col("event_type"),
+        (col("vq") / lit(Det.pow10(4))).as("value"),
+        (col("pvq") / lit(Det.pow10(4))).as("prev_value"),
+        (col("contrib_q") / lit(Det.pow10(4))).as("contribution"),
+        (col("delta_q") / lit(Det.pow10(4))).as("day_delta"),
+        when(col("delta_q") =!= 0L,
+          col("contrib_q").cast("double") / col("delta_q").cast("double"))
+          .as("share_of_delta"),
+        col("rank_in_day"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Reducer count [[keySkew]] plans against — the session's pinned
+    * spark.sql.shuffle.partitions (SURVEY §7: the builder sets 32).
+    */
+  val SkewReducers = 32
+
+  /** KEY-SKEW PROFILER — the diagnostic that decides between a plain
+    * shuffle, AQE skew handling, and explicit salting
+    * ([[saltedRollup]] is the cure; this is the diagnosis): one pass to
+    * per-key counts, then the distribution readout a shuffle planner
+    * wants. max/top-10 shares say whether one reducer drowns; the Gini
+    * coefficient (2·Σ rank·cnt / (n·N) − (n+1)/n over ascending counts
+    * — permutation-invariant within count ties, so the tie-break only
+    * stabilizes the plan, not the value) grades overall imbalance; and
+    * `suggested_salt` = ceil(max_cnt / (N/[[SkewReducers]])) is the
+    * split factor that fits the hottest key into an average reducer —
+    * exactly the salt a [[saltedRollup]]-style rewrite would use.
+    *
+    * Scale shape: the per-key aggregate is the shuffle any groupBy pays;
+    * the two rank windows run over the KEY frame (cardinality-bounded —
+    * the documented global-window class; at extreme key cardinality the
+    * GK-sketch cutoff substitutes for the exact ranks, same readout).
+    * Determinism: counts and rank sums are exact longs; shares/Gini are
+    * double divisions of exact longs in shared shapes.
+    */
+  val keySkew: GraftQuery = GraftQuery.oneRow(
+    "events_key_skew_profile",
+    s"key-skew diagnosis of user_id: max/top-10 shares, Gini, suggested salt for $SkewReducers reducers",
+    EventOracle.keySkewSql) { (s, d) =>
+    keySkewFrame(Tables.events(s, d))
+  }
+
+  /** The skew profile over any events frame — shared by the registry
+    * query and the planted-hot-key replay spec (EventQueriesSpec).
+    */
+  def keySkewFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c"), col("user_id"))).cast("long"))
+      .withColumn("rkd", row_number().over(
+        Window.orderBy(desc("c"), col("user_id"))).cast("long"))
+    ranked.agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_cnt"),
+        sum(col("rk") * col("c")).as("s_ic"),
+        sum(when(col("rkd") <= 10, col("c")).otherwise(0L)).as("top10"))
+      .select(
+        lit("user_id").as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("max_share"),
+        (col("top10").cast("double") / col("n_rows").cast("double"))
+          .as("top10_share"),
+        (lit(2.0) * col("s_ic").cast("double")
+          / (col("n_keys").cast("double") * col("n_rows").cast("double"))
+          - (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+          .as("gini"),
+        (col("n_rows").cast("double") / lit(SkewReducers.toDouble))
+          .as("avg_per_reducer"),
+        ceil(col("max_cnt").cast("double") * lit(SkewReducers.toDouble)
+          / col("n_rows").cast("double")).as("suggested_salt"),
+        (col("max_cnt").cast("double") > lit(2.0)
+          * (col("n_rows").cast("double") / lit(SkewReducers.toDouble)))
+          .as("skewed"))
+  }
+
   /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG. */
   private val MaxSqAbs = 3037000499L
 
@@ -3540,5 +3675,5 @@ object EventQueries {
       abCuped,
       survivalKm, survivalCohorts, funnelZtest, didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
-      pitTraining)
+      pitTraining, keySkew, kpiContribution)
 }

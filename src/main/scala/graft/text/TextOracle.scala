@@ -222,6 +222,41 @@ object TextOracle {
     GROUP BY 1, 2, 3
     ORDER BY lang, heur_label, nb_pred"""
 
+  /** Unseen-mass twin: the fingerprint trigram idiom (toks[i:i+2] is the
+    * 3-token slice in DuckDB's inclusive slicing), exact
+    * frequency-of-frequency counts, shared-shape estimator arithmetic.
+    */
+  def unseenMassSql: String = s"""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT lang, unnest(list_transform(
+        range(1, CAST(len(toks) - 1 AS BIGINT)),
+        i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t
+    ),
+    c AS (
+      SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g GROUP BY lang, gram
+    ),
+    f AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_grams,
+        CAST(COUNT(*) AS BIGINT) AS v_types,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM c GROUP BY lang
+    )
+    SELECT lang, n_grams, v_types, n1, n2,
+      CAST(n1 AS DOUBLE) / CAST(n_grams AS DOUBLE) AS unseen_mass,
+      1.0::DOUBLE - CAST(n1 AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        AS coverage,
+      CAST(v_types AS DOUBLE)
+        + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0::DOUBLE)
+          / (2.0::DOUBLE * (CAST(n2 AS DOUBLE) + 1.0::DOUBLE)) AS chao1
+    FROM f
+    ORDER BY lang"""
+
   /** Heavy-hitter twin: exact counts over the vocabulary (affordable at
     * gate SF — the engine's sketch path is the 100 TB shape), the same
     * strict n/(k+1) threshold in exact BIGINT arithmetic, TRUE for the

@@ -2469,6 +2469,63 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** GOOD-TURING UNSEEN MASS + Chao1 richness — the data-collection
+    * planning readout: before spending on more crawl, ask how much of
+    * the distribution is still unseen. Over per-language word-3-gram
+    * counts (3-grams because this corpus's unigram vocabulary saturates
+    * at every SF — the trigram space stays genuinely sparse, the regime
+    * the estimators exist for):
+    *
+    *   - unseen_mass = N1/N — the Turing estimate of the probability
+    *     the NEXT sample is a never-seen type (the Good-Turing P0);
+    *     coverage = 1 − N1/N;
+    *   - chao1 = V + N1(N1−1)/(2(N2+1)) — the bias-corrected Chao1
+    *     lower bound on total type richness, i.e. how many types exist
+    *     including the unseen ones.
+    *
+    * Scale shape: one (lang, gram) posting shuffle — the price every
+    * vocabulary statistic pays — then a 5-row rollup; the estimators
+    * are scalar arithmetic on exact frequency-of-frequency counts.
+    * Determinism: N/V/N1/N2 are exact longs; both estimators are
+    * shared-shape double expressions over them.
+    */
+  val unseenMass: GraftQuery = GraftQuery(
+    "corpus_unseen_mass",
+    "Good-Turing unseen mass + Chao1 richness per language over word-3-grams",
+    TextOracle.unseenMassSql) { (s, d) =>
+    unseenMassFrame(s, Tables.documents(s, d))
+  }
+
+  /** The unseen-mass derivation over any documents frame — shared by
+    * the registry query and the hand trigram fixture (TextDedupSpec).
+    */
+  def unseenMassFrame(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs
+      .select(col("lang"),
+        explode(shingles(tokens(col("text")), 3)).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n")).as("n_grams"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("n_grams"), col("v_types"), col("n1"),
+        col("n2"),
+        (col("n1").cast("double") / col("n_grams").cast("double"))
+          .as("unseen_mass"),
+        (lit(1.0) - col("n1").cast("double") / col("n_grams").cast("double"))
+          .as("coverage"),
+        (col("v_types").cast("double")
+          + col("n1").cast("double") * (col("n1").cast("double") - lit(1.0))
+            / (lit(2.0) * (col("n2").cast("double") + lit(1.0))))
+          .as("chao1"))
+      .orderBy("lang")
+  }
+
   /** Counter budget for [[heavyHitters]]. */
   val MgK = 32
 
@@ -2623,5 +2680,5 @@ object TextQueries {
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
       sampleWeighted, sampleAres,
       temperatureMix, chunking, epochShards, evalNdcg, zipfFit, piiRedact,
-      heavyHitters)
+      heavyHitters, unseenMass)
 }

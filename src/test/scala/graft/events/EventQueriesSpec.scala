@@ -1004,6 +1004,72 @@ class EventQueriesSpec extends SparkSpec {
     assert(a.getAs[Double]("noise_count") !== a.getAs[Double]("noise_sum"))
   }
 
+  test("keySkewFrame: planted hot key — shares, Gini, and the salt factor replay exactly") {
+    import spark.implicits._
+    // one user with 90 events, ten users with 1 each
+    val rows = (1 to 90).map(i => ev(i.toLong, "2024-01-01 10:00:00", 99L,
+      "click", 0.0)) ++
+      (1 to 10).map(i => ev(100L + i, "2024-01-01 10:00:00", i.toLong,
+        "click", 0.0))
+    val r = EventQueries.keySkewFrame(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(r.getAs[Long]("n_rows") === 100L)
+    assert(r.getAs[Long]("n_keys") === 11L)
+    assert(r.getAs[Long]("max_cnt") === 90L)
+    assert(r.getAs[Double]("max_share") === 0.9)
+    // top-10 keys by count: the hot key + 9 singletons
+    assert(r.getAs[Double]("top10_share") === 0.99)
+    // ascending counts: ten 1s (ranks 1-10) then 90 (rank 11):
+    // s_ic = 55 + 990 = 1045
+    assert(r.getAs[Double]("gini")
+      === 2.0 * 1045.0 / (11.0 * 100.0) - 12.0 / 11.0)
+    assert(r.getAs[Long]("suggested_salt")
+      === math.ceil(90.0 * EventQueries.SkewReducers / 100.0).toLong)
+    assert(r.getAs[Boolean]("skewed"))
+    // uniform control: every key once -> gini 0, salt 1, not skewed
+    val flat = (1 to 64).map(i => ev(i.toLong, "2024-01-01 10:00:00",
+      i.toLong, "click", 0.0))
+    val f = EventQueries.keySkewFrame(
+      flat.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(f.getAs[Double]("gini")
+      === 2.0 * (64.0 * 65.0 / 2.0) / (64.0 * 64.0) - 65.0 / 64.0)
+    assert(math.abs(f.getAs[Double]("gini")) < 1e-12)
+    assert(f.getAs[Long]("suggested_salt") === 1L)
+    assert(!f.getAs[Boolean]("skewed"))
+  }
+
+  test("kpiContributionFrame: contributions sum to the day delta; vanished/appeared segments decompose from zero") {
+    import spark.implicits._
+    val fixture = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "click", 10.0),
+      ev(2, "2024-01-01 09:00:00", 1, "purchase", 20.0),
+      ev(3, "2024-01-02 08:00:00", 1, "click", 40.0),
+      ev(4, "2024-01-02 09:00:00", 1, "purchase", 10.0),
+      // 'error' appears on day 2 only: contributes from zero
+      ev(5, "2024-01-02 10:00:00", 1, "error", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.kpiContributionFrame(fixture).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.keySet === Set("click", "purchase", "error"))
+    got.values.foreach { r =>
+      assert(r.getAs[java.sql.Date]("day").toString === "2024-01-02")
+      assert(r.getAs[Double]("day_delta") === 25.0)
+    }
+    assert(got("click").getAs[Double]("contribution") === 30.0)
+    assert(got("purchase").getAs[Double]("contribution") === -10.0)
+    assert(got("error").getAs[Double]("contribution") === 5.0)
+    assert(got("error").getAs[Double]("prev_value") === 0.0)
+    assert(got("click").getAs[Double]("share_of_delta") === 30.0 / 25.0)
+    assert(got("purchase").getAs[Double]("share_of_delta") === -10.0 / 25.0)
+    // additivity: contributions reconstruct the delta exactly
+    assert(got.values.map(_.getAs[Double]("contribution")).sum === 25.0)
+    assert(got("click").getAs[Long]("rank_in_day") === 1L)
+    assert(got("purchase").getAs[Long]("rank_in_day") === 2L)
+    assert(got("error").getAs[Long]("rank_in_day") === 3L)
+  }
+
   test("valueWinsorizeFrame: exact nearest-rank cuts; a 100x outlier moves the raw mean, never the winsorized one") {
     import spark.implicits._
     // 101 values 0..100 -> (n-1)*0.01 = 1 -> p01 = value at rank 2 = 1.0;

@@ -1045,6 +1045,35 @@ class TextDedupSpec extends SparkSpec {
     got.foreach { case (l, t) => assert(t._7 === drawMeans(l), s"mean $l") }
   }
 
+  test("unseenMassFrame: hand trigram counts — Turing P0 and Chao1 exact; short docs contribute nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      // xx: trigrams {a b c: 2, b c d: 1} -> N=3 V=2 N1=1 N2=1
+      (1L, "a b c d", "xx", "s", 7L),
+      (2L, "a b c", "xx", "s", 5L),
+      // yy: all singletons -> N=3 V=3 N1=3 N2=0; the 2-token doc adds
+      // no trigram
+      (3L, "p q r s t", "yy", "s", 9L),
+      (4L, "p q", "yy", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextQueries.unseenMassFrame(spark, docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val xx = got("xx")
+    assert((xx.getLong(1), xx.getLong(2), xx.getLong(3), xx.getLong(4))
+      === ((3L, 2L, 1L, 1L)))
+    assert(xx.getAs[Double]("unseen_mass") === 1.0 / 3.0)
+    assert(xx.getAs[Double]("coverage") === 1.0 - 1.0 / 3.0)
+    // chao1 = 2 + 1*0/(2*2) = 2 (a doubleton-backed corpus adds nothing)
+    assert(xx.getAs[Double]("chao1") === 2.0)
+    val yy = got("yy")
+    assert((yy.getLong(1), yy.getLong(2), yy.getLong(3), yy.getLong(4))
+      === ((3L, 3L, 3L, 0L)))
+    // all mass unseen-adjacent: P0 = 1.0, chao1 = 3 + 3*2/2 = 6
+    assert(yy.getAs[Double]("unseen_mass") === 1.0)
+    assert(yy.getAs[Double]("chao1") === 6.0)
+  }
+
   test("aucFrame: separable ranking scores 1.0; class-symmetric scores 0.5; tie midranks match the hand pair count") {
     val spark0 = spark
     import spark0.implicits._
