@@ -979,6 +979,48 @@ object DedupOracle {
     ) g"""
   }
 
+  /** Split-leakage twin: the minhash chain's mh_pairs at the cluster
+    * threshold joined to the doc_splits bucket rule, least/greatest
+    * split-pair normalization, quantized mean Jaccard, exact shares.
+    */
+  def splitLeakageSql: String = {
+    val thr = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    s"""
+    WITH $minhashPairCtes,
+    spl AS (
+      SELECT doc_id,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),1,15))::UBIGINT AS BIGINT) % 100 AS bucket
+        FROM documents
+      )
+    ),
+    lab AS (
+      SELECT LEAST(sa.split, sb.split) AS split_a,
+        GREATEST(sa.split, sb.split) AS split_b,
+        CAST(floor(p.jaccard * 1000000000.0 + 0.5) AS BIGINT) AS jq
+      FROM mh_pairs p
+      JOIN spl sa ON p.doc_a = sa.doc_id
+      JOIN spl sb ON p.doc_b = sb.doc_id
+      WHERE p.jaccard >= $thr
+    ),
+    g AS (
+      SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        (CAST(SUM(jq) AS BIGINT) / 1000000000.0) / COUNT(*) AS avg_jaccard
+      FROM lab GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM g)
+    SELECT split_a, split_b, n_pairs,
+      CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE) AS pair_share,
+      avg_jaccard,
+      split_a <> split_b AS is_leakage
+    FROM g, tot
+    ORDER BY split_a, split_b"""
+  }
+
   /** CTE chain ending in `sh_pairs` = every SimHash band-candidate pair
     * within the Hamming threshold — shared by the top-k query and the
     * cross-family cluster oracle. [[graft.text.TextOracle.simhashCtes]]

@@ -2177,6 +2177,66 @@ object DedupQueries {
       .orderBy("sweep")
   }
 
+  /** TRAIN/EVAL SPLIT LEAKAGE audit — the eval-hygiene composition of the
+    * near-dup miner and the content-hash splitter (`doc_splits`): a
+    * near-duplicate pair STRADDLING a split boundary leaks training
+    * content into evaluation and quietly inflates every metric. The
+    * content-hash split is immune to EXACT dups by construction (both
+    * copies hash to the same bucket — identical normText, identical
+    * split; the spec pins it), which is precisely why near-dups are the
+    * residual risk this audit measures: per unordered split pair, the
+    * LSH-verified J >= [[ClusterJaccard]] pair count, its share of all
+    * dup pairs, the 1e-9-quantized mean Jaccard, and the leakage verdict
+    * (split_a != split_b).
+    *
+    * Scale shape: the MinHash+LSH chain's own cost (band-bucket-capped —
+    * never corpus-quadratic) plus a broadcast-sized split-label join and
+    * a <= 6-row rollup. Determinism: pair counts exact; the split-pair
+    * key is normalized with least/greatest; shares and means divide
+    * exact longs.
+    */
+  val splitLeakage: GraftQuery = GraftQuery(
+    "dedup_split_leakage",
+    s"near-dup pairs straddling the content-hash train/val/test split: per split-pair counts, mean Jaccard, leakage verdict",
+    DedupOracle.splitLeakageSql) { (s, d) =>
+    splitLeakageFrame(Tables.documents(s, d))
+  }
+
+  /** The leakage audit over any documents frame — shared by the registry
+    * query and the planted straddling-pair spec (DedupSpec).
+    */
+  def splitLeakageFrame(docs: DataFrame): DataFrame = {
+    import graft.api.Det
+    import graft.text.TextFns
+    val bucket = TextFns.hash60(TextFns.normText(col("text"))) % 100
+    val sp = docs.select(col("doc_id"),
+      when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val"))
+        .otherwise(lit("test")).as("split"))
+    val pairs = minhashJaccardFrame(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+    val lab = pairs
+      .join(broadcast(sp.select(col("doc_id").as("doc_a"),
+        col("split").as("sa"))), Seq("doc_a"))
+      .join(broadcast(sp.select(col("doc_id").as("doc_b"),
+        col("split").as("sb"))), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        Det.quantize(col("jaccard"), 9).as("jq"))
+    val g = lab.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        ((sum(col("jq")) / lit(1e9)) / count(lit(1))).as("avg_jaccard"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("n_pairs")).as("n_total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("n_total").cast("double"))
+          .as("pair_share"),
+        col("avg_jaccard"),
+        (col("split_a") =!= col("split_b")).as("is_leakage"))
+      .orderBy("split_a", "split_b")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(exactSummary, ngramTopk, minhashLsh, simhashPairs, clusters,
       kcorePeel,
@@ -2186,5 +2246,5 @@ object DedupQueries {
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, communities,
       bloomScreen,
       lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest,
-      stageFunnel)
+      stageFunnel, splitLeakage)
 }

@@ -1045,6 +1045,73 @@ class TextDedupSpec extends SparkSpec {
     got.foreach { case (l, t) => assert(t._7 === drawMeans(l), s"mean $l") }
   }
 
+  test("splitLeakageFrame: exact dups can never straddle the content-hash split; a planted near-dup pair across splits is flagged") {
+    val spark0 = spark
+    import spark0.implicits._
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def splitOf(text: String): String = {
+      val b = h60(text) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // near-dup pair builder: 60 distinct tokens, variant differs in the
+    // last -> 2-gram Jaccard 58/60; searched so the pair's splits meet
+    // the wanted relation (the hash decides, so the spec searches)
+    def mk(tag: String, i: Int): (String, String) = {
+      val toks = (0 until 60).map(n => s"$tag${i}w$n")
+      (toks.mkString(" "), (toks.init :+ s"$tag${i}x").mkString(" "))
+    }
+    def find(tag: String, cross: Boolean): (String, String) =
+      Iterator.from(0).map(mk(tag, _)).find { case (a, b) =>
+        (splitOf(a) != splitOf(b)) == cross
+      }.get
+    val (leakA, leakB) = find("leak", cross = true)
+    val (ctlA, ctlB) = find("ctl", cross = false)
+    val dupText = (0 until 10).map(n => s"dupz$n").mkString(" ")
+    val docs = Seq(
+      (1L, leakA), (2L, leakB), (3L, ctlA), (4L, ctlB),
+      (5L, dupText), (6L, dupText))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // generic plain-Scala replay: each planted pair's (split_a, split_b,
+    // quantized J) aggregated the same way
+    def q9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val pairExp = Seq(
+      (splitOf(leakA), splitOf(leakB), q9(58.0 / 60.0)),
+      (splitOf(ctlA), splitOf(ctlB), q9(58.0 / 60.0)),
+      (splitOf(dupText), splitOf(dupText), q9(1.0)))
+      .map { case (x, y, j) =>
+        (if (x <= y) (x, y) else (y, x), j)
+      }
+    val expected = pairExp.groupBy(_._1).map { case (k, ps) =>
+      k -> ((ps.size.toLong,
+        ps.map(p => p._2).sum / 1e9 / ps.size))
+    }
+    val got = graft.dedup.DedupQueries.splitLeakageFrame(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4), r.getBoolean(5),
+          r.getDouble(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (n, avgJ)) =>
+      assert(got(k)._1 === n, s"n_pairs of $k")
+      assert(got(k)._2 === avgJ, s"avg_jaccard of $k")
+      assert(got(k)._3 === (k._1 != k._2), s"verdict of $k")
+    }
+    // the planted cross-split pair IS flagged
+    assert(got.exists { case (k, v) => k._1 != k._2 && v._3 })
+    // exact dups share normText hence the split: their cell can never
+    // be a leakage cell
+    val dupKey = (splitOf(dupText), splitOf(dupText))
+    assert(!got(dupKey)._3)
+    // shares are exact n/total
+    val total = expected.values.map(_._1).sum.toDouble
+    got.foreach { case (k, v) =>
+      assert(v._4 === expected(k)._1.toDouble / total, s"share of $k") }
+  }
+
   test("unseenMassFrame: hand trigram counts — Turing P0 and Chao1 exact; short docs contribute nothing") {
     val spark0 = spark
     import spark0.implicits._
