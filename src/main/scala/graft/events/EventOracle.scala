@@ -1779,6 +1779,85 @@ object EventOracle {
     ORDER BY grid.user_id, grid.fold"""
   }
 
+  /** Twin of [[EventQueries.changepointBinsegFrame]]: the same dense
+    * grid, three UNROLLED greedy sweeps (the kcore/pagerank fixed-sweep
+    * oracle pattern), the identical first-moment gain shape quantized
+    * to 1e-6 before each (gq DESC, t) argmax.
+    */
+  def changepointBinsegSql: String = {
+    val l = EventQueries.BinsegMinSeg
+    def cand(xk: String, ck: String, bk: String): String = s"""
+    $ck AS (
+      SELECT t, hour,
+        SUM(n) OVER (PARTITION BY seg ORDER BY t
+          ROWS UNBOUNDED PRECEDING) AS cum1,
+        CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY t) AS BIGINT)
+          AS i,
+        CAST(SUM(n) OVER (PARTITION BY seg) AS BIGINT) AS s1,
+        CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS nn
+      FROM $xk
+    ),
+    $bk AS MATERIALIZED (
+      SELECT t, hour, gq, mean_left, mean_right, n_left, n_right FROM (
+        SELECT t, hour,
+          CAST(FLOOR((
+            CAST(cum1 AS DOUBLE) * CAST(cum1 AS DOUBLE)
+              / CAST(i AS DOUBLE)
+            + CAST(s1 - cum1 AS DOUBLE) * CAST(s1 - cum1 AS DOUBLE)
+              / CAST(nn - i AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(nn AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS gq,
+          CAST(cum1 AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left,
+          CAST(s1 - cum1 AS DOUBLE) / CAST(nn - i AS DOUBLE)
+            AS mean_right,
+          i AS n_left, CAST(nn - i AS BIGINT) AS n_right
+        FROM $ck WHERE i >= $l AND nn - i >= $l
+      ) ORDER BY gq DESC, t LIMIT 1
+    )"""
+    s"""
+    WITH $evCte,
+    ha AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1
+    ),
+    bnd AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ha),
+    g AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+      FROM bnd
+    ),
+    x AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY g.hour) AS BIGINT) - 1 AS t,
+        g.hour, COALESCE(ha.n, 0) AS n
+      FROM g LEFT JOIN ha ON g.hour = ha.hour
+    ),
+    x1 AS (SELECT t, hour, n, 0 AS seg FROM x),
+    ${cand("x1", "c1", "b1")},
+    x2 AS (
+      SELECT x.t, x.hour, x.n,
+        CASE WHEN x.t > b1.t THEN 1 ELSE 0 END AS seg
+      FROM x CROSS JOIN b1
+    ),
+    ${cand("x2", "c2", "b2")},
+    x3 AS (
+      SELECT x.t, x.hour, x.n,
+        (CASE WHEN x.t > b1.t THEN 1 ELSE 0 END)
+          + (CASE WHEN x.t > b2.t THEN 1 ELSE 0 END) AS seg
+      FROM x CROSS JOIN b1 CROSS JOIN b2
+    ),
+    ${cand("x3", "c3", "b3")}
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS rank, t, hour,
+        CAST(gq AS DOUBLE) / 1e6 AS gain, mean_left, mean_right,
+        n_left, n_right FROM b1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), t, hour, CAST(gq AS DOUBLE) / 1e6,
+        mean_left, mean_right, n_left, n_right FROM b2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), t, hour, CAST(gq AS DOUBLE) / 1e6,
+        mean_left, mean_right, n_left, n_right FROM b3
+    ) ORDER BY rank"""
+  }
+
   /** Twin of [[EventQueries.kpiContributionFrame]]: identical
     * days x types grid, lag over observed days, exact quantized
     * contributions, and the |contrib| rank with the type tie-break.

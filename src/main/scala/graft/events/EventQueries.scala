@@ -3522,6 +3522,115 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Splits for [[changepointBinseg]]. */
+  val BinsegK = 3
+
+  /** Minimum segment length (hours) for [[changepointBinseg]]. */
+  val BinsegMinSeg = 24
+
+  /** CHANGEPOINT LOCATION by binary segmentation — the retrospective
+    * complement of the online drift detectors ([[cusum]]/[[ewmaFrozen]]
+    * answer "is it drifting NOW"; this answers "when exactly did the
+    * level shift, and how many times"): [[BinsegK]] greedy
+    * least-squares splits of the dense hourly count series, each chosen
+    * to maximize the SSE reduction
+    *
+    *   gain(i) = cum²/i + (S1−cum)²/(N−i) − S1²/N
+    *
+    * over its segment (the second moments cancel out of the
+    * difference, so the whole search runs on FIRST-moment prefix sums
+    * — one cumulative window per sweep, no x² column), with segments
+    * shorter than 2·[[BinsegMinSeg]] unsplittable. Output: one row per
+    * split in selection order with its location, gain, and the
+    * segment-at-selection left/right means — the report a postmortem
+    * wants ("level moved from 83/h to 97/h at 14:00 on the 12th").
+    *
+    * Scale shape: one corpus pass to hourly counts; every sweep is
+    * windows over the CALENDAR-bounded dense grid, and the loop state
+    * crossing the driver is [[BinsegK]] breakpoint scalars (iteration
+    * control, the BPE-argmax precedent). Determinism: counts/prefix
+    * sums exact longs; the gain is a shared-shape double quantized to
+    * 1e-6 LONGs before the (gq desc, t asc) argmax, so engine and twin
+    * pick identical splits.
+    */
+  val changepointBinseg: GraftQuery = GraftQuery(
+    "events_changepoint_binseg",
+    s"binary-segmentation changepoints: $BinsegK greedy least-squares splits of hourly counts, min segment ${BinsegMinSeg}h, exact argmax",
+    EventOracle.changepointBinsegSql) { (s, d) =>
+    changepointBinsegFrame(Tables.events(s, d))
+  }
+
+  /** The binseg derivation over any events frame — shared by the
+    * registry query and the planted-shift replay spec
+    * (EventQueriesSpec).
+    */
+  def changepointBinsegFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    val x = densify(events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("hn")))
+      .select(col("hour"), coalesce(col("hn"), lit(0L)).as("n"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("hour"))).cast("long") - 1)
+      .localCheckpoint()
+    var bps = List.empty[Long]
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, java.sql.Timestamp, Long, Double, Double, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BinsegK && !exhausted) {
+      val segExpr = bps.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("t") > b, 1).otherwise(0)
+      }
+      val wSeg = Window.partitionBy(col("seg"))
+      val wCum = Window.partitionBy(col("seg")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cand = x.withColumn("seg", segExpr)
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("seg")).orderBy(col("t"))).cast("long"))
+        .withColumn("cum1", sum(col("n")).over(wCum))
+        .withColumn("s1", sum(col("n")).over(wSeg))
+        .withColumn("nn", count(lit(1)).over(wSeg))
+        .filter(col("i") >= BinsegMinSeg
+          && col("nn") - col("i") >= BinsegMinSeg)
+        .withColumn("gq", floor((
+          col("cum1").cast("double") * col("cum1").cast("double")
+            / col("i").cast("double")
+          + (col("s1") - col("cum1")).cast("double")
+            * (col("s1") - col("cum1")).cast("double")
+            / (col("nn") - col("i")).cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("nn").cast("double")) * lit(1e6) + lit(0.5)))
+      val top = cand.orderBy(desc("gq"), asc("t"))
+        .select(col("t"), col("hour"), col("gq"),
+          (col("cum1").cast("double") / col("i").cast("double"))
+            .as("mean_left"),
+          ((col("s1") - col("cum1")).cast("double")
+            / (col("nn") - col("i")).cast("double")).as("mean_right"),
+          col("i").as("n_left"), (col("nn") - col("i")).as("n_right"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        found += ((k.toLong, r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+        bps ::= r.getLong(0)
+        k += 1
+      }
+    }
+    graft.api.Checkpoints.release(x)
+    import spark.implicits._
+    found.toSeq
+      .toDF("rank", "t", "hour", "gq", "mean_left", "mean_right",
+        "n_left", "n_right")
+      .select(col("rank"), col("t"), col("hour"),
+        (col("gq").cast("double") / lit(1e6)).as("gain"),
+        col("mean_left"), col("mean_right"), col("n_left"), col("n_right"))
+      .orderBy("rank")
+  }
+
   /** KPI CONTRIBUTION ANALYSIS — the root-cause decomposition a metrics
     * dashboard runs the morning a KPI moves: the day-over-day change of
     * total value decomposed ADDITIVELY by event_type (contributions sum
@@ -3675,5 +3784,5 @@ object EventQueries {
       abCuped,
       survivalKm, survivalCohorts, funnelZtest, didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
-      pitTraining, keySkew, kpiContribution)
+      pitTraining, keySkew, kpiContribution, changepointBinseg)
 }

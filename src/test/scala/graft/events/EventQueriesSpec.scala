@@ -1004,6 +1004,70 @@ class EventQueriesSpec extends SparkSpec {
     assert(a.getAs[Double]("noise_count") !== a.getAs[Double]("noise_sum"))
   }
 
+  test("changepointBinsegFrame: planted level shifts located exactly; full greedy replay bit-exact") {
+    import spark.implicits._
+    // piecewise-constant hourly series: 10/h for 80h, 30/h for 70h,
+    // 18/h for 50h — two true changepoints at t=79|80 and t=149|150
+    val levels = Vector.fill(80)(10L) ++ Vector.fill(70)(30L) ++
+      Vector.fill(50)(18L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = levels.zipWithIndex.flatMap { case (c, h) =>
+      (1L to c).map(j => (h * 1000L + j,
+        new java.sql.Timestamp(base + h * 3600000L), 1L, "click", 0.0, "{}"))
+    }
+    val got = EventQueries.changepointBinsegFrame(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect()
+    // plain-Scala replay of the same greedy with the same double shapes
+    val k = EventQueries.BinsegK
+    val l = EventQueries.BinsegMinSeg
+    var bps = List.empty[Int]
+    val exp = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double, Long, Long)]
+    for (_ <- 1 to k) {
+      val cands = levels.indices.groupBy(t => bps.count(b => t > b)).toSeq
+        .flatMap { case (_, ts) =>
+          val tsSorted = ts.sorted
+          val seg = tsSorted.map(levels)
+          val s1 = seg.sum
+          val nn = seg.size.toLong
+          seg.indices.flatMap { idx =>
+            val i = idx + 1L
+            if (i >= l && nn - i >= l) {
+              val cum = seg.take(idx + 1).sum
+              val g = cum.toDouble * cum.toDouble / i.toDouble +
+                (s1 - cum).toDouble * (s1 - cum).toDouble /
+                  (nn - i).toDouble -
+                s1.toDouble * s1.toDouble / nn.toDouble
+              Some((tsSorted(idx).toLong,
+                math.floor(g * 1e6 + 0.5).toLong,
+                cum.toDouble / i.toDouble,
+                (s1 - cum).toDouble / (nn - i).toDouble, i, nn - i))
+            } else None
+          }
+        }
+      val best = cands.minBy { case (t, gq, _, _, _, _) => (-gq, t) }
+      exp += ((best._1, best._2, 0L, best._3, best._4, best._5, best._6))
+      bps ::= best._1.toInt
+    }
+    assert(got.length === k)
+    got.zip(exp).zipWithIndex.foreach { case ((r, e), idx) =>
+      assert(r.getAs[Long]("rank") === idx + 1L)
+      assert(r.getAs[Long]("t") === e._1, s"split ${idx + 1} location")
+      assert(r.getAs[Double]("gain") === e._2.toDouble / 1e6)
+      assert(r.getAs[Double]("mean_left") === e._4)
+      assert(r.getAs[Double]("mean_right") === e._5)
+      assert(r.getAs[Long]("n_left") === e._6)
+      assert(r.getAs[Long]("n_right") === e._7)
+    }
+    // the first two greedy splits are exactly the planted boundaries
+    assert(got.take(2).map(_.getAs[Long]("t")).toSet === Set(79L, 149L))
+    // the third split carves a pure-constant segment: its gain is an
+    // order of magnitude below the real shifts'
+    assert(got(2).getAs[Double]("gain") <
+      got(1).getAs[Double]("gain") / 10.0)
+  }
+
   test("keySkewFrame: planted hot key — shares, Gini, and the salt factor replay exactly") {
     import spark.implicits._
     // one user with 90 events, ten users with 1 each
