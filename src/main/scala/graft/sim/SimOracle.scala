@@ -433,6 +433,71 @@ object SimOracle {
     )
     SELECT qid, rn, vec_id, cosine FROM r WHERE rn <= 10 ORDER BY qid, rn"""
 
+  /** Sign-fingerprint CTE chain for the binary-Hamming twins: the same
+    * static 60-term power-of-two sum, popcount(xor) Hamming, and
+    * (hamming, vec_id) rank as the Spark side.
+    */
+  private def binaryCtes: String = {
+    val fpExpr = (0 until SimQueries.SignBits)
+      .map(i => s"CASE WHEN v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    bfp AS (
+      SELECT vec_id, CAST($fpExpr AS BIGINT) AS f FROM n
+    ),
+    hq AS (SELECT vec_id AS qid, f AS qf FROM bfp WHERE vec_id % 100 = 0),
+    hcand AS (
+      SELECT qid, bfp.vec_id,
+        CAST(bit_count(xor(qf, f)) AS INTEGER) AS hamming
+      FROM hq JOIN bfp ON bfp.vec_id <> qid
+    ),
+    htop AS (
+      SELECT qid, rn, vec_id, hamming FROM (
+        SELECT qid, vec_id, hamming,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY hamming, vec_id) AS INTEGER) AS rn
+        FROM hcand
+      ) WHERE rn <= 10
+    )"""
+  }
+
+  def binaryHammingSql: String = s"""
+    WITH $baseCtes,
+    $binaryCtes,
+    qn AS (
+      SELECT vec_id AS qid2, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % 100 = 0
+    )
+    SELECT t.qid, t.rn, t.vec_id, t.hamming,
+      ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+    FROM htop t
+    JOIN n ON n.vec_id = t.vec_id
+    JOIN qn ON qn.qid2 = t.qid
+    ORDER BY t.qid, t.rn"""
+
+  def binaryRecallSql: String = s"""
+    WITH $baseCtes,
+    $binaryCtes,
+    bbp AS (
+      SELECT qid, vec_id,
+        ${dotIdx("qv", "v")} / (qnrm * nrm) AS cosine
+      FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+            WHERE vec_id % 100 = 0) q
+      JOIN n ON vec_id <> qid
+    ),
+    bbf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rn
+        FROM bbp
+      ) WHERE rn <= 10
+    )
+    SELECT bbf.qid, COUNT(t.vec_id) AS n_hits,
+      COUNT(t.vec_id) / 10.0::DOUBLE AS recall
+    FROM bbf LEFT JOIN htop t ON bbf.qid = t.qid AND bbf.vec_id = t.vec_id
+    GROUP BY bbf.qid ORDER BY bbf.qid"""
+
   val lshTopkSql: String = s"""
     WITH $baseCtes,
     nb AS (

@@ -97,6 +97,93 @@ object SimQueries {
       .orderBy("qid")
   }
 
+  /** Sign-fingerprint width for [[binaryHamming]] — 60 of the 64 dims,
+    * the repo's hash60 convention: values stay below 2^63 so BIGINT
+    * arithmetic agrees between Spark and DuckDB (bit 63 would wrap in
+    * Spark and RAISE in DuckDB; an unsigned-64 or 2x32-word layout
+    * restores the last 4 dims in production, same plan).
+    */
+  val SignBits = 60
+
+  /** One 60-bit sign fingerprint per vector: bit i set iff v[i+1] > 0 —
+    * a static 60-term sum of exact power-of-two longs (codegen'd, no
+    * higher-order functions).
+    */
+  private[graft] def signFp(v: Column): Column =
+    (0 until SignBits).map { i =>
+      when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Test hook for the fingerprint expression (SimSpec hand vectors). */
+  def signFpPublic(v: Column): Column = signFp(v)
+
+  /** BINARY (sign-bit) quantization + Hamming retrieval — the 64x
+    * compression point of the quantization family (`embedding_int8_quant`
+    * is 4x/rounded values; PQ is 8 bytes/codebook): each vector collapses
+    * to a [[SignBits]]-bit fingerprint (ONE long — 8 bytes vs 512), and
+    * stage 1 ranks candidates by popcount(xor) — integer ops a SIMD scan
+    * eats at memory bandwidth; stage 2 re-ranks ONLY the per-query
+    * shortlist with exact cosine over the full vectors, the two-stage
+    * read pattern that makes binary indexes fast at 100 TB: the corpus
+    * scan touches 8 bytes/vector, full vectors load for top-10·|Q| rows.
+    *
+    * Scale shape: fingerprints are one narrow map over the corpus
+    * (checkpointed — both the query side and the scan side read them);
+    * queries broadcast; the rerank joins the model-sized shortlist back
+    * broadcast. Determinism: fingerprints/Hamming are exact integers
+    * with (hamming, vec_id) rank ties; rerank cosine is the
+    * [[SimFns.dot]] ordered fold.
+    */
+  val binaryHamming: GraftQuery = GraftQuery(
+    "ann_binary_hamming",
+    s"binary sign quantization ($SignBits-bit fingerprints): Hamming top-10 shortlist + exact cosine rerank",
+    SimOracle.binaryHammingSql) { (s, d) =>
+    val v = vecs(s, d)
+    val fps = v.select(col("vec_id"), signFp(col("v")).as("f"))
+      .localCheckpoint()
+    val q = broadcast(fps.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("f").as("qf")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val shortlist = q.join(fps, col("vec_id") =!= col("qid"))
+      .withColumn("hamming", expr("CAST(bit_count(qf ^ f) AS INT)"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), col("hamming"))
+    val qv = broadcast(v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")))
+    shortlist
+      .join(v.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(qv, Seq("qid"))
+      .withColumn("cosine",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .select(col("qid"), col("rn"), col("vec_id"), col("hamming"),
+        col("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Recall@10 of the binary-Hamming shortlist vs the exact cosine
+    * baseline — the [[lshRecall]] grading convention: the honest number
+    * that prices 64x compression in retrieval quality; 0-hit queries
+    * stay visible via the left join.
+    */
+  val binaryRecall: GraftQuery = GraftQuery(
+    "ann_binary_recall",
+    "recall@10 of the binary sign-fingerprint shortlist vs the brute-force baseline, per query",
+    SimOracle.binaryRecallSql) { (s, d) =>
+    val bf = bruteforce.frame(s, d).select(col("qid"), col("vec_id"))
+    val bh = binaryHamming.frame(s, d)
+      .select(col("qid").as("hqid"), col("vec_id").as("hvec"))
+    bf.join(bh, col("qid") === col("hqid") && col("vec_id") === col("hvec"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(col("hvec")).as("n_hits"),
+        (count(col("hvec")) / lit(10.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Out-degree of the navigable k-NN graph ([[graphEdges]]). Raised
     * 8 → 12 in round 16 after an A/B at sf0.1: degree buys as much
     * recall as extra sweeps (0.235 → 0.295 at equal sweeps) at near-zero
@@ -2753,7 +2840,8 @@ object SimQueries {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(bruteforce, lshTopk, lshRecall, graphTopk, graphRecall, driftPsi,
+    Seq(bruteforce, lshTopk, lshRecall, binaryHamming, binaryRecall,
+      graphTopk, graphRecall, driftPsi,
       filteredTopk, rangeSearch,
       graphIncremental, nearDupPairs, labelCentroids,
       retrieval, vectorStats, ivfTopk, ivfRecall, ivfAdaptive, int8Quant,

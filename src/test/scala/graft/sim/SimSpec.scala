@@ -57,6 +57,58 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.24, s"lsh recall degraded: $recall")
   }
 
+  test("binary sign fingerprints: hand vectors exact; Hamming shortlist sane; recall floor measured") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand vectors: all-positive -> all 60 bits set; all-negative -> 0;
+    // alternating -> the 0xAAAA... pattern restricted to 60 bits
+    val probe = Seq(
+      Seq.fill(64)(0.5), Seq.fill(64)(-0.5),
+      (0 until 64).map(i => if (i % 2 == 1) 1.0 else -1.0))
+      .toDF("v")
+      .select(graft.sim.SimQueries.signFpPublic(col("v")).as("f"))
+      .collect().map(_.getLong(0))
+    assert(probe(0) === (1L << 60) - 1L)
+    assert(probe(1) === 0L)
+    val alt = (0 until 60).filter(_ % 2 == 1).map(1L << _).sum
+    assert(probe(2) === alt)
+    assert(java.lang.Long.bitCount(probe(0) ^ probe(1)) === 60)
+    assert(java.lang.Long.bitCount(probe(0) ^ probe(2)) === 30)
+    // registry frame: 10 rows per query, Hamming nondecreasing in rank,
+    // rerank cosine present and bounded
+    val rows = SimQueries.binaryHamming.frame(spark, sf).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(perQ.size === 5)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length === 10, s"query $q shortlist size")
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      val hs = sorted.map(_.getAs[Int]("hamming"))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b },
+        s"query $q hamming not sorted")
+      sorted.foreach { r =>
+        val c = r.getAs[Double]("cosine")
+        assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+        assert(r.getAs[Int]("hamming") >= 0
+          && r.getAs[Int]("hamming") <= SimQueries.SignBits)
+      }
+    }
+    // recall floor on the fixed sf0.001 corpus: measures 0.28 — the
+    // honest price of 64x compression when the shortlist is only 10 deep
+    // (a production two-stage index shortlists 100-1000 then reranks;
+    // recall@10-from-10 is the hardest setting). Pinned at the measured
+    // floor like the LSH sibling: a fingerprint regression fails loudly.
+    val rec = SimQueries.binaryRecall.frame(spark, sf).collect()
+    assert(rec.length === 5)
+    rec.foreach { r =>
+      val v = r.getAs[Double]("recall")
+      assert(v >= 0.0 && v <= 1.0)
+      assert(v === r.getAs[Long]("n_hits").toDouble / 10.0)
+    }
+    val mean = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    assert(mean >= 0.279, s"binary recall degraded: $mean")
+  }
+
   test("ivf recall artifact: one row per query, recall = hits/10, in [0,1]") {
     val rows = SimQueries.ivfRecall.frame(spark, sf).collect()
     assert(rows.length === 5)
