@@ -979,6 +979,41 @@ object DedupOracle {
     ) g"""
   }
 
+  /** Yield-curve twin: the minhash chain's mh_pairs, one per-doc max
+    * rollup, the same literal-threshold conditional counts, exact-long
+    * share divisions. A `def` (init-order lesson).
+    */
+  def yieldCurveSql: String = {
+    val rows = DedupQueries.YieldThresholds.map { t =>
+      s"""SELECT $t::DOUBLE AS threshold,
+        (SELECT CAST(SUM(CASE WHEN jaccard >= $t::DOUBLE THEN 1 ELSE 0 END)
+          AS BIGINT) FROM mh_pairs) AS n_pairs,
+        (SELECT CAST(SUM(CASE WHEN maxj >= $t::DOUBLE THEN 1 ELSE 0 END)
+          AS BIGINT) FROM dmax) AS n_docs_in_dup"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH $minhashPairCtes,
+    dmax AS MATERIALIZED (
+      SELECT doc, MAX(jaccard) AS maxj FROM (
+        SELECT doc_a AS doc, jaccard FROM mh_pairs
+        UNION ALL
+        SELECT doc_b, jaccard FROM mh_pairs
+      ) GROUP BY doc
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    curve AS (
+      $rows
+    )
+    SELECT threshold, COALESCE(n_pairs, 0) AS n_pairs,
+      COALESCE(n_docs_in_dup, 0) AS n_docs_in_dup, tot.n_docs,
+      CAST(COALESCE(n_docs_in_dup, 0) AS DOUBLE)
+        / CAST(tot.n_docs AS DOUBLE) AS dup_doc_share,
+      CAST(tot.n_docs - COALESCE(n_docs_in_dup, 0) AS DOUBLE)
+        / CAST(tot.n_docs AS DOUBLE) AS drop_all_yield
+    FROM curve, tot
+    ORDER BY threshold"""
+  }
+
   /** Split-leakage twin: the minhash chain's mh_pairs at the cluster
     * threshold joined to the doc_splits bucket rule, least/greatest
     * split-pair normalization, quantized mean Jaccard, exact shares.

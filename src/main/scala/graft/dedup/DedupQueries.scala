@@ -2177,6 +2177,77 @@ object DedupQueries {
       .orderBy("sweep")
   }
 
+  /** Thresholds for [[yieldCurve]] — the knob range a dedup policy
+    * review actually debates.
+    */
+  val YieldThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** DEDUP YIELD CURVE — the knob-tuning artifact behind the committed
+    * J >= [[ClusterJaccard]] policy: every threshold trades corpus
+    * volume against duplication, and this prices the WHOLE range in one
+    * pair mine instead of five re-runs. Per threshold: LSH-verified
+    * pair count, documents with at least one dup at that strength
+    * (max-Jaccard per doc — computed once, thresholds nest), their
+    * corpus share, and the DROP-ALL-policy yield (remove every
+    * dup-involved doc — the conservative floor; the keep-one-per-cluster
+    * yield needs connected components and belongs to the clusters
+    * family at the committed threshold — this curve chooses the
+    * threshold, the keeper executes it).
+    *
+    * Scale shape: ONE banded pair mine (the LSH chain's own bounded
+    * cost), one per-doc max rollup, then five conditional aggregates
+    * over the pair/doc frames — adding thresholds is free. Determinism:
+    * counts exact; jaccard-vs-literal compares are identical doubles;
+    * shares divide exact longs.
+    */
+  val yieldCurve: GraftQuery = GraftQuery(
+    "dedup_yield_curve",
+    s"dedup threshold sweep ${YieldThresholds.mkString("/")}: pairs, dup-involved docs, drop-all yield per threshold from one pair mine",
+    DedupOracle.yieldCurveSql) { (s, d) =>
+    yieldCurveFrame(Tables.documents(s, d))
+  }
+
+  /** The yield derivation over any documents frame — shared by the
+    * registry query and the graded-pair fixture (TextDedupSpec).
+    */
+  def yieldCurveFrame(docs: DataFrame): DataFrame = {
+    val pairs = minhashJaccardFrame(docs)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint()
+    val docMax = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+        col("jaccard"))
+      .groupBy(col("doc")).agg(max(col("jaccard")).as("maxj"))
+    val eCols = YieldThresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"e$i")
+    }
+    val mCols = YieldThresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("maxj") >= t, 1L).otherwise(0L)).as(s"m$i")
+    }
+    val edgeAgg = pairs.agg(eCols.head, eCols.tail: _*)
+    val docAgg = docMax.agg(mCols.head, mCols.tail: _*)
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val rows = YieldThresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"e$i").as("n_pairs"),
+        col(s"m$i").as("n_docs_in_dup"))
+    }
+    edgeAgg.crossJoin(broadcast(docAgg)).crossJoin(broadcast(tot))
+      .select(col("n_docs"), inline(array(rows: _*)))
+      // coalesce: an empty pair mine makes the conditional sums NULL on
+      // the engine side while the twin's COALESCE reads 0
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_in_dup"), lit(0L)).as("n_docs_in_dup"),
+        col("n_docs"))
+      .select(col("threshold"), col("n_pairs"), col("n_docs_in_dup"),
+        col("n_docs"),
+        (col("n_docs_in_dup").cast("double") / col("n_docs").cast("double"))
+          .as("dup_doc_share"),
+        ((col("n_docs") - col("n_docs_in_dup")).cast("double")
+          / col("n_docs").cast("double")).as("drop_all_yield"))
+      .orderBy("threshold")
+  }
+
   /** TRAIN/EVAL SPLIT LEAKAGE audit — the eval-hygiene composition of the
     * near-dup miner and the content-hash splitter (`doc_splits`): a
     * near-duplicate pair STRADDLING a split boundary leaks training
@@ -2246,5 +2317,5 @@ object DedupQueries {
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, communities,
       bloomScreen,
       lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest,
-      stageFunnel, splitLeakage)
+      stageFunnel, splitLeakage, yieldCurve)
 }

@@ -962,4 +962,72 @@ object RelationalOracle {
         ELSE n_correct / n_matched END AS precision
     FROM agg ORDER BY nationkey"""
   }
+
+  /** Profiler twin: the same one-pass aggregate, typed min/max surfaced
+    * identically (timestamps as epoch micros, BIGINT means as exact
+    * divisions, doubles via the 1e-4 quantized sum).
+    */
+  val tableProfileSql: String = s"""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(o_orderkey) AS BIGINT) AS c_ok,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+        MIN(o_orderkey) AS mn_ok, MAX(o_orderkey) AS mx_ok,
+        CAST(SUM(o_orderkey) AS BIGINT) AS s_ok,
+        CAST(COUNT(o_custkey) AS BIGINT) AS c_ck,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_ck,
+        MIN(o_custkey) AS mn_ck, MAX(o_custkey) AS mx_ck,
+        CAST(SUM(o_custkey) AS BIGINT) AS s_ck,
+        CAST(COUNT(o_orderstatus) AS BIGINT) AS c_st,
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_st,
+        MIN(o_orderstatus) AS mn_st, MAX(o_orderstatus) AS mx_st,
+        CAST(COUNT(o_totalprice) AS BIGINT) AS c_tp,
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d_tp,
+        MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp,
+        CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS sq_tp,
+        CAST(COUNT(o_orderdate) AS BIGINT) AS c_dt,
+        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_dt,
+        MIN(o_orderdate) AS mn_dt, MAX(o_orderdate) AS mx_dt,
+        CAST(COUNT(o_orderpriority) AS BIGINT) AS c_pr,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_pr,
+        MIN(o_orderpriority) AS mn_pr, MAX(o_orderpriority) AS mx_pr
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS ord, 'o_orderkey' AS col_name,
+        'bigint' AS kind, n AS n_rows, n - c_ok AS n_nulls,
+        d_ok AS n_distinct,
+        CAST(mn_ok AS DOUBLE) AS min_num, CAST(mx_ok AS DOUBLE) AS max_num,
+        CAST(s_ok AS DOUBLE) / CAST(c_ok AS DOUBLE) AS mean_num,
+        CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM a
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'o_custkey', 'bigint', n, n - c_ck, d_ck,
+        CAST(mn_ck AS DOUBLE), CAST(mx_ck AS DOUBLE),
+        CAST(s_ck AS DOUBLE) / CAST(c_ck AS DOUBLE),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM a
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'o_orderstatus', 'string', n, n - c_st,
+        d_st, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(NULL AS DOUBLE), mn_st, mx_st
+      FROM a
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'o_totalprice', 'double', n, n - c_tp,
+        d_tp, mn_tp, mx_tp, sq_tp / 10000.0 / c_tp,
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM a
+      UNION ALL
+      SELECT CAST(5 AS BIGINT), 'o_orderdate', 'timestamp', n, n - c_dt,
+        d_dt, CAST(epoch_us(mn_dt) AS DOUBLE),
+        CAST(epoch_us(mx_dt) AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM a
+      UNION ALL
+      SELECT CAST(6 AS BIGINT), 'o_orderpriority', 'string', n, n - c_pr,
+        d_pr, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(NULL AS DOUBLE), mn_pr, mx_pr
+      FROM a
+    ) ORDER BY ord"""
 }

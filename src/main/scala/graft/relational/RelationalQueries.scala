@@ -272,6 +272,102 @@ object RelationalQueries {
     checks.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** ONE-PASS COLUMN PROFILER — the ingest-time companion of
+    * `corpus_quality_checks` (that one counts rule VIOLATIONS; this
+    * publishes the per-column METRICS a catalog page shows): for every
+    * orders column in a single aggregate pass — null count, EXACT
+    * distinct count, typed min/max (numerics and timestamps surface as
+    * doubles — timestamps as epoch micros, exact under 2^53; strings
+    * as strings), and the mean over non-null values for the numeric
+    * columns. The Deequ/profiler staple, engine-native.
+    *
+    * Scale shape: one aggregate pass; the exact COUNT(DISTINCT)s expand
+    * the pass per distinct-column (Spark's Expand) — the profile is a
+    * maintenance query where exactness is the point at gate SF; at
+    * 100 TB the HLL path substitutes per column with the error band
+    * attested (`product_type_approx_distinct` precedent). Determinism:
+    * counts/min/max exact; means are exact-integer divisions (doubles
+    * quantized at 1e-4 first).
+    */
+  val tableProfile: GraftQuery = GraftQuery(
+    "orders_table_profile",
+    "one-pass column profile of orders: nulls, exact distinct, typed min/max, non-null means",
+    RelationalOracle.tableProfileSql) { (s, d) =>
+    profileFrame(Tables.orders(s, d))
+  }
+
+  /** The profiler over any orders-shaped frame — shared by the registry
+    * query and the planted-nulls fixture (RelationalSpec).
+    */
+  def profileFrame(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = orders.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("c_ok"),
+      countDistinct(col("o_orderkey")).as("d_ok"),
+      min(col("o_orderkey")).as("mn_ok"), max(col("o_orderkey")).as("mx_ok"),
+      sum(col("o_orderkey")).as("s_ok"),
+      count(col("o_custkey")).as("c_ck"),
+      countDistinct(col("o_custkey")).as("d_ck"),
+      min(col("o_custkey")).as("mn_ck"), max(col("o_custkey")).as("mx_ck"),
+      sum(col("o_custkey")).as("s_ck"),
+      count(col("o_orderstatus")).as("c_st"),
+      countDistinct(col("o_orderstatus")).as("d_st"),
+      min(col("o_orderstatus")).as("mn_st"),
+      max(col("o_orderstatus")).as("mx_st"),
+      count(col("o_totalprice")).as("c_tp"),
+      countDistinct(col("o_totalprice")).as("d_tp"),
+      min(col("o_totalprice")).as("mn_tp"), max(col("o_totalprice")).as("mx_tp"),
+      sum(Det.quantize(col("o_totalprice"))).as("sq_tp"),
+      count(col("o_orderdate")).as("c_dt"),
+      countDistinct(col("o_orderdate")).as("d_dt"),
+      min(col("o_orderdate")).as("mn_dt"), max(col("o_orderdate")).as("mx_dt"),
+      count(col("o_orderpriority")).as("c_pr"),
+      countDistinct(col("o_orderpriority")).as("d_pr"),
+      min(col("o_orderpriority")).as("mn_pr"),
+      max(col("o_orderpriority")).as("mx_pr"))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def longRow(ord: Int, name: String, c: String, dd: String, mn: String,
+        mx: String, ss: String) =
+      struct(lit(ord.toLong).as("ord"), lit(name).as("col_name"),
+        lit("bigint").as("kind"), col("n").as("n_rows"),
+        (col("n") - col(c)).as("n_nulls"), col(dd).as("n_distinct"),
+        col(mn).cast("double").as("min_num"),
+        col(mx).cast("double").as("max_num"),
+        (col(ss).cast("double") / col(c).cast("double")).as("mean_num"),
+        nullS.as("min_str"), nullS.as("max_str"))
+    def strRow(ord: Int, name: String, c: String, dd: String, mn: String,
+        mx: String) =
+      struct(lit(ord.toLong).as("ord"), lit(name).as("col_name"),
+        lit("string").as("kind"), col("n").as("n_rows"),
+        (col("n") - col(c)).as("n_nulls"), col(dd).as("n_distinct"),
+        nullD.as("min_num"), nullD.as("max_num"), nullD.as("mean_num"),
+        col(mn).as("min_str"), col(mx).as("max_str"))
+    val rows = array(
+      longRow(1, "o_orderkey", "c_ok", "d_ok", "mn_ok", "mx_ok", "s_ok"),
+      longRow(2, "o_custkey", "c_ck", "d_ck", "mn_ck", "mx_ck", "s_ck"),
+      strRow(3, "o_orderstatus", "c_st", "d_st", "mn_st", "mx_st"),
+      struct(lit(4L).as("ord"), lit("o_totalprice").as("col_name"),
+        lit("double").as("kind"), col("n").as("n_rows"),
+        (col("n") - col("c_tp")).as("n_nulls"), col("d_tp").as("n_distinct"),
+        col("mn_tp").as("min_num"), col("mx_tp").as("max_num"),
+        (col("sq_tp") / lit(Det.pow10(4)) / col("c_tp")).as("mean_num"),
+        nullS.as("min_str"), nullS.as("max_str")),
+      struct(lit(5L).as("ord"), lit("o_orderdate").as("col_name"),
+        lit("timestamp").as("kind"), col("n").as("n_rows"),
+        (col("n") - col("c_dt")).as("n_nulls"), col("d_dt").as("n_distinct"),
+        // NTZ -> TZ cast under the pinned UTC session = the same instant
+        // DuckDB's epoch_us reads from the naive timestamp
+        unix_micros(col("mn_dt").cast("timestamp")).cast("double")
+          .as("min_num"),
+        unix_micros(col("mx_dt").cast("timestamp")).cast("double")
+          .as("max_num"),
+        nullD.as("mean_num"), nullS.as("min_str"), nullS.as("max_str")),
+      strRow(6, "o_orderpriority", "c_pr", "d_pr", "mn_pr", "mx_pr"))
+    a.select(inline(rows)).orderBy("ord")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape), run through the SQL
     * surface: the frame registers the corpus views and executes the SAME
     * text the DuckDB oracle runs. Catalyst decorrelates the per-part
@@ -1202,5 +1298,5 @@ object RelationalQueries {
     profitByNation, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
-    rfmSketchCutoffs)
+    rfmSketchCutoffs, tableProfile)
 }

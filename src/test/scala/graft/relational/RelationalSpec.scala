@@ -182,4 +182,53 @@ class RelationalSpec extends SparkSpec {
     assert(expAgg.values.map(_._2).sum === total,
       "1-edit blocking recall guarantee violated: an unmatched record")
   }
+
+  test("profileFrame: planted nulls/dups/extremes read back exactly per column") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, Some(10L), Some("O"), Some(100.5),
+        Some(Timestamp.valueOf("2024-01-01 00:00:00")), Some("1-URGENT")),
+      (2L, Some(10L), Some("F"), Some(-3.25),
+        Some(Timestamp.valueOf("2024-03-01 12:00:00")), Some("1-URGENT")),
+      (3L, None, Some("O"), None, None, Some("5-LOW")),
+      (4L, Some(20L), None, Some(7.0), None, None))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = graft.relational.RelationalQueries.profileFrame(rows)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(got.keySet.size === 6)
+    got.values.foreach(r => assert(r.getAs[Long]("n_rows") === 4L))
+    val ok = got("o_orderkey")
+    assert(ok.getAs[Long]("n_nulls") === 0L)
+    assert(ok.getAs[Long]("n_distinct") === 4L)
+    assert(ok.getAs[Double]("min_num") === 1.0)
+    assert(ok.getAs[Double]("max_num") === 4.0)
+    assert(ok.getAs[Double]("mean_num") === 10.0 / 4.0)
+    val ck = got("o_custkey")
+    assert(ck.getAs[Long]("n_nulls") === 1L)
+    assert(ck.getAs[Long]("n_distinct") === 2L) // dups collapse, null out
+    assert(ck.getAs[Double]("mean_num") === 40.0 / 3.0) // non-null mean
+    val st = got("o_orderstatus")
+    assert(st.getAs[Long]("n_nulls") === 1L)
+    assert(st.getAs[String]("min_str") === "F")
+    assert(st.getAs[String]("max_str") === "O")
+    assert(st.isNullAt(st.fieldIndex("min_num")))
+    val tp = got("o_totalprice")
+    assert(tp.getAs[Double]("min_num") === -3.25)
+    assert(tp.getAs[Double]("max_num") === 100.5)
+    // quantized non-null mean: (1005000 - 32500 + 70000)/1e4/3
+    assert(tp.getAs[Double]("mean_num") === 1042500L / 1e4 / 3L)
+    val dt = got("o_orderdate")
+    assert(dt.getAs[Long]("n_nulls") === 2L)
+    assert(dt.getAs[Double]("min_num") ===
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000.0)
+    assert(dt.getAs[Double]("max_num") ===
+      Timestamp.valueOf("2024-03-01 12:00:00").getTime * 1000.0)
+    assert(dt.isNullAt(dt.fieldIndex("mean_num")))
+    val pr = got("o_orderpriority")
+    assert(pr.getAs[Long]("n_distinct") === 2L)
+    assert(pr.getAs[String]("min_str") === "1-URGENT")
+    assert(pr.getAs[String]("max_str") === "5-LOW")
+  }
 }

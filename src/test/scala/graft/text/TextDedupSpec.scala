@@ -1112,6 +1112,56 @@ class TextDedupSpec extends SparkSpec {
       assert(v._4 === expected(k)._1.toDouble / total, s"share of $k") }
   }
 
+  test("yieldCurveFrame: graded-pair fixture — curve replays the mined pairs exactly, monotone in the threshold") {
+    val spark0 = spark
+    import spark0.implicits._
+    def doc(id: Long, toks: Seq[String]) =
+      (id, toks.mkString(" "), "en", "s", 1L)
+    // graded duplicate strengths: exact (J=1), strong (58/60), and two
+    // partial overlaps; singles as background
+    val w = (1 to 60).map(n => s"w$n")
+    val docs = Seq(
+      doc(1, (1 to 10).map(n => s"a$n")), doc(2, (1 to 10).map(n => s"a$n")),
+      doc(3, w), doc(4, w.init :+ "wX"),
+      doc(5, (1 to 20).map(n => s"b$n")),
+      doc(6, (1 to 17).map(n => s"b$n") ++ Seq("bx", "by", "bz")),
+      doc(7, (1 to 12).map(n => s"c$n")),
+      doc(8, (1 to 9).map(n => s"c$n") ++ Seq("cx", "cy", "cz")),
+      doc(9, (1 to 30).map(n => s"q$n")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // ground truth = the pair mine itself (band-catch is probabilistic
+    // per pair; the curve's job is aggregating what WAS mined)
+    val mined = graft.dedup.DedupQueries.minhashJaccardFrame(docs)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact pair is always caught (identical signatures collide in
+    // every band) and the strong pair at 58/60 survives banding here
+    assert(mined.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(mined.exists { case (a, b, _) => a == 3L && b == 4L })
+    val got = graft.dedup.DedupQueries.yieldCurveFrame(docs).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet === graft.dedup.DedupQueries.YieldThresholds.toSet)
+    graft.dedup.DedupQueries.YieldThresholds.foreach { t =>
+      val pairsT = mined.filter(_._3 >= t)
+      val docsT = pairsT.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      val (np, nd, n, share, yld) = got(t)
+      assert(np === pairsT.length.toLong, s"pairs at $t")
+      assert(nd === docsT, s"docs at $t")
+      assert(n === 9L)
+      assert(share === docsT.toDouble / 9.0)
+      assert(yld === (9L - docsT).toDouble / 9.0)
+    }
+    // monotone: tightening the threshold never adds pairs or docs
+    val ts = graft.dedup.DedupQueries.YieldThresholds
+    ts.zip(ts.tail).foreach { case (lo, hi) =>
+      assert(got(lo)._1 >= got(hi)._1 && got(lo)._2 >= got(hi)._2)
+    }
+    // the exact pair survives every threshold
+    assert(got(0.9)._1 >= 1L)
+  }
+
   test("unseenMassFrame: hand trigram counts — Turing P0 and Chao1 exact; short docs contribute nothing") {
     val spark0 = spark
     import spark0.implicits._
