@@ -2372,6 +2372,101 @@ object EventOracle {
     * censor rule, descending at-risk window, 1e-9 ln/ratio quantization,
     * and the exp-of-exact-prefix-sum survival recomposition.
     */
+  /** Twin of [[EventQueries.survivalLogrankFrame]]: the KM lifetime
+    * chain split by the hash60 arm, the identical event-time grid joins,
+    * per-term 1e-9 quantization of E1/V1 in matching shapes, and the
+    * same quantized-z rejection literal.
+    */
+  def survivalLogrankSql: String = {
+    val gap = EventQueries.KmChurnGapDays
+    val zc = EventQueries.LogrankZCritQ
+    s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM ev GROUP BY 1
+    ),
+    cls AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::UBIGINT
+          AS BIGINT) % 2 AS grp,
+        CAST(date_diff('day', CAST(first_ts AS DATE),
+          CAST(last_ts AS DATE)) AS INTEGER) AS dur,
+        CAST(last_ts AS DATE) AS last_day, COUNT(*) AS nu
+      FROM pu GROUP BY 1, 2, 3
+    ),
+    obs AS (SELECT max(last_day) AS obs_day FROM cls),
+    base AS MATERIALIZED (
+      SELECT grp, dur,
+        CAST(SUM(CASE WHEN last_day < (SELECT obs_day FROM obs) - $gap
+          THEN nu ELSE 0 END) AS BIGINT) AS n_events,
+        CAST(SUM(nu) AS BIGINT) AS n_total
+      FROM cls GROUP BY 1, 2
+    ),
+    times AS (SELECT DISTINCT dur AS t FROM base WHERE n_events > 0),
+    risk AS (
+      SELECT t,
+        CAST(SUM(CASE WHEN grp = 0 THEN n_total ELSE 0 END) AS BIGINT)
+          AS n1,
+        CAST(SUM(n_total) AS BIGINT) AS nt
+      FROM times JOIN base ON dur >= t GROUP BY t
+    ),
+    deaths AS (
+      SELECT t,
+        CAST(SUM(CASE WHEN grp = 0 THEN n_events ELSE 0 END) AS BIGINT)
+          AS d1,
+        CAST(SUM(n_events) AS BIGINT) AS dt
+      FROM times JOIN base ON dur = t GROUP BY t
+    ),
+    terms AS (
+      SELECT d1,
+        CAST(floor(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+          / CAST(nt AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS eq,
+        CAST(floor((CASE WHEN nt > 1 THEN
+          CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+            * (1.0::DOUBLE - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+            * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))
+          ELSE 0.0::DOUBLE END) * 1e9 + 0.5) AS BIGINT) AS vq
+      FROM risk JOIN deaths USING (t)
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+        CAST(SUM(d1) AS BIGINT) AS o1,
+        CAST(SUM(eq) AS BIGINT) AS eqs, CAST(SUM(vq) AS BIGINT) AS vqs
+      FROM terms
+    ),
+    tot AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 0 THEN n_total ELSE 0 END) AS BIGINT)
+          AS n_users_a,
+        CAST(SUM(CASE WHEN grp = 1 THEN n_total ELSE 0 END) AS BIGINT)
+          AS n_users_b,
+        CAST(SUM(CASE WHEN grp = 0 THEN n_events ELSE 0 END) AS BIGINT)
+          AS n_churn_a,
+        CAST(SUM(CASE WHEN grp = 1 THEN n_events ELSE 0 END) AS BIGINT)
+          AS n_churn_b
+      FROM base
+    ),
+    fin AS (
+      SELECT tot.*, agg.n_times, agg.o1,
+        CAST(agg.eqs AS DOUBLE) / 1e9 AS e1,
+        CAST(agg.vqs AS DOUBLE) / 1e9 AS v1,
+        CAST(agg.o1 AS DOUBLE) - CAST(agg.eqs AS DOUBLE) / 1e9 AS ome,
+        CASE WHEN agg.vqs > 0 THEN
+          CAST(floor((CAST(agg.o1 AS DOUBLE)
+            - CAST(agg.eqs AS DOUBLE) / 1e9)
+            / sqrt(CAST(agg.vqs AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT)
+        END AS zq
+      FROM tot CROSS JOIN agg
+    )
+    SELECT n_users_a, n_users_b, n_churn_a, n_churn_b, n_times,
+      o1 AS observed_a, e1 AS expected_a, ome AS o_minus_e,
+      v1 AS var_logrank,
+      CAST(zq AS DOUBLE) / 1e9 AS z,
+      CAST(zq AS DOUBLE) / 1e9 * (CAST(zq AS DOUBLE) / 1e9) AS chi2,
+      abs(zq) >= $zc AS reject_5pct
+    FROM fin"""
+  }
+
   def survivalKmSql: String = {
     val gap = EventQueries.KmChurnGapDays
     val zq = EventQueries.KmZeroLnQ

@@ -3283,6 +3283,114 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** |z| threshold for [[survivalLogrank]]'s 5% two-sided rejection,
+    * pre-quantized to the 1e-9 grid the test statistic compares on.
+    */
+  val LogrankZCritQ = 1959963985L // 1.959963985 * 1e9
+
+  /** TWO-GROUP LOG-RANK TEST — the inferential piece the survival family
+    * lacked: [[survivalKm]] draws the curves, [[survivalCohorts]] shards
+    * them, but "are these two churn curves DIFFERENT?" needs the
+    * log-rank statistic — the standard nonparametric test that uses
+    * every event time and handles censoring correctly (comparing
+    * medians or fixed-horizon rates throws information away). Groups
+    * are the hash60 user arms (the [[abTest]] convention, so this is
+    * the survival leg of the experimentation readouts): at each
+    * distinct churn time t, arm A's observed deaths d1 are compared to
+    * the hypergeometric expectation E1 = dt·n1/nt with variance
+    * V1 = dt·(n1/nt)·(1−n1/nt)·(nt−dt)/(nt−1); z = Σ(d1−E1)/√ΣV1,
+    * chi² = z², reject at |z| ≥ 1.96 (compared on the 1e-9-quantized
+    * grid — no normal CDF, no transcendentals beyond one sqrt).
+    *
+    * Scale shape: one corpus pass to per-user lifetimes, then
+    * everything runs on the model-sized (arm x duration) frame — the
+    * event-time grid join is T x |frame|, both calendar-bounded.
+    * Determinism: risk/death counts exact longs; each E1/V1 term
+    * quantizes to 1e-9 LONGs before the order-insensitive sum; z is
+    * one division + sqrt in a shared shape.
+    */
+  val survivalLogrank: GraftQuery = GraftQuery.oneRow(
+    "events_survival_logrank",
+    "two-group log-rank test on user churn (hash arms): O-E, hypergeometric variance, z, chi2, reject at 5%",
+    EventOracle.survivalLogrankSql) { (s, d) =>
+    survivalLogrankFrame(Tables.events(s, d))
+  }
+
+  /** The log-rank derivation over any events frame — shared by the
+    * registry query and the textbook hand fixture (EventQueriesSpec).
+    */
+  def survivalLogrankFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cls = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(
+        (graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+          .as("grp"),
+        datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+          .as("dur"),
+        to_date(col("last_ts")).as("last_day"))
+      .groupBy(col("grp"), col("dur"), col("last_day"))
+      .agg(count(lit(1)).as("nu"))
+      .localCheckpoint() // model-sized: arms x durations x last-days
+    val obs = cls.agg(max(col("last_day")).as("obs_day"))
+    val base = cls.crossJoin(broadcast(obs))
+      .withColumn("churn",
+        col("last_day") < date_sub(col("obs_day"), KmChurnGapDays))
+      .groupBy(col("grp"), col("dur"))
+      .agg(
+        sum(when(col("churn"), col("nu")).otherwise(0L)).as("n_events"),
+        sum(col("nu")).as("n_total"))
+      .localCheckpoint()
+    val times = base.filter(col("n_events") > 0L)
+      .select(col("dur").as("t")).distinct()
+    val risk = times.join(base, col("dur") >= col("t"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("grp") === 0, col("n_total")).otherwise(0L)).as("n1"),
+        sum(col("n_total")).as("nt"))
+    val deaths = times.join(base, col("dur") === col("t"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("grp") === 0, col("n_events")).otherwise(0L)).as("d1"),
+        sum(col("n_events")).as("dt"))
+    val n1nt = col("n1").cast("double") / col("nt").cast("double")
+    val terms = risk.join(deaths, Seq("t"))
+      .select(col("d1"),
+        Det.quantize(col("dt").cast("double") * col("n1").cast("double")
+          / col("nt").cast("double"), 9).as("eq"),
+        Det.quantize(when(col("nt") > 1L,
+          col("dt").cast("double") * n1nt * (lit(1.0) - n1nt)
+            * ((col("nt") - col("dt")).cast("double")
+              / (col("nt") - 1L).cast("double")))
+          .otherwise(lit(0.0)), 9).as("vq"))
+      .agg(count(lit(1)).as("n_times"), sum(col("d1")).as("o1"),
+        sum(col("eq")).as("eqs"), sum(col("vq")).as("vqs"))
+    val tot = base.agg(
+      sum(when(col("grp") === 0, col("n_total")).otherwise(0L))
+        .as("n_users_a"),
+      sum(when(col("grp") === 1, col("n_total")).otherwise(0L))
+        .as("n_users_b"),
+      sum(when(col("grp") === 0, col("n_events")).otherwise(0L))
+        .as("n_churn_a"),
+      sum(when(col("grp") === 1, col("n_events")).otherwise(0L))
+        .as("n_churn_b"))
+    tot.crossJoin(broadcast(terms))
+      .withColumn("e1", col("eqs").cast("double") / lit(1e9))
+      .withColumn("v1", col("vqs").cast("double") / lit(1e9))
+      .withColumn("o_minus_e", col("o1").cast("double") - col("e1"))
+      .withColumn("zq", when(col("vqs") > 0L,
+        Det.quantize(col("o_minus_e") / sqrt(col("v1")), 9)))
+      .select(col("n_users_a"), col("n_users_b"), col("n_churn_a"),
+        col("n_churn_b"), col("n_times"), col("o1").as("observed_a"),
+        col("e1").as("expected_a"), col("o_minus_e"),
+        col("v1").as("var_logrank"),
+        (col("zq").cast("double") / lit(1e9)).as("z"),
+        (col("zq").cast("double") / lit(1e9)
+          * (col("zq").cast("double") / lit(1e9))).as("chi2"),
+        (abs(col("zq")) >= lit(LogrankZCritQ)).as("reject_5pct"))
+  }
+
   /** Folds for [[targetEncoding]]'s K-fold scheme. */
   val TeFolds = 5
 
@@ -3782,7 +3890,8 @@ object EventQueries {
       kAnonymity, lDiversity, contributionCap, dpRelease, ewmaChart,
       ewmaFrozen,
       abCuped,
-      survivalKm, survivalCohorts, funnelZtest, didEstimate,
+      survivalKm, survivalCohorts, survivalLogrank, funnelZtest,
+      didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg)
 }

@@ -1004,6 +1004,51 @@ class EventQueriesSpec extends SparkSpec {
     assert(a.getAs[Double]("noise_count") !== a.getAs[Double]("noise_sum"))
   }
 
+  test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
+    import spark.implicits._
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    // the arm is the user-id content hash, so the fixture SEARCHES ids
+    val arm0 = (1L to 200L).filter(arm(_) == 0L)
+    val arm1 = (1L to 200L).filter(arm(_) == 1L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(day: Int) = new java.sql.Timestamp(base + day * 86400000L)
+    var eid = 0L
+    def life(user: Long, days: Int*) = days.map { d =>
+      eid += 1; (eid, at(d), user, "view", 0.0, "{}")
+    }
+    // arm A: churned at durations 5 and 10; arm B: churned at 5,
+    // censored at 15 (last event within the 21d gap of obs day 100),
+    // plus the dur-0 censored observer anchoring obs_day
+    val rows = life(arm0(0), 0, 5) ++ life(arm0(1), 0, 10) ++
+      life(arm1(0), 0, 5) ++ life(arm1(1), 79, 94) ++ life(arm1(2), 100)
+    val r = EventQueries.survivalLogrankFrame(rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(r.getAs[Long]("n_users_a") === 2L)
+    assert(r.getAs[Long]("n_users_b") === 3L)
+    assert(r.getAs[Long]("n_churn_a") === 2L)
+    assert(r.getAs[Long]("n_churn_b") === 1L)
+    assert(r.getAs[Long]("n_times") === 2L)
+    // hand table: t=5 (n1=2,nt=4,d1=1,dt=2): E=1, V=1/3; t=10
+    // (n1=1,nt=2,d1=1,dt=1): E=0.5, V=0.25 — quantized: V sums to
+    // 583333333/1e9
+    assert(r.getAs[Long]("observed_a") === 2L)
+    assert(r.getAs[Double]("expected_a") === 1.5)
+    assert(r.getAs[Double]("o_minus_e") === 0.5)
+    assert(r.getAs[Double]("var_logrank") === 583333333.0 / 1e9)
+    val z = math.floor(0.5 / math.sqrt(583333333.0 / 1e9) * 1e9 + 0.5) / 1e9
+    assert(r.getAs[Double]("z") === z)
+    assert(r.getAs[Double]("chi2") === z * z)
+    assert(!r.getAs[Boolean]("reject_5pct"))
+    // textbook value of this fixture's statistic
+    assert(math.abs(z - 0.6546536) < 1e-6)
+  }
+
   test("changepointBinsegFrame: planted level shifts located exactly; full greedy replay bit-exact") {
     import spark.implicits._
     // piecewise-constant hourly series: 10/h for 80h, 30/h for 70h,
