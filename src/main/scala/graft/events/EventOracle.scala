@@ -2723,4 +2723,119 @@ object EventOracle {
     FROM a
     ORDER BY event_type"""
   }
+
+  /** Twin of [[EventQueries.srmCheckFrame]]: identical distinct exposure
+    * grains, hash60 arms, 1e-9-quantized chi² compared against the same
+    * pre-quantized critical literals.
+    */
+  def srmCheckSql: String = s"""
+    WITH $evCte,
+    tu AS (
+      SELECT event_type, user_id,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM (SELECT DISTINCT event_type, user_id FROM ev)
+    ),
+    seg AS (
+      SELECT event_type AS segment,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM tu GROUP BY 1
+    ),
+    allr AS (
+      SELECT 'ALL' AS segment,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM (SELECT DISTINCT user_id, arm FROM tu)
+    ),
+    u AS (SELECT * FROM seg UNION ALL SELECT * FROM allr),
+    st AS (
+      SELECT segment, n_a, n_b, n_a + n_b AS n_users,
+        CASE WHEN n_a + n_b > 0 THEN CAST(floor(
+          CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END
+          AS chi2q
+      FROM u
+    )
+    SELECT segment, n_a, n_b, n_users,
+      CASE WHEN n_users > 0 THEN
+        CAST(n_a AS DOUBLE) / CAST(n_users AS DOUBLE) END AS share_a,
+      CAST(chi2q AS DOUBLE) / 1e9 AS chi2,
+      chi2q >= ${EventQueries.SrmChi2Crit5Q} AS srm_5pct,
+      chi2q >= ${EventQueries.SrmChi2Crit1PmQ} AS srm_1pm
+    FROM st ORDER BY segment"""
+
+  /** Twin of [[EventQueries.abPower]]: the abTestSql sufficient-statistic
+    * chain, then the same MDE/required-n recompositions — mde quantized
+    * to 1e-6 before the relative form, n_req's double guarded below the
+    * BIGINT ceiling before ceil.
+    */
+  def abPowerSql: String = s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS uq,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM ev GROUP BY user_id
+    ),
+    pq AS (
+      SELECT user_id, uq, arm,
+        CASE WHEN abs(uq) > 3037000499
+          THEN CAST(error('events_ab_power: per-user total overflows the '
+            || 'ssq quantum') AS BIGINT)
+          ELSE uq * uq END AS uq2
+      FROM pu
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq ELSE 0 END) AS BIGINT) AS sb,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq2 ELSE 0 END) AS BIGINT) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq2 ELSE 0 END) AS BIGINT) AS qb
+      FROM pq
+    ),
+    st AS (
+      SELECT n_a, n_b,
+        CASE WHEN n_a > 0 THEN sa / 10000.0 / n_a END AS mean_a,
+        CASE WHEN n_a > 1 THEN
+          (qa / 100000000.0 - (sa / 10000.0) * (sa / 10000.0) / n_a)
+            / (n_a - 1) END AS var_a,
+        CASE WHEN n_b > 1 THEN
+          (qb / 100000000.0 - (sb / 10000.0) * (sb / 10000.0) / n_b)
+            / (n_b - 1) END AS var_b
+      FROM ag
+    ),
+    se AS (
+      SELECT st.*, var_a / n_a + var_b / n_b AS se2,
+        CASE WHEN n_a > 1 AND n_b > 1 THEN
+          ((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2) END
+          AS var_pooled
+      FROM st
+    ),
+    md AS (
+      SELECT se.*,
+        CASE WHEN se2 > 0 THEN
+          floor(${EventQueries.PowerZSum}::DOUBLE * sqrt(se2) * 1e6 + 0.5)
+            / 1e6 END AS mde_abs,
+        CASE WHEN mean_a IS NOT NULL AND mean_a <> 0 THEN
+          ${EventQueries.PowerMdeRel}::DOUBLE * mean_a END AS delta_1pct
+      FROM se
+    ),
+    nr AS (
+      SELECT md.*,
+        2.0::DOUBLE * (${EventQueries.PowerZSum}::DOUBLE
+          * ${EventQueries.PowerZSum}::DOUBLE) * var_pooled
+          / (delta_1pct * delta_1pct) AS nreq_d
+      FROM md
+    )
+    SELECT n_a, n_b, mean_a, var_pooled,
+      sqrt(se2) AS se_delta, mde_abs,
+      mde_abs / mean_a AS mde_rel,
+      CASE WHEN nreq_d < 9e18::DOUBLE THEN
+        CAST(ceil(nreq_d) AS BIGINT) END AS n_req_per_arm_1pct
+    FROM nr"""
 }

@@ -3877,6 +3877,162 @@ object EventQueries {
   /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG. */
   private val MaxSqAbs = 3037000499L
 
+  /** chi²(df=1) critical values on [[srmCheck]]'s 1e-9-quantized grid:
+    * 3.841458821 (5%) and 10.827566171 (0.1% — the ship-blocking SRM
+    * convention: an experiment platform pages at the stricter level
+    * because assignment imbalance invalidates EVERY downstream readout).
+    */
+  val SrmChi2Crit5Q = 3841458821L
+  val SrmChi2Crit1PmQ = 10827566171L
+
+  /** SAMPLE-RATIO-MISMATCH GUARDRAIL — the check every experimentation
+    * platform runs BEFORE anyone reads [[abTest]]/[[abCuped]]/
+    * [[abSequential]]: under 50/50 hash assignment the arm exposure
+    * counts must be binomially plausible, and a chi² goodness-of-fit
+    * rejection means the logging/assignment path is dropping one arm —
+    * every effect estimate downstream is biased and the readouts above
+    * are void. Segmented per event_type (real SRM bugs are usually
+    * segment-local: one surface's instrumentation drops an arm) plus an
+    * 'ALL' row at the distinct-user grain; chi² = (n_a−n_b)²/n for the
+    * 2-cell equal-split case, flagged at 5% and at the conventional
+    * ship-blocking 0.1%.
+    *
+    * Scale shape: one distinct shuffle to (event_type, user) exposure
+    * grain, a second distinct over its projection for the global row —
+    * both partial-aggregated; readout frames are segment-sized.
+    * Determinism: counts exact longs; chi² quantizes to 1e-9 before the
+    * flag comparisons against the pre-quantized critical literals.
+    * On this corpus the hash IS the assignment, so the honest readout is
+    * no-mismatch everywhere; the spec plants a dropped-arm segment by
+    * searching ids (the fixture convention of [[survivalLogrank]]).
+    */
+  val srmCheck: GraftQuery = GraftQuery(
+    "events_srm_check",
+    "sample-ratio-mismatch guardrail: per-segment + overall arm-exposure chi2 vs 50/50, flagged at 5% and 0.1%",
+    EventOracle.srmCheckSql) { (s, d) =>
+    srmCheckFrame(Tables.events(s, d))
+  }
+
+  /** The SRM derivation over any events frame — shared by the registry
+    * query and the planted dropped-arm fixture (EventQueriesSpec).
+    */
+  def srmCheckFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    def counts(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val seg = counts(tu.withColumnRenamed("event_type", "segment")
+      .groupBy(col("segment")))
+    val allRow = counts(tu.select(col("user_id"), col("arm")).distinct()
+      .withColumn("segment", lit("ALL")).groupBy(col("segment")))
+    val diff = (col("n_a") - col("n_b")).cast("double")
+    seg.unionByName(allRow)
+      .withColumn("n_users", col("n_a") + col("n_b"))
+      .withColumn("chi2q", when(col("n_users") > 0L,
+        Det.quantize(diff * diff / col("n_users").cast("double"), 9)))
+      .select(col("segment"), col("n_a"), col("n_b"), col("n_users"),
+        when(col("n_users") > 0L, col("n_a").cast("double")
+          / col("n_users").cast("double")).as("share_a"),
+        (col("chi2q").cast("double") / lit(1e9)).as("chi2"),
+        (col("chi2q") >= lit(SrmChi2Crit5Q)).as("srm_5pct"),
+        (col("chi2q") >= lit(SrmChi2Crit1PmQ)).as("srm_1pm"))
+      .orderBy("segment")
+  }
+
+  /** Normal quantiles for [[abPower]]: z_{0.025} (5% two-sided) and
+    * z_{0.20} (80% power), and their pinned sum — published constants,
+    * shared as literals so both engines parse identical doubles.
+    */
+  val PowerZAlpha = 1.959963985
+  val PowerZBeta = 0.841621234
+  val PowerZSum = 2.801585219 // PowerZAlpha + PowerZBeta, pre-added
+  /** Relative lift the required-n readout is sized for (1%). */
+  val PowerMdeRel = 0.01
+
+  /** POST-HOC POWER / MDE READOUT — the sentence a reviewer asks for
+    * when [[abTest]] comes back flat: "what lift COULD this experiment
+    * have seen?" A non-significant t with an MDE of 8% does not license
+    * 'no effect' if the team cares about 2% — the absence-of-evidence
+    * trap, answered with numbers: minimum detectable effect at 5%
+    * two-sided / 80% power, MDE = (z_a + z_b)·se(Δ) over the observed
+    * Welch standard error, both absolute and relative to control; plus
+    * the forward-looking design number — users per arm required to
+    * detect a 1% relative lift at the observed pooled variance,
+    * n = 2(z_a+z_b)²·var_pooled/δ².
+    *
+    * Scale shape: identical to [[abTest]] — one partial-agg shuffle to
+    * per-user totals, a 6-long conditional aggregate, scalar readout.
+    * Determinism: the abTest sufficient-statistic recompositions; mde
+    * quantizes to 1e-6 (the t_stat convention) and mde_rel derives from
+    * the quantized value; n_req guards its double against the BIGINT
+    * ceiling before ceil (the Neyman floor(NaN) lesson — DuckDB raises
+    * on non-finite casts where Spark nulls).
+    */
+  val abPower: GraftQuery = GraftQuery.oneRow(
+    "events_ab_power",
+    "post-hoc A/B power readout: Welch-se MDE (abs + rel) at 5%/80% and required n per arm for a 1% lift",
+    EventOracle.abPowerSql) { (s, d) =>
+    abPowerFrame(Tables.events(s, d))
+  }
+
+  /** The MDE/required-n derivation over any events frame — shared by the
+    * registry query and the hand-variance fixture (EventQueriesSpec).
+    */
+  def abPowerFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perUser = events
+      .select(col("user_id"), Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("vq")).as("uq"))
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    val uqSq = when(abs(col("uq")) > lit(MaxSqAbs),
+      raise_error(lit("events_ab_power: per-user total overflows the " +
+        "ssq quantum — widen the quantum")).cast("long"))
+      .otherwise(col("uq") * col("uq"))
+    val agg = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("uq")).otherwise(0L)).as("sa"),
+      sum(when(col("arm") === 1, col("uq")).otherwise(0L)).as("sb"),
+      sum(when(col("arm") === 0, uqSq).otherwise(0L)).as("qa"),
+      sum(when(col("arm") === 1, uqSq).otherwise(0L)).as("qb"))
+    val sc = lit(Det.pow10(4).toDouble)
+    def vr(q: org.apache.spark.sql.Column, s0: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      when(n > lit(1L),
+        (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - lit(1)))
+    agg.select(
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0L, col("sa") / sc / col("n_a")).as("mean_a"),
+        vr(col("qa"), col("sa"), col("n_a")).as("var_a"),
+        vr(col("qb"), col("sb"), col("n_b")).as("var_b"))
+      .withColumn("se2",
+        col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      .withColumn("var_pooled",
+        when(col("n_a") > 1L && col("n_b") > 1L,
+          ((col("n_a") - 1L) * col("var_a") + (col("n_b") - 1L)
+            * col("var_b")) / (col("n_a") + col("n_b") - lit(2L))))
+      .withColumn("mde_abs", when(col("se2") > 0,
+        floor(lit(PowerZSum) * sqrt(col("se2")) * lit(1e6) + lit(0.5))
+          / lit(1e6)))
+      .withColumn("delta_1pct",
+        when(col("mean_a").isNotNull && col("mean_a") =!= 0,
+          lit(PowerMdeRel) * col("mean_a")))
+      .withColumn("nreq_d",
+        lit(2.0) * (lit(PowerZSum) * lit(PowerZSum)) * col("var_pooled")
+          / (col("delta_1pct") * col("delta_1pct")))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("var_pooled"),
+        sqrt(col("se2")).as("se_delta"), col("mde_abs"),
+        (col("mde_abs") / col("mean_a")).as("mde_rel"),
+        when(col("nreq_d") < lit(9.0e18), ceil(col("nreq_d")))
+          .as("n_req_per_arm_1pct"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
@@ -3893,5 +4049,6 @@ object EventQueries {
       survivalKm, survivalCohorts, survivalLogrank, funnelZtest,
       didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
-      pitTraining, keySkew, kpiContribution, changepointBinseg)
+      pitTraining, keySkew, kpiContribution, changepointBinseg,
+      srmCheck, abPower)
 }

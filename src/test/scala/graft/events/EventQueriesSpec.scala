@@ -1004,6 +1004,93 @@ class EventQueriesSpec extends SparkSpec {
     assert(a.getAs[Double]("noise_count") !== a.getAs[Double]("noise_sum"))
   }
 
+  test("srmCheckFrame: planted dropped-arm segment pages at 0.1%, balanced segment clean, ALL row on distinct users") {
+    import spark.implicits._
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val ids0 = (1L to 400L).filter(arm(_) == 0L)
+    val ids1 = (1L to 400L).filter(arm(_) == 1L)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var eid = 0L
+    def ev(user: Long, typ: String) = { eid += 1; (eid, ts, user, typ, 0.0, "{}") }
+    // 'bal': 8 + 8 users (one user twice — exposure is DISTINCT users);
+    // 'drop': 18 arm-0 vs 2 arm-1 (instrumentation dropped an arm)
+    val bal0 = ids0.take(8); val bal1 = ids1.take(8)
+    val drop0 = ids0.slice(8, 26); val drop1 = ids1.slice(8, 10)
+    val rows = bal0.map(ev(_, "bal")) ++ bal1.map(ev(_, "bal")) ++
+      Seq(ev(bal0.head, "bal")) ++
+      drop0.map(ev(_, "drop")) ++ drop1.map(ev(_, "drop"))
+    val r = EventQueries.srmCheckFrame(rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(x => x.getAs[String]("segment") -> x).toMap
+    assert(r.keySet === Set("ALL", "bal", "drop"))
+    val bal = r("bal")
+    assert(bal.getAs[Long]("n_a") === 8L)
+    assert(bal.getAs[Long]("n_b") === 8L)
+    assert(bal.getAs[Double]("chi2") === 0.0)
+    assert(bal.getAs[Double]("share_a") === 0.5)
+    assert(!bal.getAs[Boolean]("srm_5pct") && !bal.getAs[Boolean]("srm_1pm"))
+    val drop = r("drop")
+    assert(drop.getAs[Long]("n_a") === 18L)
+    assert(drop.getAs[Long]("n_b") === 2L)
+    assert(drop.getAs[Double]("chi2") === 12.8) // 16^2/20
+    assert(drop.getAs[Boolean]("srm_5pct") && drop.getAs[Boolean]("srm_1pm"))
+    val all = r("ALL")
+    assert(all.getAs[Long]("n_users") === 36L)
+    assert(all.getAs[Long]("n_a") === 26L)
+    // 16^2/36 quantized at 1e-9
+    assert(all.getAs[Double]("chi2")
+      === math.floor(256.0 / 36.0 * 1e9 + 0.5) / 1e9)
+    assert(all.getAs[Boolean]("srm_5pct") && !all.getAs[Boolean]("srm_1pm"))
+  }
+
+  test("abPowerFrame: hand-variance fixture — MDE and required-n replay bit-exact") {
+    import spark.implicits._
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val ids0 = (1L to 100L).filter(arm(_) == 0L).take(4)
+    val ids1 = (1L to 100L).filter(arm(_) == 1L).take(4)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var eid = 0L
+    def ev(user: Long, v: Double) = { eid += 1; (eid, ts, user, "view", v, "{}") }
+    val rows = ids0.zip(Seq(10.0, 20.0, 30.0, 40.0)).map { case (u, v) => ev(u, v) } ++
+      ids1.zip(Seq(12.0, 22.0, 32.0, 42.0)).map { case (u, v) => ev(u, v) }
+    val r = EventQueries.abPowerFrame(rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 4L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Double]("mean_a") === 25.0)
+    // replay through the engine's exact double shapes (1e4 quanta)
+    val sc = 1e4
+    def vr(vals: Seq[Double]): Double = {
+      val uq = vals.map(v => math.floor(v * sc + 0.5))
+      val q = uq.map(x => x * x).sum
+      val s0 = uq.sum
+      (q / (sc * sc) - (s0 / sc) * (s0 / sc) / 4L) / (4L - 1)
+    }
+    val va = vr(Seq(10.0, 20.0, 30.0, 40.0))
+    val vb = vr(Seq(12.0, 22.0, 32.0, 42.0))
+    assert(r.getAs[Double]("var_pooled") === ((4L - 1) * va + (4L - 1) * vb) / (4L + 4L - 2))
+    val se2 = va / 4L + vb / 4L
+    assert(r.getAs[Double]("se_delta") === math.sqrt(se2))
+    val mde = math.floor(EventQueries.PowerZSum * math.sqrt(se2) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("mde_abs") === mde)
+    assert(r.getAs[Double]("mde_rel") === mde / 25.0)
+    val vp = ((4L - 1) * va + (4L - 1) * vb) / (4L + 4L - 2)
+    val d = EventQueries.PowerMdeRel * 25.0
+    val nreq = 2.0 * (EventQueries.PowerZSum * EventQueries.PowerZSum) * vp / (d * d)
+    assert(r.getAs[Long]("n_req_per_arm_1pct") === math.ceil(nreq).toLong)
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
