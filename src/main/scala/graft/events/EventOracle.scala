@@ -2838,4 +2838,73 @@ object EventOracle {
       CASE WHEN nreq_d < 9e18::DOUBLE THEN
         CAST(ceil(nreq_d) AS BIGINT) END AS n_req_per_arm_1pct
     FROM nr"""
+
+  /** Twin of [[EventQueries.bootstrapCiFrame]]: the same hash60-seeded
+    * Poisson(1) inverse-CDF weights over shared CDF literals, exact-LONG
+    * weighted sums per replicate, the (mean, b) rank order, and the
+    * integer-ceiling nearest-rank cuts over the valid-replicate count.
+    */
+  def bootstrapCiSql: String = {
+    val b = EventQueries.BootReps
+    val cdf = EventQueries.PoissonCdf
+    val wCase = cdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t::DOUBLE THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${cdf.size} END")
+    s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS uq
+      FROM ev GROUP BY user_id
+    ),
+    reps AS (
+      SELECT user_id, uq, unnest(generate_series(0, ${b - 1})) AS b
+      FROM pu
+    ),
+    us AS (
+      SELECT uq, b,
+        (CAST(('0x' || substr(md5('boot19:' || CAST(user_id AS VARCHAR)
+          || ':' || CAST(b AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) + 1)
+          / 1152921504606846977.0 AS u
+      FROM reps
+    ),
+    wt AS (SELECT b, uq, $wCase AS w FROM us),
+    ag AS (
+      SELECT b,
+        CAST(SUM(w * uq) AS BIGINT) AS wq,
+        CAST(SUM(w) AS BIGINT) AS sw,
+        CAST(SUM(uq) AS BIGINT) AS tq,
+        CAST(COUNT(*) AS BIGINT) AS nu
+      FROM wt GROUP BY b
+    ),
+    valid AS (
+      SELECT *, CAST(wq AS DOUBLE) / 10000.0 / CAST(sw AS DOUBLE)
+        AS mean_b
+      FROM ag WHERE sw > 0
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk,
+        CAST(COUNT(*) OVER () AS BIGINT) AS bv
+      FROM valid
+    ),
+    fin AS (
+      SELECT CAST(MIN(nu) AS BIGINT) AS n_users,
+        CAST(MIN(tq) AS BIGINT) AS tq,
+        CAST(MIN(bv) AS BIGINT) AS b_valid,
+        MIN(CASE WHEN rk = (bv * 5 + 199) // 200 THEN mean_b END) AS ci_lo,
+        MIN(CASE WHEN rk = (bv * 195 + 199) // 200 THEN mean_b END) AS ci_hi
+      FROM rk
+    ),
+    f2 AS (
+      SELECT n_users,
+        CAST(tq AS DOUBLE) / 10000.0 / CAST(n_users AS DOUBLE) AS mean_hat,
+        CAST($b AS BIGINT) AS b_total, b_valid, ci_lo, ci_hi,
+        ci_hi - ci_lo AS ci_width
+      FROM fin
+    )
+    SELECT f2.*,
+      mean_hat >= ci_lo AND mean_hat <= ci_hi AS covered
+    FROM f2"""
+  }
 }

@@ -4033,6 +4033,114 @@ object EventQueries {
           .as("n_req_per_arm_1pct"))
   }
 
+  /** Bootstrap replicate count for [[bootstrapCi]] (B = 200 gives the
+    * 95% percentile CI nearest-ranks 5 and 195).
+    */
+  val BootReps = 200
+
+  /** Poisson(1) CDF thresholds F(0)..F(7) for the bootstrap weights,
+    * computed once driver-side and shared as LITERALS so both engines
+    * parse identical doubles; the draw truncates at w = 8 (tail mass
+    * ~1e-5 — a deterministic truncation both engines apply identically).
+    */
+  val PoissonCdf: IndexedSeq[Double] = {
+    val e1 = StrictMath.exp(-1.0)
+    var term = e1
+    var cum = e1
+    (0 to 7).map { k =>
+      if (k > 0) { term = term / k; cum += term }
+      cum
+    }
+  }
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL — the scalable bootstrap:
+    * classic resampling draws n users WITH replacement per replicate,
+    * which needs global coordination; the Poisson approximation gives
+    * each user an INDEPENDENT Poisson(1) resample count per replicate,
+    * so the whole procedure is one embarrassingly-parallel pass — the
+    * construction production experiment platforms use for metrics whose
+    * sampling distribution (ratios, heavy tails) makes the normal
+    * interval of [[abTest]] suspect. Per replicate b, each user's
+    * weight is the inverse-CDF Poisson(1) draw over the hash60 uniform
+    * (the [[dpRelease]] seeding trick — deterministic, so the interval
+    * is oracle-checkable at full value parity; a deployment swaps the
+    * seed per run); replicate mean = Σw·total/Σw; the 95% interval is
+    * the exact nearest-rank 2.5%/97.5% percentile over the B replicate
+    * means.
+    *
+    * Scale shape: one corpus shuffle to per-user totals; the ×B explode
+    * is a flatMap (no shuffle) and the per-replicate aggregate
+    * partial-combines to ≤B rows per partition, so the second shuffle
+    * moves B×partitions rows regardless of corpus size; ranking runs on
+    * the B-row frame. Determinism: weights and weighted sums are exact
+    * LONGs (w·uq fits BIGINT through ~1e14 total quanta — past that,
+    * scale the quantum); replicate means recompose through one shared
+    * shape; the rank order is (mean, b) — total; degenerate all-zero
+    * replicates (possible only at toy n) are EXCLUDED on both engines
+    * and the nearest-ranks recompute against the valid count by integer
+    * ceiling division, never float multiplication.
+    */
+  val bootstrapCi: GraftQuery = GraftQuery.oneRow(
+    "events_bootstrap_ci",
+    s"Poisson-bootstrap 95% CI of mean per-user value: $BootReps deterministic hash-seeded replicates, exact nearest-rank percentile bounds",
+    EventOracle.bootstrapCiSql) { (s, d) =>
+    bootstrapCiFrame(Tables.events(s, d))
+  }
+
+  /** The bootstrap derivation over any events frame — shared by the
+    * registry query and the full plain-Scala replay fixture
+    * (EventQueriesSpec).
+    */
+  def bootstrapCiFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col("user_id"), Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("vq")).as("uq"))
+    val u = (graft.text.TextFns.hash60(concat_ws(":", lit("boot19"),
+      col("user_id").cast("string"), col("b").cast("string"))) + lit(1L)) /
+      lit(1152921504606846977.0)
+    val w0 = PoissonCdf.zipWithIndex.tail.foldLeft(
+      when(col("u") < lit(PoissonCdf(0)), lit(0L))) { case (acc, (t, k)) =>
+        acc.when(col("u") < lit(t), lit(k.toLong))
+      }.otherwise(lit(PoissonCdf.size.toLong))
+    val reps = perUser
+      .select(col("user_id"), col("uq"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w0)
+      .groupBy(col("b"))
+      .agg(
+        sum(col("w") * col("uq")).as("wq"),
+        sum(col("w")).as("sw"),
+        sum(col("uq")).as("tq"),
+        count(lit(1)).as("nu"))
+      .filter(col("sw") > 0L)
+      .withColumn("mean_b",
+        col("wq").cast("double") / lit(1e4) / col("sw").cast("double"))
+    val ranked = reps
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+      .withColumn("bv", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("lo", expr("(bv * 5 + 199) div 200"))
+      .withColumn("hi", expr("(bv * 195 + 199) div 200"))
+    ranked.agg(
+        min(col("nu")).as("n_users"),
+        min(col("tq")).as("tq"),
+        min(col("bv")).as("b_valid"),
+        min(when(col("rk") === col("lo"), col("mean_b"))).as("ci_lo"),
+        min(when(col("rk") === col("hi"), col("mean_b"))).as("ci_hi"))
+      .select(col("n_users"),
+        (col("tq").cast("double") / lit(1e4)
+          / col("n_users").cast("double")).as("mean_hat"),
+        lit(BootReps.toLong).as("b_total"), col("b_valid"),
+        col("ci_lo"), col("ci_hi"),
+        (col("ci_hi") - col("ci_lo")).as("ci_width"))
+      .withColumn("covered",
+        col("mean_hat") >= col("ci_lo") && col("mean_hat") <= col("ci_hi"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
@@ -4050,5 +4158,5 @@ object EventQueries {
       didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
-      srmCheck, abPower)
+      srmCheck, abPower, bootstrapCi)
 }

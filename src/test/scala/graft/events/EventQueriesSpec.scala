@@ -1091,6 +1091,58 @@ class EventQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_req_per_arm_1pct") === math.ceil(nreq).toLong)
   }
 
+  test("bootstrapCiFrame: full plain-Scala replay — Poisson weights, replicate means, nearest-rank CI bit-exact") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val vals = Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0,
+      5L -> 50.0, 6L -> 60.0)
+    var eid = 0L
+    val rows = vals.toSeq.sortBy(_._1).map { case (u, v) =>
+      eid += 1; (eid, ts, u, "view", v, "{}")
+    }
+    val r = EventQueries.bootstrapCiFrame(rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    // independent replay of the whole pipeline
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cdf = EventQueries.PoissonCdf
+    def weight(u: Double): Long = {
+      val i = cdf.indexWhere(u < _)
+      if (i < 0) cdf.size.toLong else i.toLong
+    }
+    val uq = vals.map { case (u, v) => u -> math.floor(v * 1e4 + 0.5).toLong }
+    val reps = (0 until EventQueries.BootReps).flatMap { b =>
+      val ws = uq.toSeq.map { case (user, q) =>
+        val u = (hash60(s"boot19:$user:$b") + 1L) / 1152921504606846977.0
+        (weight(u), q)
+      }
+      val sw = ws.map(_._1).sum
+      if (sw > 0) {
+        val wq = ws.map { case (w, q) => w * q }.sum
+        Some((wq.toDouble / 1e4 / sw.toDouble, b))
+      } else None
+    }.sortBy(identity)
+    val bv = reps.size
+    val lo = (bv * 5 + 199) / 200
+    val hi = (bv * 195 + 199) / 200
+    assert(r.getAs[Long]("n_users") === 6L)
+    assert(r.getAs[Long]("b_total") === EventQueries.BootReps.toLong)
+    assert(r.getAs[Long]("b_valid") === bv.toLong)
+    assert(r.getAs[Double]("mean_hat")
+      === uq.values.sum.toDouble / 1e4 / 6L.toDouble)
+    assert(r.getAs[Double]("ci_lo") === reps(lo - 1)._1)
+    assert(r.getAs[Double]("ci_hi") === reps(hi - 1)._1)
+    assert(r.getAs[Double]("ci_width") === reps(hi - 1)._1 - reps(lo - 1)._1)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+    // the interval brackets the point estimate on this fixture
+    assert(r.getAs[Boolean]("covered"))
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
