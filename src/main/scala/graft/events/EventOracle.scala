@@ -2907,4 +2907,46 @@ object EventOracle {
       mean_hat >= ci_lo AND mean_hat <= ci_hi AS covered
     FROM f2"""
   }
+
+  /** Twin of [[EventQueries.tailHillFrame]] at k = [[EventQueries.TailK]]:
+    * the same (value desc, event_id) top-(k+1) cut, 1e-9-quantized ln
+    * ratios summed exactly, and the quantized-ln extrapolation so exp
+    * sees identical doubles.
+    */
+  def tailHillSql: String = {
+    val k = EventQueries.TailK
+    s"""
+    WITH $evCte,
+    pos AS (SELECT value, event_id FROM ev WHERE value > 0.0::DOUBLE),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM pos),
+    top AS (
+      SELECT value,
+        ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+      FROM pos QUALIFY rn <= ${k + 1}
+    ),
+    thr AS (SELECT value AS thr FROM top WHERE rn = ${k + 1}),
+    ta AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(CAST(floor(ln(t.value / thr.thr) * 1e9 + 0.5) AS BIGINT))
+          AS BIGINT) AS sq
+      FROM top t CROSS JOIN thr WHERE t.rn <= $k
+    ),
+    g AS (
+      SELECT n_events, k, thr,
+        CASE WHEN k > 0 THEN CAST(sq AS DOUBLE) / 1e9 / CAST(k AS DOUBLE)
+          END AS gamma,
+        CAST(floor(ln(CAST(k AS DOUBLE)
+          / (CAST(n_events AS DOUBLE) * 1e-4)) * 1e9 + 0.5) AS BIGINT)
+          AS lq
+      FROM na CROSS JOIN ta CROSS JOIN thr
+    )
+    SELECT n_events, k, thr, gamma,
+      CASE WHEN gamma > 0 THEN 1.0::DOUBLE / gamma END AS alpha,
+      CASE WHEN gamma > 0 THEN 1.0::DOUBLE / gamma <= 2.0::DOUBLE END
+        AS infinite_variance,
+      CASE WHEN gamma > 0 THEN
+        thr * exp(gamma * (CAST(lq AS DOUBLE) / 1e9)) END
+        AS p9999_extrapolated
+    FROM g"""
+  }
 }

@@ -4141,6 +4141,77 @@ object EventQueries {
         col("mean_hat") >= col("ci_lo") && col("mean_hat") <= col("ci_hi"))
   }
 
+  /** Tail-sample size for [[tailHill]] (top k order statistics). */
+  val TailK = 256
+
+  /** HILL TAIL-INDEX ESTIMATOR — the heavy-tail diagnosis behind every
+    * capacity/SLO question the quantile family ([[graft.loan
+    * .PortfolioQueries]] percentiles, GK cutoffs) cannot answer: those
+    * report WHERE the p99 is, this estimates HOW the tail decays.
+    * Fitting survival ~ x^(-1/γ) over the top k order statistics:
+    * γ̂ = (1/k)·Σ_{i≤k} ln(X_(i)/X_(k+1)) — the Hill estimator, the
+    * standard extreme-value tool; α = 1/γ is the tail index (α ≤ 2
+    * means infinite variance — the regime where [[abTest]]'s normal
+    * interval and mean-based SLOs silently break and
+    * [[bootstrapCi]]/medians are the honest tools). Also extrapolates
+    * the p99.99 via the inverted fit x_q = X_(k+1)·(k/(n(1−q)))^γ —
+    * the quantile the corpus is too small to witness directly.
+    *
+    * Scale shape: the top-(k+1) cut is an ORDER BY + LIMIT Spark plans
+    * as TakeOrderedAndProject — per-partition size-(k+1) heaps merged
+    * once, never a global sort (a global row_number window would move
+    * the corpus to ONE partition; the rank is assigned AFTER the cut,
+    * over the k+1-row frame, which then checkpoints so the three
+    * consumers share one corpus pass); n is one pushed-down count;
+    * everything after runs on k+1 rows with broadcast scalars.
+    * Determinism: the cut's total order is (value desc, event_id) on
+    * both engines; per-term ln ratios
+    * quantize to 1e-9 LONGs before the order-insensitive sum (the
+    * survivalKm ln convention); the extrapolation's ln also quantizes
+    * before the multiply so exp sees identical doubles on both engines.
+    * Precondition: > k positive values (all gate SFs hold it; the k+1
+    * frame going empty would fail the one-row invariant loudly).
+    */
+  val tailHill: GraftQuery = GraftQuery.oneRow(
+    "events_tail_hill",
+    s"Hill tail-index over the top $TailK event values: gamma, alpha = 1/gamma, infinite-variance flag, extrapolated p99.99",
+    EventOracle.tailHillSql) { (s, d) =>
+    tailHillFrame(Tables.events(s, d), TailK)
+  }
+
+  /** The Hill derivation over any events frame at tail size `k` —
+    * shared by the registry query (k = [[TailK]]) and the hand/planted
+    * Pareto fixtures (EventQueriesSpec).
+    */
+  def tailHillFrame(events: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = events.filter(col("value") > lit(0.0))
+      .select(col("value"), col("event_id"))
+    val nAgg = pos.agg(count(lit(1)).as("n_events"))
+    val top = pos
+      .orderBy(col("value").desc, col("event_id")).limit(k + 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("value").desc, col("event_id"))))
+      .localCheckpoint() // k+1 rows: one corpus pass for all 3 consumers
+    val thr = top.filter(col("rn") === k + 1).select(col("value").as("thr"))
+    val ta = top.filter(col("rn") <= k).crossJoin(broadcast(thr))
+      .select(Det.quantize(log(col("value") / col("thr")), 9).as("eq"))
+      .agg(count(lit(1)).as("k"), sum(col("eq")).as("sq"))
+    nAgg.crossJoin(broadcast(ta)).crossJoin(broadcast(thr))
+      .withColumn("gamma", when(col("k") > 0L,
+        col("sq").cast("double") / lit(1e9) / col("k").cast("double")))
+      .withColumn("lq", Det.quantize(log(col("k").cast("double")
+        / (col("n_events").cast("double") * lit(1e-4))), 9))
+      .select(col("n_events"), col("k"), col("thr"), col("gamma"),
+        when(col("gamma") > 0, lit(1.0) / col("gamma")).as("alpha"),
+        when(col("gamma") > 0, lit(1.0) / col("gamma") <= lit(2.0))
+          .as("infinite_variance"),
+        when(col("gamma") > 0, col("thr")
+          * exp(col("gamma") * (col("lq").cast("double") / lit(1e9))))
+          .as("p9999_extrapolated"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
       saltedRollup, interarrival, gapFill, funnel, funnelLatency,
@@ -4158,5 +4229,5 @@ object EventQueries {
       didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
-      srmCheck, abPower, bootstrapCi)
+      srmCheck, abPower, bootstrapCi, tailHill)
 }

@@ -1143,6 +1143,42 @@ class EventQueriesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("covered"))
   }
 
+  test("tailHillFrame: hand ratio fixture replays exactly; planted Pareto recovers its tail index") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, ts, 1L, "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // hand fixture, k=4: top-5 are 160,80,40,20,10 (tie at the threshold
+    // broken by event_id), zero/negative filtered out
+    val hand = mk(Seq(160.0, 80.0, 40.0, 20.0, 10.0, 10.0, 5.0, 3.0, 1.0,
+      0.5, 0.0, -5.0))
+    val r = EventQueries.tailHillFrame(hand, 4).collect().head
+    assert(r.getAs[Long]("n_events") === 10L)
+    assert(r.getAs[Long]("k") === 4L)
+    assert(r.getAs[Double]("thr") === 10.0)
+    val sq = Seq(16.0, 8.0, 4.0, 2.0)
+      .map(x => math.floor(StrictMath.log(x) * 1e9 + 0.5).toLong).sum
+    val gamma = sq.toDouble / 1e9 / 4L.toDouble
+    assert(r.getAs[Double]("gamma") === gamma)
+    assert(r.getAs[Double]("alpha") === 1.0 / gamma)
+    // gamma = 2.5 ln2 ~ 1.73 -> alpha ~ 0.58 <= 2: flagged
+    assert(r.getAs[Boolean]("infinite_variance"))
+    val lq = math.floor(StrictMath.log(4L.toDouble / (10L.toDouble * 1e-4))
+      * 1e9 + 0.5).toLong
+    assert(r.getAs[Double]("p9999_extrapolated")
+      === 10.0 * StrictMath.exp(gamma * (lq.toDouble / 1e9)))
+    // planted exact Pareto order statistics x_i = (n/i)^0.6: Hill at
+    // k=100 recovers gamma ~ 0.6 and alpha = 1/gamma < 2 flags
+    // infinite variance
+    val n = 2000
+    val pareto = mk((1 to n).map(i =>
+      StrictMath.exp(0.6 * StrictMath.log(n.toDouble / i))))
+    val p = EventQueries.tailHillFrame(pareto, 100).collect().head
+    assert(math.abs(p.getAs[Double]("gamma") - 0.6) < 0.03)
+    assert(p.getAs[Boolean]("infinite_variance"))
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
