@@ -1030,4 +1030,58 @@ object RelationalOracle {
         CAST(NULL AS DOUBLE), mn_pr, mx_pr
       FROM a
     ) ORDER BY ord"""
+
+  /** Twin of [[RelationalQueries.benfordFrame]] over l_extendedprice:
+    * the same exact-cents integer-string first digit, shared Benford
+    * expectation literals, 1e-9/1e-6 quantized deviation and chi² term
+    * sums, and the pre-scaled LONG verdict bands.
+    */
+  def benfordCheckSql: String = {
+    import RelationalQueries._
+    val pCase = BenfordP.zipWithIndex
+      .map { case (p, i) => s"WHEN digit = ${i + 1} THEN $p::DOUBLE" }
+      .mkString("CASE ", " ", " END")
+    s"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0.0::DOUBLE
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY 1),
+    g AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    j AS (
+      SELECT g.digit, COALESCE(c.n_d, 0) AS n_d,
+        CAST(SUM(COALESCE(c.n_d, 0)) OVER () AS BIGINT) AS n
+      FROM g LEFT JOIN c ON g.digit = c.digit
+    ),
+    b AS (
+      SELECT *, $pCase AS p_benford,
+        CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) AS share
+      FROM j
+    ),
+    q AS (
+      SELECT *,
+        CAST(floor(abs(share - p_benford) * 1e9 + 0.5) AS BIGINT) AS devq,
+        CAST(floor((CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+          * (CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * p_benford)
+          / (CAST(n AS DOUBLE) * p_benford) * 1e6 + 0.5) AS BIGINT) AS c2q
+      FROM b
+    ),
+    s AS (
+      SELECT *,
+        CAST(SUM(c2q) OVER () AS BIGINT) AS chi2q,
+        CAST(SUM(devq) OVER () AS BIGINT) AS madq9
+      FROM q
+    )
+    SELECT digit, n_d, share, p_benford,
+      CAST(devq AS DOUBLE) / 1e9 AS abs_dev,
+      CAST(chi2q AS DOUBLE) / 1e6 AS chi2,
+      chi2q >= $BenfordChi2Crit5Q AS chi2_reject_5pct,
+      CAST(madq9 AS DOUBLE) / 1e9 / 9.0::DOUBLE AS mad,
+      CASE WHEN madq9 < $BenfordMadCloseQ9 THEN 'close'
+        WHEN madq9 < $BenfordMadAcceptQ9 THEN 'acceptable'
+        WHEN madq9 < $BenfordMadMarginQ9 THEN 'marginal'
+        ELSE 'nonconformity' END AS conformity
+    FROM s ORDER BY digit"""
+  }
 }

@@ -1287,6 +1287,97 @@ object RelationalQueries {
       .orderBy("nationkey")
   }
 
+  /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 — computed
+    * once driver-side and shared as literals with the oracle.
+    */
+  val BenfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => StrictMath.log10(1.0 + 1.0 / d))
+
+  /** chi²(df=8) 5% critical value on the 1e-6 chi² quantum. */
+  val BenfordChi2Crit5Q = 15507313L
+
+  /** Nigrini MAD conformity bands (0.006 / 0.012 / 0.015), pre-multiplied
+    * by the 9 digits on the 1e-9 deviation quantum so the verdict compares
+    * exact LONG sums — close / acceptable / marginal / nonconformity.
+    */
+  val BenfordMadCloseQ9 = 54000000L
+  val BenfordMadAcceptQ9 = 108000000L
+  val BenfordMadMarginQ9 = 135000000L
+
+  /** BENFORD'S-LAW CONFORMITY CHECK — the forensic data-quality staple
+    * for financial columns (`orders_table_profile` publishes ranges and
+    * nulls; this asks whether the VALUES look organic): naturally
+    * occurring multiplicative amounts follow P(first digit = d) =
+    * log10(1+1/d), and fabricated, capped, or unit-mangled data does
+    * not. Readout per digit: count, share, expectation, |deviation|;
+    * corpus verdicts: chi² GOF against the df=8 5% critical value and
+    * Nigrini's mean-absolute-deviation bands (the auditing convention —
+    * chi² over-rejects at large n, MAD is n-free).
+    *
+    * The first digit comes from INTEGER arithmetic, not log10: amounts
+    * quantize to exact cents (the money columns are 2dp by
+    * construction) and the digit is the first character of the LONG's
+    * decimal string — integer-to-string is exact and identical on both
+    * engines, where floor(log10(x)) flips at powers of ten by one ULP.
+    *
+    * Scale shape: one pushed-down scan to a 9-group partial aggregate
+    * (map-side combine to ≤9 rows per partition); the digit grid joins
+    * and every summary window runs on the 9-row frame. Determinism:
+    * counts exact; per-digit deviations quantize to 1e-9, chi² terms to
+    * 1e-6, both summed as LONGs; verdicts compare the LONG sums against
+    * pre-scaled literal bands.
+    */
+  val benfordCheck: GraftQuery = GraftQuery(
+    "lineitem_benford_check",
+    "Benford first-digit audit of extended price: per-digit share vs log10(1+1/d), chi2 GOF + Nigrini MAD verdict",
+    RelationalOracle.benfordCheckSql) { (s, d) =>
+    benfordFrame(Tables.lineitem(s, d)
+      .select(col("l_extendedprice").as("v")))
+  }
+
+  /** The Benford derivation over any positive 2dp money column `v` —
+    * shared by the registry query and the planted conforming/uniform
+    * fixtures (RelationalSpec).
+    */
+  def benfordFrame(values: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = values.filter(col("v") > lit(0.0))
+      .select(substring(floor(col("v") * lit(100.0) + lit(0.5))
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val grid = values.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val pCol = BenfordP.zipWithIndex.tail.foldLeft(
+      when(col("digit") === 1L, lit(BenfordP(0)))) { case (acc, (p, i)) =>
+        acc.when(col("digit") === (i + 1).toLong, lit(p))
+      }
+    val w = Window.partitionBy()
+    grid.join(counts, Seq("digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("n", sum(col("n_d")).over(w))
+      .withColumn("p_benford", pCol)
+      .withColumn("share",
+        col("n_d").cast("double") / col("n").cast("double"))
+      .withColumn("devq",
+        Det.quantize(abs(col("share") - col("p_benford")), 9))
+      .withColumn("e_d", col("n").cast("double") * col("p_benford"))
+      .withColumn("c2q", Det.quantize(
+        (col("n_d").cast("double") - col("e_d"))
+          * (col("n_d").cast("double") - col("e_d")) / col("e_d"), 6))
+      .withColumn("chi2q", sum(col("c2q")).over(w))
+      .withColumn("madq9", sum(col("devq")).over(w))
+      .select(col("digit"), col("n_d"), col("share"), col("p_benford"),
+        (col("devq").cast("double") / lit(1e9)).as("abs_dev"),
+        (col("chi2q").cast("double") / lit(1e6)).as("chi2"),
+        (col("chi2q") >= lit(BenfordChi2Crit5Q)).as("chi2_reject_5pct"),
+        (col("madq9").cast("double") / lit(1e9) / lit(9.0)).as("mad"),
+        when(col("madq9") < lit(BenfordMadCloseQ9), "close")
+          .when(col("madq9") < lit(BenfordMadAcceptQ9), "acceptable")
+          .when(col("madq9") < lit(BenfordMadMarginQ9), "marginal")
+          .otherwise("nonconformity").as("conformity"))
+      .orderBy("digit")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     kmvDistinct, kmvOverlap, revenueTrendOls, entityResolution,
     associationRules, fulfillmentLag,
@@ -1298,5 +1389,5 @@ object RelationalQueries {
     profitByNation, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
-    rfmSketchCutoffs, tableProfile)
+    rfmSketchCutoffs, tableProfile, benfordCheck)
 }

@@ -231,4 +231,54 @@ class RelationalSpec extends SparkSpec {
     assert(pr.getAs[String]("min_str") === "1-URGENT")
     assert(pr.getAs[String]("max_str") === "5-LOW")
   }
+
+  test("benfordFrame: planted digit counts replay exactly; uniform digits flag nonconformity; zero-count digit kept") {
+    import spark.implicits._
+    // counts per first digit 1..9 (digit 9 planted ABSENT), zero and
+    // negative amounts filtered; value d*1.11 has first cents digit d
+    val counts = Seq(30, 18, 12, 10, 8, 7, 6, 5, 0)
+    val vals = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((i + 1) * 1.11)
+    } ++ Seq(0.0, -3.0)
+    val rows = RelationalQueries.benfordFrame(vals.toDF("v"))
+      .collect()
+    assert(rows.length === 9)
+    val n = counts.sum.toLong
+    val p = RelationalQueries.BenfordP
+    // replay through the engine's shapes
+    val devq = counts.zipWithIndex.map { case (c, i) =>
+      val share = c.toLong.toDouble / n.toDouble
+      math.floor(math.abs(share - p(i)) * 1e9 + 0.5).toLong
+    }
+    val c2q = counts.zipWithIndex.map { case (c, i) =>
+      val e = n.toDouble * p(i)
+      math.floor((c.toLong.toDouble - e) * (c.toLong.toDouble - e) / e
+        * 1e6 + 0.5).toLong
+    }
+    val chi2 = c2q.sum.toDouble / 1e6
+    val mad = devq.sum.toDouble / 1e9 / 9.0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("digit") === (i + 1).toLong)
+      assert(r.getAs[Long]("n_d") === counts(i).toLong)
+      assert(r.getAs[Double]("share") === counts(i).toLong.toDouble / n.toDouble)
+      assert(r.getAs[Double]("p_benford") === p(i))
+      assert(r.getAs[Double]("abs_dev") === devq(i).toDouble / 1e9)
+      assert(r.getAs[Double]("chi2") === chi2)
+      assert(r.getAs[Double]("mad") === mad)
+    }
+    // 100 organic-ish samples sit near Benford but the missing 9s and
+    // fat 1s push MAD past 'close'; the verdict must match the replay
+    val expectedVerdict =
+      if (devq.sum < RelationalQueries.BenfordMadCloseQ9) "close"
+      else if (devq.sum < RelationalQueries.BenfordMadAcceptQ9) "acceptable"
+      else if (devq.sum < RelationalQueries.BenfordMadMarginQ9) "marginal"
+      else "nonconformity"
+    assert(rows.head.getAs[String]("conformity") === expectedVerdict)
+    // uniform digit distribution: chi2 rejects and MAD says nonconformity
+    val uni = RelationalQueries.benfordFrame(
+      (1 to 9).flatMap(d => Seq.fill(100)(d * 1.11)).toDF("v"))
+      .collect().head
+    assert(uni.getAs[Boolean]("chi2_reject_5pct"))
+    assert(uni.getAs[String]("conformity") === "nonconformity")
+  }
 }
