@@ -1084,4 +1084,52 @@ object RelationalOracle {
         ELSE 'nonconformity' END AS conformity
     FROM s ORDER BY digit"""
   }
+
+  /** Twin of [[RelationalQueries.forecastHolt]]: the identical monthly
+    * frame, the [[RelationalQueries.HoltKernel]] lag table inlined as a
+    * VALUES literal (every weight ::DOUBLE so nothing parses DECIMAL),
+    * the same j = 1 init-column switch, and 1e-4-quantized term sums.
+    */
+  def forecastHoltSql: String = {
+    val rows = RelationalQueries.HoltKernel
+      .map { case (lag, wl, wb, ul, ub) =>
+        s"($lag, $wl::DOUBLE, $wb::DOUBLE, $ul::DOUBLE, $ub::DOUBLE)"
+      }
+      .mkString(",\n      ")
+    s"""
+    WITH mo AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+        SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+          AS revenue
+      FROM orders GROUP BY 1
+    ),
+    mt AS (
+      SELECT month, revenue,
+        CAST(ROW_NUMBER() OVER (ORDER BY month) AS INTEGER) AS t
+      FROM mo
+    ),
+    k(lag, wl, wb, ul, ub) AS (VALUES
+      $rows
+    ),
+    p AS (
+      SELECT a.month AS month, b.revenue AS xj,
+        CASE WHEN b.t = 1 THEN k.ul ELSE k.wl END AS wlv,
+        CASE WHEN b.t = 1 THEN k.ub ELSE k.wb END AS wbv
+      FROM mt a JOIN mt b ON b.t <= a.t
+      JOIN k ON a.t - b.t = k.lag
+    ),
+    lv AS (
+      SELECT month,
+        SUM(CAST(floor(xj * wlv * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+          AS level,
+        SUM(CAST(floor(xj * wbv * 10000.0 + 0.5) AS BIGINT)) / 10000.0
+          AS trend
+      FROM p GROUP BY month
+    )
+    SELECT m.month, m.revenue, l.level, l.trend,
+      l.level + l.trend AS forecast_1mo,
+      l.level + 3.0::DOUBLE * l.trend AS forecast_3mo
+    FROM mt m JOIN lv l USING (month)
+    ORDER BY month"""
+  }
 }

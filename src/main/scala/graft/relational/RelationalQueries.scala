@@ -1287,6 +1287,106 @@ object RelationalQueries {
       .orderBy("nationkey")
   }
 
+  /** Holt smoothing constants (level / trend). */
+  val HoltAlpha = 0.2
+  val HoltBeta = 0.1
+
+  /** Lag-indexed impulse responses of the Holt recursion, 1e-9-quantized
+    * and truncated where all four components quantize to zero — the
+    * [[forecastSes]]/EWMA kernel trick lifted to a TWO-state recursion:
+    * l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) +
+    * (1−β)b_{t−1} is linear, so with init l_1 = x_1, b_1 = 0 the
+    * coefficient of x_j in (l_t, b_t) depends ONLY on the lag t−j:
+    * (wl, wb) for j ≥ 2 (impulse through the αx_t port), (ul, ub) for
+    * the j = 1 init column (impulse through l_1). The homogeneous
+    * iteration's spectral radius is √((1−α)(β(1−α)+1−β)+αβ(1−α)) ≈ 0.894,
+    * so the quantized kernel dies by lag ~190. Computed once driver-side
+    * and shared with the oracle as a VALUES literal table; quantizing
+    * the WEIGHTS (not the truncation) is the model definition, so the
+    * banded sum below the cut is exactly the full quantized-kernel sum.
+    */
+  val HoltKernel: IndexedSeq[(Int, Double, Double, Double, Double)] = {
+    def q(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val raw = Iterator
+      .iterate((HoltAlpha, HoltBeta * HoltAlpha, 1.0, 0.0)) {
+        case (l2, b2, l1, b1) =>
+          def step(l: Double, b: Double): (Double, Double) = {
+            val ln = (1.0 - HoltAlpha) * (l + b)
+            (ln, HoltBeta * (ln - l) + (1.0 - HoltBeta) * b)
+          }
+          val (l2n, b2n) = step(l2, b2)
+          val (l1n, b1n) = step(l1, b1)
+          (l2n, b2n, l1n, b1n)
+      }
+      .take(2000)
+      .map { case (l2, b2, l1, b1) => (q(l2), q(b2), q(l1), q(b1)) }
+      .toIndexedSeq
+    val cut = raw.lastIndexWhere(r =>
+      r._1 != 0.0 || r._2 != 0.0 || r._3 != 0.0 || r._4 != 0.0)
+    raw.take(cut + 1).zipWithIndex.map { case ((wl, wb, ul, ub), lag) =>
+      (lag, wl, wb, ul, ub)
+    }
+  }
+
+  /** HOLT LINEAR-TREND FORECAST — what [[forecastSes]] structurally
+    * cannot do: simple exponential smoothing lags a trending series by
+    * a constant offset (its forecast is flat), while Holt's second
+    * state tracks the slope and the h-step forecast is level + h·trend.
+    * The sequential two-state recursion becomes one BANDED JOIN against
+    * the driver-computed lag kernel ([[HoltKernel]]): level_t =
+    * Σ_j k_l(t−j)·x_j, trend_t = Σ_j k_b(t−j)·x_j, with the j = 1
+    * column taking the init-impulse weights. Readout per month: level,
+    * trend, and the 1-/3-month-ahead forecasts.
+    *
+    * Scale shape: ONE corpus shuffle to the calendar-bounded monthly
+    * frame (partial-aggregated); the T × ~190-lag band join and both
+    * kernel sums run on that model-sized frame with the kernel
+    * broadcast. Determinism: per-term products quantize to 1e-4 LONGs
+    * before the order-insensitive sums; the kernel weights are ALREADY
+    * 1e-9-quantized literals shared with the oracle; forecasts
+    * recompose through shared double shapes.
+    */
+  val forecastHolt: GraftQuery = GraftQuery(
+    "revenue_forecast_holt",
+    s"Holt linear-trend smoothing (a=$HoltAlpha, b=$HoltBeta) of monthly revenue via a lag-kernel band join: level, trend, 1/3-month forecasts",
+    RelationalOracle.forecastHoltSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(Det.sumQ(col("o_totalprice"), 4).as("revenue"))
+      .withColumn("t", row_number().over(Window.orderBy("month")))
+    holtFrame(m)
+  }
+
+  /** The Holt derivation over any (month, revenue, t) frame — shared by
+    * the registry query and the planted linear-trend fixture
+    * (RelationalSpec).
+    */
+  def holtFrame(monthly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = monthly.localCheckpoint() // calendar-bounded monthly frame
+    val kernel = m.sparkSession.createDataFrame(HoltKernel)
+      .toDF("lag", "wl", "wb", "ul", "ub")
+    val sums = m.as("a").join(m.as("b"), col("b.t") <= col("a.t"))
+      .select(col("a.month").as("month"), col("b.t").as("j"),
+        col("b.revenue").as("xj"), (col("a.t") - col("b.t")).as("lag"))
+      .join(broadcast(kernel), Seq("lag"))
+      .withColumn("wlv", when(col("j") === 1, col("ul")).otherwise(col("wl")))
+      .withColumn("wbv", when(col("j") === 1, col("ub")).otherwise(col("wb")))
+      .groupBy(col("month"))
+      .agg(
+        (sum(Det.quantize(col("xj") * col("wlv"), 4))
+          / lit(Det.pow10(4))).as("level"),
+        (sum(Det.quantize(col("xj") * col("wbv"), 4))
+          / lit(Det.pow10(4))).as("trend"))
+    m.select(col("month"), col("revenue"))
+      .join(sums, Seq("month"))
+      .select(col("month"), col("revenue"), col("level"), col("trend"),
+        (col("level") + col("trend")).as("forecast_1mo"),
+        (col("level") + lit(3.0) * col("trend")).as("forecast_3mo"))
+      .orderBy("month")
+  }
+
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 — computed
     * once driver-side and shared as literals with the oracle.
     */
@@ -1389,5 +1489,5 @@ object RelationalQueries {
     profitByNation, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
-    rfmSketchCutoffs, tableProfile, benfordCheck)
+    rfmSketchCutoffs, tableProfile, benfordCheck, forecastHolt)
 }

@@ -281,4 +281,49 @@ class RelationalSpec extends SparkSpec {
     assert(uni.getAs[Boolean]("chi2_reject_5pct"))
     assert(uni.getAs[String]("conformity") === "nonconformity")
   }
+
+  test("holtFrame: kernel boundary values; weighted-sum replay bit-exact; planted linear trend recovered") {
+    import spark.implicits._
+    val k = RelationalQueries.HoltKernel
+    val a = RelationalQueries.HoltAlpha
+    val b = RelationalQueries.HoltBeta
+    // lag-0 impulse responses are the smoothing constants themselves
+    // (on the kernel's 1e-9 quantization grid)
+    def q(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    assert(k.head === ((0, q(a), q(b * a), 1.0, 0.0)))
+    // kernel truncates where all four components quantize to zero
+    val last = k.last
+    assert(last._2 != 0.0 || last._3 != 0.0 || last._4 != 0.0 || last._5 != 0.0)
+    assert(k.size > 100 && k.size < 400)
+    // planted linear series x_t = 100 + 10t over 40 months
+    val xs = (1 to 40).map(t => 100.0 + 10.0 * t)
+    val monthly = xs.zipWithIndex.map { case (x, i) =>
+      (java.sql.Timestamp.valueOf(f"20${10 + i / 12}%d-${i % 12 + 1}%02d-01 00:00:00"),
+        x, i + 1)
+    }.toDF("month", "revenue", "t")
+    val rows = RelationalQueries.holtFrame(monthly).collect()
+    assert(rows.length === 40)
+    // bit-exact replay of the quantized-kernel weighted sums
+    val byT = rows.sortBy(_.getAs[java.sql.Timestamp]("month").getTime)
+    (1 to 40).foreach { t =>
+      val lq = (1 to t).map { j =>
+        val (_, wl, _, ul, _) = k(t - j)
+        math.floor(xs(j - 1) * (if (j == 1) ul else wl) * 1e4 + 0.5).toLong
+      }.sum
+      val bq = (1 to t).map { j =>
+        val (_, _, wb, _, ub) = k(t - j)
+        math.floor(xs(j - 1) * (if (j == 1) ub else wb) * 1e4 + 0.5).toLong
+      }.sum
+      val r = byT(t - 1)
+      assert(r.getAs[Double]("level") === lq.toDouble / 1e4)
+      assert(r.getAs[Double]("trend") === bq.toDouble / 1e4)
+      assert(r.getAs[Double]("forecast_1mo")
+        === r.getAs[Double]("level") + r.getAs[Double]("trend"))
+    }
+    // Holt tracks the planted slope and forecasts the next point;
+    // SES-style level alone would lag by ~trend/alpha = 50
+    val tail = byT.last
+    assert(math.abs(tail.getAs[Double]("trend") - 10.0) < 0.5)
+    assert(math.abs(tail.getAs[Double]("forecast_1mo") - (100.0 + 10.0 * 41)) < 5.0)
+  }
 }
