@@ -2908,6 +2908,62 @@ object EventOracle {
     FROM f2"""
   }
 
+  /** Twin of [[EventQueries.ksTestFrame]]: identical per-user totals and
+    * hash arms, per-distinct-total cumulative counts, 1e-9-quantized CDF
+    * gaps, the (gap desc, total) argmax, and the quantized asymptotic
+    * critical value.
+    */
+  def ksTestSql: String = s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS uq,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM ev GROUP BY user_id
+    ),
+    c AS (
+      SELECT uq,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM pu GROUP BY uq
+    ),
+    g AS (
+      SELECT uq,
+        CAST(SUM(ca) OVER (ORDER BY uq ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS cuma,
+        CAST(SUM(cb) OVER (ORDER BY uq ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS cumb,
+        CAST(SUM(ca) OVER () AS BIGINT) AS na,
+        CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM c
+    ),
+    q AS (
+      SELECT *,
+        CAST(floor(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e9 + 0.5)
+          AS BIGINT) AS gapq
+      FROM g
+    ),
+    top AS (
+      SELECT na, nb, gapq, CAST(uq AS DOUBLE) / 10000.0 AS at_value
+      FROM q ORDER BY gapq DESC, uq LIMIT 1
+    ),
+    f AS (
+      SELECT *,
+        CAST(floor(${EventQueries.KsCoeff5}::DOUBLE
+          * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))
+          * 1e9 + 0.5) AS BIGINT) AS critq
+      FROM top
+    )
+    SELECT na AS n_a, nb AS n_b,
+      CAST(gapq AS DOUBLE) / 1e9 AS d_stat,
+      CAST(critq AS DOUBLE) / 1e9 AS d_crit_5pct,
+      gapq >= critq AS ks_reject_5pct,
+      at_value
+    FROM f"""
+
   /** Twin of [[EventQueries.tailHillFrame]] at k = [[EventQueries.TailK]]:
     * the same (value desc, event_id) top-(k+1) cut, 1e-9-quantized ln
     * ratios summed exactly, and the quantized-ln extrapolation so exp

@@ -4141,6 +4141,80 @@ object EventQueries {
         col("mean_hat") >= col("ci_lo") && col("mean_hat") <= col("ci_hi"))
   }
 
+  /** KS asymptotic 5% coefficient c(α) = sqrt(-ln(α/2)/2) = 1.3581015...,
+    * pinned at the published 4dp convention value.
+    */
+  val KsCoeff5 = 1.358
+
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV TEST — the distribution-level A/B
+    * readout that completes the experimentation family: [[abTest]]
+    * compares MEANS, [[abSequential]] monitors them, but a treatment
+    * that shifts variance, adds a second mode, or fattens a tail moves
+    * NO mean and still changes the business — KS tests the whole CDF:
+    * D = sup_x |F_A(x) − F_B(x)| over per-user totals in the hash arms,
+    * rejected at 5% against the asymptotic critical value
+    * c(α)·√((n_A+n_B)/(n_A·n_B)). Also reports WHERE the CDFs diverge
+    * most (the smallest total at which the sup is attained) — the
+    * actionable half of the answer.
+    *
+    * Scale shape: one corpus shuffle to per-user totals, one partial-agg
+    * groupBy to per-(total, arm) counts; the cumulative window is global
+    * over the DISTINCT-totals frame (the quality_nb_auc documented
+    * class — two-pass range-partitioned prefix sums at 100 TB). The
+    * argmax is (gap desc, total asc) over the same frame.
+    * Determinism: counts exact; each CDF gap quantizes to 1e-9 before
+    * max/argmax; the critical value quantizes to the same grid and the
+    * rejection compares LONGs.
+    */
+  val ksTest: GraftQuery = GraftQuery.oneRow(
+    "events_ks_test",
+    "two-sample KS test on per-user value between hash arms: D, asymptotic 5% critical value, rejection, divergence location",
+    EventOracle.ksTestSql) { (s, d) =>
+    ksTestFrame(Tables.events(s, d))
+  }
+
+  /** The KS derivation over any events frame — shared by the registry
+    * query and the planted shift/null fixtures (EventQueriesSpec).
+    */
+  def ksTestFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col("user_id"), Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("vq")).as("uq"))
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    val counts = perUser.groupBy(col("uq"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("uq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = counts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(Window.partitionBy()))
+      .withColumn("nb", sum(col("cb")).over(Window.partitionBy()))
+      .withColumn("gapq", Det.quantize(abs(
+        col("cuma").cast("double") / col("na").cast("double")
+          - col("cumb").cast("double") / col("nb").cast("double")), 9))
+    val top = gaps
+      .orderBy(col("gapq").desc, col("uq"))
+      .limit(1)
+      .select(col("na"), col("nb"), col("gapq"),
+        (col("uq").cast("double") / lit(Det.pow10(4))).as("at_value"))
+    top
+      .withColumn("critq", Det.quantize(lit(KsCoeff5)
+        * sqrt((col("na") + col("nb")).cast("double")
+          / (col("na") * col("nb")).cast("double")), 9))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        (col("gapq").cast("double") / lit(1e9)).as("d_stat"),
+        (col("critq").cast("double") / lit(1e9)).as("d_crit_5pct"),
+        (col("gapq") >= col("critq")).as("ks_reject_5pct"),
+        col("at_value"))
+  }
+
   /** Tail-sample size for [[tailHill]] (top k order statistics). */
   val TailK = 256
 
@@ -4229,5 +4303,5 @@ object EventQueries {
       didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
-      srmCheck, abPower, bootstrapCi, tailHill)
+      srmCheck, abPower, bootstrapCi, tailHill, ksTest)
 }

@@ -1179,6 +1179,44 @@ class EventQueriesSpec extends SparkSpec {
     assert(p.getAs[Boolean]("infinite_variance"))
   }
 
+  test("ksTestFrame: identical arms give D=0; planted location shift rejects with the sup at the last control total") {
+    import spark.implicits._
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val ids0 = (1L to 100L).filter(arm(_) == 0L).take(4)
+    val ids1 = (1L to 100L).filter(arm(_) == 1L).take(4)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var eid = 0L
+    def ev(user: Long, v: Double) = { eid += 1; (eid, ts, user, "view", v, "{}") }
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // identical distributions: D = 0, no rejection, argmax tie -> the
+    // smallest total
+    val same = ids0.zip(Seq(10.0, 20.0, 30.0, 40.0)).map { case (u, v) => ev(u, v) } ++
+      ids1.zip(Seq(10.0, 20.0, 30.0, 40.0)).map { case (u, v) => ev(u, v) }
+    val r0 = EventQueries.ksTestFrame(df(same)).collect().head
+    assert(r0.getAs[Double]("d_stat") === 0.0)
+    assert(!r0.getAs[Boolean]("ks_reject_5pct"))
+    assert(r0.getAs[Double]("at_value") === 10.0)
+    // disjoint supports: D = 1 attained first at the largest control
+    // total; crit = 1.358*sqrt(8/16) ~ 0.96 -> reject
+    val shift = ids0.zip(Seq(10.0, 20.0, 30.0, 40.0)).map { case (u, v) => ev(u, v) } ++
+      ids1.zip(Seq(110.0, 120.0, 130.0, 140.0)).map { case (u, v) => ev(u, v) }
+    val r1 = EventQueries.ksTestFrame(df(shift)).collect().head
+    assert(r1.getAs[Long]("n_a") === 4L)
+    assert(r1.getAs[Long]("n_b") === 4L)
+    assert(r1.getAs[Double]("d_stat") === 1.0)
+    assert(r1.getAs[Double]("at_value") === 40.0)
+    val crit = math.floor(EventQueries.KsCoeff5
+      * math.sqrt(8L.toDouble / 16L.toDouble) * 1e9 + 0.5) / 1e9
+    assert(r1.getAs[Double]("d_crit_5pct") === crit)
+    assert(r1.getAs[Boolean]("ks_reject_5pct"))
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
