@@ -1132,4 +1132,61 @@ object RelationalOracle {
     FROM mt m JOIN lv l USING (month)
     ORDER BY month"""
   }
+
+  /** Twin of [[RelationalQueries.anovaFrame]] over order priority:
+    * identical integer-dollar quanta, per-group sufficient statistics,
+    * 1e-6-quantized between-terms and F, and the df1-indexed asymptotic
+    * critical-value literals.
+    */
+  def anovaPrioritySql: String = {
+    val critCase = RelationalQueries.AnovaFCrit5Q.zipWithIndex
+      .map { case (c, i) => s"WHEN df1 = ${i + 1} THEN $c" }
+      .mkString("CASE ", " ", " END")
+    s"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+        CAST(COUNT(*) AS BIGINT) AS ng,
+        CAST(SUM(CAST(floor(o_totalprice * 1.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS sg,
+        CAST(SUM(CAST(floor(o_totalprice * 1.0 + 0.5) AS BIGINT)
+          * CAST(floor(o_totalprice * 1.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS qg
+      FROM orders GROUP BY 1
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        CAST(SUM(ng) AS BIGINT) AS n_total,
+        CAST(SUM(sg) AS BIGINT) AS s,
+        CAST(SUM(qg) AS BIGINT) AS qq,
+        CAST(SUM(CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+          / CAST(ng AS DOUBLE) * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS tq
+      FROM g
+    ),
+    b AS (
+      SELECT *,
+        CAST(s AS DOUBLE) / CAST(n_total AS DOUBLE) AS grand_mean,
+        CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          / CAST(n_total AS DOUBLE) AS sst,
+        CAST(tq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          / CAST(n_total AS DOUBLE) AS ssb,
+        CAST(qq AS DOUBLE) - CAST(tq AS DOUBLE) AS ssw,
+        k_groups - 1 AS df1, n_total - k_groups AS df2
+      FROM a
+    ),
+    f AS (
+      SELECT *,
+        CASE WHEN df1 > 0 AND df2 > 0 AND ssw > 0 THEN
+          CAST(floor((ssb / CAST(df1 AS DOUBLE))
+            / (ssw / CAST(df2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END
+          AS fq,
+        $critCase AS critq
+      FROM b
+    )
+    SELECT k_groups, n_total, grand_mean, ssb, ssw, df1, df2,
+      CAST(fq AS DOUBLE) / 1e6 AS f_stat,
+      CAST(critq AS DOUBLE) / 1e6 AS f_crit_5pct,
+      fq >= critq AS anova_reject_5pct,
+      CASE WHEN sst > 0 THEN ssb / sst END AS eta_sq
+    FROM f"""
+  }
 }

@@ -1387,6 +1387,98 @@ object RelationalQueries {
       .orderBy("month")
   }
 
+  /** chi²(df) 95th percentiles for df = 1..8; [[anovaFrame]]'s asymptotic
+    * F critical value at large df2 is chi²_95(df1)/df1, emitted as
+    * per-df1 literals on the 1e-6 F quantum.
+    */
+  val Chi2Crit95: IndexedSeq[Double] = IndexedSeq(
+    3.841458821, 5.991464547, 7.814727903, 9.487729037,
+    11.07049769, 12.59158724, 14.06714045, 15.50731306)
+
+  /** F critical values (5%, df2 → ∞) on the 1e-6 quantum, per df1. */
+  val AnovaFCrit5Q: IndexedSeq[Long] = Chi2Crit95.zipWithIndex.map {
+    case (c, i) => math.floor(c / (i + 1) * 1e6 + 0.5).toLong
+  }
+
+  /** ONE-WAY ANOVA — the k-sample generalization the two-arm family
+    * ([[graft.events.EventQueries.abTest]] Welch t) cannot give: does
+    * order value differ ACROSS the priority classes, tested once, not
+    * k² pairwise t-tests with inflated false-positive rate. Decomposes
+    * SST = SSB + SSW from per-group sufficient statistics (n, Σx, Σx²);
+    * F = (SSB/(k−1))/(SSW/(n−k)), rejected against the asymptotic
+    * critical value chi²_95(df1)/df1 (df2 > 10⁴ at every gate SF — the
+    * exact F quantile is within 1e-3 of the limit there; df1-indexed
+    * literals cover k ≤ 9, NULL verdict beyond). Also reports η² =
+    * SSB/SST, the effect size the F number alone hides.
+    *
+    * Scale shape: one pushed-down scan into a k-group partial aggregate
+    * (three longs per group move per partition); everything after runs
+    * on the k-row frame. Determinism: values quantize to INTEGER
+    * dollars so Σx² keeps BIGINT headroom (~2.5e7 rows at these
+    * magnitudes — past that, scale the quantum); the per-group
+    * between-term S_g²/n_g quantizes to the INTEGER grid before the
+    * order-insensitive sum (the terms sit at ~1e14, so a finer quantum
+    * would overflow BIGINT and the integer grid already carries ~1e-10
+    * relative precision; headroom ~1e8 rows per group — past that,
+    * center the values first); F quantizes to 1e-6 and the rejection
+    * compares LONGs. Degenerate frames (SSW = 0, k < 2) yield NULL
+    * statistics identically on both engines.
+    */
+  val anovaPriority: GraftQuery = GraftQuery.oneRow(
+    "orders_anova_priority",
+    "one-way ANOVA of order value across priority classes: SSB/SSW, F vs asymptotic 5% critical value, eta-squared",
+    RelationalOracle.anovaPrioritySql) { (s, d) =>
+    anovaFrame(Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("v")))
+  }
+
+  /** The ANOVA derivation over any (grp, v) frame — shared by the
+    * registry query and the hand-decomposition fixtures
+    * (RelationalSpec).
+    */
+  def anovaFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = df.select(col("grp"), Det.quantize(col("v"), 0).as("q"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("ng"), sum(col("q")).as("sg"),
+        sum(col("q") * col("q")).as("qg"))
+    val critCase = AnovaFCrit5Q.zipWithIndex.tail.foldLeft(
+      when(col("df1") === 1L, lit(AnovaFCrit5Q(0)))) { case (acc, (c, i)) =>
+        acc.when(col("df1") === (i + 1).toLong, lit(c))
+      }
+    g.agg(
+        count(lit(1)).as("k_groups"),
+        sum(col("ng")).as("n_total"),
+        sum(col("sg")).as("s"),
+        sum(col("qg")).as("qq"),
+        sum(Det.quantize(col("sg").cast("double") * col("sg").cast("double")
+          / col("ng").cast("double"), 0)).as("tq"))
+      .withColumn("grand_mean",
+        col("s").cast("double") / col("n_total").cast("double"))
+      .withColumn("sst", col("qq").cast("double")
+        - col("s").cast("double") * col("s").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("ssb", col("tq").cast("double")
+        - col("s").cast("double") * col("s").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("ssw",
+        col("qq").cast("double") - col("tq").cast("double"))
+      .withColumn("df1", col("k_groups") - 1L)
+      .withColumn("df2", col("n_total") - col("k_groups"))
+      .withColumn("fq",
+        when(col("df1") > 0L && col("df2") > 0L && col("ssw") > 0,
+          Det.quantize((col("ssb") / col("df1").cast("double"))
+            / (col("ssw") / col("df2").cast("double")), 6)))
+      .withColumn("critq", critCase)
+      .select(col("k_groups"), col("n_total"), col("grand_mean"),
+        col("ssb"), col("ssw"), col("df1"), col("df2"),
+        (col("fq").cast("double") / lit(1e6)).as("f_stat"),
+        (col("critq").cast("double") / lit(1e6)).as("f_crit_5pct"),
+        (col("fq") >= col("critq")).as("anova_reject_5pct"),
+        when(col("sst") > 0, col("ssb") / col("sst")).as("eta_sq"))
+  }
+
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 — computed
     * once driver-side and shared as literals with the oracle.
     */
@@ -1489,5 +1581,6 @@ object RelationalQueries {
     profitByNation, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
-    rfmSketchCutoffs, tableProfile, benfordCheck, forecastHolt)
+    rfmSketchCutoffs, tableProfile, benfordCheck, forecastHolt,
+    anovaPriority)
 }

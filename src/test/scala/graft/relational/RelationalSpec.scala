@@ -326,4 +326,32 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(tail.getAs[Double]("trend") - 10.0) < 0.5)
     assert(math.abs(tail.getAs[Double]("forecast_1mo") - (100.0 + 10.0 * 41)) < 5.0)
   }
+
+  test("anovaFrame: hand decomposition replays exactly; zero within-variance gives NULL F") {
+    import spark.implicits._
+    // groups A = {1,2,3}, B = {4,5,6}: S=21, Q=91, SSB=13.5, SSW=4,
+    // F = 13.5/(4/4) = 13.5 >> crit(df1=1) = 3.841459 -> reject
+    val r = RelationalQueries.anovaFrame(
+      Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+        ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("grp", "v"))
+      .collect().head
+    assert(r.getAs[Long]("k_groups") === 2L)
+    assert(r.getAs[Long]("n_total") === 6L)
+    assert(r.getAs[Double]("grand_mean") === 21.0 / 6.0)
+    assert(r.getAs[Double]("ssb") === 87.0 - 441.0 / 6.0)
+    assert(r.getAs[Double]("ssw") === 91.0 - 87.0)
+    assert(r.getAs[Long]("df1") === 1L)
+    assert(r.getAs[Long]("df2") === 4L)
+    assert(r.getAs[Double]("f_stat") === 13.5)
+    assert(r.getAs[Double]("f_crit_5pct") === 3.841459)
+    assert(r.getAs[Boolean]("anova_reject_5pct"))
+    assert(r.getAs[Double]("eta_sq") === (87.0 - 441.0 / 6.0) / (91.0 - 441.0 / 6.0))
+    // identical constant groups: SSW = 0 -> F and verdict NULL on both
+    // engines (never Inf)
+    val z = RelationalQueries.anovaFrame(
+      Seq(("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 2.0)).toDF("grp", "v"))
+      .collect().head
+    assert(z.isNullAt(z.fieldIndex("f_stat")))
+    assert(z.isNullAt(z.fieldIndex("anova_reject_5pct")))
+  }
 }
