@@ -2964,6 +2964,109 @@ object EventOracle {
       at_value
     FROM f"""
 
+  /** Twin of [[EventQueries.abWinsorizedFrame]]: identical per-user
+    * totals/arms, the pooled global nearest-rank cuts, integer clamping,
+    * and the abTestSql Welch recompositions for both the raw and the
+    * winsorized statistic.
+    */
+  def abWinsorizedSql: String = {
+    val lo = s"${EventQueries.WinsLoPct}::DOUBLE"
+    val hi = s"${EventQueries.WinsHiPct}::DOUBLE"
+    s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS uq,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM ev GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT uq,
+        ROW_NUMBER() OVER (ORDER BY uq) AS rk,
+        COUNT(*) OVER () AS nn
+      FROM pu
+    ),
+    cuts AS (
+      SELECT
+        MAX(CASE WHEN rk = floor((nn - 1) * $lo) + 1 THEN uq END) AS lo,
+        MAX(CASE WHEN rk = floor((nn - 1) * $hi) + 1 THEN uq END) AS hi
+      FROM ranked
+    ),
+    j AS (
+      SELECT pu.*, c.lo, c.hi,
+        LEAST(GREATEST(uq, c.lo), c.hi) AS w,
+        CASE WHEN abs(uq) > 3037000499
+          THEN CAST(error('events_ab_winsorized: total overflows the '
+            || 'ssq quantum') AS BIGINT)
+          ELSE uq * uq END AS uq2,
+        CASE WHEN abs(LEAST(GREATEST(uq, c.lo), c.hi)) > 3037000499
+          THEN CAST(error('events_ab_winsorized: total overflows the '
+            || 'ssq quantum') AS BIGINT)
+          ELSE LEAST(GREATEST(uq, c.lo), c.hi)
+            * LEAST(GREATEST(uq, c.lo), c.hi) END AS w2
+      FROM pu CROSS JOIN cuts c
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(MIN(lo) AS BIGINT) AS lo, CAST(MIN(hi) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN uq <> w THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clamped,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq ELSE 0 END) AS BIGINT) AS sb,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq2 ELSE 0 END) AS BIGINT) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq2 ELSE 0 END) AS BIGINT) AS qb,
+        CAST(SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT) AS swa,
+        CAST(SUM(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT) AS swb,
+        CAST(SUM(CASE WHEN arm = 0 THEN w2 ELSE 0 END) AS BIGINT) AS qwa,
+        CAST(SUM(CASE WHEN arm = 1 THEN w2 ELSE 0 END) AS BIGINT) AS qwb
+      FROM j
+    ),
+    st AS (
+      SELECT ag.*,
+        CASE WHEN n_a > 0 THEN sa / 10000.0 / n_a END AS mean_a_raw,
+        CASE WHEN n_b > 0 THEN sb / 10000.0 / n_b END AS mean_b_raw,
+        CASE WHEN n_a > 1 THEN
+          (qa / 100000000.0 - (sa / 10000.0) * (sa / 10000.0) / n_a)
+            / (n_a - 1) END AS var_a_raw,
+        CASE WHEN n_b > 1 THEN
+          (qb / 100000000.0 - (sb / 10000.0) * (sb / 10000.0) / n_b)
+            / (n_b - 1) END AS var_b_raw,
+        CASE WHEN n_a > 0 THEN swa / 10000.0 / n_a END AS mean_a_w,
+        CASE WHEN n_b > 0 THEN swb / 10000.0 / n_b END AS mean_b_w,
+        CASE WHEN n_a > 1 THEN
+          (qwa / 100000000.0 - (swa / 10000.0) * (swa / 10000.0) / n_a)
+            / (n_a - 1) END AS var_a_w,
+        CASE WHEN n_b > 1 THEN
+          (qwb / 100000000.0 - (swb / 10000.0) * (swb / 10000.0) / n_b)
+            / (n_b - 1) END AS var_b_w
+      FROM ag
+    ),
+    se AS (
+      SELECT st.*,
+        var_a_raw / n_a + var_b_raw / n_b AS se2_raw,
+        var_a_w / n_a + var_b_w / n_b AS se2_w
+      FROM st
+    )
+    SELECT n_a, n_b,
+      CAST(lo AS DOUBLE) / 10000.0 AS p_lo,
+      CAST(hi AS DOUBLE) / 10000.0 AS p_hi,
+      n_clamped, mean_a_w, mean_b_w,
+      CASE WHEN mean_a_w IS NOT NULL AND mean_a_w <> 0
+          AND mean_b_w IS NOT NULL
+        THEN (mean_b_w - mean_a_w) / mean_a_w END AS uplift_w,
+      CASE WHEN se2_raw > 0 THEN
+        floor((mean_b_raw - mean_a_raw) / sqrt(se2_raw) * 1000000.0 + 0.5)
+          / 1000000.0 END AS t_raw,
+      CASE WHEN se2_w > 0 THEN
+        floor((mean_b_w - mean_a_w) / sqrt(se2_w) * 1000000.0 + 0.5)
+          / 1000000.0 END AS t_winsorized
+    FROM se"""
+  }
+
   /** Twin of [[EventQueries.tailHillFrame]] at k = [[EventQueries.TailK]]:
     * the same (value desc, event_id) top-(k+1) cut, 1e-9-quantized ln
     * ratios summed exactly, and the quantized-ln extrapolation so exp

@@ -4215,6 +4215,112 @@ object EventQueries {
         col("at_value"))
   }
 
+  /** WINSORIZED A/B READOUT — the robust twin of [[abTest]], and the
+    * composition [[valueWinsorize]] (clamps events) and [[tailHill]]
+    * (diagnoses the tail) point at: when per-user totals are heavy-
+    * tailed, one whale landing in one arm moves the raw mean more than
+    * any plausible treatment effect and the Welch t is noise. The
+    * standard production fix is the trimmed metric: clamp per-user
+    * totals into the POOLED [p1, p99] nearest-rank band (pooled, so the
+    * clamp is treatment-independent and introduces no bias between
+    * arms), then run the same Welch comparison — both t statistics are
+    * reported side by side, so the readout also says how much of the
+    * raw signal was tail.
+    *
+    * Scale shape: one corpus shuffle to per-user totals (checkpointed —
+    * the cuts pass and the aggregate share it); the cut ranks are a
+    * global window over the user-grain frame (the ksTest documented
+    * class); clamping and the 12-sum conditional aggregate are one
+    * scan with map-side combine. Determinism: totals and cuts are
+    * exact 1e-4 LONGs so the clamp is integer; the Welch recompositions
+    * are the abTest shapes; both t statistics quantize to 1e-6; squares
+    * carry the abTest overflow raise.
+    */
+  val abWinsorized: GraftQuery = GraftQuery.oneRow(
+    "events_ab_winsorized",
+    "robust A/B: per-user totals clamped to the pooled [p1, p99] nearest-rank band, Welch t raw vs winsorized side by side",
+    EventOracle.abWinsorizedSql) { (s, d) =>
+    abWinsorizedFrame(Tables.events(s, d))
+  }
+
+  /** The winsorized-A/B derivation over any events frame — shared by
+    * the registry query and the planted-whale fixture
+    * (EventQueriesSpec).
+    */
+  def abWinsorizedFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col("user_id"), Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("vq")).as("uq"))
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+      .localCheckpoint() // user-grain: cuts pass + aggregate share it
+    val ranked = perUser
+      .withColumn("rk", row_number().over(Window.orderBy(col("uq"))))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+    val cuts = ranked.agg(
+      max(when(col("rk") ===
+        floor((col("nn") - 1) * lit(WinsLoPct)) + 1, col("uq"))).as("lo"),
+      max(when(col("rk") ===
+        floor((col("nn") - 1) * lit(WinsHiPct)) + 1, col("uq"))).as("hi"))
+    def sq(c: org.apache.spark.sql.Column) =
+      when(abs(c) > lit(MaxSqAbs),
+        raise_error(lit("events_ab_winsorized: total overflows the " +
+          "ssq quantum — widen the quantum")).cast("long"))
+        .otherwise(c * c)
+    val j = perUser.crossJoin(broadcast(cuts))
+      .withColumn("w", least(greatest(col("uq"), col("lo")), col("hi")))
+    val agg = j.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+      sum(when(col("uq") =!= col("w"), 1L).otherwise(0L)).as("n_clamped"),
+      sum(when(col("arm") === 0, col("uq")).otherwise(0L)).as("sa"),
+      sum(when(col("arm") === 1, col("uq")).otherwise(0L)).as("sb"),
+      sum(when(col("arm") === 0, sq(col("uq"))).otherwise(0L)).as("qa"),
+      sum(when(col("arm") === 1, sq(col("uq"))).otherwise(0L)).as("qb"),
+      sum(when(col("arm") === 0, col("w")).otherwise(0L)).as("swa"),
+      sum(when(col("arm") === 1, col("w")).otherwise(0L)).as("swb"),
+      sum(when(col("arm") === 0, sq(col("w"))).otherwise(0L)).as("qwa"),
+      sum(when(col("arm") === 1, sq(col("w"))).otherwise(0L)).as("qwb"))
+    val sc = lit(Det.pow10(4).toDouble)
+    def mean(s0: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      when(n > lit(0L), s0 / sc / n)
+    def vr(q: org.apache.spark.sql.Column, s0: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      when(n > lit(1L),
+        (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - lit(1)))
+    def tstat(ma: org.apache.spark.sql.Column, mb: org.apache.spark.sql.Column,
+        se2: org.apache.spark.sql.Column) =
+      when(se2 > 0,
+        floor((mb - ma) / sqrt(se2) * lit(1e6) + lit(0.5)) / lit(1e6))
+    agg
+      .withColumn("mean_a_raw", mean(col("sa"), col("n_a")))
+      .withColumn("mean_b_raw", mean(col("sb"), col("n_b")))
+      .withColumn("se2_raw", vr(col("qa"), col("sa"), col("n_a")) / col("n_a")
+        + vr(col("qb"), col("sb"), col("n_b")) / col("n_b"))
+      .withColumn("mean_a_w", mean(col("swa"), col("n_a")))
+      .withColumn("mean_b_w", mean(col("swb"), col("n_b")))
+      .withColumn("se2_w", vr(col("qwa"), col("swa"), col("n_a")) / col("n_a")
+        + vr(col("qwb"), col("swb"), col("n_b")) / col("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (col("lo").cast("double") / sc).as("p_lo"),
+        (col("hi").cast("double") / sc).as("p_hi"),
+        col("n_clamped"),
+        col("mean_a_w"), col("mean_b_w"),
+        when(col("mean_a_w").isNotNull && col("mean_a_w") =!= 0 &&
+            col("mean_b_w").isNotNull,
+          (col("mean_b_w") - col("mean_a_w")) / col("mean_a_w"))
+          .as("uplift_w"),
+        tstat(col("mean_a_raw"), col("mean_b_raw"), col("se2_raw"))
+          .as("t_raw"),
+        tstat(col("mean_a_w"), col("mean_b_w"), col("se2_w"))
+          .as("t_winsorized"))
+  }
+
   /** Tail-sample size for [[tailHill]] (top k order statistics). */
   val TailK = 256
 
@@ -4303,5 +4409,5 @@ object EventQueries {
       didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
-      srmCheck, abPower, bootstrapCi, tailHill, ksTest)
+      srmCheck, abPower, bootstrapCi, tailHill, ksTest, abWinsorized)
 }

@@ -1217,6 +1217,59 @@ class EventQueriesSpec extends SparkSpec {
     assert(r1.getAs[Boolean]("ks_reject_5pct"))
   }
 
+  test("abWinsorizedFrame: planted whale clamps to the pooled p99; winsorized t replays exactly and beats raw") {
+    import spark.implicits._
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val ids0 = (1L to 100L).filter(arm(_) == 0L).take(4)
+    val ids1 = (1L to 100L).filter(arm(_) == 1L).take(4)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var eid = 0L
+    def ev(user: Long, v: Double) = { eid += 1; (eid, ts, user, "view", v, "{}") }
+    // the control whale MASKS a real treatment lift and flips the raw
+    // sign; pooled cuts over 8 sorted totals: (nn-1)*0.01 -> rank 1
+    // (min), (nn-1)*0.99 -> rank 7 = 80
+    val a = Seq(10.0, 20.0, 30.0, 100000.0)
+    val b = Seq(50.0, 60.0, 70.0, 80.0)
+    val rows = ids0.zip(a).map { case (u, v) => ev(u, v) } ++
+      ids1.zip(b).map { case (u, v) => ev(u, v) }
+    val r = EventQueries.abWinsorizedFrame(rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(r.getAs[Double]("p_lo") === 10.0)
+    assert(r.getAs[Double]("p_hi") === 80.0)
+    assert(r.getAs[Long]("n_clamped") === 1L)
+    assert(r.getAs[Double]("mean_a_w") === (10.0 + 20.0 + 30.0 + 80.0) / 4L)
+    assert(r.getAs[Double]("mean_b_w") === 65.0)
+    // replay both t statistics through the engine's exact shapes
+    val sc = 1e4
+    def stats(vals: Seq[Double]): (Double, Double) = {
+      val uq = vals.map(v => math.floor(v * sc + 0.5))
+      val s0 = uq.sum; val q = uq.map(x => x * x).sum
+      val m = s0 / sc / 4L
+      val vr = (q / (sc * sc) - (s0 / sc) * (s0 / sc) / 4L) / (4L - 1)
+      (m, vr)
+    }
+    def t(a0: Seq[Double], b0: Seq[Double]): Double = {
+      val (ma, va) = stats(a0); val (mb, vb) = stats(b0)
+      val se2 = va / 4L + vb / 4L
+      math.floor((mb - ma) / math.sqrt(se2) * 1e6 + 0.5) / 1e6
+    }
+    val aw = Seq(10.0, 20.0, 30.0, 80.0)
+    assert(r.getAs[Double]("t_raw") === t(a, b))
+    assert(r.getAs[Double]("t_winsorized") === t(aw, b))
+    // the whale flips the raw sign (|t| -> 1 from one outlier); the
+    // trimmed statistic recovers the true positive lift, and stronger
+    assert(r.getAs[Double]("t_raw") < 0.0)
+    assert(r.getAs[Double]("t_winsorized") > 0.0)
+    assert(math.abs(r.getAs[Double]("t_winsorized"))
+      > math.abs(r.getAs[Double]("t_raw")))
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
