@@ -1001,4 +1001,77 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).isEmpty,
       s"corpus re-scanned past the checkpointed class table:\n$plan")
   }
+
+  test("events_srm_check: exposure scans read only (event_type, user_id)") {
+    val df = SparkEntry.queries("events_srm_check")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(!r.contains("value") && !r.contains("props"),
+        s"unpruned events scan in SRM exposure pass: $r")
+    }
+  }
+
+  test("events_bootstrap_ci: the xB explode adds NO shuffle — two hash exchanges total") {
+    val df = SparkEntry.queries("events_bootstrap_ci")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the replicate fan-out is a Generate between the two aggregates
+    assert(plan.contains("Generate explode"), s"no explode in:\n$plan")
+    // exchange 1: corpus -> per-user totals; exchange 2: the <=B-rows-
+    // per-partition partial aggregate to per-replicate sums. Anything
+    // more means the explode started shuffling corpus x B rows.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"explode shuffles: $hashEx hash exchanges in:\n$plan")
+  }
+
+  test("lineitem_benford_check: positivity filter and single-column read reach the scan") {
+    val df = SparkEntry.queries("lineitem_benford_check")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_extendedprice,0.0)"),
+      s"positivity not pushed in:\n$plan")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    reads.foreach { r =>
+      assert(!r.contains("l_quantity") && !r.contains("l_orderkey"),
+        s"unpruned lineitem scan: $r")
+    }
+  }
+
+  test("revenue_forecast_holt: the band join runs on the checkpointed monthly frame with the kernel broadcast") {
+    val df = SparkEntry.queries("revenue_forecast_holt")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the one corpus pass happened inside the checkpoint; the T x lag
+    // band join must not re-scan orders
+    assert("Scan parquet".r.findAllIn(plan).isEmpty,
+      s"corpus re-scanned past the checkpointed monthly frame:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"kernel not broadcast in:\n$plan")
+  }
+
+  test("events_tail_hill: three tail consumers share ONE checkpointed cut; only the count re-scans") {
+    val df = SparkEntry.queries("events_tail_hill")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // nAgg's pushed-down count is the single remaining parquet scan;
+    // thr/terms/ratio all read the checkpointed k+1-row frame
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected 1 scan (the count), got $scans in:\n$plan")
+  }
+
+  test("events_ks_test: per-total counts partial-aggregate before the CDF window — two hash exchanges") {
+    val df = SparkEntry.queries("events_ks_test")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2,
+      s"expected <=2 hash exchanges (user totals, per-total counts), got $hashEx in:\n$plan")
+  }
 }
