@@ -1189,4 +1189,45 @@ object RelationalOracle {
       CASE WHEN sst > 0 THEN ssb / sst END AS eta_sq
     FROM f"""
   }
+
+  /** Twin of [[RelationalQueries.backlogFrame]]: the same two delta
+    * aggregates, dense generate_series day grid, and exact cumulative
+    * prefix sums.
+    */
+  def backlogTimelineSql: String = s"""
+    WITH placed AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_placed
+      FROM orders GROUP BY 1
+    ),
+    shipped AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_first_shipped FROM (
+        SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS day
+        FROM lineitem GROUP BY 1
+      ) GROUP BY 1
+    ),
+    bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM (
+        SELECT day FROM placed UNION ALL SELECT day FROM shipped
+      )
+    ),
+    grid AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.day,
+        COALESCE(p.n_placed, 0) AS n_placed,
+        COALESCE(s.n_first_shipped, 0) AS n_first_shipped
+      FROM grid g
+      LEFT JOIN placed p ON g.day = p.day
+      LEFT JOIN shipped s ON g.day = s.day
+    )
+    SELECT day, n_placed, n_first_shipped,
+      CAST(SUM(n_placed) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT)
+        - CAST(SUM(n_first_shipped) OVER (ORDER BY day ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+    FROM j ORDER BY day"""
 }

@@ -1387,6 +1387,62 @@ object RelationalQueries {
       .orderBy("month")
   }
 
+  /** OPEN-ORDER BACKLOG TIMELINE — the operational interval question
+    * (how many orders were placed but not yet shipped on each day?)
+    * answered WITHOUT an interval join: a naive day-grid × open-interval
+    * stab is O(days · orders); the sweep-line encoding is two
+    * independent corpus aggregates — orders placed per day (+1 deltas)
+    * and orders FIRST-shipped per day (−1 deltas, min l_shipdate per
+    * order) — and backlog(d) = cum_placed(d) − cum_shipped(d) on the
+    * dense calendar grid. No join between the fact tables at all.
+    *
+    * Scale shape: one partial-agg pass per table (per-day counts; the
+    * first-ship pass is one l_orderkey groupBy); the grid explode,
+    * left joins, and cumulative windows are all calendar-bounded
+    * (~2.4k days). Determinism: pure exact-LONG counts and prefix
+    * sums; the dense grid carries zero-activity days so the level
+    * holds through gaps.
+    */
+  val backlogTimeline: GraftQuery = GraftQuery(
+    "orders_backlog_timeline",
+    "daily open-order backlog by sweep-line delta prefix sums: placed, first-shipped, cumulative backlog on the dense day grid",
+    RelationalOracle.backlogTimelineSql) { (s, d) =>
+    backlogFrame(Tables.orders(s, d), Tables.lineitem(s, d))
+  }
+
+  /** The backlog derivation over any (orders, lineitem) pair — shared by
+    * the registry query and the hand interval fixture (RelationalSpec).
+    */
+  def backlogFrame(orders: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val placed = orders
+      .select(to_date(col("o_orderdate")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_placed"))
+    val shipped = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_first_shipped"))
+    val bounds = placed.select(col("day"))
+      .unionByName(shipped.select(col("day")))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = bounds.select(explode(sequence(col("d0"), col("d1"),
+      expr("interval 1 day"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(placed, Seq("day"), "left")
+      .join(shipped, Seq("day"), "left")
+      .withColumn("n_placed", coalesce(col("n_placed"), lit(0L)))
+      .withColumn("n_first_shipped", coalesce(col("n_first_shipped"), lit(0L)))
+      .withColumn("backlog",
+        sum(col("n_placed")).over(w) - sum(col("n_first_shipped")).over(w))
+      .select(col("day"), col("n_placed"), col("n_first_shipped"),
+        col("backlog"))
+      .orderBy(col("day"))
+  }
+
   /** chi²(df) 95th percentiles for df = 1..8; [[anovaFrame]]'s asymptotic
     * F critical value at large df2 is chi²_95(df1)/df1, emitted as
     * per-df1 literals on the 1e-6 F quantum.
@@ -1582,5 +1638,5 @@ object RelationalQueries {
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
     rfmSketchCutoffs, tableProfile, benfordCheck, forecastHolt,
-    anovaPriority)
+    anovaPriority, backlogTimeline)
 }

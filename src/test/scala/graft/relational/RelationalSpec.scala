@@ -354,4 +354,25 @@ class RelationalSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("f_stat")))
     assert(z.isNullAt(z.fieldIndex("anova_reject_5pct")))
   }
+
+  test("backlogFrame: hand intervals replay the sweep-line; idle days carry the level; multi-line orders ship at their MIN") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val orders = Seq((1L, ts(1)), (2L, ts(1)), (3L, ts(3)))
+      .toDF("o_orderkey", "o_orderdate")
+    // order 1 has two lines shipping d4 and d2: first-ship is d2
+    val lines = Seq((1L, ts(4)), (1L, ts(2)), (2L, ts(5)), (3L, ts(3)))
+      .toDF("l_orderkey", "l_shipdate")
+    val rows = RelationalQueries.backlogFrame(orders, lines).collect()
+    assert(rows.length === 5) // dense grid d1..d5
+    val got = rows.map(r => (r.getAs[java.sql.Date]("day").toString,
+      r.getAs[Long]("n_placed"), r.getAs[Long]("n_first_shipped"),
+      r.getAs[Long]("backlog")))
+    assert(got === Array(
+      ("2024-01-01", 2L, 0L, 2L),
+      ("2024-01-02", 0L, 1L, 1L),
+      ("2024-01-03", 1L, 1L, 1L),
+      ("2024-01-04", 0L, 0L, 1L), // zero-activity day holds the level
+      ("2024-01-05", 0L, 1L, 0L)))
+  }
 }
