@@ -137,6 +137,44 @@ object EventStreams {
     * the watermark; at 100 TB/day ingest this is the only shape whose
     * state does not grow with cardinality.
     */
+  /** ONLINE SRM GUARDRAIL — the streaming twin of the batch
+    * `events_srm_check` (per-segment rows; the batch query's extra
+    * 'ALL' distinct-user grain stays batch-side): assignment imbalance
+    * should page DURING the experiment, not at readout time. Exposure
+    * grain is stateful dropDuplicates on (event_type, user_id) — a
+    * user's repeat events in a segment never recount whatever
+    * micro-batch they arrive in — feeding one conditional aggregate;
+    * the chi² flags are a stateless projection over the segment rows,
+    * identical arithmetic to the batch twin (StreamingSpec asserts
+    * full-row parity). Dedup state is (segments × users) — bounded by
+    * the experiment's audience, the honest cost of exact exposure
+    * counting; an approximate deployment swaps in the KMV/HLL state of
+    * [[SketchStreams]].
+    */
+  def srmGuardrail(events: DataFrame): DataFrame = {
+    import graft.events.EventQueries.{SrmChi2Crit1PmQ, SrmChi2Crit5Q}
+    val exp = events
+      .select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+    val diff = (col("n_a") - col("n_b")).cast("double")
+    exp
+      .groupBy(col("event_type").as("segment"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("n_users", col("n_a") + col("n_b"))
+      .withColumn("chi2q", when(col("n_users") > 0L,
+        Det.quantize(diff * diff / col("n_users").cast("double"), 9)))
+      .select(col("segment"), col("n_a"), col("n_b"), col("n_users"),
+        when(col("n_users") > 0L, col("n_a").cast("double")
+          / col("n_users").cast("double")).as("share_a"),
+        (col("chi2q").cast("double") / lit(1e9)).as("chi2"),
+        (col("chi2q") >= lit(SrmChi2Crit5Q)).as("srm_5pct"),
+        (col("chi2q") >= lit(SrmChi2Crit1PmQ)).as("srm_1pm"))
+  }
+
   def dailyDistinctUsers(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", WatermarkDelay)

@@ -980,6 +980,58 @@ class StreamingSpec extends SparkSpec {
     assert(table === expected :+ ((9L, "z")))
   }
 
+  test("srmGuardrail: streamed segment rows equal the batch srm_check; dedup state spans micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val ids0 = (1L to 200L).filter(arm(_) == 0L)
+    val ids1 = (1L to 200L).filter(arm(_) == 1L)
+    def t(hr: Int) = Timestamp.valueOf(f"2024-01-01 $hr%02d:00:00")
+    var eid = 0L
+    def ev(user: Long, typ: String, hr: Int) = {
+      eid += 1; Ev(eid, t(hr), user, typ, 1.0, "{}")
+    }
+    // 'drop' segment dropped one arm (10 vs 1); 'bal' is 3 vs 3; user
+    // ids0(0) appears in 'bal' in BOTH micro-batches — the dedup state
+    // must keep it counted once across the boundary
+    val batch1 = ids0.take(10).map(ev(_, "drop", 1)) ++
+      Seq(ev(ids1.head, "drop", 1)) ++
+      ids0.take(3).map(ev(_, "bal", 2)) ++ ids1.take(2).map(ev(_, "bal", 2))
+    val batch2 = Seq(ev(ids0.head, "bal", 3), ev(ids1(2), "bal", 3))
+    val stream = MemoryStream[Ev]
+    stream.addData(batch1: _*)
+    val q = EventStreams.srmGuardrail(stream.toDF())
+      .writeStream.format("memory").queryName("srm_guardrail_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("srm_guardrail_out")
+      .orderBy("segment").collect().map(_.toSeq).toSeq
+    // the batch twin is the registry query's frame minus its ALL row
+    val batch = graft.events.EventQueries.srmCheckFrame(
+      (batch1 ++ batch2).toDF())
+      .filter(col("segment") =!= "ALL")
+      .orderBy("segment").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    val drop = spark.table("srm_guardrail_out")
+      .filter(col("segment") === "drop").collect().head
+    assert(drop.getAs[Long]("n_a") === 10L)
+    assert(drop.getAs[Long]("n_b") === 1L)
+    assert(drop.getAs[Boolean]("srm_5pct")) // chi2 = 81/11 ~ 7.36
+    val bal = spark.table("srm_guardrail_out")
+      .filter(col("segment") === "bal").collect().head
+    assert(bal.getAs[Long]("n_users") === 6L) // cross-batch dup counted once
+    assert(!bal.getAs[Boolean]("srm_5pct"))
+  }
+
   test("dailyDistinctUsers: streaming sketch equals batch sketch, and the batch exact") {
     val spark0 = spark
     import spark0.implicits._
