@@ -2964,6 +2964,103 @@ object EventOracle {
       at_value
     FROM f"""
 
+  /** Twin of [[EventQueries.spearmanFrame]]: the same doubled-midrank
+    * frames per metric, normalized-rank 1e-9 moment quanta, exact-LONG
+    * raw-Pearson statistics, and the shared correlation/z shapes.
+    */
+  def spearmanSql: String = s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS uq
+      FROM ev GROUP BY user_id
+    ),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pu),
+    rx AS (
+      SELECT cnt, CAST(2 * (cum - c) + c + 1 AS BIGINT) AS r2_cnt FROM (
+        SELECT cnt, c, CAST(SUM(c) OVER (ORDER BY cnt ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY 1)
+      )
+    ),
+    ry AS (
+      SELECT uq, CAST(2 * (cum - c) + c + 1 AS BIGINT) AS r2_uq FROM (
+        SELECT uq, c, CAST(SUM(c) OVER (ORDER BY uq ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM (SELECT uq, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY 1)
+      )
+    ),
+    j AS (
+      SELECT pu.cnt, pu.uq,
+        CAST(r2_cnt AS DOUBLE) / (2.0::DOUBLE * CAST(n AS DOUBLE)) AS ux,
+        CAST(r2_uq AS DOUBLE) / (2.0::DOUBLE * CAST(n AS DOUBLE)) AS uy,
+        CASE WHEN abs(pu.uq) > 3037000499
+          THEN CAST(error('events_spearman: per-user total overflows the '
+            || 'ssq quantum') AS BIGINT)
+          ELSE pu.uq * pu.uq END AS uq2
+      FROM pu JOIN rx USING (cnt) JOIN ry USING (uq) CROSS JOIN na
+    ),
+    ag AS (
+      SELECT CAST(MIN(n) AS BIGINT) AS n,
+        CAST(SUM(CAST(floor(ux * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+        CAST(SUM(CAST(floor(ux * ux * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+          AS sxx,
+        CAST(SUM(CAST(floor(uy * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+        CAST(SUM(CAST(floor(uy * uy * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+          AS syy,
+        CAST(SUM(CAST(floor(ux * uy * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+          AS sxy,
+        CAST(SUM(cnt) AS BIGINT) AS pcx,
+        CAST(SUM(cnt * cnt) AS BIGINT) AS pcxx,
+        CAST(SUM(uq) AS BIGINT) AS pcy,
+        CAST(SUM(uq2) AS BIGINT) AS pcyy,
+        CAST(SUM(cnt * uq) AS BIGINT) AS pcxy
+      FROM (SELECT j.*, n FROM j CROSS JOIN na)
+    ),
+    co AS (
+      SELECT ag.*,
+        CASE WHEN CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+            - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) > 0
+          AND CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e9)
+            - (CAST(sy AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9) > 0
+        THEN CAST(floor(
+          (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+            - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+          / sqrt((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+            - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+            * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e9)
+            - (CAST(sy AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9)))
+          * 1e9 + 0.5) AS BIGINT) END AS rhoq,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(pcxx AS DOUBLE)
+            - CAST(pcx AS DOUBLE) * CAST(pcx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * (CAST(pcyy AS DOUBLE) / 1e8)
+            - (CAST(pcy AS DOUBLE) / 1e4) * (CAST(pcy AS DOUBLE) / 1e4) > 0
+        THEN CAST(floor(
+          (CAST(n AS DOUBLE) * (CAST(pcxy AS DOUBLE) / 1e4)
+            - CAST(pcx AS DOUBLE) * (CAST(pcy AS DOUBLE) / 1e4))
+          / sqrt((CAST(n AS DOUBLE) * CAST(pcxx AS DOUBLE)
+            - CAST(pcx AS DOUBLE) * CAST(pcx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * (CAST(pcyy AS DOUBLE) / 1e8)
+            - (CAST(pcy AS DOUBLE) / 1e4) * (CAST(pcy AS DOUBLE) / 1e4)))
+          * 1e9 + 0.5) AS BIGINT) END AS pearsonq
+      FROM ag
+    ),
+    z AS (
+      SELECT co.*,
+        CASE WHEN n > 1 THEN CAST(floor(
+          (CAST(rhoq AS DOUBLE) / 1e9)
+            * sqrt(CAST(n - 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) END
+          AS zq
+      FROM co
+    )
+    SELECT n AS n_users,
+      CAST(rhoq AS DOUBLE) / 1e9 AS spearman_rho,
+      CAST(pearsonq AS DOUBLE) / 1e9 AS pearson_r,
+      CAST(zq AS DOUBLE) / 1e9 AS z,
+      abs(zq) >= ${EventQueries.LogrankZCritQ} AS reject_5pct
+    FROM z"""
+
   /** Twin of [[EventQueries.abWinsorizedFrame]]: identical per-user
     * totals/arms, the pooled global nearest-rank cuts, integer clamping,
     * and the abTestSql Welch recompositions for both the raw and the

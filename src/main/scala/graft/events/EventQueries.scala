@@ -4321,6 +4321,114 @@ object EventQueries {
           .as("t_winsorized"))
   }
 
+  /** SPEARMAN RANK CORRELATION — does a user's ACTIVITY predict their
+    * SPEND? The Pearson answer is fragile exactly where the question
+    * matters (heavy-tailed spend — see [[tailHill]]); Spearman is the
+    * robust, monotone-invariant answer: Pearson correlation computed on
+    * tie-corrected MIDRANKS (the [[graft.text.TextQueries]] AUC doubled-
+    * midrank trick: 2·cum_before + cnt + 1, an exact LONG per distinct
+    * value). Both coefficients ship side by side, so a gap between them
+    * is itself a readout (nonlinear-but-monotone association, or
+    * outliers dragging Pearson).
+    *
+    * Scale shape: one corpus shuffle to per-user (count, total); each
+    * metric's midranks come from a distinct-value groupBy + cumulative
+    * window (the ksTest documented global-window class) joined back on
+    * the value. Determinism: midranks are exact LONGs; rank-moment
+    * sums would grow as n³ and burst BIGINT near 2e6 users, so ranks
+    * NORMALIZE to (0,1] (one shared double division by 2n) and every
+    * moment term quantizes to 1e-9 before the order-insensitive sums —
+    * exact through 1e9 users; the raw-Pearson sufficient statistics
+    * stay exact LONGs with the abTest overflow raise; both coefficients
+    * and the large-sample z = ρ·√(n−1) quantize to 1e-9, the rejection
+    * comparing LONGs against the shared 1.96 literal.
+    */
+  val spearman: GraftQuery = GraftQuery.oneRow(
+    "events_spearman",
+    "Spearman rank correlation of per-user activity vs spend (tie-corrected midranks) beside the raw Pearson, with large-sample z",
+    EventOracle.spearmanSql) { (s, d) =>
+    spearmanFrame(Tables.events(s, d))
+  }
+
+  /** The Spearman/Pearson derivation over any events frame — shared by
+    * the registry query and the monotone-cubic fixture
+    * (EventQueriesSpec).
+    */
+  def spearmanFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col("user_id"), Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vq")).as("uq"))
+      .localCheckpoint() // user-grain: two rank passes + the moments
+    def ranks(metric: String) = {
+      val w = Window.orderBy(col(metric))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perUser.groupBy(col(metric)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        // doubled midrank: 2*(cum-before) + c + 1 — exact LONG
+        .select(col(metric),
+          (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+            .as(s"r2_$metric"))
+    }
+    val sq = when(abs(col("uq")) > lit(MaxSqAbs),
+      raise_error(lit("events_spearman: per-user total overflows the " +
+        "ssq quantum — widen the quantum")).cast("long"))
+      .otherwise(col("uq") * col("uq"))
+    val nAgg = perUser.agg(count(lit(1)).as("n"))
+    val joined = perUser
+      .join(ranks("cnt"), Seq("cnt"))
+      .join(ranks("uq"), Seq("uq"))
+      .crossJoin(broadcast(nAgg))
+      .withColumn("ux",
+        col("r2_cnt").cast("double") / (lit(2.0) * col("n").cast("double")))
+      .withColumn("uy",
+        col("r2_uq").cast("double") / (lit(2.0) * col("n").cast("double")))
+    val agg = joined.agg(
+      min(col("n")).as("n"),
+      sum(Det.quantize(col("ux"), 9)).as("sx"),
+      sum(Det.quantize(col("ux") * col("ux"), 9)).as("sxx"),
+      sum(Det.quantize(col("uy"), 9)).as("sy"),
+      sum(Det.quantize(col("uy") * col("uy"), 9)).as("syy"),
+      sum(Det.quantize(col("ux") * col("uy"), 9)).as("sxy"),
+      sum(col("cnt")).as("pcx"),
+      sum(col("cnt") * col("cnt")).as("pcxx"),
+      sum(col("uq")).as("pcy"),
+      sum(sq).as("pcyy"),
+      sum(col("cnt") * col("uq")).as("pcxy"))
+    def corr(n: org.apache.spark.sql.Column,
+        sx: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column,
+        sxy: org.apache.spark.sql.Column) = {
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      when(vx > 0 && vy > 0, (n * sxy - sx * sy) / sqrt(vx * vy))
+    }
+    val nd = col("n").cast("double")
+    agg
+      .withColumn("rhoq", Det.quantize(corr(nd,
+        col("sx").cast("double") / lit(1e9),
+        col("sxx").cast("double") / lit(1e9),
+        col("sy").cast("double") / lit(1e9),
+        col("syy").cast("double") / lit(1e9),
+        col("sxy").cast("double") / lit(1e9)), 9))
+      .withColumn("pearsonq", Det.quantize(corr(nd,
+        col("pcx").cast("double"),
+        col("pcxx").cast("double"),
+        col("pcy").cast("double") / lit(1e4),
+        col("pcyy").cast("double") / lit(1e8),
+        col("pcxy").cast("double") / lit(1e4)), 9))
+      .withColumn("zq", when(col("n") > 1L,
+        Det.quantize((col("rhoq").cast("double") / lit(1e9))
+          * sqrt((col("n") - 1L).cast("double")), 9)))
+      .select(col("n").as("n_users"),
+        (col("rhoq").cast("double") / lit(1e9)).as("spearman_rho"),
+        (col("pearsonq").cast("double") / lit(1e9)).as("pearson_r"),
+        (col("zq").cast("double") / lit(1e9)).as("z"),
+        (abs(col("zq")) >= lit(LogrankZCritQ)).as("reject_5pct"))
+  }
+
   /** Tail-sample size for [[tailHill]] (top k order statistics). */
   val TailK = 256
 
@@ -4409,5 +4517,6 @@ object EventQueries {
       didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
-      srmCheck, abPower, bootstrapCi, tailHill, ksTest, abWinsorized)
+      srmCheck, abPower, bootstrapCi, tailHill, ksTest, abWinsorized,
+      spearman)
 }

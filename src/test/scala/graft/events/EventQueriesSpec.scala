@@ -1270,6 +1270,61 @@ class EventQueriesSpec extends SparkSpec {
       > math.abs(r.getAs[Double]("t_raw")))
   }
 
+  test("spearmanFrame: monotone-cubic fixture with ties — full midrank replay bit-exact; rho beats Pearson") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var eid = 0L
+    // user i: i events of value i^2 (cnt = i, total = i^3 — perfectly
+    // monotone but convex), plus two tied users sharing (1 event, 5.0)
+    val rows = (1 to 12).flatMap { i =>
+      Seq.fill(i) { eid += 1; (eid, ts, i.toLong, "view", (i * i).toDouble, "{}") }
+    } ++ Seq(13L, 14L).map { u => eid += 1; (eid, ts, u, "view", 5.0, "{}") }
+    val r = EventQueries.spearmanFrame(rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    // plain-Scala replay through the engine's exact shapes
+    val per = (1 to 12).map(i => (i.toLong, i.toLong * math.floor(i * i * 1e4 + 0.5).toLong)) ++
+      Seq((1L, math.floor(5.0 * 1e4 + 0.5).toLong), (1L, math.floor(5.0 * 1e4 + 0.5).toLong))
+    val n = per.size.toLong
+    def midranks(vals: Seq[Long]): Map[Long, Long] = {
+      val grouped = vals.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      grouped.map { case (v, c) =>
+        val r2 = 2L * cum + c + 1L; cum += c; v -> r2
+      }.toMap
+    }
+    val rx = midranks(per.map(_._1)); val ry = midranks(per.map(_._2))
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    var (sx, sxx, sy, syy, sxy) = (0L, 0L, 0L, 0L, 0L)
+    var (pcx, pcxx, pcy, pcyy, pcxy) = (0L, 0L, 0L, 0L, 0L)
+    per.foreach { case (c, u) =>
+      val ux = rx(c).toDouble / (2.0 * n.toDouble)
+      val uy = ry(u).toDouble / (2.0 * n.toDouble)
+      sx += q9(ux); sxx += q9(ux * ux); sy += q9(uy); syy += q9(uy * uy)
+      sxy += q9(ux * uy)
+      pcx += c; pcxx += c * c; pcy += u; pcyy += u * u; pcxy += c * u
+    }
+    def corr(nd: Double, a: Double, aa: Double, b: Double, bb: Double,
+        ab: Double): Double = {
+      val vx = nd * aa - a * a; val vy = nd * bb - b * b
+      (nd * ab - a * b) / math.sqrt(vx * vy)
+    }
+    val rho = q9(corr(n.toDouble, sx / 1e9, sxx / 1e9, sy / 1e9,
+      syy / 1e9, sxy / 1e9)).toDouble / 1e9
+    val pear = q9(corr(n.toDouble, pcx.toDouble, pcxx.toDouble,
+      pcy / 1e4, pcyy / 1e8, pcxy / 1e4)).toDouble / 1e9
+    assert(r.getAs[Long]("n_users") === n)
+    assert(r.getAs[Double]("spearman_rho") === rho)
+    assert(r.getAs[Double]("pearson_r") === pear)
+    val z = q9(rho * math.sqrt((n - 1).toDouble)).toDouble / 1e9
+    assert(r.getAs[Double]("z") === z)
+    assert(r.getAs[Boolean]("reject_5pct") === (math.abs(z) >= 1.959963985))
+    // the monotone-but-convex relation: rank correlation resolves what
+    // the linear one understates
+    assert(rho > pear)
+    assert(rho > 0.9 && r.getAs[Boolean]("reject_5pct"))
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
