@@ -2964,6 +2964,75 @@ object EventOracle {
       at_value
     FROM f"""
 
+  /** Twin of [[EventQueries.typeDowFrame]]: epoch-day dow, identical
+    * margin windows over the cell frame, 1e-6-quantized chi² terms, the
+    * (term desc, type, dow) top cell, and the 1e-9-quantized V.
+    */
+  def typeDowAssociationSql: String = s"""
+    WITH $evCte,
+    obs AS (
+      SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+          AS BIGINT) AS dow,
+        CAST(COUNT(*) AS BIGINT) AS o
+      FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, d.dow
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT DISTINCT dow FROM obs) d
+    ),
+    cells AS (
+      SELECT g.event_type, g.dow, COALESCE(o.o, 0) AS o
+      FROM grid g LEFT JOIN obs o
+        ON g.event_type = o.event_type AND g.dow = o.dow
+    ),
+    m AS (
+      SELECT *,
+        CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+        CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+        CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    q AS (
+      SELECT *,
+        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+        CAST(floor(
+          (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(n AS DOUBLE))
+          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          * 1e6 + 0.5) AS BIGINT) AS c2q
+      FROM m
+    ),
+    s AS (
+      SELECT CAST(MIN(n) AS BIGINT) AS n_events,
+        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+        CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+        CAST(SUM(c2q) AS BIGINT) AS chi2q
+      FROM q
+    ),
+    top AS (
+      SELECT event_type AS top_type, dow AS top_dow,
+        CAST(c2q AS DOUBLE) / 1e6 AS top_cell_chi2
+      FROM q ORDER BY c2q DESC, event_type, dow LIMIT 1
+    ),
+    f AS (
+      SELECT s.*, top.*,
+        (r - 1) * (c - 1) AS dof,
+        CASE WHEN r - 1 <= c - 1 THEN r - 1 ELSE c - 1 END AS mind
+      FROM s CROSS JOIN top
+    )
+    SELECT n_events, r AS n_types, c AS n_dows, dof,
+      CAST(chi2q AS DOUBLE) / 1e6 AS chi2,
+      CAST(CASE WHEN mind > 0 THEN
+        CAST(floor(sqrt((CAST(chi2q AS DOUBLE) / 1e6)
+          / (CAST(n_events AS DOUBLE) * CAST(mind AS DOUBLE)))
+          * 1e9 + 0.5) AS BIGINT) END AS DOUBLE) / 1e9 AS cramers_v,
+      top_type, top_dow, top_cell_chi2
+    FROM f"""
+
   /** Twin of [[EventQueries.spearmanFrame]]: the same doubled-midrank
     * frames per metric, normalized-rank 1e-9 moment quanta, exact-LONG
     * raw-Pearson statistics, and the shared correlation/z shapes.

@@ -4429,6 +4429,85 @@ object EventQueries {
         (abs(col("zq")) >= lit(LogrankZCritQ)).as("reject_5pct"))
   }
 
+  /** CONTINGENCY ASSOCIATION (chi² + Cramér's V) — the categorical
+    * counterpart of [[spearman]]: is the event-type mix day-of-week
+    * dependent? The r×c chi² tests it and Cramér's V
+    * = √(χ²/(n·min(r−1,c−1))) sizes it on [0,1] — the effect measure
+    * that needs NO critical-value table (dof here is 24, past any
+    * pinned literal; a platform reads V, not stars). Also reports the
+    * top-contributing cell (largest standardized χ² term) — the
+    * actionable half, as in [[ksTest]].
+    *
+    * Day-of-week comes from epoch-day arithmetic ((days since
+    * 1970-01-01) % 7; 1970-01-01 was a Thursday → 0 = Thu), never the
+    * engines' dayofweek() whose origin conventions differ. Scale: one
+    * corpus groupBy to the r×c cell frame; margins/totals are windows
+    * over that model-sized frame; the top cell is ORDER BY + LIMIT 1.
+    * Determinism: counts exact; per-cell χ² terms quantize to 1e-6
+    * before the exact sum; V quantizes to 1e-9; degenerate single-
+    * row/column grids yield NULL V identically.
+    */
+  val typeDowAssociation: GraftQuery = GraftQuery.oneRow(
+    "events_type_dow_association",
+    "event-type x day-of-week contingency: chi2, dof, Cramer's V effect size, top-contributing cell",
+    EventOracle.typeDowAssociationSql) { (s, d) =>
+    typeDowFrame(Tables.events(s, d))
+  }
+
+  /** The contingency derivation over any events frame — shared by the
+    * registry query and the exact-independence / perfect-association
+    * fixtures (EventQueriesSpec).
+    */
+  def typeDowFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = events
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    // DENSE r x c grid: absent cells are O = 0 observations whose
+    // (0-E)^2/E terms carry chi-square mass — dropping them understates
+    // the statistic exactly where association is strongest
+    val grid = obs.select(col("event_type")).distinct()
+      .crossJoin(broadcast(obs.select(col("dow")).distinct()))
+    val cells = grid.join(obs, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("rt", sum(col("o")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+        / col("n").cast("double"))
+      .withColumn("c2q", Det.quantize(
+        (col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e"), 6))
+    val summary = cells.agg(
+      min(col("n")).as("n_events"),
+      countDistinct(col("event_type")).as("r"),
+      countDistinct(col("dow")).as("c"),
+      sum(col("c2q")).as("chi2q"))
+    val top = cells.orderBy(col("c2q").desc, col("event_type"), col("dow"))
+      .limit(1)
+      .select(col("event_type").as("top_type"), col("dow").as("top_dow"),
+        (col("c2q").cast("double") / lit(1e6)).as("top_cell_chi2"))
+    summary.crossJoin(broadcast(top))
+      .withColumn("dof", (col("r") - 1L) * (col("c") - 1L))
+      .withColumn("mind",
+        when(col("r") - 1L <= col("c") - 1L, col("r") - 1L)
+          .otherwise(col("c") - 1L))
+      .withColumn("vq", when(col("mind") > 0L, Det.quantize(
+        sqrt((col("chi2q").cast("double") / lit(1e6))
+          / (col("n_events").cast("double") * col("mind").cast("double"))),
+        9)))
+      .select(col("n_events"), col("r").as("n_types"), col("c").as("n_dows"),
+        col("dof"),
+        (col("chi2q").cast("double") / lit(1e6)).as("chi2"),
+        (col("vq").cast("double") / lit(1e9)).as("cramers_v"),
+        col("top_type"), col("top_dow"), col("top_cell_chi2"))
+  }
+
   /** Tail-sample size for [[tailHill]] (top k order statistics). */
   val TailK = 256
 
@@ -4518,5 +4597,5 @@ object EventQueries {
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
       srmCheck, abPower, bootstrapCi, tailHill, ksTest, abWinsorized,
-      spearman)
+      spearman, typeDowAssociation)
 }

@@ -1325,6 +1325,49 @@ class EventQueriesSpec extends SparkSpec {
     assert(rho > 0.9 && r.getAs[Boolean]("reject_5pct"))
   }
 
+  test("typeDowFrame: exact independence gives chi2=0/V=0; perfect 2x2 association gives V=1 with the top cell") {
+    import spark.implicits._
+    def tsAt(date: String) = java.sql.Timestamp.valueOf(s"$date 00:00:00")
+    def dowOf(date: String): Long =
+      java.time.LocalDate.parse(date).toEpochDay % 7
+    val d0 = "2024-01-01"; val d1 = "2024-01-02"
+    var eid = 0L
+    def evs(n: Int, typ: String, date: String) = Seq.fill(n) {
+      eid += 1; (eid, tsAt(date), 1L, typ, 0.0, "{}")
+    }
+    // O_ij = rowshare*colshare*n exactly: A(2,4), B(4,8) -> E = O
+    val indep = evs(2, "a", d0) ++ evs(4, "a", d1) ++
+      evs(4, "b", d0) ++ evs(8, "b", d1)
+    val r0 = EventQueries.typeDowFrame(indep
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(r0.getAs[Long]("n_events") === 18L)
+    assert(r0.getAs[Long]("dof") === 1L)
+    assert(r0.getAs[Double]("chi2") === 0.0)
+    assert(r0.getAs[Double]("cramers_v") === 0.0)
+    // diagonal 2x2: chi2 = n, V = 1 exactly
+    eid = 0L
+    val dep = evs(10, "a", d0) ++ evs(10, "b", d1)
+    val r1 = EventQueries.typeDowFrame(dep
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(r1.getAs[Double]("chi2") === 20.0)
+    assert(r1.getAs[Double]("cramers_v") === 1.0)
+    assert(r1.getAs[Long]("n_types") === 2L && r1.getAs[Long]("n_dows") === 2L)
+    // all four cells tie at chi2-term 5: the argmax tiebreak picks
+    // (type asc, dow asc) — 'a' on d0's dow
+    assert(r1.getAs[String]("top_type") === "a")
+    assert(r1.getAs[Long]("top_dow") === dowOf(d0))
+    assert(r1.getAs[Double]("top_cell_chi2") === 5.0)
+    // single-type degenerate: V NULL on both engines
+    eid = 0L
+    val degen = evs(3, "a", d0) ++ evs(3, "a", d1)
+    val r2 = EventQueries.typeDowFrame(degen
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("cramers_v")))
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
