@@ -448,6 +448,69 @@ object PortfolioOracle {
     FROM cell ORDER BY from_rank, to_rank"""
   }
 
+  /** Twin of [[PortfolioQueries.bucketForecastFrame]]: the rollRateSql
+    * matrix chain, the exact current census, and the three unrolled
+    * Markov steps with 1e-6-quantized per-state product sums.
+    */
+  def bucketForecastSql: String = {
+    def rankCase(d: String): String =
+      s"""CAST(CASE WHEN $d = 0 THEN 0 WHEN $d <= 30 THEN 1
+           WHEN $d <= 60 THEN 2 WHEN $d <= 90 THEN 3
+           ELSE 4 END AS INTEGER)"""
+    def bucketCase(d: String): String =
+      s"""CASE WHEN $d = 0 THEN 'Current'
+           WHEN $d <= 30 THEN '1–30 DPD'
+           WHEN $d <= 60 THEN '31–60 DPD'
+           WHEN $d <= 90 THEN '61–90 DPD'
+           ELSE '90+ DPD' END"""
+    def step(prev: String): String = s"""
+      SELECT COALESCE(mat.to_rank, p.rank) AS rank,
+        SUM(CAST(floor(p.expected * COALESCE(mat.roll_pct, 1.0::DOUBLE)
+          * 1e6 + 0.5) AS BIGINT)) / 1e6 AS expected
+      FROM $prev p LEFT JOIN mat ON p.rank = mat.from_rank
+      GROUP BY 1"""
+    s"""
+    WITH $ctes,
+    rr AS (
+      SELECT ${rankCase("prev_days")} AS from_rank,
+        ${rankCase("dpd_days")} AS to_rank,
+        ${bucketCase("dpd_days")} AS to_bucket
+      FROM (SELECT greatest(0, dpd_days - 30) AS prev_days, dpd_days
+            FROM lf)
+    ),
+    cell AS (
+      SELECT from_rank, to_rank, to_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_loans
+      FROM rr GROUP BY 1, 2, 3
+    ),
+    mat AS (
+      SELECT from_rank, to_rank,
+        n_loans / SUM(n_loans) OVER (PARTITION BY from_rank) AS roll_pct
+      FROM cell
+    ),
+    labels AS (SELECT DISTINCT to_rank AS rank, to_bucket AS bucket
+      FROM cell),
+    census AS (
+      SELECT rank, CAST(COUNT(*) AS DOUBLE) AS expected
+      FROM (SELECT ${rankCase("dpd_days")} AS rank FROM lf) GROUP BY 1
+    ),
+    tot AS (SELECT SUM(expected) AS tot FROM census),
+    d1 AS (${step("census")}),
+    d2 AS (${step("d1")}),
+    d3 AS (${step("d2")}),
+    u AS (
+      SELECT CAST(0 AS INTEGER) AS horizon, rank, expected FROM census
+      UNION ALL SELECT CAST(1 AS INTEGER), rank, expected FROM d1
+      UNION ALL SELECT CAST(2 AS INTEGER), rank, expected FROM d2
+      UNION ALL SELECT CAST(3 AS INTEGER), rank, expected FROM d3
+    )
+    SELECT u.horizon, u.rank, l.bucket,
+      u.expected AS expected_loans,
+      u.expected / tot.tot AS share
+    FROM u JOIN labels l ON u.rank = l.rank CROSS JOIN tot
+    ORDER BY u.horizon, u.rank"""
+  }
+
   /** Incremental-merge twin: the same two-path construction — merged
     * algebraic states vs full recompute — with merge_ok a GENUINE
     * equality (both engines independently prove the monoid merge exact).

@@ -524,10 +524,15 @@ object PortfolioQueries {
   /** [[rollRate]]'s plan over any frame carrying (dpd_days, dpd_bucket,
     * arrear) — separated so the fixture spec can hand-compute a matrix.
     */
+  /** Numeric DPD bucket rank (0 = Current … 4 = 90+) — shared by the
+    * roll-rate matrix and the bucket-distribution forecast.
+    */
+  def dpdRank(days: Column): Column =
+    when(days === 0, 0).when(days <= 30, 1).when(days <= 60, 2)
+      .when(days <= 90, 3).otherwise(4)
+
   def rollRateFrame(lfd: DataFrame): DataFrame = {
-    def rank(days: Column): Column =
-      when(days === 0, 0).when(days <= 30, 1).when(days <= 60, 2)
-        .when(days <= 90, 3).otherwise(4)
+    def rank(days: Column): Column = dpdRank(days)
     val cells = lfd
       .withColumn("prev_days", greatest(lit(0), col("dpd_days") - 30))
       .select(
@@ -551,6 +556,81 @@ object PortfolioQueries {
     "loan_rollrate_matrix",
     "DPD bucket roll-rate matrix: prior-month bucket (no-cure back-projection) x current bucket, counts + arrear + roll share",
     PortfolioOracle.rollRateSql) { (s, d) => rollRateFrame(lf(s, d)) }
+
+  /** Forecast horizon (months) for [[bucketForecast]]. */
+  val ForecastHorizon = 3
+
+  /** BUCKET-DISTRIBUTION FORECAST — the question the [[rollRate]] matrix
+    * exists to answer but does not: given today's delinquency mix and
+    * the observed month-over-month transition rates, what does the book
+    * look like in 1–3 months? The Markov one-step is dist_{h} =
+    * dist_{h−1} · P, unrolled to [[ForecastHorizon]] static join+agg
+    * steps over the ≤5-state frames (the binseg unroll precedent — loop
+    * state never crosses the driver). Horizon 0 is the EXACT current
+    * census; each later horizon reports expected loans and share per
+    * bucket — the collections-capacity planning number.
+    *
+    * The chain-rule caveat is documented, not hidden: powering a
+    * one-month matrix assumes time-homogeneous transitions; the
+    * forecast is the standard collections planning convention, not a
+    * causal claim. A state carrying mass whose rank was never OBSERVED
+    * as a prior-month state has no matrix row — such states are
+    * ABSORBING (identity fallback via left join), so mass is conserved
+    * by construction; the spec plants exactly that gap and pins
+    * conservation to the 1e-6 quantization tolerance.
+    *
+    * Scale shape: ONE corpus pass (the roll-rate cells + the current
+    * census ride the same loan frame); all three steps run on ≤5-row
+    * frames with broadcast joins. Determinism: the census is exact
+    * longs; roll_pct is the matrix's exact LONG/LONG division; each
+    * step's products quantize to 1e-6 before the order-insensitive
+    * per-state sums, so the unrolled recursion is bit-stable.
+    */
+  val bucketForecast: GraftQuery = GraftQuery(
+    "loan_bucket_forecast",
+    s"Markov bucket forecast: current DPD census pushed $ForecastHorizon months through the roll-rate matrix, expected loans + share per bucket",
+    PortfolioOracle.bucketForecastSql) { (s, d) => bucketForecastFrame(lf(s, d)) }
+
+  /** [[bucketForecast]]'s plan over any loan frame — shared with the
+    * hand-matrix fixture (PortfolioSpec).
+    */
+  def bucketForecastFrame(lfd: DataFrame): DataFrame = {
+    val lfc = lfd.select(col("dpd_days"), col("dpd_bucket"), col("arrear"))
+      .localCheckpoint() // one corpus pass feeds matrix + census
+    val matrix = rollRateFrame(lfc)
+      .select(col("from_rank"), col("to_rank"), col("roll_pct"))
+      .localCheckpoint() // <=25 rows
+    val labels = rollRateFrame(lfc)
+      .select(col("to_rank").as("rank"), col("to_bucket").as("bucket"))
+      .distinct()
+    val census = lfc
+      .select(dpdRank(col("dpd_days")).as("rank"))
+      .groupBy(col("rank")).agg(count(lit(1)).as("n"))
+      .withColumn("expected", col("n").cast("double"))
+      .select(col("rank"), col("expected"))
+    val total = census.agg(sum(col("expected")).as("tot"))
+    def step(dist: DataFrame): DataFrame = dist
+      .join(broadcast(matrix), col("rank") === col("from_rank"), "left")
+      .select(
+        coalesce(col("to_rank"), col("rank")).as("dest"),
+        Det.quantize(col("expected")
+          * coalesce(col("roll_pct"), lit(1.0)), 6).as("tq"))
+      .groupBy(col("dest"))
+      .agg((sum(col("tq")) / lit(Det.pow10(6))).as("expected"))
+      .select(col("dest").as("rank"), col("expected"))
+    val horizons = (1 to ForecastHorizon)
+      .scanLeft(census)((d, _) => step(d))
+      .zipWithIndex
+      .map { case (d, h) => d.withColumn("horizon", lit(h)) }
+      .reduce(_ unionByName _)
+    horizons
+      .join(broadcast(labels), Seq("rank"))
+      .crossJoin(broadcast(total))
+      .select(col("horizon"), col("rank"), col("bucket"),
+        col("expected").as("expected_loans"),
+        (col("expected") / col("tot")).as("share"))
+      .orderBy("horizon", "rank")
+  }
 
   /** The late-arriving batch for [[incrementalMerge]]: loans with
     * loan_id % [[IncrDeltaMod]] == [[IncrDeltaRes]] (an ID split on
@@ -830,6 +910,7 @@ object PortfolioQueries {
     distinctPairs, overdueCustomers, currentCustomers, regionSetOps,
     top10Arrears, approxDistinct, approxQuantiles, arrearPercentiles,
     rankFamily, bucketPivot, bucketUnpivot, groupingSets, trailing3mo,
-    tableProfile, portfolioNpv, vintageAnalysis, rollRate, incrementalMerge,
+    tableProfile, portfolioNpv, vintageAnalysis, rollRate, bucketForecast,
+    incrementalMerge,
     eclStaging, concentrationHhi, rateStress)
 }

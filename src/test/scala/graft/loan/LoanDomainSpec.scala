@@ -176,6 +176,43 @@ class LoanDomainSpec extends SparkSpec {
       .getAs[Double]("arrear_total") === 400.0)
   }
 
+  test("bucketForecastFrame: one Markov step replays exactly; absorbing gap conserves mass") {
+    val spark0 = spark
+    import spark0.implicits._
+    // same census as the roll-rate fixture: ranks 0:2, 1:1, 2:1, 4:2.
+    // rank 2 carries mass but was never a PRIOR state (no from_rank 2
+    // row) — the planted absorbing gap
+    val lfd = Seq(
+      (0, 0.0), (0, 0.0), (15, 50.0), (45, 150.0), (100, 400.0), (130, 700.0))
+      .toDF("dpd_days", "arrear")
+      .withColumn("dpd_bucket", LoanDomain.dpdBucketFinal(col("dpd_days")))
+    val rows = PortfolioQueries.bucketForecastFrame(lfd).collect()
+    assert(rows.length === 16) // 4 horizons x ranks {0,1,2,4}
+    def at(h: Int, r: Int) = rows.find(x =>
+      x.getAs[Int]("horizon") == h && x.getAs[Int]("rank") == r).get
+    // horizon 0 is the exact census
+    assert(at(0, 0).getAs[Double]("expected_loans") === 2.0)
+    assert(at(0, 4).getAs[Double]("expected_loans") === 2.0)
+    assert(at(0, 4).getAs[String]("bucket") === "90+ DPD")
+    // horizon 1 through the engine's exact shapes: q6 per product
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5)
+    assert(at(1, 0).getAs[Double]("expected_loans") === q6(2.0 * (2.0 / 3.0)) / 1e6)
+    assert(at(1, 1).getAs[Double]("expected_loans") === q6(2.0 * (1.0 / 3.0)) / 1e6)
+    // rank 2 receives 1-30's roll-forward AND keeps its own absorbed mass
+    assert(at(1, 2).getAs[Double]("expected_loans")
+      === (q6(1.0 * 1.0) + q6(1.0 * 1.0)) / 1e6)
+    assert(at(1, 4).getAs[Double]("expected_loans") === 2.0)
+    // shares against the census total
+    assert(at(1, 4).getAs[Double]("share")
+      === at(1, 4).getAs[Double]("expected_loans") / 6.0)
+    // mass conserved through the deepest horizon (quantization slack)
+    (0 to 3).foreach { h =>
+      val tot = rows.filter(_.getAs[Int]("horizon") == h)
+        .map(_.getAs[Double]("expected_loans")).sum
+      assert(math.abs(tot - 6.0) < 1e-5, s"mass lost at horizon $h: $tot")
+    }
+  }
+
   test("irrFrame: Newton root solves the annuity NPV; simple interest hides ~2x effective APR") {
     val spark0 = spark
     import spark0.implicits._
