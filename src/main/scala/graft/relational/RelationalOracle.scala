@@ -1190,6 +1190,70 @@ object RelationalOracle {
     FROM f"""
   }
 
+  /** Twin of [[RelationalQueries.discountElasticityFrame]]: identical
+    * 1e-2/integer quanta, exact-LONG sufficient statistics, and the
+    * shared closed-form slope / r² / z shapes.
+    */
+  def discountElasticitySql: String = s"""
+    WITH q AS (
+      SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS xq,
+        CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS yq
+      FROM lineitem
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(xq) AS BIGINT) AS sx,
+        CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+        CAST(SUM(yq) AS BIGINT) AS sy,
+        CAST(SUM(yq * yq) AS BIGINT) AS syy,
+        CAST(SUM(xq * yq) AS BIGINT) AS sxy
+      FROM q
+    ),
+    d AS (
+      SELECT n,
+        CAST(n AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) / 1e2 AS sxd,
+        CAST(sxx AS DOUBLE) / 1e4 AS sxxd,
+        CAST(sy AS DOUBLE) AS syd,
+        CAST(syy AS DOUBLE) AS syyd,
+        CAST(sxy AS DOUBLE) / 1e2 AS sxyd
+      FROM a
+    ),
+    f AS (
+      SELECT n,
+        nd * sxxd - sxd * sxd AS vx,
+        nd * syyd - syd * syd AS vy,
+        nd * sxyd - sxd * syd AS cov,
+        nd, sxd, syd
+      FROM d
+    ),
+    g AS (
+      SELECT n,
+        CASE WHEN vx > 0 THEN cov / vx END AS slope,
+        CASE WHEN vx > 0 THEN (syd - (cov / vx) * sxd) / nd END
+          AS intercept,
+        CASE WHEN vx > 0 AND vy > 0 THEN
+          CAST(floor(cov * cov / (vx * vy) * 1e9 + 0.5) AS BIGINT) END
+          AS r2q
+      FROM f
+    ),
+    h AS (
+      SELECT g.*,
+        CASE WHEN n > 2 AND r2q IS NOT NULL AND r2q < 1000000000 THEN
+          CAST(floor(sign(slope)
+            * sqrt(CAST(r2q AS DOUBLE) / 1e9)
+            * sqrt(CAST(n - 2 AS DOUBLE)
+              / (1.0::DOUBLE - CAST(r2q AS DOUBLE) / 1e9))
+            * 1e9 + 0.5) AS BIGINT) END AS zq
+      FROM g
+    )
+    SELECT n AS n_rows, slope, intercept,
+      CAST(r2q AS DOUBLE) / 1e9 AS r2,
+      CAST(zq AS DOUBLE) / 1e9 AS slope_z,
+      abs(zq) >= ${RelationalQueries.ElasticityZCritQ}
+        AS slope_reject_5pct
+    FROM h"""
+
   /** Twin of [[RelationalQueries.backlogFrame]]: the same two delta
     * aggregates, dense generate_series day grid, and exact cumulative
     * prefix sums.

@@ -1443,6 +1443,74 @@ object RelationalQueries {
       .orderBy(col("day"))
   }
 
+  /** z critical value shared by [[discountElasticity]]'s slope test
+    * (two-sided 5%), pre-quantized to the 1e-9 statistic grid.
+    */
+  val ElasticityZCritQ = 1959963985L
+
+  /** DISCOUNT-QUANTITY ELASTICITY SCREEN — the pricing question behind
+    * TPC-H Q6's revenue-at-risk arithmetic: do deeper discounts actually
+    * move MORE units? Simple OLS of quantity on discount from five
+    * exact-LONG sufficient statistics (discount quantizes to 1e-2 —
+    * its native grid — and quantity to integers, so Σx, Σx², Σxy are
+    * all exact through ~10¹⁰ rows), closed-form slope/intercept, r²,
+    * and the large-sample slope test t = r·√((n−2)/(1−r²)) against the
+    * shared 1.96 literal. One pushed-down two-column scan into ONE
+    * aggregate — the cheapest possible corpus pass. (An honest screen,
+    * not a causal claim: discounts are not randomized; the scaladoc of
+    * record for elasticity is the A/B family.)
+    */
+  val discountElasticity: GraftQuery = GraftQuery.oneRow(
+    "lineitem_discount_elasticity",
+    "OLS of quantity on discount from exact sufficient statistics: slope, intercept, r2, large-sample slope z-test",
+    RelationalOracle.discountElasticitySql) { (s, d) =>
+    discountElasticityFrame(Tables.lineitem(s, d)
+      .select(col("l_discount").as("x"), col("l_quantity").as("y")))
+  }
+
+  /** The elasticity derivation over any (x, y) frame (x at the 1e-2
+    * grid, y integral) — shared by the registry query and the exact
+    * line / flat-cloud fixtures (RelationalSpec).
+    */
+  def discountElasticityFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = df.select(
+      Det.quantize(col("x"), 2).as("xq"),
+      Det.quantize(col("y"), 0).as("yq"))
+    val agg = q.agg(
+      count(lit(1)).as("n"),
+      sum(col("xq")).as("sx"),
+      sum(col("xq") * col("xq")).as("sxx"),
+      sum(col("yq")).as("sy"),
+      sum(col("yq") * col("yq")).as("syy"),
+      sum(col("xq") * col("yq")).as("sxy"))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double") / lit(1e2)
+    val sxx = col("sxx").cast("double") / lit(1e4)
+    val sy = col("sy").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double") / lit(1e2)
+    val vx = nd * sxx - sx * sx
+    val vy = nd * syy - sy * sy
+    val cov = nd * sxy - sx * sy
+    agg
+      .withColumn("slope", when(vx > 0, cov / vx))
+      .withColumn("intercept",
+        when(vx > 0, (sy - (cov / vx) * sx) / nd))
+      .withColumn("r2q", when(vx > 0 && vy > 0,
+        Det.quantize(cov * cov / (vx * vy), 9)))
+      .withColumn("zq", when(col("n") > 2L && col("r2q").isNotNull
+          && col("r2q") < lit(1000000000L),
+        Det.quantize(
+          signum(col("slope")) * sqrt(col("r2q").cast("double") / lit(1e9))
+            * sqrt((col("n") - 2L).cast("double")
+              / (lit(1.0) - col("r2q").cast("double") / lit(1e9))), 9)))
+      .select(col("n").as("n_rows"), col("slope"), col("intercept"),
+        (col("r2q").cast("double") / lit(1e9)).as("r2"),
+        (col("zq").cast("double") / lit(1e9)).as("slope_z"),
+        (abs(col("zq")) >= lit(ElasticityZCritQ)).as("slope_reject_5pct"))
+  }
+
   /** chi²(df) 95th percentiles for df = 1..8; [[anovaFrame]]'s asymptotic
     * F critical value at large df2 is chi²_95(df1)/df1, emitted as
     * per-df1 literals on the 1e-6 F quantum.
@@ -1638,5 +1706,5 @@ object RelationalQueries {
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
     rfmSketchCutoffs, tableProfile, benfordCheck, forecastHolt,
-    anovaPriority, backlogTimeline)
+    anovaPriority, backlogTimeline, discountElasticity)
 }

@@ -355,6 +355,54 @@ class RelationalSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("anova_reject_5pct")))
   }
 
+  test("discountElasticityFrame: exact line, independent cloud, and noisy negative slope all replay") {
+    import spark.implicits._
+    def run(pts: Seq[(Double, Double)]) =
+      RelationalQueries.discountElasticityFrame(pts.toDF("x", "y"))
+        .collect().head
+    def replaySlope(pts: Seq[(Double, Double)]): Double = {
+      val n = pts.size.toDouble
+      val xq = pts.map(p => math.floor(p._1 * 100.0 + 0.5))
+      val yq = pts.map(p => math.floor(p._2 * 1.0 + 0.5))
+      val sx = xq.sum / 1e2; val sxx = xq.map(v => v * v).sum / 1e4
+      val sy = yq.sum; val sxy = xq.zip(yq).map(t => t._1 * t._2).sum / 1e2
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    // exact line y = 100x + 1: slope ~100 (same double shape as the
+    // replay), r2 = 1, z undefined (the perfect-fit NULL path)
+    val linePts = (1 to 6).map(i => (i / 100.0, i + 1.0))
+    val line = run(linePts)
+    assert(line.getAs[Double]("slope") === replaySlope(linePts))
+    assert(math.abs(line.getAs[Double]("slope") - 100.0) < 1e-9)
+    assert(line.getAs[Double]("r2") === 1.0)
+    assert(line.isNullAt(line.fieldIndex("slope_z")))
+    // independent symmetric cloud: slope 0, r2 0, z 0, no rejection
+    val cloud = run(Seq((0.01, 1.0), (0.01, 2.0), (0.02, 1.0), (0.02, 2.0)))
+    assert(cloud.getAs[Double]("slope") === 0.0)
+    assert(cloud.getAs[Double]("r2") === 0.0)
+    assert(cloud.getAs[Double]("slope_z") === 0.0)
+    assert(!cloud.getAs[Boolean]("slope_reject_5pct"))
+    // noisy negative slope: replay z through the engine's shapes
+    val pts = Seq((0.01, 5.0), (0.02, 4.0), (0.03, 4.0), (0.04, 3.0))
+    val r = run(pts)
+    val n = 4.0
+    val xq = pts.map(p => math.floor(p._1 * 100.0 + 0.5))
+    val yq = pts.map(p => math.floor(p._2 * 1.0 + 0.5))
+    val sx = xq.sum / 1e2; val sxx = xq.map(v => v * v).sum / 1e4
+    val sy = yq.sum; val syy = yq.map(v => v * v).sum
+    val sxy = xq.zip(yq).map { case (a, b) => a * b }.sum / 1e2
+    val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    assert(r.getAs[Double]("slope") === cov / vx)
+    assert(r.getAs[Double]("slope") < 0.0)
+    val r2q = math.floor(cov * cov / (vx * vy) * 1e9 + 0.5)
+    assert(r.getAs[Double]("r2") === r2q / 1e9)
+    val z = math.floor(math.signum(cov / vx) * math.sqrt(r2q / 1e9)
+      * math.sqrt((n - 2) / (1.0 - r2q / 1e9)) * 1e9 + 0.5) / 1e9
+    assert(r.getAs[Double]("slope_z") === z)
+    assert(r.getAs[Boolean]("slope_reject_5pct") === (math.abs(z) >= 1.959963985))
+  }
+
   test("backlogFrame: hand intervals replay the sweep-line; idle days carry the level; multi-line orders ship at their MIN") {
     import spark.implicits._
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
