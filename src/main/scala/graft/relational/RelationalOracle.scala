@@ -1254,6 +1254,38 @@ object RelationalOracle {
         AS slope_reject_5pct
     FROM h"""
 
+  /** Twin of [[RelationalQueries.revenueParetoFrame]]: identical
+    * quantized per-customer revenue, the same (rq desc, custkey)-ordered
+    * NTILE(10) assignment, and exact LONG decile sums.
+    */
+  def revenueParetoSql: String = s"""
+    WITH per AS (
+      SELECT o_custkey AS k,
+        CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS rq
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT rq, NTILE(10) OVER (ORDER BY rq DESC, k) AS decile FROM per
+    ),
+    dec AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(rq) AS BIGINT) AS dq
+      FROM t GROUP BY 1
+    ),
+    w AS (
+      SELECT *,
+        CAST(SUM(dq) OVER () AS BIGINT) AS tq,
+        CAST(SUM(dq) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cq
+      FROM dec
+    )
+    SELECT decile, n_customers,
+      CAST(dq AS DOUBLE) / 10000.0 AS revenue,
+      CAST(dq AS DOUBLE) / CAST(tq AS DOUBLE) AS share,
+      CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE) AS cum_share
+    FROM w ORDER BY decile"""
+
   /** Twin of [[RelationalQueries.backlogFrame]]: the same two delta
     * aggregates, dense generate_series day grid, and exact cumulative
     * prefix sums.

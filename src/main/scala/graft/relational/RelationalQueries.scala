@@ -1443,6 +1443,53 @@ object RelationalQueries {
       .orderBy(col("day"))
   }
 
+  /** REVENUE CONCENTRATION (Pareto/Lorenz deciles) — the "do 20% of
+    * customers pay 80% of revenue" table that [[graft.loan
+    * .PortfolioQueries]]'s HHI compresses to one number and the events
+    * key-skew profiler frames as a shuffle problem; here it is the
+    * BUSINESS readout: customers ranked by revenue into deciles
+    * (ntile over the total order (revenue desc, custkey) — the tiebreak
+    * makes the assignment identical on both engines), per decile the
+    * customer count, exact revenue, share, and cumulative share.
+    *
+    * Scale shape: one partial-agg shuffle to per-customer revenue; the
+    * ntile is a global window over the customer-grain frame (the ksTest
+    * documented class — at 100 TB the decile cuts come from the GK
+    * sketch and a range partition); everything after runs on 10 rows.
+    * Determinism: revenue is exact 1e-4 LONGs end to end; shares are
+    * single LONG/LONG-derived double divisions in shared shapes.
+    */
+  val revenuePareto: GraftQuery = GraftQuery(
+    "customer_revenue_pareto",
+    "customer revenue concentration: ntile-10 deciles by spend, exact revenue, share and cumulative share per decile",
+    RelationalOracle.revenueParetoSql) { (s, d) =>
+    revenueParetoFrame(Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v")))
+  }
+
+  /** The concentration derivation over any (k, v) frame — shared by the
+    * registry query and the hand-decile fixture (RelationalSpec).
+    */
+  def revenueParetoFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.select(col("k"), Det.quantize(col("v")).as("vq"))
+      .groupBy(col("k")).agg(sum(col("vq")).as("rq"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("rq").desc, col("k"))).cast("long"))
+    val dec = per.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rq")).as("dq"))
+      .withColumn("tq", sum(col("dq")).over(Window.partitionBy()))
+      .withColumn("cq", sum(col("dq")).over(Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    dec.select(col("decile"), col("n_customers"),
+        (col("dq").cast("double") / lit(Det.pow10(4))).as("revenue"),
+        (col("dq").cast("double") / col("tq").cast("double")).as("share"),
+        (col("cq").cast("double") / col("tq").cast("double"))
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** z critical value shared by [[discountElasticity]]'s slope test
     * (two-sided 5%), pre-quantized to the 1e-9 statistic grid.
     */
@@ -1706,5 +1753,5 @@ object RelationalQueries {
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
     rfmSketchCutoffs, tableProfile, benfordCheck, forecastHolt,
-    anovaPriority, backlogTimeline, discountElasticity)
+    anovaPriority, backlogTimeline, discountElasticity, revenuePareto)
 }

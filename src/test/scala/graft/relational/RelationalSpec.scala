@@ -403,6 +403,30 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Boolean]("slope_reject_5pct") === (math.abs(z) >= 1.959963985))
   }
 
+  test("revenueParetoFrame: hand deciles — exact shares, cumulative monotone, whale concentration on top") {
+    import spark.implicits._
+    // 20 customers: one whale (1000), nine at 100, ten at 10 — total
+    // 2000; deciles of 2 by (revenue desc, key)
+    val rows = (Seq((1L, 1000.0)) ++ (2L to 10L).map((_, 100.0)) ++
+      (11L to 20L).map((_, 10.0))).toDF("k", "v")
+    val got = RelationalQueries.revenueParetoFrame(rows).collect()
+    assert(got.length === 10)
+    assert(got.map(_.getAs[Long]("n_customers")).forall(_ === 2L))
+    // decile 1 = whale + one 100-customer = 1100 of 2000
+    assert(got.head.getAs[Long]("decile") === 1L)
+    assert(got.head.getAs[Double]("revenue") === 1100.0)
+    assert(got.head.getAs[Double]("share") === 1100.0 * 1e4 / (2000.0 * 1e4))
+    // deciles 2-5 hold two 100s each; 6-10 two 10s each
+    assert(got(1).getAs[Double]("revenue") === 200.0)
+    assert(got(5).getAs[Double]("revenue") === 20.0)
+    // cumulative share is monotone and ends at exactly 1
+    val cum = got.map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last === 1.0)
+    // top-10% concentration: the whale decile carries 55%
+    assert(cum.head === 0.55)
+  }
+
   test("backlogFrame: hand intervals replay the sweep-line; idle days carry the level; multi-line orders ship at their MIN") {
     import spark.implicits._
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
