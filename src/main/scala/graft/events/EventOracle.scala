@@ -3033,6 +3033,80 @@ object EventOracle {
       top_type, top_dow, top_cell_chi2
     FROM f"""
 
+  /** Twin of [[EventQueries.powerCurveFrame]]: the same per-user
+    * (first-day, arm, total) base, abPowerSql variance recomposition,
+    * calendar cumulative enrollment, and 1e-6-quantized running MDE.
+    */
+  def powerCurveSql: String = s"""
+    WITH $evCte,
+    pu AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS uq,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM ev GROUP BY user_id
+    ),
+    pq AS (
+      SELECT pu.*,
+        CASE WHEN abs(uq) > 3037000499
+          THEN CAST(error('events_power_curve: per-user total overflows '
+            || 'the ssq quantum') AS BIGINT)
+          ELSE uq * uq END AS uq2
+      FROM pu
+    ),
+    ag AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 0 THEN uq2 ELSE 0 END) AS BIGINT) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq ELSE 0 END) AS BIGINT) AS sb,
+        CAST(SUM(CASE WHEN arm = 1 THEN uq2 ELSE 0 END) AS BIGINT) AS qb
+      FROM pq
+    ),
+    st AS (
+      SELECT
+        CASE WHEN n_a > 0 THEN sa / 10000.0 / n_a END AS mean_a,
+        CASE WHEN n_a > 1 AND n_b > 1 THEN
+          ((n_a - 1) * (CASE WHEN n_a > 1 THEN
+            (qa / 100000000.0 - (sa / 10000.0) * (sa / 10000.0) / n_a)
+              / (n_a - 1) END)
+          + (n_b - 1) * (CASE WHEN n_b > 1 THEN
+            (qb / 100000000.0 - (sb / 10000.0) * (sb / 10000.0) / n_b)
+              / (n_b - 1) END)) / (n_a + n_b - 2) END AS var_pooled
+      FROM ag
+    ),
+    daily AS (
+      SELECT first_day,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS db
+      FROM pu GROUP BY 1
+    ),
+    cum AS (
+      SELECT first_day,
+        CAST(SUM(da) OVER (ORDER BY first_day ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS users_a,
+        CAST(SUM(db) OVER (ORDER BY first_day ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS users_b
+      FROM daily
+    ),
+    m AS (
+      SELECT c.*, st.mean_a, st.var_pooled,
+        CASE WHEN users_a > 0 AND users_b > 0 AND var_pooled > 0 THEN
+          CAST(floor(${EventQueries.PowerZSum}::DOUBLE
+            * sqrt(var_pooled * (1.0::DOUBLE / CAST(users_a AS DOUBLE)
+              + 1.0::DOUBLE / CAST(users_b AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) END AS mdeq
+      FROM cum c CROSS JOIN st
+    )
+    SELECT first_day AS day, users_a, users_b,
+      CAST(mdeq AS DOUBLE) / 1e6 AS mde_abs,
+      CAST(mdeq AS DOUBLE) / 1e6 / mean_a AS mde_rel,
+      CAST(mdeq AS DOUBLE) / 1e6
+        <= ${EventQueries.PowerMdeRel}::DOUBLE * mean_a AS reaches_1pct
+    FROM m ORDER BY day"""
+
   /** Twin of [[EventQueries.spearmanFrame]]: the same doubled-midrank
     * frames per metric, normalized-rank 1e-9 moment quanta, exact-LONG
     * raw-Pearson statistics, and the shared correlation/z shapes.

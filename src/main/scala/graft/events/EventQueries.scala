@@ -4508,6 +4508,94 @@ object EventQueries {
         col("top_type"), col("top_dow"), col("top_cell_chi2"))
   }
 
+  /** POWER CURVE OVER RUNTIME — the planning table [[abPower]]'s scalar
+    * cannot give: "how long must this experiment run before a 1% lift
+    * is detectable?" For each day of the corpus, the audience enrolled
+    * SO FAR (cumulative first-seen users per hash arm) is combined with
+    * the corpus-level pooled variance into the running MDE at 5%/80%,
+    * MDE(d) = (z_a+z_b)·√(var·(1/n_a(d)+1/n_b(d))), absolute and
+    * relative to the control mean, plus the reaches-1% flag — the row
+    * where it first flips true IS the required runtime.
+    *
+    * Scale shape: one corpus shuffle to per-user (first day, arm,
+    * total); the daily-enrollment counts and cumulative windows are
+    * calendar-bounded; variance comes from the same user-grain pass
+    * (checkpointed) via the [[abTest]] sufficient statistics.
+    * Determinism: enrollment counts exact; the variance recomposition
+    * is the abPower shape; per-day MDE quantizes to 1e-6 and the flag
+    * compares the quantized value against the exact 1%-of-mean bound
+    * through a shared shape.
+    */
+  val powerCurve: GraftQuery = GraftQuery(
+    "events_power_curve",
+    "experiment-runtime planning: cumulative enrolled users per arm by day, running MDE at 5%/80%, first day a 1% lift is detectable",
+    EventOracle.powerCurveSql) { (s, d) =>
+    powerCurveFrame(Tables.events(s, d))
+  }
+
+  /** The power-curve derivation over any events frame — shared by the
+    * registry query and the hand-arrival fixture (EventQueriesSpec).
+    */
+  def powerCurveFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col("user_id"), col("ts"), Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"), sum(col("vq")).as("uq"))
+      .withColumn("arm",
+        graft.text.TextFns.hash60(col("user_id").cast("string")) % 2)
+      .localCheckpoint() // user-grain: variance pass + enrollment pass
+    val uqSq = when(abs(col("uq")) > lit(MaxSqAbs),
+      raise_error(lit("events_power_curve: per-user total overflows " +
+        "the ssq quantum — widen the quantum")).cast("long"))
+      .otherwise(col("uq") * col("uq"))
+    val sc = lit(Det.pow10(4).toDouble)
+    val stats = perUser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("uq")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 0, uqSq).otherwise(0L)).as("qa"),
+        sum(when(col("arm") === 1, col("uq")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 1, uqSq).otherwise(0L)).as("qb"))
+      .withColumn("mean_a",
+        when(col("n_a") > 0L, col("sa") / sc / col("n_a")))
+      .withColumn("var_a", when(col("n_a") > 1L,
+        (col("qa") / (sc * sc) - (col("sa") / sc) * (col("sa") / sc)
+          / col("n_a")) / (col("n_a") - lit(1))))
+      .withColumn("var_b", when(col("n_b") > 1L,
+        (col("qb") / (sc * sc) - (col("sb") / sc) * (col("sb") / sc)
+          / col("n_b")) / (col("n_b") - lit(1))))
+      .withColumn("var_pooled",
+        when(col("n_a") > 1L && col("n_b") > 1L,
+          ((col("n_a") - 1L) * col("var_a") + (col("n_b") - 1L)
+            * col("var_b")) / (col("n_a") + col("n_b") - lit(2L))))
+      .select(col("mean_a"), col("var_pooled"))
+    val daily = perUser.groupBy(col("first_day"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("da"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("db"))
+    val w = Window.orderBy(col("first_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("users_a", sum(col("da")).over(w))
+      .withColumn("users_b", sum(col("db")).over(w))
+      .crossJoin(broadcast(stats))
+      .withColumn("mdeq",
+        when(col("users_a") > 0L && col("users_b") > 0L
+            && col("var_pooled") > 0,
+          Det.quantize(lit(PowerZSum) * sqrt(col("var_pooled")
+            * (lit(1.0) / col("users_a").cast("double")
+              + lit(1.0) / col("users_b").cast("double"))), 6)))
+      .select(col("first_day").as("day"), col("users_a"), col("users_b"),
+        (col("mdeq").cast("double") / lit(1e6)).as("mde_abs"),
+        (col("mdeq").cast("double") / lit(1e6) / col("mean_a"))
+          .as("mde_rel"),
+        (col("mdeq").cast("double") / lit(1e6)
+          <= lit(PowerMdeRel) * col("mean_a")).as("reaches_1pct"))
+      .orderBy("day")
+  }
+
   /** Tail-sample size for [[tailHill]] (top k order statistics). */
   val TailK = 256
 
@@ -4597,5 +4685,5 @@ object EventQueries {
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
       srmCheck, abPower, bootstrapCi, tailHill, ksTest, abWinsorized,
-      spearman, typeDowAssociation)
+      spearman, typeDowAssociation, powerCurve)
 }

@@ -1368,6 +1368,55 @@ class EventQueriesSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("cramers_v")))
   }
 
+  test("powerCurveFrame: staggered-arrival fixture — running MDE replays exactly and shrinks as the audience grows") {
+    import spark.implicits._
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val ids0 = (1L to 100L).filter(arm(_) == 0L)
+    val ids1 = (1L to 100L).filter(arm(_) == 1L)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day 10:00:00")
+    var eid = 0L
+    def ev(u: Long, d: Int, v: Double) = { eid += 1; (eid, ts(d), u, "view", v, "{}") }
+    // arrivals: d1 two control + one treatment; d2 one each; d3 one
+    // treatment — cumulative (2,1) -> (3,2) -> (3,3)
+    val rows = Seq(
+      ev(ids0(0), 1, 10.0), ev(ids0(1), 1, 20.0), ev(ids1(0), 1, 30.0),
+      ev(ids0(2), 2, 40.0), ev(ids1(1), 2, 50.0),
+      ev(ids1(2), 3, 60.0))
+    val got = EventQueries.powerCurveFrame(rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect()
+    assert(got.length === 3)
+    assert(got.map(r => (r.getAs[Long]("users_a"), r.getAs[Long]("users_b")))
+      .toSeq === Seq((2L, 1L), (3L, 2L), (3L, 3L)))
+    // replay var_pooled and the per-day MDE through the engine's shapes
+    val sc = 1e4
+    def st(vals: Seq[Double]): (Double, Double) = {
+      val uq = vals.map(v => math.floor(v * sc + 0.5))
+      val n = vals.size.toLong
+      val s0 = uq.sum; val q = uq.map(x => x * x).sum
+      (s0 / sc / n,
+        (q / (sc * sc) - (s0 / sc) * (s0 / sc) / n) / (n - 1))
+    }
+    val (meanA, va) = st(Seq(10.0, 20.0, 40.0))
+    val (_, vb) = st(Seq(30.0, 50.0, 60.0))
+    val vp = ((3L - 1) * va + (3L - 1) * vb) / (3L + 3L - 2)
+    def mde(na: Long, nb: Long): Double =
+      math.floor(EventQueries.PowerZSum * math.sqrt(vp
+        * (1.0 / na.toDouble + 1.0 / nb.toDouble)) * 1e6 + 0.5) / 1e6
+    val exp = Seq(mde(2, 1), mde(3, 2), mde(3, 3))
+    assert(got.map(_.getAs[Double]("mde_abs")).toSeq === exp)
+    assert(got.map(_.getAs[Double]("mde_rel")).toSeq
+      === exp.map(_ / meanA))
+    // more audience, tighter MDE; a 1% lift stays out of reach at n=3
+    assert(exp(0) > exp(1) && exp(1) > exp(2))
+    assert(got.forall(!_.getAs[Boolean]("reaches_1pct")))
+  }
+
   test("survivalLogrankFrame: textbook two-arm fixture — O-E, hypergeometric variance, quantized z replay exact") {
     import spark.implicits._
     def arm(id: Long): Long = {
