@@ -3874,7 +3874,20 @@ object EventQueries {
           .as("skewed"))
   }
 
-  /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG. */
+  /** floor(sqrt(2⁶³−1)): the largest |x| whose square fits a LONG.
+    *
+    * Aggregate-level headroom: the per-row guard bounds each SQUARE, but
+    * the SUM of squares (pcyy here; qa/qb in abTest/abWinsorized/
+    * powerCurve) can still exceed 2⁶³ when rows × max(uq²) ≥ 2⁶³ — and
+    * there Spark's non-ANSI BIGINT sum WRAPS silently while DuckDB sums
+    * into HUGEINT and raises on the BIGINT cast, a latent engine/oracle
+    * divergence. The operating envelope is therefore
+    * n_groups × (max|uq|)² < 2⁶³: at this corpus's value ranges
+    * (|uq| ≲ 3e7 quantized units per user) that holds through ~1e4× the
+    * gate SF; a deployment beyond it must widen the quantum (smaller
+    * [[Det.pow10]] scale), which shrinks |uq| quadratically in the ssq
+    * terms — the same knob the per-row raise message points at.
+    */
   private val MaxSqAbs = 3037000499L
 
   /** chi²(df=1) critical values on [[srmCheck]]'s 1e-9-quantized grid:

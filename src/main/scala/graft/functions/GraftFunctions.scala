@@ -65,10 +65,26 @@ object GraftFunctions {
       }),
     ("mg_summary", classOf[MgSummaryAgg].getName,
       // k must be a foldable integer literal (the slot budget is part of
-      // the operator, not data)
+      // the operator, not data) — checked here so a column reference or a
+      // NULL k fails as a typed analysis error, not an unbound-attribute
+      // crash / NPE inside eval()
       children => children match {
-        case Seq(c, kExpr) => MgSummaryAgg(c,
-          kExpr.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case Seq(c, kExpr) =>
+          if (!kExpr.foldable) throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+            messageParameters = Map(
+              "sqlExpr" -> "\"mg_summary\"",
+              "inputName" -> "`k`",
+              "inputType" -> "\"INT\"",
+              "inputExpr" -> s""""${kExpr.sql}""""))
+          val kVal = kExpr.eval()
+          if (kVal == null) throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+            messageParameters = Map(
+              "sqlExpr" -> "\"mg_summary\"",
+              "exprName" -> "`k`"))
+          MgSummaryAgg(c,
+            kVal.asInstanceOf[Number].intValue()).toAggregateExpression()
         case other => throw wrongNumArgs("mg_summary", "2", other.length)
       }))
 

@@ -85,6 +85,17 @@ object Warehouse {
     * engine semantics — record what you read, refuse to publish over
     * what you didn't — are exactly these, and WarehouseSpec stages the
     * read-modify-write race this detects.
+    *
+    * Crash-window caveat (the other half of the same non-atomicity): the
+    * publish and the [[bumpVersion]] SWAP are also two steps, so a crash
+    * BETWEEN them leaves the table's data changed but its version clock
+    * stale — a later writer holding the pre-crash version then passes
+    * this check against already-changed data (a lost update the racing-
+    * writers caveat above does not cover). A table format closes this
+    * too, by carrying the version inside the same atomic snapshot commit
+    * as the data; on this catalog the recovery discipline is: after a
+    * crashed guarded write, bump the version manually (or re-publish)
+    * before admitting new guarded writers.
     */
   private def guardStale(spark: SparkSession, table: String,
       expected: Option[Long]): Long = {

@@ -59,12 +59,17 @@ object SketchStreams {
     * kind and the spec asserts exactly it: MG is a SEQUENTIAL FOLD, and
     * folding is associative over stream concatenation
     * (fold(fold(s, A), B) = fold(s, A ++ B)), so the final state after
-    * the same total arrival sequence is IDENTICAL under any micro-batch
-    * split — counter values and all. (Reordering arrivals may move
-    * counter values, as in any MG; the guarantee bands — every counter
-    * in [f-err, f], every item with f > n/(k+1) present, err <= n/(k+1)
-    * — hold at every emission under every order, and the batch twin
-    * `corpus_heavy_hitters` grades those same bands.)
+    * the SAME TOTAL ARRIVAL SEQUENCE is identical under any micro-batch
+    * split — counter values and all. That premise is only guaranteed
+    * when in-group arrival order is itself reproducible (a single input
+    * partition, or an ordered replay, as in StreamingSpec's memory-source
+    * fixtures): with a multi-partition source, flatMapGroupsWithState
+    * makes no in-group arrival-order promise, so counter VALUES can
+    * differ between runs even at the same split. (Reordering arrivals
+    * may move counter values, as in any MG; the guarantee bands — every
+    * counter in [f-err, f], every item with f > n/(k+1) present,
+    * err <= n/(k+1) — hold at every emission under EVERY order, and the
+    * batch twin `corpus_heavy_hitters` grades those same bands.)
     */
   def mgHeavyHitters(rows: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -368,4 +368,29 @@ class FunctionsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("err_within_bound"))
     }
   }
+
+  test("mg_summary: non-literal / NULL k is a typed analysis error, not a crash") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq("a", "b", "a").toDF("token")
+    // column reference as k: must be the NON_FOLDABLE_INPUT analysis
+    // error, not an unbound-attribute eval crash
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.withColumn("k", lit(4))
+        .agg(expr("mg_summary(token, k)")).collect()
+    }
+    assert(e1.getCondition === "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+      e1.getMessage)
+    // NULL literal k: typed UNEXPECTED_NULL, not an NPE
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(expr("mg_summary(token, CAST(NULL AS INT))")).collect()
+    }
+    assert(e2.getCondition === "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+      e2.getMessage)
+    // the happy path is untouched
+    val ok = df.agg(expr("mg_summary(token, 4)").as("sk"))
+      .select(col("sk.n")).collect().head.getLong(0)
+    assert(ok === 3L)
+  }
 }
