@@ -1031,6 +1031,33 @@ object RelationalOracle {
       FROM a
     ) ORDER BY ord"""
 
+  /** Approx-profiler twin: HLL bits differ between engines, so the
+    * estimates are graded as in-band ATTESTATIONS — the oracle recomputes
+    * the exact counts and asserts the booleans TRUE (the
+    * `product_type_approx_distinct` convention).
+    */
+  def tableProfileApproxSql: String = {
+    val cols = RelationalQueries.ProfileCols
+    val aggs = cols.map { case (i, c) =>
+      s"""CAST(COUNT($c) AS BIGINT) AS c_$i,
+        CAST(COUNT(DISTINCT $c) AS BIGINT) AS d_$i"""
+    }.mkString(",\n        ")
+    val rows = cols.map { case (i, c) =>
+      s"""SELECT CAST($i AS BIGINT) AS ord, '$c' AS col_name,
+        n AS n_rows, n - c_$i AS n_nulls, d_$i AS n_distinct,
+        true AS est_ok FROM a"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        $aggs
+      FROM orders
+    )
+    SELECT * FROM (
+      $rows
+    ) ORDER BY ord"""
+  }
+
   /** Twin of [[RelationalQueries.benfordFrame]] over l_extendedprice:
     * the same exact-cents integer-string first digit, shared Benford
     * expectation literals, 1e-9/1e-6 quantized deviation and chi² term

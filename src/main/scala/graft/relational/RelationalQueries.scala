@@ -368,6 +368,75 @@ object RelationalQueries {
     a.select(inline(rows)).orderBy("ord")
   }
 
+  /** HLL relative-error acceptance band for [[tableProfileApprox]]:
+    * 5σ at the requested rsd=0.01, floored at 5 absolute for tiny columns
+    * (the `product_type_approx_distinct` convention).
+    */
+  val ProfileHllBand = 0.05
+
+  /** The profiled orders columns, in catalog order. */
+  val ProfileCols: Seq[(Int, String)] = Seq(
+    (1, "o_orderkey"), (2, "o_custkey"), (3, "o_orderstatus"),
+    (4, "o_totalprice"), (5, "o_orderdate"), (6, "o_orderpriority"))
+
+  /** The PROFILE pass a deployment keeps: row/null counts + six HLL
+    * buffers in one Expand-free aggregate (every row updates six
+    * fixed-size sketches map-side; the shuffle carries sketch bytes).
+    * Shared with PlanSpec's Expand-absence pin.
+    */
+  def profileSketchFrame(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sketchAggs = Seq(count(lit(1)).as("n")) ++ ProfileCols.flatMap {
+      case (i, c) => Seq(count(col(c)).as(s"c_$i"),
+        approx_count_distinct(col(c), 0.01).as(s"a_$i"))
+    }
+    orders.agg(sketchAggs.head, sketchAggs.tail: _*)
+  }
+
+  /** The EXECUTABLE 100 TB substitution [[tableProfile]]'s scaladoc
+    * promises in prose: the same six-column orders profile with
+    * `approx_count_distinct` (HLL++, rsd=0.01) replacing the exact
+    * COUNT(DISTINCT)s. The six HLL buffers all partial-aggregate in ONE
+    * pass with NO Expand — each input row updates six fixed-size
+    * sketches map-side and the shuffle carries sketch bytes, not values
+    * (the plan difference vs the exact profiler is the whole point;
+    * PlanSpec pins Expand absent from [[profileSketchFrame]]'s plan and
+    * present in [[profileFrame]]'s).
+    *
+    * Grading: HLL bits differ between engines, so the estimates are
+    * attested in-band rather than surfaced — each column row carries the
+    * exact distinct count (computed ONLY to ground the attestation, the
+    * `product_type_approx_distinct` precedent) and a boolean asserting
+    * |est − exact| ≤ max(5, [[ProfileHllBand]]·exact); the oracle
+    * recomputes the exact counts and asserts TRUE. A production
+    * deployment drops the exact leg and keeps the one-pass sketch plan.
+    */
+  val tableProfileApprox: GraftQuery = GraftQuery(
+    "orders_table_profile_approx",
+    "one-pass HLL column profile of orders: nulls + approx distinct per column, 5-sigma attestation vs exact",
+    RelationalOracle.tableProfileApproxSql) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val cols = ProfileCols
+    val sk = profileSketchFrame(orders)
+    // the grading-only exact leg, a SEPARATE aggregate so the sketch
+    // pass above stays the genuine one-pass plan (this one pays the
+    // Expand; production drops it)
+    val exactAggs = cols.map { case (i, c) =>
+      countDistinct(col(c)).as(s"d_$i")
+    }
+    val ex = orders.agg(exactAggs.head, exactAggs.tail: _*)
+    val rows = array(cols.map { case (i, c) =>
+      struct(lit(i.toLong).as("ord"), lit(c).as("col_name"),
+        col("n").as("n_rows"),
+        (col("n") - col(s"c_$i")).as("n_nulls"),
+        col(s"d_$i").as("n_distinct"),
+        (abs(col(s"a_$i") - col(s"d_$i")).cast("double") <=
+          greatest(lit(5.0), col(s"d_$i").cast("double")
+            * lit(ProfileHllBand))).as("est_ok"))
+    }: _*)
+    sk.crossJoin(broadcast(ex)).select(inline(rows)).orderBy("ord")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape), run through the SQL
     * surface: the frame registers the corpus views and executes the SAME
     * text the DuckDB oracle runs. Catalyst decorrelates the per-part
@@ -1752,6 +1821,7 @@ object RelationalQueries {
     profitByNation, bloomPrefilterJoin,
     supplierShare, localSupplierRevenue, customerOrderDistribution,
     suppliersWaiting, forecastSes, replicaDiff, tradeVolume, rfmSegments,
-    rfmSketchCutoffs, tableProfile, benfordCheck, forecastHolt,
+    rfmSketchCutoffs, tableProfile, tableProfileApprox, benfordCheck,
+    forecastHolt,
     anovaPriority, backlogTimeline, discountElasticity, revenuePareto)
 }

@@ -1074,4 +1074,22 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 2,
       s"expected <=2 hash exchanges (user totals, per-total counts), got $hashEx in:\n$plan")
   }
+
+  test("table profilers: HLL sketch pass is Expand-free; the exact profiler pays the Expand") {
+    import graft.relational.RelationalQueries
+    val orders = graft.Tables.orders(spark, sf)
+    // the substitution the approx profiler makes executable: six
+    // approx_count_distinct buffers fold into ONE aggregate pass — no
+    // Expand multiplying the input per distinct column
+    val skPlan = RelationalQueries.profileSketchFrame(orders)
+      .queryExecution.executedPlan.toString
+    assert(!skPlan.contains("Expand"),
+      s"HLL profile pass grew an Expand:\n$skPlan")
+    // while the exact profiler's multi-COUNT(DISTINCT) pass is the
+    // documented Expand plan it replaces at 100 TB
+    val exPlan = RelationalQueries.profileFrame(orders)
+      .queryExecution.executedPlan.toString
+    assert(exPlan.contains("Expand"),
+      s"exact profiler no longer uses Expand — update the 100 TB scaladoc:\n$exPlan")
+  }
 }
