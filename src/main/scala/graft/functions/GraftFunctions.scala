@@ -18,6 +18,8 @@ object GraftFunctions {
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("hash60", classOf[Hash60].getName,
       children => Hash60(children.head)),
+    ("nfc_normalize", classOf[NfcNormalize].getName,
+      children => NfcNormalize(children.head)),
     ("vec_dot", classOf[VecDot].getName,
       children => VecDot(children(0), children(1))),
     ("byte_histogram", classOf[ByteHistogram].getName,

@@ -764,6 +764,31 @@ object TextOracle {
       md5(canon) AS canon_fp
     FROM t ORDER BY doc_id"""
 
+  /** NFC twin: DuckDB's built-in `nfc_normalize` + the same translate
+    * squash. The confusable map is DERIVED from the engine constant
+    * (chr() concatenation keeps the SQL text pure ASCII), so the two
+    * sides cannot drift.
+    */
+  def normalizeNfcSql: String = {
+    val from = TextQueries.ConfusablesFrom
+      .map(c => s"chr(${c.toInt})").mkString("||")
+    s"""
+    WITH t AS (
+      SELECT doc_id, text, nfc_normalize(text) AS nfc,
+        translate(nfc_normalize(text), $from,
+          '${TextQueries.ConfusablesTo}') AS canon
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS chars_raw,
+      CAST(length(nfc) AS INTEGER) AS chars_nfc,
+      CAST(length(canon) AS INTEGER) AS chars_canon,
+      nfc <> text AS nfc_changed,
+      canon <> nfc AS squash_changed,
+      md5(canon) AS canon_fp
+    FROM t ORDER BY doc_id"""
+  }
+
   /** CMS attestation twin: exact counts ground the sketch's contract; the
     * boolean columns are literal TRUE — the hash only matches when every
     * Spark-side attestation held (same pattern as the HLL/GK oracles).

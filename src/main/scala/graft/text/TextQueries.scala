@@ -1051,6 +1051,68 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Confusable-squash map for [[normalizeNfc]]: the high-traffic
+    * Cyrillic/Greek homoglyphs of latin letters (а е о р с х; ο) map to
+    * their latin targets, and the zero-width characters (ZWSP/ZWNJ/ZWJ/
+    * BOM) map to nothing — `translate` deletes source chars beyond the
+    * target string's length, identically in Spark and DuckDB (Postgres
+    * semantics). A real pipeline loads the full UTS #39 confusables
+    * table the same way; the operator shape is the point.
+    */
+  val ConfusablesFrom =
+    "\u0430\u0435\u043e\u0440\u0441\u0445\u03bf" + // Cyrillic a e o p c x, Greek omicron
+      "\u200b\u200c\u200d\ufeff" // ZWSP ZWNJ ZWJ BOM — squashed to nothing
+  val ConfusablesTo = "aeopcxo"
+
+  /** UNICODE canonicalization — the cleaning [[normalize]]'s byte-level
+    * scrub cannot do: NFC normalization (composed "é" == decomposed
+    * "e"+U+0301, the same text in different bytes) via the native
+    * codegen'd [[graft.functions.NfcNormalize]] expression, then
+    * homoglyph/zero-width squashing via `translate` over
+    * [[ConfusablesFrom]] — real corpora hit both classes of dup (crawl
+    * text mixes normalization forms; spam mixes scripts) and a raw-byte
+    * dedup key misses them. Output: per-doc codepoint counts at each
+    * stage, change flags, and the canonical fingerprint (the dedup key).
+    *
+    * Scale shape: pure per-row expression work in one codegen span over
+    * the scan — embarrassingly parallel, the [[normalize]] contract; the
+    * ASCII fast path returns the input REFERENCE without allocating
+    * (NFC is the identity on ASCII). Parity: NFC is one standardized
+    * algorithm (UAX #15), so java.text.Normalizer (engine) and DuckDB's
+    * `nfc_normalize` (oracle) agree on every input by construction —
+    * this corpus is pure [a-z space] so the corpus readout is the
+    * identity everywhere (flags all false), and the REAL assertions live
+    * in the planted composed/decomposed/homoglyph fixtures
+    * (TextDedupSpec) where the twins must still agree.
+    */
+  val normalizeNfc: GraftQuery = GraftQuery(
+    "doc_normalize_nfc",
+    "Unicode canonicalization: native NFC expression + confusable/zero-width squash, canonical dedup fingerprint",
+    TextOracle.normalizeNfcSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    normalizeNfcFrame(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The NFC canonicalization over any (doc_id, text) frame — shared by
+    * the registry query and the planted homoglyph fixtures.
+    */
+  def normalizeNfcFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nfc = call_function("nfc_normalize", col("text"))
+    docs
+      .withColumn("nfc", nfc)
+      .withColumn("canon",
+        translate(col("nfc"), ConfusablesFrom, ConfusablesTo))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("chars_raw"),
+        length(col("nfc")).as("chars_nfc"),
+        length(col("canon")).as("chars_canon"),
+        (col("nfc") =!= col("text")).as("nfc_changed"),
+        (col("canon") =!= col("nfc")).as("squash_changed"),
+        md5(col("canon")).as("canon_fp"))
+  }
+
   /** Count-Min-Sketch token frequencies — the third mergeable-sketch
     * surface (HLL++ distinct counts and GK quantiles are the other two),
     * graded the same way: the sketch's CONTRACT is attested against exact
@@ -2674,7 +2736,8 @@ object TextQueries {
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,
       sourceQuota, packing,
-      lengthHistogram, sampleStratified, normalize, tokenCms, searchBm25,
+      lengthHistogram, sampleStratified, normalize, normalizeNfc,
+      tokenCms, searchBm25,
       phraseSearch, keywordExtract, chunkSearchBm25,
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,

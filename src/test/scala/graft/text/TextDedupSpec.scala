@@ -314,6 +314,50 @@ class TextDedupSpec extends SparkSpec {
     assert(canon === "ab c d")
   }
 
+  test("nfc normalize: composed==decomposed, homoglyphs squash, zero-widths vanish, ASCII is identity") {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    val homoglyph = "p\u0430yp\u0430l" // Cyrillic а twice
+    val zeroWidth = "foo\u200bbar\ufeff"
+    val ascii = "plain ascii text"
+    val out = graft.text.TextQueries.normalizeNfcFrame(
+      Seq((1L, composed), (2L, decomposed), (3L, homoglyph),
+        (4L, zeroWidth), (5L, ascii)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // composed and decomposed converge on the SAME canonical fingerprint
+    // — the dup a raw-byte key misses
+    assert(out(1L).getAs[String]("canon_fp") === out(2L).getAs[String]("canon_fp"))
+    assert(!out(1L).getAs[Boolean]("nfc_changed")) // already NFC
+    assert(out(2L).getAs[Boolean]("nfc_changed"))
+    assert(out(2L).getAs[Int]("chars_raw") === decomposed.length)
+    assert(out(2L).getAs[Int]("chars_nfc") === composed.length)
+    // homoglyph squash lands on the latin form's fingerprint
+    val latin = graft.text.TextQueries.normalizeNfcFrame(
+      Seq((9L, "paypal")).toDF("doc_id", "text")).collect()(0)
+    assert(out(3L).getAs[String]("canon_fp") === latin.getAs[String]("canon_fp"))
+    assert(out(3L).getAs[Boolean]("squash_changed"))
+    // zero-widths delete: 3 codepoints shorter, flags say squash only
+    assert(out(4L).getAs[Int]("chars_canon") === out(4L).getAs[Int]("chars_nfc") - 2)
+    assert(!out(4L).getAs[Boolean]("nfc_changed"))
+    assert(out(4L).getAs[Boolean]("squash_changed"))
+    // ASCII identity, and the expression agrees with java.text.Normalizer
+    assert(!out(5L).getAs[Boolean]("nfc_changed"))
+    assert(!out(5L).getAs[Boolean]("squash_changed"))
+    assert(graft.functions.NfcNormalize.eval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)).toString
+      === java.text.Normalizer.normalize(decomposed,
+        java.text.Normalizer.Form.NFC))
+    // corpus surface: pure [a-z space] -> identity everywhere
+    val corpus = graft.text.TextQueries.normalizeNfc.frame(spark, sf).collect()
+    corpus.foreach { r =>
+      assert(!r.getAs[Boolean]("nfc_changed") && !r.getAs[Boolean]("squash_changed"))
+      assert(r.getAs[Int]("chars_raw") === r.getAs[Int]("chars_canon"))
+    }
+  }
+
   test("keep funnel: final <= each stage, totals conserved, dups actually drop") {
     val docs = graft.Tables.documents(spark, sf)
     val total = docs.count()
