@@ -137,6 +137,15 @@ object EventOracle {
     FROM ev
     GROUP BY user_id ORDER BY user_id"""
 
+  /** Salted-join twin: the rewrite is semantics-preserving, so the
+    * oracle is the PLAIN equi-join + rollup (the saltedRollup contract).
+    */
+  def saltedJoinSql: String = s"""
+    WITH $evCte
+    SELECT c.c_mktsegment, COUNT(*) AS n_events, $q AS sum_value
+    FROM ev e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1"""
+
   val interarrivalSql: String = s"""
     WITH $evCte,
     g AS (

@@ -145,6 +145,84 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Replication factor for [[saltedJoin]]'s hot keys. */
+  val JoinSalt = 8
+
+  /** Hot-key budget for [[saltedJoin]]: the top-K keys by fact count pay
+    * replication. Production gates on the [[keySkew]] threshold instead
+    * (cnt > 2·N/reducers, which bounds the hot set at reducers/2 keys by
+    * Σcnt ≤ N); the fixed top-K keeps the salted path EXERCISED at gate
+    * SF, where the synthetic corpus is too uniform to trip the threshold.
+    */
+  val JoinHotK = 16
+
+  /** SALTED SKEW-JOIN — the replicate-broadcast rewrite
+    * [[keySkew]] diagnoses and [[saltedRollup]] applies to aggregation,
+    * applied to the JOIN: a shuffle join on a skewed key sends every row
+    * of the hottest key through ONE reducer, so the fix is to split the
+    * hot keys' fact rows across [[JoinSalt]] salt values and REPLICATE
+    * the dim side's hot rows once per salt — the join key becomes
+    * (key, salt) and the hot key's traffic spreads over Salt reducers.
+    * Cold keys ride salt 0 with no replication. SEMANTICS-PRESERVING by
+    * construction (each fact row still meets exactly its dim row — once,
+    * under exactly one salt), so the oracle is the PLAIN join+agg — the
+    * `urgent_revenue_bloom`/`events_salted_rollup` grading contract.
+    *
+    * The dim side carries a merge-join hint: at gate SF Spark would
+    * broadcast the 1.5k-row customer dim (and a broadcast join cannot
+    * skew in the first place — no rewrite needed); the hint makes the
+    * dim stand in for the non-broadcastable big-dim/fact side this
+    * rewrite exists for, and PlanSpec pins the shuffle partitioning on
+    * BOTH join columns (user_id, salt). At 100 TB with AQE skew-join the
+    * runtime can split oversized partitions itself — the explicit form
+    * is deliberate control, and unlike AQE it also fixes skew that only
+    * materializes INSIDE a stage (the [[saltedRollup]] note).
+    *
+    * Scale shape: the hot set is a global top-K on the per-key count
+    * frame (key-cardinality-bounded; TakeOrderedAndProject) broadcast to
+    * both sides; fact traffic is unchanged (one shuffle, now salted);
+    * dim pays +K·(Salt−1) replicated rows. Determinism: salts come from
+    * the stable event_id, totals are quantized-LONG sums, the readout
+    * groups by segment.
+    */
+  val saltedJoin: GraftQuery = GraftQuery(
+    "events_salted_join",
+    s"salted skew join: top-$JoinHotK hot user_ids split x$JoinSalt, dim replicated (oracle = plain join)",
+    EventOracle.saltedJoinSql) { (s, d) =>
+    saltedJoinFrame(Tables.events(s, d), Tables.customer(s, d))
+  }
+
+  /** The salted-join rewrite over any (events, customer) pair — shared
+    * by the registry query and the planted-hot-key spec.
+    */
+  def saltedJoinFrame(events: org.apache.spark.sql.DataFrame,
+      customers: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hot = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("user_id")).limit(JoinHotK)
+      .select(col("user_id").as("hot_key"))
+    val fact = events
+      .join(broadcast(hot), col("user_id") === col("hot_key"), "left")
+      .withColumn("salt",
+        when(col("hot_key").isNotNull,
+          (col("event_id") % JoinSalt).cast("int")).otherwise(lit(0)))
+      .select(col("user_id"), col("salt"), col("value"))
+    val dim = customers
+      .join(broadcast(hot), col("c_custkey") === col("hot_key"), "left")
+      .withColumn("salt", explode(
+        when(col("hot_key").isNotNull,
+          sequence(lit(0), lit(JoinSalt - 1))).otherwise(array(lit(0)))))
+      .select(col("c_custkey"), col("salt").cast("int").as("salt"),
+        col("c_mktsegment"))
+    fact.join(dim.hint("merge"),
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Det.quantize(col("value"))) / lit(Det.pow10(4)))
+          .as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   /** lag/lead analytics: per-user inter-arrival gaps. Gaps are exact
     * microsecond longs (timestamp diffs), so the summary stats quantize
     * for free.
@@ -4682,7 +4760,7 @@ object EventQueries {
 
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, interarrival, gapFill, funnel, funnelLatency,
+      saltedRollup, saltedJoin, interarrival, gapFill, funnel, funnelLatency,
       conversionPaths, retention, anomaly, anomalyMad,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
       cusum, stlDecompose, forecastBacktest, forecastConformal,

@@ -1075,6 +1075,20 @@ class PlanSpec extends SparkSpec {
       s"expected <=2 hash exchanges (user totals, per-total counts), got $hashEx in:\n$plan")
   }
 
+  test("events_salted_join: the join shuffles on (user_id, salt) — no single-partition hot key") {
+    val df = SparkEntry.queries("events_salted_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the rewrite's point: the fact exchange partitions on BOTH the key
+    // and the salt, so a hot key's rows spread over JoinSalt reducers
+    // instead of draining through one
+    val saltedExchange =
+      """Exchange hashpartitioning\(user_id#\d+L?, salt#\d+""".r
+    assert(saltedExchange.findFirstIn(plan).isDefined,
+      s"no (user_id, salt) exchange in:\n$plan")
+  }
+
   test("table profilers: HLL sketch pass is Expand-free; the exact profiler pays the Expand") {
     import graft.relational.RelationalQueries
     val orders = graft.Tables.orders(spark, sf)

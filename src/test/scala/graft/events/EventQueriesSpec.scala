@@ -1562,6 +1562,33 @@ class EventQueriesSpec extends SparkSpec {
     assert(!f.getAs[Boolean]("skewed"))
   }
 
+  test("saltedJoinFrame: planted hot key — rewrite equals the plain join exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum, floor}
+    // one user carries 70% of the fact; a long cold tail
+    val rows = (1 to 700).map(i => ev(i.toLong, "2024-01-01 10:00:00", 7L,
+      "click", i * 0.5)) ++
+      (1 to 300).map(i => ev(1000L + i, "2024-01-01 10:00:00",
+        (i % 40).toLong, "view", 1.25))
+    val events = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val customers = (0 to 60).map(k =>
+      (k.toLong, s"c$k", k % 5, 0.0, s"SEG_${k % 3}"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val salted = EventQueries.saltedJoinFrame(events, customers).collect()
+    val plain = events.join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e4) + lit(0.5))) / lit(1e4))
+          .as("sum_value"))
+      .orderBy("c_mktsegment").collect()
+    assert(salted.toSeq === plain.toSeq)
+    // the hot user's segment is present and dominates the event count
+    val bySeg = salted.map(r =>
+      r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n_events")).toMap
+    assert(bySeg("SEG_1") >= 700L) // user 7 -> SEG_1
+  }
+
   test("kpiContributionFrame: contributions sum to the day delta; vanished/appeared segments decompose from zero") {
     import spark.implicits._
     val fixture = Seq(
