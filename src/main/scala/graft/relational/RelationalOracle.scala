@@ -53,6 +53,68 @@ object RelationalOracle {
     ORDER BY o_orderpriority"""
   }
 
+  /** Bottom-k quantile twin — FULL value parity: replays the hash cut,
+    * the (value, key) sample ranking, and the ceil(q·m) rank arithmetic
+    * (same DOUBLE literals, same IEEE product), so the served estimates
+    * hash-match; the exact brackets ground the 4σ attestation. A `def`
+    * (interpolates QsK/QsPairs — init-order rule).
+    */
+  def bottomkQuantilesSql: String = {
+    import RelationalQueries.{QsK, QsPairs, qsBand}
+    val h60 = hash60Sql("CAST(ok AS VARCHAR)")
+    val sCols = QsPairs.map { case (q, t) =>
+      s"""MAX(CASE WHEN vr = CAST(ceil($q::DOUBLE * m) AS BIGINT)
+          THEN v END) AS est_$t"""
+    }.mkString(",\n        ")
+    val fCols = QsPairs.flatMap { case (q, t) => Seq(
+      s"""MAX(CASE WHEN vr = CAST(ceil($q::DOUBLE * n) AS BIGINT)
+          THEN v END) AS exact_$t""",
+      s"""MAX(CASE WHEN vr = GREATEST(1,
+          CAST(ceil(${q - qsBand(q)}::DOUBLE * n) AS BIGINT))
+          THEN v END) AS lo_$t""",
+      s"""MAX(CASE WHEN vr = LEAST(n,
+          CAST(ceil(${q + qsBand(q)}::DOUBLE * n) AS BIGINT))
+          THEN v END) AS hi_$t""")
+    }.mkString(",\n        ")
+    val outCols = QsPairs.map { case (_, t) =>
+      s"est_$t, exact_$t, (est_$t >= lo_$t AND est_$t <= hi_$t) AS ok_$t"
+    }.mkString(",\n      ")
+    s"""
+    WITH base AS (
+      SELECT o_orderpriority AS p, o_orderkey AS ok, o_totalprice AS v
+      FROM orders),
+    hashed AS (
+      SELECT p, ok, v, $h60 AS h FROM base),
+    cut AS (
+      SELECT p, ok, v,
+        ROW_NUMBER() OVER (PARTITION BY p ORDER BY h, ok) AS rn
+      FROM hashed),
+    samp AS (
+      SELECT p, v,
+        CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY v, ok) AS BIGINT)
+          AS vr,
+        CAST(COUNT(*) OVER (PARTITION BY p) AS BIGINT) AS m
+      FROM cut WHERE rn <= $QsK),
+    sagg AS (
+      SELECT p, MAX(m) AS m,
+        $sCols
+      FROM samp GROUP BY p),
+    fullr AS (
+      SELECT p, v,
+        CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY v, ok) AS BIGINT)
+          AS vr,
+        CAST(COUNT(*) OVER (PARTITION BY p) AS BIGINT) AS n
+      FROM base),
+    fagg AS (
+      SELECT p, MAX(n) AS n,
+        $fCols
+      FROM fullr GROUP BY p)
+    SELECT s.p AS o_orderpriority, n, m,
+      $outCols
+    FROM sagg s JOIN fagg f ON s.p = f.p
+    ORDER BY o_orderpriority"""
+  }
+
   /** KMV overlap twin — `def` for the same init-order reason as
     * [[kmvDistinctSql]]; replays the union k-min signature, membership
     * flags, and all three estimators value-for-value.

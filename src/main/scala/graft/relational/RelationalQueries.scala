@@ -1103,6 +1103,94 @@ object RelationalQueries {
           <= lit(2.0 / math.sqrt(KmvK.toDouble))).as("inter_ok"))
   }
 
+  /** Bottom-k quantile-sketch sample size (rows kept per group). */
+  val QsK = 256
+
+  /** The quantiles [[bottomkQuantiles]] serves, with column tags. */
+  val QsPairs: Seq[(Double, String)] =
+    Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+
+  /** Rank-space acceptance half-width at quantile q: 4σ of the sample
+    * quantile's rank, σ = sqrt(q(1−q)/k) (conservative — the bottom-k
+    * sample is WITHOUT replacement, whose variance is strictly smaller).
+    */
+  def qsBand(q: Double): Double = 4.0 * math.sqrt(q * (1.0 - q) / QsK)
+
+  /** BOTTOM-K-HASH QUANTILE SKETCH — the quantile analogue of
+    * [[kmvDistinct]]'s full-value-parity cardinality sketch, closing the
+    * gap that GK quantiles (`arrear_approx_quantiles`) are graded by
+    * attestation only: keep the [[QsK]] rows with the SMALLEST key
+    * hashes per group (hash60 of the unique o_orderkey = a uniform
+    * row sample without replacement, deterministic and order-free), and
+    * serve quantile q as the ceil(q·m)-th smallest sampled value. The
+    * state is mergeable exactly like KMV — the k smallest of a union
+    * are the k smallest of the merged k-min sets — which is what
+    * [[graft.streaming.SketchStreams.bottomkQuantiles]] maintains
+    * incrementally (StreamingSpec asserts bit-parity with this batch
+    * sketch). A KLL sketch buys a better space-vs-ε trade at the cost
+    * of rank-dependent compaction state; the bottom-k sample is the
+    * full-parity baseline both engines can replay bit-for-bit, which no
+    * randomized-compaction sketch allows.
+    *
+    * Grading: FULL value parity — the oracle replays the hash cut, the
+    * sample ranking, and the rank arithmetic, so the served estimates
+    * (not just booleans) hash-match. The exact side exists only to
+    * ground the attestation (the GK convention): each estimate must lie
+    * inside the exact value bracket
+    * [exact(q−band), exact(q+band)] at the 4σ [[qsBand]].
+    *
+    * Scale shape: the hash cut plans as a WindowGroupLimit — each input
+    * partition forwards at most k rows per group BEFORE the exchange
+    * (the distributed bottom-k merge), so the sketch path never
+    * shuffles the raw corpus; sample ranking runs on k-bounded frames.
+    * The exact legs (full rank window) are the grading-only cost a
+    * deployment drops. Determinism: ranks are exact row_numbers under
+    * (value, o_orderkey) total order; ceil(q·m) evaluates the same
+    * IEEE product on both engines; estimates are data values.
+    */
+  val bottomkQuantiles: GraftQuery = GraftQuery(
+    "orders_bottomk_quantiles",
+    s"bottom-$QsK-hash quantile sketch of o_totalprice per priority: full-parity p50/p90/p99 + 4-sigma bracket attestation",
+    RelationalOracle.bottomkQuantilesSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("p"),
+      col("o_orderkey").as("ok"), col("o_totalprice").as("v"))
+    val wCut = Window.partitionBy(col("p")).orderBy(col("h"), col("ok"))
+    val wSVal = Window.partitionBy(col("p")).orderBy(col("v"), col("ok"))
+    val wSN = Window.partitionBy(col("p"))
+    val sample = o
+      .withColumn("h", graft.text.TextFns.hash60(col("ok").cast("string")))
+      .withColumn("rn", row_number().over(wCut))
+      .filter(col("rn") <= QsK)
+      .withColumn("vr", row_number().over(wSVal).cast("long"))
+      .withColumn("m", count(lit(1)).over(wSN))
+    val sAggs = Seq(max(col("m")).as("m")) ++ QsPairs.map { case (q, t) =>
+      max(when(col("vr") === ceil(lit(q) * col("m")), col("v")))
+        .as(s"est_$t")
+    }
+    val sAgg = sample.groupBy(col("p")).agg(sAggs.head, sAggs.tail: _*)
+    val full = o
+      .withColumn("vr", row_number().over(wSVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(wSN))
+    val fAggs = Seq(max(col("n")).as("n")) ++ QsPairs.flatMap { case (q, t) =>
+      Seq(
+        max(when(col("vr") === ceil(lit(q) * col("n")), col("v")))
+          .as(s"exact_$t"),
+        max(when(col("vr") === greatest(lit(1L),
+          ceil(lit(q - qsBand(q)) * col("n"))), col("v"))).as(s"lo_$t"),
+        max(when(col("vr") === least(col("n"),
+          ceil(lit(q + qsBand(q)) * col("n"))), col("v"))).as(s"hi_$t"))
+    }
+    val fAgg = full.groupBy(col("p")).agg(fAggs.head, fAggs.tail: _*)
+    val outCols = Seq(col("p").as("o_orderpriority"), col("n"), col("m")) ++
+      QsPairs.flatMap { case (_, t) =>
+        Seq(col(s"est_$t"), col(s"exact_$t"),
+          (col(s"est_$t") >= col(s"lo_$t") &&
+            col(s"est_$t") <= col(s"hi_$t")).as(s"ok_$t"))
+      }
+    sAgg.join(fAgg, "p").select(outCols: _*).orderBy("o_orderpriority")
+  }
+
   /** Month-index base for [[revenueTrendOls]] (the corpus date floor). */
   val OlsBaseYear = 1995
 
@@ -1811,7 +1899,8 @@ object RelationalQueries {
   }
 
   def all: Seq[GraftQuery] = Seq(
-    kmvDistinct, kmvOverlap, revenueTrendOls, entityResolution,
+    kmvDistinct, kmvOverlap, bottomkQuantiles, revenueTrendOls,
+    entityResolution,
     associationRules, fulfillmentLag,
     pricingSummary, revenueByNation, orderPriority,
     forecastRevenue, shippingPriority, qualityChecks,

@@ -49,6 +49,49 @@ object SketchStreams {
       .toDF("grp", "n_kept", "u_k", "kmv_estimate")
   }
 
+  /** Maintain the per-group BOTTOM-K-HASH QUANTILE sketch over an
+    * arriving (grp, ok, h, v) stream — the streaming half of
+    * `orders_bottomk_quantiles` (RelationalQueries), and the quantile
+    * analogue of [[kmvDistinct]]: the state is the k rows with the
+    * smallest (h, ok) per group, which merges like a semilattice (the
+    * k smallest of a union are the k smallest of the merged k-min
+    * sets), so the final state is EXACTLY the batch sketch under any
+    * micro-batch split and arrival order — StreamingSpec asserts the
+    * served estimates bit-match the batch query's. Emits per batch:
+    * (grp, m, est per quantile in
+    * [[graft.relational.RelationalQueries.QsPairs]]), each estimate the
+    * ceil(q·m)-th smallest sampled value under the same (v, ok) total
+    * order and the same IEEE ceil(q·m) product as the batch/oracle
+    * arithmetic.
+    */
+  def bottomkQuantiles(rows: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val qs = graft.relational.RelationalQueries.QsPairs.map(_._1)
+    require(qs.length == 3, "emission schema is pinned to three quantiles")
+    rows.selectExpr("CAST(grp AS STRING) AS grp", "CAST(ok AS BIGINT) AS ok",
+        "CAST(h AS BIGINT) AS h", "CAST(v AS DOUBLE) AS v")
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[(String, Long, Long, Double)],
+         state: GroupState[Array[(Long, Long, Double)]]) => {
+          val prior = state.getOption.getOrElse(Array.empty[(Long, Long, Double)])
+          // bounded semilattice merge: distinct union of prior k-mins and
+          // the batch's (h, ok, v) rows, re-cut to the k smallest
+          val merged = (prior.iterator ++ batch.map(t => (t._3, t._2, t._4)))
+            .toArray.distinct.sortBy(t => (t._1, t._2)).take(k)
+          state.update(merged)
+          val m = merged.length
+          val byVal = merged.sortBy(t => (t._3, t._2))
+          val est = qs.map(q =>
+            byVal(math.ceil(q * m).toInt - 1)._3)
+          Iterator((grp, m.toLong, est(0), est(1), est(2)))
+        })
+      .toDF("grp", "m", "est_p50", "est_p90", "est_p99")
+  }
+
   /** Maintain a per-group Misra-Gries heavy-hitter summary over an
     * arriving (grp, token) stream; emits the group's CURRENT state after
     * each micro-batch: total count n, decrement total err, and the live

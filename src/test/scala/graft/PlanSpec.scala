@@ -1089,6 +1089,15 @@ class PlanSpec extends SparkSpec {
       s"no (user_id, salt) exchange in:\n$plan")
   }
 
+  test("orders_bottomk_quantiles: the hash cut is a WindowGroupLimit — k rows per group forwarded before the exchange") {
+    val df = SparkEntry.queries("orders_bottomk_quantiles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"bottom-k cut not pushed to a group limit in:\n$plan")
+  }
+
   test("table profilers: HLL sketch pass is Expand-free; the exact profiler pays the Expand") {
     import graft.relational.RelationalQueries
     val orders = graft.Tables.orders(spark, sf)

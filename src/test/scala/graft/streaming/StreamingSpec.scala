@@ -118,6 +118,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("SketchStreams.bottomkQuantiles: streamed k-min sample == batch sketch estimates across a split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val k = graft.relational.RelationalQueries.QsK
+    val rows = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("grp"),
+        col("o_orderkey").as("ok"),
+        graft.text.TextFns.hash60(col("o_orderkey").cast("string")).as("h"),
+        col("o_totalprice").as("v"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.length > 1000)
+    val (a, b) = rows.splitAt(rows.length / 3) // unaligned: groups span both
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    stream.addData(a: _*)
+    val q = SketchStreams.bottomkQuantiles(
+      stream.toDS().toDF("grp", "ok", "h", "v"), k)
+      .writeStream.format("memory").queryName("bkq_stream_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    stream.addData(b: _*)
+    q.processAllAvailable()
+    q.stop()
+    val finalRows = spark.table("bkq_stream_out").collect()
+      .foldLeft(Map.empty[String, org.apache.spark.sql.Row]) {
+        (m, r) => m + (r.getAs[String]("grp") -> r)
+      }
+    // the served estimates match the BATCH sketch query's, bit for bit
+    val batch = graft.relational.RelationalQueries.bottomkQuantiles
+      .frame(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    assert(finalRows.keySet === batch.keySet)
+    batch.foreach { case (g, br) =>
+      val sr = finalRows(g)
+      assert(sr.getAs[Long]("m") === br.getAs[Long]("m"), g)
+      Seq("est_p50", "est_p90", "est_p99").foreach { c =>
+        assert(sr.getAs[Double](c) === br.getAs[Double](c), s"$g.$c")
+      }
+      // and the batch-side attestations all held
+      Seq("ok_p50", "ok_p90", "ok_p99").foreach { c =>
+        assert(br.getAs[Boolean](c), s"$g.$c")
+      }
+    }
+  }
+
   test("SketchStreams.mgHeavyHitters: k-slot state identical under any micro-batch split; bands hold at the final emission") {
     val spark0 = spark
     import spark0.implicits._
