@@ -208,6 +208,79 @@ object TextOracle {
     FROM cbb GROUP BY bin ORDER BY bin"""
   }
 
+  /** Isotonic twin: the shared NB chain + the same bin construction as
+    * [[calibrationCurveSql]], then the PAV minimax identity as three
+    * joins over the bin frame — interval means are exact LONG/LONG
+    * divisions from prefix sums (the numerator/denominator columns are
+    * pre-materialized as ckj0/cwj0 so both engines subtract the same
+    * exact integers), ECE terms quantize to 1e-9 LONGs before summing.
+    */
+  def isotonicSql: String = {
+    val w = TextQueries.CalibBinWidth
+    s"""
+    WITH $nbCtes,
+    ntk AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    cbb AS (
+      SELECT n.heur_label, n.nb_pred,
+        CAST(floor((n.nb_llr / k.nt) / $w::DOUBLE) AS BIGINT) AS bin
+      FROM nbdoc n JOIN ntk k USING (doc_id)
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS w,
+        CAST(SUM(CASE WHEN heur_label = 'keep' THEN 1 ELSE 0 END)
+          AS BIGINT) AS k,
+        CAST(SUM(CASE WHEN nb_pred = 'keep' THEN 1 ELSE 0 END)
+          AS BIGINT) AS nbk
+      FROM cbb GROUP BY bin
+    ),
+    pre AS (
+      SELECT bin, w, k, nbk,
+        CAST(SUM(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+        CAST(SUM(k) OVER (ORDER BY bin) AS BIGINT) AS ck
+      FROM bins
+    ),
+    legs AS (
+      SELECT bin, w, k, nbk, cw, ck,
+        cw - w AS cwj0, ck - k AS ckj0
+      FROM pre
+    ),
+    means AS (
+      SELECT i.bin AS i, i.w AS wi, i.k AS ki, i.nbk AS nbki, j.bin AS j,
+        (kk.ck - j.ckj0) / (kk.cw - j.cwj0) AS mean_jk
+      FROM legs i
+      JOIN legs j ON j.bin <= i.bin
+      JOIN legs kk ON kk.bin >= i.bin
+    ),
+    inner_min AS (
+      SELECT i, wi, ki, nbki, j, MIN(mean_jk) AS mn
+      FROM means GROUP BY i, wi, ki, nbki, j
+    ),
+    iso AS (
+      SELECT i, wi, ki, nbki, MAX(mn) AS iso_rate,
+        ki / wi AS heur_keep_rate, nbki / wi AS nb_keep_rate
+      FROM inner_min
+      GROUP BY i, wi, ki, nbki
+    ),
+    ece AS (
+      SELECT
+        CAST(SUM(CAST(floor(wi * abs(nb_keep_rate - heur_keep_rate)
+          * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ebq,
+        CAST(SUM(CAST(floor(wi * abs(iso_rate - heur_keep_rate)
+          * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS eaq,
+        CAST(SUM(wi) AS BIGINT) AS n
+      FROM iso
+    )
+    SELECT i AS bin, i * $w::DOUBLE AS bin_lo, wi AS n_docs,
+      heur_keep_rate, nb_keep_rate, iso_rate,
+      ebq / 1000000000.0 / n AS ece_before,
+      eaq / 1000000000.0 / n AS ece_after
+    FROM iso, ece
+    ORDER BY bin"""
+  }
+
   /** Confusion twin: the shared NB chain joined back to the corpus for
     * the language axis; per-cell LLR mass via the 1e-9 quantized sum
     * (exact — nb_llr is an integer/1e9, so the round-trip is lossless).

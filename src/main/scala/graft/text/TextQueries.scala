@@ -1949,6 +1949,106 @@ object TextQueries {
       .orderBy("bin")
   }
 
+  /** ISOTONIC (PAV) CALIBRATION — the ACTION [[calibrationCurve]]'s
+    * diagnosis calls for: the reliability diagram shows the NB score is
+    * non-monotonic in the actual keep rate, and the standard fix is
+    * isotonic regression — the weighted least-squares MONOTONE fit of
+    * the per-bin actual rates over the score axis, classically computed
+    * by pool-adjacent-violators. Here it is computed by PAV's closed
+    * form instead: the minimax identity
+    * iso_i = max_{j≤i} min_{k≥i} mean(rates over bins j..k), which
+    * turns the sequential pooling loop into three joins over the BIN
+    * frame — no driver loop at all (strictly better than the binseg
+    * bounded-loop precedent: the bin count B is a few dozen, so the B³
+    * interval space is trivially enumerable on any engine). Interval
+    * means come from prefix sums, so each candidate is an exact
+    * LONG/LONG division.
+    *
+    * Output: the calibrated bin table (raw predicted/actual rates +
+    * the isotonic rate) plus the before/after expected calibration
+    * error (ECE = Σ w·|pred − actual| / Σw; `before` grades the NB keep
+    * rate, `after` the isotonic fit — constant columns, stated once per
+    * row). Scale shape: rides [[qualityNbFrame]]'s one corpus-sized
+    * shuffle down to the bin frame (cardinality bounded by LLR range /
+    * bin width); everything after is bin-bounded (the interval joins
+    * broadcast a checkpointed few-dozen-row frame). Determinism: prefix
+    * sums and pooled means are exact-LONG arithmetic; the only ordered
+    * double sums (ECE terms) ride 1e-9 quantization; min/max over
+    * doubles are order-free.
+    */
+  val isotonicCalibration: GraftQuery = GraftQuery(
+    "quality_nb_isotonic",
+    "isotonic (PAV via minimax intervals) calibration of the NB keep rate + before/after ECE",
+    TextOracle.isotonicSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nt = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val bins = sharedDocNb(s, d).join(nt, "doc_id")
+      .withColumn("norm", col("nb_llr") / col("nt"))
+      .withColumn("bin",
+        floor(col("norm") / lit(CalibBinWidth)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("w"),
+        sum(when(col("heur_label") === "keep", 1L).otherwise(0L)).as("k"),
+        sum(when(col("nb_pred") === "keep", 1L).otherwise(0L)).as("nbk"))
+    isotonicFrame(bins)
+      .withColumn("bin_lo", col("bin") * lit(CalibBinWidth))
+      .select(col("bin"), col("bin_lo"), col("n_docs"),
+        col("heur_keep_rate"), col("nb_keep_rate"), col("iso_rate"),
+        col("ece_before"), col("ece_after"))
+      .orderBy("bin")
+  }
+
+  /** The PAV fit over any (bin, w, k, nbk) frame — shared by the
+    * registry query and the planted pooling fixture (TextDedupSpec).
+    * Returns (bin, n_docs, heur_keep_rate, nb_keep_rate, iso_rate,
+    * ece_before, ece_after).
+    */
+  def isotonicFrame(bins: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bin-bounded frame (a few dozen rows — the documented global-window
+    // class); checkpointed once, feeds all three interval legs
+    val b = bins
+      .withColumn("cw", sum(col("w")).over(w))
+      .withColumn("ck", sum(col("k")).over(w))
+      .localCheckpoint()
+    val bi = b.select(col("bin").as("i"), col("w").as("wi"),
+      col("k").as("ki"), col("nbk").as("nbki"))
+    val bj = b.select(col("bin").as("j"),
+      (col("cw") - col("w")).as("cwj0"), (col("ck") - col("k")).as("ckj0"))
+    val bk = b.select(col("bin").as("kb"),
+      col("cw").as("cwk"), col("ck").as("ckk"))
+    val means = bi
+      .join(broadcast(bj), col("j") <= col("i"))
+      .join(broadcast(bk), col("kb") >= col("i"))
+      .withColumn("mean_jk",
+        (col("ckk") - col("ckj0")) / (col("cwk") - col("cwj0")))
+    val inner = means
+      .groupBy(col("i"), col("wi"), col("ki"), col("nbki"), col("j"))
+      .agg(min(col("mean_jk")).as("mn"))
+    val iso = inner
+      .groupBy(col("i"), col("wi"), col("ki"), col("nbki"))
+      .agg(max(col("mn")).as("iso_rate"))
+      .withColumn("heur_keep_rate", col("ki") / col("wi"))
+      .withColumn("nb_keep_rate", col("nbki") / col("wi"))
+    val ece = iso.agg(
+      sum(graft.api.Det.quantize(
+        col("wi") * abs(col("nb_keep_rate") - col("heur_keep_rate")), 9))
+        .as("ebq"),
+      sum(graft.api.Det.quantize(
+        col("wi") * abs(col("iso_rate") - col("heur_keep_rate")), 9))
+        .as("eaq"),
+      sum(col("wi")).as("n"))
+    iso.crossJoin(broadcast(ece))
+      .select(col("i").as("bin"), col("wi").as("n_docs"),
+        col("heur_keep_rate"), col("nb_keep_rate"), col("iso_rate"),
+        (col("ebq") / lit(graft.api.Det.pow10(9)) / col("n")).as("ece_before"),
+        (col("eaq") / lit(graft.api.Det.pow10(9)) / col("n")).as("ece_after"))
+  }
+
   /** Unigram-LM geometry: max piece length, EM rounds, and the word
     * length up to which the ENUMERATION twin ([[uniSegmentEnum]]) stays
     * tractable (2^11 masks at 12 chars). The TRAINER itself has no word
@@ -2732,7 +2832,7 @@ object TextQueries {
   def all: Seq[GraftQuery] =
     Seq(tokenDrift, sampleNeyman, tokenStats, quality, qualityNb,
       qualityNbConfusion, qualityNbAuc,
-      calibrationCurve, piiScreen,
+      calibrationCurve, isotonicCalibration, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,
       sourceQuota, packing,

@@ -358,6 +358,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("isotonicFrame: planted violators pool to PAV block means; monotone; ECE non-increasing") {
+    val spark0 = spark
+    import spark0.implicits._
+    // rates [0.3, 0.1, 0.2, 0.6, 0.4] at weight 10 each: PAV pools the
+    // first three bins to 0.2 and the last two to 0.5
+    val bins = Seq(
+      (0L, 10L, 3L, 2L), (1L, 10L, 1L, 4L), (2L, 10L, 2L, 6L),
+      (3L, 10L, 6L, 8L), (4L, 10L, 4L, 9L))
+      .toDF("bin", "w", "k", "nbk")
+    val got = graft.text.TextQueries.isotonicFrame(bins)
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Double]("iso_rate")).toSeq ===
+      Seq(0.2, 0.2, 0.2, 0.5, 0.5))
+    // hand ECE: before = mean |nb - heur| per bin (equal weights):
+    // |.2-.3| + |.4-.1| + |.6-.2| + |.8-.6| + |.9-.4| over 5 = 0.3
+    assert(math.abs(got.head.getAs[Double]("ece_before") - 0.3) < 1e-9)
+    // after = (|.2-.3|+|.2-.1|+|.2-.2|+|.5-.6|+|.5-.4|)/5 = 0.08
+    assert(math.abs(got.head.getAs[Double]("ece_after") - 0.08) < 1e-9)
+    // an already-monotone sequence is a fixed point
+    val mono = Seq((0L, 10L, 1L, 1L), (1L, 10L, 4L, 4L), (2L, 10L, 9L, 9L))
+      .toDF("bin", "w", "k", "nbk")
+    assert(graft.text.TextQueries.isotonicFrame(mono)
+      .orderBy("bin").collect().map(_.getAs[Double]("iso_rate")).toSeq ===
+      Seq(0.1, 0.4, 0.9))
+    // corpus surface: monotone fit, ECE does not increase
+    val corpus = graft.text.TextQueries.isotonicCalibration
+      .frame(spark, sf).collect()
+    val rates = corpus.map(_.getAs[Double]("iso_rate")).toSeq
+    assert(rates === rates.sorted, "isotonic fit not monotone")
+    assert(corpus.head.getAs[Double]("ece_after") <=
+      corpus.head.getAs[Double]("ece_before") + 1e-12,
+      "calibration made ECE worse")
+  }
+
   test("keep funnel: final <= each stage, totals conserved, dups actually drop") {
     val docs = graft.Tables.documents(spark, sf)
     val total = docs.count()
