@@ -418,6 +418,161 @@ object TextOracle {
       CAST(pr.prq AS DOUBLE) / 1e9 AS pr_auc
     FROM tot t, pr"""
 
+  /** The LR feature CTEs (over an existing `t(doc_id, toks)` CTE):
+    * feature shapes mirror [[tokenStatsSql]] (BIGINT/BIGINT divisions →
+    * DOUBLE) and the label CASE is the [[nbCtes]] `lab` condition
+    * verbatim, with 1/0 emitted as DOUBLE.
+    */
+  private def lrFeatCte: String = s"""
+    feat AS (
+      SELECT doc_id,
+        least(1.0::DOUBLE, len(toks) / 60.0::DOUBLE) AS x1,
+        ${stopCount("toks", TextFns.Stopwords)} / len(toks) AS x2,
+        len(list_distinct(toks)) / len(toks) AS x3,
+        CASE WHEN least(1.0, len(toks) / 60.0) *
+          (1.0 - ${stopCount("toks", TextFns.Stopwords)} / len(toks)) >= 0.45
+          THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+      FROM t
+    )"""
+
+  /** The unrolled GD chain: w0 = 0; each round k computes the
+    * hard-sigmoid error under w(k−1), the four 1e-9-quantized LONG
+    * gradient sums, and the re-quantized weight update — the exact
+    * arithmetic of TextQueries.lrTrain, so wK reproduces the driver
+    * loop's weights bit-for-bit. Ends at `w$K(w0, w1, w2, w3)`.
+    */
+  private def lrRoundCtes: String = {
+    val k0 = """
+    w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+      0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)"""
+    val rounds = (1 to TextQueries.LrIters).map { k =>
+      s"""
+    e$k AS (
+      SELECT f.x1, f.x2, f.x3,
+        LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE,
+          0.25::DOUBLE * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)
+          + 0.5::DOUBLE)) - f.y AS err
+      FROM feat f, w${k - 1} w
+    ),
+    g$k AS (
+      SELECT
+        CAST(SUM(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+        CAST(SUM(CAST(floor(err * x1 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+        CAST(SUM(CAST(floor(err * x2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS g2,
+        CAST(SUM(CAST(floor(err * x3 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS g3,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM e$k
+    ),
+    w$k AS (
+      SELECT
+        floor((w.w0 - g.g0 / 1e9 / g.n) * 1e9 + 0.5) / 1e9 AS w0,
+        floor((w.w1 - g.g1 / 1e9 / g.n) * 1e9 + 0.5) / 1e9 AS w1,
+        floor((w.w2 - g.g2 / 1e9 / g.n) * 1e9 + 0.5) / 1e9 AS w2,
+        floor((w.w3 - g.g3 / 1e9 / g.n) * 1e9 + 0.5) / 1e9 AS w3
+      FROM w${k - 1} w, g$k g
+    )"""
+    }
+    (k0 +: rounds).mkString(",")
+  }
+
+  /** Per-doc scores under the trained weights, as a CTE ending at
+    * `lrscored(doc_id, heur_label, lr_score)`.
+    */
+  private def lrScoredCte: String = s"""
+    lrscored AS (
+      SELECT f.doc_id,
+        CASE WHEN f.y = 1.0::DOUBLE THEN 'keep' ELSE 'drop' END
+          AS heur_label,
+        w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS lr_score
+      FROM feat f, w${TextQueries.LrIters} w
+    )"""
+
+  def qualityLrSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    $lrFeatCte,
+    $lrRoundCtes,
+    $lrScoredCte
+    SELECT doc_id, heur_label, lr_score,
+      CASE WHEN lr_score >= 0.0::DOUBLE THEN 'keep' ELSE 'drop' END
+        AS lr_pred,
+      (CASE WHEN lr_score >= 0.0::DOUBLE THEN 'keep' ELSE 'drop' END)
+        = heur_label AS agree
+    FROM lrscored
+    ORDER BY doc_id"""
+
+  /** The tie-corrected AUC chain of [[qualityNbAucSql]], prefixed so two
+    * instances can share one WITH clause. Ends at `${"$"}{p}tot` /
+    * `${"$"}{p}pr`.
+    */
+  private def aucCtes(p: String, src: String, labelCol: String,
+      scoreCol: String): String = s"""
+    ${p}sqt AS (
+      SELECT CAST(floor($scoreCol * 1e9 + 0.5) AS BIGINT) AS sq,
+        CASE WHEN $labelCol = 'keep' THEN 1 ELSE 0 END AS y
+      FROM $src
+    ),
+    ${p}grp AS (
+      SELECT sq, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(y) AS BIGINT) AS pos
+      FROM ${p}sqt GROUP BY sq
+    ),
+    ${p}pts AS (
+      SELECT sq, cnt, pos,
+        COALESCE(SUM(cnt) OVER (ORDER BY sq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        SUM(pos) OVER (ORDER BY sq DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        SUM(cnt - pos) OVER (ORDER BY sq DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM ${p}grp
+    ),
+    ${p}tot AS (
+      SELECT CAST(MAX(tp) AS BIGINT) AS p, CAST(MAX(fp) AS BIGINT) AS n,
+        CAST(SUM(pos * (2 * cum + cnt + 1)) AS BIGINT) AS r2
+      FROM ${p}pts
+    ),
+    ${p}ops AS (
+      SELECT sq,
+        CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE) AS recall,
+        CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec
+      FROM ${p}pts, ${p}tot t
+    ),
+    ${p}prterms AS (
+      SELECT (recall - COALESCE(LAG(recall) OVER (ORDER BY sq DESC),
+          0.0::DOUBLE))
+        * (prec + COALESCE(LAG(prec) OVER (ORDER BY sq DESC),
+          1.0::DOUBLE))
+        * 0.5::DOUBLE AS term
+      FROM ${p}ops
+    ),
+    ${p}pr AS (
+      SELECT CAST(SUM(CAST(floor(term * 1e9 + 0.5) AS BIGINT))
+        AS BIGINT) AS prq
+      FROM ${p}prterms
+    )"""
+
+  def qualityLrAucSql: String = s"""
+    WITH $nbCtes,
+    $lrFeatCte,
+    $lrRoundCtes,
+    $lrScoredCte,
+    ${aucCtes("lr_", "lrscored", "heur_label", "lr_score")},
+    ${aucCtes("nb_", "nbdoc", "heur_label", "nb_llr")}
+    SELECT lt.p AS n_pos, lt.n AS n_neg,
+      CAST(lt.r2 - lt.p * (lt.p + 1) AS DOUBLE)
+        / CAST(2 * lt.p * lt.n AS DOUBLE) AS lr_auc_roc,
+      CAST(lpr.prq AS DOUBLE) / 1e9 AS lr_pr_auc,
+      CAST(nt.r2 - nt.p * (nt.p + 1) AS DOUBLE)
+        / CAST(2 * nt.p * nt.n AS DOUBLE) AS nb_auc_roc,
+      CAST(npr.prq AS DOUBLE) / 1e9 AS nb_pr_auc,
+      CAST(lt.r2 - lt.p * (lt.p + 1) AS DOUBLE)
+        / CAST(2 * lt.p * lt.n AS DOUBLE)
+      - CAST(nt.r2 - nt.p * (nt.p + 1) AS DOUBLE)
+        / CAST(2 * nt.p * nt.n AS DOUBLE) AS lr_minus_nb_roc
+    FROM lr_tot lt, lr_pr lpr, nb_tot nt, nb_pr npr"""
+
   private val langStructs: String =
     TextFns.LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
       val negc =

@@ -458,6 +458,150 @@ object TextQueries {
         (col("prq").cast("double") / lit(1e9)).as("pr_auc"))
   }
 
+  /** GD sweep count for [[qualityLr]] — the oracle unrolls exactly this
+    * many rounds, and the driver loop is bounded by it.
+    */
+  val LrIters = 8
+
+  /** Per-doc LR features: bias-free frame (doc_id, x1 length factor,
+    * x2 stopword ratio, x3 type-token ratio, y heuristic label as 1/0).
+    * The same statistics [[quality]]'s heuristic thresholds — so the
+    * trained filter learns a SMOOTH separator for the teacher rule, the
+    * fastText-style self-supervised setup (the [[qualityNb]] labels,
+    * as features instead of token likelihoods).
+    */
+  def lrFeatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("stop", stopwordCount(col("toks"), Stopwords))
+      .select(col("doc_id"),
+        least(lit(1.0), col("nt") / lit(60.0)).as("x1"),
+        (col("stop") / col("nt")).as("x2"),
+        (size(array_distinct(col("toks"))) / col("nt")).as("x3"),
+        when(least(lit(1.0), col("nt") / lit(60.0)) *
+          (lit(1.0) - col("stop") / col("nt")) >= 0.45, lit(1.0))
+          .otherwise(lit(0.0)).as("y"))
+
+  /** The linear score w·x under literal weights, in the FIXED
+    * left-to-right association both engines replay.
+    */
+  private[text] def lrZ(w: IndexedSeq[Double]): org.apache.spark.sql.Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+
+  /** The clamped-linear (hard-sigmoid) link: p = clip(0.25·z + 0.5).
+    * The transcendental-free logistic surrogate — exp/1+exp would
+    * evaluate libm exp on corpus-sized argument spaces in BOTH engines
+    * with no bounded type space to quantize over (the [[qualityNb]]
+    * per-TYPE ln recipe does not apply), so the link is the standard
+    * piecewise-linear sigmoid instead: every sweep is exact IEEE
+    * add/multiply/clamp, bit-replayable in DuckDB.
+    */
+  private[text] def lrP(z: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(1.0), greatest(lit(0.0), lit(0.25) * z + lit(0.5)))
+
+  /** FULL-BATCH GRADIENT-DESCENT training loop — the engine's first
+    * ITERATIVELY-trained classifier (everything before was closed-form
+    * — OLS/Theil-Sen/Holt — or counting — NB): [[LrIters]] sweeps of
+    * w ← w − mean((p − y)·x), the matching-loss gradient step for the
+    * hard-sigmoid link (unit learning rate). Each sweep is ONE
+    * partial-agg pass over the checkpointed feature frame producing
+    * four 1e-9-quantized LONG gradient sums + a count; the driver holds
+    * only the 4-vector of weights (the `embedding_pca_power` shape —
+    * model state crosses the driver, corpus data never does) and
+    * re-quantizes each updated weight to 1e-9 so the DuckDB twin's
+    * unrolled CTE chain reproduces every weight bit-for-bit.
+    *
+    * Scale shape: feature extraction is one corpus pass materialized
+    * once; each sweep shuffles four longs per partition. Iteration
+    * bound: exactly `iters` sweeps, no data-dependent continuation.
+    */
+  private[text] def lrTrain(feat0: org.apache.spark.sql.DataFrame,
+      iters: Int): IndexedSeq[Double] = {
+    val feat = feat0.localCheckpoint()
+    var w: IndexedSeq[Double] = IndexedSeq(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val err = lrP(lrZ(w)) - col("y")
+      val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"))
+      val aggs = xs.zipWithIndex.map { case (x, j) =>
+        sum(graft.api.Det.quantize(err * x, 9)).as(s"g$j")
+      } :+ count(lit(1)).as("n")
+      val r = feat.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = r.getLong(4).toDouble
+      w = w.indices.map(j => math.floor(
+        (w(j) - r.getLong(j).toDouble / 1e9 / n) * 1e9 + 0.5) / 1e9)
+    }
+    graft.api.Checkpoints.release(feat)
+    w
+  }
+
+  /** Trained-weights cache: one GD run per (session, sfDir), shared by
+    * the per-doc filter and the AUC readout (the [[SharedModels]]
+    * discipline, with a driver-side 4-vector instead of a table).
+    */
+  private val lrWeightsCache = graft.api.SharedModels.track(
+    new java.util.concurrent.ConcurrentHashMap[
+      graft.api.SharedModels.Key, IndexedSeq[Double]])
+
+  private def sharedLrWeights(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[Double] =
+    lrWeightsCache.computeIfAbsent(graft.api.SharedModels.key(s, d),
+      _ => lrTrain(lrFeatures(Tables.documents(s, d)), LrIters))
+
+  /** Per-doc scores under the trained weights — shared by [[qualityLr]]
+    * and [[qualityLrAuc]].
+    */
+  def lrScoredFrame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = sharedLrWeights(s, d)
+    lrFeatures(Tables.documents(s, d))
+      .select(col("doc_id"),
+        when(col("y") === 1.0, lit("keep")).otherwise(lit("drop"))
+          .as("heur_label"),
+        lrZ(w).as("lr_score"))
+      .withColumn("lr_pred",
+        when(col("lr_score") >= 0.0, lit("keep")).otherwise(lit("drop")))
+      .withColumn("agree", col("lr_pred") === col("heur_label"))
+  }
+
+  /** Model-based quality filter #2 — the ITERATIVELY-TRAINED linear
+    * classifier next to [[qualityNb]]'s counting model: a hard-sigmoid
+    * logistic unit over three per-doc statistics, trained by
+    * [[LrIters]] full-batch GD sweeps ([[lrTrain]]); every doc is
+    * scored by the linear margin and the keep/drop decision is its
+    * sign. The oracle REPLAYS THE TRAINING — the unrolled CTE chain
+    * recomputes every sweep's quantized gradient and weight, so the
+    * final scores (not just verdicts) hash-match.
+    */
+  val qualityLr: GraftQuery = GraftQuery(
+    "doc_quality_lr",
+    s"iteratively-trained quality filter: hard-sigmoid LR by $LrIters full-batch GD sweeps, per-doc margin + verdict",
+    TextOracle.qualityLrSql) { (s, d) =>
+    lrScoredFrame(s, d).orderBy("doc_id")
+  }
+
+  /** LR-vs-NB ranking-quality readout: the [[qualityNbAuc]] harness
+    * applied to the GD-trained margin, side by side with the NB
+    * baseline's numbers — the comparison row a filter pipeline uses to
+    * pick which learned screen ships.
+    */
+  val qualityLrAuc: GraftQuery = GraftQuery.oneRow(
+    "quality_lr_auc",
+    "ROC/PR-AUC of the GD-trained LR margin vs the NB baseline, one comparison row",
+    TextOracle.qualityLrAucSql) { (s, d) =>
+    val lr = aucFrame(lrScoredFrame(s, d)
+        .select(col("heur_label"), col("lr_score").as("nb_llr")))
+      .select(col("n_pos"), col("n_neg"),
+        col("auc_roc").as("lr_auc_roc"), col("pr_auc").as("lr_pr_auc"))
+    val nb = aucFrame(sharedDocNb(s, d))
+      .select(col("auc_roc").as("nb_auc_roc"), col("pr_auc").as("nb_pr_auc"))
+    lr.crossJoin(broadcast(nb))
+      .select(col("n_pos"), col("n_neg"), col("lr_auc_roc"),
+        col("lr_pr_auc"), col("nb_auc_roc"), col("nb_pr_auc"),
+        (col("lr_auc_roc") - col("nb_auc_roc")).as("lr_minus_nb_roc"))
+  }
+
   /** Language-ID confusion matrix: marker-word argmax prediction vs the
     * corpus label. (The corpus is synthetic latin text under every label,
     * so the matrix degenerates towards the argmax default — the point is
@@ -2831,7 +2975,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] =
     Seq(tokenDrift, sampleNeyman, tokenStats, quality, qualityNb,
-      qualityNbConfusion, qualityNbAuc,
+      qualityNbConfusion, qualityNbAuc, qualityLr, qualityLrAuc,
       calibrationCurve, isotonicCalibration, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,

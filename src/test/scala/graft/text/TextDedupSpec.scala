@@ -358,6 +358,55 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("lrTrain: distributed GD sweeps == plain-Scala replay bit-for-bit; separable fixture learned") {
+    val spark0 = spark
+    import spark0.implicits._
+    // separable fixture: long low-stopword docs (keep) vs short
+    // stopword-heavy docs (drop)
+    val keepText = (1 to 70).map(i => s"token$i").mkString(" ")
+    val dropText = "the a of to and in is it the a"
+    val docs = ((1 to 30).map(i => (i.toLong, keepText)) ++
+      (31 to 60).map(i => (i.toLong, dropText)))
+      .toDF("doc_id", "text")
+    val feats = graft.text.TextQueries.lrFeatures(docs)
+    val w = graft.text.TextQueries.lrTrain(feats,
+      graft.text.TextQueries.LrIters)
+    // plain-Scala replay over the collected features: identical
+    // quantized gradients and weight updates, sweep for sweep
+    val rows = feats.collect().map(r => (r.getAs[Double]("x1"),
+      r.getAs[Double]("x2"), r.getAs[Double]("x3"), r.getAs[Double]("y")))
+    var wr = IndexedSeq(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to graft.text.TextQueries.LrIters) {
+      val gs = Array.fill(4)(0L)
+      rows.foreach { case (x1, x2, x3, y) =>
+        val z = wr(0) + wr(1) * x1 + wr(2) * x2 + wr(3) * x3
+        val p = math.min(1.0, math.max(0.0, 0.25 * z + 0.5))
+        val err = p - y
+        Seq(1.0, x1, x2, x3).zipWithIndex.foreach { case (x, j) =>
+          gs(j) += math.floor(err * x * 1e9 + 0.5).toLong
+        }
+      }
+      val n = rows.length.toDouble
+      wr = wr.indices.map(j => math.floor(
+        (wr(j) - gs(j).toDouble / 1e9 / n) * 1e9 + 0.5) / 1e9)
+    }
+    assert(w === wr, "distributed trainer diverged from the replay")
+    // the trained margin separates the planted classes perfectly
+    val z = feats.select(col("doc_id"), col("y"),
+      (lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")).as("z")).collect()
+    val keepMin = z.filter(_.getAs[Double]("y") == 1.0)
+      .map(_.getAs[Double]("z")).min
+    val dropMax = z.filter(_.getAs[Double]("y") == 0.0)
+      .map(_.getAs[Double]("z")).max
+    assert(keepMin > dropMax, s"margin does not separate: $keepMin <= $dropMax")
+    // corpus surface: AUC readout exists and LR ranks no worse than chance
+    val auc = graft.text.TextQueries.qualityLrAuc.frame(spark, sf)
+      .collect().head
+    assert(auc.getAs[Double]("lr_auc_roc") > 0.5)
+    assert(auc.getAs[Long]("n_pos") > 0L && auc.getAs[Long]("n_neg") > 0L)
+  }
+
   test("isotonicFrame: planted violators pool to PAV block means; monotone; ECE non-increasing") {
     val spark0 = spark
     import spark0.implicits._
