@@ -137,6 +137,88 @@ object EventOracle {
     FROM ev
     GROUP BY user_id ORDER BY user_id"""
 
+  /** Bradley-Terry twin: replays the pair mining (exact quantized-LONG
+    * comparisons, ties filtered) and the FULL MM loop — each unrolled
+    * round recomputes the 1e-9-quantized denominators, the re-quantized
+    * update, and the re-quantized normalization in the exact expression
+    * shapes of EventQueries.btFit, so every sweep's strengths (and the
+    * final ranking) reproduce bit-for-bit. A `def` (interpolates
+    * BtIters — init-order rule).
+    */
+  def bradleyTerrySql: String = {
+    val rounds = (1 to EventQueries.BtIters).map { k =>
+      s"""
+    d$k AS (
+      SELECT c.item,
+        CAST(SUM(CAST(floor(c.n / (si.s + sj.s) * 1e9 + 0.5) AS BIGINT))
+          AS BIGINT) AS dq
+      FROM comps c
+      JOIN s${k - 1} si ON c.item = si.item
+      JOIN s${k - 1} sj ON c.opp = sj.item
+      GROUP BY c.item
+    ),
+    r$k AS (
+      SELECT w.item,
+        CASE WHEN d.dq > 0
+          THEN floor(w.wins / (d.dq / 1e9) * 1e9 + 0.5) / 1e9 END AS s
+      FROM wins w JOIN d$k d ON w.item = d.item
+    ),
+    t$k AS (
+      SELECT CAST(SUM(CAST(floor(s * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+        AS tq
+      FROM r$k
+    ),
+    s$k AS MATERIALIZED (
+      SELECT r.item,
+        floor(r.s * (ni.ni / (t.tq / 1e9)) * 1e9 + 0.5) / 1e9 AS s
+      FROM r$k r, t$k t, ni
+    )"""
+    }.mkString(",")
+    s"""
+    WITH $evCte,
+    put AS (
+      SELECT user_id, event_type,
+        CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS vq
+      FROM ev GROUP BY 1, 2
+    ),
+    prs AS MATERIALIZED (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN a.vq > b.vq THEN 1 ELSE 0 END) AS BIGINT) AS wa
+      FROM put a JOIN put b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      WHERE a.vq <> b.vq
+      GROUP BY 1, 2
+    ),
+    comps AS (
+      SELECT ta AS item, tb AS opp, n FROM prs
+      UNION ALL
+      SELECT tb, ta, n FROM prs
+    ),
+    wins AS (
+      SELECT item, CAST(SUM(w) AS BIGINT) AS wins FROM (
+        SELECT ta AS item, wa AS w FROM prs
+        UNION ALL
+        SELECT tb, n - wa FROM prs
+      ) GROUP BY item
+    ),
+    ncomps AS (
+      SELECT item, CAST(SUM(n) AS BIGINT) AS n_comps FROM comps
+      GROUP BY item
+    ),
+    ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM wins),
+    s0 AS MATERIALIZED (SELECT item, 1.0::DOUBLE AS s FROM wins),
+    $rounds
+    SELECT w.item AS event_type, w.wins, nc.n_comps, s.s AS strength,
+      CAST(ROW_NUMBER() OVER (ORDER BY s.s DESC, w.item) AS BIGINT)
+        AS rank
+    FROM s${EventQueries.BtIters} s
+    JOIN wins w ON s.item = w.item
+    JOIN ncomps nc ON s.item = nc.item
+    ORDER BY rank"""
+  }
+
   /** Salted-join twin: the rewrite is semantics-preserving, so the
     * oracle is the PLAIN equi-join + rollup (the saltedRollup contract).
     */

@@ -2193,6 +2193,128 @@ object EventQueries {
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_stat"))
   }
 
+  /** MM sweep count for [[bradleyTerry]] — the oracle unrolls exactly
+    * this many rounds.
+    */
+  val BtIters = 8
+
+  /** Deterministic (winner, loser) preference pairs from events — the
+    * comparison data a Bradley-Terry fit consumes: each user compares
+    * every pair of event types they touched, preferring the type with
+    * the larger per-user total value (quantized LONGs, so the
+    * comparison and the tie filter are exact on both engines; ties
+    * carry no preference signal and are skipped). Output per unordered
+    * type pair (ta < tb): comparison count n and ta's win count wa.
+    *
+    * Scale shape: one (user, type) partial-agg shuffle, then a
+    * user-keyed self-join whose per-user fan-out is bounded by the
+    * type-pair space T², and a pair-keyed agg to the T²-bounded pair
+    * table — the RLHF-arena shape (users = raters, types = models).
+    */
+  def btPairsFrame(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val put = events
+      .select(col("user_id"), col("event_type"),
+        Det.quantize(col("value")).as("vq"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("vq")).as("vq"))
+    val a = put.select(col("user_id"), col("event_type").as("ta"),
+      col("vq").as("va"))
+    val b = put.select(col("user_id"), col("event_type").as("tb"),
+      col("vq").as("vb"))
+    a.join(b, Seq("user_id"))
+      .filter(col("ta") < col("tb") && col("va") =!= col("vb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("va") > col("vb"), 1L).otherwise(0L)).as("wa"))
+  }
+
+  /** BRADLEY-TERRY preference-pair ranking — the RLHF reward-data
+    * staple: given pairwise comparisons, fit per-item strengths s_i so
+    * P(i beats j) = s_i/(s_i+s_j), by [[BtIters]] sweeps of Hunter's MM
+    * update s_i ← W_i / Σ_j n_ij/(s_i+s_j), renormalized to Σs = |items|
+    * each sweep (pins the scale-invariance direction). Every sweep is a
+    * per-item ratio of two partial aggregates over the T²-bounded pair
+    * table — the strengths frame stays DISTRIBUTED (items-bounded; at
+    * arena scale items are models/documents, never the corpus), each
+    * sweep checkpointed, the driver never sees data (the
+    * `corpus_bpe_merges_n`/`embedding_kmeans` loop discipline; the one
+    * driver scalar is the item COUNT for the normalizer).
+    *
+    * Determinism: denominators sum 1e-9-quantized LONG terms; the
+    * update and the normalization re-quantize each strength to 1e-9 —
+    * the DuckDB twin's unrolled CTE chain reproduces every sweep
+    * bit-for-bit. Assumes every item wins at least one comparison
+    * (true at every SF; a never-winning item's strength correctly
+    * decays toward 0 but a fully-degenerate pair graph would need the
+    * regularized variant, raised here as a NULL strength, not a wrong
+    * number — the dq > 0 guard).
+    */
+  val bradleyTerry: GraftQuery = GraftQuery(
+    "events_bradley_terry",
+    s"Bradley-Terry fit of event-type strengths from per-user value comparisons, $BtIters MM sweeps",
+    EventOracle.bradleyTerrySql) { (s, d) =>
+    btRankFrame(btFit(btPairsFrame(Tables.events(s, d)), BtIters))
+  }
+
+  /** The MM loop over any (ta, tb, n, wa) pair frame: returns the final
+    * strengths frame (item, wins, n_comps, s). Shared by the registry
+    * query and the planted-dominance / replay specs.
+    */
+  def btFit(pairs0: org.apache.spark.sql.DataFrame, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val comps = pairs
+      .select(col("ta").as("item"), col("tb").as("opp"), col("n"))
+      .unionByName(pairs
+        .select(col("tb").as("item"), col("ta").as("opp"), col("n")))
+      .localCheckpoint()
+    val wins = pairs.select(col("ta").as("item"), col("wa").as("w"))
+      .unionByName(pairs
+        .select(col("tb").as("item"), (col("n") - col("wa")).as("w")))
+      .groupBy(col("item")).agg(sum(col("w")).as("wins"))
+      .localCheckpoint()
+    val nComps = comps.groupBy(col("item"))
+      .agg(sum(col("n")).as("n_comps"))
+    // the one driver-side scalar: the item count (metadata-sized)
+    val nItems = wins.count()
+    var s = wins.select(col("item"), lit(1.0).as("s")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val d = comps
+        .join(s.select(col("item"), col("s").as("s_i")), "item")
+        .join(s.select(col("item").as("opp"), col("s").as("s_j")), "opp")
+        .groupBy(col("item"))
+        .agg(sum(Det.quantize(col("n") / (col("s_i") + col("s_j")), 9))
+          .as("dq"))
+      val raw = wins.join(d, "item")
+        .select(col("item"),
+          when(col("dq") > 0L,
+            Det.quantize(col("wins") / (col("dq") / lit(1e9)), 9)
+              / lit(1e9)).as("s"))
+      val tot = raw.agg(sum(Det.quantize(col("s"), 9)).as("tq"))
+      s = raw.crossJoin(broadcast(tot))
+        .select(col("item"),
+          (Det.quantize(col("s") *
+            (lit(nItems) / (col("tq") / lit(1e9))), 9) / lit(1e9)).as("s"))
+        .localCheckpoint()
+    }
+    wins.join(nComps, "item").join(s, "item")
+      .select(col("item"), col("wins"), col("n_comps"), col("s"))
+  }
+
+  /** Rank readout over the fitted strengths (items-bounded global
+    * window).
+    */
+  def btRankFrame(fit: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    fit.withColumn("rank", row_number()
+        .over(Window.orderBy(desc("s"), col("item"))).cast("long"))
+      .select(col("item").as("event_type"), col("wins"), col("n_comps"),
+        col("s").as("strength"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** EWMA smoothing weight (the SPC-standard lambda = 0.2). */
   val EwmaLambda = 0.2
 
@@ -4760,7 +4882,8 @@ object EventQueries {
 
   def all: Seq[GraftQuery] =
     Seq(jsonRollup, tumbling, sliding, sessions, asOfJoin, rangeJoin,
-      saltedRollup, saltedJoin, interarrival, gapFill, funnel, funnelLatency,
+      saltedRollup, saltedJoin, bradleyTerry, interarrival, gapFill,
+      funnel, funnelLatency,
       conversionPaths, retention, anomaly, anomalyMad,
       attribution, attributionPairs, multitouch, autocorr, crosscorr,
       cusum, stlDecompose, forecastBacktest, forecastConformal,

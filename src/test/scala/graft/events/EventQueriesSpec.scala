@@ -1562,6 +1562,61 @@ class EventQueriesSpec extends SparkSpec {
     assert(!f.getAs[Boolean]("skewed"))
   }
 
+  test("bradleyTerry: planted transitive dominance recovered; MM sweeps == plain-Scala replay bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 12 users each value the four types alpha > beta > gamma > delta
+    // (with user-varying magnitudes so per-user totals differ), so every
+    // pairwise comparison points the same way — the known total order
+    val rows = (1 to 12).flatMap { u =>
+      Seq(("alpha", 40.0 + u), ("beta", 30.0 + u), ("gamma", 20.0 + u),
+        ("delta", 10.0 + u)).zipWithIndex.map { case ((t, v), i) =>
+        ev((u * 10 + i).toLong, "2024-01-01 10:00:00", u.toLong, t, v)
+      }
+    }
+    val events = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pairs = EventQueries.btPairsFrame(events)
+    val got = EventQueries.btRankFrame(
+      EventQueries.btFit(pairs, EventQueries.BtIters)).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSeq ===
+      Seq("alpha", "beta", "gamma", "delta"))
+    assert(got.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val s = got.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Double]("strength")).toMap
+    assert(s("alpha") > s("beta") && s("beta") > s("gamma") &&
+      s("gamma") > s("delta"))
+    // alpha wins all 36 of its comparisons (3 opponents x 12 users)
+    assert(got.head.getAs[Long]("wins") === 36L)
+    assert(got.head.getAs[Long]("n_comps") === 36L)
+    // plain-Scala MM replay over the collected pair table: identical
+    // quantized sweeps, strength for strength
+    val p = pairs.collect().map(r => (r.getAs[String]("ta"),
+      r.getAs[String]("tb"), r.getAs[Long]("n"), r.getAs[Long]("wa")))
+    val items = p.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    val wins = items.map(i => i -> (
+      p.filter(_._1 == i).map(_._4).sum +
+        p.filter(_._2 == i).map(x => x._3 - x._4).sum)).toMap
+    val comps = p.flatMap(x =>
+      Seq((x._1, x._2, x._3), (x._2, x._1, x._3)))
+    var sw = items.map(_ -> 1.0).toMap
+    def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    for (_ <- 1 to EventQueries.BtIters) {
+      val dq = items.map(i => i -> comps.filter(_._1 == i)
+        .map { case (_, j, n) =>
+          math.floor(n / (sw(i) + sw(j)) * 1e9 + 0.5).toLong }.sum).toMap
+      val raw = items.map(i =>
+        i -> q9(wins(i) / (dq(i).toDouble / 1e9))).toMap
+      val tq = items.map(i =>
+        math.floor(raw(i) * 1e9 + 0.5).toLong).sum
+      sw = items.map(i => i ->
+        q9(raw(i) * (items.length / (tq.toDouble / 1e9)))).toMap
+    }
+    s.foreach { case (i, v) =>
+      assert(v === sw(i), s"strength of $i diverged from the replay")
+    }
+  }
+
   test("saltedJoinFrame: planted hot key — rewrite equals the plain join exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, sum, floor}
