@@ -553,6 +553,103 @@ object TextOracle {
       FROM ${p}prterms
     )"""
 
+  /** K-fold CV twin: the fold column rides the doc_id content hash; the
+    * K×4 weight matrix is a 1-row CTE, MATERIALIZED each round (every
+    * round references the previous twice — the bradleyTerrySql CTE-
+    * inlining lesson); per-fold held-out AUC reuses the prefixed
+    * [[aucCtes]] chain five times.
+    */
+  def qualityLrCvSql: String = {
+    val K = TextQueries.CvFolds
+    val I = TextQueries.LrIters
+    val h60 = hash60Sql("CAST(doc_id AS VARCHAR)")
+    val kj = for { k <- 0 until K; j <- 0 to 3 } yield (k, j)
+    def xFactor(j: Int) = if (j == 0) "" else s"* x$j "
+    def zExpr(k: Int) =
+      s"(w.w${k}_0 + w.w${k}_1 * x1 + w.w${k}_2 * x2 + w.w${k}_3 * x3)"
+    def errExpr(k: Int) = s"LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE, " +
+      s"0.25::DOUBLE * ${zExpr(k)} + 0.5::DOUBLE)) - y"
+    val zeroCols = kj.map { case (k, j) => s"0.0::DOUBLE AS w${k}_$j" }
+      .mkString(", ")
+    val nfCols = (0 until K).map(k =>
+      s"CAST(SUM(CASE WHEN fold <> $k THEN 1 ELSE 0 END) AS BIGINT) AS n$k")
+      .mkString(",\n        ")
+    val rounds = (1 to I).map { i =>
+      val gCols = kj.map { case (k, j) =>
+        s"""CAST(SUM(CASE WHEN fold <> $k THEN CAST(floor((${errExpr(k)})
+          ${xFactor(j)}* 1e9 + 0.5) AS BIGINT) END) AS BIGINT) AS g${k}_$j"""
+      }.mkString(",\n        ")
+      val wCols = kj.map { case (k, j) =>
+        s"floor((w.w${k}_$j - g.g${k}_$j / 1e9 / nf.n$k) * 1e9 + 0.5) " +
+          s"/ 1e9 AS w${k}_$j"
+      }.mkString(",\n        ")
+      s"""
+    cg$i AS MATERIALIZED (
+      SELECT
+        $gCols
+      FROM cfeat, cw${i - 1} w
+    ),
+    cw$i AS MATERIALIZED (
+      SELECT
+        $wCols
+      FROM cw${i - 1} w, cg$i g, nf
+    )"""
+    }.mkString(",")
+    val scoredCtes = (0 until K).map { k =>
+      s"""
+    cvscored$k AS (
+      SELECT CASE WHEN y = 1.0::DOUBLE THEN 'keep' ELSE 'drop' END
+          AS heur_label,
+        w.w${k}_0 + w.w${k}_1 * x1 + w.w${k}_2 * x2 + w.w${k}_3 * x3
+          AS lr_score
+      FROM cfeat, cw$I w WHERE fold = $k
+    ),
+    ${aucCtes(s"f${k}_", s"cvscored$k", "heur_label", "lr_score")}"""
+    }.mkString(",")
+    val perfold = (0 until K).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS fold, nf.n$k AS n_train,
+        t.p AS n_pos, t.n AS n_neg,
+        CAST(t.r2 - t.p * (t.p + 1) AS DOUBLE)
+          / CAST(2 * t.p * t.n AS DOUBLE) AS auc_roc,
+        CAST(pq.prq AS DOUBLE) / 1e9 AS pr_auc
+      FROM f${k}_tot t, f${k}_pr pq, nf"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    $lrFeatCte,
+    cfeat AS MATERIALIZED (
+      SELECT doc_id, x1, x2, x3, y,
+        CAST($h60 % $K AS INTEGER) AS fold
+      FROM feat
+    ),
+    nf AS MATERIALIZED (
+      SELECT
+        $nfCols
+      FROM cfeat
+    ),
+    cw0 AS MATERIALIZED (SELECT $zeroCols),
+    $rounds,
+    $scoredCtes,
+    perfold AS (
+      $perfold
+    ),
+    csumm AS (
+      SELECT
+        CAST(SUM(CAST(floor(auc_roc * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+          AS sroc,
+        CAST(SUM(CAST(floor(pr_auc * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+          AS spr
+      FROM perfold
+    )
+    SELECT fold, n_train, n_pos, n_neg, auc_roc, pr_auc,
+      sroc / 1e9 / $K AS mean_auc_roc,
+      spr / 1e9 / $K AS mean_pr_auc
+    FROM perfold, csumm
+    ORDER BY fold"""
+  }
+
   def qualityLrAucSql: String = s"""
     WITH $nbCtes,
     $lrFeatCte,

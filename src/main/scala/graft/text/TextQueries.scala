@@ -602,6 +602,98 @@ object TextQueries {
         (col("lr_auc_roc") - col("nb_auc_roc")).as("lr_minus_nb_roc"))
   }
 
+  /** Fold count for [[qualityLrCv]]. */
+  val CvFolds = 5
+
+  /** K-FOLD CROSS-VALIDATION of the GD-trained filter — the model-
+    * selection harness every learned screen ships through before
+    * replacing a production filter: docs land in [[CvFolds]] folds by
+    * CONTENT hash of doc_id (re-shard-stable, the splits convention),
+    * each fold's model trains on the other K−1 folds, and each fold's
+    * held-out AUC grades a model that never saw those docs. The readout
+    * is the per-fold table plus the mean — the generalization estimate
+    * [[qualityLrAuc]]'s in-sample number cannot give.
+    *
+    * ALL K MODELS TRAIN IN ONE PASS PER SWEEP: the gradient aggregate
+    * computes, for every (model k, feature j), the quantized error sum
+    * over `fold ≠ k` rows under model k's CURRENT weights — K×4
+    * conditional aggregates in a single job over the checkpointed
+    * feature frame, so the sweep count stays [[LrIters]] regardless of
+    * K (K-fold CV costs K× compute per row, never K× passes). The
+    * driver holds the K×4 weight matrix; the oracle unrolls the same
+    * rounds with the weight matrix as a 1-row MATERIALIZED CTE (each
+    * round references the previous twice — the Bradley-Terry CTE-
+    * inlining lesson). A degenerate fold (single-class holdout) RAISES
+    * rather than risking the NULL-vs-Inf division divergence.
+    */
+  val qualityLrCv: GraftQuery = GraftQuery(
+    "quality_lr_cv",
+    s"$CvFolds-fold CV of the GD-trained LR filter: K models in one pass per sweep, held-out AUC per fold + mean",
+    TextOracle.qualityLrCvSql) { (s, d) =>
+    val feat = lrFeatures(Tables.documents(s, d))
+      .withColumn("fold",
+        (graft.text.TextFns.hash60(col("doc_id").cast("string"))
+          % CvFolds).cast("int"))
+      .localCheckpoint()
+    val (w, nTrain) = lrTrainCv(feat, LrIters, CvFolds)
+    val perFold = (0 until CvFolds).map { k =>
+      val holdout = feat.filter(col("fold") === k)
+        .select(when(col("y") === 1.0, lit("keep")).otherwise(lit("drop"))
+          .as("heur_label"), lrZ(w(k)).as("nb_llr"))
+      aucFrame(holdout).select(
+        lit(k).as("fold"), lit(nTrain(k)).as("n_train"),
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L, col("auc_roc"))
+          .otherwise(raise_error(lit("quality_lr_cv: degenerate " +
+            "single-class holdout fold — CV needs both classes in " +
+            "every fold")).cast("double")).as("auc_roc"),
+        col("pr_auc"))
+    }.reduce(_ unionByName _)
+    val summ = perFold.agg(
+      sum(graft.api.Det.quantize(col("auc_roc"), 9)).as("sroc"),
+      sum(graft.api.Det.quantize(col("pr_auc"), 9)).as("spr"))
+    perFold.crossJoin(broadcast(summ))
+      .select(col("fold"), col("n_train"), col("n_pos"), col("n_neg"),
+        col("auc_roc"), col("pr_auc"),
+        (col("sroc") / lit(1e9) / lit(CvFolds)).as("mean_auc_roc"),
+        (col("spr") / lit(1e9) / lit(CvFolds)).as("mean_pr_auc"))
+      .orderBy("fold")
+  }
+
+  /** The batched K-model GD loop over a checkpointed (x1, x2, x3, y,
+    * fold) frame: one aggregate job per sweep carries every model's
+    * quantized gradient sums. Returns (weights per fold, train-row
+    * count per fold). Shared by [[qualityLrCv]] and the replay spec.
+    */
+  private[text] def lrTrainCv(feat: org.apache.spark.sql.DataFrame,
+      iters: Int, folds: Int)
+      : (IndexedSeq[IndexedSeq[Double]], IndexedSeq[Long]) = {
+    val cnts = feat.groupBy(col("fold")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Int]("fold") -> r.getAs[Long]("c")).toMap
+    val total = cnts.values.sum
+    val nTrain = (0 until folds).map(k => total - cnts.getOrElse(k, 0L))
+    var w = IndexedSeq.fill(folds)(IndexedSeq(0.0, 0.0, 0.0, 0.0))
+    val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"))
+    for (_ <- 1 to iters) {
+      val aggs = for {
+        k <- 0 until folds
+        (x, j) <- xs.zipWithIndex
+      } yield {
+        val err = lrP(lrZ(w(k))) - col("y")
+        sum(when(col("fold") =!= k, graft.api.Det.quantize(err * x, 9)))
+          .as(s"g${k}_$j")
+      }
+      val r = feat.agg(aggs.head, aggs.tail: _*).collect()(0)
+      w = (0 until folds).map { k =>
+        (0 to 3).map { j =>
+          math.floor((w(k)(j) - r.getLong(k * 4 + j).toDouble / 1e9
+            / nTrain(k).toDouble) * 1e9 + 0.5) / 1e9
+        }
+      }
+    }
+    (w, nTrain)
+  }
+
   /** Language-ID confusion matrix: marker-word argmax prediction vs the
     * corpus label. (The corpus is synthetic latin text under every label,
     * so the matrix degenerates towards the argmax default — the point is
@@ -2976,7 +3068,7 @@ object TextQueries {
   def all: Seq[GraftQuery] =
     Seq(tokenDrift, sampleNeyman, tokenStats, quality, qualityNb,
       qualityNbConfusion, qualityNbAuc, qualityLr, qualityLrAuc,
-      calibrationCurve, isotonicCalibration, piiScreen,
+      qualityLrCv, calibrationCurve, isotonicCalibration, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,
       sourceQuota, packing,

@@ -407,6 +407,41 @@ class TextDedupSpec extends SparkSpec {
     assert(auc.getAs[Long]("n_pos") > 0L && auc.getAs[Long]("n_neg") > 0L)
   }
 
+  test("lrTrainCv: batched K-model sweep == independent per-fold training; folds partition; mean consistent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val keepText = (1 to 70).map(i => s"token$i").mkString(" ")
+    val dropText = "the a of to and in is it the a"
+    val docs = ((1 to 20).map(i => (i.toLong, keepText)) ++
+      (21 to 40).map(i => (i.toLong, dropText)))
+      .toDF("doc_id", "text")
+    val feat = graft.text.TextQueries.lrFeatures(docs)
+      .withColumn("fold",
+        (hash60(col("doc_id").cast("string")) % 2).cast("int"))
+      .localCheckpoint()
+    val (wcv, nTrain) = graft.text.TextQueries.lrTrainCv(feat, 4, 2)
+    // the batched conditional aggregates compute EXACTLY the same
+    // quantized gradients as training each complement separately
+    (0 to 1).foreach { k =>
+      val wk = graft.text.TextQueries.lrTrain(
+        feat.filter(col("fold") =!= k), 4)
+      assert(wcv(k) === wk, s"fold $k diverged from independent training")
+      assert(nTrain(k) ===
+        feat.filter(col("fold") =!= k).count())
+    }
+    // corpus surface: holdouts partition the corpus; the mean is the
+    // quantized average of the per-fold AUCs
+    val rows = graft.text.TextQueries.qualityLrCv.frame(spark, sf).collect()
+    assert(rows.length === graft.text.TextQueries.CvFolds)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg"))
+      .sum === nDocs)
+    val meanExpected = rows.map(r => math.floor(
+      r.getAs[Double]("auc_roc") * 1e9 + 0.5).toLong).sum / 1e9 /
+      graft.text.TextQueries.CvFolds
+    assert(rows.head.getAs[Double]("mean_auc_roc") === meanExpected)
+  }
+
   test("isotonicFrame: planted violators pool to PAV block means; monotone; ECE non-increasing") {
     val spark0 = spark
     import spark0.implicits._
