@@ -2025,8 +2025,13 @@ object TextOracle {
     * CASE/CAST text, zero dialect drift), so no transcendental ever runs
     * in either engine.
     */
-  def evalNdcgSql: String = {
-    import TextQueries.{Bm25B, Bm25K1, NdcgK, NdcgQueries, NdcgTfSat}
+  /** The BM25-scored candidate CTE chain of the retrieval harness —
+    * shared by [[evalNdcgSql]] and [[hardNegativesSql]]; ends at
+    * `scored(query_id, doc_id, score_q, cov, rel)` with `qinfo`
+    * alongside.
+    */
+  private def ndcgScoredCtes: String = {
+    import TextQueries.{Bm25B, Bm25K1, NdcgQueries, NdcgTfSat}
     val allTerms = NdcgQueries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
     val qtermRows = NdcgQueries.flatMap { case (qid, ts) =>
@@ -2035,10 +2040,8 @@ object TextOracle {
     val qinfoRows = NdcgQueries.map { case (qid, ts) =>
       s"($qid, '${ts.mkString(" ")}', ${ts.length})"
     }.mkString(", ")
-    val gain = TextQueries.ndcgGainCase("rel")
-    val disc = TextQueries.ndcgDiscCase("rank")
     s"""
-    WITH t AS (
+    t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
     dl AS (SELECT doc_id, len(toks) AS dl FROM t),
@@ -2078,7 +2081,42 @@ object TextOracle {
           AS BIGINT) AS rel
       FROM contrib JOIN qterms USING (term)
       GROUP BY 1, 2
+    )"""
+  }
+
+  /** Hard-negative twin: the shared scored chain, the same
+    * below-full-coverage cut and (score DESC, doc_id) ranking.
+    */
+  def hardNegativesSql: String = {
+    import TextQueries.HnK
+    s"""
+    WITH $ndcgScoredCtes,
+    negs AS (
+      SELECT s.query_id, q.query, q.n_terms, s.doc_id, s.score_q, s.cov,
+        row_number() OVER (PARTITION BY s.query_id
+          ORDER BY s.score_q DESC, s.doc_id) AS neg_rank
+      FROM scored s JOIN qinfo q USING (query_id)
+      WHERE s.cov < q.n_terms
     ),
+    pos AS (
+      SELECT s.query_id, CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM scored s JOIN qinfo q USING (query_id)
+      WHERE s.cov = q.n_terms GROUP BY 1
+    )
+    SELECT n.query_id, n.query, COALESCE(p.n_pos, 0) AS n_pos,
+      CAST(n.neg_rank AS BIGINT) AS neg_rank, n.doc_id,
+      n.score_q / 1e9 AS bm25_score, n.cov, n.n_terms
+    FROM negs n LEFT JOIN pos p USING (query_id)
+    WHERE n.neg_rank <= $HnK
+    ORDER BY query_id, neg_rank"""
+  }
+
+  def evalNdcgSql: String = {
+    import TextQueries.NdcgK
+    val gain = TextQueries.ndcgGainCase("rel")
+    val disc = TextQueries.ndcgDiscCase("rank")
+    s"""
+    WITH $ndcgScoredCtes,
     ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank

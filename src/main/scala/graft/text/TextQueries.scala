@@ -2597,11 +2597,24 @@ object TextQueries {
     * engines ([[ndcgDiscQ]]) — DCG/IDCG are exact BIGINT sums and the
     * final NDCG/MRR divisions are single IEEE754 ops on exact operands.
     */
-  val evalNdcg: GraftQuery = GraftQuery(
-    "retrieval_eval_ndcg",
-    s"retrieval eval: per-query NDCG@$NdcgK / MRR / full-coverage hits of BM25 vs graded term-coverage truth",
-    TextOracle.evalNdcgSql) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+  /** The eval-query metadata frame (query_id, query, n_terms) — shared
+    * by [[evalNdcg]] and [[hardNegatives]].
+    */
+  def ndcgQinfo(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    s.range(1).select(explode(array(
+      NdcgQueries.map { case (qid, ts) =>
+        struct(lit(qid).as("query_id"), lit(ts.mkString(" ")).as("query"),
+          lit(ts.length).as("n_terms"))
+      }: _*)).as("q")).select(col("q.*"))
+
+  /** The (query_id, doc_id, score_q, cov, rel) BM25-scored candidate
+    * frame of the retrieval harness — the [[searchBm25]] scorer over the
+    * eval-term-filtered postings. Extracted verbatim from [[evalNdcg]]
+    * so [[hardNegatives]] mines the SAME ranking the eval grades.
+    */
+  def ndcgScoredFrame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val allTerms = NdcgQueries.flatMap(_._2).distinct
     val t = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -2630,17 +2643,65 @@ object TextQueries {
         ts.map(w => struct(lit(qid).as("query_id"), lit(w).as("term")))
       }: _*)).as("q"))
       .select(col("q.query_id").as("query_id"), col("q.term").as("term"))
-    val qinfo = s.range(1).select(explode(array(
-      NdcgQueries.map { case (qid, ts) =>
-        struct(lit(qid).as("query_id"), lit(ts.mkString(" ")).as("query"),
-          lit(ts.length).as("n_terms"))
-      }: _*)).as("q")).select(col("q.*"))
-    val scored = contrib.join(broadcast(qterms), "term")
+    contrib.join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("cq")).as("score_q"),
         count(lit(1)).as("cov"),
         (count(lit(1)) +
           sum(when(col("tf") >= NdcgTfSat, 1L).otherwise(0L))).as("rel"))
+  }
+
+  /** Negatives kept per query by [[hardNegatives]]. */
+  val HnK = 5
+
+  /** HARD-NEGATIVE MINING — the contrastive-training data builder every
+    * retrieval/embedding fine-tune consumes: for each eval query, the
+    * top-[[HnK]] documents the BM25 retriever ranks HIGHEST among those
+    * that are NOT fully relevant (term coverage below the query's full
+    * set — the same relevance rule [[evalNdcg]]'s MRR uses). These
+    * retriever-fooled near-misses are exactly the negatives that teach
+    * a bi-encoder the decision boundary random negatives never expose.
+    * n_pos rides along so a pair assembler knows each query's positive
+    * budget.
+    *
+    * Scale shape: rides [[ndcgScoredFrame]] (postings filtered to the
+    * eval-term union before any shuffle; the scored frame is
+    * O(matching docs × queries)); the per-query cut is a row_number ≤ k
+    * partitioned window (WindowGroupLimit). Determinism: scores are the
+    * BM25 quantized LONGs; ranks are total-ordered; the readout divides
+    * once by 1e9.
+    */
+  val hardNegatives: GraftQuery = GraftQuery(
+    "retrieval_hard_negatives",
+    s"hard-negative mining: top-$HnK highest-BM25 non-relevant docs per eval query + positive budget",
+    TextOracle.hardNegativesSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val qinfo = ndcgQinfo(s)
+    val scored = ndcgScoredFrame(s, d)
+      .join(broadcast(qinfo), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score_q"), col("doc_id"))
+    val pos = scored.filter(col("cov") === col("n_terms"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_pos"))
+    scored.filter(col("cov") < col("n_terms"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= HnK)
+      .join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("query"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        col("neg_rank"), col("doc_id"),
+        (col("score_q") / lit(1e9)).as("bm25_score"),
+        col("cov"), col("n_terms"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  val evalNdcg: GraftQuery = GraftQuery(
+    "retrieval_eval_ndcg",
+    s"retrieval eval: per-query NDCG@$NdcgK / MRR / full-coverage hits of BM25 vs graded term-coverage truth",
+    TextOracle.evalNdcgSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val qinfo = ndcgQinfo(s)
+    val scored = ndcgScoredFrame(s, d)
     val wScore = Window.partitionBy(col("query_id"))
       .orderBy(desc("score_q"), col("doc_id"))
     val wIdeal = Window.partitionBy(col("query_id"))
@@ -3078,6 +3139,7 @@ object TextQueries {
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
       sampleWeighted, sampleAres,
-      temperatureMix, chunking, epochShards, evalNdcg, zipfFit, piiRedact,
+      temperatureMix, chunking, epochShards, evalNdcg, hardNegatives,
+      zipfFit, piiRedact,
       heavyHitters, unseenMass)
 }

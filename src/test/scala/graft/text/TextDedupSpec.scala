@@ -476,6 +476,38 @@ class TextDedupSpec extends SparkSpec {
       "calibration made ECE worse")
   }
 
+  test("hard negatives: every mined doc is a sub-coverage near-miss; ranks contiguous, scores non-increasing") {
+    val rows = graft.text.TextQueries.hardNegatives.frame(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the defining property: high-scoring but NOT fully relevant
+      assert(r.getAs[Long]("cov") < r.getAs[Int]("n_terms"),
+        s"full-coverage doc mined as a negative: $r")
+      assert(r.getAs[Long]("neg_rank") >= 1L &&
+        r.getAs[Long]("neg_rank") <= graft.text.TextQueries.HnK)
+    }
+    rows.groupBy(_.getAs[Int]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("neg_rank"))
+      assert(sorted.map(_.getAs[Long]("neg_rank")).toSeq ===
+        (1L to sorted.length).toSeq, s"query $q ranks not contiguous")
+      val scores = sorted.map(_.getAs[Double]("bm25_score")).toSeq
+      assert(scores === scores.sorted.reverse, s"query $q scores increase")
+    }
+    // the mined negatives never intersect the fully-relevant positives
+    val scored = graft.text.TextQueries.ndcgScoredFrame(spark, sf)
+      .join(org.apache.spark.sql.functions.broadcast(
+        graft.text.TextQueries.ndcgQinfo(spark)), "query_id")
+    val posKeys = scored
+      .filter(col("cov") === col("n_terms"))
+      .select(col("query_id"), col("doc_id")).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    rows.foreach { r =>
+      assert(!posKeys.contains(
+        (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id"))))
+    }
+  }
+
   test("keep funnel: final <= each stage, totals conserved, dups actually drop") {
     val docs = graft.Tables.documents(spark, sf)
     val total = docs.count()
