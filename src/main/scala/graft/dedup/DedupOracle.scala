@@ -979,6 +979,85 @@ object DedupOracle {
     ) g"""
   }
 
+  /** Tuning-sweep twin: the minhash signature CTE (msigs, from the
+    * shared chain — unreferenced tail CTEs cost nothing), the
+    * lshRecallSql truth chain (MATERIALIZED — ten subquery references
+    * would otherwise re-run the pair miner per row), and per-config
+    * band/cap/candidate CTEs in the exact Spark geometry. Theory
+    * literals are Scala-computed, shared with the engine.
+    */
+  def lshTuningSql: String = {
+    val j = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    val configs = DedupQueries.LshTuneConfigs
+    val configCtes = configs.map { case (b, r) =>
+      val bands = (0 until b).map { bi =>
+        // a single component never passes through ||'s VARCHAR coercion,
+        // so cast it explicitly (md5(BIGINT) does not bind in DuckDB)
+        val key =
+          if (r == 1) s"CAST(s${bi} AS VARCHAR)"
+          else (0 until r).map(ri => s"s${bi * r + ri}")
+            .mkString(" || ':' || ")
+        s"SELECT doc_id, $bi AS b, md5($key) AS bk FROM msigs"
+      }.mkString("\n        UNION ALL ")
+      s"""
+    cfg${b}_${r}_cand AS MATERIALIZED (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM (
+        SELECT doc_id, b, bk FROM (
+          SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bc
+          FROM ($bands)
+        ) WHERE bc <= ${DedupQueries.BandBucketCap}
+      ) x JOIN (
+        SELECT doc_id, b, bk FROM (
+          SELECT doc_id, b, bk, COUNT(*) OVER (PARTITION BY b, bk) AS bc
+          FROM ($bands)
+        ) WHERE bc <= ${DedupQueries.BandBucketCap}
+      ) y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+    )"""
+    }.mkString(",")
+    val rows = configs.map { case (b, r) =>
+      val p = 1.0 - math.pow(
+        1.0 - math.pow(DedupQueries.ClusterJaccard, r), b)
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cfg${b}_${r}_cand)
+          AS n_cand,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+          JOIN cfg${b}_${r}_cand c ON ta = c.doc_a AND tb = c.doc_b)
+          AS n_caught,
+        $p::DOUBLE AS p_collide_at_threshold"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH $minhashPairCtes,
+    trare AS (
+      SELECT sh FROM msh GROUP BY sh HAVING COUNT(*) <= $NgramDfCap
+    ),
+    tshc AS (SELECT doc_id, sh FROM msh JOIN trare USING (sh)),
+    tinter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+      FROM tshc x JOIN tshc y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tshc GROUP BY doc_id),
+    truth AS MATERIALIZED (
+      SELECT doc_a AS ta, doc_b AS tb
+      FROM tinter
+      JOIN tsizes sa ON doc_a = sa.doc_id
+      JOIN tsizes sb ON doc_b = sb.doc_id
+      WHERE i / (sa.n + sb.n - i) >= $j
+    ),
+    $configCtes,
+    curve AS (
+      $rows
+    )
+    SELECT bands, rows_per_band, n_cand, n_truth, n_caught,
+      CASE WHEN n_truth = 0 THEN NULL
+           ELSE n_caught / n_truth END AS recall,
+      p_collide_at_threshold
+    FROM curve
+    ORDER BY rows_per_band"""
+  }
+
   /** Yield-curve twin: the minhash chain's mh_pairs, one per-doc max
     * rollup, the same literal-threshold conditional counts, exact-long
     * share divisions. A `def` (init-order lesson).

@@ -1584,6 +1584,79 @@ object DedupQueries {
         col("sig_mae"))
   }
 
+  /** The (bands × rows) geometries [[lshTuning]] sweeps — every way to
+    * cut the [[MinhashK]]=12 signature into equal bands. The deployed
+    * config is (4, [[BandRows]]=3).
+    */
+  val LshTuneConfigs: Seq[(Int, Int)] =
+    Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6))
+
+  /** LSH PARAMETER TUNING — the design-tool sweep behind
+    * [[lshRecallDedup]]'s single-config grade: every (bands, rows) cut
+    * of the SAME 12-component signature frame mines its own candidate
+    * set (band keys, bucket cap, self-join — the production pipeline at
+    * each geometry), graded against ONE shared exact truth set
+    * (DF-capped 2-gram pairs at J ≥ [[ClusterJaccard]], the
+    * [[lshRecallDedup]] truth) plus the theoretical s-curve collision
+    * probability 1−(1−J^r)^b at the threshold (Scala-computed literal,
+    * identical on both engines). More rows per band → sharper curve →
+    * fewer candidates and lower recall at fixed signature budget; this
+    * is the table you pick (b, r) from before a 100 TB dedup run,
+    * produced by the engine itself instead of a notebook.
+    *
+    * Scale shape: signatures aggregate ONCE (checkpointed) and each
+    * config re-bands that doc-bounded frame — the corpus-sized shingle
+    * work is never repeated; candidate mining stays bucket-capped per
+    * config; the truth miner is the grading-only cost. Determinism:
+    * counts are exact; recall is one LONG/LONG division; the theory
+    * column is a shared literal.
+    */
+  val lshTuning: GraftQuery = GraftQuery(
+    "dedup_lsh_tuning",
+    s"LSH (bands x rows) sweep over one MinHash($MinhashK) signature set: candidates/recall per config + s-curve theory",
+    DedupOracle.lshTuningSql) { (s, d) =>
+    val tok = tokenizedDocs(Tables.documents(s, d))
+    def sh = tok.select(col("doc_id"),
+      explode(array_distinct(shingles(col("toks"), MinhashShingleN)))
+        .as("sh"))
+    val truth = jaccardPairs(capPostings(sh), lit(true))
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+      .localCheckpoint()
+    val sigs = minhashSigs(sh).localCheckpoint()
+    LshTuneConfigs.map { case (b, r) =>
+      val bandStructs = (0 until b).map { bi =>
+        val key = md5(concat_ws(":",
+          (0 until r).map(ri => col(s"s${bi * r + ri}")): _*))
+        struct(lit(bi).as("b"), key.as("bk"))
+      }
+      val bands = capBuckets(sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"),
+          col("band.bk").as("bk")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      val m = cand.agg(count(lit(1)).as("n_cand"))
+      val tg = truth
+        .join(cand.withColumn("hit", lit(1)),
+          col("ta") === col("doc_a") && col("tb") === col("doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_caught"))
+      val pTheory = 1.0 -
+        math.pow(1.0 - math.pow(ClusterJaccard, r), b)
+      m.crossJoin(tg).select(
+        lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("n_cand"), col("n_truth"), col("n_caught"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught") / col("n_truth")).as("recall"),
+        lit(pTheory).as("p_collide_at_threshold"))
+    }.reduce(_ unionByName _).orderBy("rows_per_band")
+  }
+
   /** Exact-dup ingest screen — the EXACT-hash counterpart of
     * [[incrementalScreen]], composed with the runtime-filter machinery:
     * an incoming batch (doc_id % [[BloomBatchModulus]] ==
@@ -2316,6 +2389,7 @@ object DedupQueries {
       paragraphPairs,
       dupSpanMass, degreeHistogram, incrementalScreen, pagerank, communities,
       bloomScreen,
-      lshRecallDedup, sourceMatrix, triangles, prefixFilterPairs, keepBest,
+      lshRecallDedup, lshTuning, sourceMatrix, triangles,
+      prefixFilterPairs, keepBest,
       stageFunnel, splitLeakage, yieldCurve)
 }

@@ -508,6 +508,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh tuning: sharper bands never admit more candidates; theory curve strictly falls; deployed config present") {
+    val rows = graft.dedup.DedupQueries.lshTuning.frame(spark, sf)
+      .collect()
+    assert(rows.length === graft.dedup.DedupQueries.LshTuneConfigs.length)
+    // rows_per_band ascending == s-curve sharpening: candidate counts
+    // must be non-increasing, the theoretical collision prob strictly so
+    val cands = rows.map(_.getAs[Long]("n_cand")).toSeq
+    assert(cands === cands.sorted.reverse, s"candidates not monotone: $cands")
+    val theory = rows.map(_.getAs[Double]("p_collide_at_threshold")).toSeq
+    assert(theory.zip(theory.tail).forall { case (a, b) => a > b })
+    // the truth set is config-independent
+    assert(rows.map(_.getAs[Long]("n_truth")).distinct.length === 1)
+    // the deployed geometry (4 x BandRows) is in the sweep
+    assert(rows.exists(r => r.getAs[Int]("bands") === 4 &&
+      r.getAs[Int]("rows_per_band") === graft.dedup.DedupQueries.BandRows))
+    // every config's candidate set is graded against the same truth:
+    // caught <= min(truth, candidates)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <=
+        math.min(r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand")))
+    }
+  }
+
   test("keep funnel: final <= each stage, totals conserved, dups actually drop") {
     val docs = graft.Tables.documents(spark, sf)
     val total = docs.count()
