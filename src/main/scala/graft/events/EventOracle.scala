@@ -2856,6 +2856,59 @@ object EventOracle {
       chi2q >= ${EventQueries.SrmChi2Crit1PmQ} AS srm_1pm
     FROM st ORDER BY segment"""
 
+  /** BH-FDR twin: the srmCheckSql per-segment chain (no ALL row), the
+    * same rank/count windows, the shared [[EventQueries.bhCritQ]]
+    * literal grid as a VALUES table, and the largest-prefix rule via a
+    * scalar MAX. A `def` (interpolates the generated grid).
+    */
+  def srmFdrSql: String = {
+    val critRows = EventQueries.bhCritQ.map { case (i, m, q) =>
+      s"($i, $m, CAST($q AS BIGINT))"
+    }.mkString(", ")
+    s"""
+    WITH $evCte,
+    tu AS (
+      SELECT event_type, user_id,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::UBIGINT
+          AS BIGINT) % 2 AS arm
+      FROM (SELECT DISTINCT event_type, user_id FROM ev)
+    ),
+    seg AS (
+      SELECT event_type AS segment,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM tu GROUP BY 1
+    ),
+    st AS (
+      SELECT segment, n_a + n_b AS n_users,
+        CAST(floor(
+          CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS chi2q
+      FROM seg
+    ),
+    ranked AS (
+      SELECT segment, n_users, chi2q,
+        CAST(ROW_NUMBER() OVER (ORDER BY chi2q DESC, segment) AS INTEGER)
+          AS i,
+        CAST(COUNT(*) OVER () AS INTEGER) AS m
+      FROM st
+    ),
+    crit(i, m, critq) AS (VALUES $critRows),
+    flagged AS (
+      SELECT r.segment, r.n_users, r.chi2q, r.i, r.m, c.critq,
+        r.chi2q >= c.critq AS pass
+      FROM ranked r JOIN crit c ON r.i = c.i AND r.m = c.m
+    ),
+    istar AS (SELECT MAX(CASE WHEN pass THEN i END) AS ist FROM flagged)
+    SELECT segment, n_users, CAST(chi2q AS DOUBLE) / 1e9 AS chi2,
+      CAST(i AS BIGINT) AS bh_rank, CAST(m AS BIGINT) AS m_tests,
+      CAST(critq AS DOUBLE) / 1e9 AS bh_crit,
+      pass AS exceeds_bh_line,
+      (istar.ist IS NOT NULL AND i <= istar.ist) AS rejected_bh
+    FROM flagged, istar
+    ORDER BY bh_rank"""
+  }
+
   /** Twin of [[EventQueries.abPower]]: the abTestSql sufficient-statistic
     * chain, then the same MDE/required-n recompositions — mde quantized
     * to 1e-6 before the relative form, n_req's double guarded below the

@@ -4156,6 +4156,93 @@ object EventQueries {
       .orderBy("segment")
   }
 
+  /** FDR level for [[srmFdr]] (the conventional 5%). */
+  val BhAlpha = 0.05
+
+  /** Largest segment count the [[bhCritQ]] literal table covers; a wider
+    * segmentation raises at run time (regenerate with a larger bound).
+    */
+  val BhMaxM = 12
+
+  /** Pre-quantized chi²(df=1) BH critical values: for every (rank i,
+    * test count m), the 1 − i·α/m quantile, floor(·1e9 + 0.5) LONGs.
+    * Generated ONCE driver-side (commons-math3, which Spark already
+    * ships) and inlined as literals on BOTH engines — the engines never
+    * evaluate an inverse CDF, so parity is structural (the
+    * [[SrmChi2Crit5Q]] convention extended to the (i, m) grid; the
+    * (m, m) diagonal equals that constant, pinned by spec).
+    */
+  val bhCritQ: Seq[(Int, Int, Long)] = {
+    val chi = new org.apache.commons.math3.distribution
+      .ChiSquaredDistribution(1.0)
+    for { m <- 1 to BhMaxM; i <- 1 to m } yield
+      (i, m, math.floor(chi.inverseCumulativeProbability(
+        1.0 - BhAlpha * i / m) * 1e9 + 0.5).toLong)
+  }
+
+  /** BENJAMINI-HOCHBERG FDR CORRECTION over the per-segment SRM tests —
+    * the multiple-testing discipline [[srmCheck]]'s per-segment 5% flags
+    * skip: with m segments each tested at 5%, ~m/20 false alarms page
+    * someone weekly; BH orders the chi² statistics (= p-values
+    * ascending, exact for a shared df=1 null) and rejects the LARGEST
+    * PREFIX whose i-th statistic clears the 1 − i·α/m quantile — a
+    * failing rank inside the prefix is still rejected, the property
+    * that distinguishes BH from per-test thresholds (pinned by the
+    * planted fixture). Critical values come from the [[bhCritQ]]
+    * literal grid joined on (rank, m), so the decision is an exact LONG
+    * comparison on both engines.
+    *
+    * Scale shape: rides [[srmCheckFrame]]'s distinct shuffle down to
+    * the segment-bounded frame; the rank window and prefix max are
+    * global windows over that bounded frame (the documented class).
+    */
+  val srmFdr: GraftQuery = GraftQuery(
+    "events_srm_fdr",
+    s"Benjamini-Hochberg FDR at $BhAlpha over the per-segment SRM chi2 battery: rank, BH line, largest-prefix rejections",
+    EventOracle.srmFdrSql) { (s, d) =>
+    fdrBhFrame(srmCheckFrame(Tables.events(s, d)))
+  }
+
+  /** The BH pass over any [[srmCheckFrame]]-shaped frame (segment,
+    * n_users, chi2; the 'ALL' row is excluded — it is not one of the m
+    * segment hypotheses). Shared by the registry query and the planted
+    * prefix fixture.
+    */
+  def fdrBhFrame(srm: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = srm.sparkSession
+    val seg = srm.filter(col("segment") =!= "ALL")
+      .select(col("segment"), col("n_users"),
+        Det.quantize(col("chi2"), 9).as("chi2q"))
+    val w = Window.orderBy(desc("chi2q"), col("segment"))
+    val wAll = Window.partitionBy()
+    val ranked = seg
+      .withColumn("i", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll).cast("int"))
+    val crit = sess.range(1).select(explode(array(bhCritQ.map {
+        case (i, m, q) => struct(lit(i).as("i"), lit(m).as("m"),
+          lit(q).as("critq"))
+      }: _*)).as("c")).select(col("c.*"))
+    val flagged = ranked.join(broadcast(crit), Seq("i", "m"), "left")
+      .withColumn("critq", coalesce(col("critq"),
+        raise_error(lit("events_srm_fdr: segment count exceeds the " +
+          s"BhMaxM=$BhMaxM critical-value table — regenerate with a " +
+          "larger bound")).cast("long")))
+      .withColumn("pass", col("chi2q") >= col("critq"))
+    flagged
+      .withColumn("istar", max(when(col("pass"), col("i"))).over(wAll))
+      .select(col("segment"), col("n_users"),
+        (col("chi2q").cast("double") / lit(1e9)).as("chi2"),
+        col("i").cast("long").as("bh_rank"),
+        col("m").cast("long").as("m_tests"),
+        (col("critq").cast("double") / lit(1e9)).as("bh_crit"),
+        col("pass").as("exceeds_bh_line"),
+        (col("istar").isNotNull && col("i") <= col("istar"))
+          .as("rejected_bh"))
+      .orderBy("bh_rank")
+  }
+
   /** Normal quantiles for [[abPower]]: z_{0.025} (5% two-sided) and
     * z_{0.20} (80% power), and their pinned sum — published constants,
     * shared as literals so both engines parse identical doubles.
@@ -4898,6 +4985,7 @@ object EventQueries {
       didEstimate,
       targetEncoding, valueWinsorize, abSequential, trendTheilSen,
       pitTraining, keySkew, kpiContribution, changepointBinseg,
-      srmCheck, abPower, bootstrapCi, tailHill, ksTest, abWinsorized,
+      srmCheck, srmFdr, abPower, bootstrapCi, tailHill, ksTest,
+      abWinsorized,
       spearman, typeDowAssociation, powerCurve)
 }

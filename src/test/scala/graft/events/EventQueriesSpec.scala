@@ -1562,6 +1562,46 @@ class EventQueriesSpec extends SparkSpec {
     assert(!f.getAs[Boolean]("skewed"))
   }
 
+  test("fdrBhFrame: largest-prefix rule rejects a failing middle rank; diagonal crit == SrmChi2Crit5Q") {
+    import spark.implicits._
+    // the (m, m) diagonal of the generated grid is the plain 5% critical
+    // value the SRM guardrail already pins
+    EventQueries.bhCritQ.filter { case (i, m, _) => i == m }.foreach {
+      case (_, _, q) => assert(q === EventQueries.SrmChi2Crit5Q)
+    }
+    // m=4 at alpha=.05: crits ~ [6.239, 5.024, 4.326, 3.841]. Planted
+    // chi2s [10, 4.9, 4.35, 3.0]: rank 2 FAILS its line (4.9 < 5.024)
+    // but rank 3 passes (4.35 >= 4.326), so BH rejects ranks 1..3 —
+    // including the failing rank 2 (the prefix property) — and spares 4.
+    val srm = Seq(
+      ("seg_a", 100L, 10.0), ("seg_b", 100L, 4.9),
+      ("seg_c", 100L, 4.35), ("seg_d", 100L, 3.0),
+      ("ALL", 400L, 99.0)) // excluded: not one of the m hypotheses
+      .toDF("segment", "n_users", "chi2")
+    val got = EventQueries.fdrBhFrame(srm).collect()
+    assert(got.length === 4, "ALL row must be excluded")
+    assert(got.map(_.getAs[Long]("m_tests")).distinct.toSeq === Seq(4L))
+    val byseg = got.map(r => r.getAs[String]("segment") -> r).toMap
+    assert(byseg("seg_a").getAs[Boolean]("exceeds_bh_line"))
+    assert(!byseg("seg_b").getAs[Boolean]("exceeds_bh_line"))
+    assert(byseg("seg_c").getAs[Boolean]("exceeds_bh_line"))
+    assert(!byseg("seg_d").getAs[Boolean]("exceeds_bh_line"))
+    assert(byseg("seg_a").getAs[Boolean]("rejected_bh"))
+    assert(byseg("seg_b").getAs[Boolean]("rejected_bh"),
+      "prefix property violated: failing rank inside the prefix must reject")
+    assert(byseg("seg_c").getAs[Boolean]("rejected_bh"))
+    assert(!byseg("seg_d").getAs[Boolean]("rejected_bh"))
+    // all-null case: nothing passes -> nothing rejected
+    val calm = Seq(("s1", 10L, 0.5), ("s2", 10L, 0.1))
+      .toDF("segment", "n_users", "chi2")
+    val calmGot = EventQueries.fdrBhFrame(calm).collect()
+    assert(calmGot.forall(!_.getAs[Boolean]("rejected_bh")))
+    // corpus surface: balanced hash assignment -> no rejections
+    val corpus = EventQueries.srmFdr.frame(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(!_.getAs[Boolean]("rejected_bh")))
+  }
+
   test("bradleyTerry: planted transitive dominance recovered; MM sweeps == plain-Scala replay bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
