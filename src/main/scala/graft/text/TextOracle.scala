@@ -1731,6 +1731,51 @@ object TextOracle {
     ORDER BY lang, band"""
   }
 
+  /** Curriculum twin: the shared ppl chain, the cumulative-before window
+    * over DISTINCT ppl values (exact BIGINTs), the shared floor(cum·S/n)
+    * boundary division, and the content-hash shard.
+    */
+  def curriculumSql: String = {
+    import TextQueries.{CurriculumShards, CurriculumStages}
+    s"""
+    WITH $lmCtes,
+    ntk AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        AS n_tokens
+      FROM documents
+    ),
+    base AS (
+      SELECT p.doc_id, p.ppl, k.n_tokens
+      FROM perdoc p JOIN ntk k USING (doc_id)
+    ),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    vals AS (
+      SELECT ppl, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY ppl
+    ),
+    sv AS (
+      SELECT ppl, CAST(COALESCE(SUM(c) OVER (ORDER BY ppl
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS cum
+      FROM vals
+    ),
+    st AS (
+      SELECT sv.ppl,
+        CAST(floor(sv.cum * $CurriculumStages / na.n) AS INTEGER) AS stage
+      FROM sv, na
+    ),
+    sh AS (
+      SELECT b.doc_id, b.ppl, b.n_tokens, st.stage,
+        CAST(${hash60Sql("CAST(b.doc_id AS VARCHAR)")}
+          % $CurriculumShards AS INTEGER) AS shard
+      FROM base b JOIN st USING (ppl)
+    )
+    SELECT stage, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      MIN(ppl) AS ppl_lo, MAX(ppl) AS ppl_hi
+    FROM sh GROUP BY 1, 2
+    ORDER BY stage, shard"""
+  }
+
   /** BPE merge twin: all-BIGINT weighted pair counts over the aggregated
     * vocabulary; single-char words produce an empty pair list and drop.
     */

@@ -2738,6 +2738,64 @@ object TextQueries {
       .orderBy("query_id")
   }
 
+  /** Curriculum geometry: difficulty stages × data-parallel shards. */
+  val CurriculumStages = 4
+  val CurriculumShards = 4
+
+  /** CURRICULUM ORDERING — the schedule builder for difficulty-ordered
+    * training (curriculum learning / perplexity annealing): docs are cut
+    * into [[CurriculumStages]] ascending-perplexity stages under the
+    * shared bigram LM ([[lmPerplexityFrame]] — easy/predictable text
+    * first, tail-perplexity text last), and each stage deals into
+    * [[CurriculumShards]] content-hash shards for data-parallel loading.
+    * The readout is the (stage, shard) manifest a training launcher
+    * consumes: doc/token budgets and the stage's perplexity bounds.
+    *
+    * Stage boundaries land at VALUE granularity: the cumulative doc
+    * count BEFORE each distinct quantized-ppl value decides its stage
+    * (floor(cum·S/n)), so a tie group never straddles stages and the
+    * cut is reproducible under any partitioning. One-token docs carry
+    * no bigram and no perplexity — they are outside the curriculum by
+    * construction (none exist in this corpus).
+    *
+    * Scale shape: rides the shared per-doc ppl table (one corpus-sized
+    * shuffle, already persisted for the ppl/band consumers); the
+    * boundary derivation runs on the DISTINCT-ppl-value frame (the
+    * aucFrame documented global-window class — value-bounded, with the
+    * two-pass range-partitioned prefix sum as the 100 TB escape);
+    * stage assignment joins the broadcast value→stage map back to the
+    * doc frame. Determinism: cum/budgets are exact longs; the boundary
+    * division is one shared double op; ppl is already 1e-6-quantized.
+    */
+  val curriculum: GraftQuery = GraftQuery(
+    "corpus_curriculum",
+    s"curriculum manifest: $CurriculumStages ascending-perplexity stages x $CurriculumShards hash shards, doc/token budgets + ppl bounds",
+    TextOracle.curriculumSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ppl = sharedDocPpl(s, d).select(col("doc_id"), col("ppl"))
+    val nt = Tables.documents(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val base = ppl.join(nt, "doc_id")
+    val nAgg = base.agg(count(lit(1)).as("n"))
+    val vals = base.groupBy(col("ppl")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("ppl"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stageByVal = vals
+      .withColumn("cum", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .crossJoin(broadcast(nAgg))
+      .withColumn("stage",
+        floor(col("cum") * lit(CurriculumStages) / col("n")).cast("int"))
+      .select(col("ppl"), col("stage"))
+    base.join(broadcast(stageByVal), "ppl")
+      .withColumn("shard",
+        (graft.text.TextFns.hash60(col("doc_id").cast("string"))
+          % CurriculumShards).cast("int"))
+      .groupBy(col("stage"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("ppl")).as("ppl_lo"), max(col("ppl")).as("ppl_hi"))
+      .orderBy("stage", "shard")
+  }
+
   /** Zipf-law fit over the top-[[ZipfTopN]] token ranks — the statistical
     * corpus-health check next to [[tokenEntropy]] (a natural-text corpus
     * has slope ≈ −1; template flooding flattens it, dedup failure steepens
@@ -3139,7 +3197,8 @@ object TextQueries {
       tokenEntropy, pipelineFunnel, tokenPmi, lmPerplexity, pplBands,
       bpeMerges, bpeMergesN, bpeEncode, bpeRoundtrip, unigramLm,
       sampleWeighted, sampleAres,
-      temperatureMix, chunking, epochShards, evalNdcg, hardNegatives,
+      temperatureMix, chunking, epochShards, curriculum,
+      evalNdcg, hardNegatives,
       zipfFit, piiRedact,
       heavyHitters, unseenMass)
 }

@@ -531,6 +531,31 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("curriculum: stages ordered by ppl, near-quartile budgets, totals conserved") {
+    val rows = graft.text.TextQueries.curriculum.frame(spark, sf).collect()
+    val S = graft.text.TextQueries.CurriculumStages
+    // stage-level rollup from the (stage, shard) manifest
+    val byStage = rows.groupBy(_.getAs[Int]("stage")).toSeq.sortBy(_._1)
+    assert(byStage.map(_._1) === (0 until S))
+    // ascending difficulty: stage i's max ppl never exceeds stage i+1's min
+    val bounds = byStage.map { case (_, rs) =>
+      (rs.map(_.getAs[Double]("ppl_lo")).min,
+        rs.map(_.getAs[Double]("ppl_hi")).max)
+    }
+    bounds.zip(bounds.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"stage overlap: $bounds")
+    }
+    // budgets: stages are value-granular quarters — each within one
+    // tie-group of n/S; totals conserve the scored-doc count
+    val perStage = byStage.map(_._2.map(_.getAs[Long]("n_docs")).sum)
+    val n = perStage.sum
+    val scored = graft.text.TextQueries.lmPerplexity.frame(spark, sf).count()
+    assert(n === scored, "curriculum must cover every ppl-scored doc")
+    perStage.foreach(c => assert(c > 0L))
+    assert(perStage.max - perStage.min <= n / 2,
+      s"stage budgets wildly unbalanced: $perStage")
+  }
+
   test("keep funnel: final <= each stage, totals conserved, dups actually drop") {
     val docs = graft.Tables.documents(spark, sf)
     val total = docs.count()
