@@ -553,6 +553,47 @@ object TextOracle {
       FROM ${p}prterms
     )"""
 
+  /** Weights-artifact twin: the unrolled GD chain's final weight row,
+    * renamed — the weights themselves hash-match (full value parity).
+    */
+  def qualityLrWeightsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    $lrFeatCte,
+    $lrRoundCtes
+    SELECT w0 AS w_bias, w1 AS w_len_factor, w2 AS w_stop_ratio,
+      w3 AS w_ttr, ${TextQueries.LrIters} AS gd_sweeps
+    FROM w${TextQueries.LrIters}"""
+
+  /** Agreement-matrix twin: the NB chain and the LR chain share the `t`
+    * CTE; verdicts join on doc_id and aggregate to the 2^3 cell grid.
+    */
+  def filterAgreementSql: String = s"""
+    WITH $nbCtes,
+    $lrFeatCte,
+    $lrRoundCtes,
+    $lrScoredCte,
+    lrv AS (
+      SELECT doc_id,
+        CASE WHEN lr_score >= 0.0::DOUBLE THEN 'keep' ELSE 'drop' END
+          AS lr_pred
+      FROM lrscored
+    ),
+    cells AS (
+      SELECT n.heur_label, n.nb_pred, v.lr_pred,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM nbdoc n JOIN lrv v USING (doc_id)
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cells)
+    SELECT heur_label, nb_pred, lr_pred, n_docs,
+      n_docs / n AS share,
+      nb_pred = lr_pred AS learned_agree,
+      (nb_pred = heur_label AND lr_pred = heur_label) AS all_agree
+    FROM cells, tot
+    ORDER BY heur_label, nb_pred, lr_pred"""
+
   /** K-fold CV twin: the fold column rides the doc_id content hash; the
     * K×4 weight matrix is a 1-row CTE, MATERIALIZED each round (every
     * round references the previous twice — the bradleyTerrySql CTE-

@@ -602,6 +602,58 @@ object TextQueries {
         (col("lr_auc_roc") - col("nb_auc_roc")).as("lr_minus_nb_roc"))
   }
 
+  /** The trained LR model AS AN ARTIFACT — the auditability readout a
+    * deployed filter publishes next to its scores: the four weights
+    * (bias + one per feature, named), each the bit-exact product of the
+    * [[lrTrain]] GD loop (and therefore of the oracle's unrolled CTE
+    * chain — the weights themselves hash-match). Sign and magnitude ARE
+    * the interpretation: positive length factor, negative stopword
+    * ratio is the teacher rule recovered. One row; the training cost is
+    * shared via [[sharedLrWeights]].
+    */
+  val qualityLrWeights: GraftQuery = GraftQuery.oneRow(
+    "quality_lr_weights",
+    "the trained LR filter's weight vector as an auditable one-row artifact (full value parity)",
+    TextOracle.qualityLrWeightsSql) { (s, d) =>
+    val w = sharedLrWeights(s, d)
+    s.range(1).select(
+      lit(w(0)).as("w_bias"),
+      lit(w(1)).as("w_len_factor"),
+      lit(w(2)).as("w_stop_ratio"),
+      lit(w(3)).as("w_ttr"),
+      lit(LrIters).as("gd_sweeps"))
+  }
+
+  /** THREE-WAY FILTER AGREEMENT — the ensemble audit a pipeline runs
+    * before swapping quality screens: every doc lands in one of the
+    * 2³ (heuristic, NB, LR) verdict cells, and the cells where the two
+    * LEARNED filters disagree with each other (or both contradict the
+    * teacher) are exactly the docs a human reviews before trusting
+    * either. Share columns grade each cell against the corpus; the
+    * single-pass composition rides the shared NB table and the shared
+    * LR weights — no model retrains.
+    */
+  val filterAgreement: GraftQuery = GraftQuery(
+    "quality_filter_agreement",
+    "3-way heuristic/NB/LR verdict matrix: per-cell doc counts + shares (ensemble-disagreement audit)",
+    TextOracle.filterAgreementSql) { (s, d) =>
+    val nb = sharedDocNb(s, d)
+      .select(col("doc_id"), col("heur_label"), col("nb_pred"))
+    val lr = lrScoredFrame(s, d).select(col("doc_id"), col("lr_pred"))
+    val cells = nb.join(lr, "doc_id")
+      .groupBy(col("heur_label"), col("nb_pred"), col("lr_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.agg(sum(col("n_docs")).as("n"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("heur_label"), col("nb_pred"), col("lr_pred"),
+        col("n_docs"),
+        (col("n_docs") / col("n")).as("share"),
+        (col("nb_pred") === col("lr_pred")).as("learned_agree"),
+        (col("nb_pred") === col("heur_label") &&
+          col("lr_pred") === col("heur_label")).as("all_agree"))
+      .orderBy("heur_label", "nb_pred", "lr_pred")
+  }
+
   /** Fold count for [[qualityLrCv]]. */
   val CvFolds = 5
 
@@ -3187,7 +3239,8 @@ object TextQueries {
   def all: Seq[GraftQuery] =
     Seq(tokenDrift, sampleNeyman, tokenStats, quality, qualityNb,
       qualityNbConfusion, qualityNbAuc, qualityLr, qualityLrAuc,
-      qualityLrCv, calibrationCurve, isotonicCalibration, piiScreen,
+      qualityLrCv, qualityLrWeights, filterAgreement,
+      calibrationCurve, isotonicCalibration, piiScreen,
       langConfusion, fingerprints, simhash, growthCurve, spanCorruption,
       splits, ngramCounts, repetition, contamination, rebalance,
       sourceQuota, packing,

@@ -442,6 +442,35 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("mean_auc_roc") === meanExpected)
   }
 
+  test("lr weights artifact + 3-way agreement: published weights equal the trainer; cells partition the corpus") {
+    val w = graft.text.TextQueries.qualityLrWeights.frame(spark, sf)
+      .collect().head
+    // the artifact equals an independent deterministic retrain
+    val retrained = graft.text.TextQueries.lrTrain(
+      graft.text.TextQueries.lrFeatures(graft.Tables.documents(spark, sf)),
+      graft.text.TextQueries.LrIters)
+    assert(w.getAs[Double]("w_bias") === retrained(0))
+    assert(w.getAs[Double]("w_len_factor") === retrained(1))
+    assert(w.getAs[Double]("w_stop_ratio") === retrained(2))
+    assert(w.getAs[Double]("w_ttr") === retrained(3))
+    // direction sanity: the length factor (the teacher rule's dominant
+    // term) trains positive; the correlated stop-ratio weight's sign is
+    // not pinned at this sweep budget — the separable-fixture spec
+    // (lrTrain test) carries the learning assertion
+    assert(w.getAs[Double]("w_len_factor") > 0.0)
+    // agreement cells partition the corpus; all_agree implies
+    // learned_agree; shares sum to 1
+    val cells = graft.text.TextQueries.filterAgreement.frame(spark, sf)
+      .collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    cells.foreach { r =>
+      if (r.getAs[Boolean]("all_agree"))
+        assert(r.getAs[Boolean]("learned_agree"))
+    }
+    assert(math.abs(cells.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
   test("isotonicFrame: planted violators pool to PAV block means; monotone; ECE non-increasing") {
     val spark0 = spark
     import spark0.implicits._
