@@ -345,6 +345,68 @@ object DedupOracle {
     FROM lab GROUP BY label
     ORDER BY cluster_size DESC, cluster_id"""
 
+  /** Group-aware split twin: the cluster-label closure, the group-key
+    * content hash deciding the whole group's split, and BOTH leakage
+    * recounts over the same thresholded pair set (grouped — structurally
+    * 0 — and the doc-hash comparison).
+    */
+  def groupedSplitsSql: String = {
+    val thr = s"${DedupQueries.ClusterJaccard}::DOUBLE"
+    def h60(x: String) =
+      s"CAST(('0x' || substr(md5($x),1,15))::UBIGINT AS BIGINT)"
+    s"""
+    WITH RECURSIVE $clusterLabelCtes,
+    pe AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $thr
+    ),
+    grp AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS gkey
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+    ),
+    gs AS MATERIALIZED (
+      SELECT doc_id, gkey,
+        CASE WHEN ${h60("'grp:' || CAST(gkey AS VARCHAR)")} % 100 < 80
+               THEN 'train'
+             WHEN ${h60("'grp:' || CAST(gkey AS VARCHAR)")} % 100 < 90
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM grp
+    ),
+    cg AS (
+      SELECT
+        CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+          AS BIGINT) AS cross_pairs_grouped,
+        CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+      FROM pe
+      JOIN gs sa ON pe.doc_a = sa.doc_id
+      JOIN gs sb ON pe.doc_b = sb.doc_id
+    ),
+    dh AS (
+      SELECT doc_id,
+        CASE WHEN ${h60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} % 100 < 80
+               THEN 'train'
+             WHEN ${h60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} % 100 < 90
+               THEN 'val'
+             ELSE 'test' END AS split_dh
+      FROM documents
+    ),
+    cd AS (
+      SELECT CAST(SUM(CASE WHEN da.split_dh <> db.split_dh THEN 1 ELSE 0
+        END) AS BIGINT) AS cross_pairs_dochash
+      FROM pe
+      JOIN dh da ON pe.doc_a = da.doc_id
+      JOIN dh db ON pe.doc_b = db.doc_id
+    )
+    SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT s.gkey) AS BIGINT) AS n_groups,
+      cg.n_dup_pairs, cg.cross_pairs_grouped, cd.cross_pairs_dochash,
+      cg.cross_pairs_grouped = 0 AS leakage_free
+    FROM gs s, cg, cd
+    GROUP BY s.split, cg.n_dup_pairs, cg.cross_pairs_grouped,
+      cd.cross_pairs_dochash
+    ORDER BY s.split"""
+  }
+
   /** Incremental-maintenance twin ([[DedupQueries.clusterIncrement]]):
     * the same pair CTEs and threshold, membership by the
     * incremental-screen content-hash split, then THREE closures — old-old

@@ -1657,6 +1657,74 @@ object DedupQueries {
     }.reduce(_ unionByName _).orderBy("rows_per_band")
   }
 
+  /** GROUP-AWARE TRAIN/VAL/TEST SPLIT — the ACTION
+    * `dedup_split_leakage` diagnoses the need for: the per-doc content
+    * hash split leaks near-dup pairs across the eval boundary (36% of
+    * dup pairs at gate SF), so the fix is the GroupShuffleSplit
+    * discipline — split by NEAR-DUP CLUSTER, not by doc: CC labels over
+    * the J ≥ [[ClusterJaccard]] evidence give each doc its group key
+    * (singletons group with themselves), and the content hash of the
+    * GROUP key decides the whole group's split — a mined near-dup pair
+    * can then never straddle splits, which the query PROVES by
+    * recounting (cross_pairs_grouped, structurally 0) next to the
+    * doc-hash split's count over the same pairs (the number this
+    * operator fixes). Per-split doc/group budgets ride along.
+    *
+    * Scale shape: rides the shared pair miner + the size-adaptive CC
+    * (both already persisted/bounded); the split decision is a pure
+    * per-group hash; leakage recounts are two narrow id-keyed joins
+    * over the pair frame. Determinism: CC min-label fixpoint, hash60
+    * of the rendered group key, exact counts.
+    */
+  val groupedSplits: GraftQuery = GraftQuery(
+    "doc_splits_grouped",
+    s"group-aware 80/10/10 split by near-dup cluster (J>=$ClusterJaccard): leakage-free by construction, doc-hash comparison",
+    DedupOracle.groupedSplitsSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairsAll = sharedNgramPairs(s, d)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val labels = connectedComponents(
+      pairsAll.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val grouped = docs.select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("gkey", coalesce(col("label"), col("doc_id")))
+      .withColumn("bucket", graft.text.TextFns.hash60(
+        concat(lit("grp:"), col("gkey").cast("string"))) % 100)
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .localCheckpoint()
+    val sa = grouped.select(col("doc_id").as("doc_a"),
+      col("split").as("split_a"))
+    val sb = grouped.select(col("doc_id").as("doc_b"),
+      col("split").as("split_b"))
+    val crossG = pairsAll.join(sa, "doc_a").join(sb, "doc_b")
+      .agg(
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("cross_pairs_grouped"),
+        count(lit(1)).as("n_dup_pairs"))
+    val dh = docs.select(col("doc_id"),
+        (graft.text.TextFns.hash60(
+          graft.text.TextFns.normText(col("text"))) % 100).as("b2"))
+      .withColumn("split_dh", when(col("b2") < 80, "train")
+        .when(col("b2") < 90, "val").otherwise("test"))
+    val da = dh.select(col("doc_id").as("doc_a"), col("split_dh").as("dha"))
+    val db = dh.select(col("doc_id").as("doc_b"), col("split_dh").as("dhb"))
+    val crossD = pairsAll.join(da, "doc_a").join(db, "doc_b")
+      .agg(sum(when(col("dha") =!= col("dhb"), 1L).otherwise(0L))
+        .as("cross_pairs_dochash"))
+    grouped.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gkey")).as("n_groups"))
+      .crossJoin(broadcast(crossG)).crossJoin(broadcast(crossD))
+      .select(col("split"), col("n_docs"), col("n_groups"),
+        col("n_dup_pairs"), col("cross_pairs_grouped"),
+        col("cross_pairs_dochash"),
+        (col("cross_pairs_grouped") === 0L).as("leakage_free"))
+      .orderBy("split")
+  }
+
   /** Exact-dup ingest screen — the EXACT-hash counterpart of
     * [[incrementalScreen]], composed with the runtime-filter machinery:
     * an incoming batch (doc_id % [[BloomBatchModulus]] ==
@@ -2391,5 +2459,5 @@ object DedupQueries {
       bloomScreen,
       lshRecallDedup, lshTuning, sourceMatrix, triangles,
       prefixFilterPairs, keepBest,
-      stageFunnel, splitLeakage, yieldCurve)
+      stageFunnel, splitLeakage, groupedSplits, yieldCurve)
 }

@@ -585,6 +585,44 @@ class TextDedupSpec extends SparkSpec {
       s"stage budgets wildly unbalanced: $perStage")
   }
 
+  test("grouped splits: leakage-free by construction; groups never straddle; doc-hash comparison leaks") {
+    import org.apache.spark.sql.functions.countDistinct
+    val rows = graft.dedup.DedupQueries.groupedSplits.frame(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // the defining property, recounted by the query itself
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cross_pairs_grouped") === 0L)
+      assert(r.getAs[Boolean]("leakage_free"))
+    }
+    // the doc-hash split DOES leak on this corpus (the number the
+    // operator fixes — dedup_split_leakage measured 36% of dup pairs)
+    assert(rows.head.getAs[Long]("n_dup_pairs") > 0L)
+    assert(rows.head.getAs[Long]("cross_pairs_dochash") > 0L)
+    // docs partition the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      graft.Tables.documents(spark, sf).count())
+    // independent recheck: no group key appears in two splits
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"))
+    val pairs = graft.dedup.DedupQueries.sharedNgramPairs(spark, sf)
+      .filter(col("jaccard") >= graft.dedup.DedupQueries.ClusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = graft.dedup.DedupQueries.connectedComponents(pairs)
+    val g = docs.join(labels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("gkey", coalesce(col("label"), col("doc_id")))
+      .withColumn("split", when(hash60(concat(lit("grp:"),
+        col("gkey").cast("string"))) % 100 < 80, "train")
+        .when(hash60(concat(lit("grp:"),
+          col("gkey").cast("string"))) % 100 < 90, "val")
+        .otherwise("test"))
+    val maxSplits = g.groupBy(col("gkey"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(org.apache.spark.sql.functions.max(col("ns"))).collect()(0).getLong(0)
+    assert(maxSplits === 1L, "a near-dup group straddles splits")
+  }
+
   test("keep funnel: final <= each stage, totals conserved, dups actually drop") {
     val docs = graft.Tables.documents(spark, sf)
     val total = docs.count()
