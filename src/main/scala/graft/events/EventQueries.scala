@@ -2264,25 +2264,47 @@ object EventQueries {
   def btFit(pairs0: org.apache.spark.sql.DataFrame, iters: Int)
       : org.apache.spark.sql.DataFrame = {
     val pairs = pairs0.localCheckpoint()
+    // ITEM-bounded state frames (T items, T² pairs — model-sized at any
+    // corpus scale: items are models/types, never rows), pinned to ONE
+    // hash(item) partition. That single partition is what makes every MM
+    // sweep EXCHANGE-FREE (guide §2.4 "remove shuffles outright"): the
+    // sweep's groupBy("item"), its wins join, and the re-normalization
+    // window all see their distribution requirement already satisfied
+    // (HashPartitioning(item, 1) ⊨ ClusteredDistribution, and
+    // numPartitions==1 ⊨ AllTuples), so each sweep materializes as one
+    // narrow stage instead of the 4-exchange chain the unpartitioned
+    // shape paid per sweep.
     val comps = pairs
       .select(col("ta").as("item"), col("tb").as("opp"), col("n"))
       .unionByName(pairs
         .select(col("tb").as("item"), col("ta").as("opp"), col("n")))
+      .repartition(1, col("item"))
       .localCheckpoint()
     val wins = pairs.select(col("ta").as("item"), col("wa").as("w"))
       .unionByName(pairs
         .select(col("tb").as("item"), (col("n") - col("wa")).as("w")))
       .groupBy(col("item")).agg(sum(col("w")).as("wins"))
+      .repartition(1, col("item"))
       .localCheckpoint()
     val nComps = comps.groupBy(col("item"))
       .agg(sum(col("n")).as("n_comps"))
     // the one driver-side scalar: the item count (metadata-sized)
     val nItems = wins.count()
+    // the re-normalization total as a single-partition window instead of
+    // crossJoin(broadcast(agg)): the SAME quantized-LONG sum (associative,
+    // partition-count-independent), minus one broadcast-exchange job per
+    // sweep
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     var s = wins.select(col("item"), lit(1.0).as("s")).localCheckpoint()
     for (_ <- 1 to iters) {
       val d = comps
         .join(s.select(col("item"), col("s").as("s_i")), "item")
-        .join(s.select(col("item").as("opp"), col("s").as("s_j")), "opp")
+        // opp-side strength lookup broadcast (items-bounded) so the item
+        // partitioning survives the join untouched
+        .join(broadcast(s.select(col("item").as("opp"), col("s").as("s_j"))),
+          "opp")
         .groupBy(col("item"))
         .agg(sum(Det.quantize(col("n") / (col("s_i") + col("s_j")), 9))
           .as("dq"))
@@ -2291,8 +2313,8 @@ object EventQueries {
           when(col("dq") > 0L,
             Det.quantize(col("wins") / (col("dq") / lit(1e9)), 9)
               / lit(1e9)).as("s"))
-      val tot = raw.agg(sum(Det.quantize(col("s"), 9)).as("tq"))
-      s = raw.crossJoin(broadcast(tot))
+      s = raw
+        .withColumn("tq", sum(Det.quantize(col("s"), 9)).over(wAll))
         .select(col("item"),
           (Det.quantize(col("s") *
             (lit(nItems) / (col("tq") / lit(1e9))), 9) / lit(1e9)).as("s"))
