@@ -1624,37 +1624,73 @@ object DedupQueries {
       .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
       .localCheckpoint()
     val sigs = minhashSigs(sh).localCheckpoint()
-    LshTuneConfigs.map { case (b, r) =>
-      val bandStructs = (0 until b).map { bi =>
+    // ALL five geometries band in ONE pass, keyed by (cfg, b, bk): the
+    // per-config loop ran the window-cap + self-join + distinct +
+    // checkpoint pipeline five times over the same signature frame — five
+    // band shuffles, five pair shuffles, ~5x the AQE/job overhead — for
+    // the SAME total band-row count (Σ bands per config = 27 rows/doc
+    // either way). With the config id in the bucket key the single
+    // window cap, self-join and distinct are per-config by construction
+    // (different cfg values never share a partition key), so the outputs
+    // are row-identical to the per-config runs (guide §2.4: one exchange
+    // doing the work of five). The theory column and the zero-candidate
+    // rows come from a 5-row literal config frame left-joined against the
+    // per-cfg aggregates.
+    val bandStructs = LshTuneConfigs.flatMap { case (b, r) =>
+      (0 until b).map { bi =>
         val key = md5(concat_ws(":",
           (0 until r).map(ri => col(s"s${bi * r + ri}")): _*))
-        struct(lit(bi).as("b"), key.as("bk"))
+        struct(lit(b).as("cfg"), lit(bi).as("b"), key.as("bk"))
       }
-      val bands = capBuckets(sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"),
-          col("band.bk").as("bk")))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .localCheckpoint()
-      val m = cand.agg(count(lit(1)).as("n_cand"))
-      val tg = truth
-        .join(cand.withColumn("hit", lit(1)),
-          col("ta") === col("doc_a") && col("tb") === col("doc_b"), "left")
-        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_caught"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.cfg").as("cfg"),
+        col("band.b").as("b"), col("band.bk").as("bk"))
+    val capped = bands
+      .withColumn("bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cfg"), col("b"), col("bk"))))
+      .filter(col("bc") <= BandBucketCap)
+      .drop("bc")
+    val cand = capped.as("x")
+      .join(capped.as("y"),
+        col("x.cfg") === col("y.cfg") && col("x.b") === col("y.b")
+          && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg").as("cfg"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val nCand = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_cand"))
+    // caught per config: candidate pairs are distinct, so the inner join
+    // counts exactly the truth pairs each geometry catches (the old
+    // left-join count(hit) under a per-config frame)
+    val caught = truth
+      .join(cand, col("ta") === col("doc_a") && col("tb") === col("doc_b"))
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_caught"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val cfgRows = LshTuneConfigs.map { case (b, r) =>
       val pTheory = 1.0 -
         math.pow(1.0 - math.pow(ClusterJaccard, r), b)
-      m.crossJoin(tg).select(
-        lit(b).as("bands"), lit(r).as("rows_per_band"),
-        col("n_cand"), col("n_truth"), col("n_caught"),
+      struct(lit(b).as("cfg"), lit(b).as("bands"),
+        lit(r).as("rows_per_band"), lit(pTheory).as("p_collide_at_threshold"))
+    }
+    s.range(1).select(explode(array(cfgRows: _*)).as("c"))
+      .select(col("c.cfg").as("cfg"), col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"),
+        col("c.p_collide_at_threshold").as("p_collide_at_threshold"))
+      .join(nCand, Seq("cfg"), "left")
+      .join(caught, Seq("cfg"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_truth"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
         when(col("n_truth") === 0, lit(null).cast("double"))
-          .otherwise(col("n_caught") / col("n_truth")).as("recall"),
-        lit(pTheory).as("p_collide_at_threshold"))
-    }.reduce(_ unionByName _).orderBy("rows_per_band")
+          .otherwise(coalesce(col("n_caught"), lit(0L)) / col("n_truth"))
+          .as("recall"),
+        col("p_collide_at_threshold"))
+      .orderBy("rows_per_band")
   }
 
   /** GROUP-AWARE TRAIN/VAL/TEST SPLIT — the ACTION
