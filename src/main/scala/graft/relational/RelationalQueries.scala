@@ -299,8 +299,11 @@ object RelationalQueries {
   /** The profiler over any orders-shaped frame — shared by the registry
     * query and the planted-nulls fixture (RelationalSpec).
     */
-  def profileFrame(orders: org.apache.spark.sql.DataFrame)
+  def profileFrame(orders0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // single-row-group input → the Expand×7 partial aggregate otherwise
+    // runs on one core (guide §2.5); no-op at real scan parallelism
+    val orders = graft.api.Par.spread(orders0)
     val a = orders.agg(
       count(lit(1)).as("n"),
       count(col("o_orderkey")).as("c_ok"),
@@ -386,6 +389,10 @@ object RelationalQueries {
     */
   def profileSketchFrame(orders: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // NO [[graft.api.Par.spread]] here, deliberately: the six fixed-size
+    // HLL buffers update at ~0.5 s single-core at gate SF — cheaper than
+    // the exchange an input respread costs — and the scan-shaped one-pass
+    // plan IS the artifact (PlanSpec pins Expand absent from it)
     val sketchAggs = Seq(count(lit(1)).as("n")) ++ ProfileCols.flatMap {
       case (i, c) => Seq(count(col(c)).as(s"c_$i"),
         approx_count_distinct(col(c), 0.01).as(s"a_$i"))
@@ -424,7 +431,7 @@ object RelationalQueries {
     val exactAggs = cols.map { case (i, c) =>
       countDistinct(col(c)).as(s"d_$i")
     }
-    val ex = orders.agg(exactAggs.head, exactAggs.tail: _*)
+    val ex = graft.api.Par.spread(orders).agg(exactAggs.head, exactAggs.tail: _*)
     val rows = array(cols.map { case (i, c) =>
       struct(lit(i.toLong).as("ord"), lit(c).as("col_name"),
         col("n").as("n_rows"),
