@@ -61,10 +61,14 @@ object Profile {
       val t1 = System.nanoTime()
       q.frame(spark, sfDir).count()
       val warm = (System.nanoTime() - t1) / 1e9
+      // drain the async listener bus BEFORE removing the listener —
+      // removal first drops still-queued stage-completion events and
+      // undercounts the warm run (ADVICE r20); the bus API is
+      // private[spark], so drain with a grace sleep
+      Thread.sleep(300)
       spark.sparkContext.removeSparkListener(listener)
       graft.api.Checkpoints.releaseAll(spark)
       System.gc()
-      Thread.sleep(200) // let listener events drain
       println(f"\n===== ${q.name} cold=$cold%6.2fs warm=$warm%6.2fs " +
         f"jobs=${jobs.size} stages=${stages.size} =====")
       val tot = stages.map(_.ms).sum

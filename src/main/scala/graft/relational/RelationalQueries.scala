@@ -382,27 +382,61 @@ object RelationalQueries {
     (1, "o_orderkey"), (2, "o_custkey"), (3, "o_orderstatus"),
     (4, "o_totalprice"), (5, "o_orderdate"), (6, "o_orderpriority"))
 
+  /** lgConfigK for the profiler's datasketches HLL: rsd ≈ 1.04/√2^14 ≈
+    * 0.8%, so the [[ProfileHllBand]] 5% acceptance band sits at ~6σ.
+    */
+  val ProfileHllLgK = 14
+
+  /** Injective sketch key per column type — hll_sketch_agg accepts
+    * int/long/string/binary only, so doubles ride their (injective)
+    * string rendering and timestamps their epoch-micros LONG. Cardinality
+    * is preserved exactly; only the hashed representation changes.
+    */
+  private def sketchKey(df: org.apache.spark.sql.DataFrame, c: String)
+      : org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType => col(c).cast("string")
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c)
+    }
+
   /** The PROFILE pass a deployment keeps: row/null counts + six HLL
     * buffers in one Expand-free aggregate (every row updates six
     * fixed-size sketches map-side; the shuffle carries sketch bytes).
     * Shared with PlanSpec's Expand-absence pin.
+    *
+    * Sketch choice (round 21): datasketches HLL ([[ProfileHllLgK]],
+    * `hll_sketch_agg`) instead of `approx_count_distinct(rsd = 0.01)` —
+    * HLL++ at that precision carries ~1.5k LONG buffer slots PER COLUMN
+    * through the aggregate, and six of them made the physical plan
+    * ~640 KB with two multi-second single-task stages of codegen/eval
+    * overhead (plans/r21/orders_table_profile_approx_before.txt); the
+    * datasketches buffer is one binary blob per column, same one-pass
+    * no-Expand shape, and the estimate only feeds the est_ok attestation
+    * (5% band ≈ 6σ at lgK 14 — strictly tighter than the old 5σ).
     */
   def profileSketchFrame(orders: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // NO [[graft.api.Par.spread]] here, deliberately: the six fixed-size
-    // HLL buffers update at ~0.5 s single-core at gate SF — cheaper than
-    // the exchange an input respread costs — and the scan-shaped one-pass
-    // plan IS the artifact (PlanSpec pins Expand absent from it)
+    // HLL buffers update map-side — cheaper than the exchange an input
+    // respread costs — and the scan-shaped one-pass plan IS the artifact
+    // (PlanSpec pins Expand absent from it)
     val sketchAggs = Seq(count(lit(1)).as("n")) ++ ProfileCols.flatMap {
       case (i, c) => Seq(count(col(c)).as(s"c_$i"),
-        approx_count_distinct(col(c), 0.01).as(s"a_$i"))
+        hll_sketch_estimate(
+          hll_sketch_agg(sketchKey(orders, c), lit(ProfileHllLgK)))
+          .as(s"a_$i"))
     }
     orders.agg(sketchAggs.head, sketchAggs.tail: _*)
   }
 
   /** The EXECUTABLE 100 TB substitution [[tableProfile]]'s scaladoc
     * promises in prose: the same six-column orders profile with
-    * `approx_count_distinct` (HLL++, rsd=0.01) replacing the exact
+    * datasketches HLL (`hll_sketch_agg`, lgK [[ProfileHllLgK]] — see
+    * [[profileSketchFrame]] for why not `approx_count_distinct`)
+    * replacing the exact
     * COUNT(DISTINCT)s. The six HLL buffers all partial-aggregate in ONE
     * pass with NO Expand — each input row updates six fixed-size
     * sketches map-side and the shuffle carries sketch bytes, not values

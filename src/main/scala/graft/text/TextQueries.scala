@@ -458,6 +458,61 @@ object TextQueries {
         (col("prq").cast("double") / lit(1e9)).as("pr_auc"))
   }
 
+  /** [[aucFrame]] GROUPED by a key column — one row of ROC/PR-AUC per
+    * key value, the identical per-key arithmetic (the windows partition
+    * by the key instead of running globally, so each key's cumulative
+    * sums, rank totals and trapezoid terms see exactly the rows the
+    * global version would see on that key's slice). One checkpoint and
+    * one window chain serve EVERY key — [[qualityLrCv]] used to run five
+    * whole [[aucFrame]] subtrees, five checkpoints included (guide §2.4:
+    * two operations keyed the same way share one exchange). As a bonus
+    * the fold-partitioned windows replace five single-partition global
+    * windows.
+    */
+  def aucFrameKeyed(nb: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = nb
+      .select(col(key),
+        when(col("heur_label") === "keep", 1L).otherwise(0L).as("y"),
+        graft.api.Det.quantize(col("nb_llr"), 9).as("sq"))
+      .groupBy(col(key), col("sq"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wAsc = Window.partitionBy(col(key)).orderBy(col("sq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.partitionBy(col(key)).orderBy(col("sq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = grp
+      .withColumn("cum", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .withColumn("r2pos", col("pos") * (lit(2) * col("cum") + col("cnt") + 1))
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+      .withColumn("fp", sum(col("cnt") - col("pos")).over(wDesc))
+      .localCheckpoint()
+    val tot = pts.groupBy(col(key)).agg(max(col("tp")).as("p"),
+      max(col("fp")).as("n"), count(lit(1)).as("n_groups"),
+      sum(col("r2pos")).as("r2"))
+    val wLag = Window.partitionBy(col(key)).orderBy(col("sq").desc)
+    val pr = pts
+      .join(broadcast(tot.select(col(key).as("tk"), col("p"))),
+        col(key) === col("tk"))
+      .withColumn("recall", col("tp").cast("double") / col("p").cast("double"))
+      .withColumn("prec", col("tp").cast("double")
+        / (col("tp") + col("fp")).cast("double"))
+      .withColumn("recall_prev",
+        lag(col("recall"), 1, 0.0).over(wLag))
+      .withColumn("prec_prev", lag(col("prec"), 1, 1.0).over(wLag))
+      .groupBy(col(key))
+      .agg(sum(graft.api.Det.quantize(
+        (col("recall") - col("recall_prev"))
+          * (col("prec") + col("prec_prev")) * lit(0.5), 9)).as("prq"))
+    tot.join(pr, key)
+      .select(col(key), col("p").as("n_pos"), col("n").as("n_neg"),
+        col("n_groups"),
+        ((col("r2") - col("p") * (col("p") + 1)).cast("double")
+          / (lit(2) * col("p") * col("n")).cast("double")).as("auc_roc"),
+        (col("prq").cast("double") / lit(1e9)).as("pr_auc"))
+  }
+
   /** GD sweep count for [[qualityLr]] — the oracle unrolls exactly this
     * many rounds, and the driver loop is bounded by it.
     */
@@ -688,19 +743,33 @@ object TextQueries {
           % CvFolds).cast("int"))
       .localCheckpoint()
     val (w, nTrain) = lrTrainCv(feat, LrIters, CvFolds)
-    val perFold = (0 until CvFolds).map { k =>
-      val holdout = feat.filter(col("fold") === k)
-        .select(when(col("y") === 1.0, lit("keep")).otherwise(lit("drop"))
-          .as("heur_label"), lrZ(w(k)).as("nb_llr"))
-      aucFrame(holdout).select(
-        lit(k).as("fold"), lit(nTrain(k)).as("n_train"),
-        col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0L && col("n_neg") > 0L, col("auc_roc"))
-          .otherwise(raise_error(lit("quality_lr_cv: degenerate " +
-            "single-class holdout fold — CV needs both classes in " +
-            "every fold")).cast("double")).as("auc_roc"),
-        col("pr_auc"))
-    }.reduce(_ unionByName _)
+    // ALL FIVE HOLDOUT AUCs IN ONE KEYED PASS (round 21): each doc is
+    // scored by ITS OWN fold's model via a K-branch CASE and the ROC/PR
+    // arithmetic runs fold-partitioned ([[aucFrameKeyed]]) — per-fold
+    // values bit-identical to the five separate [[aucFrame]] subtrees
+    // this replaces (each branch evaluates the same lrZ(w(k)) on the
+    // same rows), at one checkpoint + one window chain instead of five
+    // (guide §2.4).
+    val scoreByFold = (0 until CvFolds)
+      .foldLeft(lit(null).cast("double")) { case (acc, k) =>
+        when(col("fold") === k, lrZ(w(k))).otherwise(acc)
+      }
+    val nTrainByFold = (0 until CvFolds)
+      .foldLeft(lit(null).cast("bigint")) { case (acc, k) =>
+        when(col("fold") === k, lit(nTrain(k))).otherwise(acc)
+      }
+    val scored = feat.select(col("fold"),
+      when(col("y") === 1.0, lit("keep")).otherwise(lit("drop"))
+        .as("heur_label"),
+      scoreByFold.as("nb_llr"))
+    val perFold = aucFrameKeyed(scored, "fold").select(
+      col("fold"), nTrainByFold.as("n_train"),
+      col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L, col("auc_roc"))
+        .otherwise(raise_error(lit("quality_lr_cv: degenerate " +
+          "single-class holdout fold — CV needs both classes in " +
+          "every fold")).cast("double")).as("auc_roc"),
+      col("pr_auc"))
     val summ = perFold.agg(
       sum(graft.api.Det.quantize(col("auc_roc"), 9)).as("sroc"),
       sum(graft.api.Det.quantize(col("pr_auc"), 9)).as("spr"))
