@@ -286,12 +286,27 @@ object LayoutQueries {
       .withColumn("matched",
         col("x").between(col("xlo"), col("xhi"))
           && col("pk").between(col("plo"), col("phi")))
+      // the table persists only per-row facts; plo/phi/xlo/xhi are
+      // row-CONSTANT predicate bounds, so writing them per row made the
+      // repartition shuffle and both rewrites carry 4 dead longs per row
+      // (guide §2.3 shuffle fewer bytes) — measure() re-derives them
+      // from the same expressions and crossJoins the 1-row frame back
       .select(col("file_id"), col("x"), col("pk"), col("zcell"),
-        col("matched"), col("plo"), col("phi"), col("xlo"), col("xhi"))
+        col("matched"))
       .repartition(col("file_id"))
     Warehouse.replacePartitioned(rows, LayoutTable, "file_id")
+    val consts = Tables.lineitem(s, d)
+      .agg(max(col("l_partkey")).cast("long").as("maxpk"))
+      .select(
+        expr(s"((maxpk + 1) * $PredPkLoPct) div 100").as("plo"),
+        expr(s"((maxpk + 1) * $PredPkHiPct) div 100").as("phi"),
+        datediff(lit(OptPredDateLo).cast("timestamp"),
+          lit(BaseDate).cast("timestamp")).cast("long").as("xlo"),
+        datediff(lit(OptPredDateHi).cast("timestamp"),
+          lit(BaseDate).cast("timestamp")).cast("long").as("xhi"))
     def measure(state: String) = pruneSummary(
       s.table(s"${Warehouse.Schema}.$LayoutTable")
+        .crossJoin(broadcast(consts))
         .select(lit(state).as("layout"), col("file_id"), col("x"),
           col("pk"), col("matched"), col("plo"), col("phi"), col("xlo"),
           col("xhi")))

@@ -1610,11 +1610,20 @@ object SimQueries {
     val cbAll = sharedCodebook(s, d)
     val vcell = kmeansCells(s, d)
     val codes = sharedCodes(s, d)
-    // PERSIST — model state + cell-partitioned codes through the warehouse
-    Warehouse.replaceTable(quant.cents, IvfCentroidsTable)
-    Warehouse.replaceTable(cbAll, PqCodebooksTable)
-    Warehouse.replacePartitioned(codes.join(vcell, "vec_id"),
-      IvfCodesTable, "cell")
+    // PERSIST — model state + cell-partitioned codes through the
+    // warehouse; three independent tables, three concurrent write jobs
+    // (guide §2.6)
+    Warehouse.ensureSchema(s)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(Seq(
+        Future(Warehouse.replaceTable(quant.cents, IvfCentroidsTable)),
+        Future(Warehouse.replaceTable(cbAll, PqCodebooksTable)),
+        Future(Warehouse.replacePartitioned(codes.join(vcell, "vec_id"),
+          IvfCodesTable, "cell")))), Duration.Inf)
+    }
     // SERVE — reads ONLY the persisted tables + the incoming query set
     val cents = s.table(s"${Warehouse.Schema}.$IvfCentroidsTable")
     val cbP = s.table(s"${Warehouse.Schema}.$PqCodebooksTable")
@@ -1682,13 +1691,19 @@ object SimQueries {
     val cbAll = Await.result(cbF, Duration.Inf)
     val oldCells = kmAssignIndexed(old, quant).localCheckpoint(eager = false)
     val oldCodes = pqAssign(pqSubVecs(old), cbAll).localCheckpoint(eager = false)
-    Warehouse.replaceTable(quant.cents, IvfCentroidsTable)
-    Warehouse.replaceTable(quant.anchors, IvfAnchorsTable)
-    Warehouse.replaceTable(cbAll, PqCodebooksTable)
-    Warehouse.replacePartitioned(
-      oldCodes.select(col("vec_id"), col("m"), col("j").as("code"))
-        .join(oldCells.select(col("vec_id"), col("j").as("cell")), "vec_id"),
-      IvfCodesTable, "cell")
+    // the four persist steps write four INDEPENDENT tables — run them as
+    // concurrent jobs (guide §2.6 overlap independent jobs) so the write
+    // tails back-fill each other instead of serializing
+    Warehouse.ensureSchema(s)
+    Await.result(Future.sequence(Seq(
+      Future(Warehouse.replaceTable(quant.cents, IvfCentroidsTable)),
+      Future(Warehouse.replaceTable(quant.anchors, IvfAnchorsTable)),
+      Future(Warehouse.replaceTable(cbAll, PqCodebooksTable)),
+      Future(Warehouse.replacePartitioned(
+        oldCodes.select(col("vec_id"), col("m"), col("j").as("code"))
+          .join(oldCells.select(col("vec_id"), col("j").as("cell")),
+            "vec_id"),
+        IvfCodesTable, "cell")))), Duration.Inf)
     // MAINTAIN: the batch reads ONLY the persisted model — frozen cells,
     // frozen codebooks — then appends its codes
     val centsP = s.table(s"${Warehouse.Schema}.$IvfCentroidsTable")
